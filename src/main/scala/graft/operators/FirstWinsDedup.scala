@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic first-instance-wins deduplication (SURVEY.md §2.5 O1).
+  *
+  * Reference semantics: `deduplicate_and_format_school_records` keeps the
+  * first occurrence of each key in file order
+  * (`src/program3_generate_website.py:138-154`). Spark's `dropDuplicates`
+  * picks an arbitrary winner, so the order column captured at scan time
+  * (`monotonically_increasing_id`) threads through a ranking window.
+  *
+  * Scale: one shuffle on the key; the window computes rank per key group —
+  * identical cost shape to any keyed dedup at 100 TB. Skewed keys are handled
+  * by AQE; for pathological single-key skew use `dedupExact` (hash agg) when
+  * the winner doesn't matter.
+  */
+object FirstWinsDedup {
+
+  def apply(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("_fw_rn", row_number().over(w))
+      .filter(col("_fw_rn") === 1)
+      .drop("_fw_rn")
+  }
+
+  def apply(df: DataFrame, keys: Seq[Column], order: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order)
+    df.withColumn("_fw_rn", row_number().over(w))
+      .filter(col("_fw_rn") === 1)
+      .drop("_fw_rn")
+  }
+
+  /** Winner-agnostic exact dedup: plain hash aggregation (map-side partial
+    * dedup, no window) — the cheaper form when any representative row will do.
+    */
+  def dedupExact(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+}

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import graft.core.RefConfig
+import graft.functions.{Normalize, TemplateRender}
+import graft.sinks.KeyedFileSink
+import graft.sources.SchoolCsv
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+/** Program 1 equivalent (SURVEY.md §3.1): CSV → one rendered Markdown file
+  * per school.
+  *
+  * Spark plan: `read.csv → filter(SchoolCode present) → select(render)` —
+  * the whole 110-placeholder context projection and template render fuse
+  * into one codegen'd `concat` expression (see TemplateRender), then a
+  * keyed-file sink. No shuffle anywhere; scales linearly with input splits.
+  */
+object MarkdownJob {
+
+  final case class Result(written: Long)
+
+  /** @return count of markdown files written (reference A1 semantics). */
+  def run(spark: SparkSession, csvPath: String, templatePath: String,
+      outDir: String): Result = {
+    // S5: template is driver data, loaded once; ≥1 placeholder required
+    // (`src/program1_generate_markdowns.py:322-341`).
+    val template = new String(
+      Files.readAllBytes(Paths.get(templatePath)), StandardCharsets.UTF_8)
+    val placeholders = TemplateRender.extractPlaceholders(template)
+    require(placeholders.nonEmpty, s"No placeholders found in template: $templatePath")
+
+    val rows = SchoolCsv.read(spark, csvPath)
+    if (!rows.schema.fieldNames.contains("SchoolCode")) return Result(0)
+
+    val schema = rows.schema
+    val context = TemplateRender.schoolContext(schema, placeholders)
+    val rendered = rows
+      .filter(Normalize.normalizeMissing(schema, "SchoolCode") =!= Normalize.Missing)
+      .select(
+        Normalize.normalizeMissing(schema, "SchoolCode").as("school_code"),
+        TemplateRender.renderColumn(template, context).as("doc"))
+
+    Result(KeyedFileSink.write(rendered, "school_code", "doc", outDir, ".md"))
+  }
+}
