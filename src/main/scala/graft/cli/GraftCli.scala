@@ -25,9 +25,15 @@ object GraftCli {
         case "site" :: csv :: mdDir :: template :: outHtml :: Nil =>
           val r = SiteJob.run(spark, csv, mdDir, template, outHtml)
           println(s"site: ${r.schools} schools -> ${r.htmlPath}")
+        case "enrich" :: inDir :: outMdDir :: outJsonDir :: promptTpl :: rest =>
+          val s = graft.enrich.EnrichJob.run(spark, inDir, outMdDir, outJsonDir,
+            promptTpl, limit = rest.headOption.map(_.toInt))
+          println(s"enrich: total=${s.total} skipped=${s.skipped} attempted=${s.attempted} " +
+            s"successful=${s.successful} failed=${s.failed}")
         case other =>
           System.err.println(s"unknown command: ${other.mkString(" ")}")
-          System.err.println("usage: markdown <csv> <tpl> <outDir> | site <csv> <mdDir> <tpl> <out.html>")
+          System.err.println(
+            "usage: markdown <csv> <tpl> <outDir> | enrich <inDir> <outMdDir> <outJsonDir> <promptTpl> [limit] | site <csv> <mdDir> <tpl> <out.html>")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -1,0 +1,89 @@
+package graft.enrich
+
+import graft.core.RefConfig
+import graft.sinks.KeyedFileSink
+import graft.sources.SchoolCsv
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Program 2 equivalent (SURVEY.md §3.2): Markdown dir → LLM → cleaned
+  * Markdown + raw/FAILED JSON, with idempotent incremental skip.
+  *
+  * Spark plan: `wholetext scan → LEFT ANTI join(existing outputs) → limit →
+  * mapPartitions(enrich) → split ok/fail → keyed-file sinks`. The anti-join
+  * is the distributed form of the reference's skip-if-exists check
+  * (`_filter_already_processed_files`, `src/program2_ai_processor.py:692-724`).
+  */
+object EnrichJob {
+
+  /** A2/A3 run stats (`_build_stats_dict`, `src/program2_ai_processor.py:726-760`). */
+  final case class Stats(total: Long, skipped: Long, attempted: Long,
+      successful: Long, failed: Long)
+
+  private def prettyJson(s: String): String = {
+    val m = new ObjectMapper()
+    try m.writerWithDefaultPrettyPrinter().writeValueAsString(m.readTree(s))
+    catch { case _: Exception => s }
+  }
+
+  def run(
+      spark: SparkSession,
+      inputMarkdownDir: String,
+      outputMarkdownDir: String,
+      outputJsonDir: String,
+      promptTemplatePath: String,
+      transportFactory: () => LlmTransport = () => new MockLlmTransport,
+      config: EnrichConfig = EnrichConfig(),
+      limit: Option[Int] = None,
+      sleeper: Long => Unit = Thread.sleep): Stats = {
+    import spark.implicits._
+
+    val promptTemplate = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(promptTemplatePath)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // fail fast on a malformed template (reference raises at init, `:236-251`)
+    PromptTemplate.buildPayload(promptTemplate, "")
+
+    val inputs = SchoolCsv.readDocumentDir(spark, inputMarkdownDir, ".md")
+      .filter(!col("key").endsWith("_ai_description"))
+    val existing = SchoolCsv
+      .readDocumentDir(spark, outputMarkdownDir, RefConfig.AiProcessedSuffix)
+      .select(col("key"))
+
+    val total = inputs.count()
+    // P9/J2: incremental skip as a left anti-join on the key
+    val fresh = inputs.join(existing, Seq("key"), "left_anti")
+    val ordered = fresh.orderBy(col("key")) // O3 deterministic order
+    val limited = limit.fold(ordered)(n => ordered.limit(n)) // O4
+    val attempted = limited.count()
+
+    val enriched = EnrichOperator
+      .enrich(
+        limited.select(col("key"), col("content")).as[EnrichOperator.Doc],
+        transportFactory, promptTemplate, config, sleeper)
+      .cache()
+
+    val okDf = enriched.filter(col("ok")).toDF()
+    val failDf = enriched.filter(!col("ok") && col("raw").isNotNull).toDF()
+
+    val prettify = udf(prettyJson _)
+    val successful = KeyedFileSink.write(
+      okDf, "key", "description", outputMarkdownDir, RefConfig.AiProcessedSuffix)
+    KeyedFileSink.write(
+      okDf.withColumn("rawPretty", prettify(col("raw"))),
+      "key", "rawPretty", outputJsonDir, RefConfig.AiRawResponseSuffix)
+    KeyedFileSink.write(
+      failDf.withColumn("rawPretty", prettify(col("raw"))),
+      "key", "rawPretty", outputJsonDir, RefConfig.AiFailedResponseSuffix)
+
+    val stats = Stats(
+      total = total,
+      skipped = total - attempted,
+      attempted = attempted,
+      successful = successful,
+      failed = attempted - successful)
+    enriched.unpersist()
+    stats
+  }
+}

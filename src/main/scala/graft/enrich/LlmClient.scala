@@ -1,0 +1,60 @@
+package graft.enrich
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ArrayNode
+
+/** LLM transport seam (SURVEY.md §2.7 E1).
+  *
+  * The reference talks to an Azure OpenAI chat-completions endpoint via
+  * aiohttp (`src/program2_ai_processor.py:343-515`) but its own tests never
+  * hit the network — they fake the session (`tests/test_program2_all.py:70-120`).
+  * This build runs zero-egress, so the same seam exists here: `LlmTransport`
+  * is the one integration point (an HTTP impl would live behind it), and the
+  * deterministic mock is the default used by specs and jobs.
+  */
+final case class LlmMessage(role: String, content: String)
+
+final case class LlmPayload(messages: Seq[LlmMessage], maxTokens: Int, temperature: Double) {
+  def toJson: String = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    val arr: ArrayNode = root.putArray("messages")
+    messages.foreach { msg =>
+      val o = arr.addObject()
+      o.put("role", msg.role)
+      o.put("content", msg.content)
+    }
+    root.put("max_tokens", maxTokens)
+    root.put("temperature", temperature)
+    m.writeValueAsString(root)
+  }
+}
+
+/** Raw transport result: HTTP status + body text. */
+final case class LlmResponse(status: Int, body: String)
+
+/** May throw [[java.io.IOException]] (network) or
+  * [[java.util.concurrent.TimeoutException]] — the retry state machine
+  * handles both (reference `aiohttp.ClientError` / `TimeoutError` branches).
+  */
+trait LlmTransport extends Serializable {
+  def post(payload: LlmPayload): LlmResponse
+}
+
+/** Deterministic offline stand-in: echoes a summary derived from the user
+  * message, shaped exactly like a chat-completions success body.
+  */
+final class MockLlmTransport extends LlmTransport {
+  override def post(payload: LlmPayload): LlmResponse = {
+    val m = new ObjectMapper()
+    val user = payload.messages.find(_.role == "user").map(_.content).getOrElse("")
+    val digest = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(user))
+    val content =
+      s"```markdown\n## Sammanfattning\n\nDeterministisk beskrivning ($digest, ${user.length} tecken underlag).\n```"
+    val root = m.createObjectNode()
+    val choice = root.putArray("choices").addObject()
+    choice.putObject("message").put("role", "assistant").put("content", content)
+    root.put("model", "mock")
+    LlmResponse(200, m.writeValueAsString(root))
+  }
+}
