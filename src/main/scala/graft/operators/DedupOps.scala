@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (the BASELINE.json
+  * north-star surface): exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: signatures are computed as per-row array expressions (no
+  * explode of shingles into rows, no cross join). Candidate generation
+  * shuffles only (band_id, band_hash) keys; exact verification runs on the
+  * candidate pairs, whose count LSH keeps near-linear. At 100 TB the only
+  * quadratic danger is a hot bucket — the banding hash is 64-bit, so buckets
+  * collapse only for genuinely similar content.
+  */
+object DedupOps {
+
+  /** Exact-dup flags: first doc (by `orderCol`) per content hash is kept. */
+  def exactDupFlags(df: DataFrame, text: Column, orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(md5(text)).orderBy(orderCol)
+    df.withColumn("is_dup", row_number().over(w) > 1)
+  }
+
+  /** MinHash signature as an array<long> of `k` values over word shingles. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingles, s => xxhash64(j, s))))
+
+  /** LSH banding: the signature split into `bands` hashed chunks. */
+  def bands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * Pipeline: shingle → signature (k hashes) → band → explode bands →
+    * self-join on (band index, band hash) → distinct candidate pairs →
+    * exact Jaccard on shingle sets → filter by threshold.
+    *
+    * @return DataFrame[id_a, id_b, jaccard] with id_a < id_b.
+    */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, k: Int = 32, nBands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextAnalysis.wordShingles(col(textCol), shingleWords)).as("shingles"))
+    val sig = base
+      .withColumn("sig", minhashSignature($"shingles", k))
+      .select($"id", $"shingles", posexplode(bands($"sig", nBands, k / nBands)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+
+    val a = sig.select($"id".as("id_a"), $"shingles".as("sh_a"), $"band_idx", $"band_hash")
+    val b = sig.select($"id".as("id_b"), $"shingles".as("sh_b"), $"band_idx", $"band_hash")
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"sh_a", $"sh_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard",
+        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** 64-bit SimHash of the token stream: per bit, sign of the sum of ±1
+    * contributions from each token's hash bit. Pure expression, no shuffle.
+    */
+  def simhash(text: Column): Column = {
+    val tokens = split(trim(text), "\\s+")
+    val counts = aggregate(
+      tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) =>
+        zip_with(acc, transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)),
+          (a, c) => a + c))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of four 16-bit
+    * chunks (guarantees recall for Hamming distance <= 3), verified by exact
+    * Hamming distance via bit_count(xor).
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .select($"id", $"sh", posexplode(
+        transform(sequence(lit(0), lit(3)),
+          c => call_function("shiftright", $"sh", c * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_val")
+    val a = sig.select($"id".as("id_a"), $"sh".as("sh_a"), $"chunk_idx", $"chunk_val")
+    val b = sig.select($"id".as("id_b"), $"sh".as("sh_b"), $"chunk_idx", $"chunk_val")
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter($"id_a" < $"id_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+      .filter($"hamming" <= maxHamming)
+      .select($"id_a", $"id_b", $"hamming")
+  }
+
+  /** Exact n-gram Jaccard between all pairs within `groupCol` (bounded-group
+    * variant for when LSH is overkill; cross-group pairs are never compared).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      array_distinct(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
+    val a = base.select($"g", $"id".as("id_a"), $"sh".as("sh_a"))
+    val b = base.select($"g", $"id".as("id_b"), $"sh".as("sh_b"))
+    a.join(b, Seq("g"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("jaccard",
+        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+}

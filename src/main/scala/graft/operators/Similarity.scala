@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * one pass over the corpus, per-query heap via ranking window. Scale path:
+  * sign-random-projection LSH buckets so each query only scans its bucket;
+  * recall traded via number of probe bits.
+  *
+  * All dot products run in double precision, folding in element order, so
+  * results are bit-deterministic across partitions and match an oracle that
+  * evaluates the same chain.
+  */
+object Similarity {
+
+  /** Σ aᵢbᵢ in double precision, element order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Brute-force cosine top-k for each query vector.
+    *
+    * @param corpus  DataFrame with (idCol, vecCol)
+    * @param queries small DataFrame with (idCol, vecCol) — broadcast
+    * @return DataFrame[query_id, rank, neighbor_id, sim]
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) $"neighbor_id" =!= $"query_id" else lit(true))
+      .select($"query_id", $"neighbor_id", cosine($"qv", $"cv").as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (bit i, dim j):
+    * uniform in [-0.5, 0.5) derived from xxhash64 — reproducible everywhere,
+    * no driver-side RNG state (Date/random-free by construction).
+    */
+  private def hyperplane(i: Column, j: Column): Column =
+    (pmod(xxhash64(i, j), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** Sign-random-projection signature: `bits` sign bits packed into a long. */
+  def srpSignature(vec: Column, bits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), i => {
+        val d = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, j) => x.cast("double") * hyperplane(i, j)),
+          lit(0.0), (acc, v) => acc + v)
+        when(d > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)
+      }),
+      lit(0.0).cast("long"), (acc, v) => acc.bitwiseOR(v))
+
+  /** LSH-bucketed approximate top-k: candidates share the full SRP bucket of
+    * the query, scored exactly within the bucket. Lower `bits` → bigger
+    * buckets → higher recall and cost.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      srpSignature(col(vecCol), bits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      srpSignature(col(vecCol), bits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", cosine($"qv", $"cv").as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+  }
+}

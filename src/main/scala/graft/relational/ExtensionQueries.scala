@@ -1,0 +1,335 @@
+package graft.relational
+
+import graft.core.{GraftQuery, Tables}
+import graft.functions.Normalize
+import graft.operators._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The training-data extension surface (BASELINE.json north star):
+  * deduplication, similarity search, text analysis, multimodal plumbing —
+  * plus oracle-checked wirings of the reference's own normalization/dedup
+  * operators (SURVEY.md §2.2 P1/P4, §2.5 O1, §2.6 F2) onto the driver
+  * testdata.
+  *
+  * Sketch-based operators (MinHash, SimHash, SRP-LSH) have no SQL oracle —
+  * they get rows-only checks here and exact-recomputation assertions in
+  * ScalaTest specs.
+  */
+object ExtensionQueries {
+
+  val queries: Seq[GraftQuery] = Seq(
+    // ---------------------------------------------------------------- t01
+    GraftQuery(
+      "t01_dedup_exact",
+      (s, d) => {
+        import s.implicits._
+        DedupOps.exactDupFlags(Tables.documents(s, d), $"text", $"doc_id")
+          .select($"doc_id", $"is_dup")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, (rn > 1) AS is_dup FROM (
+             |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Exact dedup via content hash; first doc per hash kept."
+    ),
+    // ---------------------------------------------------------------- t02
+    GraftQuery(
+      "t02_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Whitespace/punctuation-insensitive document fingerprint."
+    ),
+    // ---------------------------------------------------------------- t03
+    GraftQuery(
+      "t03_tokens",
+      (s, d) => {
+        import s.implicits._
+        val t = Tables.documents(s, d)
+        t.select(
+          $"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_tokens"),
+          length($"text").cast("long").as("n_chars_measured"),
+          (length(regexp_replace($"text", "\\s", "")).cast("double") /
+            TextAnalysis.tokenCount($"text")).as("avg_token_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+             |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+             |    / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS avg_token_len
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Whitespace tokenizer + average token length."
+    ),
+    // ---------------------------------------------------------------- t04
+    GraftQuery(
+      "t04_quality",
+      (s, d) => {
+        import s.implicits._
+        val stopHits = TextAnalysis.occurrences($"text", " the ")
+        Tables.documents(s, d)
+          .select(
+            $"doc_id",
+            length($"text").cast("long").as("n_chars_measured"),
+            TextAnalysis.punctRatio($"text").as("punct_ratio"),
+            stopHits.as("stop_hits"),
+            TextAnalysis.qualityScore($"text", stopHits).as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+             |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+             |  (length(text) - length(replace(text, ' the ', ''))) // 5 AS stop_hits,
+             |  (CASE WHEN (length(text) - length(replace(text, ' the ', ''))) // 5 > 0 THEN 0.4 ELSE 0.0 END)
+             |    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text))
+             |    + (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.3 ELSE 0.0 END) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Length/punctuation/stopword quality heuristics."
+    ),
+    // ---------------------------------------------------------------- t05
+    GraftQuery(
+      "t05_langid",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", TextAnalysis.langId($"text").as("pred_lang"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN instr(text, ' och ') > 0 OR instr(text, ' att ') > 0 THEN 'sv'
+             |       WHEN instr(text, ' the ') > 0 OR instr(text, ' and ') > 0 THEN 'en'
+             |       WHEN instr(text, ' und ') > 0 OR instr(text, ' der ') > 0 THEN 'de'
+             |       WHEN instr(text, ' le ') > 0 OR instr(text, ' et ') > 0 THEN 'fr'
+             |       WHEN instr(text, ' el ') > 0 OR instr(text, ' la ') > 0 THEN 'es'
+             |       ELSE 'und' END AS pred_lang
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Function-word heuristic language ID."
+    ),
+    // ---------------------------------------------------------------- t06
+    GraftQuery(
+      "t06_ngram_profile",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .filter(length($"text") >= 3)
+          .select($"lang", explode(TextAnalysis.charNgrams($"text", 3)).as("g"))
+          .groupBy($"lang", $"g")
+          .agg(count(lit(1)).as("n"))
+          .filter($"n" >= 20)
+          .orderBy($"lang", $"g")
+      },
+      Some("""SELECT lang, g, COUNT(*) AS n FROM (
+             |  SELECT lang, unnest(list_transform(range(1, length(text) - 1),
+             |    i -> substring(text, i, 3))) AS g
+             |  FROM documents WHERE length(text) >= 3)
+             |GROUP BY lang, g HAVING COUNT(*) >= 20
+             |ORDER BY lang, g""".stripMargin),
+      doc = "Per-language character-trigram frequency profile (explode + agg)."
+    ),
+    // ---------------------------------------------------------------- t07
+    GraftQuery(
+      "t07_dedup_minhash",
+      (s, d) => {
+        import s.implicits._
+        DedupOps.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      None,
+      doc = "MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join); spec-checked against exact Jaccard."
+    ),
+    // ---------------------------------------------------------------- t08
+    GraftQuery(
+      "t08_dedup_simhash",
+      (s, d) => {
+        import s.implicits._
+        DedupOps.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 10)
+          .orderBy($"id_a", $"id_b")
+      },
+      None,
+      doc = "SimHash near-dup pairs via 16-bit chunk banding + exact Hamming verify."
+    ),
+    // ---------------------------------------------------------------- t09
+    GraftQuery(
+      "t09_ngram_jaccard",
+      (s, d) => {
+        import s.implicits._
+        DedupOps.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          groupCol = "source", n = 3, threshold = 0.2)
+          .orderBy($"id_a", $"id_b")
+      },
+      None,
+      doc = "Exact n-gram Jaccard within source groups (bounded pair space)."
+    ),
+    // ---------------------------------------------------------------- t10
+    GraftQuery(
+      "t10_emb_norm",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .select($"vec_id",
+            size($"embedding").cast("long").as("dim"),
+            Similarity.norm2($"embedding").as("norm2"))
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+             |  list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm2
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      doc = "Embedding squared norm in double precision, element-order fold."
+    ),
+    // ---------------------------------------------------------------- t11
+    GraftQuery(
+      "t11_ann_bruteforce",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(
+          emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+             |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |    / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+             |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+             |SELECT query_id, rank, neighbor_id, sim FROM (
+             |  SELECT query_id, neighbor_id, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      doc = "Brute-force cosine top-k: broadcast queries, one corpus pass, ranking window."
+    ),
+    // ---------------------------------------------------------------- t12
+    GraftQuery(
+      "t12_ann_lsh",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopK(
+          emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, bits = 4)
+          .orderBy($"query_id", $"rank")
+      },
+      None,
+      doc = "SRP-LSH bucketed approximate top-k (recall spec-checked against brute force)."
+    ),
+    // ---------------------------------------------------------------- t13
+    GraftQuery(
+      "t13_multimodal",
+      (s, d) => {
+        import s.implicits._
+        Multimodal
+          .featurize(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+          .toDF()
+          .select($"doc_id", $"modality", $"payload_len", $"checksum",
+            $"width", $"height")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+             |  CAST(list_sum(list_transform(range(1, LEAST(length(d.text), 64) + 1),
+             |    i -> unicode(substring(d.text, i, 1)))) AS BIGINT) AS checksum,
+             |  CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN CAST(octet_length(encode(text)) % 1920 AS INT)
+             |    WHEN 1 THEN CAST(octet_length(encode(text)) % 48000 AS INT)
+             |    ELSE CAST(octet_length(encode(text)) % 1920 AS INT) END AS width,
+             |  CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN CAST(octet_length(encode(text)) % 1080 AS INT)
+             |    WHEN 1 THEN 1
+             |    ELSE CAST(octet_length(encode(text)) % 60 AS INT) END AS height
+             |FROM documents d ORDER BY doc_id""".stripMargin),
+      doc = "Multimodal binary plumbing: payload bytes + stub decode via per-partition batch operator."
+    ),
+    // ---------------------------------------------------------------- t14
+    GraftQuery(
+      "t14_ref_normalize",
+      (s, d) => {
+        import s.implicits._
+        val raw = Tables.documents(s, d).select(
+          $"doc_id",
+          when($"doc_id" % 7 === 0, "N/A")
+            .when($"doc_id" % 11 === 0, "  ").otherwise($"lang").as("raw_lang"),
+          concat($"n_chars".cast("string"), lit(".0")).as("num_str"),
+          when($"doc_id" % 2 === 0, "12.5").otherwise("-7.0").as("mixed"))
+        raw.select(
+          $"doc_id",
+          Normalize.normalizeMissing($"raw_lang").as("norm_lang"),
+          Normalize.formatNumber($"num_str").as("n_chars_fmt"),
+          Normalize.formatNumber($"mixed").as("mixed_fmt"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN raw_lang IS NULL OR trim(raw_lang) = '' OR upper(trim(raw_lang)) = 'N/A'
+             |       THEN '[Data Saknas]' ELSE trim(raw_lang) END AS norm_lang,
+             |  CASE WHEN regexp_full_match(num_str, '-?\d+\.0')
+             |       THEN CAST(CAST(CAST(num_str AS DOUBLE) AS BIGINT) AS VARCHAR) ELSE num_str END AS n_chars_fmt,
+             |  CASE WHEN regexp_full_match(mixed, '-?\d+\.0')
+             |       THEN CAST(CAST(CAST(mixed AS DOUBLE) AS BIGINT) AS VARCHAR) ELSE mixed END AS mixed_fmt
+             |FROM (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN 'N/A' WHEN doc_id % 11 = 0 THEN '  ' ELSE lang END AS raw_lang,
+             |    CAST(n_chars AS VARCHAR) || '.0' AS num_str,
+             |    CASE WHEN doc_id % 2 = 0 THEN '12.5' ELSE '-7.0' END AS mixed
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Reference P1 missing-normalize + F2 number-format, oracle-checked on testdata."
+    ),
+    // ---------------------------------------------------------------- t15
+    GraftQuery(
+      "t15_ref_first_wins",
+      (s, d) => {
+        import s.implicits._
+        FirstWinsDedup(Tables.documents(s, d), Seq("lang", "source"), "doc_id")
+          .select($"lang", $"source", $"doc_id")
+          .orderBy($"lang", $"source")
+      },
+      Some("""SELECT lang, source, doc_id FROM (
+             |  SELECT lang, source, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn = 1 ORDER BY lang, source""".stripMargin),
+      doc = "Reference O1 deterministic first-wins dedup on testdata."
+    ),
+    // ---------------------------------------------------------------- t16
+    GraftQuery(
+      "t16_ref_year_coalesce",
+      (s, d) => {
+        import s.implicits._
+        val raw = Tables.documents(s, d).select(
+          $"doc_id",
+          when($"doc_id" % 3 === 0, lit(null).cast("string"))
+            .when($"doc_id" % 3 === 1, "N/A").otherwise($"lang").as("v_new"),
+          when($"doc_id" % 5 === 0, "").otherwise($"source").as("v_old"))
+        raw.select($"doc_id",
+          Normalize.yearCoalesce(Seq($"v_new", $"v_old")).as("resolved"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, COALESCE(
+             |  CASE WHEN v_new IS NULL OR trim(v_new) = '' OR upper(trim(v_new)) = 'N/A'
+             |       THEN NULL ELSE trim(v_new) END,
+             |  CASE WHEN v_old IS NULL OR trim(v_old) = '' OR upper(trim(v_old)) = 'N/A'
+             |       THEN NULL ELSE trim(v_old) END,
+             |  '[Data Saknas]') AS resolved
+             |FROM (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN NULL WHEN doc_id % 3 = 1 THEN 'N/A' ELSE lang END AS v_new,
+             |    CASE WHEN doc_id % 5 = 0 THEN '' ELSE source END AS v_old
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Reference P4 year-preference coalesce, oracle-checked on testdata."
+    )
+  )
+}

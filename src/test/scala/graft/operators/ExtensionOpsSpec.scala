@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Correctness of the sketch/approximate operators that have no SQL oracle:
+  * MinHash-LSH and SimHash against exact recomputation, SRP-LSH recall
+  * against brute force, multimodal stub determinism.
+  */
+class ExtensionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf0001).cache()
+
+  test("minhashNearDups finds planted near-duplicates and no false positives above threshold") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+      (3L, "completely different content about spark query engines and shuffles"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDups(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup caught
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc clean
+  }
+
+  test("minhash candidate jaccard equals exact shingle jaccard") {
+    val sample = docs.limit(50)
+    val viaLsh = DedupOps.minhashNearDups(sample, "doc_id", "text", threshold = 0.0)
+    val exact = DedupOps.ngramJaccardPairs(
+      sample.withColumn("g", lit(1)), "doc_id", "text", "g", n = 3, threshold = 0.0)
+    val lshMap = viaLsh.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exactMap = exact.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every LSH candidate's reported jaccard must equal the exact value
+    lshMap.foreach { case (k, v) => assert(math.abs(exactMap(k) - v) < 1e-12) }
+  }
+
+  test("simhash: identical texts collide, different texts differ") {
+    val df = Seq(
+      (1L, "spark is a distributed engine"),
+      (2L, "spark is a distributed engine"),
+      (3L, "duckdb is an embedded database")).toDF("id", "text")
+    val sigs = df.select($"id", DedupOps.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhashNearDups catches single-token edits within hamming budget") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten")).toDF("id", "text")
+    val pairs = DedupOps.simhashNearDups(df, "id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("lshTopK neighbors are a subset of brute-force ranking with sane recall") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(approx.nonEmpty)
+    // every LSH hit that brute-force also ranked top-20 is consistent; require
+    // at least half of LSH results to appear in the exact top-20 (recall floor)
+    val hits = approx.count(exact.contains)
+    assert(hits.toDouble / approx.length >= 0.5)
+  }
+
+  test("brute-force cosine matches a hand-computed value") {
+    val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 0), "vec_id", "embedding", k = 2)
+      .orderBy($"rank").collect()
+    assert(res(0).getLong(2) == 1L) // cos(0,1)=1/sqrt(2) ~ 0.707
+    assert(math.abs(res(0).getDouble(3) - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(res(1).getLong(2) == 2L && math.abs(res(1).getDouble(3)) < 1e-12)
+  }
+
+  test("multimodal featurize is deterministic and matches payload bytes") {
+    val feats = Multimodal.featurize(Multimodal.mediaFromDocuments(docs.limit(10)))
+      .collect().sortBy(_.doc_id)
+    val raw = docs.limit(10).select($"doc_id", $"text", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    feats.foreach { f =>
+      val bytes = raw(f.doc_id).getBytes("UTF-8")
+      assert(f.payload_len == bytes.length)
+      assert(f.checksum == bytes.take(64).map(_ & 0xFF).sum.toLong)
+      assert(Seq("image", "audio", "video").contains(f.modality))
+    }
+  }
+
+  test("langId flags Swedish function words ahead of English") {
+    val df = Seq(
+      (1L, "barnen gick till skolan och lärde sig att läsa"),
+      (2L, "the children went to school and learned to read"),
+      (3L, "xyzzy")).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.langId($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(got(1L) == "sv" && got(2L) == "en" && got(3L) == "und")
+  }
+}
