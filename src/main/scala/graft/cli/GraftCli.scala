@@ -30,6 +30,20 @@ object GraftCli {
             promptTpl, limit = rest.headOption.map(_.toInt))
           println(s"enrich: total=${s.total} skipped=${s.skipped} attempted=${s.attempted} " +
             s"successful=${s.successful} failed=${s.failed}")
+        case "enrich-stream" :: inDir :: outMdDir :: outJsonDir :: promptTpl :: ckpt :: Nil =>
+          val prompt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(promptTpl)), java.nio.charset.StandardCharsets.UTF_8)
+          val q = graft.streaming.StreamingOps.enrichStream(
+            spark, inDir, outMdDir, outJsonDir, prompt, ckpt)
+          q.processAllAvailable() // drain what's there now; rerun to pick up new files
+          q.stop()
+          println(s"enrich-stream: drained $inDir -> $outMdDir (checkpoint $ckpt)")
+        case "explain" :: sfDir :: names =>
+          val sel = if (names.isEmpty) graft.SparkEntry.queries.keys.toSeq.sorted else names
+          sel.foreach { n =>
+            println(s"===== $n =====")
+            graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+          }
         case other =>
           System.err.println(s"unknown command: ${other.mkString(" ")}")
           System.err.println(

@@ -32,6 +32,12 @@ object Exact {
     */
   def dec(c: Column): Column = c.cast("decimal(12,2)")
 
+  /** Narrow fixed-point for 0..9.99-range factors (discount/tax): keeps
+    * decimal multiply results inside Spark's Long-backed fast path
+    * (precision <= 18) instead of BigDecimal.
+    */
+  def decF(c: Column): Column = c.cast("decimal(4,2)")
+
   /** Order-insensitive exact sum of a double column, returned as double. */
   def sumDec(c: Column): Column = sum(dec(c)).cast("double")
 
@@ -40,6 +46,7 @@ object Exact {
 
   /** SQL fragments mirroring the above for the DuckDB oracle. */
   def sqlDec(e: String): String = s"CAST($e AS DECIMAL(12,2))"
+  def sqlDecF(e: String): String = s"CAST($e AS DECIMAL(4,2))"
   def sqlSumDec(e: String): String = s"CAST(SUM(${sqlDec(e)}) AS DOUBLE)"
   def sqlAvgDec(e: String): String = s"CAST(SUM(${sqlDec(e)}) AS DOUBLE) / COUNT(*)"
 }

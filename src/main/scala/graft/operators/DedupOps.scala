@@ -22,11 +22,17 @@ object DedupOps {
     df.withColumn("is_dup", row_number().over(w) > 1)
   }
 
-  /** MinHash signature as an array<long> of `k` values over word shingles. */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  /** MinHash signature as an array<long> of `k` values over word shingles.
+    * Each shingle string is hashed ONCE; the k hash families re-hash the
+    * resulting 8-byte long (k string hashes per shingle would dominate the
+    * signature cost at corpus scale).
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val hs = transform(shingles, s => xxhash64(s))
     transform(
       sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles, s => xxhash64(j, s))))
+      j => array_min(transform(hs, h => xxhash64(j, h))))
+  }
 
   /** LSH banding: the signature split into `bands` hashed chunks. */
   def bands(signature: Column, bands: Int, rowsPerBand: Int): Column =
@@ -74,13 +80,15 @@ object DedupOps {
     * contributions from each token's hash bit. Pure expression, no shuffle.
     */
   def simhash(text: Column): Column = {
-    val tokens = split(trim(text), "\\s+")
+    // hash each token once; the fold's lambda variable is the 64-bit hash,
+    // so the 64 bit-tests don't re-hash the token string
+    val tokens = transform(split(trim(text), "\\s+"), t => xxhash64(t))
     val counts = aggregate(
       tokens,
       array_repeat(lit(0), 64),
-      (acc, t) =>
+      (acc, h) =>
         zip_with(acc, transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)),
+          i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)),
           (a, c) => a + c))
     aggregate(
       zip_with(counts, sequence(lit(0), lit(63)),
@@ -119,15 +127,25 @@ object DedupOps {
       groupCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Inverted-index formulation: instead of the quadratic within-group cross
+    // join, explode each doc's (distinct) shingle set into postings and
+    // self-join on (group, shingle). Only pairs that actually share a shingle
+    // are ever materialized, and |A∩B| falls out of the pair count:
+    // J = common / (|A| + |B| - common). Near-linear when shingles are
+    // diverse; a pathologically common shingle is the one skew source (it
+    // would need a doc-frequency prefix filter, at the cost of exactness).
     val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
       array_distinct(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
-    val a = base.select($"g", $"id".as("id_a"), $"sh".as("sh_a"))
-    val b = base.select($"g", $"id".as("id_b"), $"sh".as("sh_b"))
-    a.join(b, Seq("g"))
+      .withColumn("sz", size(col("sh")))
+    val postings = base.select($"g", $"id", $"sz", explode($"sh").as("shingle"))
+    val a = postings.select($"g", $"shingle", $"id".as("id_a"), $"sz".as("sz_a"))
+    val b = postings.select($"g", $"shingle", $"id".as("id_b"), $"sz".as("sz_b"))
+    a.join(b, Seq("g", "shingle"))
       .filter($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b", $"sz_a", $"sz_b")
+      .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
-        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b")))
+        $"common".cast("double") / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
   }

@@ -35,12 +35,12 @@ object RelationalQueries {
           .agg(
             sumDec($"l_quantity").as("sum_qty"),
             sumDec($"l_extendedprice").as("sum_base_price"),
-            sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+            sum(dec($"l_extendedprice") * (decF(lit(1)) - decF($"l_discount")))
               .cast("double")
               .as("sum_disc_price"),
             sum(
-              dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")) *
-                (dec(lit(1)) + dec($"l_tax"))).cast("double").as("sum_charge"),
+              dec($"l_extendedprice") * (decF(lit(1)) - decF($"l_discount")) *
+                (decF(lit(1)) + decF($"l_tax"))).cast("double").as("sum_charge"),
             avgDec($"l_quantity").as("avg_qty"),
             avgDec($"l_extendedprice").as("avg_price"),
             avgDec($"l_discount").as("avg_disc"),
@@ -51,8 +51,8 @@ object RelationalQueries {
       Some(s"""SELECT l_returnflag, l_linestatus,
               |  ${sqlSumDec("l_quantity")} AS sum_qty,
               |  ${sqlSumDec("l_extendedprice")} AS sum_base_price,
-              |  CAST(SUM(${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")})) AS DOUBLE) AS sum_disc_price,
-              |  CAST(SUM(${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")}) * (${sqlDec("1")} + ${sqlDec("l_tax")})) AS DOUBLE) AS sum_charge,
+              |  CAST(SUM(${sqlDec("l_extendedprice")} * (${sqlDecF("1")} - ${sqlDecF("l_discount")})) AS DOUBLE) AS sum_disc_price,
+              |  CAST(SUM(${sqlDec("l_extendedprice")} * (${sqlDecF("1")} - ${sqlDecF("l_discount")}) * (${sqlDecF("1")} + ${sqlDecF("l_tax")})) AS DOUBLE) AS sum_charge,
               |  ${sqlAvgDec("l_quantity")} AS avg_qty,
               |  ${sqlAvgDec("l_extendedprice")} AS avg_price,
               |  ${sqlAvgDec("l_discount")} AS avg_disc,
@@ -117,14 +117,14 @@ object RelationalQueries {
           .groupBy($"o_orderpriority")
           .agg(
             countDistinct($"o_orderkey").as("n_orders"),
-            sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+            sum(dec($"l_extendedprice") * (decF(lit(1)) - decF($"l_discount")))
               .cast("double")
               .as("revenue"))
           .orderBy($"o_orderpriority")
       },
       Some(s"""SELECT o_orderpriority,
               |  COUNT(DISTINCT o_orderkey) AS n_orders,
-              |  CAST(SUM(${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue
+              |  CAST(SUM(${sqlDec("l_extendedprice")} * (${sqlDecF("1")} - ${sqlDecF("l_discount")})) AS DOUBLE) AS revenue
               |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       doc = "Fact-to-fact equi-join on the natural key; AQE picks shuffle strategy, distinct agg."
@@ -396,7 +396,9 @@ object RelationalQueries {
           .events(s, d)
           .select(
             $"event_type",
-            get_json_object($"props", "$.k").cast("long").as("k"))
+            from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
           .groupBy($"event_type")
           .agg(
             sum($"k").cast("long").as("sum_k"),

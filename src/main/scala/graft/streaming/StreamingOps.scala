@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9): event-time windowed
+  * aggregation with watermarks, session windows, and custom stateful
+  * sessionization — the streaming analogues of the batch event queries
+  * (q19) and the reference's incremental file processing (P9/J2, which
+  * `readStream` file sources subsume via checkpointed exactly-once intake).
+  *
+  * All operators take an already-loaded streaming DataFrame so batch frames
+  * drive them in tests (`spark.readStream` vs `spark.read` produce the same
+  * logical shape).
+  */
+object StreamingOps {
+
+  /** Schema of the events table as stored (ts = raw nanosecond long, see
+    * Tables.events).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of an events parquet directory with `ts` normalized to
+    * TimestampType — the streaming twin of `Tables.events`.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling event-time window counts with late-data handling. */
+  def tumblingCounts(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding window aggregate (overlapping windows). */
+  def slidingSums(events: DataFrame, windowLength: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("sum_value"))
+
+  /** Built-in session windows: activity grouped per user until `gap` of
+    * silence.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  // ------------------------------------------------------------ custom state
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, n: Long, sum: Double)
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** flatMapGroupsWithState sessionization with a processing-time timeout:
+    * emits a UserSession when `gapMs` passes without activity for the user.
+    * The custom-state path for semantics session_window can't express
+    * (e.g. value-dependent gaps would slot in here).
+    */
+  def sessionizeWithState(events: Dataset[Event], gapMs: Long = 10 * 60 * 1000L)
+      : Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch-driven: rows arrive unordered within the trigger; sort by ts
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L, 0.0))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.start < 0) st = SessionState(t, t, 1L, e.value)
+            else if (t - st.lastSeen > gapMs) {
+              closed += UserSession(userId, new java.sql.Timestamp(st.start),
+                new java.sql.Timestamp(st.lastSeen), st.n, st.sum)
+              st = SessionState(t, t, 1L, e.value)
+            } else st = SessionState(st.start, t, st.n + 1, st.sum + e.value)
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+
+  /** Streaming enrichment: the incremental Program-2 mode. New markdown files
+    * landing in `inDir` are enriched exactly once (checkpointed intake
+    * replaces the reference's filesystem-existence check). Implemented with
+    * foreachBatch so each micro-batch reuses the batch EnrichOperator.
+    */
+  def enrichStream(
+      spark: SparkSession, inDir: String, outMdDir: String, outJsonDir: String,
+      promptTemplate: String, checkpointDir: String,
+      transportFactory: () => graft.enrich.LlmTransport = () => new graft.enrich.MockLlmTransport)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    import graft.enrich._
+    val docs = spark.readStream
+      .option("wholetext", "true")
+      .text(s"$inDir/*.md")
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)\\.md$", 1).as("key"),
+        col("value").as("content"))
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val enriched = EnrichOperator.enrich(
+          batch.as[EnrichOperator.Doc], transportFactory, promptTemplate)
+        val ok = enriched.filter(col("ok")).toDF()
+        graft.sinks.KeyedFileSink.write(ok, "key", "description", outMdDir,
+          graft.core.RefConfig.AiProcessedSuffix)
+        graft.sinks.KeyedFileSink.write(ok, "key", "raw", outJsonDir,
+          graft.core.RefConfig.AiRawResponseSuffix)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Streaming operators driven by the events testdata as a bounded stream
+  * (memory sink + processAllAvailable — the Spark-sanctioned way to test
+  * Structured Streaming synchronously).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The file-stream source needs a directory; the testdata table is a single
+    * parquet file, so stage a copy.
+    */
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("events_stream")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      d.resolve("part-0.parquet"))
+    d.toString
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory(s"ckpt_$name").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumblingCounts matches the batch groupBy on the same data") {
+    val stream = StreamingOps.eventsStream(spark, eventsDir)
+    val got = runToMemory(
+      StreamingOps.tumblingCounts(stream, "1 hour", "0 seconds"), "tumbling", "complete")
+      .select($"window_start", $"event_type", $"n")
+    val batch = graft.core.Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    // complete mode: every window emitted (append would hold back the
+    // final window, whose end the stalled watermark never passes)
+    assert(got.count() > 0)
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+  }
+
+  test("sessionCounts emits per-user sessions with gap semantics") {
+    val stream = StreamingOps.eventsStream(spark, eventsDir)
+    val got = runToMemory(
+      StreamingOps.sessionCounts(stream, "30 minutes", "0 seconds"), "sessions", "complete")
+    assert(got.count() > 0)
+    // session integrity: end >= start, event counts positive
+    assert(got.filter($"session_end" < $"session_start").count() == 0)
+    assert(got.filter($"n_events" <= 0).count() == 0)
+    // total events across sessions equals table size
+    val total = got.agg(sum($"n_events")).as[Long].head()
+    assert(total == graft.core.Tables.events(spark, sf0001).count())
+  }
+
+  test("sessionizeWithState closes sessions on gaps (batch-driven)") {
+    val events = Seq(
+      StreamingOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1, "a", 1.0),
+      StreamingOps.Event(2, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 1, "a", 2.0),
+      StreamingOps.Event(3, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1, "a", 3.0),
+      StreamingOps.Event(4, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2, "b", 4.0)
+    ).toDS()
+    // batch Datasets support flatMapGroupsWithState directly in Spark 4 via
+    // the same API; drive it as a one-batch stream for fidelity
+    val out = StreamingOps.sessionizeWithState(events, gapMs = 10 * 60 * 1000L)
+      .collect()
+    // user 1: first session (00:00-00:05, 2 events) closed by the 02:00 event
+    assert(out.exists(s => s.user_id == 1 && s.n_events == 2 && s.sum_value == 3.0))
+    // user 2's single-event session never closes (no later event) — state holds it
+    assert(!out.exists(_.user_id == 2))
+  }
+
+  test("enrichStream processes new files exactly once") {
+    val dir = Files.createTempDirectory("streamenrich").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    Files.write(java.nio.file.Paths.get(s"$dir/in/S1.md"), "# S1\ndata".getBytes)
+    val prompt = "SYSTEM:\nsys\nUSER:\n{school_data}"
+    val q = StreamingOps.enrichStream(spark, s"$dir/in", s"$dir/outmd",
+      s"$dir/outjson", prompt, s"$dir/ckpt")
+    q.processAllAvailable()
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/outmd/S1_ai_description.md")))
+    // a second file lands; only it is processed in the next batch
+    Files.write(java.nio.file.Paths.get(s"$dir/in/S2.md"), "# S2\ndata".getBytes)
+    q.processAllAvailable()
+    q.stop()
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/outmd/S2_ai_description.md")))
+  }
+}
