@@ -1,0 +1,169 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot sketch/similarity paths
+  * (SURVEY.md §7.2: "custom Expression beats a Scala UDF beats anything
+  * else"). Both are single-pass over the input with no intermediate array
+  * materialization — unlike their higher-order-function equivalents in
+  * DedupOps/Similarity, which build a 64-element lambda tree per token
+  * (simhash) or zip arrays (cosine). Codegen emits a direct static call.
+  */
+object SimHash64Impl {
+  /** Matches the HOF construction exactly: tokens = split(trim(s), "\\s+"),
+    * token hash = xxhash64(token) (seed 42 over UTF-8 bytes), bit i weight =
+    * +1 if hash bit i set else -1, signature bit i = (weight sum > 0).
+    */
+  def compute(s: UTF8String): Long = {
+    val tokens = s.toString.trim.split("\\s+")
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val utf8 = UTF8String.fromString(tokens(t))
+      val h = XXH64.hashUnsafeBytes(utf8.getBaseObject, utf8.getBaseOffset, utf8.numBytes(), 42L)
+      var i = 0
+      while (i < 64) {
+        counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+}
+
+/** simhash64(text): 64-bit SimHash of the whitespace token stream. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash64Impl.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHash64Impl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object MinHashSigImpl {
+  /** One-pass MinHash signature: tokenize, build distinct word shingles,
+    * hash each once, track k per-family minima. Matches the HOF pipeline
+    * `array_min(transform(hs, h -> xxhash64(j, h)))` over
+    * `array_distinct(wordShingles(text, n))` exactly: shingle hash =
+    * xxhash64 bytes seed 42; family j hash = hashLong(h, hashInt(j, 42)).
+    */
+  def compute(s: UTF8String, n: Int, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val tokens = s.toString.trim.split("\\s+")
+    val m = math.max(tokens.length - n, 0)
+    val seen = new java.util.HashSet[String]()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i <= m) {
+      val end = math.min(i + n, tokens.length)
+      val sh = tokens.slice(i, end).mkString(" ")
+      if (seen.add(sh)) {
+        val u = UTF8String.fromString(sh)
+        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+        var j = 0
+        while (j < k) {
+          val hj = XXH64.hashLong(h, XXH64.hashInt(j, 42L))
+          if (hj < mins(j)) mins(j) = hj
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+/** minhash_sig(text, shingleWords, k): MinHash signature as array<long>. */
+case class MinHashSig(child: Expression, shingleWords: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashSigImpl.compute(v.asInstanceOf[UTF8String], shingleWords, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.MinHashSigImpl.compute($c, $shingleWords, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object CosineSimilarityImpl {
+  /** Double-precision cosine over two float arrays, element-order folds —
+    * bit-identical to `Similarity.cosine`'s aggregate(zip_with(...)) chain
+    * (0.0 + x0*y0 + x1*y1 + ... in input order).
+    */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** cosine_sim(a, b): cosine similarity of two array<float> embeddings. */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two array<float> arguments, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarityImpl.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.CosineSimilarityImpl.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}

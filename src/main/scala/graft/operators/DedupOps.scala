@@ -56,19 +56,28 @@ object DedupOps {
     import spark.implicits._
     val base = df.select(
       col(idCol).as("id"),
-      array_distinct(TextAnalysis.wordShingles(col(textCol), shingleWords)).as("shingles"))
-    val sig = base
-      .withColumn("sig", minhashSignature($"shingles", k))
-      .select($"id", $"shingles", posexplode(bands($"sig", nBands, k / nBands)))
+      array_distinct(TextAnalysis.wordShingles(col(textCol), shingleWords)).as("shingles"),
+      // native one-pass signature (graft.expressions.MinHashSig); the HOF
+      // equivalent `minhashSignature` is kept for the parity spec
+      graft.expressions.GraftFunctions.minhashSig(col(textCol), shingleWords, k).as("sig"))
+
+    // band join over bare ids — the (potentially large) shingle arrays do NOT
+    // ride through the band-collision shuffle; they are re-attached only to
+    // the surviving candidate pairs for exact verification
+    val sigBands = base
+      .select($"id", posexplode(bands($"sig", nBands, k / nBands)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-
-    val a = sig.select($"id".as("id_a"), $"shingles".as("sh_a"), $"band_idx", $"band_hash")
-    val b = sig.select($"id".as("id_b"), $"shingles".as("sh_b"), $"band_idx", $"band_hash")
-    a.join(b, Seq("band_idx", "band_hash"))
+    val candidates = sigBands.alias("a")
+      .join(sigBands.alias("b"), Seq("band_idx", "band_hash"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", $"sh_a", $"sh_b")
       .dropDuplicates("id_a", "id_b")
+
+    val shingles = base.select($"id", $"shingles")
+    candidates
+      .join(shingles.select($"id".as("id_a"), $"shingles".as("sh_a")), Seq("id_a"))
+      .join(shingles.select($"id".as("id_b"), $"shingles".as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect($"sh_a", $"sh_b")).cast("double") /
           size(array_union($"sh_a", $"sh_b")))
@@ -77,9 +86,14 @@ object DedupOps {
   }
 
   /** 64-bit SimHash of the token stream: per bit, sign of the sum of ±1
-    * contributions from each token's hash bit. Pure expression, no shuffle.
+    * contributions from each token's hash bit. Delegates to the native
+    * Catalyst expression (graft.expressions.SimHash64) — single pass,
+    * codegen'd; `simhashHof` is the built-in-functions-only equivalent kept
+    * for the parity spec.
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column = graft.expressions.GraftFunctions.simhash64(text)
+
+  def simhashHof(text: Column): Column = {
     // hash each token once; the fold's lambda variable is the 64-bit hash,
     // so the 64 bit-tests don't re-hash the token string
     val tokens = transform(split(trim(text), "\\s+"), t => xxhash64(t))

@@ -24,7 +24,14 @@ object Similarity {
 
   def norm2(a: Column): Column = dot(a, a)
 
+  /** Native Catalyst expression (single pass, codegen); `cosineHof` is the
+    * built-in-functions equivalent kept for the parity spec — both fold in
+    * element order and agree bit-for-bit.
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.expressions.GraftFunctions.cosineSim(a, b)
+
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** Brute-force cosine top-k for each query vector.
