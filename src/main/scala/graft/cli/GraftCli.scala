@@ -38,6 +38,23 @@ object GraftCli {
           q.processAllAvailable() // drain what's there now; rerun to pick up new files
           q.stop()
           println(s"enrich-stream: drained $inDir -> $outMdDir (checkpoint $ckpt)")
+        case "all" :: csv :: mdTpl :: promptTpl :: siteTpl :: workDir :: Nil =>
+          // §7.1 step 10: the orchestrator's pipeline-run surface — three
+          // stages sequenced through filesystem checkpoints, abort on stage-1
+          // failure (setup_project.py:978-1031 semantics).
+          val md = MarkdownJob.run(spark, csv, mdTpl, s"$workDir/generated_markdown_from_csv")
+          println(s"all[1/3] markdown: ${md.written} files")
+          if (md.written == 0) {
+            System.err.println("all: stage 1 produced nothing; aborting")
+            sys.exit(1)
+          }
+          val st = graft.enrich.EnrichJob.run(spark,
+            s"$workDir/generated_markdown_from_csv",
+            s"$workDir/ai_processed_markdown", s"$workDir/ai_raw_responses", promptTpl)
+          println(s"all[2/3] enrich: total=${st.total} skipped=${st.skipped} successful=${st.successful} failed=${st.failed}")
+          val site = SiteJob.run(spark, csv, s"$workDir/ai_processed_markdown",
+            siteTpl, s"$workDir/output/index.html")
+          println(s"all[3/3] site: ${site.schools} schools -> ${site.htmlPath}")
         case "sql" :: sfDir :: query :: Nil =>
           graft.core.Tables.all.foreach { t =>
             (if (t == "events") graft.core.Tables.events(spark, sfDir)
