@@ -55,6 +55,18 @@ object GraftCli {
           val site = SiteJob.run(spark, csv, s"$workDir/ai_processed_markdown",
             siteTpl, s"$workDir/output/index.html")
           println(s"all[3/3] site: ${site.schools} schools -> ${site.htmlPath}")
+        case "probe" :: rest =>
+          // E8 connectivity preflight (mock transport in this zero-egress
+          // env). With an .env path: S7 config resolution is exercised and
+          // the derived endpoint printed (a real HTTP transport would use it).
+          rest.headOption.foreach { envPath =>
+            val cfg = graft.enrich.EnvConfig.load(Some(java.nio.file.Paths.get(envPath)))
+            println(s"probe: endpoint=${cfg.endpointUrl.getOrElse("<unset>")} " +
+              s"deployment=${cfg.deploymentName}")
+          }
+          val ok = graft.enrich.ConnectivityProbe.check(new graft.enrich.MockLlmTransport)
+          println(s"probe: ${if (ok) "Status: OK" else "FAILED"}")
+          if (!ok) sys.exit(1)
         case "sql" :: sfDir :: query :: Nil =>
           graft.core.Tables.all.foreach { t =>
             (if (t == "events") graft.core.Tables.events(spark, sfDir)

@@ -50,7 +50,9 @@ final class MockLlmTransport extends LlmTransport {
     val user = payload.messages.find(_.role == "user").map(_.content).getOrElse("")
     val digest = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(user))
     val content =
-      s"```markdown\n## Sammanfattning\n\nDeterministisk beskrivning ($digest, ${user.length} tecken underlag).\n```"
+      if (user.contains("'Status: OK'")) "Status: OK" // E8 connectivity probe
+      else
+        s"```markdown\n## Sammanfattning\n\nDeterministisk beskrivning ($digest, ${user.length} tecken underlag).\n```"
     val root = m.createObjectNode()
     val choice = root.putArray("choices").addObject()
     choice.putObject("message").put("role", "assistant").put("content", content)

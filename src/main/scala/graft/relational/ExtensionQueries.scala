@@ -253,6 +253,44 @@ object ExtensionQueries {
              |FROM documents d ORDER BY doc_id""".stripMargin),
       doc = "Multimodal binary plumbing: payload bytes + stub decode via per-partition batch operator."
     ),
+    // ---------------------------------------------------------------- t17
+    GraftQuery(
+      "t17_asof_join",
+      (s, d) => {
+        import s.implicits._
+        // each purchase joined to the user's most recent signup/login at or
+        // before it — the canonical time-series enrichment join
+        val ev = s.read.parquet(s"$d/events.parquet") // ts as raw ns long
+          .select($"event_id", $"user_id", $"event_type",
+            expr("ts div 1000").as("us"), $"value")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"us", $"value")
+        // unique (user, us) on the right: keep max event_id per timestamp
+        val sessions = FirstWinsDedup(
+          ev.filter($"event_type".isin("signup", "login"))
+            .select($"event_id", $"user_id", $"us"),
+          Seq($"user_id", $"us"), (-$"event_id").asc)
+        AsOfJoin(purchases, sessions, key = "user_id",
+          leftTime = "us", rightTime = "us",
+          rightPayload = Seq("event_id", "us"), rightOrder = "event_id")
+          .select($"event_id", $"user_id", $"us", $"value",
+            $"asof_event_id".as("session_event_id"),
+            $"asof_us".as("session_us"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.us, p.value,
+             |  s.event_id AS session_event_id, s.us AS session_us
+             |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, value
+             |      FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (
+             |  SELECT user_id, us, MAX(event_id) AS event_id FROM
+             |    (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+             |     FROM events WHERE event_type IN ('signup', 'login'))
+             |  GROUP BY user_id, us) s
+             |ON p.user_id = s.user_id AND p.us >= s.us
+             |ORDER BY p.event_id""".stripMargin),
+      doc = "As-of join composed from window carry-forward (graft.operators.AsOfJoin) vs DuckDB's native ASOF JOIN."
+    ),
     // ---------------------------------------------------------------- t14
     GraftQuery(
       "t14_ref_normalize",
