@@ -75,6 +75,25 @@ object Similarity {
       }),
       lit(0.0).cast("long"), (acc, v) => acc.bitwiseOR(v))
 
+  /** Embedding-cosine near-duplicate pairs within a blocking column: exact
+    * cosine on all pairs sharing `blockCol` (cheap when blocks are bounded;
+    * the unbounded-scale path swaps the block join for SRP-LSH buckets via
+    * `srpSignature`).
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(blockCol).as("b"), col(idCol).as("id"), col(vecCol).as("v"))
+    val a = base.select($"b", $"id".as("id_a"), $"v".as("v_a"))
+    val bb = base.select($"b", $"id".as("id_b"), $"v".as("v_b"))
+    a.join(bb, Seq("b"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("sim", cosine($"v_a", $"v_b"))
+      .filter($"sim" >= threshold)
+      .select($"id_a", $"id_b", $"sim")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the full SRP bucket of
     * the query, scored exactly within the bucket. Lower `bits` → bigger
     * buckets → higher recall and cost.

@@ -291,6 +291,52 @@ object ExtensionQueries {
              |ORDER BY p.event_id""".stripMargin),
       doc = "As-of join composed from window carry-forward (graft.operators.AsOfJoin) vs DuckDB's native ASOF JOIN."
     ),
+    // ---------------------------------------------------------------- t18
+    GraftQuery(
+      "t18_emb_dedup",
+      (s, d) => {
+        import s.implicits._
+        Similarity.embeddingNearDups(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          blockCol = "label", threshold = 0.3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3
+             |ORDER BY id_a, id_b""".stripMargin),
+      doc = "Embedding-cosine near-dup pairs with label blocking; scale path = SRP-LSH buckets."
+    ),
+    // ---------------------------------------------------------------- t19
+    GraftQuery(
+      "t19_skew_join",
+      (s, d) => {
+        import s.implicits._
+        // salting changes the physical plan, not the result — the oracle is
+        // the plain join, which is exactly the operator's correctness claim
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey", $"l_quantity")
+        val orders = Tables.orders(s, d)
+          .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+        SkewJoin.salted(li, orders, "l_orderkey", salt = 16, saltFrom = "l_partkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity".cast("decimal(12,2)")).cast("double").as("sum_qty"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      doc = "Salted skew join (operators.SkewJoin) — result provably identical to the plain join."
+    ),
     // ---------------------------------------------------------------- t14
     GraftQuery(
       "t14_ref_normalize",
