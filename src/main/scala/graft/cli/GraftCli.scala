@@ -79,6 +79,12 @@ object GraftCli {
           val secs = (System.nanoTime() - t0) / 1e9
           df.show(20, truncate = false)
           println(f"sql: $secs%.2f s")
+        case "export" :: sfDir :: table :: outDir :: partitionCol :: Nil =>
+          val src =
+            if (table == "events") graft.core.Tables.events(spark, sfDir)
+            else graft.core.Tables.table(spark, sfDir, table)
+          val back = graft.sinks.DataSinks.writePartitioned(src, outDir, Seq(partitionCol))
+          println(s"export: ${back.count()} rows -> $outDir partitioned by $partitionCol")
         case "explain" :: sfDir :: names =>
           val sel = if (names.isEmpty) graft.SparkEntry.queries.keys.toSeq.sorted else names
           sel.foreach { n =>

@@ -337,6 +337,32 @@ object ExtensionQueries {
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       doc = "Salted skew join (operators.SkewJoin) — result provably identical to the plain join."
     ),
+    // ---------------------------------------------------------------- t20
+    GraftQuery(
+      "t20_tfidf",
+      (s, d) => {
+        import s.implicits._
+        TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term),
+             |tot AS (SELECT doc_id, COUNT(*) AS total FROM tok GROUP BY doc_id),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM
+             |           (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents)
+             |SELECT doc_id, term AS top_term, score FROM (
+             |  SELECT tf.doc_id, tf.term,
+             |    (CAST(tf.cnt AS DOUBLE) / tot.total) * (CAST(n.nd AS DOUBLE) / dfreq.df) AS score,
+             |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY
+             |      (CAST(tf.cnt AS DOUBLE) / tot.total) * (CAST(n.nd AS DOUBLE) / dfreq.df) DESC,
+             |      tf.term) AS rn
+             |  FROM tf JOIN tot USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+      doc = "TF-IDF top term per doc (rational idf — log differs across libm impls in the last bit)."
+    ),
     // ---------------------------------------------------------------- t14
     GraftQuery(
       "t14_ref_normalize",
