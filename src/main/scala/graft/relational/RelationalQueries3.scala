@@ -128,6 +128,53 @@ object RelationalQueries3 {
               |GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin),
       doc = "Sliding event-time windows evaluated in batch; oracle assigns each event to its two windows explicitly."
     ),
+    // ---------------------------------------------------------------- q37
+    GraftQuery(
+      "q37_array_hof",
+      (s, d) => {
+        import s.implicits._
+        // higher-order array functions: filter / exists / forall / transform
+        Tables.embeddings(s, d)
+          .select(
+            $"vec_id",
+            size(filter($"embedding", x => x > 0f)).cast("long").as("n_pos"),
+            exists($"embedding", x => x > 0.3f).as("has_large"),
+            forall($"embedding", x => abs(x) < 1.0f).as("all_bounded"),
+            aggregate(
+              filter($"embedding", x => x > 0f),
+              lit(0.0), (acc, x) => acc + x.cast("double")).as("sum_pos"))
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT vec_id,
+             |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+             |  len(list_filter(embedding, x -> x > 0.3)) > 0 AS has_large,
+             |  len(list_filter(embedding, x -> NOT (abs(x) < 1.0))) = 0 AS all_bounded,
+             |  COALESCE(list_sum(list_transform(list_filter(embedding, x -> x > 0),
+             |    x -> CAST(x AS DOUBLE))), 0.0) AS sum_pos
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      doc = "Higher-order array functions (filter/exists/forall/aggregate) over embeddings."
+    ),
+    // ---------------------------------------------------------------- q38
+    GraftQuery(
+      "q38_unpivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d)
+          .select($"p_partkey", $"p_size".cast("double").as("size"),
+            $"p_retailprice".as("retailprice"))
+          .unpivot(
+            Array($"p_partkey"),
+            Array($"size", $"retailprice"),
+            "metric", "value")
+          .orderBy($"p_partkey", $"metric")
+      },
+      Some("""SELECT p_partkey, metric, value FROM (
+             |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS retailprice
+             |  FROM part)
+             |UNPIVOT (value FOR metric IN (size, retailprice))
+             |ORDER BY p_partkey, metric""".stripMargin),
+      doc = "UNPIVOT / melt to long form (the inverse of q28's pivot)."
+    ),
     // ---------------------------------------------------------------- q36
     GraftQuery(
       "q36_approx_quantile",
