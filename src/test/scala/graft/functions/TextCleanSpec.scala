@@ -26,6 +26,10 @@ class TextCleanSpec extends AnyFunSuite {
     assert(TextClean.cleanAiResponse("```markdown body text") == "body text")
     assert(TextClean.cleanAiResponse("body text```") == "body text")
     assert(TextClean.cleanAiResponse("no fences at all") == "no fences at all")
+    // partial-fence cases from tests/test_program2_all.py:435-447
+    assert(TextClean.cleanAiResponse("```markdown\nHello").startsWith("Hello"))
+    assert(TextClean.cleanAiResponse("```\nBye").startsWith("Bye"))
+    assert(TextClean.cleanAiResponse("Hello```") == "Hello")
   }
 
   test("F6 html-clean doctest") {
