@@ -363,6 +363,34 @@ object ExtensionQueries {
              |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
       doc = "TF-IDF top term per doc (rational idf — log differs across libm impls in the last bit)."
     ),
+    // ---------------------------------------------------------------- t21
+    GraftQuery(
+      "t21_interval_join",
+      (s, d) => {
+        import s.implicits._
+        // the stream-stream interval join evaluated in batch (withWatermark
+        // is a no-op on batch frames) — same operator the streaming spec
+        // drives with the micro-batch engine
+        graft.streaming.StreamingOps
+          .purchaseAttribution(Tables.events(s, d), intervalSeconds = 3600)
+          .select($"p_event_id", $"user_id",
+            date_format($"p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_time"),
+            $"value", $"s_event_id",
+            date_format($"s_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_time"))
+          .orderBy($"p_event_id", $"s_event_id")
+      },
+      Some("""SELECT p.event_id AS p_event_id, p.user_id,
+             |  strftime(make_timestamp(epoch_ns(p.ts) // 1000), '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+             |  p.value, s.event_id AS s_event_id,
+             |  strftime(make_timestamp(epoch_ns(s.ts) // 1000), '%Y-%m-%d %H:%M:%S.%f') AS s_time
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE event_type IN ('signup', 'login')) s
+             |  ON p.user_id = s.user_id
+             | AND s.ts <= p.ts
+             | AND s.ts >= p.ts - INTERVAL 3600 SECONDS
+             |ORDER BY p_event_id, s_event_id""".stripMargin),
+      doc = "Stream-stream interval join (StreamingOps.purchaseAttribution) in its batch evaluation."
+    ),
     // ---------------------------------------------------------------- t14
     GraftQuery(
       "t14_ref_normalize",

@@ -74,6 +74,36 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exactly-once dedup: drop repeated event ids within the
+    * watermark horizon (the streaming analogue of exact dedup — state for
+    * ids older than the watermark is evicted, bounding memory at scale).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * signups/logins within the preceding `intervalSeconds`. Both sides carry
+    * watermarks so the join state is bounded (late rows beyond the watermark
+    * + interval are dropped).
+    */
+  def purchaseAttribution(events: DataFrame, intervalSeconds: Long = 3600,
+      watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermark)
+    val sessions = events.filter(col("event_type").isin("signup", "login"))
+      .select(col("event_id").as("s_event_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", watermark)
+    purchases.join(
+      sessions,
+      expr(s"""p_user = s_user AND
+              |s_ts <= p_ts AND s_ts >= p_ts - INTERVAL $intervalSeconds SECONDS""".stripMargin))
+      .select(col("p_event_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("value"), col("s_event_id"), col("s_ts"))
+  }
+
   // ------------------------------------------------------------ custom state
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

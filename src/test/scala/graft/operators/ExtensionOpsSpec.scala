@@ -28,7 +28,7 @@ class ExtensionOpsSpec extends SparkSpec {
   }
 
   test("minhash candidate jaccard equals exact shingle jaccard") {
-    val sample = docs.limit(50)
+    val sample = docs.filter($"doc_id" < 50)
     val viaLsh = DedupOps.minhashNearDups(sample, "doc_id", "text", threshold = 0.0)
     val exact = DedupOps.ngramJaccardPairs(
       sample.withColumn("g", lit(1)), "doc_id", "text", "g", n = 3, threshold = 0.0)
@@ -85,9 +85,9 @@ class ExtensionOpsSpec extends SparkSpec {
   }
 
   test("multimodal featurize is deterministic and matches payload bytes") {
-    val feats = Multimodal.featurize(Multimodal.mediaFromDocuments(docs.limit(10)))
+    val feats = Multimodal.featurize(Multimodal.mediaFromDocuments(docs.filter($"doc_id" < 10)))
       .collect().sortBy(_.doc_id)
-    val raw = docs.limit(10).select($"doc_id", $"text", $"n_chars").collect()
+    val raw = docs.filter($"doc_id" < 10).select($"doc_id", $"text", $"n_chars").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
     feats.foreach { f =>
       val bytes = raw(f.doc_id).getBytes("UTF-8")

@@ -76,6 +76,28 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(_.user_id == 2))
   }
 
+  test("streaming dedup drops duplicate event ids") {
+    // duplicate the stream input file: every event id appears twice
+    val dupDir = Files.createTempDirectory("events_dup")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"), dupDir.resolve("a.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"), dupDir.resolve("b.parquet"))
+    val stream = StreamingOps.eventsStream(spark, dupDir.toString)
+    val got = runToMemory(StreamingOps.dedupEvents(stream, "0 seconds"), "dedup_events")
+    assert(got.count() == graft.core.Tables.events(spark, sf0001).count())
+  }
+
+  test("stream-stream interval join attributes purchases to recent sessions") {
+    val stream = StreamingOps.eventsStream(spark, eventsDir)
+    val got = runToMemory(
+      StreamingOps.purchaseAttribution(stream, intervalSeconds = 3600, watermark = "0 seconds"),
+      "attribution")
+    assert(got.count() > 0)
+    // every joined session is within the hour before the purchase, same user
+    import org.apache.spark.sql.functions._
+    assert(got.filter($"s_ts" > $"p_ts" ||
+      $"s_ts" < $"p_ts" - expr("INTERVAL 3600 SECONDS")).count() == 0)
+  }
+
   test("enrichStream processes new files exactly once") {
     val dir = Files.createTempDirectory("streamenrich").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
