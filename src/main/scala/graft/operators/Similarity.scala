@@ -56,6 +56,53 @@ object Similarity {
       .select($"query_id", $"rank", $"neighbor_id", $"sim")
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nCells` cells; each query scores only the
+    * `nProbe` cells whose centroids are nearest. The classic
+    * billion-scale ANN layout (FAISS-style coarse quantization): index
+    * build is one ML fit + one assignment pass, query cost is
+    * corpus/nCells·nProbe instead of the full scan.
+    *
+    * Deterministic: fixed k-means seed, centroid ids stable per fit.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
+    val assigned = model
+      .transform(corpus.withColumn("features", array_to_vector(col(vecCol))))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("prediction").as("cell"))
+      .drop("features")
+
+    // nProbe nearest cells per query, via a broadcast centroid table
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy($"query_id").orderBy($"cdist", $"cell")
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -dot($"qv", $"centroid") /
+        (sqrt(norm2($"qv")) * sqrt(norm2($"centroid"))))
+      .withColumn("prn", row_number().over(probeW))
+      .filter($"prn" <= nProbe)
+      .select($"query_id", $"qv", $"cell")
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", cosine($"qv", $"cv").as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (bit i, dim j):
     * uniform in [-0.5, 0.5) derived from xxhash64 — reproducible everywhere,
     * no driver-side RNG state (Date/random-free by construction).

@@ -391,6 +391,19 @@ object ExtensionQueries {
              |ORDER BY p_event_id, s_event_id""".stripMargin),
       doc = "Stream-stream interval join (StreamingOps.purchaseAttribution) in its batch evaluation."
     ),
+    // ---------------------------------------------------------------- t22
+    GraftQuery(
+      "t22_ann_ivf",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding",
+          k = 5, nCells = 8, nProbe = 3)
+          .orderBy($"query_id", $"rank")
+      },
+      None,
+      doc = "IVF (k-means coarse quantizer) approximate top-k — the billion-scale ANN layout; recall spec-checked vs brute force."
+    ),
     // ---------------------------------------------------------------- t14
     GraftQuery(
       "t14_ref_normalize",

@@ -74,6 +74,19 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(hits.toDouble / approx.length >= 0.5)
   }
 
+  test("ivfTopK recall against brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(ivf.nonEmpty)
+    val hits = ivf.count(exact.contains)
+    assert(hits.toDouble / ivf.length >= 0.5, s"recall ${hits.toDouble / ivf.length}")
+  }
+
   test("brute-force cosine matches a hand-computed value") {
     val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
