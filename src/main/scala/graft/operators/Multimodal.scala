@@ -50,6 +50,43 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload")).as[MediaRow]
   }
 
+  final case class ResizedMedia(doc_id: Long, modality: String, width: Int,
+      height: Int, payload: Array[Byte])
+  final case class FrameSample(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Resize: the per-row transform a real pipeline runs after decode. The
+    * stub "resampler" deterministically strides the payload bytes to the
+    * target size; the Spark shape (mapPartitions batch, binary in/out,
+    * per-task decoder init) is what a JNI/libvips-backed impl would reuse.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val target = math.max(1, math.min(r.payload.length, targetW * targetH / 256))
+        val stride = math.max(1, r.payload.length / target)
+        val out = Array.tabulate(target)(i => r.payload(math.min(i * stride, r.payload.length - 1)))
+        ResizedMedia(r.doc_id, r.modality, targetW, targetH, out)
+      }
+    }
+  }
+
+  /** Frame sampling: one row per sampled frame (UDTF-shaped row expansion —
+    * `flatMap` over the partition iterator). The stub cuts the payload into
+    * fixed-size "frames" and keeps every `everyN`th.
+    */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int = 64, everyN: Int = 2)
+      : Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.modality == "video").flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (frame, i) if i % everyN == 0 => FrameSample(r.doc_id, i, frame)
+      }
+    }
+  }
+
   /** The batch "decode" operator: per-partition decoder instantiation (the
     * expensive native-lib init happens once per task, not per row), then a
     * streaming pass over the rows.

@@ -110,6 +110,24 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize and frameSample preserve keys and batch shape") {
+    val media = Multimodal.mediaFromDocuments(docs.filter($"doc_id" < 30))
+    val resized = Multimodal.resize(media, 64, 64).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.width == 64 && r.height == 64 && r.payload.nonEmpty)
+    }
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resize(media, 64, 64).collect()
+    assert(resized.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
+      .forall { case (a, b) => a.payload.sameElements(b.payload) })
+
+    val frames = Multimodal.frameSample(media, frameBytes = 32, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0)) // every 2nd frame kept
+    assert(frames.forall(f => f.payload.length <= 32))
+  }
+
   test("langId flags Swedish function words ahead of English") {
     val df = Seq(
       (1L, "barnen gick till skolan och lärde sig att läsa"),
