@@ -134,6 +134,55 @@ object DedupOps {
       .select($"id_a", $"id_b", $"hamming")
   }
 
+  /** Prefix-filtered exact Jaccard join (SSJoin/PPJoin prefix principle):
+    * with shingle sets ordered by a fixed total order (global document
+    * frequency, rarest first), two sets with J >= t MUST share one of each
+    * other's first `|S| - ceil(t*|S|) + 1` elements — so only those prefix
+    * shingles are indexed. Exact same output as [[ngramJaccardPairs]] but
+    * the posting index shrinks with the threshold, and hot (frequent)
+    * shingles land OUTSIDE prefixes — killing the skew that dominates the
+    * plain inverted-index join at high thresholds.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      array_distinct(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
+      .withColumn("sz", size(col("sh")))
+
+    // global rarest-first total order on shingles
+    val freq = base.select(explode($"sh").as("shingle"))
+      .groupBy($"shingle").agg(count(lit(1)).as("df"))
+
+    val prefixLen = ($"sz" - ceil($"sz" * threshold) + 1).cast("int")
+    val prefixes = base
+      .select($"g", $"id", $"sz", explode($"sh").as("shingle"))
+      .join(freq, "shingle")
+      .groupBy($"g", $"id", $"sz")
+      .agg(sort_array(collect_list(struct($"df", $"shingle"))).as("ordered"))
+      .select($"g", $"id",
+        explode(slice(transform($"ordered", o => o.getField("shingle")), lit(1), prefixLen))
+          .as("shingle"))
+
+    val a = prefixes.select($"g", $"shingle", $"id".as("id_a"))
+    val b = prefixes.select($"g", $"shingle", $"id".as("id_b"))
+    val candidates = a.join(b, Seq("g", "shingle"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val sets = base.select($"id", $"sh")
+    candidates
+      .join(sets.select($"id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(sets.select($"id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
   /** Exact n-gram Jaccard between all pairs within `groupCol` (bounded-group
     * variant for when LSH is overkill; cross-group pairs are never compared).
     */

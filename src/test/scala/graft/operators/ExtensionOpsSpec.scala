@@ -38,6 +38,17 @@ class ExtensionOpsSpec extends SparkSpec {
     lshMap.foreach { case (k, v) => assert(math.abs(exactMap(k) - v) < 1e-12) }
   }
 
+  test("prefix-filtered jaccard join returns exactly the inverted-index result") {
+    val sample = docs.filter($"doc_id" < 120).withColumn("g", lit(1))
+    for (t <- Seq(0.3, 0.5)) {
+      val plain = DedupOps.ngramJaccardPairs(sample, "doc_id", "text", "g", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prefix = DedupOps.prefixJaccardPairs(sample, "doc_id", "text", "g", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prefix == plain, s"threshold $t: prefix=$prefix plain=$plain")
+    }
+  }
+
   test("simhash: identical texts collide, different texts differ") {
     val df = Seq(
       (1L, "spark is a distributed engine"),
