@@ -404,6 +404,32 @@ object ExtensionQueries {
       None,
       doc = "IVF (k-means coarse quantizer) approximate top-k — the billion-scale ANN layout; recall spec-checked vs brute force."
     ),
+    // ---------------------------------------------------------------- t23
+    GraftQuery(
+      "t23_prefix_jaccard",
+      (s, d) => {
+        import s.implicits._
+        DedupOps.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          groupCol = "source", n = 3, threshold = 0.2)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+             |FROM (SELECT doc_id, source, list_distinct(list_transform(
+             |        range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 2),
+             |        i -> array_to_string(string_split_regex(trim(text), '\s+')[i : i + 2], ' '))) AS sh
+             |      FROM documents) a
+             |JOIN (SELECT doc_id, source, list_distinct(list_transform(
+             |        range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 2),
+             |        i -> array_to_string(string_split_regex(trim(text), '\s+')[i : i + 2], ' '))) AS sh
+             |      FROM documents) b
+             |  ON a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+             |ORDER BY id_a, id_b""".stripMargin),
+      doc = "Prefix-filtered exact Jaccard join (SSJoin prefix principle) vs a brute-force DuckDB pair oracle."
+    ),
     // ---------------------------------------------------------------- t14
     GraftQuery(
       "t14_ref_normalize",
