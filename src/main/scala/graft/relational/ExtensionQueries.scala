@@ -430,6 +430,27 @@ object ExtensionQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       doc = "Prefix-filtered exact Jaccard join (SSJoin prefix principle) vs a brute-force DuckDB pair oracle."
     ),
+    // ---------------------------------------------------------------- t24
+    GraftQuery(
+      "t24_topk_plan",
+      (s, d) => {
+        import s.implicits._
+        // the custom LogicalPlan+Strategy+SparkPlan operator (bounded heaps,
+        // no sort) vs the oracle's window formulation — same rows required
+        val orders = Tables.orders(s, d)
+          .withColumn("score", $"o_totalprice" * 1000000.0 + $"o_orderkey")
+        graft.plans.TopKPerKey(orders, Seq("o_custkey"), "score", 3)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice * 1000000.0 + o_orderkey DESC) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin),
+      doc = "Custom physical operator (TopKPerKeyExec: per-key bounded heaps, sort-free) vs the window oracle."
+    ),
     // ---------------------------------------------------------------- t14
     GraftQuery(
       "t14_ref_normalize",
