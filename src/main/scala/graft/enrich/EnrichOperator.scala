@@ -1,9 +1,10 @@
 package graft.enrich
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.Dataset
 
-import java.util.concurrent.{Callable, Executors, TimeUnit}
-import scala.jdk.CollectionConverters._
+import java.util.concurrent.{Executors, Future => JFuture, TimeUnit}
+import scala.collection.mutable
 
 /** E1/E2: the distributed LLM-map operator — `mapPartitions` with a bounded
   * thread pool and a per-partition rate limiter (SURVEY.md §2.7).
@@ -13,8 +14,15 @@ import scala.jdk.CollectionConverters._
   * token bucket at `targetRpm / N`, so the global in-flight and request-rate
   * envelopes match the reference's semaphore + AsyncLimiter regardless of
   * cluster size. Transport/pool lifecycle is per-partition (the analogue of
-  * the reference's pooled ClientSession). Rows stream through the pool in
-  * input order; results preserve order within a partition.
+  * the reference's pooled ClientSession). The limiter gates every transport
+  * ATTEMPT (retries included), like the reference's `async with rate_limiter`
+  * inside the retry loop (`src/program2_ai_processor.py:387-389`).
+  *
+  * Rows stream through the pool under a bounded in-flight window of
+  * 2×concurrency: only O(concurrency) documents (and their responses) are
+  * resident per partition at any moment, regardless of partition size —
+  * `invokeAll` over the whole partition would OOM at 100 TB. Results preserve
+  * input order within a partition (FIFO completion drain).
   */
 object EnrichOperator {
 
@@ -38,23 +46,39 @@ object EnrichOperator {
       else {
         val transport = transportFactory()
         val limiter = new RateLimiter(perPartRpm, sleeper)
-        val caller = new RetryingLlmCaller(transport, config, sleeper)
+        val caller = new RetryingLlmCaller(transport, config, sleeper, limiter)
         val pool = Executors.newFixedThreadPool(perPartConcurrency)
-        try {
-          val tasks = rows.map { doc =>
-            new Callable[Enriched] {
-              override def call(): Enriched = {
-                val payload = PromptTemplate.buildPayload(promptTemplate, doc.content)
-                limiter.acquire()
-                val r = caller.call(payload)
-                Enriched(doc.key, r.ok, r.description.orNull, r.raw.orNull)
-              }
+        // if the consumer abandons the iterator (limit, task kill), still
+        // release the pool threads at task end
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          pool.shutdownNow(); ()
+        })
+        val window = perPartConcurrency * 2
+        val pending = mutable.Queue.empty[JFuture[Enriched]]
+
+        def submit(doc: Doc): JFuture[Enriched] =
+          pool.submit(new java.util.concurrent.Callable[Enriched] {
+            override def call(): Enriched = {
+              val payload = PromptTemplate.buildPayload(promptTemplate, doc.content)
+              val r = caller.call(payload)
+              Enriched(doc.key, r.ok, r.description.orNull, r.raw.orNull)
             }
-          }.toSeq.asJava
-          pool.invokeAll(tasks).asScala.map(_.get()).iterator
-        } finally {
-          pool.shutdown()
-          pool.awaitTermination(1, TimeUnit.HOURS)
+          })
+        def fill(): Unit =
+          while (rows.hasNext && pending.size < window) pending.enqueue(submit(rows.next()))
+
+        fill()
+        new Iterator[Enriched] {
+          override def hasNext: Boolean = pending.nonEmpty
+          override def next(): Enriched = {
+            val r = pending.dequeue().get()
+            fill()
+            if (pending.isEmpty) {
+              pool.shutdown()
+              pool.awaitTermination(1, TimeUnit.MINUTES)
+            }
+            r
+          }
         }
       }
     }

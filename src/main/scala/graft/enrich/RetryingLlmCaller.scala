@@ -35,7 +35,8 @@ final case class EnrichResult(ok: Boolean, description: Option[String], raw: Opt
 final class RetryingLlmCaller(
     transport: LlmTransport,
     config: EnrichConfig = EnrichConfig(),
-    sleeper: Long => Unit = Thread.sleep) extends Serializable {
+    sleeper: Long => Unit = Thread.sleep,
+    limiter: RateLimiter = RateLimiter.unlimited) extends Serializable {
 
   @transient private lazy val mapper = new ObjectMapper()
 
@@ -51,6 +52,10 @@ final class RetryingLlmCaller(
       val last = attempt == config.maxRetries
       def backoff(): Unit = sleeper((math.pow(config.backoffFactor, attempt) * 1000).toLong)
       try {
+        // limiter is taken per ATTEMPT, not per document — a retried request
+        // consumes a fresh permit, like the reference's limiter inside the
+        // retry loop (`src/program2_ai_processor.py:389` within the `:387` loop)
+        limiter.acquire()
         val resp = transport.post(payload)
         resp.status match {
           case 200 =>
@@ -117,7 +122,7 @@ final class RetryingLlmCaller(
   * the reference's global AsyncLimiter (documented approximation, SURVEY §7.3
   * risk 3 — an exact global limit needs a side service).
   */
-final class RateLimiter(ratePerMinute: Double, sleeper: Long => Unit = Thread.sleep)
+class RateLimiter(ratePerMinute: Double, sleeper: Long => Unit = Thread.sleep)
     extends Serializable {
   private val intervalMs: Double = if (ratePerMinute <= 0) 0.0 else 60000.0 / ratePerMinute
   private var nextFreeAtMs: Double = 0.0
@@ -129,4 +134,9 @@ final class RateLimiter(ratePerMinute: Double, sleeper: Long => Unit = Thread.sl
     val wait = (target - now).toLong
     if (wait > 0) sleeper(wait)
   }
+}
+
+object RateLimiter {
+  /** Zero-rate bucket: every acquire returns immediately. */
+  val unlimited: RateLimiter = new RateLimiter(0.0, _ => ())
 }

@@ -41,6 +41,12 @@ final case class TopKPerKeyExec(keys: Seq[Expression], score: Expression, k: Int
     Seq(ClusteredDistribution(keys))
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // scoreProj reads the slot as a raw double — a non-double score would
+    // silently reinterpret bytes into garbage rankings, so fail fast instead
+    // (the TopKPerKey.apply API casts for you; this guards direct plan users)
+    require(score.dataType == org.apache.spark.sql.types.DoubleType,
+      s"TopKPerKey score must be DoubleType, got ${score.dataType.simpleString}; " +
+        "wrap the score expression in Cast(_, DoubleType)")
     val keyExprs = keys
     val scoreExpr = score
     val childOutput = child.output
@@ -76,7 +82,13 @@ object TopKPerKey {
     ensureStrategy(spark)
     val child = df.queryExecution.analyzed
     val keyExprs = keyCols.map(c => org.apache.spark.sql.GraftColumnBridge.expression(df(c)))
-    val scoreExpr = org.apache.spark.sql.GraftColumnBridge.expression(df(scoreCol))
+    val scoreExpr = {
+      val e = org.apache.spark.sql.GraftColumnBridge.expression(df(scoreCol))
+      if (e.dataType == org.apache.spark.sql.types.DoubleType) e
+      else org.apache.spark.sql.catalyst.expressions.Cast(
+        e, org.apache.spark.sql.types.DoubleType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone))
+    }
     org.apache.spark.sql.GraftColumnBridge.ofRows(
       spark, TopKPerKeyPlan(keyExprs, scoreExpr, k, child))
   }

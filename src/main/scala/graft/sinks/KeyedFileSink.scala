@@ -32,11 +32,13 @@ object KeyedFileSink {
     val ok: LongAccumulator = spark.sparkContext.longAccumulator("keyed_files_written")
     val projected = df.selectExpr(s"cast(`$keyCol` as string) as k", s"`$contentCol` as v")
     projected.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      val dir = Paths.get(outDir)
+      val dir = Paths.get(outDir).toAbsolutePath.normalize()
       rows.foreach { row =>
         val key = row.getString(0)
         val content = row.getString(1)
-        if (key != null && key.nonEmpty && content != null) {
+        // Keys are data-derived (e.g. CSV SchoolCode): reject anything that
+        // could resolve outside outDir (separators, '..') instead of writing it.
+        if (key != null && key.nonEmpty && content != null && safeKey(dir, key + suffix)) {
           try {
             val target = dir.resolve(key + suffix)
             val tmp: Path = Files.createTempFile(dir, s".$key", ".tmp")
@@ -50,4 +52,15 @@ object KeyedFileSink {
     }
     ok.value
   }
+
+  /** True iff `name` stays a direct child of `dir` once resolved: no path
+    * separators (either platform's), no `..`/`.` components, no NULs.
+    */
+  private[sinks] def safeKey(dir: Path, name: String): Boolean =
+    !name.contains('/') && !name.contains('\\') && !name.contains('\u0000') &&
+      name != ".." && name != "." &&
+      (try {
+        val target = dir.resolve(name).normalize()
+        target.getParent == dir && target.startsWith(dir)
+      } catch { case _: java.nio.file.InvalidPathException => false })
 }
