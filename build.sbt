@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The box's default locale is ANSI_X3.4-1968, which makes java.nio.Path
+// reject non-ASCII filenames (sun.jnu.encoding is locale-derived and NOT
+// overridable via -D). KeyedFileSink writes Swedish keys; fork with a
+// UTF-8 locale so the filesystem charset is sane.
+Test / envVars ++= Map("LANG" -> "C.utf8", "LC_ALL" -> "C.utf8")
+run / envVars ++= Map("LANG" -> "C.utf8", "LC_ALL" -> "C.utf8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -24,6 +30,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // The box's locale is ANSI_X3.4-1968; without these, java.nio.Path
+  // rejects non-ASCII filenames (KeyedFileSink writes Swedish keys).
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -33,6 +33,16 @@ object FirstWinsDedup {
       .drop("_fw_rn")
   }
 
+  /** Deterministic last-instance-wins: Program 1 writes `{code}.md` per row
+    * in file order, so a later duplicate row overwrites the earlier file and
+    * the LAST occurrence's content survives
+    * (`src/program1_generate_markdowns.py:382-388`). Under `local[32]` an
+    * undeduplicated keyed sink would let an arbitrary task win; this is the
+    * first-wins window with the order reversed, run BEFORE the sink.
+    */
+  def lastWins(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    apply(df, keys.map(col), col(orderCol).desc)
+
   /** Winner-agnostic exact dedup: plain hash aggregation (map-side partial
     * dedup, no window) — the cheaper form when any representative row will do.
     */

@@ -41,8 +41,19 @@ object MarkdownJob {
       .filter(Normalize.normalizeMissing(schema, "SchoolCode") =!= Normalize.Missing)
       .select(
         Normalize.normalizeMissing(schema, "SchoolCode").as("school_code"),
-        TemplateRender.renderColumn(template, context).as("doc"))
+        TemplateRender.renderColumn(template, context).as("doc"),
+        col("_file_order"))
 
-    Result(KeyedFileSink.write(rendered, "school_code", "doc", outDir, ".md"))
+    // Reference: each row overwrites `{code}.md` in file order, so the LAST
+    // duplicate's content survives (`program1_generate_markdowns.py:382-388`).
+    // Under local[32] an arbitrary task would win the rename race; dedup to
+    // the deterministic winner before the sink. (The reference's returned
+    // count includes overwrites; ours counts distinct files — identical
+    // whenever SchoolCodes are unique, as in the shipped dataset.)
+    val winners = graft.operators.FirstWinsDedup
+      .lastWins(rendered, Seq("school_code"), "_file_order")
+      .drop("_file_order")
+
+    Result(KeyedFileSink.write(winners, "school_code", "doc", outDir, ".md"))
   }
 }

@@ -37,30 +37,43 @@ object KeyedFileSink {
         val key = row.getString(0)
         val content = row.getString(1)
         // Keys are data-derived (e.g. CSV SchoolCode): reject anything that
-        // could resolve outside outDir (separators, '..') instead of writing it.
-        if (key != null && key.nonEmpty && content != null && safeKey(dir, key + suffix)) {
+        // could resolve outside outDir (separators, '..') instead of writing
+        // it. The RAW key is validated, before suffixing — so key ".." is
+        // rejected even though ".." + ".md" would be a legal in-dir name.
+        if (key != null && content != null && safeKey(key)) {
           try {
             val target = dir.resolve(key + suffix)
-            val tmp: Path = Files.createTempFile(dir, s".$key", ".tmp")
+            val tmp: Path = Files.createTempFile(dir, ".graft", ".tmp")
             Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
             Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
               StandardCopyOption.REPLACE_EXISTING)
             ok.add(1)
-          } catch { case _: java.io.IOException => () }
+          } catch {
+            case _: java.io.IOException => ()
+            case _: java.nio.file.InvalidPathException => ()
+          }
         }
       }
     }
     ok.value
   }
 
-  /** True iff `name` stays a direct child of `dir` once resolved: no path
-    * separators (either platform's), no `..`/`.` components, no NULs.
+  /** Lexical-only validation of a raw key: no path separators (either
+    * platform's), no NULs, and not a bare `.`/`..`. A name passing this
+    * cannot leave `outDir` once a fixed suffix is appended.
+    *
+    * Deliberately string-based — no `Path` round-trip. `dir.resolve(name)`
+    * throws `InvalidPathException` for ANY non-ASCII name when the JVM runs
+    * with an ASCII `sun.jnu.encoding`, which would silently drop every row
+    * with e.g. a Swedish key — a correctness regression vs the reference,
+    * whose Python `open()` writes such filenames
+    * (`src/program1_generate_markdowns.py:382-388`). Encoding must never be
+    * a validity criterion; the forked JVMs additionally run with
+    * `-Dfile.encoding=UTF-8 -Dsun.jnu.encoding=UTF-8` (build.sbt) so the
+    * physical write succeeds too.
     */
-  private[sinks] def safeKey(dir: Path, name: String): Boolean =
+  private[sinks] def safeKey(name: String): Boolean =
+    name.nonEmpty &&
     !name.contains('/') && !name.contains('\\') && !name.contains('\u0000') &&
-      name != ".." && name != "." &&
-      (try {
-        val target = dir.resolve(name).normalize()
-        target.getParent == dir && target.startsWith(dir)
-      } catch { case _: java.nio.file.InvalidPathException => false })
+      name != ".." && name != "."
 }

@@ -51,6 +51,21 @@ class PipelineSpec extends SparkSpec {
     assert(MarkdownJob.run(spark, s"$dir/data.csv", s"$dir/tpl.md", s"$dir/out").written == 0)
   }
 
+  test("MarkdownJob: duplicate SchoolCode -> LAST row in file order wins the file") {
+    // Reference overwrites `{code}.md` per row in file order
+    // (`program1_generate_markdowns.py:382-388`); under local[32] this must
+    // stay deterministic, not an arbitrary-task rename race.
+    val dir = tmpDir("mdjob_dup")
+    val dupRows = (1 to 40).map(i => s"D500;Version $i").mkString("\n")
+    write(s"$dir/data.csv", s"SchoolCode;SchoolName\n$dupRows\nE600;Solo\n")
+    write(s"$dir/tpl.md", "{SchoolName}")
+    val out = s"$dir/out"
+    val res = MarkdownJob.run(spark, s"$dir/data.csv", s"$dir/tpl.md", out)
+    assert(res.written == 2)
+    assert(read(s"$out/D500.md") == "Version 40")
+    assert(read(s"$out/E600.md") == "Solo")
+  }
+
   test("FirstWinsDedup keeps the first instance in file order") {
     import spark.implicits._
     val df = Seq(("A", "Alpha", 0L), ("A", "Alpha Again", 1L), ("B", "", 2L))

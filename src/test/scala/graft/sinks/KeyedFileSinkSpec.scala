@@ -3,24 +3,29 @@ package graft.sinks
 import graft.SparkSpec
 
 import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
 
 /** K1/K2 sink hardening: data-derived keys must not escape the output
-  * directory (keys come straight from CSV SchoolCode values).
+  * directory (keys come straight from CSV SchoolCode values), and validation
+  * is purely lexical — a non-ASCII key (Swedish school names) must never be
+  * rejected or dropped on encoding grounds (reference parity:
+  * `src/program1_generate_markdowns.py:382-388` writes such filenames).
   */
 class KeyedFileSinkSpec extends SparkSpec {
   import spark.implicits._
 
-  test("safeKey rejects traversal, separators and NUL; accepts plain names") {
-    val dir = Paths.get("/tmp/out").toAbsolutePath.normalize()
-    assert(KeyedFileSink.safeKey(dir, "A100.md"))
-    assert(KeyedFileSink.safeKey(dir, "skola åäö 12.json"))
-    assert(!KeyedFileSink.safeKey(dir, "../evil.md"))
-    assert(!KeyedFileSink.safeKey(dir, "a/b.md"))
-    assert(!KeyedFileSink.safeKey(dir, "a\\b.md"))
-    assert(!KeyedFileSink.safeKey(dir, ".."))
-    assert(!KeyedFileSink.safeKey(dir, "."))
-    assert(!KeyedFileSink.safeKey(dir, "x\u0000y.md"))
-    assert(!KeyedFileSink.safeKey(dir, "/etc/passwd"))
+  test("safeKey rejects traversal, separators and NUL; accepts plain and non-ASCII names") {
+    assert(KeyedFileSink.safeKey("A100.md"))
+    assert(KeyedFileSink.safeKey("skola åäö 12.json"))
+    assert(KeyedFileSink.safeKey("..md")) // legal in-dir name, not a traversal
+    assert(!KeyedFileSink.safeKey("../evil.md"))
+    assert(!KeyedFileSink.safeKey("a/b.md"))
+    assert(!KeyedFileSink.safeKey("a\\b.md"))
+    assert(!KeyedFileSink.safeKey(".."))
+    assert(!KeyedFileSink.safeKey("."))
+    assert(!KeyedFileSink.safeKey("x\u0000y.md"))
+    assert(!KeyedFileSink.safeKey("/etc/passwd"))
+    assert(!KeyedFileSink.safeKey(""))
   }
 
   test("write skips unsafe keys and never writes outside outDir") {
@@ -31,6 +36,8 @@ class KeyedFileSinkSpec extends SparkSpec {
       ("../escape", "evil"),
       ("sub/dir", "evil"),
       ("..", "evil")).toDF("k", "v")
+    // the raw key ".." is validated BEFORE the suffix is appended, so it is
+    // rejected even though ".." + ".md" == "..md" would be a legal filename
     val written = KeyedFileSink.write(df, "k", "v", out, ".md")
     assert(written == 1)
     assert(Files.exists(Paths.get(out, "GOOD1.md")))
@@ -39,5 +46,18 @@ class KeyedFileSinkSpec extends SparkSpec {
     val all = Files.walk(parent).filter(Files.isRegularFile(_))
       .map[String](_.getFileName.toString).toArray.toSeq
     assert(all == Seq("GOOD1.md"))
+  }
+
+  test("write physically writes files for non-ASCII keys") {
+    val parent = Files.createTempDirectory("sink_utf8")
+    val out = parent.resolve("out").toString
+    val key = "skola åäö 12"
+    val df = Seq((key, "svensk skola éü")).toDF("k", "v")
+    val written = KeyedFileSink.write(df, "k", "v", out, ".md")
+    assert(written == 1)
+    val target = Paths.get(out).resolve(key + ".md")
+    assert(Files.exists(target))
+    val content = new String(Files.readAllBytes(target), StandardCharsets.UTF_8)
+    assert(content == "svensk skola éü")
   }
 }
