@@ -118,6 +118,56 @@ case class MinHashSig(child: Expression, shingleWords: Int, k: Int)
     copy(child = newChild)
 }
 
+object ShingleHashSetImpl {
+  /** One-pass distinct hashed word shingles. Matches the HOF pipeline
+    * `array_distinct(transform(wordShingles(text, n), s -> xxhash64(s)))`
+    * exactly: tokens = split(trim(s), "\\s+"), shingle = n consecutive
+    * tokens joined by " ", hash = xxhash64 (seed 42) over UTF-8 bytes,
+    * distinct keeps first occurrence order. The HOF tree evaluates
+    * interpreted (ArrayTransform is CodegenFallback) at ~40µs/shingle —
+    * this compiles to a direct static call inside whole-stage codegen.
+    */
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val tokens = s.toString.trim.split("\\s+")
+    val m = math.max(tokens.length - n, 0)
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](m + 1)
+    var i = 0
+    while (i <= m) {
+      val end = math.min(i + n, tokens.length)
+      val sh = tokens.slice(i, end).mkString(" ")
+      val u = UTF8String.fromString(sh)
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** shingle_hashes(text, n): distinct xxhash64'd n-word shingles as array<long>. */
+case class ShingleHashSet(child: Expression, shingleWords: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashSetImpl.compute(v.asInstanceOf[UTF8String], shingleWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ShingleHashSetImpl.compute($c, $shingleWords)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
 object CosineSimilarityImpl {
   /** Double-precision cosine over two float arrays, element-order folds —
     * bit-identical to `Similarity.cosine`'s aggregate(zip_with(...)) chain

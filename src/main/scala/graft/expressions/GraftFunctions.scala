@@ -40,6 +40,8 @@ object GraftFunctions {
     exprCol(CosineSimilarity(expr(a), expr(b)))
   def minhashSig(text: Column, shingleWords: Int, k: Int): Column =
     exprCol(MinHashSig(expr(text), shingleWords, k))
+  def shingleHashes(text: Column, shingleWords: Int): Column =
+    exprCol(ShingleHashSet(expr(text), shingleWords))
 }
 
 /** `SparkSessionExtensions` injector — the deployment-grade registration

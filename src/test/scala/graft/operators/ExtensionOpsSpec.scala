@@ -39,14 +39,29 @@ class ExtensionOpsSpec extends SparkSpec {
   }
 
   test("prefix-filtered jaccard join returns exactly the inverted-index result") {
+    // 0.3 exercises the low-threshold fallback route, 0.5/0.8 the real
+    // prefix path (0.8 is the registry's t23 configuration)
     val sample = docs.filter($"doc_id" < 120).withColumn("g", lit(1))
-    for (t <- Seq(0.3, 0.5)) {
-      val plain = DedupOps.ngramJaccardPairs(sample, "doc_id", "text", "g", 3, t)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val plain = DedupOps.ngramJaccardPairs(sample, "doc_id", "text", "g", 3, t,
+        maxDf = Int.MaxValue)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val prefix = DedupOps.prefixJaccardPairs(sample, "doc_id", "text", "g", 3, t)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(prefix == plain, s"threshold $t: prefix=$prefix plain=$plain")
     }
+  }
+
+  test("ngram jaccard df-cutoff drops only hot-shingle candidates, results unchanged") {
+    val sample = docs.withColumn("g", lit(1)) // all 500 docs, one group
+    val full = DedupOps.ngramJaccardPairs(sample, "doc_id", "text", "g", 3, 0.2,
+      maxDf = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cut = DedupOps.ngramJaccardPairs(sample, "doc_id", "text", "g", 3, 0.2,
+      maxDf = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(full.nonEmpty) // planted near-dups exist in the fixture
+    assert(cut == full)   // cutoff never changes emitted pairs or exact values
   }
 
   test("simhash: identical texts collide, different texts differ") {
