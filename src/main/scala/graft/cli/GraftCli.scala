@@ -26,8 +26,14 @@ object GraftCli {
           val r = SiteJob.run(spark, csv, mdDir, template, outHtml)
           println(s"site: ${r.schools} schools -> ${r.htmlPath}")
         case "enrich" :: inDir :: outMdDir :: outJsonDir :: promptTpl :: rest =>
+          // real HTTP when an endpoint is configured in the environment /
+          // GRAFT_ENV_FILE (.env), deterministic mock otherwise; resolved
+          // driver-side, shipped into the executor closure
+          val transport = graft.enrich.LlmTransports.fromEnvironment(
+            sys.env.get("GRAFT_ENV_FILE").map(java.nio.file.Paths.get(_)))
           val s = graft.enrich.EnrichJob.run(spark, inDir, outMdDir, outJsonDir,
-            promptTpl, limit = rest.headOption.map(_.toInt))
+            promptTpl, limit = rest.headOption.map(_.toInt),
+            transportFactory = () => transport)
           println(s"enrich: total=${s.total} skipped=${s.skipped} attempted=${s.attempted} " +
             s"successful=${s.successful} failed=${s.failed}")
         case "enrich-stream" :: inDir :: outMdDir :: outJsonDir :: promptTpl :: ckpt :: Nil =>
@@ -56,17 +62,25 @@ object GraftCli {
             siteTpl, s"$workDir/output/index.html")
           println(s"all[3/3] site: ${site.schools} schools -> ${site.htmlPath}")
         case "probe" :: rest =>
-          // E8 connectivity preflight (mock transport in this zero-egress
-          // env). With an .env path: S7 config resolution is exercised and
-          // the derived endpoint printed (a real HTTP transport would use it).
-          rest.headOption.foreach { envPath =>
-            val cfg = graft.enrich.EnvConfig.load(Some(java.nio.file.Paths.get(envPath)))
+          // E8 connectivity preflight. With an .env path the S7 config is
+          // resolved and, when an endpoint is configured, the probe speaks
+          // real HTTP (HttpLlmTransport); otherwise the deterministic mock
+          // answers (zero-egress default).
+          val envPath = rest.headOption.map(java.nio.file.Paths.get(_))
+          envPath.foreach { p =>
+            val cfg = graft.enrich.EnvConfig.load(Some(p))
             println(s"probe: endpoint=${cfg.endpointUrl.getOrElse("<unset>")} " +
               s"deployment=${cfg.deploymentName}")
           }
-          val ok = graft.enrich.ConnectivityProbe.check(new graft.enrich.MockLlmTransport)
+          val ok = graft.enrich.ConnectivityProbe.check(
+            graft.enrich.LlmTransports.fromEnvironment(envPath))
           println(s"probe: ${if (ok) "Status: OK" else "FAILED"}")
           if (!ok) sys.exit(1)
+        case "reset" :: workDir :: Nil =>
+          // artifact reset (reference reset_project, setup_project.py:1145-1203);
+          // confirmation is the host's job — this surface is non-interactive
+          val n = graft.pipeline.ArtifactReset.reset(workDir)
+          println(s"reset: deleted $n files under $workDir")
         case "sql" :: sfDir :: query :: Nil =>
           graft.core.Tables.all.foreach { t =>
             (if (t == "events") graft.core.Tables.events(spark, sfDir)
@@ -94,7 +108,7 @@ object GraftCli {
         case other =>
           System.err.println(s"unknown command: ${other.mkString(" ")}")
           System.err.println(
-            "usage: markdown <csv> <tpl> <outDir> | enrich <inDir> <outMdDir> <outJsonDir> <promptTpl> [limit] | site <csv> <mdDir> <tpl> <out.html>")
+            "usage: markdown <csv> <tpl> <outDir> | enrich <inDir> <outMdDir> <outJsonDir> <promptTpl> [limit] | site <csv> <mdDir> <tpl> <out.html> | reset <workDir>")
           sys.exit(2)
       }
     } finally spark.stop()

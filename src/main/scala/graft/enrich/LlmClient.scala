@@ -41,6 +41,27 @@ trait LlmTransport extends Serializable {
   def post(payload: LlmPayload): LlmResponse
 }
 
+object LlmTransports {
+  /** Resolve the transport the way the reference resolves its client: if an
+    * endpoint + key are configured (process env overriding an optional .env
+    * file — `OpenAIConfig._load_environment`,
+    * `src/program2_ai_processor.py:105-151`), speak real HTTP
+    * ([[HttpLlmTransport]]); otherwise fall back to the deterministic mock —
+    * the zero-egress default, exactly how the reference's own tests fake the
+    * session (`tests/test_program2_all.py:70-120`). Resolved DRIVER-side so
+    * the decision ships into executor closures already made.
+    */
+  def fromEnvironment(envFile: Option[java.nio.file.Path] = None,
+      env: Map[String, String] = sys.env): LlmTransport =
+    try {
+      val cfg = EnvConfig.load(envFile, env)
+      cfg.endpointUrl match {
+        case Some(url) => new HttpLlmTransport(url, cfg.apiKey)
+        case None => new MockLlmTransport
+      }
+    } catch { case _: IllegalArgumentException => new MockLlmTransport }
+}
+
 /** Deterministic offline stand-in: echoes a summary derived from the user
   * message, shaped exactly like a chat-completions success body.
   */

@@ -98,6 +98,27 @@ class PipelineSpec extends SparkSpec {
     assert(iAlpha >= 0 && iAlpha < iCels && iCels < iFall)
   }
 
+  test("ArtifactReset: run -> reset -> run round-trips, inputs untouched") {
+    val dir = tmpDir("reset")
+    write(s"$dir/data.csv", "SchoolCode;SchoolName\nA100;Alpha\nB200;Beta\n")
+    write(s"$dir/tpl.md", "# {SchoolName}")
+    val out = s"$dir/generated_markdown_from_csv"
+    val r1 = MarkdownJob.run(spark, s"$dir/data.csv", s"$dir/tpl.md", out)
+    write(s"$dir/output/sub/index.html", "<html/>") // nested artifact
+    assert(r1.written == 2)
+
+    val deleted = ArtifactReset.reset(dir)
+    assert(deleted == 3) // 2 markdowns + index.html
+    assert(!Files.exists(Paths.get(out, "A100.md")))
+    assert(!Files.exists(Paths.get(s"$dir/output/sub"))) // emptied subdir pruned
+    assert(Files.exists(Paths.get(s"$dir/data.csv"))) // inputs are not artifacts
+    assert(ArtifactReset.reset(dir) == 0) // idempotent
+
+    val r2 = MarkdownJob.run(spark, s"$dir/data.csv", s"$dir/tpl.md", out)
+    assert(r2.written == 2)
+    assert(read(s"$out/A100.md") == "# Alpha")
+  }
+
   test("SiteJob: no data -> NO_DATA page (K4)") {
     val dir = tmpDir("site2")
     write(s"$dir/data.csv", "SchoolCode;SchoolName\n;OnlyMissing\n")
