@@ -141,6 +141,31 @@ object Similarity {
       .select($"id_a", $"id_b", $"sim")
   }
 
+  /** Recall@k of the approximate ANN paths against the brute-force oracle,
+    * as data: one row per method. Every input is deterministic (fixed k-means
+    * seed, hash-derived hyperplanes, unique window tiebreaks), so the
+    * emitted recalls are byte-stable across runs — trackable as a registry
+    * query without an external oracle.
+    */
+  def annRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bf = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select($"query_id", $"neighbor_id")
+    val denom = bf.groupBy().agg(count(lit(1)).as("denom"))
+    def recallOf(name: String, approx: DataFrame): DataFrame =
+      approx.select($"query_id", $"neighbor_id")
+        .join(bf, Seq("query_id", "neighbor_id"))
+        .groupBy().agg(count(lit(1)).as("hits"))
+        .crossJoin(denom)
+        .select(lit(name).as("method"),
+          ($"hits".cast("double") / $"denom").as("recall"))
+    recallOf("ivf", ivfTopK(corpus, queries, idCol, vecCol, k, nCells, nProbe))
+      .unionAll(recallOf("lsh", lshTopK(corpus, queries, idCol, vecCol, k, bits)))
+      .orderBy($"method")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the full SRP bucket of
     * the query, scored exactly within the bucket. Lower `bits` → bigger
     * buckets → higher recall and cost.

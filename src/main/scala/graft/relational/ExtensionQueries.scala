@@ -468,6 +468,21 @@ object ExtensionQueries {
              |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin),
       doc = "Custom physical operator (TopKPerKeyExec: per-key bounded heaps, sort-free) vs the window oracle."
     ),
+    // ---------------------------------------------------------------- t25
+    GraftQuery(
+      "t25_ann_recall",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        // same configurations as t12 (SRP-LSH) and t22 (IVF); recall vs the
+        // t11 brute-force oracle, emitted as data so regressions are visible
+        // in the correctness gate (deterministic → byte-stable across runs)
+        Similarity.annRecall(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding",
+          k = 5, bits = 4, nCells = 8, nProbe = 3)
+      },
+      None,
+      doc = "Recall@5 of the SRP-LSH and IVF ANN paths vs brute force, tracked as a deterministic rows-checked query."
+    ),
     // ---------------------------------------------------------------- t14
     GraftQuery(
       "t14_ref_normalize",

@@ -64,6 +64,17 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(cut == full)   // cutoff never changes emitted pairs or exact values
   }
 
+  test("annRecall emits one deterministic row per ANN method, recalls in (0,1]") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def run() = Similarity.annRecall(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 5, bits = 4, nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val r1 = run()
+    assert(r1.map(_._1) == Seq("ivf", "lsh"))
+    r1.foreach { case (m, rec) => assert(rec > 0.0 && rec <= 1.0, s"$m recall $rec") }
+    assert(run() == r1) // byte-stable across runs
+  }
+
   test("simhash: identical texts collide, different texts differ") {
     val df = Seq(
       (1L, "spark is a distributed engine"),
