@@ -58,10 +58,22 @@ object EnrichJob {
     val limited = limit.fold(ordered)(n => ordered.limit(n)) // O4
     val attempted = limited.count()
 
+    // E3 exact mode: one driver-hosted bucket serves every partition; the
+    // server lives for the duration of the job's actions below
+    val server =
+      if (config.exactGlobalRpm) Some(RateLimiterServer.start(config.targetRpm.toDouble))
+      else None
+    val limiterFactory = server.map { srv =>
+      val host = spark.sparkContext.getConf.get("spark.driver.host", "127.0.0.1")
+      val port = srv.port
+      () => new RemoteRateLimiter(host, port, sleeper): RateLimiter
+    }
+    try {
+
     val enriched = EnrichOperator
       .enrich(
         limited.select(col("key"), col("content")).as[EnrichOperator.Doc],
-        transportFactory, promptTemplate, config, sleeper)
+        transportFactory, promptTemplate, config, sleeper, limiterFactory)
       .cache()
 
     val okDf = enriched.filter(col("ok")).toDF()
@@ -85,5 +97,7 @@ object EnrichJob {
       failed = attempted - successful)
     enriched.unpersist()
     stats
+
+    } finally server.foreach(_.stop())
   }
 }

@@ -34,7 +34,10 @@ object EnrichOperator {
       transportFactory: () => LlmTransport,
       promptTemplate: String,
       config: EnrichConfig = EnrichConfig(),
-      sleeper: Long => Unit = Thread.sleep): Dataset[Enriched] = {
+      sleeper: Long => Unit = Thread.sleep,
+      // when set (EnrichJob's exactGlobalRpm path), every partition draws
+      // permits from the same driver-hosted bucket instead of rpm/N
+      limiterFactory: Option[() => RateLimiter] = None): Dataset[Enriched] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val nParts = math.max(1, docs.rdd.getNumPartitions)
@@ -45,7 +48,8 @@ object EnrichOperator {
       if (rows.isEmpty) Iterator.empty
       else {
         val transport = transportFactory()
-        val limiter = new RateLimiter(perPartRpm, sleeper)
+        val limiter = limiterFactory.map(_.apply())
+          .getOrElse(new RateLimiter(perPartRpm, sleeper))
         val caller = new RetryingLlmCaller(transport, config, sleeper, limiter)
         val pool = Executors.newFixedThreadPool(perPartConcurrency)
         // if the consumer abandons the iterator (limit, task kill), still

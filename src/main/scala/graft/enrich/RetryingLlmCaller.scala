@@ -25,7 +25,11 @@ final case class EnrichConfig(
     backoffFactor: Double = RefConfig.BackoffFactor,
     retrySleepOn429Seconds: Int = RefConfig.RetrySleepOn429Seconds,
     targetRpm: Int = RefConfig.TargetRpm,
-    maxConcurrent: Int = RefConfig.MaxConcurrentRequests)
+    maxConcurrent: Int = RefConfig.MaxConcurrentRequests,
+    // true → one driver-hosted token bucket shared by every partition
+    // ([[RateLimiterServer]], exact like the reference's AsyncLimiter);
+    // false → zero-infra per-partition rpm/N approximation
+    exactGlobalRpm: Boolean = false)
 
 /** Outcome of one enrichment call: `raw` carries the response body (or a
   * synthesized error JSON) for the raw/FAILED sinks (E7).
