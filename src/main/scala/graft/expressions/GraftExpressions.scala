@@ -168,6 +168,47 @@ case class ShingleHashSet(child: Expression, shingleWords: Int)
     copy(child = newChild)
 }
 
+object CharNgramsImpl {
+  /** One-pass character n-grams. Matches the HOF pipeline
+    * `transform(sequence(1, length(text)-(n-1)), i -> substr(text, i, n))`
+    * exactly — `substringSQL` is the same call the Substring expression
+    * makes, so character (not byte) semantics are identical.
+    */
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = s.numChars() - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = s.substringSQL(i + 1, n)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** char_ngrams(text, n): all character n-grams as array<string>. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_ngrams requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    CharNgramsImpl.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.CharNgramsImpl.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
 object CosineSimilarityImpl {
   /** Double-precision cosine over two float arrays, element-order folds —
     * bit-identical to `Similarity.cosine`'s aggregate(zip_with(...)) chain

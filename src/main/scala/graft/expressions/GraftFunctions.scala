@@ -42,6 +42,8 @@ object GraftFunctions {
     exprCol(MinHashSig(expr(text), shingleWords, k))
   def shingleHashes(text: Column, shingleWords: Int): Column =
     exprCol(ShingleHashSet(expr(text), shingleWords))
+  def charNgrams(text: Column, n: Int): Column =
+    exprCol(CharNgrams(expr(text), n))
 }
 
 /** `SparkSessionExtensions` injector — the deployment-grade registration

@@ -56,7 +56,10 @@ object DedupOps {
     import spark.implicits._
     val base = df.select(
       col(idCol).as("id"),
-      array_distinct(TextAnalysis.wordShingles(col(textCol), shingleWords)).as("shingles"),
+      // hashed shingle sets for the exact-verify step (native one-pass
+      // ShingleHashSet; Jaccard in hash space ≡ string space modulo 64-bit
+      // collisions — same contract as ngramJaccardPairs)
+      graft.expressions.GraftFunctions.shingleHashes(col(textCol), shingleWords).as("shingles"),
       // native one-pass signature (graft.expressions.MinHashSig); the HOF
       // equivalent `minhashSignature` is kept for the parity spec
       graft.expressions.GraftFunctions.minhashSig(col(textCol), shingleWords, k).as("sig"))

@@ -64,8 +64,15 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
 
-  /** Character n-grams as an array column (requires length(text) >= n). */
+  /** Character n-grams as an array column (requires length(text) >= n).
+    * Native one-pass expression; `charNgramsHof` is the built-in-functions
+    * equivalent kept for the parity spec (ArrayTransform is interpreted —
+    * CodegenFallback — and was the cost center of the n-gram profile query).
+    */
   def charNgrams(text: Column, n: Int): Column =
+    graft.expressions.GraftFunctions.charNgrams(text, n)
+
+  def charNgramsHof(text: Column, n: Int): Column =
     transform(sequence(lit(1), length(text) - (n - 1)), i => text.substr(i, lit(n)))
 
   /** TF-IDF top term per document, with a rational idf (N/df instead of

@@ -47,6 +47,37 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("ShingleHashSet expression matches the HOF construction bit-for-bit") {
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    val mismatches = docs
+      .select(
+        GraftFunctions.shingleHashes($"text", 3).as("native"),
+        array_distinct(transform(
+          graft.operators.TextAnalysis.wordShingles($"text", 3),
+          s => xxhash64(s))).as("hof"))
+      .filter($"native" =!= $"hof")
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("CharNgrams expression matches the HOF construction bit-for-bit") {
+    // HOF semantics only defined for length(text) >= n (shorter inputs make
+    // sequence() run descending); the registry query filters those out
+    val docs = Tables.documents(spark, sf0001).filter(length($"text") >= 3).limit(100)
+    val mismatches = docs
+      .select(
+        graft.operators.TextAnalysis.charNgrams($"text", 3).as("native"),
+        graft.operators.TextAnalysis.charNgramsHof($"text", 3).as("hof"))
+      .filter($"native" =!= $"hof")
+      .count()
+    assert(mismatches == 0)
+    // multi-byte characters count as ONE char each (å ä ö)
+    val sv = Seq("skåla åäö").toDF("t")
+      .select(graft.operators.TextAnalysis.charNgrams($"t", 3).as("g"))
+      .as[Seq[String]].head()
+    assert(sv.head == "skå" && sv.contains("åäö") && sv.length == 7)
+  }
+
   test("null inputs yield null (default null-intolerant behavior)") {
     val df = Seq((Some("a b"), None: Option[String])).toDF("s", "n")
     val r = df.select(
