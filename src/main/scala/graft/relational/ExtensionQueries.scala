@@ -483,6 +483,42 @@ object ExtensionQueries {
       None,
       doc = "Recall@5 of the SRP-LSH and IVF ANN paths vs brute force, tracked as a deterministic rows-checked query."
     ),
+    // ---------------------------------------------------------------- t26
+    GraftQuery(
+      "t26_dup_components",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+          groupCol = "source", n = 3, threshold = 0.2)
+        DedupClusters.connectedComponents(docs.select($"doc_id"), pairs, "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE sets AS (
+             |  SELECT doc_id, source, list_distinct(list_transform(
+             |      range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 2),
+             |      i -> array_to_string(string_split_regex(trim(text), '\s+')[i : i + 2], ' '))) AS sh
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sets a JOIN sets b
+             |    ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+             |comp AS (SELECT src AS doc_id, MIN(dst) AS m FROM reach GROUP BY src)
+             |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             |  CAST(COALESCE(LEAST(c.m, d.doc_id), d.doc_id) AS BIGINT) AS component
+             |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Near-dup pairs resolved to connected components (min-label propagation) vs a DuckDB recursive-CTE transitive-closure oracle."
+    ),
     // ---------------------------------------------------------------- t14
     GraftQuery(
       "t14_ref_normalize",

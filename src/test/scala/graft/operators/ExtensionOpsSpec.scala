@@ -64,6 +64,19 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(cut == full)   // cutoff never changes emitted pairs or exact values
   }
 
+  test("connectedComponents collapses multi-hop chains; cluster dedup keeps min id") {
+    // chain 1-2-3-4 has diameter 3 → exercises multiple propagation rounds
+    val ids = (1L to 8L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+    val comp = DedupClusters.connectedComponents(ids, pairs, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+    val kept = DedupClusters.dropDuplicateClusters(ids, pairs, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 6L, 8L))
+  }
+
   test("annRecall emits one deterministic row per ANN method, recalls in (0,1]") {
     val emb = Tables.embeddings(spark, sf0001)
     def run() = Similarity.annRecall(emb, emb.filter($"vec_id" < 3),
