@@ -40,12 +40,15 @@ object DedupClusters {
         .join(labels.select($"id".as("dst"), $"component".as("ncomp")), Seq("dst"))
         .groupBy($"src").agg(min($"ncomp").as("nmin"))
         .select($"src".as("id"), $"nmin")
+      // label update and convergence flag in ONE pass — no extra join with
+      // the previous labels just to count changes
       val next = labels
         .join(neighborMin, Seq("id"), "left")
-        .select($"id", least($"component", coalesce($"nmin", $"component")).as("component"))
+        .select($"id",
+          least($"component", coalesce($"nmin", $"component")).as("component"),
+          ($"nmin" < $"component").as("_changed"))
         .cache()
-      val changed = next.join(labels.select($"id", $"component".as("prev")), Seq("id"))
-        .filter($"component" =!= $"prev").count()
+      val changed = next.filter($"_changed").count()
       labels.unpersist()
       labels = next
       converged = changed == 0
