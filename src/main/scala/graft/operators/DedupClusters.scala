@@ -24,7 +24,7 @@ object DedupClusters {
     * @return DataFrame[idCol, component] where component = min id reachable
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame, idCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))

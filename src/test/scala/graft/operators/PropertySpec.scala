@@ -60,4 +60,44 @@ class PropertySpec extends SparkSpec {
     assert(pairs.nonEmpty)
     assert(pairs.forall(j => j >= 0.0 && j <= 1.0))
   }
+
+  test("property: connectedComponents equals union-find on random graphs") {
+    // reference implementation: classic array union-find
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min node id in the component
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val cases = samples(
+      for {
+        n <- Gen.chooseNum(2, 25)
+        m <- Gen.chooseNum(0, 30)
+        es <- Gen.listOfN(m, for {
+          a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+        } yield (a.toLong, b.toLong))
+      } yield (n, es.filter(e => e._1 != e._2)), 8)
+    cases.foreach { case (n, edges) =>
+      val ids = (0L until n.toLong).toDF("id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      val got = DedupClusters.connectedComponents(ids, pairs, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find parents need full path resolution for the min-label compare
+      val expect = {
+        val uf = unionFind(n, edges)
+        val byRoot = uf.groupBy(_._2).flatMap { case (_, m) =>
+          val minId = m.keys.min
+          m.keys.map(_ -> minId)
+        }
+        byRoot
+      }
+      assert(got == expect, s"n=$n edges=$edges")
+    }
+  }
 }
