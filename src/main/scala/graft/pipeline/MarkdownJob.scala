@@ -37,23 +37,26 @@ object MarkdownJob {
 
     val schema = rows.schema
     val context = TemplateRender.schoolContext(schema, placeholders)
-    val rendered = rows
+    val keyed = rows
       .filter(Normalize.normalizeMissing(schema, "SchoolCode") =!= Normalize.Missing)
-      .select(
-        Normalize.normalizeMissing(schema, "SchoolCode").as("school_code"),
-        TemplateRender.renderColumn(template, context).as("doc"),
-        col("_file_order"))
+      .withColumn("school_code", Normalize.normalizeMissing(schema, "SchoolCode"))
 
     // Reference: each row overwrites `{code}.md` in file order, so the LAST
     // duplicate's content survives (`program1_generate_markdowns.py:382-388`).
     // Under local[32] an arbitrary task would win the rename race; dedup to
-    // the deterministic winner before the sink. (The reference's returned
-    // count includes overwrites; ours counts distinct files — identical
-    // whenever SchoolCodes are unique, as in the shipped dataset.)
-    val winners = graft.operators.FirstWinsDedup
-      .lastWins(rendered, Seq("school_code"), "_file_order")
-      .drop("_file_order")
+    // the deterministic winner BEFORE rendering: the winner set is a 2-column
+    // map-side-combined aggregation (not a shuffle of rendered docs), the
+    // join back broadcasts when keys are few (AQE), and losers are never
+    // rendered at all. (The reference's returned count includes overwrites;
+    // ours counts distinct files — identical whenever SchoolCodes are
+    // unique, as in the shipped dataset.)
+    val winners = keyed
+      .groupBy(col("school_code"))
+      .agg(max(col("_file_order")).as("_file_order"))
+    val rendered = keyed
+      .join(winners, Seq("school_code", "_file_order"))
+      .select(col("school_code"), TemplateRender.renderColumn(template, context).as("doc"))
 
-    Result(KeyedFileSink.write(winners, "school_code", "doc", outDir, ".md"))
+    Result(KeyedFileSink.write(rendered, "school_code", "doc", outDir, ".md"))
   }
 }
