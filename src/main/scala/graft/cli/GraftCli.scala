@@ -76,6 +76,25 @@ object GraftCli {
             graft.enrich.LlmTransports.fromEnvironment(envPath))
           println(s"probe: ${if (ok) "Status: OK" else "FAILED"}")
           if (!ok) sys.exit(1)
+        case "dedup" :: sfDir :: outDir :: rest =>
+          // corpus dedup end-to-end: candidate pairs (chosen generator) →
+          // connected components → one survivor per cluster → parquet
+          import org.apache.spark.sql.functions.col
+          val method = rest.headOption.getOrElse("minhash")
+          val docs = graft.core.Tables.documents(spark, sfDir)
+          val pairs = (method match {
+            case "minhash" => graft.operators.DedupOps
+              .minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+            case "simhash" => graft.operators.DedupOps
+              .simhashNearDups(docs, "doc_id", "text")
+            case "ngram" => graft.operators.DedupOps
+              .ngramJaccardPairs(docs, "doc_id", "text", "source", 3, 0.8)
+            case other => sys.error(s"unknown dedup method: $other (minhash|simhash|ngram)")
+          }).select(col("id_a"), col("id_b"))
+          val kept = graft.operators.DedupClusters
+            .dropDuplicateClusters(docs, pairs, "doc_id")
+          kept.write.mode("overwrite").parquet(outDir)
+          println(s"dedup[$method]: ${docs.count()} -> ${kept.count()} docs -> $outDir")
         case "reset" :: workDir :: Nil =>
           // artifact reset (reference reset_project, setup_project.py:1145-1203);
           // confirmation is the host's job — this surface is non-interactive
