@@ -39,8 +39,12 @@ object GraftCli {
         case "enrich-stream" :: inDir :: outMdDir :: outJsonDir :: promptTpl :: ckpt :: Nil =>
           val prompt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(promptTpl)), java.nio.charset.StandardCharsets.UTF_8)
+          // same env-driven transport resolution as the batch `enrich` path
+          val streamTransport = graft.enrich.LlmTransports.fromEnvironment(
+            sys.env.get("GRAFT_ENV_FILE").map(java.nio.file.Paths.get(_)))
           val q = graft.streaming.StreamingOps.enrichStream(
-            spark, inDir, outMdDir, outJsonDir, prompt, ckpt)
+            spark, inDir, outMdDir, outJsonDir, prompt, ckpt,
+            transportFactory = () => streamTransport)
           q.processAllAvailable() // drain what's there now; rerun to pick up new files
           q.stop()
           println(s"enrich-stream: drained $inDir -> $outMdDir (checkpoint $ckpt)")
