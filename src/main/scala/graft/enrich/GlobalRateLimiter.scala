@@ -84,8 +84,12 @@ final class RemoteRateLimiter(
     var attempt = 0
     while (attempt < maxAttempts) {
       try {
-        val sock = new Socket(InetAddress.getByName(host), port)
+        val sock = new Socket()
         try {
+          // bounded connect/read so a HUNG (not just dead) server degrades
+          // to fail-open instead of blocking the enrichment task forever
+          sock.connect(new java.net.InetSocketAddress(InetAddress.getByName(host), port), 5000)
+          sock.setSoTimeout(5000)
           val in = new java.io.DataInputStream(sock.getInputStream)
           val waitMs = in.readLong()
           if (waitMs > 0) sleeper(waitMs)

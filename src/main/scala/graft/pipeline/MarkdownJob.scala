@@ -37,9 +37,11 @@ object MarkdownJob {
 
     val schema = rows.schema
     val context = TemplateRender.schoolContext(schema, placeholders)
+    // internal name that cannot case-insensitively collide with (and
+    // replace) a real CSV column — render must see the RAW row values
     val keyed = rows
       .filter(Normalize.normalizeMissing(schema, "SchoolCode") =!= Normalize.Missing)
-      .withColumn("school_code", Normalize.normalizeMissing(schema, "SchoolCode"))
+      .withColumn("_graft_code", Normalize.normalizeMissing(schema, "SchoolCode"))
 
     // Reference: each row overwrites `{code}.md` in file order, so the LAST
     // duplicate's content survives (`program1_generate_markdowns.py:382-388`).
@@ -51,11 +53,12 @@ object MarkdownJob {
     // ours counts distinct files — identical whenever SchoolCodes are
     // unique, as in the shipped dataset.)
     val winners = keyed
-      .groupBy(col("school_code"))
+      .groupBy(col("_graft_code"))
       .agg(max(col("_file_order")).as("_file_order"))
     val rendered = keyed
-      .join(winners, Seq("school_code", "_file_order"))
-      .select(col("school_code"), TemplateRender.renderColumn(template, context).as("doc"))
+      .join(winners, Seq("_graft_code", "_file_order"))
+      .select(col("_graft_code").as("school_code"),
+        TemplateRender.renderColumn(template, context).as("doc"))
 
     Result(KeyedFileSink.write(rendered, "school_code", "doc", outDir, ".md"))
   }
