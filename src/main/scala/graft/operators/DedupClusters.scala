@@ -21,7 +21,10 @@ object DedupClusters {
 
   /** @param ids   DataFrame with column `idCol` (every node, incl. singletons)
     * @param pairs DataFrame with columns (id_a, id_b) — undirected dup edges
-    * @return DataFrame[idCol, component] where component = min id reachable
+    * @return DataFrame[idCol, component] where component = min id reachable.
+    *         The result is left persisted (it was materialized by the
+    *         convergence loop and consumers typically both write it and join
+    *         it back); `unpersist()` it when done.
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame, idCol: String,
       maxIter: Int = 50): DataFrame = {
