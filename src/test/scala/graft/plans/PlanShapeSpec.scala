@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Plan-shape regression guards: the scale posture this library claims
+  * (broadcast dimension joins, pushed-down filters, anti-join skips,
+  * map-side partial aggregation, no cartesian products) is asserted against
+  * the OPTIMIZED physical plans, so a refactor that silently degrades a
+  * plan fails here rather than in a 100 TB run. Shapes are checked at
+  * sf0.001 — sizes differ at scale but the chosen strategies are the claim.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03 dimension join broadcasts (no shuffle join for small dims)") {
+    val p = planOf("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q02 filter and projection reach the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: [") && !p.matches("(?s).*PushedFilters: \\[\\].*"),
+      p.take(800))
+  }
+
+  test("q06 incremental skip is a real anti-join") {
+    val p = planOf("q06_anti_join")
+    assert(p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("q01 aggregation is partial before the exchange (map-side combine)") {
+    val p = planOf("q01_agg")
+    // two HashAggregates around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("Exchange"))
+  }
+
+  test("t09 hot-shingle removal is a broadcast anti-join on the posting index") {
+    val p = planOf("t09_ngram_jaccard")
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("t11 brute-force ANN broadcasts the query side, never the corpus") {
+    val p = planOf("t11_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+  }
+
+  test("t24 custom operator plans as TopKPerKeyExec (no global sort)") {
+    val p = planOf("t24_topk_plan")
+    assert(p.contains("TopKPerKey"), p.take(800))
+  }
+}
