@@ -103,6 +103,60 @@ object Similarity {
       .select($"query_id", $"rank", $"neighbor_id", $"sim")
   }
 
+  /** Persistent IVF index: the build-once / query-many layout. Cell
+    * assignments land as parquet PARTITIONED BY cell, so a query's `nProbe`
+    * cell filter prunes non-probed cells at the SCAN (dynamic partition
+    * pruning through the broadcast probe join) — on a billion-vector corpus
+    * a query reads `nProbe/nCells` of the data from disk, not all of it.
+    * Centroids are a tiny side table. Deterministic: same seed as
+    * [[ivfTopK]], so `ivfBuild` + `ivfQuery` ≡ `ivfTopK` row-for-row.
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, indexDir: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
+    model
+      .transform(corpus.withColumn("features", array_to_vector(col(vecCol))))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("prediction").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Query a persisted IVF index (see [[ivfBuild]]). */
+  def ivfQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy($"query_id").orderBy($"cdist", $"cell")
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -dot($"qv", $"centroid") /
+        (sqrt(norm2($"qv")) * sqrt(norm2($"centroid"))))
+      .withColumn("prn", row_number().over(probeW))
+      .filter($"prn" <= nProbe)
+      .select($"query_id", $"qv", $"cell")
+
+    val assigned = spark.read.parquet(s"$indexDir/cells")
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", cosine($"qv", $"cv").as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (bit i, dim j):
     * uniform in [-0.5, 0.5) derived from xxhash64 — reproducible everywhere,
     * no driver-side RNG state (Date/random-free by construction).

@@ -88,6 +88,22 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(run() == r1) // byte-stable across runs
   }
 
+  test("persisted IVF index returns exactly the in-memory ivfTopK result") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" < 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 8, dir)
+    val fromIndex = Similarity.ivfQuery(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 3).orderBy($"query_id", $"rank").collect().toSeq
+    val inMemory = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 3).orderBy($"query_id", $"rank").collect().toSeq
+    assert(fromIndex == inMemory)
+    // the on-disk layout is one directory per cell (partition pruning unit)
+    val cellDirs = new java.io.File(s"$dir/cells").list().count(_.startsWith("cell="))
+    assert(cellDirs == 8)
+  }
+
   test("simhash: identical texts collide, different texts differ") {
     val df = Seq(
       (1L, "spark is a distributed engine"),
