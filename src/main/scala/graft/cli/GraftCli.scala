@@ -83,7 +83,7 @@ object GraftCli {
         case "dedup" :: sfDir :: outDir :: rest =>
           // corpus dedup end-to-end: candidate pairs (chosen generator) →
           // connected components → one survivor per cluster → parquet
-          import org.apache.spark.sql.functions.col
+          import org.apache.spark.sql.functions.{col, count, lit}
           val method = rest.headOption.getOrElse("minhash")
           val docs = graft.core.Tables.documents(spark, sfDir)
           val pairs = (method match {
@@ -92,13 +92,25 @@ object GraftCli {
             case "simhash" => graft.operators.DedupOps
               .simhashNearDups(docs, "doc_id", "text")
             case "ngram" => graft.operators.DedupOps
-              .ngramJaccardPairs(docs, "doc_id", "text", "source", 3, 0.8)
+              // prefix-filtered at t=0.8 (self-routes to the inverted-index
+              // join below 0.5); maxDf left at its complete default
+              .prefixJaccardPairs(docs, "doc_id", "text", "source", 3, 0.8)
             case other => sys.error(s"unknown dedup method: $other (minhash|simhash|ngram)")
           }).select(col("id_a"), col("id_b"))
-          val kept = graft.operators.DedupClusters
-            .dropDuplicateClusters(docs, pairs, "doc_id")
-          kept.write.mode("overwrite").parquet(outDir)
-          println(s"dedup[$method]: ${docs.count()} -> ${kept.count()} docs -> $outDir")
+          // comps is persisted by the convergence loop — join survivors, count
+          // via observe on the ONE write action (no post-write recompute),
+          // then release the cache.
+          val comps = graft.operators.DedupClusters
+            .connectedComponents(docs.select(col("doc_id")), pairs, "doc_id")
+          val kept = docs.join(comps, Seq("doc_id"))
+            .filter(col("doc_id") === col("component")).drop("component")
+          val obs = org.apache.spark.sql.Observation(s"dedup_$method")
+          kept.observe(obs, count(lit(1)).as("kept"))
+            .write.mode("overwrite").parquet(outDir)
+          val keptCount = obs.get("kept")
+          comps.unpersist()
+          // docs.count() is parquet-footer metadata, not a pipeline recompute
+          println(s"dedup[$method]: ${docs.count()} -> $keptCount docs -> $outDir")
         case "reset" :: workDir :: Nil =>
           // artifact reset (reference reset_project, setup_project.py:1145-1203);
           // confirmation is the host's job — this surface is non-interactive

@@ -58,22 +58,30 @@ object EnrichJob {
     val limited = limit.fold(ordered)(n => ordered.limit(n)) // O4
     val attempted = limited.count()
 
-    // E3 exact mode: one driver-hosted bucket serves every partition; the
-    // server lives for the duration of the job's actions below
+    // E2/E3 exact modes: one driver-hosted server owns the token-bucket
+    // clock and/or the concurrency slots for every partition; it lives for
+    // the duration of the job's actions below
     val server =
-      if (config.exactGlobalRpm) Some(RateLimiterServer.start(config.targetRpm.toDouble))
+      if (config.exactGlobalRpm || config.exactGlobalConcurrency)
+        Some(RateLimiterServer.start(config.targetRpm.toDouble,
+          if (config.exactGlobalConcurrency) config.maxConcurrent else Int.MaxValue))
       else None
-    val limiterFactory = server.map { srv =>
-      val host = spark.sparkContext.getConf.get("spark.driver.host", "127.0.0.1")
+    val host = spark.sparkContext.getConf.get("spark.driver.host", "127.0.0.1")
+    val limiterFactory = server.filter(_ => config.exactGlobalRpm).map { srv =>
       val port = srv.port
       () => new RemoteRateLimiter(host, port, sleeper): RateLimiter
+    }
+    val slotFactory = server.filter(_ => config.exactGlobalConcurrency).map { srv =>
+      val port = srv.port
+      () => new RemoteConcurrencyLimiter(host, port)
     }
     try {
 
     val enriched = EnrichOperator
       .enrich(
         limited.select(col("key"), col("content")).as[EnrichOperator.Doc],
-        transportFactory, promptTemplate, config, sleeper, limiterFactory)
+        transportFactory, promptTemplate, config, sleeper, limiterFactory,
+        slotFactory)
       .cache()
 
     val okDf = enriched.filter(col("ok")).toDF()

@@ -37,11 +37,21 @@ object EnrichOperator {
       sleeper: Long => Unit = Thread.sleep,
       // when set (EnrichJob's exactGlobalRpm path), every partition draws
       // permits from the same driver-hosted bucket instead of rpm/N
-      limiterFactory: Option[() => RateLimiter] = None): Dataset[Enriched] = {
+      limiterFactory: Option[() => RateLimiter] = None,
+      // when set (EnrichJob's exactGlobalConcurrency path), every transport
+      // call holds one of maxConcurrent driver-leased slots — the exact
+      // global cap instead of the per-partition pool-size approximation
+      slotFactory: Option[() => RemoteConcurrencyLimiter] = None): Dataset[Enriched] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val nParts = math.max(1, docs.rdd.getNumPartitions)
-    val perPartConcurrency = math.max(1, config.maxConcurrent / nParts)
+    // Exact global mode: each partition runs a FULL-width pool and the
+    // driver's semaphore owns the global bound — one starved partition can
+    // then use every slot the others leave idle (single-process semaphore
+    // semantics). Approximate mode: the bound IS the pool sizing, so divide.
+    val perPartConcurrency =
+      if (slotFactory.isDefined) math.max(1, config.maxConcurrent)
+      else math.max(1, config.maxConcurrent / nParts)
     val perPartRpm = config.targetRpm.toDouble / nParts
 
     docs.mapPartitions { rows =>
@@ -50,6 +60,7 @@ object EnrichOperator {
         val transport = transportFactory()
         val limiter = limiterFactory.map(_.apply())
           .getOrElse(new RateLimiter(perPartRpm, sleeper))
+        val slots = slotFactory.map(_.apply())
         val caller = new RetryingLlmCaller(transport, config, sleeper, limiter)
         val pool = Executors.newFixedThreadPool(perPartConcurrency)
         // if the consumer abandons the iterator (limit, task kill), still
@@ -64,7 +75,12 @@ object EnrichOperator {
           pool.submit(new java.util.concurrent.Callable[Enriched] {
             override def call(): Enriched = {
               val payload = PromptTemplate.buildPayload(promptTemplate, doc.content)
-              val r = caller.call(payload)
+              // slot held for the whole call incl. retries — the reference
+              // holds its semaphore around the full retry loop likewise
+              val r = slots match {
+                case Some(s) => s.withSlot(caller.call(payload))
+                case None => caller.call(payload)
+              }
               Enriched(doc.key, r.ok, r.description.orNull, r.raw.orNull)
             }
           })

@@ -45,6 +45,20 @@ object EnvConfig {
       }
       .toMap
 
+  /** True iff some API key is configured at all (process env or .env file).
+    * Distinguishes "nothing configured → zero-egress mock is the right
+    * default" from "configured but invalid → [[load]] must be allowed to
+    * fail loudly" (see [[LlmTransports.fromEnvironment]]).
+    */
+  def anyKeyConfigured(envFile: Option[Path], env: Map[String, String] = sys.env): Boolean = {
+    val fromFile = envFile
+      .filter(Files.exists(_))
+      .map(p => parseEnvFile(Files.readString(p)))
+      .getOrElse(Map.empty)
+    Seq("API_KEY", "AZURE_API_KEY")
+      .exists(k => env.get(k).orElse(fromFile.get(k)).exists(_.nonEmpty))
+  }
+
   /** File values overridden by `env` (process environment semantics). */
   def load(envFile: Option[Path], env: Map[String, String] = sys.env): LlmEndpointConfig = {
     val fromFile = envFile

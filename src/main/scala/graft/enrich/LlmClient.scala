@@ -53,13 +53,19 @@ object LlmTransports {
     */
   def fromEnvironment(envFile: Option[java.nio.file.Path] = None,
       env: Map[String, String] = sys.env): LlmTransport =
-    try {
-      val cfg = EnvConfig.load(envFile, env)
+    // The mock is ONLY the nothing-configured default. A present-but-invalid
+    // config (e.g. AZURE_API_KEY set but AZURE_ENDPOINT_BASE missing) must
+    // fail loudly here — silently enriching with fabricated mock output
+    // while the user believes a real endpoint is wired would be worse than
+    // any crash.
+    if (!EnvConfig.anyKeyConfigured(envFile, env)) new MockLlmTransport
+    else {
+      val cfg = EnvConfig.load(envFile, env) // propagates IllegalArgumentException
       cfg.endpointUrl match {
         case Some(url) => new HttpLlmTransport(url, cfg.apiKey)
         case None => new MockLlmTransport
       }
-    } catch { case _: IllegalArgumentException => new MockLlmTransport }
+    }
 }
 
 /** Deterministic offline stand-in: echoes a summary derived from the user

@@ -29,7 +29,12 @@ final case class EnrichConfig(
     // true → one driver-hosted token bucket shared by every partition
     // ([[RateLimiterServer]], exact like the reference's AsyncLimiter);
     // false → zero-infra per-partition rpm/N approximation
-    exactGlobalRpm: Boolean = false)
+    exactGlobalRpm: Boolean = false,
+    // true → at most `maxConcurrent` LLM calls in flight ACROSS the whole
+    // job, leased from the same driver-hosted server (exact like the
+    // reference's asyncio.Semaphore(250), src/config.py:91); false →
+    // zero-infra per-partition maxConcurrent/N pool-size approximation
+    exactGlobalConcurrency: Boolean = false)
 
 /** Outcome of one enrichment call: `raw` carries the response body (or a
   * synthesized error JSON) for the raw/FAILED sinks (E7).

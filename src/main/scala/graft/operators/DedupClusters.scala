@@ -19,15 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
-  /** @param ids   DataFrame with column `idCol` (every node, incl. singletons)
-    * @param pairs DataFrame with columns (id_a, id_b) — undirected dup edges
-    * @return DataFrame[idCol, component] where component = min id reachable.
-    *         The result is left persisted (it was materialized by the
-    *         convergence loop and consumers typically both write it and join
-    *         it back); `unpersist()` it when done.
+  /** Labels plus convergence telemetry. `labels` is left persisted (it was
+    * materialized by the convergence loop and consumers typically both write
+    * it and join it back); `unpersist()` it when done.
     */
-  def connectedComponents(ids: DataFrame, pairs: DataFrame, idCol: String,
-      maxIter: Int = 50): DataFrame = {
+  final case class ComponentsResult(labels: DataFrame, converged: Boolean,
+      rounds: Int)
+
+  /** Full-visibility variant of [[connectedComponents]]: never throws, the
+    * caller inspects `converged` (false iff `maxIter` rounds elapsed with
+    * labels still changing — i.e. some component labels are NOT yet minimal).
+    */
+  def connectedComponentsResult(ids: DataFrame, pairs: DataFrame, idCol: String,
+      maxIter: Int = 50): ComponentsResult = {
     val spark = ids.sparkSession
     import spark.implicits._
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
@@ -58,7 +62,34 @@ object DedupClusters {
       iter += 1
     }
     edges.unpersist()
-    labels.select($"id".as(idCol), $"component")
+    ComponentsResult(labels.select($"id".as(idCol), $"component"), converged, iter)
+  }
+
+  /** @param ids   DataFrame with column `idCol` (every node, incl. singletons)
+    * @param pairs DataFrame with columns (id_a, id_b) — undirected dup edges
+    * @return DataFrame[idCol, component] where component = min id reachable.
+    *         The result is left persisted (see [[ComponentsResult]]);
+    *         `unpersist()` it when done.
+    * @throws IllegalStateException if `maxIter` rounds elapse with labels
+    *         still changing — the labels would be silently non-minimal and a
+    *         downstream [[dropDuplicateClusters]] would keep several
+    *         survivors per cluster. Graphs of diameter > `maxIter` (e.g.
+    *         long chains of drifting near-dups) need a larger `maxIter` or
+    *         the large-star/small-star variant; use
+    *         [[connectedComponentsResult]] to accept partial labels
+    *         deliberately.
+    */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame, idCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val r = connectedComponentsResult(ids, pairs, idCol, maxIter)
+    if (!r.converged) {
+      r.labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+          "(graph diameter exceeds maxIter); labels would be non-minimal. " +
+          "Raise maxIter or call connectedComponentsResult to accept partial labels.")
+    }
+    r.labels
   }
 
   /** First-class dedup: keep exactly one row per duplicate cluster — the row

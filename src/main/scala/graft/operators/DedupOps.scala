@@ -167,10 +167,13 @@ object DedupOps {
     // prefix length is |S|·(1-t)+1, so at t=0.5 HALF of every set is still
     // indexed and the df-ranking machinery (explode → freq join → groupBy →
     // sort_array(collect_list)) costs more than it prunes. Below the
-    // crossover, route to the plain inverted-index join — identical output,
-    // strictly cheaper plan.
+    // crossover, route to the plain inverted-index join — identical output
+    // (maxDf left at its complete default Int.MaxValue: this route must
+    // honor prefixJaccardPairs' no-false-negatives contract), strictly
+    // cheaper plan.
     if (threshold < 0.5)
-      return ngramJaccardPairs(df, idCol, textCol, groupCol, n, threshold)
+      return ngramJaccardPairs(df, idCol, textCol, groupCol, n, threshold,
+        maxDf = Int.MaxValue)
     val spark = df.sparkSession
     import spark.implicits._
     val base = hashedSets(df, idCol, textCol, groupCol, n)
@@ -213,54 +216,72 @@ object DedupOps {
     * Inverted-index formulation: explode each doc's (distinct) shingle set
     * into postings and self-join on (group, shingle) — only pairs that share
     * a shingle are ever materialized. The one skew source is a hot shingle
-    * (df docs contain it → df² candidate rows): `maxDf` drops postings for
-    * shingles appearing in more than `maxDf` docs from CANDIDATE GENERATION
-    * only; surviving candidates are verified on their FULL shingle sets, so
-    * every emitted Jaccard value is exact. The hot-shingle set is tiny by
-    * construction (it takes df > maxDf docs to get in), so it is removed via
-    * a broadcast anti-join — no extra shuffle of the posting table.
+    * (df docs in one group contain it → df² candidate rows): the OPT-IN
+    * `maxDf` drops postings for shingles appearing in more than `maxDf` docs
+    * of their group from CANDIDATE GENERATION only; surviving candidates are
+    * verified with a hot-shingle correction, so every EMITTED Jaccard value
+    * is exact. df is counted PER GROUP — the same scope the candidate join
+    * runs in — so a shingle common across groups but rare within each is
+    * never dropped. The hot set is tiny by construction (a (group, shingle)
+    * needs > maxDf docs to get in), so it is removed via a broadcast
+    * anti-join — no extra shuffle of the posting table.
     *
-    * Completeness: a pair is missed only if every shingle it shares is hot.
-    * With maxDf defaulting to 1000 docs, such a pair shares only
-    * corpus-stopword n-grams — at any meaningful threshold its Jaccard is
-    * far below t (near-dup pairs share mostly rare shingles by definition).
-    * Pass `maxDf = Int.MaxValue` for the unconditionally complete join.
+    * Completeness: the default (`maxDf = Int.MaxValue`) is unconditionally
+    * complete. With a finite `maxDf`, a pair is missed iff EVERY shingle it
+    * shares is hot in its group — which includes the important case of a
+    * duplicate cluster larger than `maxDf` docs (mass boilerplate), where
+    * every shared shingle exceeds the cutoff. Only set `maxDf` when hot-
+    * shingle skew is the measured bottleneck AND clusters wider than `maxDf`
+    * are acceptable to miss (e.g. they are caught by exact-hash dedup first).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, n: Int = 3, threshold: Double = 0.5,
-      maxDf: Int = 1000): DataFrame = {
+      maxDf: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = hashedSets(df, idCol, textCol, groupCol, n)
     val postings = base.select($"g", $"id", $"sz", explode($"sh").as("h"))
 
-    // The hot-shingle set is tiny by construction (a shingle needs > maxDf
-    // docs to get in), so it broadcasts: removing it from the posting join is
-    // an anti-join with no extra shuffle. Each doc's hot sub-set is a short
-    // array re-attached to candidate pairs below — NOT hint-broadcast, since
-    // hotPerDoc can approach one row per doc (stopword shingles are
-    // everywhere); AQE picks broadcast when it actually fits.
-    val hot = postings.groupBy($"h").agg(count(lit(1)).as("df"))
-      .filter($"df" > maxDf).select($"h")
-    val rare = postings.join(broadcast(hot), Seq("h"), "left_anti")
-    val hotPerDoc = postings.join(broadcast(hot), Seq("h"))
-      .groupBy($"id").agg(collect_list($"h").as("hot_sh"))
+    // With no cutoff (the default) the posting table joins as-is — no df
+    // aggregation, no correction join. The count-based Jaccard below is the
+    // groupBy of the posting self-join: common = shared-posting count.
+    val (rare, hotPerDoc) =
+      if (maxDf == Int.MaxValue) (postings, None)
+      else {
+        // The hot set is tiny by construction (a (group, shingle) needs
+        // > maxDf docs to get in), so it broadcasts: removing it from the
+        // posting join is an anti-join with no extra shuffle. Each doc's hot
+        // sub-set is a short array re-attached to candidate pairs below —
+        // NOT hint-broadcast, since hotPerDoc can approach one row per doc
+        // (stopword shingles are everywhere); AQE picks broadcast when it
+        // actually fits.
+        val hot = postings.groupBy($"g", $"h").agg(count(lit(1)).as("df"))
+          .filter($"df" > maxDf).select($"g", $"h")
+        (postings.join(broadcast(hot), Seq("g", "h"), "left_anti"),
+          Some(postings.join(broadcast(hot), Seq("g", "h"))
+            .groupBy($"id").agg(collect_list($"h").as("hot_sh"))))
+      }
 
     // Count-based exact Jaccard (the groupBy IS the pair dedup): common =
     // shared-rare count + |hot_a ∩ hot_b| correction, union by inclusion-
     // exclusion — no full shingle arrays ever ride a shuffle.
     val a = rare.select($"g", $"h", $"id".as("id_a"), $"sz".as("sz_a"))
     val b = rare.select($"g", $"h", $"id".as("id_b"), $"sz".as("sz_b"))
-    a.join(b, Seq("g", "h"))
+    val counted = a.join(b, Seq("g", "h"))
       .filter($"id_a" < $"id_b")
       .groupBy($"id_a", $"id_b", $"sz_a", $"sz_b")
       .agg(count(lit(1)).as("common_rare"))
-      .join(hotPerDoc.select($"id".as("id_a"), $"hot_sh".as("hot_a")),
-        Seq("id_a"), "left")
-      .join(hotPerDoc.select($"id".as("id_b"), $"hot_sh".as("hot_b")),
-        Seq("id_b"), "left")
-      .withColumn("common", $"common_rare" +
-        coalesce(size(array_intersect($"hot_a", $"hot_b")), lit(0)))
+    val withCommon = hotPerDoc match {
+      case None => counted.withColumn("common", $"common_rare")
+      case Some(hpd) => counted
+        .join(hpd.select($"id".as("id_a"), $"hot_sh".as("hot_a")),
+          Seq("id_a"), "left")
+        .join(hpd.select($"id".as("id_b"), $"hot_sh".as("hot_b")),
+          Seq("id_b"), "left")
+        .withColumn("common", $"common_rare" +
+          coalesce(size(array_intersect($"hot_a", $"hot_b")), lit(0)))
+    }
+    withCommon
       .withColumn("jaccard",
         $"common".cast("double") / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)

@@ -131,7 +131,15 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
-  /** Query a persisted IVF index (see [[ivfBuild]]). */
+  /** Query a persisted IVF index (see [[ivfBuild]]).
+    *
+    * The probe-cell set (≤ nQueries·nProbe ints) is collected driver-side
+    * and applied as a STATIC `IN` filter on the partition column, so the
+    * cells scan prunes to the probed directories unconditionally — not
+    * contingent on the optimizer electing dynamic partition pruning. This is
+    * the FAISS access pattern: the probe list is known before the index is
+    * touched, and a query reads nProbe/nCells of the corpus from disk.
+    */
   def ivfQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 4): DataFrame = {
@@ -146,7 +154,10 @@ object Similarity {
       .filter($"prn" <= nProbe)
       .select($"query_id", $"qv", $"cell")
 
+    val probeCells = probes.select($"cell".cast("int")).distinct().as[Int].collect().toSeq
+
     val assigned = spark.read.parquet(s"$indexDir/cells")
+      .filter($"cell".isInCollection(probeCells))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter($"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", cosine($"qv", $"cv").as("sim"))

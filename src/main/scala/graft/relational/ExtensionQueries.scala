@@ -163,8 +163,12 @@ object ExtensionQueries {
       "t09_ngram_jaccard",
       (s, d) => {
         import s.implicits._
+        // maxDf opt-in here (the complete default is Int.MaxValue): this
+        // query exercises the skew-cutoff plan shape (PlanShapeSpec pins the
+        // broadcast anti-join) and the brute-force oracle proves the cutoff
+        // loses nothing on this corpus.
         DedupOps.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          groupCol = "source", n = 3, threshold = 0.2)
+          groupCol = "source", n = 3, threshold = 0.2, maxDf = 1000)
           .orderBy($"id_a", $"id_b")
       },
       Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -489,8 +493,10 @@ object ExtensionQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
-          groupCol = "source", n = 3, threshold = 0.2)
+        // prefix-filtered generator at a pruning-effective threshold — the
+        // pair source a production dedup would use (complete: no maxDf)
+        val pairs = DedupOps.prefixJaccardPairs(docs, "doc_id", "text",
+          groupCol = "source", n = 3, threshold = 0.8)
         DedupClusters.connectedComponents(docs.select($"doc_id"), pairs, "doc_id")
           .orderBy($"doc_id")
       },
@@ -504,7 +510,7 @@ object ExtensionQueries {
              |  FROM sets a JOIN sets b
              |    ON a.source = b.source AND a.doc_id < b.doc_id
              |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2),
+             |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
              |edges AS (
              |  SELECT id_a AS src, id_b AS dst FROM pairs
              |  UNION SELECT id_b, id_a FROM pairs),

@@ -9,6 +9,26 @@ import scala.jdk.CollectionConverters._
   * tolerances — the box's scheduler can delay a client, which only SHRINKS
   * its assigned wait (the schedule itself stays exact server-side).
   */
+/** Executor-side in-flight tracker for the cross-partition cap test (top
+  * level so the transport closure stays serializable; local[N] = one JVM).
+  */
+object ConcurrencyProbe {
+  val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+  val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { inFlight.set(0); peak.set(0) }
+}
+
+class ProbeTransport extends LlmTransport {
+  override def post(payload: LlmPayload): LlmResponse = {
+    val n = ConcurrencyProbe.inFlight.incrementAndGet()
+    ConcurrencyProbe.peak.updateAndGet(p => math.max(p, n))
+    Thread.sleep(30)
+    ConcurrencyProbe.inFlight.decrementAndGet()
+    LlmResponse(200,
+      """{"choices":[{"message":{"role":"assistant","content":"ok"}}]}""")
+  }
+}
+
 class GlobalRateLimiterSpec extends graft.SparkSpec {
 
   test("sequential acquires are spaced one interval apart on the shared clock") {
@@ -60,6 +80,74 @@ class GlobalRateLimiterSpec extends graft.SparkSpec {
     val lim = new RemoteRateLimiter("127.0.0.1", port, waits += _)
     lim.acquire() // must not throw
     assert(waits.isEmpty)
+  }
+
+  test("concurrency leases: at most maxConcurrent bodies run at once (E2 exact)") {
+    val srv = RateLimiterServer.start(ratePerMinute = 6000000, maxConcurrent = 2)
+    try {
+      val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+      val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+      val lim = new RemoteConcurrencyLimiter("127.0.0.1", srv.port)
+      val pool = Executors.newFixedThreadPool(8)
+      (1 to 8).foreach { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit = lim.withSlot {
+            val n = inFlight.incrementAndGet()
+            peak.updateAndGet(p => math.max(p, n))
+            Thread.sleep(60)
+            inFlight.decrementAndGet()
+            ()
+          }
+        })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(20, TimeUnit.SECONDS))
+      assert(peak.get() >= 1 && peak.get() <= 2, s"peak=${peak.get()}")
+      assert(srv.slotsInUse == 0) // every lease returned
+    } finally srv.stop()
+  }
+
+  test("a dropped lease connection frees its slot (executor-death teardown)") {
+    val srv = RateLimiterServer.start(ratePerMinute = 6000000, maxConcurrent = 1)
+    try {
+      // hold the single slot via a raw socket (no clean protocol release)
+      val holder = new java.net.Socket()
+      holder.connect(new java.net.InetSocketAddress("127.0.0.1", srv.port), 5000)
+      holder.getOutputStream.write('C'); holder.getOutputStream.flush()
+      new java.io.DataInputStream(holder.getInputStream).readLong() // granted
+      val acquired = new CountDownLatch(1)
+      val t = new Thread(() =>
+        new RemoteConcurrencyLimiter("127.0.0.1", srv.port).withSlot {
+          acquired.countDown()
+        })
+      t.start()
+      // second acquire must queue while the slot is held...
+      assert(!acquired.await(300, TimeUnit.MILLISECONDS))
+      holder.close() // ...and proceed on TCP teardown alone
+      assert(acquired.await(10, TimeUnit.SECONDS))
+      t.join(10000)
+    } finally srv.stop()
+  }
+
+  test("EnrichOperator exactGlobalConcurrency holds <=N in flight across partitions") {
+    val srv = RateLimiterServer.start(ratePerMinute = 6000000, maxConcurrent = 2)
+    try {
+      import spark.implicits._
+      ConcurrencyProbe.reset()
+      // 4 partitions, each running a FULL-width local pool: 8 worker threads
+      // compete for the server's 2 global slots
+      val docs = spark.createDataset((1 to 12).map(i =>
+        EnrichOperator.Doc(s"k$i", s"content $i"))).repartition(4)
+      val port = srv.port // capture the port, not the (unserializable) server
+      val out = EnrichOperator.enrich(
+        docs, () => new ProbeTransport, "SYSTEM:\nsys\nUSER:\n{school_data}",
+        EnrichConfig(maxConcurrent = 2, exactGlobalConcurrency = true),
+        sleeper = _ => (),
+        slotFactory = Some(() => new RemoteConcurrencyLimiter("127.0.0.1", port)))
+      assert(out.collect().length == 12)
+      assert(ConcurrencyProbe.peak.get() >= 1 && ConcurrencyProbe.peak.get() <= 2,
+        s"peak=${ConcurrencyProbe.peak.get()}")
+    } finally srv.stop()
   }
 
   test("EnrichJob end-to-end with exactGlobalRpm routes permits through the server") {

@@ -148,6 +148,15 @@ class HttpLlmTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.isInstanceOf[MockLlmTransport])
   }
 
+  test("fromEnvironment fails loudly on present-but-invalid config (no silent mock)") {
+    // AZURE_API_KEY without AZURE_ENDPOINT_BASE is a misconfiguration: the
+    // user clearly intended a real endpoint, so fabricating mock enrichments
+    // would mask the error — config validation must propagate.
+    intercept[IllegalArgumentException] {
+      LlmTransports.fromEnvironment(env = Map("AZURE_API_KEY" -> "k"))
+    }
+  }
+
   test("transport survives java serialization (executor closure shipping)") {
     val t = new HttpLlmTransport(endpoint, "k-123", 30)
     val bos = new java.io.ByteArrayOutputStream()
