@@ -188,14 +188,20 @@ object DedupOps {
       .join(freq, "h")
       .groupBy($"g", $"id", $"sz")
       .agg(sort_array(collect_list(struct($"df", $"h"))).as("ordered"))
-      .select($"g", $"id",
+      .select($"g", $"id", $"sz",
         explode(slice(transform($"ordered", o => o.getField("h")), lit(1), prefixLen))
           .as("h"))
 
-    val a = prefixes.select($"g", $"h", $"id".as("id_a"))
-    val b = prefixes.select($"g", $"h", $"id".as("id_b"))
+    // length filter (lossless): J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a
+    // pair whose sizes differ by more than factor t can never qualify —
+    // pruned BEFORE the candidate dedup/verify shuffles. This is what keeps
+    // a prefix-collision between one short doc and a family of long drifted
+    // near-dups from fanning out into verification work.
+    val a = prefixes.select($"g", $"h", $"id".as("id_a"), $"sz".as("sz_a"))
+    val b = prefixes.select($"g", $"h", $"id".as("id_b"), $"sz".as("sz_b"))
     val candidates = a.join(b, Seq("g", "h"))
-      .filter($"id_a" < $"id_b")
+      .filter($"id_a" < $"id_b" &&
+        $"sz_b" >= $"sz_a" * threshold && $"sz_a" >= $"sz_b" * threshold)
       .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
 
@@ -267,8 +273,11 @@ object DedupOps {
     // exclusion — no full shingle arrays ever ride a shuffle.
     val a = rare.select($"g", $"h", $"id".as("id_a"), $"sz".as("sz_a"))
     val b = rare.select($"g", $"h", $"id".as("id_b"), $"sz".as("sz_b"))
+    // length filter (lossless, see prefixJaccardPairs): prunes posting
+    // collisions between incompatibly-sized docs before the pair groupBy
     val counted = a.join(b, Seq("g", "h"))
-      .filter($"id_a" < $"id_b")
+      .filter($"id_a" < $"id_b" &&
+        $"sz_b" >= $"sz_a" * threshold && $"sz_a" >= $"sz_b" * threshold)
       .groupBy($"id_a", $"id_b", $"sz_a", $"sz_b")
       .agg(count(lit(1)).as("common_rare"))
     val withCommon = hotPerDoc match {

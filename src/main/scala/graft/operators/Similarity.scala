@@ -65,8 +65,13 @@ object Similarity {
     *
     * Deterministic: fixed k-means seed, centroid ids stable per fit.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** The IVF building blocks, exposed so gates can verify the contract:
+    * `assigned` = (neighbor_id, cv, cell) corpus cell assignments;
+    * `probes` = (query_id, qv, cell) — each query's `nProbe` nearest cells.
+    * Deterministic (fixed k-means seed), so two calls agree exactly.
+    */
+  def ivfAssignAndProbes(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, nProbe: Int): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
@@ -92,6 +97,15 @@ object Similarity {
       .withColumn("prn", row_number().over(probeW))
       .filter($"prn" <= nProbe)
       .select($"query_id", $"qv", $"cell")
+    (assigned, probes)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (assigned, probes) =
+      ivfAssignAndProbes(corpus, queries, idCol, vecCol, nCells, nProbe)
 
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter($"neighbor_id" =!= $"query_id")

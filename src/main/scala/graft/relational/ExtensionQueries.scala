@@ -602,6 +602,152 @@ object ExtensionQueries {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin),
       doc = "Reference P4 year-preference coalesce, oracle-checked on testdata."
+    ),
+    // ------------------------------------------------------------- t27-t31
+    // One-sided SOUNDNESS gates for the sketch/approx operators whose full
+    // output has no SQL oracle (the generators are lossy by design, so the
+    // result can't equal a brute-force set — but every row it DOES emit makes
+    // verifiable claims). Each gate recomputes those claims through an
+    // INDEPENDENT formulation (the HOF parity twins, the separately
+    // oracle-validated inverted-index join, the in-memory path vs the
+    // persisted one) and emits violations plus one deterministic sentinel
+    // row; the oracle is the sentinel alone, so ANY violation breaks the
+    // row-count/hash match. Sound = exactly the sentinel.
+    // ---------------------------------------------------------------- t27
+    GraftQuery(
+      "t27_ivf_persisted",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-${math.abs(d.hashCode)}"
+        Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 8, idx)
+        val persisted = Similarity.ivfQuery(s, idx, emb.filter($"vec_id" < 3),
+          "vec_id", "embedding", k = 5, nProbe = 3)
+        val inMemory = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 3),
+          "vec_id", "embedding", k = 5, nCells = 8, nProbe = 3)
+        def norm(df: org.apache.spark.sql.DataFrame) = df.select(
+          $"query_id".cast("long"), $"rank".cast("long"),
+          $"neighbor_id".cast("long"), $"sim".cast("double"))
+        val diff = norm(persisted).exceptAll(norm(inMemory))
+          .withColumn("side", lit("persisted_only"))
+          .unionAll(norm(inMemory).exceptAll(norm(persisted))
+            .withColumn("side", lit("memory_only")))
+        val sentinel = Seq((-1L, -1L, -1L, -1.0, "sentinel"))
+          .toDF("query_id", "rank", "neighbor_id", "sim", "side")
+        diff.unionAll(sentinel)
+          .orderBy($"query_id", $"rank", $"neighbor_id", $"side")
+      },
+      Some("""SELECT CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS rank,
+             |  CAST(-1 AS BIGINT) AS neighbor_id, CAST(-1.0 AS DOUBLE) AS sim,
+             |  'sentinel' AS side""".stripMargin),
+      doc = "Persisted IVF index (build once, partition-pruned query) must be row-identical to the in-memory ivfTopK; emits differences + sentinel."
+    ),
+    // ---------------------------------------------------------------- t28
+    GraftQuery(
+      "t28_minhash_sound",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val mh = DedupOps.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+        // the unconditionally complete inverted-index join over ONE global
+        // group — the same operator family the t09/t23 brute-force oracles
+        // validate, here with no df cutoff, so minhash pairs must be a
+        // subset with identical Jaccard values
+        val exact = DedupOps.ngramJaccardPairs(
+          docs.withColumn("g", lit(1)), "doc_id", "text", "g",
+          n = 3, threshold = 0.8)
+        val missing = mh.join(exact, Seq("id_a", "id_b"), "left_anti")
+          .select($"id_a", $"id_b", lit("not_in_complete_join").as("reason"))
+        val wrongJ = mh.as("m")
+          .join(exact.as("e"), Seq("id_a", "id_b"))
+          .filter(col("m.jaccard") =!= col("e.jaccard"))
+          .select($"id_a", $"id_b", lit("jaccard_mismatch").as("reason"))
+        val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
+        missing.unionAll(wrongJ).unionAll(sentinel)
+          .orderBy($"id_a", $"id_b", $"reason")
+      },
+      Some("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"),
+      doc = "MinHash-LSH soundness: every emitted pair must appear in the complete exact Jaccard join with the same value; emits violations + sentinel."
+    ),
+    // ---------------------------------------------------------------- t29
+    GraftQuery(
+      "t29_simhash_sound",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val pairs = DedupOps.simhashNearDups(docs, "doc_id", "text", maxHamming = 10)
+        // recompute signatures through the built-in-functions HOF twin (a
+        // disjoint code path from the native SimHash64 expression)
+        val members = pairs.select($"id_a".as("doc_id"))
+          .unionAll(pairs.select($"id_b".as("doc_id"))).distinct()
+        val sigs = docs.join(members, Seq("doc_id"))
+          .select($"doc_id", DedupOps.simhashHof($"text").as("sh2"))
+        val viol = pairs
+          .join(sigs.select($"doc_id".as("id_a"), $"sh2".as("sh2_a")), Seq("id_a"))
+          .join(sigs.select($"doc_id".as("id_b"), $"sh2".as("sh2_b")), Seq("id_b"))
+          .withColumn("hamming2", bit_count($"sh2_a".bitwiseXOR($"sh2_b")))
+          .filter($"hamming2" =!= $"hamming" || $"hamming2" > 10)
+          .select($"id_a", $"id_b", lit("hamming_mismatch").as("reason"))
+        val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
+        viol.unionAll(sentinel).orderBy($"id_a", $"id_b", $"reason")
+      },
+      Some("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"),
+      doc = "SimHash soundness: emitted Hamming distances re-derived via the HOF parity twin must agree and respect the cutoff; emits violations + sentinel."
+    ),
+    // ---------------------------------------------------------------- t30
+    GraftQuery(
+      "t30_lsh_sound",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val res = Similarity.lshTopK(emb, emb.filter($"vec_id" < 3),
+          "vec_id", "embedding", k = 5, bits = 4)
+        val sig = emb.select($"vec_id",
+          Similarity.srpSignature($"embedding", 4).as("bkt"), $"embedding")
+        val viol = res
+          .join(sig.select($"vec_id".as("neighbor_id"), $"bkt".as("bkt_n"),
+            $"embedding".as("nv")), Seq("neighbor_id"))
+          .join(sig.select($"vec_id".as("query_id"), $"bkt".as("bkt_q"),
+            $"embedding".as("qv")), Seq("query_id"))
+          // independent recompute: HOF cosine vs the native expression
+          .withColumn("sim2", Similarity.cosineHof($"qv", $"nv"))
+          .filter($"bkt_n" =!= $"bkt_q" || $"sim2" =!= $"sim")
+          .select($"query_id", $"neighbor_id",
+            lit("bucket_or_sim_mismatch").as("reason"))
+        val sentinel = Seq((-1L, -1L, "sentinel"))
+          .toDF("query_id", "neighbor_id", "reason")
+        viol.unionAll(sentinel).orderBy($"query_id", $"neighbor_id", $"reason")
+      },
+      Some("SELECT CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS neighbor_id, 'sentinel' AS reason"),
+      doc = "SRP-LSH soundness: every returned neighbor must share the query's bucket and carry the HOF-recomputed cosine; emits violations + sentinel."
+    ),
+    // ---------------------------------------------------------------- t31
+    GraftQuery(
+      "t31_ivf_sound",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter($"vec_id" < 3)
+        val res = Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+          k = 5, nCells = 8, nProbe = 3)
+        val (assigned, probes) = Similarity.ivfAssignAndProbes(
+          emb, qs, "vec_id", "embedding", nCells = 8, nProbe = 3)
+        val viol = res
+          .join(assigned.select($"neighbor_id", $"cell", $"cv"), Seq("neighbor_id"))
+          // left join: a neighbor whose cell the query did NOT probe gets a
+          // null qv and is flagged
+          .join(probes.select($"query_id", $"cell", $"qv"),
+            Seq("query_id", "cell"), "left")
+          .withColumn("sim2", Similarity.cosineHof($"qv", $"cv"))
+          .filter($"qv".isNull || $"sim2" =!= $"sim")
+          .select($"query_id", $"neighbor_id",
+            lit("unprobed_cell_or_sim_mismatch").as("reason"))
+        val sentinel = Seq((-1L, -1L, "sentinel"))
+          .toDF("query_id", "neighbor_id", "reason")
+        viol.unionAll(sentinel).orderBy($"query_id", $"neighbor_id", $"reason")
+      },
+      Some("SELECT CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS neighbor_id, 'sentinel' AS reason"),
+      doc = "IVF soundness: every returned neighbor must sit in one of its query's probed cells with the HOF-recomputed cosine; emits violations + sentinel."
     )
   )
 }

@@ -56,4 +56,22 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("t24_topk_plan")
     assert(p.contains("TopKPerKey"), p.take(800))
   }
+
+  test("persisted-IVF query prunes non-probed cells at the scan (PartitionFilters)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-prune").toString
+    graft.operators.Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 8, idx)
+    val df = graft.operators.Similarity.ivfQuery(spark, idx,
+      emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, nProbe = 3)
+    val p = df.queryExecution.executedPlan.toString
+    // the cells scan must carry a static partition filter on `cell` — the
+    // whole point of the partitioned layout is reading nProbe/nCells of the
+    // corpus; an empty PartitionFilters would be a silent full scan
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains(s"cells")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters: [cell"), p.take(1500))
+    assert(!scanLine.contains("PartitionFilters: []"), scanLine)
+  }
 }
