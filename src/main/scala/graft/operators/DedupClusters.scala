@@ -39,7 +39,14 @@ object DedupClusters {
       .dropDuplicates("src", "dst")
       .cache()
 
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("component")).cache()
+    // Each round references the previous labels TWICE (join + update), so a
+    // plain cache would leave the LOGICAL plan doubling per round —
+    // analysis/planning cost explodes around ~15 rounds even though
+    // execution reuses the cache. localCheckpoint(eager) truncates lineage
+    // to the materialized round, the standard move for iterative DataFrame
+    // algorithms.
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("component"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -54,9 +61,8 @@ object DedupClusters {
         .select($"id",
           least($"component", coalesce($"nmin", $"component")).as("component"),
           ($"nmin" < $"component").as("_changed"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.filter($"_changed").count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
@@ -88,6 +94,84 @@ object DedupClusters {
         s"connectedComponents did not converge within $maxIter rounds " +
           "(graph diameter exceeds maxIter); labels would be non-minimal. " +
           "Raise maxIter or call connectedComponentsResult to accept partial labels.")
+    }
+    r.labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm): converges in O(log² n) rounds regardless of graph DIAMETER,
+    * where [[connectedComponentsResult]]'s label propagation needs
+    * O(diameter) rounds. This is the scale escape hatch for adversarial
+    * shapes — long chains of drifting near-dups — at which propagation
+    * would exhaust maxIter.
+    *
+    *   - large-star(u): every strictly-larger neighbor of u re-attaches to
+    *     min(Γ(u) ∪ u);
+    *   - small-star(u): u and its smaller neighbors re-attach to the min.
+    *
+    * Both are one groupBy + one join per round on the (shrinking) edge set;
+    * the driver sees only a per-round stability COUNT. On convergence the
+    * edge set is a forest of stars rooted at component minima.
+    */
+  def connectedComponentsStarsResult(ids: DataFrame, pairs: DataFrame,
+      idCol: String, maxIter: Int = 30): ComponentsResult = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    def sym(e: DataFrame): DataFrame =
+      e.unionAll(e.select($"v".as("u"), $"u".as("v")))
+
+    // lineage MUST be truncated per round: sym() and the stability check
+    // each reference the round's edge set twice, so without checkpointing
+    // the logical plan grows exponentially in rounds (see the propagation
+    // loop's note). localCheckpoint(eager) = materialize + cut lineage.
+    var edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter($"u" =!= $"v").distinct().localCheckpoint(true)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (iter < maxIter && !converged) {
+      // large-star: for each node, larger neighbors hook onto min(Γ⁺)
+      val n1 = sym(edges)
+      val m1 = n1.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      val ls = n1.filter($"v" > $"u")
+        .join(m1, Seq("u"))
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct()
+      // small-star: orient edges large→small; the big endpoint and all its
+      // smaller neighbors hook onto the minimum
+      val dir = ls.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+        .filter($"u" =!= $"v").distinct()
+      val m2 = dir.groupBy($"u").agg(min($"v").as("m"))
+      val ss = dir.join(m2, Seq("u"))
+        .select(explode(array($"v", $"u")).as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct().localCheckpoint(true)
+      // stable when the round was a no-op (set equality via two anti counts)
+      val changed = ss.exceptAll(edges).count() + edges.exceptAll(ss).count()
+      edges = ss
+      converged = changed == 0
+      iter += 1
+    }
+    val roots = edges.groupBy($"u").agg(min($"v").as("component"))
+    val labels = ids.select(col(idCol).as("id"))
+      .join(roots.select($"u".as("id"), $"component"), Seq("id"), "left")
+      .select($"id".as(idCol), coalesce($"component", $"id").as("component"))
+      .cache()
+    labels.count() // materialize while the checkpointed edges are alive
+    ComponentsResult(labels, converged, iter)
+  }
+
+  /** Star-contraction components with the same contract as
+    * [[connectedComponents]] (throws on non-convergence; result persisted).
+    */
+  def connectedComponentsStars(ids: DataFrame, pairs: DataFrame, idCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val r = connectedComponentsStarsResult(ids, pairs, idCol, maxIter)
+    if (!r.converged) {
+      r.labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not converge within $maxIter rounds.")
     }
     r.labels
   }

@@ -748,6 +748,101 @@ object ExtensionQueries {
       },
       Some("SELECT CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS neighbor_id, 'sentinel' AS reason"),
       doc = "IVF soundness: every returned neighbor must sit in one of its query's probed cells with the HOF-recomputed cosine; emits violations + sentinel."
+    ),
+    // ---------------------------------------------------------------- t32
+    GraftQuery(
+      "t32_dup_components_stars",
+      (s, d) => {
+        import s.implicits._
+        // same pairs and oracle as t26, resolved by the O(log² n)
+        // large-star/small-star contraction instead of label propagation —
+        // the two implementations are gated against the SAME recursive-CTE
+        // transitive closure
+        val docs = Tables.documents(s, d)
+        val pairs = DedupOps.prefixJaccardPairs(docs, "doc_id", "text",
+          groupCol = "source", n = 3, threshold = 0.8)
+        DedupClusters.connectedComponentsStars(docs.select($"doc_id"), pairs, "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE sets AS (
+             |  SELECT doc_id, source, list_distinct(list_transform(
+             |      range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 2),
+             |      i -> array_to_string(string_split_regex(trim(text), '\s+')[i : i + 2], ' '))) AS sh
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sets a JOIN sets b
+             |    ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+             |comp AS (SELECT src AS doc_id, MIN(dst) AS m FROM reach GROUP BY src)
+             |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             |  CAST(COALESCE(LEAST(c.m, d.doc_id), d.doc_id) AS BIGINT) AS component
+             |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Large-star/small-star connected components (diameter-independent round count) vs the same recursive-CTE transitive-closure oracle as t26."
+    ),
+    // ---------------------------------------------------------------- t33
+    GraftQuery(
+      "t33_hll_bound",
+      (s, d) => {
+        import s.implicits._
+        // accuracy gate for the q22 sketch: HLL++ at rsd=0.01 must land
+        // within ±5% of the exact distinct counts (deterministic sketch, so
+        // this is byte-stable; 5x the configured rsd leaves no flake room)
+        val li = Tables.lineitem(s, d)
+        val agg = li.agg(
+          approx_count_distinct($"l_partkey", 0.01).as("a_parts"),
+          countDistinct($"l_partkey").as("e_parts"),
+          approx_count_distinct($"l_orderkey", 0.01).as("a_orders"),
+          countDistinct($"l_orderkey").as("e_orders"))
+        val viol = agg.select(explode(array(
+          struct(lit("parts").as("metric"),
+            (abs($"a_parts" - $"e_parts").cast("double") / $"e_parts").as("rel_err")),
+          struct(lit("orders").as("metric"),
+            (abs($"a_orders" - $"e_orders").cast("double") / $"e_orders").as("rel_err"))))
+          .as("x"))
+          .select($"x.metric", $"x.rel_err")
+          .filter($"rel_err" > 0.05)
+          .select($"metric", lit("hll_out_of_bound").as("reason"))
+        val sentinel = Seq(("zz_sentinel", "sentinel")).toDF("metric", "reason")
+        viol.unionAll(sentinel).orderBy($"metric", $"reason")
+      },
+      Some("SELECT 'zz_sentinel' AS metric, 'sentinel' AS reason"),
+      doc = "HLL++ accuracy gate: q22's approx distinct counts within 5% of exact; emits violations + sentinel."
+    ),
+    // ---------------------------------------------------------------- t34
+    GraftQuery(
+      "t34_quantile_bound",
+      (s, d) => {
+        import s.implicits._
+        // accuracy gate for the q36 sketch: each approximate percentile must
+        // lie between the exact percentiles at rank ±1% (the GK sketch at
+        // accuracy=1000 guarantees rank error <= 0.1%; 10x slack)
+        val o = Tables.orders(s, d)
+        val g = o.groupBy($"o_orderpriority").agg(
+          percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("a50"),
+          percentile_approx($"o_totalprice", lit(0.95), lit(1000)).as("a95"),
+          expr("percentile(o_totalprice, 0.49)").as("lo50"),
+          expr("percentile(o_totalprice, 0.51)").as("hi50"),
+          expr("percentile(o_totalprice, 0.94)").as("lo95"),
+          expr("percentile(o_totalprice, 0.96)").as("hi95"))
+        val viol = g.filter(
+          $"a50" < $"lo50" || $"a50" > $"hi50" ||
+            $"a95" < $"lo95" || $"a95" > $"hi95")
+          .select($"o_orderpriority".as("grp"), lit("quantile_out_of_bound").as("reason"))
+        val sentinel = Seq(("zz_sentinel", "sentinel")).toDF("grp", "reason")
+        viol.unionAll(sentinel).orderBy($"grp", $"reason")
+      },
+      Some("SELECT 'zz_sentinel' AS grp, 'sentinel' AS reason"),
+      doc = "Quantile-sketch accuracy gate: q36's approx percentiles within rank +/-1% of exact; emits violations + sentinel."
     )
   )
 }

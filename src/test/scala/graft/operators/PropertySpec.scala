@@ -100,4 +100,57 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"n=$n edges=$edges")
     }
   }
+
+  test("property: star-contraction components equal union-find on random graphs") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val cases = samples(
+      for {
+        n <- Gen.chooseNum(2, 25)
+        m <- Gen.chooseNum(0, 30)
+        es <- Gen.listOfN(m, for {
+          a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+        } yield (a.toLong, b.toLong))
+      } yield (n, es.filter(e => e._1 != e._2)), 8)
+    cases.foreach { case (n, edges) =>
+      val ids = (0L until n.toLong).toDF("id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      val r = DedupClusters.connectedComponentsStarsResult(ids, pairs, "id")
+      assert(r.converged)
+      val got = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      r.labels.unpersist()
+      val expect = unionFind(n, edges).groupBy(_._2).flatMap { case (_, m) =>
+        val minId = m.keys.min; m.keys.map(_ -> minId)
+      }
+      assert(got == expect, s"n=$n edges=$edges")
+    }
+  }
+
+  test("star-contraction resolves a 300-link chain in O(log n) rounds (propagation cannot)") {
+    // a path graph has diameter = n-1: min-label propagation needs ~n rounds
+    // (it throws at maxIter=50), while large-star/small-star contracts it in
+    // logarithmically many — the documented scale escape hatch, demonstrated.
+    val n = 300L
+    val ids = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val r = DedupClusters.connectedComponentsStarsResult(ids, chain, "id")
+    assert(r.converged, s"not converged after ${r.rounds} rounds")
+    assert(r.rounds <= 15, s"took ${r.rounds} rounds — should be ~log2(300)")
+    val labels = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1))
+    r.labels.unpersist()
+    assert(labels.forall(_._2 == 0L), "every node must label to the chain minimum")
+    // and the propagation variant indeed gives up at its default budget
+    intercept[IllegalStateException] {
+      DedupClusters.connectedComponents(ids, chain, "id", maxIter = 20)
+    }
+  }
 }
