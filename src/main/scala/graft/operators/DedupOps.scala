@@ -182,26 +182,42 @@ object DedupOps {
     val freq = base.select(explode($"sh").as("h"))
       .groupBy($"h").agg(count(lit(1)).as("df"))
 
-    val prefixLen = ($"sz" - ceil($"sz" * threshold) + 1).cast("int")
+    // All pruning arithmetic carries a 1e-7 slack: IEEE doubles can round
+    // ABOVE the exact rational (0.8/1.8 > 4/9, sz·0.8 can exceed an exact
+    // integer), and a strict compare then drops pairs sitting exactly on
+    // the qualification boundary. Slack only ADMITS a few extra candidates
+    // (verification is exact); without it the prune is subtly lossy.
+    val eps = 1e-7
+    val prefixLen = ($"sz" - ceil($"sz" * threshold - eps) + 1).cast("int")
+    // posexplode: `p` is the token's 0-based rank in the doc's full sorted
+    // set (the prefix IS the head of that order) — feeds the position filter
     val prefixes = base
       .select($"g", $"id", $"sz", explode($"sh").as("h"))
       .join(freq, "h")
       .groupBy($"g", $"id", $"sz")
       .agg(sort_array(collect_list(struct($"df", $"h"))).as("ordered"))
       .select($"g", $"id", $"sz",
-        explode(slice(transform($"ordered", o => o.getField("h")), lit(1), prefixLen))
-          .as("h"))
+        posexplode(slice(transform($"ordered", o => o.getField("h")), lit(1), prefixLen)))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "h")
 
-    // length filter (lossless): J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a
-    // pair whose sizes differ by more than factor t can never qualify —
-    // pruned BEFORE the candidate dedup/verify shuffles. This is what keeps
-    // a prefix-collision between one short doc and a family of long drifted
-    // near-dups from fanning out into verification work.
-    val a = prefixes.select($"g", $"h", $"id".as("id_a"), $"sz".as("sz_a"))
-    val b = prefixes.select($"g", $"h", $"id".as("id_b"), $"sz".as("sz_b"))
+    // Two lossless candidate prunes BEFORE the dedup/verify shuffles
+    // (PPJoin, Xiao et al. — public algorithm):
+    //  - length filter: J(A,B) <= min/max size, so sizes differing by more
+    //    than factor t can never qualify;
+    //  - position filter: both sets share the same total order, so for a
+    //    shared prefix token at ranks (p_a, p_b) the overlap can be at most
+    //    1 + min(|A|-p_a-1, |B|-p_b-1); J >= t needs overlap >=
+    //    t/(1+t)·(|A|+|B|). A qualifying pair always survives via its FIRST
+    //    shared token (maximal bound), so filtering per posting row and
+    //    deduplicating after loses nothing.
+    val a = prefixes.select($"g", $"h", $"id".as("id_a"), $"sz".as("sz_a"), $"p".as("p_a"))
+    val b = prefixes.select($"g", $"h", $"id".as("id_b"), $"sz".as("sz_b"), $"p".as("p_b"))
     val candidates = a.join(b, Seq("g", "h"))
       .filter($"id_a" < $"id_b" &&
-        $"sz_b" >= $"sz_a" * threshold && $"sz_a" >= $"sz_b" * threshold)
+        $"sz_b" >= $"sz_a" * threshold - eps && $"sz_a" >= $"sz_b" * threshold - eps &&
+        (lit(1) + least($"sz_a" - $"p_a" - 1, $"sz_b" - $"p_b" - 1)) >=
+          lit(threshold / (1 + threshold)) * ($"sz_a" + $"sz_b") - eps)
       .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
 
@@ -273,11 +289,12 @@ object DedupOps {
     // exclusion — no full shingle arrays ever ride a shuffle.
     val a = rare.select($"g", $"h", $"id".as("id_a"), $"sz".as("sz_a"))
     val b = rare.select($"g", $"h", $"id".as("id_b"), $"sz".as("sz_b"))
-    // length filter (lossless, see prefixJaccardPairs): prunes posting
-    // collisions between incompatibly-sized docs before the pair groupBy
+    // length filter (lossless, see prefixJaccardPairs — incl. the 1e-7
+    // slack note): prunes posting collisions between incompatibly-sized
+    // docs before the pair groupBy
     val counted = a.join(b, Seq("g", "h"))
       .filter($"id_a" < $"id_b" &&
-        $"sz_b" >= $"sz_a" * threshold && $"sz_a" >= $"sz_b" * threshold)
+        $"sz_b" >= $"sz_a" * threshold - 1e-7 && $"sz_a" >= $"sz_b" * threshold - 1e-7)
       .groupBy($"id_a", $"id_b", $"sz_a", $"sz_b")
       .agg(count(lit(1)).as("common_rare"))
     val withCommon = hotPerDoc match {

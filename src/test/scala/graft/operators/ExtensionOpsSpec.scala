@@ -52,6 +52,35 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("prefix join keeps pairs sitting EXACTLY on the threshold boundary") {
+    // A and B have 9 shingles each sharing 8 → J = 8/10 = 0.8 exactly.
+    // IEEE doubles round 0.8/1.8 ABOVE 4/9, so a strict position-filter
+    // compare (or a strict length filter / prefix-length ceil) silently
+    // drops exactly-qualifying pairs — the 1e-7 pruning slack is load-
+    // bearing. This pinned the bug found by the factor-50 stress run
+    // (282 284 vs 283 826 pairs).
+    // Case 1: tiny boundary pair — 9 shingles each, 8 shared, J = 8/10.
+    val words = (1 to 11).map(i => s"w$i")
+    val a1 = words.mkString(" ")
+    val b1 = (words.init :+ "different").mkString(" ")
+    // Case 2: the FP-critical sizes — |A|=58, |B|=59, overlap 52:
+    // J = 52/65 = 0.8 exactly, and α = 0.8/1.8·117 computes to
+    // 52.00000000000001 in doubles while the first-common-token bound is
+    // exactly 52 → a strict compare drops this qualifying pair.
+    val common = (1 to 54).map(i => s"c$i").mkString(" ")
+    val a2 = (1 to 6).map(i => s"a$i").mkString(" ") + " " + common
+    val b2 = (1 to 7).map(i => s"b$i").mkString(" ") + " " + common
+    val df = Seq((1L, a1), (2L, b1), (10L, a2), (11L, b2))
+      .toDF("doc_id", "text").withColumn("g", col("doc_id") < 10) // separate groups
+    val expect = Set((1L, 2L, 0.8), (10L, 11L, 0.8))
+    val viaPrefix = DedupOps.prefixJaccardPairs(df, "doc_id", "text", "g", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPrefix == expect, viaPrefix.mkString(","))
+    val viaIndex = DedupOps.ngramJaccardPairs(df, "doc_id", "text", "g", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == expect, viaIndex.mkString(","))
+  }
+
   test("ngram jaccard df-cutoff drops only hot-shingle candidates, results unchanged") {
     val sample = docs.withColumn("g", lit(1)) // all 500 docs, one group
     val full = DedupOps.ngramJaccardPairs(sample, "doc_id", "text", "g", 3, 0.2,
