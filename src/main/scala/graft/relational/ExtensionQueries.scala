@@ -798,18 +798,18 @@ object ExtensionQueries {
         // within ±5% of the exact distinct counts (deterministic sketch, so
         // this is byte-stable; 5x the configured rsd leaves no flake room)
         val li = Tables.lineitem(s, d)
-        val agg = li.agg(
-          approx_count_distinct($"l_partkey", 0.01).as("a_parts"),
-          countDistinct($"l_partkey").as("e_parts"),
-          approx_count_distinct($"l_orderkey", 0.01).as("a_orders"),
-          countDistinct($"l_orderkey").as("e_orders"))
-        val viol = agg.select(explode(array(
-          struct(lit("parts").as("metric"),
-            (abs($"a_parts" - $"e_parts").cast("double") / $"e_parts").as("rel_err")),
-          struct(lit("orders").as("metric"),
-            (abs($"a_orders" - $"e_orders").cast("double") / $"e_orders").as("rel_err"))))
-          .as("x"))
-          .select($"x.metric", $"x.rel_err")
+        // one aggregate PER column: a single agg holding two different
+        // countDistincts plans as an Expand (row multiplication over the
+        // whole table — 29 s at sf0.1); per-column partial aggregates union
+        // in ~2 s with identical semantics
+        def colErr(c: String, name: String) =
+          li.agg(
+            approx_count_distinct(col(c), 0.01).as("approx"),
+            countDistinct(col(c)).as("exact"))
+            .select(lit(name).as("metric"),
+              (abs($"approx" - $"exact").cast("double") / $"exact").as("rel_err"))
+        val viol = colErr("l_partkey", "parts")
+          .unionAll(colErr("l_orderkey", "orders"))
           .filter($"rel_err" > 0.05)
           .select($"metric", lit("hll_out_of_bound").as("reason"))
         val sentinel = Seq(("zz_sentinel", "sentinel")).toDF("metric", "reason")

@@ -152,7 +152,13 @@ object StreamingOps {
   def enrichStream(
       spark: SparkSession, inDir: String, outMdDir: String, outJsonDir: String,
       promptTemplate: String, checkpointDir: String,
-      transportFactory: () => graft.enrich.LlmTransport = () => new graft.enrich.MockLlmTransport)
+      transportFactory: () => graft.enrich.LlmTransport = () => new graft.enrich.MockLlmTransport,
+      // E2/E3 budgeting flows through to every micro-batch; the exact global
+      // modes need a caller-owned RateLimiterServer (it must outlive the
+      // query), wired in via these factories exactly as in EnrichJob
+      config: graft.enrich.EnrichConfig = graft.enrich.EnrichConfig(),
+      limiterFactory: Option[() => graft.enrich.RateLimiter] = None,
+      slotFactory: Option[() => graft.enrich.RemoteConcurrencyLimiter] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     import graft.enrich._
@@ -167,7 +173,8 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val enriched = EnrichOperator.enrich(
-          batch.as[EnrichOperator.Doc], transportFactory, promptTemplate)
+          batch.as[EnrichOperator.Doc], transportFactory, promptTemplate,
+          config, limiterFactory = limiterFactory, slotFactory = slotFactory)
         val ok = enriched.filter(col("ok")).toDF()
         graft.sinks.KeyedFileSink.write(ok, "key", "description", outMdDir,
           graft.core.RefConfig.AiProcessedSuffix)
