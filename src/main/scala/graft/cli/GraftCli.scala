@@ -111,6 +111,13 @@ object GraftCli {
           comps.unpersist()
           // docs.count() is parquet-footer metadata, not a pipeline recompute
           println(s"dedup[$method]: ${docs.count()} -> $keptCount docs -> $outDir")
+        case "stress" :: sfDir :: workDir :: rest =>
+          // the 100x scale proof (graft.tools.Stress): synthesized drifted-
+          // replica corpus through dedup -> components and the IVF index,
+          // with hard assertions on pair growth / CC rounds / scan pruning
+          val ok = graft.tools.Stress.run(spark, sfDir, workDir,
+            rest.headOption.map(_.toInt).getOrElse(100))
+          if (!ok) sys.exit(1)
         case "reset" :: workDir :: Nil =>
           // artifact reset (reference reset_project, setup_project.py:1145-1203);
           // confirmation is the host's job — this surface is non-interactive

@@ -76,11 +76,19 @@ object Stress {
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
       appName = "graft-stress")
     spark.sparkContext.setLogLevel("WARN")
+    try { if (!run(spark, sfDir, workDir, factor)) sys.exit(1) }
+    finally spark.stop()
+  }
+
+  /** Returns true iff every scale assertion held (also callable from the
+    * `GraftCli stress` surface with a shared session).
+    */
+  def run(spark: SparkSession, sfDir: String, workDir: String, factor: Int): Boolean = {
     var failures = List.empty[String]
     def check(cond: Boolean, msg: String): Unit =
       if (!cond) failures ::= msg
 
-    try {
+    {
       // ---- corpus synthesis (written to parquet so every stage reads a
       // realistic file-backed input, not a cached in-memory plan)
       val docsPath = s"$workDir/docs"
@@ -165,7 +173,7 @@ object Stress {
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
       failures.foreach(f => System.err.println(s"[stress] FAILED: $f"))
-      if (failures.nonEmpty) sys.exit(1)
-    } finally spark.stop()
+    }
+    failures.isEmpty
   }
 }
