@@ -34,9 +34,14 @@ object DedupClusters {
       maxIter: Int = 50): ComponentsResult = {
     val spark = ids.sparkSession
     import spark.implicits._
+    // Edges are static across rounds and every round joins them on dst:
+    // hash-partition them on dst ONCE (the cache preserves the
+    // partitioning), so each round's join exchanges only the labels side —
+    // at cluster scale this halves the per-round shuffle volume.
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionAll(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
       .dropDuplicates("src", "dst")
+      .repartition(col("dst"))
       .cache()
 
     // Each round references the previous labels TWICE (join + update), so a
