@@ -115,4 +115,28 @@ class StreamingSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/outmd/S2_ai_description.md")))
   }
+
+  test("enrichStream budgets micro-batches through the exact global limiters") {
+    import graft.enrich._
+    val dir = Files.createTempDirectory("streamenrich-cap").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    (1 to 6).foreach(i => Files.write(
+      java.nio.file.Paths.get(s"$dir/in/S$i.md"), s"# S$i\ndata".getBytes))
+    val srv = RateLimiterServer.start(ratePerMinute = 6000000, maxConcurrent = 2)
+    try {
+      graft.enrich.ConcurrencyProbe.reset()
+      val port = srv.port
+      val q = StreamingOps.enrichStream(spark, s"$dir/in", s"$dir/outmd",
+        s"$dir/outjson", "SYSTEM:\nsys\nUSER:\n{school_data}", s"$dir/ckpt",
+        transportFactory = () => new graft.enrich.ProbeTransport,
+        config = EnrichConfig(maxConcurrent = 2, exactGlobalConcurrency = true),
+        slotFactory = Some(() => new RemoteConcurrencyLimiter("127.0.0.1", port)))
+      q.processAllAvailable()
+      q.stop()
+      assert((1 to 6).forall(i => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/outmd/S${i}_ai_description.md"))))
+      val peak = graft.enrich.ConcurrencyProbe.peak.get()
+      assert(peak >= 1 && peak <= 2, s"peak=$peak")
+    } finally srv.stop()
+  }
 }
