@@ -133,6 +133,22 @@ object Stress {
         "nodes" -> nDocs, "clusters" -> nClusters))
       check(cc.converged, "connected components did not converge")
       check(cc.rounds <= 5, s"CC took ${cc.rounds} rounds (>5) — cluster diameter grew")
+
+      // star-contraction must agree with propagation label-for-label at
+      // this scale (both are oracle-gated at sf0.01; this is the 250k-node
+      // cross-validation)
+      val (stars, tStars) = timed {
+        DedupClusters.connectedComponentsStarsResult(
+          docs.select(col("doc_id")), pairs, "doc_id")
+      }
+      val disagree = cc.labels.exceptAll(stars.labels).count() +
+        stars.labels.exceptAll(cc.labels).count()
+      println(j("stage" -> "components_stars", "seconds" -> tStars,
+        "rounds" -> stars.rounds, "converged" -> stars.converged,
+        "label_disagreements" -> disagree))
+      check(stars.converged, "star-contraction did not converge")
+      check(disagree == 0, s"stars vs propagation labels disagree on $disagree rows")
+      stars.labels.unpersist()
       cc.labels.unpersist()
 
       // ---- prefix-filtered exact join at the pruning-effective threshold
