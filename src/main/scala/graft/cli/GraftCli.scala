@@ -99,9 +99,10 @@ object GraftCli {
           }).select(col("id_a"), col("id_b"))
           // comps is persisted by the convergence loop — join survivors, count
           // via observe on the ONE write action (no post-write recompute),
-          // then release the cache.
+          // then release the cache. Star contraction: diameter-proof, and the
+          // faster variant at scale (see DedupClusters docs).
           val comps = graft.operators.DedupClusters
-            .connectedComponents(docs.select(col("doc_id")), pairs, "doc_id")
+            .connectedComponentsStars(docs.select(col("doc_id")), pairs, "doc_id")
           val kept = docs.join(comps, Seq("doc_id"))
             .filter(col("doc_id") === col("component")).drop("component")
           val obs = org.apache.spark.sql.Observation(s"dedup_$method")

@@ -183,9 +183,18 @@ object DedupClusters {
 
   /** First-class dedup: keep exactly one row per duplicate cluster — the row
     * whose id equals the cluster's minimum id (deterministic survivor).
+    *
+    * Uses star contraction: labels are identical to the propagation variant
+    * (both oracle-gated against the same transitive closure; cross-validated
+    * label-for-label at 250k nodes by `graft.tools.Stress`), but it cannot
+    * be exhausted by a high-diameter graph and measured ~1.8× faster at
+    * 250k nodes — the safe production default. The labels stay persisted
+    * (the returned plan consumes them lazily); callers that need the cache
+    * released after writing should call [[connectedComponentsStars]]
+    * directly and `unpersist()` themselves, as `GraftCli dedup` does.
     */
   def dropDuplicateClusters(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
-    val comps = connectedComponents(df.select(col(idCol)), pairs, idCol)
+    val comps = connectedComponentsStars(df.select(col(idCol)), pairs, idCol)
     df.join(comps, Seq(idCol))
       .filter(col(idCol) === col("component"))
       .drop("component")
