@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output defaults to sbt's logger, which prefixes every line
+// with `[info] ` (and drops it entirely under `sbt --error`). The driver
+// parses graft.Bench's final JSON line from raw stdout, so route forked
+// process output straight through unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // The box's default locale is ANSI_X3.4-1968, which makes java.nio.Path
 // reject non-ASCII filenames (sun.jnu.encoding is locale-derived and NOT
 // overridable via -D). KeyedFileSink writes Swedish keys; fork with a

@@ -52,11 +52,30 @@ object Bench {
     }
     val med = ordered.map { case (name, _) => name -> median(samples(name)) }
     val mins = ordered.map { case (name, _) => name -> samples(name).min }
-    def jsonObj(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsonObj(kvs: Seq[(String, Double)], fmt: Double => String): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (med.nonEmpty) med.map(_._2).sum else 0.0
     val totalMin = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonObj(med)},"queries_min":${jsonObj(mins)},"total_min":$totalMin,"passes":$passes,"sf":"$sfDir"}""")
+    // Full-precision detail (per-query medians AND mins, pass count) goes to
+    // stderr with a non-JSON prefix: useful to humans, impossible for the
+    // driver to mistake for the contract line.
+    System.err.println(s"""bench-detail {"total":$total,"queries":${jsonObj(med, _.toString)},"queries_min":${jsonObj(mins, _.toString)},"total_min":$totalMin,"passes":$passes,"sf":"$sfDir"}""")
+    // The contract line must be (a) unprefixed — see run/outputStrategy in
+    // build.sbt — and (b) short enough to survive the driver's 2000-char
+    // stdout tail INCLUDING sbt's trailing "[success] Total time: ..." line
+    // (~110 chars). Rounded per-query values keep ~72 queries under ~1750
+    // chars; if the registry grows past the budget, drop to 2 decimals.
+    def compact(decimals: Int)(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t + "0" else t
+    }
+    // "sf":0.1 (parsed from the dir name) is 18 chars cheaper than the path.
+    val sfToken = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    def line(decimals: Int): String =
+      s"""{"metric":"total","value":${compact(3)(total)},"unit":"sec","queries":${jsonObj(med, compact(decimals))},"sf":$sfToken}"""
+    val out = { val l3 = line(3); if (l3.length <= 1750) l3 else line(2) }
+    println(out)
     spark.stop()
   }
 }
