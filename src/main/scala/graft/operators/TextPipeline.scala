@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-preparation operators for LLM training pipelines: context-window
+  * chunking and PII redaction.
+  *
+  * Both are narrow per-row transformations built entirely from codegen'd
+  * built-ins (split/slice/sequence/explode, regexp_replace), so they scale
+  * embarrassingly: no shuffle, no state, predicates and projections still
+  * push past them to the scan.
+  */
+object TextPipeline {
+
+  /** Splits each document into overlapping token-window chunks — the
+    * standard prep for embedding/training models with a bounded context:
+    * chunk `i` covers tokens `[i·stride, i·stride + window)` of the
+    * whitespace tokenization, and every document yields at least one chunk
+    * (short docs yield exactly one). The final chunk may be shorter than
+    * `window`; with `stride < window` consecutive chunks overlap by
+    * `window - stride` tokens so no span falls across a chunk boundary
+    * unseen.
+    *
+    * Output: `id` (= `idCol`), `chunk_id` (0-based), `chunk_text`,
+    * `n_tokens`.
+    */
+  def chunk(df: DataFrame, idCol: Column, textCol: Column, window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window)
+    val tokens = split(trim(textCol), "\\s+")
+    // nChunks = 1 + ceil((n - window) / stride) for n > window, else 1;
+    // integer `div` keeps the arithmetic exact (no FP floor hazards).
+    val nChunks = when(size(col("__toks")) <= window, lit(1L))
+      .otherwise(expr(s"((size(__toks) - $window + ${stride - 1}) div $stride) + 1"))
+    df.select(idCol.as("__id"), tokens.as("__toks"))
+      .select(col("__id"), col("__toks"), nChunks.as("__nc"))
+      .select(col("__id"), col("__toks"),
+        explode(sequence(lit(0L), col("__nc") - 1L)).as("chunk_id"))
+      .select(
+        col("__id").as("id"),
+        col("chunk_id"),
+        array_join(slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"), lit(window)), " ")
+          .as("chunk_text"),
+        size(slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"), lit(window)))
+          .cast("bigint").as("n_tokens"))
+  }
+
+  /** PII patterns chosen to mean the same thing in Java regex and RE2
+    * (no backtracking-dependent constructs), so the DuckDB oracle can apply
+    * the byte-identical patterns.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  /** Replaces URLs, then emails, then IPv4 literals with typed placeholder
+    * tokens. URL first: a URL may embed an email-shaped or IP-shaped
+    * substring, and redacting the containing span first makes the pass
+    * order-insensitive for the remaining patterns.
+    */
+  def redactPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, UrlRe, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailRe, "<EMAIL>")
+    regexp_replace(noEmail, Ipv4Re, "<IP>")
+  }
+
+  /** Count of non-overlapping matches of `pattern` — redaction audit data. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("bigint")
+}

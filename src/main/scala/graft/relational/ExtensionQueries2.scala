@@ -1,0 +1,162 @@
+package graft.relational
+
+import graft.core.{Exact, GraftQuery, Tables}
+import graft.operators.{BloomJoin, Layout, TextPipeline}
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: data-layout and training-pipeline operators.
+  *
+  * Same contract as [[ExtensionQueries]]: every entry is a Spark-first
+  * formulation plus a DuckDB oracle that must hash-match it exactly at
+  * sf0.01 (parity rules in `graft/core/GraftQuery.scala`).
+  */
+object ExtensionQueries2 {
+
+  val queries: Seq[GraftQuery] = Seq(
+    // ---------------------------------------------------------------- t35
+    GraftQuery(
+      "t35_zorder",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select(
+            $"l_orderkey".cast("bigint").as("l_orderkey"),
+            $"l_linenumber".cast("bigint").as("l_linenumber"),
+            Layout.zorderValue(pmod($"l_partkey", lit(4096)), pmod($"l_suppkey", lit(4096)), 12)
+              .cast("bigint").as("zval"))
+          .orderBy($"zval", $"l_orderkey", $"l_linenumber")
+      },
+      Some(s"""SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+              |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+              |  CAST(${Layout.zorderSql("(l_partkey % 4096)", "(l_suppkey % 4096)", 12)} AS BIGINT) AS zval
+              |FROM lineitem
+              |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin),
+      doc = "Morton (z-order) interleave of two key columns — the layout key " +
+        "LayoutSpec proves narrows per-file min/max on both dimensions."
+    ),
+    // ---------------------------------------------------------------- t36
+    GraftQuery(
+      "t36_chunk",
+      (s, d) => {
+        import s.implicits._
+        TextPipeline.chunk(Tables.documents(s, d), $"doc_id", $"text", window = 20, stride = 10)
+          .select(
+            $"id".cast("bigint").as("doc_id"),
+            $"chunk_id".cast("bigint").as("chunk_id"),
+            md5($"chunk_text").as("chunk_md5"),
+            $"n_tokens")
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+             |), n AS (
+             |  SELECT doc_id, t,
+             |    CASE WHEN len(t) <= 20 THEN 1 ELSE ((len(t) - 20 + 9) // 10) + 1 END AS nc
+             |  FROM tok
+             |), c AS (
+             |  SELECT doc_id, t, unnest(range(0, nc)) AS i FROM n
+             |)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(i AS BIGINT) AS chunk_id,
+             |  md5(array_to_string(t[i*10+1 : i*10+20], ' ')) AS chunk_md5,
+             |  CAST(len(t[i*10+1 : i*10+20]) AS BIGINT) AS n_tokens
+             |FROM c
+             |ORDER BY doc_id, chunk_id""".stripMargin),
+      doc = "Overlapping token-window chunking (window 20, stride 10) — " +
+        "context-window prep; chunk text emitted as md5 to keep the dump lean."
+    ),
+    // ---------------------------------------------------------------- t37
+    GraftQuery(
+      "t37_redact",
+      (s, d) => {
+        import s.implicits._
+        // The synthetic docs carry no PII, so both engines splice a
+        // deterministic email/URL/IP per doc into the text first — the
+        // redaction then has real work whose counts the oracle re-derives.
+        val pii = concat(
+          $"text", lit(" Contact user"), $"doc_id".cast("string"),
+          lit("@mail.example.com or http://ref"), ($"doc_id" % 50).cast("string"),
+          lit(".example.net/p/"), $"doc_id".cast("string"),
+          lit(" from 10."), ($"doc_id" % 200).cast("string"),
+          lit(".3."), ($"doc_id" % 97).cast("string"))
+        Tables.documents(s, d)
+          .select(
+            $"doc_id".cast("bigint").as("doc_id"),
+            md5(TextPipeline.redactPii(pii)).as("red_md5"),
+            TextPipeline.piiCount(pii, TextPipeline.EmailRe).as("n_email"),
+            TextPipeline.piiCount(pii, TextPipeline.UrlRe).as("n_url"),
+            TextPipeline.piiCount(pii, TextPipeline.Ipv4Re).as("n_ip"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH pii AS (
+             |  SELECT doc_id,
+             |    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@mail.example.com or http://ref' || CAST(doc_id % 50 AS VARCHAR)
+             |      || '.example.net/p/' || CAST(doc_id AS VARCHAR)
+             |      || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+             |      || '.3.' || CAST(doc_id % 97 AS VARCHAR) AS t
+             |  FROM documents
+             |)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+             |    'https?://[^\s]+', '<URL>', 'g'),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')) AS red_md5,
+             |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+             |  CAST(len(regexp_extract_all(t, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ip
+             |FROM pii
+             |ORDER BY doc_id""".stripMargin),
+      doc = "PII redaction (URL, then email, then IPv4 — patterns valid and " +
+        "identical in Java regex and RE2) with per-type audit counts."
+    ),
+    // ---------------------------------------------------------------- t38
+    GraftQuery(
+      "t38_split",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(
+            $"doc_id".cast("bigint").as("doc_id"),
+            Layout.hashBucket($"doc_id").as("bucket"),
+            Layout.hashSplit($"doc_id", trainPct = 80, valPct = 10).as("split"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+             |  CASE
+             |    WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+             |    WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+             |    ELSE 'test'
+             |  END AS split
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Deterministic md5-hash train/val/test split (80/10/10) — " +
+        "stable across runs, engines, and cluster sizes; no RNG state."
+    ),
+    // ---------------------------------------------------------------- t39
+    GraftQuery(
+      "t39_bloomjoin",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d).where($"c_mktsegment" === "BUILDING")
+        BloomJoin.semiJoin(Tables.orders(s, d), $"o_custkey", cust, $"c_custkey")
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).cast("bigint").as("n_orders"),
+            Exact.sumDec($"o_totalprice").as("sum_price"))
+          .orderBy($"o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority,
+              |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+              |  ${Exact.sqlSumDec("o_totalprice")} AS sum_price
+              |FROM orders
+              |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin),
+      doc = "Bloom-prefiltered semi join: probe rows that cannot match are " +
+        "dropped pre-shuffle; the exact join removes false positives, so the " +
+        "composition is exactly the plain semi join the oracle runs."
+    )
+  )
+}

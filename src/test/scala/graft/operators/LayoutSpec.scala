@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorderValue interleaves bits (hand-computed golden values)") {
+    // a=0b101 on even positions -> 0b010001; b=0b011 on odd -> 0b001010
+    // z(5, 3, 3 bits) = 0b010001 | 0b001010 = 0b011011 = 27
+    val rows = Seq((5L, 3L), (0L, 0L), (7L, 7L), (1L, 0L), (0L, 1L))
+      .toDF("a", "b")
+      .select(Layout.zorderValue(col("a"), col("b"), 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(27L, 0L, 63L, 1L, 2L))
+  }
+
+  test("zorderValue is monotone-safe at the type level (31-bit max, no overflow)") {
+    val max = (1L << 31) - 1
+    val z = Seq((max, max)).toDF("a", "b")
+      .select(Layout.zorderValue(col("a"), col("b"), 31).as("z"))
+      .collect().head.getLong(0)
+    assert(z == -1L >>> 2) // 62 set bits
+  }
+
+  test("zorderWrite keeps per-file ranges narrow on BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_partkey").cast("bigint").as("pk"), col("l_suppkey").cast("bigint").as("sk"))
+    Layout.zorderWrite(li, s"$dir/z", col("pk"), col("sk"), numFiles = 8, bits = 12)
+
+    val global = li.agg(
+      (max("pk") - min("pk")).as("pr"), (max("sk") - min("sk")).as("sr")).collect().head
+    val files = new java.io.File(s"$dir/z").listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4, s"expected multiple output files, got ${files.length}")
+    val ratios = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath).agg(
+        (max("pk") - min("pk")).as("pr"), (max("sk") - min("sk")).as("sr")).collect().head
+      (r.getLong(0).toDouble / global.getLong(0), r.getLong(1).toDouble / global.getLong(1))
+    }
+    val avgP = ratios.map(_._1).sum / ratios.length
+    val avgS = ratios.map(_._2).sum / ratios.length
+    // A single-column sort would give ~1.0 on the other dimension; the
+    // z-order layout must stay well below that on BOTH (file skipping works
+    // for predicates on either key).
+    assert(avgP < 0.6, s"avg partkey range ratio $avgP")
+    assert(avgS < 0.6, s"avg suppkey range ratio $avgS")
+  }
+
+  test("hashBucket is [0,100) and hashSplit proportions are near 80/10/10") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val withSplit = docs.select(
+      Layout.hashBucket(col("doc_id")).as("bucket"),
+      Layout.hashSplit(col("doc_id")).as("split"))
+    val bad = withSplit.where(col("bucket") < 0 || col("bucket") >= 100).count()
+    assert(bad == 0)
+    val n = withSplit.count().toDouble
+    val counts = withSplit.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") / n - 0.8) < 0.1, counts.toString)
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0)
+  }
+
+  test("hashSplit is deterministic and engine-independent (md5-derived)") {
+    // java-side recomputation of the same md5-prefix bucket
+    def bucketOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+    }
+    val got = spark.range(0, 200)
+      .select(col("id"), Layout.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    got.foreach { case (id, b) => assert(b == bucketOf(id), s"id=$id") }
+  }
+
+  test("identically-bucketed tables join with zero shuffle") {
+    val n = 16
+    spark.sql("DROP TABLE IF EXISTS layout_spec_a")
+    spark.sql("DROP TABLE IF EXISTS layout_spec_b")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val customer = spark.read.parquet(s"$sf0001/customer.parquet")
+    Layout.bucketWrite(orders, "layout_spec_a", "o_custkey", n)
+    Layout.bucketWrite(customer.withColumnRenamed("c_custkey", "o_custkey"),
+      "layout_spec_b", "o_custkey", n)
+    try {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = Layout.bucketedJoin(spark, "layout_spec_a", "layout_spec_b", "o_custkey")
+        val shuffles = df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+        assert(shuffles.isEmpty,
+          s"bucketed join must be shuffle-free:\n${df.queryExecution.executedPlan.toString.take(1200)}")
+        // and it is still the CORRECT join
+        val expected = orders.join(
+          customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey").count()
+        assert(df.count() == expected)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS layout_spec_a")
+      spark.sql("DROP TABLE IF EXISTS layout_spec_b")
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chunksOf(text: String, window: Int, stride: Int): Seq[(Long, String, Long)] =
+    TextPipeline.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), window, stride)
+      .orderBy("chunk_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("chunk: overlapping windows cover every token, last chunk may be short") {
+    val text = (1 to 25).map(i => s"w$i").mkString(" ")
+    val got = chunksOf(text, window = 10, stride = 5)
+    // nChunks = ((25 - 10 + 4) div 5) + 1 = 4
+    assert(got.size == 4)
+    assert(got.head._2 == (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(got(1)._2 == (6 to 15).map(i => s"w$i").mkString(" "))
+    assert(got.last._2 == (16 to 25).map(i => s"w$i").mkString(" "))
+    assert(got.map(_._3) == Seq(10L, 10L, 10L, 10L))
+    // consecutive chunks overlap by window - stride tokens
+    val o1 = got.head._2.split(" ").takeRight(5).toSeq
+    assert(o1 == got(1)._2.split(" ").take(5).toSeq)
+  }
+
+  test("chunk: short and exact-window docs yield exactly one chunk") {
+    assert(chunksOf("a b c", 10, 5) == Seq((0L, "a b c", 3L)))
+    val exact = (1 to 10).map(i => s"w$i").mkString(" ")
+    assert(chunksOf(exact, 10, 5) == Seq((0L, exact, 10L)))
+  }
+
+  test("chunk: stride 1 over window 2 is every adjacent pair") {
+    val got = chunksOf("a b c d", 2, 1)
+    assert(got.map(_._2) == Seq("a b", "b c", "c d"))
+  }
+
+  test("chunk: multi-whitespace and surrounding space tokenize like trim+split") {
+    val got = chunksOf("  a \t b\n  c  ", 2, 2)
+    assert(got.map(_._2) == Seq("a b", "c"))
+  }
+
+  test("redactPii: golden replacements, URL before email before IP") {
+    val in = "write a@b.io or see https://x.example/u?q=1 at 192.168.0.1 end"
+    val out = Seq(in).toDF("t").select(TextPipeline.redactPii(col("t"))).collect().head.getString(0)
+    assert(out == "write <EMAIL> or see <URL> at <IP> end")
+  }
+
+  test("redactPii: an email-shaped substring inside a URL is covered by the URL span") {
+    val in = "go http://x.example/mail?to=a@b.com now"
+    val out = Seq(in).toDF("t").select(TextPipeline.redactPii(col("t"))).collect().head.getString(0)
+    assert(out == "go <URL> now")
+  }
+
+  test("redactPii: version numbers are not IPs (needs 4 octets)") {
+    val in = "release 1.2.3 and 1.2.3.4"
+    val out = Seq(in).toDF("t").select(TextPipeline.redactPii(col("t"))).collect().head.getString(0)
+    assert(out == "release 1.2.3 and <IP>")
+  }
+
+  test("piiCount counts non-overlapping matches") {
+    val in = "a@b.co c@d.org http://e.f 1.2.3.4 5.6.7.8"
+    val row = Seq(in).toDF("t").select(
+      TextPipeline.piiCount(col("t"), TextPipeline.EmailRe),
+      TextPipeline.piiCount(col("t"), TextPipeline.UrlRe),
+      TextPipeline.piiCount(col("t"), TextPipeline.Ipv4Re)).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((2L, 1L, 2L)))
+  }
+}
