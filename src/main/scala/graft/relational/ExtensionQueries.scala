@@ -798,18 +798,24 @@ object ExtensionQueries {
         // within ±5% of the exact distinct counts (deterministic sketch, so
         // this is byte-stable; 5x the configured rsd leaves no flake room)
         val li = Tables.lineitem(s, d)
-        // one aggregate PER column: a single agg holding two different
-        // countDistincts plans as an Expand (row multiplication over the
-        // whole table — 29 s at sf0.1); per-column partial aggregates union
-        // in ~2 s with identical semantics
-        def colErr(c: String, name: String) =
-          li.agg(
-            approx_count_distinct(col(c), 0.01).as("approx"),
-            countDistinct(col(c)).as("exact"))
-            .select(lit(name).as("metric"),
-              (abs($"approx" - $"exact").cast("double") / $"exact").as("rel_err"))
-        val viol = colErr("l_partkey", "parts")
-          .unionAll(colErr("l_orderkey", "orders"))
+        // Keep exact and approximate distincts in SEPARATE aggregates:
+        //  - two different countDistincts in one agg plans as an Expand
+        //    (full-table row multiplication — 29 s at sf0.1);
+        //  - mixing one countDistinct with the HLL in one agg drags the HLL
+        //    buffer through the distinct rewrite's re-aggregation (~7.5 s).
+        // One plain scan computes both HLLs; each exact distinct is its own
+        // partial-aggregated pass; the three 1-row frames cross-join for free.
+        val approx = li.agg(
+          approx_count_distinct($"l_partkey", 0.01).as("ap"),
+          approx_count_distinct($"l_orderkey", 0.01).as("ao"))
+        val exactP = li.agg(countDistinct($"l_partkey").as("ep"))
+        val exactO = li.agg(countDistinct($"l_orderkey").as("eo"))
+        val errs = approx.crossJoin(exactP).crossJoin(exactO)
+          .select(
+            (abs($"ap" - $"ep").cast("double") / $"ep").as("parts"),
+            (abs($"ao" - $"eo").cast("double") / $"eo").as("orders"))
+        val viol = errs.select(
+          explode(map(lit("parts"), $"parts", lit("orders"), $"orders")).as(Seq("metric", "rel_err")))
           .filter($"rel_err" > 0.05)
           .select($"metric", lit("hll_out_of_bound").as("reason"))
         val sentinel = Seq(("zz_sentinel", "sentinel")).toDF("metric", "reason")

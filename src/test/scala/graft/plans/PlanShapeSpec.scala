@@ -74,4 +74,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanLine.contains("PartitionFilters: [cell"), p.take(1500))
     assert(!scanLine.contains("PartitionFilters: []"), scanLine)
   }
+
+  test("t39 bloom prefilter runs on the probe side BELOW the semi join") {
+    val p = planOf("t39_bloomjoin")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    // the probe expression (xxhash64 + dynamic shifts over the bit-array
+    // literal) must sit in a Filter under the join, not above it
+    val joinLine = p.linesIterator.indexWhere(_.contains("LeftSemi"))
+    val filterLine = p.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("xxhash64"))
+    assert(filterLine > joinLine && joinLine >= 0,
+      s"bloom filter must be below the join (join@$joinLine, filter@$filterLine)\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t35 z-value computation prunes the scan to the four columns it uses") {
+    val p = planOf("t35_zorder")
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    val read = "ReadSchema:struct<([^>]*)>".r
+      .findFirstMatchIn(scanLine.replace(" ", "")).map(_.group(1)).getOrElse("MISSING")
+    val cols = read.split(",").map(_.takeWhile(_ != ':')).toSet
+    assert(cols == Set("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      s"scan must read exactly the 4 used columns, got $cols\n$scanLine")
+  }
+
+  test("t36 chunking is a Generate over a pruned two-column scan (no shuffle before it)") {
+    val p = planOf("t36_chunk")
+    assert(p.contains("Generate"), p.take(1200))
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    val read = "ReadSchema:struct<([^>]*)>".r
+      .findFirstMatchIn(scanLine.replace(" ", "")).map(_.group(1)).getOrElse("MISSING")
+    val cols = read.split(",").map(_.takeWhile(_ != ':')).toSet
+    assert(cols == Set("doc_id", "text"), s"got $cols\n$scanLine")
+  }
 }
