@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.core.{Exact, GraftQuery, Tables}
-import graft.operators.{BloomJoin, Layout, TextPipeline}
+import graft.operators.{BloomJoin, HeavyHitters, Layout, TextPipeline}
 import org.apache.spark.sql.functions._
 
 /** Round-5 additions: data-layout and training-pipeline operators.
@@ -157,6 +157,36 @@ object ExtensionQueries2 {
       doc = "Bloom-prefiltered semi join: probe rows that cannot match are " +
         "dropped pre-shuffle; the exact join removes false positives, so the " +
         "composition is exactly the plain semi join the oracle runs."
+    ),
+    // ---------------------------------------------------------------- t40
+    GraftQuery(
+      "t40_heavyhit",
+      (s, d) => {
+        import s.implicits._
+        // Guarantee gate in the t27-t34 sentinel style: the surviving
+        // counter SET of Misra-Gries depends on merge order, but its three
+        // guarantees hold under ANY order — so violations (not the sketch
+        // itself) are the deterministic output.
+        val k = 50
+        val toks = Tables.documents(s, d)
+          .select(explode(split(lower($"text"), "\\s+")).as("tok"))
+          .where(length($"tok") > 0)
+        val n = toks.count()
+        val thresh = n.toDouble / (k + 1)
+        val mg = HeavyHitters.frequentItems(toks, "tok", k)
+        val exact = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        val missing = exact.where($"cnt" > thresh)
+          .join(mg, exact("tok") === mg("item"), "left_anti")
+          .select($"tok".as("item"), lit("missing_heavy_hitter").as("reason"))
+        val bounds = mg.join(exact, mg("item") === exact("tok"))
+          .where($"est" > $"cnt" || ($"cnt" - $"est").cast("double") > thresh)
+          .select($"item", lit("bound_violated").as("reason"))
+        val sentinel = Seq(("zz_sentinel", "sentinel")).toDF("item", "reason")
+        missing.unionAll(bounds).unionAll(sentinel).orderBy($"item", $"reason")
+      },
+      Some("SELECT 'zz_sentinel' AS item, 'sentinel' AS reason"),
+      doc = "Misra-Gries heavy hitters accuracy gate: completeness above " +
+        "n/(k+1), no overcounts, undercount bounded by n/(k+1); violations + sentinel."
     )
   )
 }
