@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.core.Tables
-import graft.operators.{DedupClusters, DedupOps, Similarity}
+import graft.operators.{BloomJoin, DedupClusters, DedupOps, HeavyHitters, Layout, Similarity, TextPipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -185,6 +185,70 @@ object Stress {
         "partition_pruned" -> pruned))
       check(pruned, s"ivfQuery scan not partition-pruned: $scanLine")
       check(qdf.count() == 15, "ivfQuery did not return 3 queries x top-5")
+
+      // ---- text pipeline throughput: chunk + redact the full corpus
+      val (chunkRows, tChunk) = timed {
+        TextPipeline.chunk(docs, col("doc_id"), col("text"), window = 64, stride = 32)
+          .select(col("id"), md5(col("chunk_text")))
+          .write.format("noop").mode("overwrite").save()
+        TextPipeline.chunk(docs, col("doc_id"), col("text"), window = 64, stride = 32).count()
+      }
+      val (redactRows, tRedact) = timed {
+        docs.select(md5(TextPipeline.redactPii(col("text")))).write
+          .format("noop").mode("overwrite").save()
+        nDocs
+      }
+      println(j("stage" -> "text_pipeline", "chunk_seconds" -> tChunk,
+        "chunks" -> chunkRows, "redact_seconds" -> tRedact, "docs" -> redactRows))
+      check(chunkRows >= nDocs, s"every doc must yield >=1 chunk ($chunkRows < $nDocs)")
+
+      // ---- heavy hitters: one pass, k counters, no frequency-table shuffle
+      val (hh, tHh) = timed {
+        HeavyHitters.frequentItems(
+          docs.select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+            .where(length(col("tok")) > 0), "tok", k = 50).collect()
+      }
+      println(j("stage" -> "heavy_hitters", "seconds" -> tHh, "survivors" -> hh.length))
+      check(hh.length <= 50 && hh.nonEmpty, s"heavy hitters returned ${hh.length} rows")
+
+      // ---- bloom semi join: prefilter must prune, composition stays exact
+      val buildSide = docs.select(col("doc_id")).where(pmod(col("doc_id"), lit(997)) === 0)
+      val (bloomOk, tBloom) = timed {
+        val got = BloomJoin.semiJoin(docs, col("doc_id"), buildSide, col("doc_id")).count()
+        val exact = docs.join(buildSide.distinct(), Seq("doc_id"), "left_semi").count()
+        got == exact
+      }
+      val bloom = BloomJoin.build(buildSide, col("doc_id"))
+      val prefiltered = docs.where(BloomJoin.mightContain(bloom, col("doc_id"))).count()
+      println(j("stage" -> "bloom_semi_join", "seconds" -> tBloom,
+        "exact_match" -> bloomOk, "prefiltered" -> prefiltered, "of" -> nDocs))
+      check(bloomOk, "bloom semi join diverged from the exact semi join")
+      check(prefiltered < nDocs / 10,
+        s"bloom prefilter kept $prefiltered of $nDocs rows — not pruning")
+
+      // ---- z-order layout: per-file ranges must stay narrow in BOTH dims
+      val zsrc = docs.select(col("doc_id"), length(col("text")).cast("bigint").as("len"))
+      val zPath = s"$workDir/zorder"
+      val (_, tZorder) = timed {
+        Layout.zorderWrite(zsrc, zPath, col("doc_id"), col("len"), numFiles = 16, bits = 16)
+      }
+      val global = zsrc.agg(
+        (max("doc_id") - min("doc_id")).cast("double").as("dr"),
+        (max("len") - min("len")).cast("double").as("lr")).collect().head
+      val zfiles = new java.io.File(zPath).listFiles().filter(_.getName.endsWith(".parquet"))
+      val ratios = zfiles.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath).agg(
+          (max("doc_id") - min("doc_id")).cast("double").as("dr"),
+          (max("len") - min("len")).cast("double").as("lr")).collect().head
+        (r.getDouble(0) / global.getDouble(0), r.getDouble(1) / global.getDouble(1))
+      }
+      val avgD = ratios.map(_._1).sum / ratios.length
+      val avgL = ratios.map(_._2).sum / ratios.length
+      println(j("stage" -> "zorder_layout", "seconds" -> tZorder,
+        "files" -> zfiles.length, "avg_range_ratio_docid" -> avgD,
+        "avg_range_ratio_len" -> avgL))
+      check(avgD < 0.7 && avgL < 0.7,
+        f"z-order per-file ranges too wide (doc_id $avgD%.2f, len $avgL%.2f)")
 
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
