@@ -119,6 +119,39 @@ object GraftCli {
           val ok = graft.tools.Stress.run(spark, sfDir, workDir,
             rest.headOption.map(_.toInt).getOrElse(100))
           if (!ok) sys.exit(1)
+        case "prep" :: sfDir :: outDir :: rest =>
+          // dataset-prep pipeline over `documents`: chunk → redact → split,
+          // written partitioned by split so downstream training jobs read
+          // train/val/test with partition pruning
+          import org.apache.spark.sql.functions.col
+          val window = rest.headOption.map(_.toInt).getOrElse(256)
+          val stride = rest.lift(1).map(_.toInt).getOrElse(window / 2)
+          val docs = graft.core.Tables.documents(spark, sfDir)
+          val chunks = graft.operators.TextPipeline
+            .chunk(docs, col("doc_id"), col("text"), window, stride)
+            .withColumn("chunk_text", graft.operators.TextPipeline.redactPii(col("chunk_text")))
+            .withColumn("split", graft.operators.Layout.hashSplit(col("id")))
+          chunks.write.mode("overwrite").partitionBy("split").parquet(outDir)
+          val n = spark.read.parquet(outDir).count()
+          println(s"prep: $n chunks (window=$window stride=$stride) -> $outDir partitioned by split")
+        case "zorder" :: inPath :: outPath :: colA :: colB :: rest =>
+          import org.apache.spark.sql.functions.col
+          val files = rest.headOption.map(_.toInt).getOrElse(64)
+          graft.operators.Layout.zorderWrite(
+            spark.read.parquet(inPath), outPath, col(colA), col(colB), files)
+          println(s"zorder: $inPath -> $outPath clustered on ($colA, $colB) in $files files")
+        case "compact" :: inPath :: outPath :: rest =>
+          val target = rest.headOption.map(_.toLong).getOrElse(128L * 1024 * 1024)
+          val (before, after) = graft.operators.Layout.compact(spark, inPath, outPath, target)
+          println(s"compact: $before files -> $after files ($inPath -> $outPath)")
+        case "frequent" :: sfDir :: rest =>
+          import org.apache.spark.sql.functions.{col, explode, length, lower, split}
+          val k = rest.headOption.map(_.toInt).getOrElse(50)
+          val toks = graft.core.Tables.documents(spark, sfDir)
+            .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+            .where(length(col("tok")) > 0)
+          graft.operators.HeavyHitters.frequentItems(toks, "tok", k)
+            .orderBy(col("est").desc).show(k, truncate = false)
         case "reset" :: workDir :: Nil =>
           // artifact reset (reference reset_project, setup_project.py:1145-1203);
           // confirmation is the host's job — this surface is non-interactive
@@ -151,7 +184,12 @@ object GraftCli {
         case other =>
           System.err.println(s"unknown command: ${other.mkString(" ")}")
           System.err.println(
-            "usage: markdown <csv> <tpl> <outDir> | enrich <inDir> <outMdDir> <outJsonDir> <promptTpl> [limit] | site <csv> <mdDir> <tpl> <out.html> | reset <workDir>")
+            "usage: markdown <csv> <tpl> <outDir> | enrich <inDir> <outMdDir> <outJsonDir> <promptTpl> [limit] | " +
+              "enrich-stream <inDir> <outMdDir> <outJsonDir> <promptTpl> <ckpt> | site <csv> <mdDir> <tpl> <out.html> | " +
+              "all <csv> <mdTpl> <promptTpl> <siteTpl> <workDir> | probe [.env] | dedup <sfDir> <outDir> [minhash|simhash|ngram] | " +
+              "prep <sfDir> <outDir> [window stride] | zorder <in> <out> <colA> <colB> [files] | " +
+              "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | stress <sfDir> <workDir> [factor] | " +
+              "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | reset <workDir>")
           sys.exit(2)
       }
     } finally spark.stop()

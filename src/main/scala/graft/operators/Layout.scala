@@ -124,4 +124,34 @@ object Layout {
   /** Equi-join of two identically-bucketed tables on their bucket key. */
   def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Rewrites a parquet directory into ~`targetBytes`-sized files.
+    *
+    * Streaming ingests and over-parallel writes leave directories of tiny
+    * files; at scale that murders scan throughput (one task + one footer
+    * read per file) and NameNode/listing latency. Sizing from the ACTUAL
+    * on-disk bytes (not a row-count guess) keeps output files near the
+    * target regardless of schema width or encoding. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(outPath)
+    val after = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
 }

@@ -77,6 +77,19 @@ class LayoutSpec extends SparkSpec {
     got.foreach { case (id, b) => assert(b == bucketOf(id), s"id=$id") }
   }
 
+  test("compact rewrites a many-tiny-file directory into few files, content intact") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    src.repartition(64).write.parquet(s"$dir/small")
+    val (before, after) = Layout.compact(spark, s"$dir/small", s"$dir/big",
+      targetBytes = 512L * 1024)
+    assert(before == 64, s"expected 64 input files, saw $before")
+    assert(after < 8, s"expected few output files, got $after")
+    val out = spark.read.parquet(s"$dir/big")
+    assert(out.count() == src.count())
+    assert(out.exceptAll(src).isEmpty && src.exceptAll(out).isEmpty)
+  }
+
   test("identically-bucketed tables join with zero shuffle") {
     val n = 16
     spark.sql("DROP TABLE IF EXISTS layout_spec_a")
