@@ -74,7 +74,9 @@ object Bench {
     val sfToken = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("\"" + sfDir + "\"")
     def line(decimals: Int): String =
       s"""{"metric":"total","value":${compact(3)(total)},"unit":"sec","queries":${jsonObj(med, compact(decimals))},"sf":$sfToken}"""
-    val out = { val l3 = line(3); if (l3.length <= 1750) l3 else line(2) }
+    // 1850 ≈ 2000-char tail minus sbt's "[success] Total time: ..." trailer;
+    // degrade precision (never coverage) until the line fits.
+    val out = Seq(3, 2, 1).map(line).find(_.length <= 1850).getOrElse(line(1))
     println(out)
     spark.stop()
   }
