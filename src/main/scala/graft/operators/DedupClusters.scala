@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: near-dup PAIRS (from any of the DedupOps
@@ -198,5 +198,26 @@ object DedupClusters {
     df.join(comps, Seq(idCol))
       .filter(col(idCol) === col("component"))
       .drop("component")
+  }
+
+  /** One survivor per duplicate cluster, chosen by QUALITY instead of
+    * smallest id: the row with the highest `scoreCol` wins its cluster
+    * (smallest id as the deterministic tiebreak). This is what a training
+    * pipeline actually wants from dedup — keep the best-written copy of the
+    * boilerplate, not the one that happened to be crawled first.
+    *
+    * Same shuffle shape as [[dropDuplicateClusters]] plus one per-component
+    * window (the aggregation a survivor choice inherently costs).
+    */
+  def dropDuplicateClustersBy(
+      df: DataFrame, pairs: DataFrame, idCol: String, scoreCol: Column): DataFrame = {
+    val comps = connectedComponentsStars(df.select(col(idCol)), pairs, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    df.join(comps, Seq(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "component")
   }
 }

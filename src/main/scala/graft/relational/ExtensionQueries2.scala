@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.core.{Exact, GraftQuery, Tables}
-import graft.operators.{BloomJoin, HeavyHitters, Layout, TextPipeline}
+import graft.operators.{BloomJoin, DedupClusters, DedupOps, HeavyHitters, Layout, Sampling, TextPipeline}
 import org.apache.spark.sql.functions._
 
 /** Round-5 additions: data-layout and training-pipeline operators.
@@ -187,6 +187,80 @@ object ExtensionQueries2 {
       Some("SELECT 'zz_sentinel' AS item, 'sentinel' AS reason"),
       doc = "Misra-Gries heavy hitters accuracy gate: completeness above " +
         "n/(k+1), no overcounts, undercount bounded by n/(k+1); violations + sentinel."
+    ),
+    // ---------------------------------------------------------------- t41
+    GraftQuery(
+      "t41_sample",
+      (s, d) => {
+        import s.implicits._
+        Sampling.perGroup(Tables.documents(s, d), $"lang", $"doc_id", k = 5)
+          .select(
+            $"doc_id".cast("bigint").as("doc_id"),
+            $"lang",
+            Sampling.bernoulli($"doc_id", 0.25).as("in_quarter"))
+          .orderBy($"lang", $"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+             |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 1073741824 AS in_quarter
+             |FROM (
+             |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+             |    PARTITION BY lang
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+             |  FROM documents)
+             |WHERE rn <= 5
+             |ORDER BY lang, doc_id""".stripMargin),
+      doc = "Deterministic sampling: k-per-group reservoir (k smallest md5 " +
+        "draws, partition-independent) plus a keyed Bernoulli flag — the " +
+        "same rows come back on any cluster size, and any engine can " +
+        "reproduce the selection."
+    ),
+    // ---------------------------------------------------------------- t42
+    GraftQuery(
+      "t42_bestdup",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val pairs = DedupOps.prefixJaccardPairs(docs, "doc_id", "text",
+          groupCol = "source", n = 3, threshold = 0.8)
+        DedupClusters.dropDuplicateClustersBy(docs, pairs, "doc_id", $"n_chars")
+          .select($"doc_id".cast("bigint").as("doc_id"),
+            $"n_chars".cast("bigint").as("n_chars"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE sets AS (
+             |  SELECT doc_id, source, list_distinct(list_transform(
+             |      range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 2),
+             |      i -> array_to_string(string_split_regex(trim(text), '\s+')[i : i + 2], ' '))) AS sh
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sets a JOIN sets b
+             |    ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+             |comp AS (SELECT src AS doc_id, MIN(dst) AS m FROM reach GROUP BY src),
+             |labeled AS (
+             |  SELECT d.doc_id, d.n_chars,
+             |    COALESCE(LEAST(c.m, d.doc_id), d.doc_id) AS component
+             |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+             |ranked AS (
+             |  SELECT doc_id, n_chars, ROW_NUMBER() OVER (
+             |    PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) AS rk
+             |  FROM labeled)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(n_chars AS BIGINT) AS n_chars
+             |FROM ranked WHERE rk = 1
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Quality-aware cluster dedup: the HIGHEST-n_chars doc survives " +
+        "each near-dup cluster (id tiebreak) vs the recursive-CTE closure " +
+        "plus arg-max oracle — keep the best copy, not the first-crawled one."
     )
   )
 }

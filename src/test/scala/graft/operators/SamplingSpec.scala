@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bernoulli membership is a pure function of the key — repartition-proof") {
+    val base = spark.range(0, 5000).toDF("id")
+    val a = base.where(Sampling.bernoulli($"id", 0.3)).collect().map(_.getLong(0)).toSet
+    val b = base.repartition(17).where(Sampling.bernoulli($"id", 0.3))
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // fraction lands near the target on 5000 keys
+    assert(math.abs(a.size / 5000.0 - 0.3) < 0.05, s"got ${a.size}")
+  }
+
+  test("bernoulli is monotone in the fraction (nested samples)") {
+    val base = spark.range(0, 5000).toDF("id")
+    val small = base.where(Sampling.bernoulli($"id", 0.1)).collect().map(_.getLong(0)).toSet
+    val big = base.where(Sampling.bernoulli($"id", 0.5)).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big), "the 10% sample must be inside the 50% sample")
+  }
+
+  test("sample-then-join equals join-then-sample on a shared key") {
+    val left = spark.range(0, 1000).select($"id", pmod($"id" * 37, lit(100)).as("x"))
+    val right = spark.range(0, 1000).select($"id", pmod($"id" * 53, lit(100)).as("y"))
+    val sampleJoin = left.where(Sampling.bernoulli($"id", 0.2))
+      .join(right.where(Sampling.bernoulli($"id", 0.2)), "id")
+    val joinSample = left.join(right, "id").where(Sampling.bernoulli($"id", 0.2))
+    assert(sampleJoin.exceptAll(joinSample).isEmpty && joinSample.exceptAll(sampleJoin).isEmpty)
+  }
+
+  test("perGroup returns exactly k per group (fewer for small groups), deterministically") {
+    val df = spark.range(0, 900)
+      .select($"id", (pmod($"id", lit(3))).cast("string").as("g"))
+      .union(Seq((9000L, "tiny"), (9001L, "tiny")).toDF("id", "g"))
+    val got = Sampling.perGroup(df, $"g", $"id", k = 7)
+    val counts = got.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("0" -> 7L, "1" -> 7L, "2" -> 7L, "tiny" -> 2L), counts.toString)
+    // deterministic across partitionings
+    val again = Sampling.perGroup(df.repartition(13), $"g", $"id", k = 7)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+}
