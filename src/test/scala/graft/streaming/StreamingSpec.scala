@@ -139,4 +139,26 @@ class StreamingSpec extends SparkSpec {
       assert(peak >= 1 && peak <= 2, s"peak=$peak")
     } finally srv.stop()
   }
+
+  test("dataset-prep transforms (chunk, redact, split) run unchanged on a stream") {
+    // chunk/redactPii/hashSplit are stateless projections + generators, so
+    // the SAME operator code drives batch and incremental pipelines — this
+    // pins that property (a regression to e.g. a window/aggregate would
+    // break append-mode streaming here).
+    val dir = Files.createTempDirectory("prep_stream")
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    docs.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+    val prep = graft.operators.TextPipeline
+      .chunk(stream, col("doc_id"), col("text"), window = 32, stride = 16)
+      .withColumn("chunk_text", graft.operators.TextPipeline.redactPii(col("chunk_text")))
+      .withColumn("split", graft.operators.Layout.hashSplit(col("id")))
+    val got = runToMemory(prep, "prep_stream")
+    val batch = graft.operators.TextPipeline
+      .chunk(docs, col("doc_id"), col("text"), window = 32, stride = 16)
+      .withColumn("chunk_text", graft.operators.TextPipeline.redactPii(col("chunk_text")))
+      .withColumn("split", graft.operators.Layout.hashSplit(col("id")))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
 }
