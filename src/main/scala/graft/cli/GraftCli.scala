@@ -82,9 +82,12 @@ object GraftCli {
           if (!ok) sys.exit(1)
         case "dedup" :: sfDir :: outDir :: rest =>
           // corpus dedup end-to-end: candidate pairs (chosen generator) →
-          // connected components → one survivor per cluster → parquet
+          // connected components → one survivor per cluster → parquet.
+          // Trailing "best" keeps the highest-n_chars doc per cluster
+          // instead of the smallest id.
           import org.apache.spark.sql.functions.{col, count, lit}
-          val method = rest.headOption.getOrElse("minhash")
+          val byQuality = rest.lastOption.contains("best")
+          val method = rest.headOption.filterNot(_ == "best").getOrElse("minhash")
           val docs = graft.core.Tables.documents(spark, sfDir)
           val pairs = (method match {
             case "minhash" => graft.operators.DedupOps
@@ -103,15 +106,24 @@ object GraftCli {
           // faster variant at scale (see DedupClusters docs).
           val comps = graft.operators.DedupClusters
             .connectedComponentsStars(docs.select(col("doc_id")), pairs, "doc_id")
-          val kept = docs.join(comps, Seq("doc_id"))
-            .filter(col("doc_id") === col("component")).drop("component")
+          val kept =
+            if (byQuality) {
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("component"))
+                .orderBy(col("n_chars").desc, col("doc_id").asc)
+              docs.join(comps, Seq("doc_id"))
+                .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(w))
+                .filter(col("__rk") === 1).drop("__rk", "component")
+            } else docs.join(comps, Seq("doc_id"))
+              .filter(col("doc_id") === col("component")).drop("component")
           val obs = org.apache.spark.sql.Observation(s"dedup_$method")
           kept.observe(obs, count(lit(1)).as("kept"))
             .write.mode("overwrite").parquet(outDir)
           val keptCount = obs.get("kept")
           comps.unpersist()
           // docs.count() is parquet-footer metadata, not a pipeline recompute
-          println(s"dedup[$method]: ${docs.count()} -> $keptCount docs -> $outDir")
+          val survivor = if (byQuality) "best-quality" else "min-id"
+          println(s"dedup[$method, $survivor]: ${docs.count()} -> $keptCount docs -> $outDir")
         case "stress" :: sfDir :: workDir :: rest =>
           // the 100x scale proof (graft.tools.Stress): synthesized drifted-
           // replica corpus through dedup -> components and the IVF index,
@@ -186,7 +198,7 @@ object GraftCli {
           System.err.println(
             "usage: markdown <csv> <tpl> <outDir> | enrich <inDir> <outMdDir> <outJsonDir> <promptTpl> [limit] | " +
               "enrich-stream <inDir> <outMdDir> <outJsonDir> <promptTpl> <ckpt> | site <csv> <mdDir> <tpl> <out.html> | " +
-              "all <csv> <mdTpl> <promptTpl> <siteTpl> <workDir> | probe [.env] | dedup <sfDir> <outDir> [minhash|simhash|ngram] | " +
+              "all <csv> <mdTpl> <promptTpl> <siteTpl> <workDir> | probe [.env] | dedup <sfDir> <outDir> [minhash|simhash|ngram] [best] | " +
               "prep <sfDir> <outDir> [window stride] | zorder <in> <out> <colA> <colB> [files] | " +
               "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | stress <sfDir> <workDir> [factor] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | reset <workDir>")
