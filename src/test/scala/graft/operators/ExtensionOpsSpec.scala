@@ -232,4 +232,17 @@ class ExtensionOpsSpec extends SparkSpec {
       .collect().toMap
     assert(got(1L) == "sv" && got(2L) == "en" && got(3L) == "und")
   }
+
+  test("dropDuplicateClustersBy keeps the arg-max of each cluster, id tiebreak") {
+    // clusters {1,2,3} (chain), {4,5}, singleton {6}; scores pick 2, 5
+    // over their peers; 7 ties 6's score but is its own cluster
+    val nodes = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), (4L, 7L), (5L, 7L), (6L, 1L))
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = DedupClusters.dropDuplicateClustersBy(nodes, pairs, "id", $"score")
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // cluster {4,5}: equal scores -> smallest id (4) survives
+    assert(got == Seq((2L, 30L), (4L, 7L), (6L, 1L)), got.toString)
+  }
 }

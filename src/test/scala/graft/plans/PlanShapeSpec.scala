@@ -98,7 +98,18 @@ class PlanShapeSpec extends SparkSpec {
       s"scan must read exactly the 4 used columns, got $cols\n$scanLine")
   }
 
+  test("t40 Misra-Gries aggregates partially map-side before the exchange") {
+    val p = planOf("t40_heavyhit")
+    // partial ObjectHashAggregate below the exchange + final above it:
+    // the whole point of a mergeable sketch is k counters per partition
+    // crossing the wire, not the raw token stream
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
   test("t36 chunking is a Generate over a pruned two-column scan (no shuffle before it)") {
+    // another suite may have cached the documents table, which substitutes
+    // InMemoryTableScan for the FileScan this test inspects
+    spark.catalog.clearCache()
     val p = planOf("t36_chunk")
     assert(p.contains("Generate"), p.take(1200))
     val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
