@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.core.{Exact, GraftQuery, Tables}
-import graft.operators.{BloomJoin, DedupClusters, DedupOps, HeavyHitters, Layout, Sampling, TextPipeline}
+import graft.operators.{BloomJoin, DedupClusters, DedupOps, HeavyHitters, Layout, Merge, Sampling, TextPipeline}
 import org.apache.spark.sql.functions._
 
 /** Round-5 additions: data-layout and training-pipeline operators.
@@ -261,6 +261,84 @@ object ExtensionQueries2 {
       doc = "Quality-aware cluster dedup: the HIGHEST-n_chars doc survives " +
         "each near-dup cluster (id tiebreak) vs the recursive-CTE closure " +
         "plus arg-max oracle — keep the best copy, not the first-crawled one."
+    ),
+    // ---------------------------------------------------------------- t43
+    GraftQuery(
+      "t43_upsert",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val updates = docs.where($"doc_id" % 7 === 0)
+          .withColumn("text", concat(lit("UPDATED "), $"doc_id".cast("string")))
+          .unionByName(docs.where($"doc_id" < 3)
+            .withColumn("doc_id", $"doc_id" + 100000)
+            .withColumn("text", lit("NEW DOC")))
+        Merge.upsert(docs, updates, "doc_id")
+          .select($"doc_id".cast("bigint").as("doc_id"),
+            md5($"text").as("text_md5"),
+            $"n_chars".cast("bigint").as("n_chars"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH updates AS (
+             |  SELECT doc_id, 'UPDATED ' || CAST(doc_id AS VARCHAR) AS text, lang, source, n_chars
+             |  FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 100000, 'NEW DOC', lang, source, n_chars
+             |  FROM documents WHERE doc_id < 3)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
+             |  CAST(n_chars AS BIGINT) AS n_chars
+             |FROM (
+             |  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM updates)
+             |  UNION ALL SELECT * FROM updates)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Keyed snapshot upsert (anti-join + union, one equi-shuffle): " +
+        "updated keys take the update row, unseen keys insert, the rest " +
+        "carry over — the between-rebuilds merge a parquet corpus needs."
+    ),
+    // ---------------------------------------------------------------- t44
+    GraftQuery(
+      "t44_diff",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val updates = docs.where($"doc_id" % 7 === 0)
+          .withColumn("text", concat(lit("UPDATED "), $"doc_id".cast("string")))
+          .unionByName(docs.where($"doc_id" < 3)
+            .withColumn("doc_id", $"doc_id" + 100000)
+            .withColumn("text", lit("NEW DOC")))
+        val newSnap = Merge.applyDeletes(
+          Merge.upsert(docs, updates, "doc_id"),
+          docs.where($"doc_id" % 13 === 5), "doc_id")
+        Merge.diff(docs, newSnap, "doc_id")
+          .select($"doc_id".cast("bigint").as("doc_id"), $"change")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH updates AS (
+             |  SELECT doc_id, 'UPDATED ' || CAST(doc_id AS VARCHAR) AS text, lang, source, n_chars
+             |  FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 100000, 'NEW DOC', lang, source, n_chars
+             |  FROM documents WHERE doc_id < 3),
+             |newsnap AS (
+             |  SELECT * FROM (
+             |    SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM updates)
+             |    UNION ALL SELECT * FROM updates)
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 13 = 5))
+             |SELECT doc_id, change FROM (
+             |  SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+             |    CASE WHEN o.doc_id IS NULL THEN 'inserted'
+             |         WHEN n.doc_id IS NULL THEN 'deleted'
+             |         WHEN (o.text IS DISTINCT FROM n.text)
+             |           OR (o.lang IS DISTINCT FROM n.lang)
+             |           OR (o.source IS DISTINCT FROM n.source)
+             |           OR (o.n_chars IS DISTINCT FROM n.n_chars) THEN 'changed'
+             |    END AS change
+             |  FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
+             |WHERE change IS NOT NULL
+             |ORDER BY doc_id""".stripMargin),
+      doc = "CDC-style snapshot diff (one full outer join, non-key columns " +
+        "compared via a row fingerprint): inserted/deleted/changed per key, " +
+        "unchanged keys absent — dataset version diffing at corpus scale."
     )
   )
 }
