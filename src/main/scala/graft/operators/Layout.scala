@@ -23,16 +23,24 @@ object Layout {
     * Masking to `bits` keeps every intermediate below 2^(2·bits) — no ANSI
     * overflow risk for bits <= 31.
     */
-  def zorderValue(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+  def zorderValue(a: Column, b: Column, bits: Int = 16): Column =
+    zorderValueN(Seq(a, b), bits)
+
+  /** N-dimensional Morton value: bit `i` of column `c` lands at position
+    * `i * n + c` (round-robin), so for two columns this is exactly the
+    * classic even/odd interleave. Requires `bits * n <= 63`.
+    */
+  def zorderValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"need at least 2 columns, got $n")
+    require(bits >= 1 && bits * n <= 63, s"bits*cols must be in [n,63], got ${bits * n}")
     val mask = (1L << bits) - 1
-    val za = a.cast("bigint").bitwiseAND(lit(mask))
-    val zb = b.cast("bigint").bitwiseAND(lit(mask))
-    (0 until bits).map { i =>
-      val ea = shiftleft(shiftrightunsigned(za, i).bitwiseAND(lit(1L)), 2 * i)
-      val eb = shiftleft(shiftrightunsigned(zb, i).bitwiseAND(lit(1L)), 2 * i + 1)
-      ea.bitwiseOR(eb)
-    }.reduce(_ bitwiseOR _)
+    val parts = for {
+      (c, ci) <- cols.zipWithIndex
+      zc = c.cast("bigint").bitwiseAND(lit(mask))
+      i <- 0 until bits
+    } yield shiftleft(shiftrightunsigned(zc, i).bitwiseAND(lit(1L)), i * n + ci)
+    parts.reduce(_ bitwiseOR _)
   }
 
   /** DuckDB-SQL rendering of [[zorderValue]] over pre-masked BIGINT

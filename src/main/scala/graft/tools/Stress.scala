@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.core.Tables
-import graft.operators.{BloomJoin, DedupClusters, DedupOps, HeavyHitters, Layout, Similarity, TextPipeline}
+import graft.operators.{BloomJoin, DedupClusters, DedupOps, HeavyHitters, Layout, Merge, Similarity, TextPipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -225,6 +225,26 @@ object Stress {
       check(bloomOk, "bloom semi join diverged from the exact semi join")
       check(prefiltered < nDocs / 10,
         s"bloom prefilter kept $prefiltered of $nDocs rows — not pruning")
+
+      // ---- snapshot maintenance: upsert + CDC diff at corpus size
+      val updates = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(lit("U "), col("doc_id").cast("string")))
+      val (mergedCount, tUpsert) = timed {
+        Merge.upsert(docs, updates, "doc_id").count()
+      }
+      val (changeCounts, tDiff) = timed {
+        Merge.diff(docs, Merge.upsert(docs, updates, "doc_id"), "doc_id")
+          .groupBy("change").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val nUpdates = updates.count()
+      val nChanged: Long = changeCounts.getOrElse("changed", 0L)
+      println(j("stage" -> "merge_ops", "upsert_seconds" -> tUpsert,
+        "diff_seconds" -> tDiff, "merged" -> mergedCount,
+        "changed" -> nChanged))
+      check(mergedCount == nDocs, s"upsert changed the row count: $mergedCount vs $nDocs")
+      check(changeCounts == Map("changed" -> nUpdates),
+        s"diff expected exactly $nUpdates changed rows, got $changeCounts")
 
       // ---- z-order layout: per-file ranges must stay narrow in BOTH dims
       val zsrc = docs.select(col("doc_id"), length(col("text")).cast("bigint").as("len"))

@@ -25,6 +25,18 @@ class LayoutSpec extends SparkSpec {
     assert(z == -1L >>> 2) // 62 set bits
   }
 
+  test("zorderValueN round-robins bits across three dimensions") {
+    // (1,1,1): all three bit-0s -> positions 0,1,2 -> 7 at either width.
+    // (2,0,1) bits=1: a masked to 1 bit -> 0; c bit0 -> pos 2 -> 4.
+    // (2,0,1) bits=2: a bit1 -> pos 1*3+0=3 -> 8; c bit0 -> pos 2 -> 4; = 12.
+    val rows = Seq((1L, 1L, 1L), (2L, 0L, 1L)).toDF("a", "b", "c")
+    val got = rows.select(
+      Layout.zorderValueN(Seq(col("a"), col("b"), col("c")), 1).as("z1"),
+      Layout.zorderValueN(Seq(col("a"), col("b"), col("c")), 2).as("z2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((7L, 7L), (4L, 12L)))
+  }
+
   test("zorderWrite keeps per-file ranges narrow on BOTH dimensions") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.core.Tables
+import org.apache.spark.sql.functions._
 
 class SkewJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -14,6 +15,37 @@ class SkewJoinSpec extends SparkSpec {
     val salted = SkewJoin.salted(li, orders, "l_orderkey", salt = 8, saltFrom = "l_partkey")
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("AQE splits a skewed partition at runtime (the no-salt fallback path)") {
+    // manual salting (above) is the deterministic fix; this pins that the
+    // AQE skew-join escape hatch also engages on this build — a hot key
+    // whose partition dwarfs the median must be marked skew=true in the
+    // final adaptive plan instead of bottlenecking one task
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 200k rows on ONE key vs 2k spread over 2000 keys
+      val left = spark.range(0, 200000).select(lit(7L).as("k"), $"id".as("payload"))
+        .union(spark.range(0, 2000).select(($"id" % 2000).as("k"), $"id".as("payload")))
+      val right = spark.range(0, 2000).toDF("k")
+      val joined = left.join(right, "k")
+      // collect() drives THIS DataFrame's QueryExecution, so the adaptive
+      // plan below is the final one (a write action would plan separately)
+      assert(joined.count() + joined.collect().length == 404000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(1500))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("embeddingNearDups agrees with pairwise cosine recomputation") {
