@@ -67,8 +67,11 @@ object Bench {
     // chars; if the registry grows past the budget, drop to 2 decimals.
     def compact(decimals: Int)(v: Double): String = {
       val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
-      val t = s.reverse.dropWhile(_ == '0').reverse
-      if (t.endsWith(".")) t + "0" else t
+      if (decimals == 0) s // "0" has no trailing-zero fraction to trim
+      else {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t + "0" else t
+      }
     }
     // "sf":0.1 (parsed from the dir name) is 18 chars cheaper than the path.
     val sfToken = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("\"" + sfDir + "\"")
@@ -76,7 +79,7 @@ object Bench {
       s"""{"metric":"total","value":${compact(3)(total)},"unit":"sec","queries":${jsonObj(med, compact(decimals))},"sf":$sfToken}"""
     // 1850 ≈ 2000-char tail minus sbt's "[success] Total time: ..." trailer;
     // degrade precision (never coverage) until the line fits.
-    val out = Seq(3, 2, 1).map(line).find(_.length <= 1850).getOrElse(line(1))
+    val out = Seq(3, 2, 1, 0).map(line).find(_.length <= 1850).getOrElse(line(0))
     println(out)
     spark.stop()
   }

@@ -67,4 +67,53 @@ object TextPipeline {
   /** Count of non-overlapping matches of `pattern` — redaction audit data. */
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("bigint")
+
+  /** Gopher-style repetition score: the fraction of a document's word
+    * n-grams that are DISTINCT (low ratio = heavy internal repetition, the
+    * classic low-quality signal boilerplate/keyword-stuffed pages show).
+    * Distinct counting rides the native one-pass `shingle_hashes`
+    * expression; the total is pure token arithmetic — no per-row HOF in
+    * the plan, so this is scan-speed at any corpus size.
+    *
+    * Output: `id`, `n_shingles` (total including repeats), `distinct_ratio`
+    * (null for docs shorter than n tokens).
+    */
+  def repetitionScore(df: DataFrame, idCol: Column, textCol: Column, n: Int = 3): DataFrame = {
+    val total = greatest(size(split(trim(textCol), "\\s+")) - (n - 1), lit(0)).cast("bigint")
+    val distinctN = size(graft.expressions.GraftFunctions.shingleHashes(textCol, n)).cast("bigint")
+    df.select(
+      idCol.as("id"),
+      total.as("n_shingles"),
+      when(total === 0, lit(null).cast("double"))
+        .otherwise(distinctN.cast("double") / total.cast("double")).as("distinct_ratio"))
+  }
+
+  /** Benchmark-contamination check: for every corpus document, the fraction
+    * of its distinct word n-grams that appear ANYWHERE in the benchmark
+    * corpus — the train/test overlap scan every serious dataset release
+    * runs. Shingles are hashed to longs natively before the explode, so
+    * only 8-byte keys cross the shuffle, and the benchmark side reduces to
+    * a distinct hash set (broadcastable whenever the benchmark is
+    * dimension-sized, which it is by definition).
+    *
+    * Output: `id`, `n_shingles` (distinct), `overlap_ratio` (null for docs
+    * shorter than n tokens).
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: Column, textCol: Column, n: Int = 3): DataFrame = {
+    val sh = graft.expressions.GraftFunctions.shingleHashes(textCol, n)
+    val corpusSh = corpus.select(idCol.as("id"), sh.as("__sh"))
+    val benchSet = benchmark.select(explode(sh).as("__s")).distinct()
+    val exploded = corpusSh.select(col("id"), explode(col("__sh")).as("__s"))
+    val overlap = exploded.join(benchSet, Seq("__s"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("__hits"))
+    corpusSh.select(col("id"), size(col("__sh")).cast("bigint").as("n_shingles"))
+      .join(overlap, Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        col("n_shingles"),
+        when(col("n_shingles") === 0, lit(null).cast("double"))
+          .otherwise(coalesce(col("__hits"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double")).as("overlap_ratio"))
+  }
 }

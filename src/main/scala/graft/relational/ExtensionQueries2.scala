@@ -229,7 +229,7 @@ object ExtensionQueries2 {
       },
       Some("""WITH RECURSIVE sets AS (
              |  SELECT doc_id, source, list_distinct(list_transform(
-             |      range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 2),
+             |      range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
              |      i -> array_to_string(string_split_regex(trim(text), '\s+')[i : i + 2], ' '))) AS sh
              |  FROM documents),
              |pairs AS (
@@ -339,6 +339,66 @@ object ExtensionQueries2 {
       doc = "CDC-style snapshot diff (one full outer join, non-key columns " +
         "compared via a row fingerprint): inserted/deleted/changed per key, " +
         "unchanged keys absent — dataset version diffing at corpus scale."
+    ),
+    // ---------------------------------------------------------------- t45
+    GraftQuery(
+      "t45_contam",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val bench = docs.where(Layout.hashBucket($"doc_id") >= 95)
+        val corpus = docs.where(Layout.hashBucket($"doc_id") < 95)
+        TextPipeline.contamination(corpus, bench, $"doc_id", $"text", n = 3)
+          .select($"id".cast("bigint").as("doc_id"), $"n_shingles", $"overlap_ratio")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+             |    list_distinct(list_transform(
+             |      range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
+             |      i -> array_to_string(string_split_regex(trim(text), '\s+')[i : i + 2], ' '))) AS sh
+             |  FROM documents),
+             |bench AS (SELECT DISTINCT unnest(sh) AS s FROM tok WHERE bucket >= 95),
+             |benchlist AS (SELECT list(s) AS bl FROM bench)
+             |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+             |  CAST(len(t.sh) AS BIGINT) AS n_shingles,
+             |  CASE WHEN len(t.sh) = 0 THEN NULL
+             |       ELSE CAST(len(list_intersect(t.sh, b.bl)) AS DOUBLE) / len(t.sh)
+             |  END AS overlap_ratio
+             |FROM tok t CROSS JOIN benchlist b
+             |WHERE t.bucket < 95
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Benchmark-contamination scan: per corpus doc, the fraction of " +
+        "its distinct 3-gram shingles found anywhere in the held-out 5% " +
+        "benchmark split — shingles hashed to longs before the shuffle."
+    ),
+    // ---------------------------------------------------------------- t46
+    GraftQuery(
+      "t46_rep",
+      (s, d) => {
+        import s.implicits._
+        TextPipeline.repetitionScore(Tables.documents(s, d), $"doc_id", $"text", n = 3)
+          .select($"id".cast("bigint").as("doc_id"), $"n_shingles", $"distinct_ratio")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |sh AS (
+             |  SELECT doc_id, GREATEST(len(t) - 2, 0) AS total,
+             |    list_distinct(list_transform(
+             |      range(1, GREATEST(len(t) - 2, 0) + 1),
+             |      i -> array_to_string(t[i : i + 2], ' '))) AS ds
+             |  FROM tok)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(total AS BIGINT) AS n_shingles,
+             |  CASE WHEN total = 0 THEN NULL
+             |       ELSE CAST(len(ds) AS DOUBLE) / total END AS distinct_ratio
+             |FROM sh
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Gopher-style repetition score: fraction of each doc's word " +
+        "3-grams that are distinct (low = internal repetition); distinct " +
+        "count via the native one-pass shingle_hashes expression."
     )
   )
 }

@@ -61,6 +61,31 @@ class TextPipelineSpec extends SparkSpec {
     assert(out == "release 1.2.3 and <IP>")
   }
 
+  test("repetitionScore: heavily repeated text scores low, unique text scores 1.0") {
+    val df = Seq(
+      (1L, "a b a b a b"),          // 5 bigrams, 2 distinct -> 0.4
+      (2L, "v w x y z"),            // 4 bigrams, all distinct -> 1.0
+      (3L, "solo")                  // shorter than n -> null
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.repetitionScore(df, col("doc_id"), col("text"), n = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq((1L, 5L, Some(0.4)), (2L, 4L, Some(1.0)), (3L, 0L, None)))
+  }
+
+  test("contamination: overlap fraction against the benchmark shingle union") {
+    val corpus = Seq(
+      (1L, "p q r s"),   // bigrams {p q, q r, r s}; {p q, q r} in bench -> 2/3
+      (2L, "x y z w"),   // no overlap -> 0.0
+      (3L, "p q")        // single bigram, in bench -> 1.0
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "p q r"), (11L, "m n")).toDF("doc_id", "text")
+    val got = TextPipeline.contamination(corpus, bench, col("doc_id"), col("text"), n = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 3L, 2.0 / 3.0), (2L, 3L, 0.0), (3L, 1L, 1.0)))
+  }
+
   test("piiCount counts non-overlapping matches") {
     val in = "a@b.co c@d.org http://e.f 1.2.3.4 5.6.7.8"
     val row = Seq(in).toDF("t").select(
