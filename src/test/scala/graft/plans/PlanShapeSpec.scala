@@ -106,6 +106,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
   }
 
+  test("t45 contamination semi-joins against a BROADCAST benchmark shingle set") {
+    // drive execution first: the broadcast election happens in the FINAL
+    // adaptive plan (the pre-execution plan stays conservative)
+    val df = graft.SparkEntry.queries("t45_contam")(spark, sf0001)
+    assert(df.collect().nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    // the benchmark side is dimension-sized by definition; a shuffle semi
+    // join here would move the whole exploded corpus for no reason
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t36 chunking is a Generate over a pruned two-column scan (no shuffle before it)") {
     // another suite may have cached the documents table, which substitutes
     // InMemoryTableScan for the FileScan this test inspects
