@@ -101,7 +101,17 @@ object TextPipeline {
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
       idCol: Column, textCol: Column, n: Int = 3): DataFrame = {
-    val sh = graft.expressions.GraftFunctions.shingleHashes(textCol, n)
+    // A doc shorter than n tokens has ZERO n-gram shingles. shingle_hashes
+    // intentionally emits one partial (tail) shingle for such docs — the
+    // right behavior for MinHash signatures, where a degenerate all-MaxValue
+    // signature would band-collide every short doc with every other — but
+    // contamination's contract (and its range-based oracle) counts full
+    // n-grams only, so short docs are gated to an empty set here: they score
+    // n_shingles = 0 / null ratio, and a short BENCHMARK doc contributes
+    // nothing to the benchmark shingle set.
+    val nToks = size(split(trim(textCol), "\\s+"))
+    val sh = when(nToks < n, array().cast("array<bigint>"))
+      .otherwise(graft.expressions.GraftFunctions.shingleHashes(textCol, n))
     val corpusSh = corpus.select(idCol.as("id"), sh.as("__sh"))
     val benchSet = benchmark.select(explode(sh).as("__s")).distinct()
     val exploded = corpusSh.select(col("id"), explode(col("__sh")).as("__s"))

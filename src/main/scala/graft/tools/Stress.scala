@@ -226,6 +226,24 @@ object Stress {
       check(prefiltered < nDocs / 10,
         s"bloom prefilter kept $prefiltered of $nDocs rows — not pruning")
 
+      // ---- bloom build far past driver-collect territory: 10M keys never
+      // leave the executors (distributed bit_or aggregation); the driver
+      // artifact is the clamped word table only
+      val bigBuild = spark.range(0, 10000000L).select((col("id") * 31 + 7).as("k"))
+      val (bigBloom, tBigBloom) = timed {
+        BloomJoin.build(bigBuild, col("k"), bitsPerKey = 16, k = 5)
+      }
+      val (bigMissed, tBigProbe) = timed {
+        bigBuild.sample(0.01, seed = 42)
+          .where(!BloomJoin.mightContain(bigBloom, col("k"))).count()
+      }
+      println(j("stage" -> "bloom_large_build", "build_seconds" -> tBigBloom,
+        "probe_seconds" -> tBigProbe, "num_bits" -> bigBloom.numBits,
+        "missed" -> bigMissed))
+      check(bigMissed == 0, s"bloom large build: $bigMissed false negatives")
+      check(bigBloom.numBits.toLong <= BloomJoin.MaxBits,
+        s"bloom table exceeded MaxBits: ${bigBloom.numBits}")
+
       // ---- snapshot maintenance: upsert + CDC diff at corpus size
       val updates = docs.where(pmod(col("doc_id"), lit(10)) === 0)
         .withColumn("text", concat(lit("U "), col("doc_id").cast("string")))

@@ -7,13 +7,32 @@ class BloomJoinSpec extends SparkSpec {
   import spark.implicits._
 
   test("no false negatives: every build-side key passes the probe expression") {
-    // This is the build/probe hash-parity proof: the driver-side twin sets
-    // the bits, the codegen'd column expression reads them — one mismatched
-    // bit anywhere and some member fails the membership test.
+    // Build and probe share the position expressions, so this pins the
+    // distributed bit aggregation end-to-end: every bit a build row sets
+    // must be found by the probe's word/shift arithmetic.
     val keys = spark.range(0, 2000).select((col("id") * 7919 + 13).as("k"))
     val bloom = BloomJoin.build(keys, col("k"))
     val missed = keys.where(!BloomJoin.mightContain(bloom, col("k"))).count()
     assert(missed == 0)
+  }
+
+  test("distributed build at 1M keys: no false negatives, driver holds only the bits") {
+    // A build side well past comfortable-collect territory: the driver-side
+    // artifact is numBits/64 longs regardless of key count.
+    val keys = spark.range(0, 1000000).select((col("id") * 31 + 7).as("k"))
+    val bloom = BloomJoin.build(keys, col("k"), bitsPerKey = 12, k = 4)
+    assert(bloom.bits.length.toLong * 64 <= BloomJoin.MaxBits)
+    val missed = keys.where(!BloomJoin.mightContain(bloom, col("k"))).count()
+    assert(missed == 0)
+  }
+
+  test("sizing arithmetic stays in Long territory (no Int-overflow collapse to 64 bits)") {
+    // 10M synthetic keys * 16 bits would already be >Int.MaxValue/13; the
+    // cap keeps the table at MaxBits instead of wrapping negative.
+    val keys = spark.range(0, 300000).select(col("id").as("k"))
+    val bloom = BloomJoin.build(keys, col("k"), bitsPerKey = 16, k = 5)
+    assert(bloom.numBits >= 64 && (bloom.numBits & (bloom.numBits - 1)) == 0)
+    assert(bloom.numBits.toLong <= BloomJoin.MaxBits)
   }
 
   test("false-positive rate is bounded at the configured bits-per-key") {

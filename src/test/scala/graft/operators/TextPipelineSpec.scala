@@ -86,6 +86,44 @@ class TextPipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L, 2.0 / 3.0), (2L, 3L, 0.0), (3L, 1L, 1.0)))
   }
 
+  test("contamination: docs shorter than n tokens score 0 shingles / null ratio " +
+      "and short benchmark docs contribute nothing") {
+    val corpus = Seq(
+      (1L, "a b c"),     // 1 trigram {a b c}, in bench -> 1.0
+      (2L, "a b"),       // 2 tokens < n=3 -> 0 shingles, null ratio
+      (3L, ""),          // empty -> 0 shingles, null ratio
+      (4L, "x y z")      // 1 trigram, NOT in bench ("x y" is too short there) -> 0.0
+    ).toDF("doc_id", "text")
+    // bench doc 11 is shorter than n: its partial shingle must NOT enter the
+    // benchmark set (doc 4's full trigram "x y z" must not match "x y")
+    val bench = Seq((10L, "a b c d"), (11L, "x y")).toDF("doc_id", "text")
+    val got = TextPipeline.contamination(corpus, bench, col("doc_id"), col("text"), n = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1L, 1L, Some(1.0)), (2L, 0L, None), (3L, 0L, None), (4L, 1L, Some(0.0))))
+  }
+
+  test("contamination: identical output with broadcast joins disabled (shuffle semi-join regime)") {
+    val corpus = (1L to 200L).map(i => (i, s"tok${i % 17} tok${i % 7} tok${i % 5} tok$i"))
+      .toDF("doc_id", "text")
+    val bench = (1L to 40L).map(i => (1000 + i, s"tok${i % 17} tok${i % 7} tok${i % 5}"))
+      .toDF("doc_id", "text")
+    def run(): Seq[(Long, Long, Option[Double])] =
+      TextPipeline.contamination(corpus, bench, col("doc_id"), col("text"), n = 2)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toSeq
+    val broadcastRegime = run()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffleRegime = run()
+      assert(shuffleRegime == broadcastRegime)
+      assert(broadcastRegime.count(_._3.exists(_ > 0)) > 0) // non-trivial overlap
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("piiCount counts non-overlapping matches") {
     val in = "a@b.co c@d.org http://e.f 1.2.3.4 5.6.7.8"
     val row = Seq(in).toDF("t").select(
