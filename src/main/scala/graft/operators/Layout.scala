@@ -63,8 +63,13 @@ object Layout {
     * a single-column sort. So both columns are first min-max scaled to the
     * full `bits` width (the cheap analogue of the range-ranking
     * production z-order implementations do); one tiny agg computes the
-    * bounds, and the scaling arithmetic stays below 2^(31+bits) — exact in
-    * Long for bits <= 31.
+    * bounds. The scaling division runs in double — for domains past 2^53
+    * the scaled value can be off by a few buckets, which only nudges file
+    * boundaries (layout quality, never correctness) — and is clamped to
+    * `mask` so FP rounding can never produce mask+1 (which the interleave's
+    * bit-AND would wrap to z-bucket 0, landing max-value rows in the lowest
+    * bucket). An empty or all-null input degenerates to a single constant
+    * z-value instead of NPE-ing on the bounds row.
     */
   def zorderWrite(
       df: DataFrame,
@@ -77,11 +82,15 @@ object Layout {
     val bounds = df.agg(
       min(a.cast("bigint")).as("amin"), max(a.cast("bigint")).as("amax"),
       min(b.cast("bigint")).as("bmin"), max(b.cast("bigint")).as("bmax")).collect().head
+    def bound(i: Int): Long = if (bounds.isNullAt(i)) 0L else bounds.getLong(i)
     def scale(c: Column, lo: Long, hi: Long): Column =
       if (hi <= lo) lit(0L)
-      else (c.cast("bigint") - lit(lo)) * lit(mask) / lit(hi - lo)
-    val sa = scale(a, bounds.getLong(0), bounds.getLong(1))
-    val sb = scale(b, bounds.getLong(2), bounds.getLong(3))
+      else least(
+        floor((c.cast("bigint") - lit(lo)).cast("double") * mask / (hi.toDouble - lo.toDouble))
+          .cast("bigint"),
+        lit(mask))
+    val sa = scale(a, bound(0), bound(1))
+    val sb = scale(b, bound(2), bound(3))
     df.withColumn("__z", zorderValue(sa.cast("bigint"), sb.cast("bigint"), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
@@ -147,19 +156,103 @@ object Layout {
       inPath: String,
       outPath: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val fs = new org.apache.hadoop.fs.Path(inPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inP = new Path(inPath)
+    val fs = inP.getFileSystem(conf)
+    // A Hive-partitioned directory (e.g. split=train/...) is a tree whose
+    // LEAF directories are each a flat parquet dir. Compacting leaf by leaf
+    // sizes each partition from its own bytes and mirrors the directory
+    // structure, so the partition layout (and partition-value inference on
+    // read-back) is preserved — a flat input is simply the single-leaf case.
+    def leaves(p: Path): Seq[Path] = {
+      val st = fs.listStatus(p)
+      val here =
+        if (st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))) Seq(p) else Nil
+      here ++ st.filter(_.isDirectory).flatMap(d => leaves(d.getPath))
+    }
+    val rootUri = fs.makeQualified(inP).toUri.getPath
+    var before = 0
+    var after = 0
+    leaves(inP).foreach { leaf =>
+      val parts = fs.listStatus(leaf)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val totalBytes = parts.map(_.getLen).sum
+      val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      val rel = fs.makeQualified(leaf).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      val outLeaf = if (rel.isEmpty) outPath else s"$outPath/$rel"
+      spark.read.parquet(leaf.toString)
+        .repartition(numFiles)
+        .write.mode("overwrite").parquet(outLeaf)
+      before += parts.length
+      after += new Path(outLeaf).getFileSystem(conf)
+        .listStatus(new Path(outLeaf))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+    (before, after)
+  }
+
+  /** Read-side half of the z-order story: file-level min/max pruning.
+    *
+    * Plain Spark-over-parquet pushes predicates into ROW-GROUP skipping
+    * inside each opened file but still schedules a task per file; the
+    * file-skipping that makes z-order pay at 100 TB comes from comparing a
+    * predicate against per-file column statistics BEFORE planning the scan
+    * (what Delta/Iceberg keep in their manifests). This helper reads those
+    * statistics straight from the parquet footers — no data pages touched —
+    * keeps only files whose [min, max] intersects every requested range,
+    * and returns the pruned DataFrame plus (filesKept, filesTotal).
+    *
+    * Footers are read on the driver: one ~KB footer per file, the same
+    * listing cost every lakehouse manifest build pays once. On a z-ordered
+    * table (narrow per-file ranges in every layout dimension) a selective
+    * range predicate on ANY layout column drops most files here; on an
+    * unclustered table the ranges all straddle the predicate and nothing
+    * prunes. Missing or non-long statistics keep the file (conservative —
+    * pruning must never lose rows). Callers still apply the exact predicate
+    * on the result; this only removes files that cannot contain matches.
+    */
+  def statsPrunedRead(
+      spark: SparkSession,
+      path: String,
+      ranges: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    val totalBytes = parts.map(_.getLen).sum
-    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inPath)
-      .repartition(numFiles)
-      .write.mode("overwrite").parquet(outPath)
-    val after = new org.apache.hadoop.fs.Path(outPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .listStatus(new org.apache.hadoop.fs.Path(outPath))
-      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    (parts.length, after)
+    val kept = files.filter { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        // a file survives iff for EVERY range some row group's [min, max]
+        // intersects it (a row group missing stats counts as intersecting)
+        ranges.forall { case (name, lo, hi) =>
+          blocks.exists { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+              case None => true
+              case Some(cc) =>
+                val st = cc.getStatistics
+                if (st == null || !st.hasNonNullValue) true
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    mx >= lo && mn <= hi
+                  case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                    mx.toLong >= lo && mn.toLong <= hi
+                  case _ => true
+                }
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    val df =
+      if (kept.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(kept.map(_.getPath.toString).toSeq: _*)
+    (df, kept.length, files.length)
   }
 }

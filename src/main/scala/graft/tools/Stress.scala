@@ -288,6 +288,22 @@ object Stress {
       check(avgD < 0.7 && avgL < 0.7,
         f"z-order per-file ranges too wide (doc_id $avgD%.2f, len $avgL%.2f)")
 
+      // ---- read-side proof: a 2-D range predicate over the z-ordered table
+      // must skip files via footer stats AND return exactly the full-scan rows
+      val zmax = zsrc.agg(max("doc_id"), max("len")).collect().head
+      val (dHi, lHi) = (zmax.getLong(0) / 10, zmax.getLong(1) / 2)
+      val ((zkept, ztotal, zrowsOk), tSkip) = timed {
+        val (pruned, kept, total) = Layout.statsPrunedRead(spark, zPath,
+          Seq(("doc_id", 0L, dHi), ("len", 0L, lHi)))
+        val got = pruned.where(col("doc_id") <= dHi && col("len") <= lHi).count()
+        val expected = zsrc.where(col("doc_id") <= dHi && col("len") <= lHi).count()
+        (kept, total, got == expected)
+      }
+      println(j("stage" -> "zorder_skip_read", "seconds" -> tSkip,
+        "files_kept" -> zkept, "files_total" -> ztotal))
+      check(zkept < ztotal, s"z-order read skipped nothing ($zkept of $ztotal)")
+      check(zrowsOk, "stats-pruned read lost or invented rows")
+
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
       failures.foreach(f => System.err.println(s"[stress] FAILED: $f"))

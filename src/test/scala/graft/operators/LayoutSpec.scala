@@ -61,6 +61,56 @@ class LayoutSpec extends SparkSpec {
     assert(avgS < 0.6, s"avg suppkey range ratio $avgS")
   }
 
+  test("zorderWrite: max-value rows stay in the top z-bucket (clamped scaling) " +
+      "and empty input does not NPE") {
+    val dir = java.nio.file.Files.createTempDirectory("zclamp").toString
+    // domain deliberately NOT a power of two: FP scaling error would surface
+    // at the hi endpoint, and an unclamped mask+1 would wrap hi rows to file 0
+    val df = spark.range(0, 100003).select(col("id").as("a"), (lit(100003L) - col("id")).as("b"))
+    Layout.zorderWrite(df, s"$dir/z", col("a"), col("b"), numFiles = 8, bits = 16)
+    val files = new java.io.File(s"$dir/z").listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    // the max-a row must live in the same file as its z-neighbors (the file
+    // containing the max of a), not in the lowest bucket
+    val maxA = 100002L
+    val fileOfMax = files.filter(f =>
+      spark.read.parquet(f.getAbsolutePath).where(col("a") === maxA).count() > 0)
+    assert(fileOfMax.length == 1)
+    val stats = spark.read.parquet(fileOfMax.head.getAbsolutePath)
+      .agg(min("a"), max("a")).collect().head
+    assert(stats.getLong(1) == maxA && stats.getLong(0) > 0L,
+      s"max row landed in file spanning [${stats.getLong(0)}, ${stats.getLong(1)}]")
+    // empty input: bounds row is all-null; must write an empty table, not NPE
+    Layout.zorderWrite(df.where(col("a") < 0), s"$dir/empty", col("a"), col("b"), 4)
+    assert(spark.read.parquet(s"$dir/empty").count() == 0)
+  }
+
+  test("statsPrunedRead skips files whose footer ranges miss the predicate — on either dim") {
+    val dir = java.nio.file.Files.createTempDirectory("zskip").toString
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_partkey").cast("bigint").as("pk"), col("l_suppkey").cast("bigint").as("sk"))
+    Layout.zorderWrite(li, s"$dir/z", col("pk"), col("sk"), numFiles = 16, bits = 12)
+
+    val pkMax = li.agg(max("pk")).collect().head.getLong(0)
+    val skMax = li.agg(max("sk")).collect().head.getLong(0)
+    // a ~10%-wide range on each layout dimension must skip files (z-order
+    // keeps per-file ranges narrow in BOTH), and the pruned read must equal
+    // the full-scan filter exactly
+    for ((colName, hi) <- Seq(("pk", pkMax / 10), ("sk", skMax / 10))) {
+      val (pruned, keptN, totalN) =
+        Layout.statsPrunedRead(spark, s"$dir/z", Seq((colName, 0L, hi)))
+      assert(keptN < totalN, s"$colName: no files skipped ($keptN of $totalN)")
+      val got = pruned.where(col(colName) <= hi)
+      val expected = li.where(col(colName) <= hi)
+      assert(got.count() == expected.count())
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    }
+    // conjunction of both dims prunes at least as hard as either alone
+    val (_, keptBoth, total) = Layout.statsPrunedRead(spark, s"$dir/z",
+      Seq(("pk", 0L, pkMax / 10), ("sk", 0L, skMax / 10)))
+    assert(keptBoth < total)
+  }
+
   test("hashBucket is [0,100) and hashSplit proportions are near 80/10/10") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val withSplit = docs.select(
@@ -100,6 +150,25 @@ class LayoutSpec extends SparkSpec {
     val out = spark.read.parquet(s"$dir/big")
     assert(out.count() == src.count())
     assert(out.exceptAll(src).isEmpty && src.exceptAll(out).isEmpty)
+  }
+
+  test("compact preserves a Hive-partitioned layout and sizes each partition from its own bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("compactpart").toString
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"),
+        Layout.hashSplit(col("l_orderkey")).as("split"))
+    src.repartition(32).write.partitionBy("split").parquet(s"$dir/small")
+    val (before, after) = Layout.compact(spark, s"$dir/small", s"$dir/big",
+      targetBytes = 512L * 1024)
+    assert(before > after, s"no compaction: $before -> $after")
+    // partition directories are mirrored, so read-back re-infers `split`
+    val out = spark.read.parquet(s"$dir/big")
+    assert(out.columns.toSet == src.columns.toSet)
+    val a = out.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = src.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, s"partition counts changed: $a vs $b")
+    for (s <- Seq("train", "val", "test") if a.contains(s))
+      assert(new java.io.File(s"$dir/big/split=$s").exists(), s"missing partition dir $s")
   }
 
   test("identically-bucketed tables join with zero shuffle") {
