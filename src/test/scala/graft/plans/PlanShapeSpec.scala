@@ -41,9 +41,20 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("t09 hot-shingle removal is a broadcast anti-join on the posting index") {
+    // Round-5 adjudication: the 2.5x bench swing on this query was box
+    // noise (r6 re-runs: 2.2-2.5 s at sf0.1, the r4 level, on identical
+    // code). The intended shape is pinned here so a REAL plan change can
+    // never hide behind noise again: hot shingles leave via a broadcast
+    // anti-join (never a shuffle), the posting self-join is an equi-join
+    // (never a cartesian), and the pair-count groupBy aggregates partially
+    // map-side before its exchange.
     val p = planOf("t09_ngram_jaccard")
     assert(p.contains("LeftAnti"), p.take(800))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // partial + final HashAggregate around the pair-count Exchange: the
+    // posting self-join's output collapses before it crosses the wire
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
   }
 
   test("t11 brute-force ANN broadcasts the query side, never the corpus") {
