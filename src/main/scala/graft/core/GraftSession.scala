@@ -26,11 +26,18 @@ object GraftSession {
     // explicitly (Tables.events).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+  /** `maxTaskFailures` > 1 turns on local-mode task retries (`local[N, F]`)
+    * — the cluster default every fault-tolerance claim (e.g. the keyed
+    * sink's temp+atomic-rename idempotence) actually runs under.
+    */
+  def local(cores: Int = 32, appName: String = "graft",
+      maxTaskFailures: Int = 1): SparkSession = {
+    val master =
+      if (maxTaskFailures > 1) s"local[$cores, $maxTaskFailures]" else s"local[$cores]"
     val spark = configure(
       SparkSession
         .builder()
-        .master(s"local[$cores]")
+        .master(master)
         .appName(appName)
         .config("spark.sql.shuffle.partitions", cores.toString)
         .config("spark.ui.enabled", "false")

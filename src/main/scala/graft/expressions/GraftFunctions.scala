@@ -44,6 +44,8 @@ object GraftFunctions {
     exprCol(ShingleHashSet(expr(text), shingleWords))
   def charNgrams(text: Column, n: Int): Column =
     exprCol(CharNgrams(expr(text), n))
+  def srpSig(vec: Column, bits: Int, offset: Int = 0): Column =
+    exprCol(SrpSignature(expr(vec), bits, offset))
 }
 
 /** `SparkSessionExtensions` injector — the deployment-grade registration

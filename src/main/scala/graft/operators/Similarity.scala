@@ -189,22 +189,102 @@ object Similarity {
   private def hyperplane(i: Column, j: Column): Column =
     (pmod(xxhash64(i, j), lit(1000000L)).cast("double") / 1000000.0) - 0.5
 
-  /** Sign-random-projection signature: `bits` sign bits packed into a long. */
-  def srpSignature(vec: Column, bits: Int): Column =
+  /** Sign-random-projection signature: `bits` sign bits (hyperplane rows
+    * [offset, offset + bits)) packed into a long. Delegates to the native
+    * one-pass expression (graft.expressions.SrpSignature, codegen'd);
+    * [[srpSignatureHof]] is the built-in-functions construction kept for the
+    * bit-parity spec — the HOF tree is CodegenFallback and dominates
+    * wall-clock past ~10^4 vectors.
+    */
+  def srpSignature(vec: Column, bits: Int, offset: Int = 0): Column =
+    graft.expressions.GraftFunctions.srpSig(vec, bits, offset)
+
+  def srpSignatureHof(vec: Column, bits: Int, offset: Int = 0): Column =
     aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), i => {
+      transform(sequence(lit(offset), lit(offset + bits - 1)), i => {
         val d = aggregate(
           zip_with(vec, sequence(lit(0), size(vec) - 1),
             (x, j) => x.cast("double") * hyperplane(i, j)),
           lit(0.0), (acc, v) => acc + v)
-        when(d > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)
+        when(d > 0, call_function("shiftleft", lit(1L), i - offset)).otherwise(0L)
       }),
       lit(0.0).cast("long"), (acc, v) => acc.bitwiseOR(v))
 
+  /** Banding parameters for [[embeddingNearDupsLsh]] sized to the corpus.
+    *
+    * Two constraints pull against each other: RECALL at the threshold wants
+    * small bands (per-band match probability p^bandBits with
+    * p = 1 - acos(threshold)/π), while CANDIDATE VOLUME wants large bands —
+    * an unrelated pair (p ≈ 0.5) collides in a band with probability
+    * ~2^-bandBits, so bandBits must grow with log2(n) or the n²·2^-bandBits
+    * random collisions swamp the join (measured: 48 total bits over 100k
+    * vectors → 26 min; sized banding → ~1 min). bandBits = log2(n) + 4
+    * caps expected random candidates near n·nBands/16, then nBands is
+    * whatever reaches `targetRecall` at the threshold.
+    */
+  def srpBandingFor(n: Long, threshold: Double, targetRecall: Double = 0.95,
+      maxBands: Int = 128): (Int, Int) = {
+    require(n > 0 && threshold > 0 && threshold < 1 && targetRecall > 0 && targetRecall < 1)
+    val bandBits = math.max(4, math.min(63,
+      math.ceil(math.log(n.toDouble) / math.log(2.0)) + 4)).toInt
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pBand = math.pow(p, bandBits)
+    val nBands = math.max(1, math.min(maxBands,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt))
+    (bandBits, nBands)
+  }
+
+  /** SRP-LSH-banded embedding near-duplicate pairs — the no-assumptions
+    * scale route (the one to reach for when no bounded blocking column
+    * exists). MinHash-style banding over SRP sign bits: each vector gets
+    * `nBands` band values of `bandBits` sign bits (each band from its OWN
+    * hyperplane rows, so total bits are unbounded by the 63-bit long);
+    * candidates share at least one (band index, band value); survivors are
+    * verified with exact cosine, so every EMITTED pair is exact — banding
+    * only affects recall, which for a pair at cosine s is
+    * 1 - (1 - p^bandBits)^nBands with p = 1 - acos(s)/π. Size the banding
+    * to the corpus with [[srpBandingFor]] (the defaults suit ~10^3-vector
+    * corpora; at larger n, under-sized bands turn random collisions into
+    * the dominant cost).
+    *
+    * Scale shape mirrors `minhashNearDups`: the band join shuffles only
+    * (band_idx, band_val, id) — never the vectors — and vectors are
+    * re-attached to surviving candidates only. No all-pairs step exists
+    * anywhere, and a hot bucket requires genuinely co-oriented vectors.
+    */
+  def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bandBits: Int = 6, nBands: Int = 8): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 63 && nBands >= 1,
+      s"bandBits must be in [1, 63] and nBands >= 1, got ($bandBits, $nBands)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      array((0 until nBands).map(b =>
+        srpSignature(col(vecCol), bandBits, offset = b * bandBits)): _*).as("bands"))
+    val banded = base
+      .select($"id", posexplode($"bands"))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"), Seq("band_idx", "band_val"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .filter($"id_a" < $"id_b")
+      .dropDuplicates("id_a", "id_b")
+    val vecs = base.select($"id", $"v")
+    candidates
+      .join(vecs.select($"id".as("id_a"), $"v".as("v_a")), Seq("id_a"))
+      .join(vecs.select($"id".as("id_b"), $"v".as("v_b")), Seq("id_b"))
+      .withColumn("sim", cosine($"v_a", $"v_b"))
+      .filter($"sim" >= threshold)
+      .select($"id_a", $"id_b", $"sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking column: exact
-    * cosine on all pairs sharing `blockCol` (cheap when blocks are bounded;
-    * the unbounded-scale path swaps the block join for SRP-LSH buckets via
-    * `srpSignature`).
+    * cosine on all pairs sharing `blockCol`. This is the SMALL-BLOCK fast
+    * path — all pairs WITHIN a block are compared, so it requires a blocking
+    * column with bounded groups (a hot block is quadratic). When no such
+    * bound exists, use [[embeddingNearDupsLsh]], which needs no blocking
+    * assumption at all.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {

@@ -399,6 +399,45 @@ object ExtensionQueries2 {
       doc = "Gopher-style repetition score: fraction of each doc's word " +
         "3-grams that are distinct (low = internal repetition); distinct " +
         "count via the native one-pass shingle_hashes expression."
+    ),
+    // ---------------------------------------------------------------- t47
+    GraftQuery(
+      "t47_emblsh_sound",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val emb = Tables.embeddings(s, d)
+        // SRP-LSH-banded near-dups with no blocking assumption, tuned for
+        // the corpus's similarity regime (max pairwise cosine ~0.5): 3-bit
+        // bands give ~0.98 per-pair recall at s = 0.3
+        val lsh = Similarity.embeddingNearDupsLsh(emb, "vec_id", "embedding",
+          threshold = 0.3, bandBits = 3, nBands = 16)
+        // unconditionally complete twin: the blocked-exact operator over ONE
+        // global block (the same family the t18 oracle hash-validates)
+        val exact = Similarity.embeddingNearDups(
+          emb.withColumn("blk", lit(1)), "vec_id", "embedding", "blk", threshold = 0.3)
+        // soundness: every emitted pair must exist in the complete join with
+        // the identical exact cosine
+        val phantom = lsh.join(exact, Seq("id_a", "id_b"), "left_anti")
+          .select($"id_a", $"id_b", lit("not_a_pair").as("reason"))
+        val wrongSim = lsh.as("m").join(exact.as("e"), Seq("id_a", "id_b"))
+          .filter(col("m.sim") =!= col("e.sim"))
+          .select($"id_a", $"id_b", lit("sim_mismatch").as("reason"))
+        // recall floor: banding is deterministic (hash-derived hyperplanes),
+        // so a silent recall collapse emits a violation row, not drift
+        val lowRecall = lsh.join(exact, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(exact.agg(count(lit(1)).as("denom")))
+          .filter($"hits".cast("double") < $"denom".cast("double") * 0.8)
+          .select(lit(-2L).as("id_a"), lit(-2L).as("id_b"), lit("low_recall").as("reason"))
+        val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
+        phantom.unionAll(wrongSim).unionAll(lowRecall).unionAll(sentinel)
+          .orderBy($"id_a", $"id_b", $"reason")
+      },
+      Some("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"),
+      doc = "SRP-LSH embedding near-dup soundness: emitted pairs must be a " +
+        "subset of the complete blocked-exact join with identical sims, and " +
+        "recall must clear a 0.8 floor; emits violations + sentinel."
     )
   )
 }

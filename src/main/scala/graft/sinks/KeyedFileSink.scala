@@ -41,20 +41,34 @@ object KeyedFileSink {
         // it. The RAW key is validated, before suffixing — so key ".." is
         // rejected even though ".." + ".md" would be a legal in-dir name.
         if (key != null && content != null && safeKey(key)) {
+          var tmp: Path = null
           try {
             val target = dir.resolve(key + suffix)
-            val tmp: Path = Files.createTempFile(dir, ".graft", ".tmp")
+            tmp = Files.createTempFile(dir, ".graft", ".tmp")
             Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
             Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
               StandardCopyOption.REPLACE_EXISTING)
             ok.add(1)
           } catch {
-            case _: java.io.IOException => ()
-            case _: java.nio.file.InvalidPathException => ()
+            case _: java.io.IOException | _: java.nio.file.InvalidPathException =>
+              // a failed row must not leave its temp behind
+              if (tmp != null) try Files.deleteIfExists(tmp) catch {
+                case _: java.io.IOException => ()
+              }
           }
         }
       }
     }
+    // All tasks have finished (the action returned): any `.graft*.tmp` left
+    // in the directory is an orphan from a crashed task attempt — readers
+    // must only ever see fully-renamed files, so sweep them here.
+    val sweep = Files.newDirectoryStream(
+      Paths.get(outDir).toAbsolutePath.normalize(), ".graft*.tmp")
+    try {
+      sweep.forEach(p => try { Files.deleteIfExists(p); () } catch {
+        case _: java.io.IOException => ()
+      })
+    } finally sweep.close()
     ok.value
   }
 

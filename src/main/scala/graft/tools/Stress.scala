@@ -186,6 +186,54 @@ object Stress {
       check(pruned, s"ivfQuery scan not partition-pruned: $scanLine")
       check(qdf.count() == 15, "ivfQuery did not return 3 queries x top-5")
 
+      // ---- SRP-LSH embedding near-dups with NO blocking assumption at
+      // 2x-factor vectors (100k at the default factor). The corpus has
+      // KNOWN cluster structure: each base vector spawns sub-clusters of
+      // `subSize` near-identical replicas, and a deterministic per-
+      // sub-cluster sign-flip pattern makes DIFFERENT sub-clusters
+      // near-orthogonal — so exactly the within-sub-cluster pairs sit above
+      // the threshold. Banding is sized to the corpus via srpBandingFor
+      // (under-sized bands drown in n²·2^-bandBits random collisions). The
+      // only shuffles are (band, id) keys and candidate ids — vectors never
+      // ride a shuffle.
+      val lshFactor = factor * 2
+      val subSize = 10
+      val lshEmbPath = s"$workDir/emb_lsh"
+      stressEmbeddings(spark, sfDir, lshFactor)
+        .withColumn("sub",
+          (col("vec_id") % lshFactor).cast("bigint") / subSize)
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, jIdx) =>
+            (x * when(pmod(xxhash64((col("vec_id") / lshFactor).cast("bigint"),
+              col("sub").cast("bigint"), jIdx), lit(2)) === 0, lit(1.0f))
+              .otherwise(lit(-1.0f))).cast("float")).as("embedding"))
+        .write.mode("overwrite").parquet(lshEmbPath)
+      val lshEmb = spark.read.parquet(lshEmbPath)
+      val nLshVecs = lshEmb.count()
+      def clusterOf(v: org.apache.spark.sql.Column) =
+        concat_ws("_", (v / lshFactor).cast("bigint"),
+          (pmod(v, lit(lshFactor)) / subSize).cast("bigint"))
+      val expectedPairs = lshEmb
+        .groupBy(clusterOf(col("vec_id")).as("c")).count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("bigint")))
+        .collect().head.getLong(0)
+      val (bandBits, nBands) = Similarity.srpBandingFor(nLshVecs, threshold = 0.9)
+      val (lshCounts, tLsh) = timed {
+        Similarity.embeddingNearDupsLsh(
+          lshEmb, "vec_id", "embedding", threshold = 0.9, bandBits, nBands)
+          .agg(count(lit(1)).as("pairs"),
+            count(when(clusterOf(col("id_a")) =!= clusterOf(col("id_b")), 1))
+              .as("cross")).collect().head
+      }
+      val (lshPairs, crossCluster) = (lshCounts.getLong(0), lshCounts.getLong(1))
+      println(j("stage" -> "emb_lsh_neardups", "seconds" -> tLsh,
+        "vectors" -> nLshVecs, "band_bits" -> bandBits, "n_bands" -> nBands,
+        "pairs" -> lshPairs, "expected" -> expectedPairs,
+        "cross_cluster" -> crossCluster))
+      check(crossCluster == 0, s"LSH emitted $crossCluster cross-cluster phantom pairs")
+      check(lshPairs >= (expectedPairs * 0.99).toLong && lshPairs <= expectedPairs,
+        s"LSH pair count off: $lshPairs of $expectedPairs within-cluster pairs")
+
       // ---- text pipeline throughput: chunk + redact the full corpus
       val (chunkRows, tChunk) = timed {
         TextPipeline.chunk(docs, col("doc_id"), col("text"), window = 64, stride = 32)

@@ -60,6 +60,28 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("SrpSignature expression matches the HOF construction bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf0001).limit(100)
+    for ((bits, offset) <- Seq((4, 0), (8, 0), (48, 0), (21, 21), (16, 1000))) {
+      val mismatches = emb
+        .select(
+          Similarity.srpSignature($"embedding", bits, offset).as("native"),
+          Similarity.srpSignatureHof($"embedding", bits, offset).as("hof"))
+        .filter($"native" =!= $"hof")
+        .count()
+      assert(mismatches == 0, s"bits=$bits offset=$offset")
+    }
+    // offset banding equals the chunks of one contiguous signature: band b
+    // of bandBits bits at offset b*bandBits == bits [b*bandBits, ...) of the
+    // packed 48-bit signature (the pre-offset formulation)
+    val mism = emb.select(
+      Similarity.srpSignature($"embedding", 48).as("packed"),
+      Similarity.srpSignature($"embedding", 6, 18).as("band3"))
+      .filter(shiftrightunsigned($"packed", 18).bitwiseAND(lit(63L)) =!= $"band3")
+      .count()
+    assert(mism == 0)
+  }
+
   test("CharNgrams expression matches the HOF construction bit-for-bit") {
     // HOF semantics only defined for length(text) >= n (shorter inputs make
     // sequence() run descending); the registry query filters those out

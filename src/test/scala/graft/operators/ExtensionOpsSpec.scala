@@ -155,6 +155,48 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("embeddingNearDupsLsh: emitted pairs are exact-cosine-verified and recall " +
+      "the planted near-dups without any blocking column") {
+    // planted clusters: vectors 1/2 nearly identical, 3 its exact copy,
+    // 4/5 an unrelated orthogonal-ish pair
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val base = Array.tabulate(64)(j => math.sin(j + 1))
+    val corpus = Seq(
+      (1L, vec(base.toSeq: _*)),
+      (2L, vec(base.map(_ + 0.01).toSeq: _*)),             // near-dup of 1
+      (3L, vec(base.toSeq: _*)),                            // exact dup of 1
+      (4L, vec(Array.tabulate(64)(j => math.cos(3.0 * j)).toSeq: _*)),
+      (5L, vec(Array.tabulate(64)(j => if (j % 2 == 0) 1.0 else -1.0).toSeq: _*))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingNearDupsLsh(corpus, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)),
+      s"planted dups missed: $pairs")
+    assert(!pairs.exists(p => p._1 >= 4L || p._2 >= 4L), s"phantom pair: $pairs")
+    // emitted sims are EXACT cosine (not an estimate): the 1-3 pair is 1.0
+    assert(got.find(p => (p._1, p._2) == ((1L, 3L))).get._3 == 1.0)
+  }
+
+  test("embeddingNearDupsLsh emissions are a subset of the blocked-exact result " +
+      "with identical sims (single-block oracle twin)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // the synthetic embeddings top out near cosine 0.5, so the gate runs at
+    // the t18 threshold (0.3) with banding tuned for that regime: 3-bit
+    // bands recall ~0.98 of pairs at s=0.3 (vs ~0.3 for the near-dup
+    // defaults, which assume s >= 0.9)
+    val lsh = Similarity.embeddingNearDupsLsh(emb, "vec_id", "embedding",
+      threshold = 0.3, bandBits = 3, nBands = 16)
+    // one global block = unconditionally complete all-pairs twin
+    val exact = Similarity.embeddingNearDups(
+      emb.withColumn("blk", lit(1)), "vec_id", "embedding", "blk", threshold = 0.3)
+    assert(lsh.exceptAll(exact).isEmpty, "LSH emitted a pair the exact join does not contain")
+    val nExact = exact.count()
+    val nLsh = lsh.count()
+    assert(nExact > 0, "gate vacuous: no exact pairs at threshold")
+    assert(nLsh.toDouble / nExact >= 0.8, s"recall ${nLsh.toDouble / nExact} below floor")
+  }
+
   test("lshTopK neighbors are a subset of brute-force ranking with sane recall") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter($"vec_id" < 3)

@@ -48,6 +48,39 @@ class KeyedFileSinkSpec extends SparkSpec {
     assert(all == Seq("GOOD1.md"))
   }
 
+  test("exactly-once under task retries: attempt-0 crash mid-partition leaves " +
+      "no torn, missing or duplicate files") {
+    // The test session runs local[4, 2] (one retry). A udf crashes the FIRST
+    // attempt of two of the four tasks partway through their row stream —
+    // after some files are already renamed into place — then the retry
+    // replays the whole partition. Exactly-once here means: every key's file
+    // exists with its full content (last rename wins, content deterministic
+    // per key), no temp droppings are visible afterwards, and the written
+    // accumulator counts only the successful attempts.
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("sink_retry").resolve("out").toString
+    val n = 40
+    val crashOnFirstAttempt = udf { (k: String) =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 && k.toLong % 20 == 19)
+        throw new RuntimeException("injected task failure (spec)")
+      k
+    }
+    val df = spark.range(0, n).select(
+      crashOnFirstAttempt(col("id").cast("string")).as("k"),
+      concat(lit("content-"), col("id")).as("v"))
+    val written = KeyedFileSink.write(df, "k", "v", out, ".md")
+    assert(written == n, s"accumulator double- or under-counted: $written")
+    val files = new java.io.File(out).listFiles().map(_.getName).toSeq
+    assert(files.count(_.endsWith(".md")) == n, s"expected $n files, got $files")
+    assert(!files.exists(_.contains(".tmp")), s"temp droppings visible: $files")
+    for (i <- 0 until n) {
+      val content = new String(
+        Files.readAllBytes(Paths.get(out, s"$i.md")), StandardCharsets.UTF_8)
+      assert(content == s"content-$i", s"torn write for key $i: '$content'")
+    }
+  }
+
   test("write physically writes files for non-ASCII keys") {
     val parent = Files.createTempDirectory("sink_utf8")
     val out = parent.resolve("out").toString
