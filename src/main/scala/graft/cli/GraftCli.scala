@@ -193,6 +193,31 @@ object GraftCli {
             println(s"===== $n =====")
             graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
           }
+        case "snapshot-plans" :: sfDir :: outDir :: names =>
+          // Committed plan-shape snapshots: one normalized formatted plan per
+          // registry query, so strategy changes (join types, exchanges,
+          // pushed filters) show up as reviewable diffs rather than bench
+          // noise. Expression ids (#123) and the per-plan codegen ids vary
+          // run-to-run and are normalized out; paths are stable for a fixed
+          // sfDir.
+          val sel = if (names.isEmpty) graft.SparkEntry.queries.keys.toSeq.sorted else names
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+          sel.foreach { n =>
+            val df = graft.SparkEntry.queries(n)(spark, sfDir)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            val normalized = plan
+              .replaceAll("#\\d+L?", "#x")
+              .replaceAll("plan_id=\\d+", "plan_id=x")
+              .replaceAll("cachedrdd-\\d+", "cachedrdd-x")
+              .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x")
+              .replaceAll("@[0-9a-f]{6,}", "@x")
+              .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[x]")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outDir, s"$n.txt"),
+              normalized.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          println(s"snapshot-plans: ${sel.size} plans -> $outDir")
         case other =>
           System.err.println(s"unknown command: ${other.mkString(" ")}")
           System.err.println(
@@ -201,7 +226,8 @@ object GraftCli {
               "all <csv> <mdTpl> <promptTpl> <siteTpl> <workDir> | probe [.env] | dedup <sfDir> <outDir> [minhash|simhash|ngram] [best] | " +
               "prep <sfDir> <outDir> [window stride] | zorder <in> <out> <colA> <colB> [files] | " +
               "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | stress <sfDir> <workDir> [factor] | " +
-              "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | reset <workDir>")
+              "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
+              "snapshot-plans <sfDir> <outDir> [names...] | reset <workDir>")
           sys.exit(2)
       }
     } finally spark.stop()
