@@ -322,21 +322,37 @@ object Similarity {
           ($"hits".cast("double") / $"denom").as("recall"))
     recallOf("ivf", ivfTopK(corpus, queries, idCol, vecCol, k, nCells, nProbe))
       .unionAll(recallOf("lsh", lshTopK(corpus, queries, idCol, vecCol, k, bits)))
+      .unionAll(recallOf("lsh_mp",
+        lshTopK(corpus, queries, idCol, vecCol, k, bits, multiProbe = bits)))
       .orderBy($"method")
   }
 
-  /** LSH-bucketed approximate top-k: candidates share the full SRP bucket of
+  /** LSH-bucketed approximate top-k: candidates share the SRP bucket of
     * the query, scored exactly within the bucket. Lower `bits` → bigger
     * buckets → higher recall and cost.
+    *
+    * `multiProbe` > 0 additionally probes the buckets at Hamming distance 1
+    * from the query's in its lowest `multiProbe` signature bits — the
+    * classic multi-probe LSH trade: a true neighbor differing in exactly
+    * one sign bit is found without doubling the table or halving the bucket
+    * resolution. Probe count per query is 1 + multiProbe (still
+    * dimension-sized: the probe side remains a broadcast), and a corpus
+    * vector lands in exactly one bucket, so no candidate is scored twice.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+      vecCol: String, k: Int, bits: Int = 8, multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= bits,
+      s"multiProbe must be in [0, bits], got $multiProbe")
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       srpSignature(col(vecCol), bits).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      srpSignature(col(vecCol), bits).as("bucket"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      srpSignature(col(vecCol), bits).as("__b0"))
+    val probeBuckets = array(
+      $"__b0" +: (0 until multiProbe).map(i => $"__b0".bitwiseXOR(lit(1L << i))): _*)
+    val q = qBase
+      .select($"query_id", $"qv", explode(probeBuckets).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter($"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", cosine($"qv", $"cv").as("sim"))

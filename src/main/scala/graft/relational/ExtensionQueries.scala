@@ -478,23 +478,28 @@ object ExtensionQueries {
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d)
-        // same configurations as t12 (SRP-LSH) and t22 (IVF); recall vs the
-        // t11 brute-force oracle. Everything is deterministic (fixed k-means
-        // seed, hash-derived hyperplanes, unique tiebreaks), so the recalls
-        // are byte-stable — gated against per-method floors that hold at
-        // every driver SF (measured: ivf 0.60/0.73, lsh 0.067/0.33 at
-        // sf0.01/sf0.001), so a silent recall collapse fails the constant
+        // same configurations as t12 (SRP-LSH) and t22 (IVF), plus the
+        // multi-probe LSH variant; recall vs the t11 brute-force oracle.
+        // Everything is deterministic (fixed k-means seed, hash-derived
+        // hyperplanes, unique tiebreaks), so the recalls are byte-stable —
+        // gated against per-method floors that hold at every driver SF
+        // (measured at sf0.01/sf0.001: ivf 0.60/0.73, lsh 0.067/0.33,
+        // lsh_mp 0.33/0.60), so a silent recall collapse fails the constant
         // oracle rather than drifting unobserved.
         Similarity.annRecall(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding",
           k = 5, bits = 4, nCells = 8, nProbe = 3)
           .select($"method",
-            ($"recall" >= when($"method" === "ivf", 0.5).otherwise(0.05))
+            ($"recall" >= when($"method" === "ivf", 0.5)
+              .when($"method" === "lsh_mp", 0.25)
+              .otherwise(0.05))
               .cast("bigint").as("recall_ok"))
           .orderBy($"method")
       },
       Some("""SELECT 'ivf' AS method, CAST(1 AS BIGINT) AS recall_ok
              |UNION ALL
              |SELECT 'lsh' AS method, CAST(1 AS BIGINT) AS recall_ok
+             |UNION ALL
+             |SELECT 'lsh_mp' AS method, CAST(1 AS BIGINT) AS recall_ok
              |ORDER BY method""".stripMargin),
       doc = "Recall@5 of the SRP-LSH and IVF ANN paths vs brute force, deterministic and gated against per-method recall floors via a constant oracle."
     ),

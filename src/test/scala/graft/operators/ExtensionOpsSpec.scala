@@ -112,8 +112,10 @@ class ExtensionOpsSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, bits = 4, nCells = 8, nProbe = 3)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     val r1 = run()
-    assert(r1.map(_._1) == Seq("ivf", "lsh"))
+    assert(r1.map(_._1) == Seq("ivf", "lsh", "lsh_mp"))
     r1.foreach { case (m, rec) => assert(rec > 0.0 && rec <= 1.0, s"$m recall $rec") }
+    // multi-probe strictly contains the single-probe candidate set
+    assert(r1.toMap.apply("lsh_mp") >= r1.toMap.apply("lsh"))
     assert(run() == r1) // byte-stable across runs
   }
 
@@ -195,6 +197,25 @@ class ExtensionOpsSpec extends SparkSpec {
     val nLsh = lsh.count()
     assert(nExact > 0, "gate vacuous: no exact pairs at threshold")
     assert(nLsh.toDouble / nExact >= 0.8, s"recall ${nLsh.toDouble / nExact} below floor")
+  }
+
+  test("multi-probe lshTopK dominates single-probe recall; multiProbe=0 is unchanged") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id")
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select($"query_id", $"neighbor_id").join(bf, Seq("query_id", "neighbor_id")).count()
+    val single = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5, bits = 4)
+    val zeroProbe = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 5, bits = 4, multiProbe = 0)
+    assert(single.exceptAll(zeroProbe).isEmpty && zeroProbe.exceptAll(single).isEmpty)
+    val multi = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 5, bits = 4, multiProbe = 4)
+    // every single-probe candidate is still probed (bucket 0 distance), so
+    // recall can only improve
+    assert(hits(multi) >= hits(single))
+    assert(hits(multi) > 0)
   }
 
   test("lshTopK neighbors are a subset of brute-force ranking with sane recall") {
