@@ -126,4 +126,31 @@ object TextPipeline {
           .otherwise(coalesce(col("__hits"), lit(0L)).cast("double") /
             col("n_shingles").cast("double")).as("overlap_ratio"))
   }
+
+  /** Stateless formulation of [[contamination]] — identical output, no
+    * aggregation on the corpus side, so it runs unchanged on a STREAMING
+    * corpus in append mode (the batch version's per-doc groupBy would need
+    * watermarked state). The benchmark's distinct shingle hashes collapse to
+    * a single array row (dimension-sized by definition) cross-joined in as a
+    * broadcast; per-doc overlap is then one `array_intersect` — a narrow
+    * projection, which is exactly what makes it stream-safe. Prefer the
+    * join-based [[contamination]] for batch at scale (the semi join prunes
+    * shuffle volume); use this one under `readStream`.
+    */
+  def contaminationStateless(corpus: DataFrame, benchmark: DataFrame,
+      idCol: Column, textCol: Column, n: Int = 3): DataFrame = {
+    val nToks = size(split(trim(textCol), "\\s+"))
+    val sh = when(nToks < n, array().cast("array<bigint>"))
+      .otherwise(graft.expressions.GraftFunctions.shingleHashes(textCol, n))
+    val benchSet = benchmark.select(explode(sh).as("__s")).distinct()
+      .agg(collect_list(col("__s")).as("__bench"))
+    corpus.select(idCol.as("id"), sh.as("__sh"))
+      .crossJoin(broadcast(benchSet))
+      .select(
+        col("id"),
+        size(col("__sh")).cast("bigint").as("n_shingles"),
+        when(size(col("__sh")) === 0, lit(null).cast("double"))
+          .otherwise(size(array_intersect(col("__sh"), col("__bench"))).cast("double") /
+            size(col("__sh")).cast("double")).as("overlap_ratio"))
+  }
 }

@@ -124,6 +124,22 @@ class TextPipelineSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("contaminationStateless is row-identical to the join-based contamination") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val bench = docs.where(Layout.hashBucket(col("doc_id")) >= 95)
+    val corpus = docs.where(Layout.hashBucket(col("doc_id")) < 95)
+    val a = TextPipeline.contamination(corpus, bench, col("doc_id"), col("text"), n = 3)
+    val b = TextPipeline.contaminationStateless(corpus, bench, col("doc_id"), col("text"), n = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() > 0)
+    // and on constructed edge cases incl. short/empty docs
+    val c2 = Seq((1L, "a b c"), (2L, "a b"), (3L, ""), (4L, "x y z")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "a b c d"), (11L, "x y")).toDF("doc_id", "text")
+    val a2 = TextPipeline.contamination(c2, b2, col("doc_id"), col("text"), n = 3)
+    val s2 = TextPipeline.contaminationStateless(c2, b2, col("doc_id"), col("text"), n = 3)
+    assert(a2.exceptAll(s2).isEmpty && s2.exceptAll(a2).isEmpty)
+  }
+
   test("piiCount counts non-overlapping matches") {
     val in = "a@b.co c@d.org http://e.f 1.2.3.4 5.6.7.8"
     val row = Seq(in).toDF("t").select(

@@ -140,6 +140,26 @@ class StreamingSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("contamination scan runs on a streaming corpus against a static benchmark") {
+    // contaminationStateless is a narrow projection over a broadcast bench
+    // array — no corpus-side aggregation — so a streaming corpus works in
+    // append mode and must agree row-for-row with the batch operator.
+    val dir = Files.createTempDirectory("contam_stream")
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val bench = docs.where(graft.operators.Layout.hashBucket(col("doc_id")) >= 95)
+    val corpus = docs.where(graft.operators.Layout.hashBucket(col("doc_id")) < 95)
+    corpus.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+    val got = runToMemory(
+      graft.operators.TextPipeline.contaminationStateless(
+        stream, bench, col("doc_id"), col("text"), n = 3),
+      "contam_stream")
+    val batch = graft.operators.TextPipeline.contamination(
+      corpus, bench, col("doc_id"), col("text"), n = 3)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("dataset-prep transforms (chunk, redact, split) run unchanged on a stream") {
     // chunk/redactPii/hashSplit are stateless projections + generators, so
     // the SAME operator code drives batch and incremental pipelines — this
