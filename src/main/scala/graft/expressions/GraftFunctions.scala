@@ -14,13 +14,44 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  /** Static parameters (shingle width, signature size, hyperplane offset)
+    * arrive from SQL as literal ints — they size per-expression state at
+    * plan time, so a non-literal is a usage error, not a runtime value.
+    */
+  private def intArg(name: String)(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3055",
+      messageParameters = Map("scalarFunc" ->
+        s"$name: parameter must be a literal int, got $other"))
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head)),
     ("graft_cosine_sim",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    ("graft_minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0),
+        intArg("graft_minhash_sig")(args(1)), intArg("graft_minhash_sig")(args(2)))),
+    ("graft_shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashSet].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashSet(args(0),
+        intArg("graft_shingle_hashes")(args(1)))),
+    ("graft_char_ngrams",
+      new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
+      (args: Seq[Expression]) => CharNgrams(args(0), intArg("graft_char_ngrams")(args(1)))),
+    ("graft_srp_signature",
+      new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_signature"),
+      (args: Seq[Expression]) =>
+        if (args.length >= 3)
+          SrpSignature(args(0), intArg("graft_srp_signature")(args(1)),
+            intArg("graft_srp_signature")(args(2)))
+        else SrpSignature(args(0), intArg("graft_srp_signature")(args(1)))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

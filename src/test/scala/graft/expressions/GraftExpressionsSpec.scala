@@ -119,6 +119,34 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(math.abs(one.getDouble(1) - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("SQL registration: sketch expressions callable from SQL, equal to the Column API") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_minhash_sig('a b c d e', 3, 8) AS mh, " +
+        "graft_shingle_hashes('a b c d e', 3) AS sh, " +
+        "graft_char_ngrams('abcd', 2) AS cn, " +
+        "graft_srp_signature(array(CAST(0.5 AS FLOAT), CAST(-0.2 AS FLOAT)), 8) AS srp, " +
+        "graft_srp_signature(array(CAST(0.5 AS FLOAT), CAST(-0.2 AS FLOAT)), 8, 8) AS srp_off")
+      .collect()(0)
+    val api = Seq(("a b c d e", Array(0.5f, -0.2f))).toDF("t", "v")
+      .select(
+        GraftFunctions.minhashSig($"t", 3, 8).as("mh"),
+        GraftFunctions.shingleHashes($"t", 3).as("sh"),
+        graft.operators.TextAnalysis.charNgrams($"t", 2).as("cn"),
+        GraftFunctions.srpSig($"v", 8).as("srp"),
+        GraftFunctions.srpSig($"v", 8, 8).as("srp_off"))
+      .collect()(0)
+    assert(row.getSeq[Long](0) == api.getSeq[Long](0))
+    assert(row.getSeq[Long](1) == api.getSeq[Long](1))
+    assert(row.getSeq[String](2) == Seq("ab", "bc", "cd"))
+    assert(row.getLong(3) == api.getLong(3))
+    assert(row.getLong(4) == api.getLong(4) && row.getLong(3) != row.getLong(4))
+    // non-literal size parameter is a plan-time error, not a silent default
+    intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes('a b c', CAST(rand()*3 AS INT))").collect()
+    }
+  }
+
   test("GraftExtensions injects the functions into a fresh session") {
     val s2 = spark.newSession()
     // the injector's effect is equivalent to register(); exercise the class
