@@ -29,6 +29,45 @@ object Sampling {
     bucket < (fraction * 4294967296.0).toLong
   }
 
+  /** Downsample to a target group mixture (the data-mixing step every
+    * multilingual / multi-source training corpus goes through): given target
+    * shares per group value (e.g. `en -> 0.4, de -> 0.15, ...`), keep the
+    * LARGEST sample obtainable at exactly those expected proportions without
+    * upsampling any group — the overall budget is `min_g(count_g / share_g)`
+    * and each group keeps rows at rate `budget * share_g / count_g`.
+    *
+    * Membership is the same keyed-Bernoulli rule as [[bernoulli]], so the
+    * selection is a pure function of the data: no per-group total order, no
+    * window — one count aggregation plus a broadcast of one tiny rate row
+    * per group, then an embarrassingly parallel filter. That is deliberate:
+    * the exact-quota alternative (rank within group, keep the first
+    * `floor(budget*share_g)`) needs a per-group global sort whose partitions
+    * are as large as the largest group — a skew wall at 100 TB with a
+    * handful of languages — while the Bernoulli rate concentrates to the
+    * quota with relative error O(1/sqrt(quota)) exactly when quotas are
+    * huge. Groups without a configured share are dropped.
+    */
+  def toShares(df: DataFrame, groupCol: Column, key: Column,
+      shares: Seq[(String, Double)]): DataFrame = {
+    require(shares.nonEmpty && shares.forall(_._2 > 0.0), "shares must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sharesDf = shares.toDF("__grp", "__share")
+    val tagged = df.withColumn("__grp", groupCol.cast("string"))
+    val counts = tagged.groupBy(col("__grp")).agg(count(lit(1)).as("__cnt"))
+    // budget = the largest output size at the target mixture that upsamples
+    // nothing; per-group keep rate in [0, 1] by construction.
+    val sized = counts.join(sharesDf, "__grp")
+    val budget = sized.agg(min(col("__cnt").cast("double") / col("__share")).as("__budget"))
+    val rates = sized.crossJoin(budget)
+      .select(col("__grp"),
+        (col("__budget") * col("__share") / col("__cnt").cast("double")).as("__rate"))
+    val bucket = conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+    tagged.join(broadcast(rates), "__grp")
+      .where(bucket.cast("double") < col("__rate") * lit(4294967296.0))
+      .drop("__grp", "__rate")
+  }
+
   /** Exactly `k` rows per group (fewer when the group is smaller):
     * deterministic "reservoir" = the k smallest md5 draws within each
     * group, with the key itself as the unique tiebreak. One window over

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-preparation operators for LLM training pipelines: context-window
@@ -43,6 +44,67 @@ object TextPipeline {
           .as("chunk_text"),
         size(slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"), lit(window)))
           .cast("bigint").as("n_tokens"))
+  }
+
+  /** Sequence packing — the GPT-style "concatenate everything in a fixed
+    * shuffle order and cut every `capacity` tokens" batch-prep step. Each
+    * document gets its position in the packed token stream: a global
+    * sequence number, its start offset, and the first/last training bin it
+    * lands in (a doc may straddle a bin boundary — that is the point of this
+    * packing style: zero padding waste).
+    *
+    * The order is the deterministic md5 shuffle (`md5(id), id`), so the
+    * result is a pure function of the data — same packing on any cluster.
+    *
+    * Scale: a naive `sum(...).over(Window.orderBy(...))` global running sum
+    * funnels the whole table through ONE window partition. This is the
+    * textbook two-phase distributed scan instead: range-partition by the
+    * order key (contiguous, sorted ranges), cumsum WITHIN each partition
+    * (that window is per-partition, parallel), then broadcast-join each
+    * partition's prefix offset — computed from one `numPartitions`-row
+    * aggregate — on `spark_partition_id()`. The one materialization
+    * (`localCheckpoint`) pins partition identity so both subplans read the
+    * SAME shuffle output; everything after it is embarrassingly parallel.
+    *
+    * Output: `id`, `seq` (1-based global rank), `n_tokens`, `start_token`,
+    * `bin_first`, `bin_last`, `offset_in_bin`.
+    */
+  def packSequences(df: DataFrame, idCol: Column, nTokensCol: Column, capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val keyed = df.select(
+      idCol.as("id"),
+      nTokensCol.cast("bigint").as("n_tokens"),
+      md5(idCol.cast("string")).as("__h"),
+      idCol.cast("string").as("__t"))
+    // Contiguous sorted ranges; eager localCheckpoint fixes the partition
+    // boundaries AND spark_partition_id() so the totals branch and the
+    // cumsum branch below cannot see two different shuffles.
+    val parted = keyed.repartitionByRange(col("__h"), col("__t")).localCheckpoint()
+    val withPid = parted.withColumn("__pid", spark_partition_id())
+    val inPart = Window.partitionBy(col("__pid")).orderBy(col("__h"), col("__t"))
+    val cum = withPid
+      .withColumn("__cin", sum(col("n_tokens")).over(inPart))
+      .withColumn("__rin", row_number().over(inPart).cast("bigint"))
+    // Prefix offsets over partition ids: numPartitions rows — the single-
+    // partition window here is over driver-sized data by construction.
+    val prefix = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPid.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptot"), count(lit(1)).as("__pcnt"))
+      .select(col("__pid"),
+        coalesce(sum(col("__ptot")).over(prefix), lit(0L)).as("__toff"),
+        coalesce(sum(col("__pcnt")).over(prefix), lit(0L)).as("__roff"))
+    val start = col("__toff") + col("__cin") - col("n_tokens")
+    cum.join(broadcast(offsets), "__pid")
+      .select(
+        col("id"),
+        (col("__roff") + col("__rin")).as("seq"),
+        col("n_tokens"),
+        start.as("start_token"),
+        expr(s"(__toff + __cin - n_tokens) div $capacity").as("bin_first"),
+        expr(s"(__toff + __cin - n_tokens + greatest(n_tokens, 1L) - 1L) div $capacity")
+          .as("bin_last"),
+        pmod(start, lit(capacity)).as("offset_in_bin"))
   }
 
   /** PII patterns chosen to mean the same thing in Java regex and RE2

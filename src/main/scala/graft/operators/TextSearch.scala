@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance retrieval over a document corpus — BM25 scoring with
+  * a deterministic top-k, the "find me training docs about X" primitive.
+  *
+  * Shape at scale: per-document term frequencies and length are narrow
+  * per-row HOFs (scan-speed, no shuffle); the corpus statistics (N, Σdl,
+  * per-term document frequencies) reduce to ONE single-row aggregate that is
+  * cross-joined back as a broadcast, so scoring is again embarrassingly
+  * parallel; the top-k is `orderBy(...).limit(k)` — Spark's TakeOrdered, a
+  * per-partition heap + driver merge of k rows, never a global sort.
+  *
+  * Numeric contract: the classic BM25 idf is `ln((N-df+0.5)/(df+0.5))`;
+  * `ln` is a libm call whose last ulp differs across engines, which would
+  * break exact cross-engine verification. Ranking only needs monotonicity,
+  * so this operator uses the RATIONAL idf `(N-df+0.5)/(df+0.5)` — every
+  * operation in the whole score is then IEEE `+ * /` on doubles, which are
+  * exactly rounded and therefore bit-identical in any compliant engine (the
+  * DuckDB oracle reproduces the score bit-for-bit). Defaults `k1 = 1.5`,
+  * `b = 0.75` are chosen exactly representable in binary so `k1 + 1` and
+  * `1 - b` introduce no literal-parsing ambiguity either.
+  */
+object TextSearch {
+
+  /** Per-term scores and their sum for `terms`, top `k` docs by
+    * `(score DESC, id)`. Output: `id`, `dl`, `tf0..tfN`, `score`.
+    */
+  def bm25TopK(df: DataFrame, idCol: Column, textCol: Column, terms: Seq[String],
+      k: Int, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k >= 1)
+    val toks = split(trim(textCol), "\\s+")
+    val base = df.select(idCol.as("id"), toks.as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("bigint"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"tf$i", size(filter(col("__toks"), x => x === lit(t))).cast("bigint"))
+    }
+    val statAggs = Seq(
+      count(lit(1)).as("__n"),
+      // Exact decimal Σdl: partial-aggregation order cannot move the result.
+      sum(col("dl").cast("decimal(20,0)")).as("__sumdl")) ++
+      terms.indices.map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    // avgdl and every factor below mirror the oracle SQL token for token —
+    // identical IEEE expression tree, identical doubles.
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val rel = col("dl").cast("double") / avgdl
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val idf = ((col("__n") - col(s"__df$i")).cast("double") + lit(0.5)) /
+        (col(s"__df$i").cast("double") + lit(0.5))
+      idf * ((tf * lit(k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * rel)))
+    }
+    val score = terms.indices.map(termScore).reduceLeft(_ + _)
+    scored
+      .select(col("id") +: col("dl") +: terms.indices.map(i => col(s"tf$i")) :+
+        score.as("score"): _*)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -32,6 +32,33 @@ class SamplingSpec extends SparkSpec {
     assert(sampleJoin.exceptAll(joinSample).isEmpty && joinSample.exceptAll(sampleJoin).isEmpty)
   }
 
+  test("toShares hits the target mixture without upsampling any group") {
+    // groups deliberately far from the target mixture
+    val df = spark.range(0, 8000).select($"id",
+      when(pmod($"id", lit(10)) < 7, "big")
+        .when(pmod($"id", lit(10)) < 9, "mid").otherwise("rare").as("g"))
+    val shares = Seq("big" -> 0.5, "mid" -> 0.25, "rare" -> 0.25)
+    val got = Sampling.toShares(df, $"g", $"id", shares)
+    val counts = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    // rare (800 rows) is the binding group: budget = 800/0.25 = 3200
+    shares.foreach { case (g, s) =>
+      assert(math.abs(counts(g) / total - s) < 0.03, s"$g: ${counts(g)}/$total vs $s")
+    }
+    // no upsampling: the binding group keeps (nearly) everything, none exceed
+    assert(counts("rare") <= 800 && counts("rare") > 700)
+    // membership is keyed — a second run over different partitioning agrees
+    val again = Sampling.toShares(df.repartition(13), $"g", $"id", shares)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
+  test("toShares drops groups without a configured share") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "junk")).toDF("id", "g")
+    val got = Sampling.toShares(df, $"g", $"id", Seq("a" -> 1.0))
+    assert(got.select("g").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
   test("perGroup returns exactly k per group (fewer for small groups), deterministically") {
     val df = spark.range(0, 900)
       .select($"id", (pmod($"id", lit(3))).cast("string").as("g"))

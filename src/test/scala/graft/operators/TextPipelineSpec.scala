@@ -140,6 +140,37 @@ class TextPipelineSpec extends SparkSpec {
     assert(a2.exceptAll(s2).isEmpty && s2.exceptAll(a2).isEmpty)
   }
 
+  test("packSequences: exact token bookkeeping, equal to the one-window oracle") {
+    val docs = (0L until 300L).map(i => (i, 1L + (i * 31) % 97)).toDF("doc_id", "n")
+    val got = TextPipeline.packSequences(docs, col("doc_id"), col("n"), capacity = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.length == 300)
+    // seq is the 1..N permutation in (md5(id), id) order; start_token is the
+    // exclusive running sum in that order — the single-threaded reference
+    val expectOrder = (0L until 300L)
+      .sortBy(i => (org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString), i.toString))
+    var cum = 0L
+    val ref = expectOrder.zipWithIndex.map { case (id, idx) =>
+      val n = 1L + (id * 31) % 97
+      val row = (id, idx + 1L, n, cum, cum / 64, (cum + n - 1) / 64, cum % 64)
+      cum += n
+      row
+    }.toSet
+    assert(got.toSet == ref)
+  }
+
+  test("packSequences is partitioning-proof and bins are gap-free") {
+    val docs = (0L until 500L).map(i => (i, 1L + i % 40)).toDF("doc_id", "n")
+    val a = TextPipeline.packSequences(docs, col("doc_id"), col("n"), 128L)
+    val b = TextPipeline.packSequences(docs.repartition(17), col("doc_id"), col("n"), 128L)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // every bin index up to the last is occupied by some doc's span
+    val spans = a.select(col("bin_first"), col("bin_last")).collect()
+      .flatMap(r => r.getLong(0) to r.getLong(1)).toSet
+    assert(spans == (0L to spans.max).toSet, "packing must leave no empty bin")
+  }
+
   test("piiCount counts non-overlapping matches") {
     val in = "a@b.co c@d.org http://e.f 1.2.3.4 5.6.7.8"
     val row = Seq(in).toDF("t").select(

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "cat dog fish"),
+    (2L, "cat cat cat cat cat cat cat cat"), // high tf, long doc
+    (3L, "cat"), // tf 1 but shortest doc — length norm favors it
+    (4L, "dog fish bird"),
+    (5L, "bird bird bird")
+  ).toDF("id", "text")
+
+  test("planted relevant docs outrank non-matching ones; k respected") {
+    val got = TextSearch.bm25TopK(corpus, $"id", $"text", Seq("cat"), k = 3)
+      .select($"id", $"score").collect()
+    assert(got.length == 3)
+    val ids = got.map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L), s"only cat-docs should score > 0: ${ids}")
+    // every returned score beats every excluded doc's score (they are 0)
+    assert(got.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("term saturation: score grows sublinearly in tf but stays monotone") {
+    val df = Seq(
+      (1L, "x a b c d e f g"),
+      (2L, "x x a b c d e f"),
+      (3L, "x x x x a b c d")
+    ).toDF("id", "text")
+    val byId = TextSearch.bm25TopK(df, $"id", $"text", Seq("x"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("score"))).toMap
+    assert(byId(1L) < byId(2L) && byId(2L) < byId(3L), s"monotone in tf: $byId")
+    // saturation: the marginal gain of tf 2->4 is below tf 1->2 times two
+    assert(byId(3L) - byId(2L) < byId(2L) - byId(1L))
+  }
+
+  test("multi-term score is the sum of per-term scores") {
+    val one = TextSearch.bm25TopK(corpus, $"id", $"text", Seq("cat"), k = 5)
+      .select($"id", $"score".as("s1"))
+    val two = TextSearch.bm25TopK(corpus, $"id", $"text", Seq("dog"), k = 5)
+      .select($"id", $"score".as("s2"))
+    val both = TextSearch.bm25TopK(corpus, $"id", $"text", Seq("cat", "dog"), k = 5)
+      .select($"id", $"score")
+    val joined = both.join(one, "id").join(two, "id")
+      .select($"id", abs($"score" - ($"s1" + $"s2")).as("err")).collect()
+    assert(joined.forall(_.getDouble(1) == 0.0),
+      "per-term scores must add exactly (same IEEE tree)")
+  }
+
+  test("deterministic under repartition") {
+    val a = TextSearch.bm25TopK(corpus, $"id", $"text", Seq("cat", "bird"), k = 5).collect()
+    val b = TextSearch.bm25TopK(corpus.repartition(7), $"id", $"text", Seq("cat", "bird"), k = 5)
+      .collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+}
