@@ -72,17 +72,21 @@ object Clustering {
         val assigned = vecs.select(
           (array_position(d, array_min(d)) - 1).cast("int").as("__c"),
           col("vec"), array_min(d).as("__md"))
-        // Exact inertia: decimal sum is reduce-order-invariant, so reruns
-        // and repartitions report the identical number.
-        inertia = inertia :+ assigned
-          .agg(sum(col("__md").cast("decimal(30,12)")).as("i"))
-          .head().getDecimal(0)
-        // k×dim aggregate — partial (map-side) combine, driver-sized result.
+        // ONE aggregation job per iteration: the k×dim centroid sums AND the
+        // inertia ride the same partial-aggregated groupBy (each row's
+        // min-distance is summed once per dimension, i.e. dim× in total —
+        // divided back out exactly below). Decimal sums are reduce-order-
+        // invariant, so reruns and repartitions report identical numbers.
         val sums = assigned
-          .select(col("__c"), posexplode(col("vec")).as(Seq("__p", "__v")))
+          .select(col("__c"), col("__md"), posexplode(col("vec")).as(Seq("__p", "__v")))
           .groupBy(col("__c"), col("__p"))
-          .agg(sum(col("__v").cast("decimal(28,12)")).as("__s"), count(lit(1)).as("__n"))
+          .agg(sum(col("__v").cast("decimal(28,12)")).as("__s"), count(lit(1)).as("__n"),
+            sum(col("__md").cast("decimal(30,12)")).as("__i"))
           .collect()
+        val dim = centroids.head.length
+        inertia = inertia :+ sums
+          .foldLeft(java.math.BigDecimal.ZERO)((acc, r) => acc.add(r.getDecimal(4)))
+          .divide(java.math.BigDecimal.valueOf(dim.toLong))
         val next = centroids.map(_.clone())
         sums.foreach { r =>
           next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue / r.getLong(3)

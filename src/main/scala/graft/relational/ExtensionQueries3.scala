@@ -156,7 +156,7 @@ object ExtensionQueries3 {
         import s.implicits._
         val emb = Tables.embeddings(s, d)
         val (assigned, model) =
-          Clustering.kmeans(emb, $"vec_id", $"embedding", k = 8, maxIters = 6)
+          Clustering.kmeans(emb, $"vec_id", $"embedding", k = 8, maxIters = 4)
         // Re-derive the assignment from the final centroids with a second,
         // independent evaluation — any nondeterminism in the distance math
         // or centroid state shows up as a mismatch row.
