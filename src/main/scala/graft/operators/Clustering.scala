@@ -50,6 +50,43 @@ object Clustering {
         array_min(col("__d")).as("dist2"))
   }
 
+  /** SemDeDup-style semantic dedup: k-means clusters bound the candidate
+    * set, then embeddings that are near-duplicate WITHIN a cluster
+    * (cosine ≥ `tau`) collapse to one survivor per connected near-dup group
+    * (smallest id — swap in [[DedupClusters.dropDuplicateClustersBy]] for a
+    * quality-chosen survivor). Pairwise similarity is only ever computed
+    * inside a cluster, which is the whole point of the design: the quadratic
+    * blow-up is bounded by the largest cluster, and `k` is the knob that
+    * bounds it — size `k` so the expected cluster is a few thousand rows and
+    * the candidate join stays rectangular at any corpus size.
+    *
+    * Every stage is deterministic ([[kmeans]] is md5-seeded with exact-
+    * decimal updates; the component labels are order-free minima), so the
+    * survivor set is a pure function of the data — rerun- and
+    * repartition-stable, which is what makes it usable as dataset lineage.
+    *
+    * Output: `id`, `cluster`, `survivor` (false = drop as a semantic dup).
+    */
+  def semDedup(df: DataFrame, idCol: Column, vecCol: Column, k: Int,
+      tau: Double, maxIters: Int = 4): DataFrame = {
+    val vecs = df.select(idCol.as("id"), vecCol.cast("array<double>").as("vec"))
+    val (assigned, _) = kmeans(vecs, col("id"), col("vec"), k, maxIters)
+    val clustered = vecs.join(assigned.select(col("id"), col("cluster")), Seq("id"))
+    val left = clustered.select(col("cluster"), col("id").as("id_a"), col("vec").as("__va"))
+    val right = clustered.select(col("cluster"), col("id").as("id_b"), col("vec").as("__vb"))
+    val pairs = left.join(right, Seq("cluster"))
+      .where(col("id_a") < col("id_b") &&
+        Similarity.cosine(col("__va").cast("array<float>"),
+          col("__vb").cast("array<float>")) >= tau)
+      .select(col("id_a"), col("id_b"))
+    val comps = DedupClusters.connectedComponentsStars(
+      clustered.select(col("id")), pairs, "id")
+    clustered.select(col("id"), col("cluster"))
+      .join(comps, Seq("id"))
+      .select(col("id"), col("cluster"),
+        (col("id") === col("component")).as("survivor"))
+  }
+
   /** Deterministic Lloyd's k-means; returns the final assignment and the
     * model (final centroids + per-iteration exact-decimal inertia).
     */

@@ -68,6 +68,34 @@ object Sampling {
       .drop("__grp", "__rate")
   }
 
+  /** Temperature-balanced downsampling at alpha = 1/2 — the standard
+    * "flatten the source mixture toward uniform" step for multilingual /
+    * multi-source corpora (rare groups keep everything, dominant groups are
+    * pulled toward the rare ones): group `g` keeps rows at rate
+    * `sqrt(c_min / c_g)`, so expected sizes are `sqrt(c_min * c_g)` — the
+    * geometric mean of "keep all" and "cap at the smallest group".
+    *
+    * alpha = 1/2 is deliberate, not a simplification: its rate needs only
+    * one division and one square root, BOTH correctly rounded under IEEE 754
+    * (`pow`/`ln` are not), so the selection is bit-reproducible on any
+    * engine — the DuckDB oracle re-derives the exact same doubles. Same
+    * scale shape as [[toShares]]: one count aggregation, a broadcast rate
+    * row per group, then a pure-function-of-the-key filter. No window, no
+    * skew wall.
+    */
+  def temperatureBalance(df: DataFrame, groupCol: Column, key: Column): DataFrame = {
+    val tagged = df.withColumn("__grp", groupCol.cast("string"))
+    val counts = tagged.groupBy(col("__grp")).agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min(col("__cnt")).as("__min"))
+    val rates = counts.crossJoin(minCnt)
+      .select(col("__grp"),
+        sqrt(col("__min").cast("double") / col("__cnt").cast("double")).as("__rate"))
+    val bucket = conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+    tagged.join(broadcast(rates), "__grp")
+      .where(bucket.cast("double") < col("__rate") * lit(4294967296.0))
+      .drop("__grp", "__rate")
+  }
+
   /** Exactly `k` rows per group (fewer when the group is smaller):
     * deterministic "reservoir" = the k smallest md5 draws within each
     * group, with the key itself as the unique tiebreak. One window over

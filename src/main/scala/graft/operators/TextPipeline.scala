@@ -189,6 +189,120 @@ object TextPipeline {
             col("n_shingles").cast("double")).as("overlap_ratio"))
   }
 
+  /** CCNet-style line-level boilerplate removal: a line that occurs (as an
+    * exact string) in at least `minDf` DISTINCT documents is boilerplate —
+    * navigation bars, cookie banners, license footers — and is dropped from
+    * every document; each document's remaining lines are reassembled in
+    * their original order. This is the cross-document complement of
+    * [[repetitionScore]] (which measures within-document repetition).
+    *
+    * Scale shape: lines are hashed to 8-byte longs natively before anything
+    * shuffles, so the document-frequency aggregation and the boilerplate
+    * anti join move hashes, not text. Two shuffles total (the df groupBy and
+    * the per-document reassembly), both on keys with partial aggregation;
+    * the per-doc reassembly state is bounded by document size. Line identity
+    * is the exact split token — no trimming — so the operator composes
+    * losslessly: `concat_ws(delim, kept-lines)` round-trips.
+    *
+    * Output: `id`, `clean_text` (empty string when every line was
+    * boilerplate), `n_lines`, `n_removed`.
+    */
+  def dedupLines(df: DataFrame, idCol: Column, textCol: Column,
+      delim: String = "\n", minDf: Long = 2): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would remove every line, got $minDf")
+    val lines = df
+      .select(idCol.as("id"), split(textCol, java.util.regex.Pattern.quote(delim)).as("__ls"))
+      .select(col("id"), posexplode(col("__ls")).as(Seq("__pos", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+    // df per line hash: distinct (hash, doc) pairs first so a line repeated
+    // WITHIN one doc counts once — partial aggregation applies to both steps.
+    val boiler = lines.select(col("__h"), col("id")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDf)
+      .select(col("__h"))
+    val kept = lines.join(boiler, Seq("__h"), "left_anti")
+    val reassembled = kept.groupBy(col("id"))
+      .agg(
+        concat_ws(delim,
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line"))).as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    df.select(idCol.as("id"),
+        size(split(textCol, java.util.regex.Pattern.quote(delim))).cast("bigint").as("n_lines"))
+      .join(reassembled, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Exact-substring duplication scan (the token-window formulation of
+    * "deduplicating training data" span dedup): every `k`-token window whose
+    * exact text occurs in at least `minDocs` DISTINCT documents is a
+    * duplicated window; per document, overlapping/adjacent duplicated
+    * windows merge into maximal duplicated spans. The per-doc summary
+    * (duplicated-token fraction) is the standard removal signal: drop or
+    * trim docs whose content is mostly copied from elsewhere in the corpus.
+    *
+    * Scale shape: windows are hashed to longs before the shuffle (the gram
+    * text never leaves the scan stage); the document-frequency aggregation
+    * and the duplicated-window semi join move `(hash)` / `(id, pos, hash)`
+    * rows only. The span merge is a per-document window over the FLAGGED
+    * positions — state bounded by document length, partitioned by doc id,
+    * so no global sort and no skew beyond the longest single document.
+    *
+    * Output: `id`, `n_tokens`, `n_windows`, `n_dup_windows`, `n_dup_spans`,
+    * `dup_tokens` (tokens covered by merged spans), `dup_frac`
+    * (null when the doc has no windows, i.e. fewer than `k` tokens).
+    */
+  def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 20, minDocs: Long = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2)
+    val base = df.select(
+      idCol.as("id"),
+      split(trim(textCol), "\\s+").as("__toks"))
+      .select(col("id"), col("__toks"),
+        size(col("__toks")).cast("bigint").as("n_tokens"),
+        greatest(size(col("__toks")) - (k - 1), lit(0)).cast("bigint").as("n_windows"))
+    // sequence(0, -1) would step BACKWARD in Spark; guard the short-doc case
+    // with an explicit empty array so docs under k tokens emit no windows.
+    val wins = base
+      .select(col("id"), col("__toks"),
+        explode(when(col("n_windows") > 0, sequence(lit(0L), col("n_windows") - 1L))
+          .otherwise(array().cast("array<bigint>"))).as("__pos"))
+      .select(col("id"), col("__pos"),
+        xxhash64(array_join(
+          slice(col("__toks"), (col("__pos") + 1L).cast("int"), lit(k)), " ")).as("__h"))
+    val dupHashes = wins.select(col("__h"), col("id")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("__h"))
+    val flagged = wins.join(dupHashes, Seq("__h"), "left_semi")
+    val w = Window.partitionBy(col("id")).orderBy(col("__pos"))
+    val prevEnd = max(col("__pos") + (k - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = flagged
+      .withColumn("__new", when(prevEnd.isNull || col("__pos") > prevEnd + 1L, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = islands.groupBy(col("id"), col("__isl"))
+      .agg(min(col("__pos")).as("__s"),
+        (max(col("__pos")) + (k - 1)).as("__e"),
+        count(lit(1)).as("__nw"))
+    val perDoc = spans.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__e") - col("__s") + 1L).as("dup_tokens"),
+        sum(col("__nw")).as("n_dup_windows"))
+    base.select(col("id"), col("n_tokens"), col("n_windows"))
+      .join(perDoc, Seq("id"), "left_outer")
+      .select(col("id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_windows") === 0, lit(null).cast("double"))
+          .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("dup_frac"))
+  }
+
   /** Stateless formulation of [[contamination]] — identical output, no
     * aggregation on the corpus side, so it runs unchanged on a STREAMING
     * corpus in append mode (the batch version's per-doc groupBy would need

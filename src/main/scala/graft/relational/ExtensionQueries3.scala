@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.core.{GraftQuery, Tables}
-import graft.operators.{Clustering, FuzzyJoin, Sampling, TextPipeline, TextSearch}
+import graft.operators.{Clustering, FuzzyJoin, Sampling, Similarity, TextPipeline, TextSearch, WebOps}
 import org.apache.spark.sql.functions._
 
 /** Round-6 additions: the dataset-assembly layer — mixture balancing,
@@ -175,6 +175,195 @@ object ExtensionQueries3 {
         "the final centroids must match exactly, and the exact-decimal " +
         "inertia sequence must be monotone non-increasing and strictly " +
         "improved — Lloyd's invariants, checked on every run."
+    ),
+    // ---------------------------------------------------------------- t53
+    GraftQuery(
+      "t53_boilerplate",
+      (s, d) => {
+        import s.implicits._
+        // documents.text is newline-free, so the query derives a lined view
+        // first (4-token lines) — the operator itself is delimiter-generic.
+        val toks = split(trim($"text"), "\\s+")
+        val lined = Tables.documents(s, d)
+          .select($"doc_id", toks.as("__toks"))
+          .select($"doc_id",
+            concat_ws("\n",
+              transform(sequence(lit(0), ((size($"__toks") - 1) / 4).cast("int")),
+                i => array_join(slice($"__toks", i * 4 + 1, lit(4)), " "))).as("text"))
+        TextPipeline.dedupLines(lined, $"doc_id", $"text", "\n", minDf = 3)
+          .select($"id".cast("bigint").as("doc_id"), $"clean_text",
+            $"n_lines", $"n_removed")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |b AS (
+             |  SELECT doc_id, array_to_string(
+             |    [array_to_string(ts[(i-1)*4+1 : least(i*4, len(ts))], ' ')
+             |     FOR i IN range(1, ((len(ts)-1)//4)+2)], chr(10)) AS text FROM tok),
+             |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM b),
+             |e AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line FROM l),
+             |bp AS (SELECT line FROM (
+             |  SELECT line, count(DISTINCT doc_id) AS c FROM e GROUP BY 1) WHERE c >= 3),
+             |kept AS (SELECT e.doc_id, e.pos, e.line FROM e ANTI JOIN bp USING (line)),
+             |agg AS (SELECT doc_id,
+             |  array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+             |  count(*) AS nk FROM kept GROUP BY 1)
+             |SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+             |  COALESCE(a.clean_text, '') AS clean_text,
+             |  CAST(len(l.ls) AS BIGINT) AS n_lines,
+             |  CAST(len(l.ls) - COALESCE(a.nk, 0) AS BIGINT) AS n_removed
+             |FROM l LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin),
+      doc = "CCNet-style line-level boilerplate removal: lines occurring in " +
+        ">= 3 distinct docs are dropped everywhere, docs reassembled in " +
+        "order. Lines are hashed to longs pre-shuffle; the oracle works on " +
+        "the raw line text."
+    ),
+    // ---------------------------------------------------------------- t54
+    GraftQuery(
+      "t54_dupspans",
+      (s, d) => {
+        import s.implicits._
+        TextPipeline.duplicateSpans(
+          Tables.documents(s, d), $"doc_id", $"text", k = 8, minDocs = 2)
+          .select($"id".cast("bigint").as("doc_id"), $"n_tokens", $"n_windows",
+            $"n_dup_windows", $"n_dup_spans", $"dup_tokens", $"dup_frac")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |base AS (SELECT doc_id, len(ts) AS n,
+             |  greatest(len(ts) - 7, 0) AS nw, ts FROM tok),
+             |w AS (SELECT doc_id, unnest(range(0, nw)) AS pos, ts FROM base),
+             |g AS (SELECT doc_id, pos,
+             |  array_to_string(ts[pos+1 : pos+8], ' ') AS gram FROM w),
+             |dfreq AS (SELECT gram FROM (
+             |  SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY 1) WHERE c >= 2),
+             |f AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN dfreq USING (gram)),
+             |isl AS (SELECT doc_id, pos,
+             |  CASE WHEN max(pos + 7) OVER pw IS NULL
+             |    OR pos > max(pos + 7) OVER pw + 1 THEN 1 ELSE 0 END AS nf
+             |  FROM f WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |isl2 AS (SELECT doc_id, pos, sum(nf) OVER (PARTITION BY doc_id
+             |  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+             |  FROM isl),
+             |sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + 7 AS e,
+             |  count(*) AS nw2 FROM isl2 GROUP BY 1, 2),
+             |pd AS (SELECT doc_id, count(*) AS ns, sum(e - s + 1) AS dt,
+             |  sum(nw2) AS ndw FROM sp GROUP BY 1)
+             |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+             |  CAST(n AS BIGINT) AS n_tokens, CAST(nw AS BIGINT) AS n_windows,
+             |  CAST(COALESCE(ndw, 0) AS BIGINT) AS n_dup_windows,
+             |  CAST(COALESCE(ns, 0) AS BIGINT) AS n_dup_spans,
+             |  CAST(COALESCE(dt, 0) AS BIGINT) AS dup_tokens,
+             |  CASE WHEN nw = 0 THEN NULL
+             |    ELSE CAST(COALESCE(dt, 0) AS DOUBLE) / n END AS dup_frac
+             |FROM base b LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin),
+      doc = "Exact-substring duplication scan (token-window formulation of " +
+        "span dedup): 8-token windows shared by >= 2 docs, merged into " +
+        "maximal per-doc spans via gaps-and-islands. Only window hashes " +
+        "cross the shuffle; the oracle re-derives from the raw gram text."
+    ),
+    // ---------------------------------------------------------------- t55
+    GraftQuery(
+      "t55_domains",
+      (s, d) => {
+        import s.implicits._
+        // Deterministic URL synthesis (documents has no URL column): some
+        // rows carry userinfo and ports so the host extraction is exercised.
+        val url = concat(
+          lit("https://"),
+          when($"doc_id" % 7 === 0, lit("u.ser:pw@")).otherwise(lit("")),
+          lit("www."), $"source", lit("-"), $"lang", lit(".org"),
+          when($"doc_id" % 5 === 0, lit(":8443")).otherwise(lit("")),
+          lit("/p/"), $"doc_id".cast("string"), lit("?ref=x#frag"))
+        val docs = Tables.documents(s, d).withColumn("url", url)
+        val blocked = Seq("src1-en.org", "src4-de.org").toDF("domain")
+        WebOps.domainStats(
+          WebOps.blocklistFilter(docs, $"url", blocked), $"url", $"n_chars")
+          .orderBy($"domain")
+      },
+      Some("""WITH u AS (SELECT doc_id, n_chars,
+             |  'https://' || CASE WHEN doc_id % 7 = 0 THEN 'u.ser:pw@' ELSE '' END ||
+             |  'www.' || source || '-' || lang || '.org' ||
+             |  CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
+             |  '/p/' || doc_id || '?ref=x#frag' AS url FROM documents),
+             |h AS (SELECT doc_id, n_chars, lower(regexp_extract(regexp_extract(
+             |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+             |  '([^@]*)$', 1), '^([^:]*)', 1)) AS host FROM u),
+             |r AS (SELECT doc_id, n_chars, CASE
+             |  WHEN len(string_split(host, '.')) >= 2
+             |  THEN array_to_string((string_split(host, '.'))[-2:], '.')
+             |  ELSE host END AS domain FROM h)
+             |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM r WHERE domain NOT IN ('src1-en.org', 'src4-de.org')
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Web-provenance layer: host extraction (userinfo/port-safe, " +
+        "RE2-identical regexes), registrable-domain rollup, broadcast " +
+        "blocklist anti join — the corpus never shuffles for the filter."
+    ),
+    // ---------------------------------------------------------------- t56
+    GraftQuery(
+      "t56_temperature",
+      (s, d) => {
+        import s.implicits._
+        Sampling.temperatureBalance(Tables.documents(s, d), $"lang", $"doc_id")
+          .select($"doc_id".cast("bigint").as("doc_id"), $"lang")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+             |m AS (SELECT min(c) AS mc FROM cnt),
+             |r AS (SELECT lang, sqrt(CAST(mc AS DOUBLE) / CAST(c AS DOUBLE)) AS rate
+             |  FROM cnt CROSS JOIN m)
+             |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+             |FROM documents d JOIN r USING (lang)
+             |WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+             |  < rate * 4294967296.0
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Temperature-balanced sampling at alpha = 1/2: group g keeps " +
+        "rows at rate sqrt(c_min/c_g) — division and sqrt are both IEEE " +
+        "correctly-rounded (pow/ln are not), so membership is bit-identical " +
+        "cross-engine."
+    ),
+    // ---------------------------------------------------------------- t57
+    GraftQuery(
+      "t57_semdedup_gate",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val res = Clustering.semDedup(emb, $"vec_id", $"embedding",
+          k = 8, tau = 0.3, maxIters = 4).cache()
+        val total = emb.count()
+        val partitionOk = res.count() == total &&
+          res.select($"id").distinct().count() == total
+        // Two survivors of the same cluster at cosine >= tau would have been
+        // one component — zero such pairs is the operator's core guarantee.
+        val sv = res.filter($"survivor")
+          .join(emb.select($"vec_id".as("id"), $"embedding"), Seq("id"))
+        val dupPairs = sv.as("a").join(sv.as("b"),
+            col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+          .filter(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.3)
+          .count()
+        // Determinism under repartition: the survivor set is a pure function
+        // of the data, not of the physical layout.
+        val res2 = Clustering.semDedup(emb.repartition(7), $"vec_id",
+          $"embedding", k = 8, tau = 0.3, maxIters = 4)
+        val detViol = res.select($"id", $"survivor")
+          .exceptAll(res2.select($"id", $"survivor")).count() +
+          res2.select($"id", $"survivor")
+            .exceptAll(res.select($"id", $"survivor")).count()
+        res.unpersist(blocking = false)
+        Seq((partitionOk, dupPairs, detViol))
+          .toDF("partition_ok", "survivor_dup_pairs", "determinism_violations")
+      },
+      Some("SELECT true AS partition_ok, CAST(0 AS BIGINT) AS survivor_dup_pairs, " +
+        "CAST(0 AS BIGINT) AS determinism_violations"),
+      doc = "SemDeDup gate: k-means-bounded semantic dedup must (a) emit " +
+        "every id exactly once, (b) leave no surviving near-dup pair " +
+        "within a cluster, (c) be repartition-invariant — all pure " +
+        "invariants, so the oracle is constant."
     )
   )
 }

@@ -60,4 +60,32 @@ class ClusteringSpec extends SparkSpec {
     assert(model.centroids.length == 2)
     assert(assigned.select(countDistinct($"cluster")).head().getLong(0) == 1L)
   }
+
+  test("semDedup collapses planted near-dup groups to their min id, keeps the rest") {
+    // Two tight blobs of 4 near-identical vectors each (cosine ~ 1 within a
+    // blob) plus orthogonal singletons that match nothing at tau = 0.9.
+    val blobA = (1L to 4L).map(i => (i, Seq(1.0, 0.001 * i, 0.0)))
+    val blobB = (11L to 14L).map(i => (i, Seq(0.0, 1.0, 0.001 * i)))
+    val solo = Seq((21L, Seq(0.0, 0.0, 1.0)), (22L, Seq(-1.0, 0.0, 0.0)))
+    val df = (blobA ++ blobB ++ solo).toDF("id", "vec")
+    // k = 1 so the collapse semantics are tested independently of where the
+    // seeded clustering happens to cut; cluster-bounded candidate generation
+    // is pinned by the t57 gate (no surviving near-dup pair per cluster).
+    val res = Clustering.semDedup(df, $"id", $"vec", k = 1, tau = 0.9)
+    val survivors = res.filter($"survivor").select("id").collect()
+      .map(_.getLong(0)).toSet
+    val all = res.select("id").collect().map(_.getLong(0)).toSet
+    assert(all == (1L to 4L).toSet ++ (11L to 14L).toSet ++ Set(21L, 22L))
+    // each blob keeps exactly its min id; singletons always survive
+    assert(survivors.contains(1L) && survivors.contains(11L))
+    assert(survivors.contains(21L) && survivors.contains(22L))
+    assert(!survivors.exists(id => (2L to 4L).contains(id) || (12L to 14L).contains(id)),
+      s"non-minimal blob members must be dropped: $survivors")
+  }
+
+  test("semDedup at an impossible tau keeps everything") {
+    val df = (1L to 6L).map(i => (i, Seq(i.toDouble, 1.0))).toDF("id", "vec")
+    val res = Clustering.semDedup(df, $"id", $"vec", k = 2, tau = 1.0000001)
+    assert(res.filter(!$"survivor").count() == 0L)
+  }
 }

@@ -59,6 +59,23 @@ class SamplingSpec extends SparkSpec {
     assert(got.select("g").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("temperatureBalance keeps the smallest group whole, pulls big groups toward sqrt") {
+    val df = spark.range(0, 4000).select($"id",
+        when($"id" < 100, "rare").when($"id" < 1000, "mid").otherwise("big").as("g"))
+    val got = Sampling.temperatureBalance(df, $"g", $"id").cache()
+    val counts = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rates: rare = 1.0 (kept whole), mid = sqrt(100/900) = 1/3,
+    // big = sqrt(100/3000) ~ 0.1826 -> expected sizes 100 / 300 / ~548
+    assert(counts("rare") == 100L, "the binding group must keep every row")
+    assert(math.abs(counts("mid") - 300L) < 60, counts.toString)
+    assert(math.abs(counts("big") - 548L) < 90, counts.toString)
+    // membership is a pure function of the key: repartition-proof
+    val again = Sampling.temperatureBalance(df.repartition(13), $"g", $"id")
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    got.unpersist(blocking = false)
+  }
+
   test("perGroup returns exactly k per group (fewer for small groups), deterministically") {
     val df = spark.range(0, 900)
       .select($"id", (pmod($"id", lit(3))).cast("string").as("g"))

@@ -179,4 +179,73 @@ class TextPipelineSpec extends SparkSpec {
       TextPipeline.piiCount(col("t"), TextPipeline.Ipv4Re)).collect().head
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((2L, 1L, 2L)))
   }
+
+  test("dedupLines drops boilerplate lines everywhere, keeps order, keeps empty docs") {
+    val docs = Seq(
+      (1L, "cookie banner\nunique alpha\nfooter text"),
+      (2L, "cookie banner\nunique beta\nfooter text"),
+      (3L, "footer text\nunique gamma\ncookie banner"),
+      (4L, "cookie banner\nfooter text"), // all boilerplate -> empty
+      (5L, "solo line only")).toDF("doc_id", "text")
+    val got = TextPipeline.dedupLines(docs, col("doc_id"), col("text"), "\n", minDf = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "unique alpha", 3L, 2L),
+      (2L, "unique beta", 3L, 2L),
+      (3L, "unique gamma", 3L, 2L),
+      (4L, "", 2L, 2L),
+      (5L, "solo line only", 1L, 0L)))
+  }
+
+  test("dedupLines counts a line once per doc (within-doc repeats are not df)") {
+    // "x" repeats inside doc 1 but appears in only 2 distinct docs: below
+    // minDf = 3 it must survive, repeats intact.
+    val docs = Seq(
+      (1L, "x\nx\na"),
+      (2L, "x\nb"),
+      (3L, "c")).toDF("doc_id", "text")
+    val got = TextPipeline.dedupLines(docs, col("doc_id"), col("text"), "\n", minDf = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "x\nx\na"), (2L, "x\nb"), (3L, "c")))
+  }
+
+  private def spansOf(docs: Seq[(Long, String)], k: Int) =
+    TextPipeline.duplicateSpans(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), k = k, minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+
+  test("duplicateSpans finds a shared region and merges overlapping windows into one span") {
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ") // 6 shared tokens
+    val d1 = s"a1 a2 $shared z1 z2"
+    val d2 = s"b1 $shared y1 y2 y3"
+    // k=4: the shared 6-token run yields 3 dup windows per doc, overlapping
+    // into ONE maximal span of exactly the 6 shared tokens.
+    val got = spansOf(Seq((1L, d1), (2L, d2)), k = 4)
+    // (id, n_tokens, n_windows, n_dup_windows, n_dup_spans, dup_tokens)
+    assert(got == Seq((1L, 10L, 7L, 3L, 1L, 6L), (2L, 10L, 7L, 3L, 1L, 6L)))
+  }
+
+  test("duplicateSpans: disjoint shared regions stay separate spans; short docs are null-safe") {
+    val s1 = "p q r s"
+    val s2 = "t u v w"
+    val d1 = s"$s1 m1 m2 m3 $s2"       // two disjoint shared 4-gram regions
+    val d2 = s"$s1 n1 n2 n3 n4 n5 $s2"
+    val tiny = "only two"               // < k tokens: no windows
+    val got = spansOf(Seq((1L, d1), (2L, d2), (3L, tiny)), k = 4)
+    assert(got(0) == ((1L, 11L, 8L, 2L, 2L, 8L)))
+    assert(got(1) == ((2L, 13L, 10L, 2L, 2L, 8L)))
+    assert(got(2) == ((3L, 2L, 0L, 0L, 0L, 0L)))
+    val frac = TextPipeline.duplicateSpans(Seq((3L, tiny)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), 4, 2).select("dup_frac").collect().head
+    assert(frac.isNullAt(0))
+  }
+
+  test("duplicateSpans: identical docs are one full-coverage span each") {
+    val text = (1 to 9).map(i => s"w$i").mkString(" ")
+    val got = spansOf(Seq((1L, text), (2L, text)), k = 4)
+    assert(got == Seq((1L, 9L, 6L, 6L, 1L, 9L), (2L, 9L, 6L, 6L, 1L, 9L)))
+  }
 }
