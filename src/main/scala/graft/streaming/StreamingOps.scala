@@ -144,6 +144,34 @@ object StreamingOps {
       }
   }
 
+  final case class Doc(doc_id: Long, fingerprint: String, text: String)
+
+  /** Incremental corpus dedup over a document stream: at most one document
+    * is EVER emitted per content fingerprint, across all micro-batches — the
+    * continuous-ingest twin of the batch first-wins dedup (new crawl drops
+    * arrive forever; a doc whose fingerprint was seen in any earlier batch
+    * is suppressed). Within a single batch the smallest `doc_id` wins, so
+    * the output is deterministic given the batch boundaries.
+    *
+    * State is one boolean per distinct fingerprint — the minimum any
+    * streaming seen-set can hold — partitioned by the fingerprint key, so
+    * it shards across executors and a RocksDB state store carries it at
+    * billions of keys. No timeout is set because "seen" must never expire;
+    * bound the store instead by fingerprinting at the right granularity
+    * (content hash, not raw text).
+    */
+  def dedupDocsStream(docs: Dataset[Doc]): Dataset[Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(rows.minBy(_.doc_id)) }
+      }
+  }
+
   /** Streaming enrichment: the incremental Program-2 mode. New markdown files
     * landing in `inDir` are enriched exactly once (checkpointed intake
     * replaces the reference's filesystem-existence check). Implemented with

@@ -181,4 +181,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
+
+  test("dedupDocsStream emits one doc per fingerprint across micro-batches") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("docs_stream")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("fingerprint", StringType),
+      StructField("text", StringType)))
+    // stage files directly: one parquet file per micro-batch drop
+    def dropFile(name: String, rows: Seq[StreamingOps.Doc]): Unit = {
+      val tmp = Files.createTempDirectory("docs_tmp")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    dropFile("b1.parquet", Seq(
+      StreamingOps.Doc(2L, "A", "alpha-copy"), StreamingOps.Doc(1L, "A", "alpha"),
+      StreamingOps.Doc(3L, "B", "beta")))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .as[StreamingOps.Doc]
+    val q = StreamingOps.dedupDocsStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("doc_dedup")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_dd").toString)
+      .start()
+    q.processAllAvailable()
+    // batch 1: min doc_id per fingerprint
+    assert(spark.table("doc_dedup").select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 3L))
+    // batch 2: seen fingerprint suppressed forever, new one emitted
+    dropFile("b2.parquet", Seq(
+      StreamingOps.Doc(4L, "A", "alpha-again"), StreamingOps.Doc(5L, "C", "gamma")))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("doc_dedup").select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 3L, 5L))
+  }
 }
