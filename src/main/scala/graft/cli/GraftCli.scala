@@ -146,6 +146,33 @@ object GraftCli {
           chunks.write.mode("overwrite").partitionBy("split").parquet(outDir)
           val n = spark.read.parquet(outDir).count()
           println(s"prep: $n chunks (window=$window stride=$stride) -> $outDir partitioned by split")
+        case "clean" :: sfDir :: outDir :: rest =>
+          // corpus-cleaning pipeline over `documents`: exact dedup →
+          // duplicated-span filter → repetition filter, with an audit line
+          // so a dataset release can account for every dropped doc
+          import org.apache.spark.sql.functions.{coalesce, col, lit}
+          val maxDupFrac = rest.headOption.map(_.toDouble).getOrElse(0.5)
+          val minDistinct = rest.lift(1).map(_.toDouble).getOrElse(0.3)
+          val docs = graft.core.Tables.documents(spark, sfDir)
+          val n0 = docs.count()
+          val deduped = graft.operators.DedupOps
+            .exactDupFlags(docs, col("text"), col("doc_id"))
+            .where(!col("is_dup")).drop("is_dup")
+          val n1 = deduped.count()
+          val spans = graft.operators.TextPipeline
+            .duplicateSpans(deduped, col("doc_id"), col("text"), k = 8, minDocs = 2)
+            .select(col("id").as("doc_id"), col("dup_frac"))
+          val rep = graft.operators.TextPipeline
+            .repetitionScore(deduped, col("doc_id"), col("text"), n = 3)
+            .select(col("id").as("doc_id"), col("distinct_ratio"))
+          val cleaned = deduped.join(spans, Seq("doc_id")).join(rep, Seq("doc_id"))
+            .where(coalesce(col("dup_frac"), lit(0.0)) <= maxDupFrac &&
+              coalesce(col("distinct_ratio"), lit(1.0)) >= minDistinct)
+            .drop("dup_frac", "distinct_ratio")
+          cleaned.write.mode("overwrite").parquet(outDir)
+          val n2 = spark.read.parquet(outDir).count()
+          println(s"clean: $n0 docs -> $n1 after exact dedup -> $n2 after " +
+            s"span(<=$maxDupFrac)/repetition(>=$minDistinct) filters -> $outDir")
         case "zorder" :: inPath :: outPath :: colA :: colB :: rest =>
           import org.apache.spark.sql.functions.col
           val files = rest.headOption.map(_.toInt).getOrElse(64)
@@ -224,7 +251,8 @@ object GraftCli {
             "usage: markdown <csv> <tpl> <outDir> | enrich <inDir> <outMdDir> <outJsonDir> <promptTpl> [limit] | " +
               "enrich-stream <inDir> <outMdDir> <outJsonDir> <promptTpl> <ckpt> | site <csv> <mdDir> <tpl> <out.html> | " +
               "all <csv> <mdTpl> <promptTpl> <siteTpl> <workDir> | probe [.env] | dedup <sfDir> <outDir> [minhash|simhash|ngram] [best] | " +
-              "prep <sfDir> <outDir> [window stride] | zorder <in> <out> <colA> <colB> [files] | " +
+              "prep <sfDir> <outDir> [window stride] | clean <sfDir> <outDir> [maxDupFrac minDistinctRatio] | " +
+              "zorder <in> <out> <colA> <colB> [files] | " +
               "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | stress <sfDir> <workDir> [factor] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | reset <workDir>")

@@ -352,6 +352,53 @@ object Stress {
       check(zkept < ztotal, s"z-order read skipped nothing ($zkept of $ztotal)")
       check(zrowsOk, "stats-pruned read lost or invented rows")
 
+      // ---- line-level boilerplate removal over the full corpus: the
+      // replicated base text means every 4-token line of an original doc
+      // recurs in all its replicas — heavy df traffic, exactly the shape a
+      // crawl with shared templates produces. Only line hashes shuffle.
+      val lined = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("__t"))
+        .select(col("doc_id"), concat_ws("\n",
+          transform(sequence(lit(0), ((size(col("__t")) - 1) / 4).cast("int")),
+            i => array_join(slice(col("__t"), i * 4 + 1, lit(4)), " "))).as("text"))
+      val ((blRows, blRemoved), tBl) = timed {
+        val r = TextPipeline.dedupLines(lined, col("doc_id"), col("text"),
+          "\n", minDf = factor.toLong + 1)
+        (r.count(), r.agg(sum(col("n_removed"))).collect().head.getLong(0))
+      }
+      println(j("stage" -> "boilerplate_lines", "seconds" -> tBl,
+        "docs" -> blRows, "lines_removed" -> blRemoved))
+      check(blRows == nDocs, s"dedupLines must keep every doc row ($blRows of $nDocs)")
+      check(blRemoved > 0, "stress corpus must trigger some boilerplate removal")
+
+      // ---- duplicated-span scan: replicas share their entire base text, so
+      // nearly every doc must report a dominant duplicated span; windows are
+      // hashed pre-shuffle and the island merge is per-doc.
+      val ((spanRows, spanDocs), tSpan) = timed {
+        val r = TextPipeline.duplicateSpans(docs, col("doc_id"), col("text"),
+          k = 8, minDocs = 2)
+        (r.count(), r.where(col("dup_frac") > 0.5).count())
+      }
+      println(j("stage" -> "duplicate_spans", "seconds" -> tSpan,
+        "docs" -> spanRows, "docs_mostly_dup" -> spanDocs))
+      check(spanRows == nDocs, s"duplicateSpans must emit one row per doc ($spanRows)")
+      check(spanDocs > nDocs / 2,
+        s"replicated corpus must be mostly duplicated spans ($spanDocs of $nDocs)")
+
+      // ---- SemDeDup at scale: 64 clusters bound the within-cluster
+      // candidate joins; the drift replicas collapse, distinct bases survive.
+      val (semSurvivors, tSem) = timed {
+        graft.operators.Clustering.semDedup(
+          emb, col("vec_id"), col("embedding"),
+          k = 64, tau = 0.9999, maxIters = 2)
+          .where(col("survivor")).count()
+      }
+      println(j("stage" -> "sem_dedup", "seconds" -> tSem,
+        "survivors" -> semSurvivors, "vectors" -> nVecs))
+      check(semSurvivors < nVecs / 2,
+        s"drift replicas should collapse ($semSurvivors of $nVecs survive)")
+      check(semSurvivors >= nVecs / factor,
+        s"distinct bases must survive ($semSurvivors of $nVecs)")
+
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
       failures.foreach(f => System.err.println(s"[stress] FAILED: $f"))

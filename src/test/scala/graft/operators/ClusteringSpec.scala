@@ -81,6 +81,9 @@ class ClusteringSpec extends SparkSpec {
     assert(survivors.contains(21L) && survivors.contains(22L))
     assert(!survivors.exists(id => (2L to 4L).contains(id) || (12L to 14L).contains(id)),
       s"non-minimal blob members must be dropped: $survivors")
+    // survivor set is a pure function of the data: repartition-invariant
+    val again = Clustering.semDedup(df.repartition(7), $"id", $"vec", k = 1, tau = 0.9)
+    assert(res.exceptAll(again).isEmpty && again.exceptAll(res).isEmpty)
   }
 
   test("semDedup at an impossible tau keeps everything") {
