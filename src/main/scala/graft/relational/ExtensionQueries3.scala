@@ -364,6 +364,72 @@ object ExtensionQueries3 {
         "within a cluster, (c) actually collapse something on this corpus " +
         "— pure invariants, so the oracle is constant. Repartition " +
         "invariance is pinned in ClusteringSpec."
+    ),
+    // ---------------------------------------------------------------- t58
+    GraftQuery(
+      "t58_jsonl",
+      (s, d) => {
+        import s.implicits._
+        // Deterministic JSONL synthesis: every 13th record is truncated
+        // mid-object — the malformed-upload shape real crawls contain.
+        val json = concat(
+          lit("{\"id\":"), $"doc_id", lit(",\"lang\":\""), $"lang",
+          lit("\",\"nc\":"), $"n_chars", lit("}"))
+        val raw = Tables.documents(s, d).select(
+          $"doc_id",
+          when($"doc_id" % 13 === 0, substring(json, 1, 12))
+            .otherwise(json).as("line"))
+        graft.sources.JsonlCorpus
+          .parseLines(raw, $"line", "id BIGINT, lang STRING, nc BIGINT")
+          .select($"doc_id".cast("bigint").as("doc_id"),
+            $"id", $"lang", $"nc", $"is_corrupt")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH j AS (SELECT doc_id,
+             |  '{"id":' || doc_id || ',"lang":"' || lang || '","nc":' || n_chars || '}' AS whole
+             |  FROM documents),
+             |l AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 13 = 0 THEN substr(whole, 1, 12) ELSE whole END AS line
+             |  FROM j)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CASE WHEN json_valid(line) THEN CAST(line->>'$.id' AS BIGINT) END AS id,
+             |  CASE WHEN json_valid(line) THEN line->>'$.lang' END AS lang,
+             |  CASE WHEN json_valid(line) THEN CAST(line->>'$.nc' AS BIGINT) END AS nc,
+             |  NOT json_valid(line) AS is_corrupt
+             |FROM l ORDER BY doc_id""".stripMargin),
+      doc = "JSONL ingest with corrupt-record quarantine: PERMISSIVE parse " +
+        "against an explicit schema (never inferred — inference is an " +
+        "extra full pass at 100 TB), malformed lines flagged and " +
+        "preserved, fields normalized null on corrupt rows so validity " +
+        "semantics are engine-comparable."
+    ),
+    // ---------------------------------------------------------------- t59
+    GraftQuery(
+      "t59_profile",
+      (s, d) =>
+        graft.operators.Profiler
+          .profile(Tables.documents(s, d), Seq("lang", "source", "n_chars"))
+          .orderBy(col("column")),
+      Some("""SELECT 'lang' AS "column", count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+             |  CAST(min(lang) AS VARCHAR) AS min_value,
+             |  CAST(max(lang) AS VARCHAR) AS max_value FROM documents
+             |UNION ALL
+             |SELECT 'n_chars', count(*),
+             |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(count(DISTINCT n_chars) AS BIGINT),
+             |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+             |UNION ALL
+             |SELECT 'source', count(*),
+             |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(count(DISTINCT source) AS BIGINT),
+             |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+             |ORDER BY "column"""".stripMargin),
+      doc = "Dataset profile (release QA report): nulls / exact distinct / " +
+        "min / max per column from ONE scan (multi-distinct via Expand), " +
+        "stack-unpivoted to long format. approx variant keeps the shape " +
+        "at 100 TB."
     )
   )
 }
