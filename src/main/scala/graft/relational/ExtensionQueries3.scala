@@ -430,6 +430,54 @@ object ExtensionQueries3 {
         "min / max per column from ONE scan (multi-distinct via Expand), " +
         "stack-unpivoted to long format. approx variant keeps the shape " +
         "at 100 TB."
+    ),
+    // ---------------------------------------------------------------- t60
+    GraftQuery(
+      "t60_privacy",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val audit = graft.operators.Privacy
+          .kAnonymityAudit(docs, Seq($"lang", $"source"), k = 8)
+        docs.join(audit, Seq("lang", "source"))
+          .select($"doc_id".cast("bigint").as("doc_id"),
+            graft.operators.Privacy
+              .pseudonymize($"doc_id", "release-2026-08").as("pseudo_id"),
+            $"lang", $"source", $"n".as("group_n"), $"meets_k")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH a AS (SELECT lang, source, count(*) AS n
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  sha256('release-2026-08' || CAST(doc_id AS VARCHAR)) AS pseudo_id,
+             |  d.lang, d.source, CAST(n AS BIGINT) AS group_n,
+             |  n >= 8 AS meets_k
+             |FROM documents d JOIN a USING (lang, source)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Privacy layer: salted SHA-256 pseudonymization (deterministic, " +
+        "join-preserving, engine-independent lower hex) plus the " +
+        "k-anonymity audit over quasi-identifier combinations — one " +
+        "partial-aggregated groupBy, corpus never shuffles."
+    ),
+    // ---------------------------------------------------------------- t61
+    GraftQuery(
+      "t61_curriculum",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Curriculum
+          .bucketBy(Tables.documents(s, d), $"n_chars".cast("double"), nBuckets = 4)
+          .select($"doc_id".cast("bigint").as("doc_id"), $"n_chars", $"bucket")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH c AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+             |  [0.25, 0.5, 0.75]) AS cuts FROM documents)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars,
+             |  CAST(len(list_filter(cuts, x -> x < CAST(n_chars AS DOUBLE))) AS BIGINT) AS bucket
+             |FROM documents CROSS JOIN c ORDER BY doc_id""".stripMargin),
+      doc = "Curriculum bucketing by exact score quantiles: n-1 interior " +
+        "cut points from ONE aggregation, broadcast, narrow assignment " +
+        "projection (ties to the lower bucket) — no ntile global-sort " +
+        "window, so no single-partition skew wall."
     )
   )
 }
