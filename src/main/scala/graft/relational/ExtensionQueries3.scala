@@ -478,6 +478,72 @@ object ExtensionQueries3 {
         "cut points from ONE aggregation, broadcast, narrow assignment " +
         "projection (ties to the lower bucket) — no ntile global-sort " +
         "window, so no single-partition skew wall."
+    ),
+    // ---------------------------------------------------------------- t62
+    GraftQuery(
+      "t62_drift",
+      (s, d) => {
+        import s.implicits._
+        val before = Tables.documents(s, d)
+        // Deterministic "next snapshot": 10% of rows dropped by the keyed
+        // Bernoulli, lang nulled for every 10th doc — the broken-extractor
+        // shape the drift report exists to catch.
+        val after = before
+          .where(Sampling.bernoulli($"doc_id", 0.9))
+          .withColumn("lang",
+            when($"doc_id" % 10 === 0, lit(null).cast("string"))
+              .otherwise($"lang"))
+        graft.operators.Profiler.drift(before, after, Seq("lang", "n_chars"))
+          .select(col("column"),
+            col("rows_before"), col("nulls_before"), col("distinct_before"),
+            col("min_before"), col("max_before"),
+            col("rows_after"), col("nulls_after"), col("distinct_after"),
+            col("min_after"), col("max_after"), col("null_rate_delta"))
+          .orderBy(col("column"))
+      },
+      Some("""WITH aft AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+             |    n_chars
+             |  FROM documents
+             |  WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+             |    < 0.9 * 4294967296.0),
+             |pb AS (
+             |  SELECT 'lang' AS col, count(*) AS r,
+             |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+             |    CAST(count(DISTINCT lang) AS BIGINT) AS nd,
+             |    CAST(min(lang) AS VARCHAR) AS mn, CAST(max(lang) AS VARCHAR) AS mx
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'n_chars', count(*),
+             |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT n_chars) AS BIGINT),
+             |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+             |  FROM documents),
+             |pa AS (
+             |  SELECT 'lang' AS col, count(*) AS r,
+             |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+             |    CAST(count(DISTINCT lang) AS BIGINT) AS nd,
+             |    CAST(min(lang) AS VARCHAR) AS mn, CAST(max(lang) AS VARCHAR) AS mx
+             |  FROM aft
+             |  UNION ALL
+             |  SELECT 'n_chars', count(*),
+             |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT n_chars) AS BIGINT),
+             |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+             |  FROM aft)
+             |SELECT pb.col AS "column",
+             |  pb.r AS rows_before, pb.nl AS nulls_before, pb.nd AS distinct_before,
+             |  pb.mn AS min_before, pb.mx AS max_before,
+             |  pa.r AS rows_after, pa.nl AS nulls_after, pa.nd AS distinct_after,
+             |  pa.mn AS min_after, pa.mx AS max_after,
+             |  (CAST(pa.nl AS DOUBLE) / pa.r) - (CAST(pb.nl AS DOUBLE) / pb.r) AS null_rate_delta
+             |FROM pb JOIN pa USING (col) ORDER BY "column"""".stripMargin),
+      doc = "Snapshot drift report: per-column null-rate / distinct / " +
+        "min-max deltas between two releases from one profile each — the " +
+        "early-warning signal for a broken upstream extractor. Delta " +
+        "arithmetic is pure IEEE division/subtraction, so it is " +
+        "bit-comparable cross-engine."
     )
   )
 }
