@@ -173,6 +173,14 @@ object GraftCli {
           val n2 = spark.read.parquet(outDir).count()
           println(s"clean: $n0 docs -> $n1 after exact dedup -> $n2 after " +
             s"span(<=$maxDupFrac)/repetition(>=$minDistinct) filters -> $outDir")
+        case "profile" :: sfDir :: table :: cols =>
+          // release QA report over any testdata table; default = all columns
+          val src =
+            if (table == "events") graft.core.Tables.events(spark, sfDir)
+            else graft.core.Tables.table(spark, sfDir, table)
+          val selected = if (cols.isEmpty) src.columns.toSeq else cols
+          graft.operators.Profiler.profile(src, selected)
+            .orderBy("column").show(truncate = false)
         case "zorder" :: inPath :: outPath :: colA :: colB :: rest =>
           import org.apache.spark.sql.functions.col
           val files = rest.headOption.map(_.toInt).getOrElse(64)
@@ -252,6 +260,7 @@ object GraftCli {
               "enrich-stream <inDir> <outMdDir> <outJsonDir> <promptTpl> <ckpt> | site <csv> <mdDir> <tpl> <out.html> | " +
               "all <csv> <mdTpl> <promptTpl> <siteTpl> <workDir> | probe [.env] | dedup <sfDir> <outDir> [minhash|simhash|ngram] [best] | " +
               "prep <sfDir> <outDir> [window stride] | clean <sfDir> <outDir> [maxDupFrac minDistinctRatio] | " +
+              "profile <sfDir> <table> [cols...] | " +
               "zorder <in> <out> <colA> <colB> [files] | " +
               "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | stress <sfDir> <workDir> [factor] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
