@@ -27,6 +27,23 @@ object DataSinks {
     df.sparkSession.read.parquet(path)
   }
 
+  /** JSONL shard writer — the release-format counterpart of
+    * `sources.JsonlCorpus`: one JSON object per line in the frame's column
+    * order, shard count explicit (a release wants N stable shards, not
+    * one file per upstream task). Null fields are omitted per JSON-lines
+    * convention; `JsonlCorpus.read` round-trips them back to null, so
+    * write→read is lossless for the schema'd fields (spec-pinned).
+    */
+  def writeJsonl(df: DataFrame, path: String, shards: Int = 1): Unit = {
+    require(shards >= 1)
+    df.select(org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(df.columns.map(col): _*)).as("value"))
+      .repartition(shards)
+      .write
+      .mode(SaveMode.Overwrite)
+      .text(path)
+  }
+
   def writeBucketed(df: DataFrame, tableName: String, path: String,
       bucketCol: String, numBuckets: Int = 8): Unit =
     df.write

@@ -142,4 +142,30 @@ class PlanShapeSpec extends SparkSpec {
     val cols = read.split(",").map(_.takeWhile(_ != ':')).toSet
     assert(cols == Set("doc_id", "text"), s"got $cols\n$scanLine")
   }
+
+  test("t53 boilerplate removal anti-joins and partially aggregates the line df") {
+    val p = planOf("t53_boilerplate")
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "df count must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t54 duplicated spans: window hashes semi-join, no cartesian anywhere") {
+    val p = planOf("t54_dupspans")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("t56/t61: the no-window sampling and bucketing contracts hold") {
+    // temperatureBalance and bucketBy both exist to AVOID the global-sort /
+    // per-group window formulations — a Window operator appearing in either
+    // plan means the skew wall is back
+    assert(!planOf("t56_temperature").contains("Window"))
+    assert(!planOf("t61_curriculum").contains("Window"))
+  }
+
+  test("t58 JSONL parsing is a pure projection: no join in the plan") {
+    val p = planOf("t58_jsonl")
+    assert(!p.contains("Join"), p.take(1200))
+  }
 }

@@ -62,6 +62,22 @@ class JsonlCorpusSpec extends SparkSpec {
       (3L, 3L, "c", false)))
   }
 
+  test("writeJsonl -> read round-trips losslessly, including null fields") {
+    val dir = Files.createTempDirectory("jsonl_rt").resolve("out").toString
+    val src = Seq(
+      (1L, Some("alpha"), Some(0.5)),
+      (2L, None: Option[String], Some(2.5)),
+      (3L, Some("gamma"), None: Option[Double])).toDF("id", "name", "score")
+    graft.sinks.DataSinks.writeJsonl(src, dir, shards = 2)
+    val (good, quarantine) = JsonlCorpus.readWithQuarantine(spark, dir, ddl)
+    assert(quarantine.count() == 0, "a writer-produced corpus must be fully valid")
+    assert(good.exceptAll(src).isEmpty && src.exceptAll(good).isEmpty)
+    // shard count is what was asked for
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("part-")).count()
+    assert(files == 2, s"expected 2 shards, got $files")
+  }
+
   test("good-path scan supports column pruning and predicate pushdown semantics") {
     val path = stage(
       """{"id":1,"name":"alpha","score":0.5}""",
