@@ -544,6 +544,45 @@ object ExtensionQueries3 {
         "early-warning signal for a broken upstream extractor. Delta " +
         "arithmetic is pure IEEE division/subtraction, so it is " +
         "bit-comparable cross-engine."
+    ),
+    // ---------------------------------------------------------------- t63
+    GraftQuery(
+      "t63_vocab_encode",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val vocab = graft.operators.Vocab.build(docs, $"text", size = 25)
+        graft.operators.Vocab.encode(docs, $"doc_id", $"text", vocab)
+          .select($"id".cast("bigint").as("doc_id"),
+            $"n_tokens", $"n_oov",
+            aggregate($"ids", lit(0L), (a, x) => a + x).as("id_sum"),
+            element_at($"ids", 1).as("id_first"),
+            element_at($"ids", -1).as("id_last"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |tok AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos,
+             |  unnest(ts) AS token FROM base),
+             |cnt AS (SELECT token, count(*) AS c FROM tok
+             |  WHERE len(token) > 0 GROUP BY 1),
+             |voc AS (SELECT token,
+             |  CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS id
+             |  FROM (SELECT * FROM cnt ORDER BY c DESC, token LIMIT 25)),
+             |enc AS (SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS tid
+             |  FROM tok t LEFT JOIN voc v USING (token))
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |  CAST(sum(tid) AS BIGINT) AS id_sum,
+             |  CAST(arg_min(tid, pos) AS BIGINT) AS id_first,
+             |  CAST(arg_max(tid, pos) AS BIGINT) AS id_last
+             |FROM enc GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      doc = "Vocabulary build + corpus encoding: top-V tokens by frequency " +
+        "(token-string tiebreak; TakeOrdered, never a global sort), ids " +
+        "assigned over the driver-bounded V rows, encoding via a broadcast " +
+        "join with OOV -> 0. The oracle re-derives the id sequences and " +
+        "checks order-sensitive scalars (first/last/sum) per doc."
     )
   )
 }
