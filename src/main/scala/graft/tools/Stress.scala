@@ -399,6 +399,34 @@ object Stress {
       check(semSurvivors >= nVecs / factor,
         s"distinct bases must survive ($semSurvivors of $nVecs)")
 
+      // ---- ingest round-trip + vocab encode: JSONL shards out, quarantine
+      // split back in (count parity proves the writer emits valid records),
+      // then the full corpus encodes against a top-1k vocabulary with OOV
+      // accounting — 7M+ token rows through the broadcast join.
+      val jsonlPath = s"$workDir/jsonl"
+      val ((rtRows, rtBad), tJsonl) = timed {
+        graft.sinks.DataSinks.writeJsonl(
+          docs.select(col("doc_id"), col("text"), col("lang")), jsonlPath, shards = 8)
+        val (good, bad) = graft.sources.JsonlCorpus.readWithQuarantine(
+          spark, jsonlPath, "doc_id BIGINT, text STRING, lang STRING")
+        (good.count(), bad.count())
+      }
+      println(j("stage" -> "jsonl_roundtrip", "seconds" -> tJsonl,
+        "rows" -> rtRows, "quarantined" -> rtBad))
+      check(rtRows == nDocs && rtBad == 0,
+        s"JSONL round-trip must be lossless ($rtRows of $nDocs, $rtBad bad)")
+
+      val ((encDocs, oovTokens), tVocab) = timed {
+        val vocab = graft.operators.Vocab.build(docs, col("text"), size = 1000)
+        val enc = graft.operators.Vocab.encode(docs, col("doc_id"), col("text"), vocab)
+        (enc.count(), enc.agg(sum(col("n_oov"))).collect().head.getLong(0))
+      }
+      println(j("stage" -> "vocab_encode", "seconds" -> tVocab,
+        "docs" -> encDocs, "oov_tokens" -> oovTokens))
+      check(encDocs == nDocs, s"every doc must encode ($encDocs of $nDocs)")
+      // replica-drift tokens (u<doc>_<rep>_<j>) are unique -> guaranteed OOV
+      check(oovTokens > 0, "the drifted corpus must contain OOV tokens")
+
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
       failures.foreach(f => System.err.println(s"[stress] FAILED: $f"))
