@@ -22,7 +22,13 @@ final case class GraftQuery(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    doc: String = "")
+    doc: String = "",
+    /** SF-independent pass/fail verification (sound/bound/invariant gates
+      * whose output is booleans/sentinels, often double-computing exact +
+      * approximate by design). Their wall time measures the verification
+      * harness, not an operator, so the bench times them in one pass only.
+      */
+    gate: Boolean = false)
 
 /** Column helpers shared by the query inventory. */
 object Exact {

@@ -501,7 +501,8 @@ object ExtensionQueries {
              |UNION ALL
              |SELECT 'lsh_mp' AS method, CAST(1 AS BIGINT) AS recall_ok
              |ORDER BY method""".stripMargin),
-      doc = "Recall@5 of the SRP-LSH and IVF ANN paths vs brute force, deterministic and gated against per-method recall floors via a constant oracle."
+      doc = "Recall@5 of the SRP-LSH and IVF ANN paths vs brute force, deterministic and gated against per-method recall floors via a constant oracle.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t26
     GraftQuery(
@@ -656,7 +657,8 @@ object ExtensionQueries {
       Some("""SELECT CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS rank,
              |  CAST(-1 AS BIGINT) AS neighbor_id, CAST(-1.0 AS DOUBLE) AS sim,
              |  'sentinel' AS side""".stripMargin),
-      doc = "Persisted IVF index (build once, partition-pruned query) must be row-identical to the in-memory ivfTopK; emits differences + sentinel."
+      doc = "Persisted IVF index (build once, partition-pruned query) must be row-identical to the in-memory ivfTopK; emits differences + sentinel.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t28
     GraftQuery(
@@ -683,7 +685,8 @@ object ExtensionQueries {
           .orderBy($"id_a", $"id_b", $"reason")
       },
       Some("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"),
-      doc = "MinHash-LSH soundness: every emitted pair must appear in the complete exact Jaccard join with the same value; emits violations + sentinel."
+      doc = "MinHash-LSH soundness: every emitted pair must appear in the complete exact Jaccard join with the same value; emits violations + sentinel.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t29
     GraftQuery(
@@ -708,7 +711,8 @@ object ExtensionQueries {
         viol.unionAll(sentinel).orderBy($"id_a", $"id_b", $"reason")
       },
       Some("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"),
-      doc = "SimHash soundness: emitted Hamming distances re-derived via the HOF parity twin must agree and respect the cutoff; emits violations + sentinel."
+      doc = "SimHash soundness: emitted Hamming distances re-derived via the HOF parity twin must agree and respect the cutoff; emits violations + sentinel.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t30
     GraftQuery(
@@ -735,7 +739,8 @@ object ExtensionQueries {
         viol.unionAll(sentinel).orderBy($"query_id", $"neighbor_id", $"reason")
       },
       Some("SELECT CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS neighbor_id, 'sentinel' AS reason"),
-      doc = "SRP-LSH soundness: every returned neighbor must share the query's bucket and carry the HOF-recomputed cosine; emits violations + sentinel."
+      doc = "SRP-LSH soundness: every returned neighbor must share the query's bucket and carry the HOF-recomputed cosine; emits violations + sentinel.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t31
     GraftQuery(
@@ -763,7 +768,8 @@ object ExtensionQueries {
         viol.unionAll(sentinel).orderBy($"query_id", $"neighbor_id", $"reason")
       },
       Some("SELECT CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS neighbor_id, 'sentinel' AS reason"),
-      doc = "IVF soundness: every returned neighbor must sit in one of its query's probed cells with the HOF-recomputed cosine; emits violations + sentinel."
+      doc = "IVF soundness: every returned neighbor must sit in one of its query's probed cells with the HOF-recomputed cosine; emits violations + sentinel.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t32
     GraftQuery(
@@ -838,7 +844,8 @@ object ExtensionQueries {
         viol.unionAll(sentinel).orderBy($"metric", $"reason")
       },
       Some("SELECT 'zz_sentinel' AS metric, 'sentinel' AS reason"),
-      doc = "HLL++ accuracy gate: q22's approx distinct counts within 5% of exact; emits violations + sentinel."
+      doc = "HLL++ accuracy gate: q22's approx distinct counts within 5% of exact; emits violations + sentinel.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t34
     GraftQuery(
@@ -864,7 +871,8 @@ object ExtensionQueries {
         viol.unionAll(sentinel).orderBy($"grp", $"reason")
       },
       Some("SELECT 'zz_sentinel' AS grp, 'sentinel' AS reason"),
-      doc = "Quantile-sketch accuracy gate: q36's approx percentiles within rank +/-1% of exact; emits violations + sentinel."
+      doc = "Quantile-sketch accuracy gate: q36's approx percentiles within rank +/-1% of exact; emits violations + sentinel.",
+      gate = true
     )
   )
 }

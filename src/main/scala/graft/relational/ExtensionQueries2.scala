@@ -186,7 +186,8 @@ object ExtensionQueries2 {
       },
       Some("SELECT 'zz_sentinel' AS item, 'sentinel' AS reason"),
       doc = "Misra-Gries heavy hitters accuracy gate: completeness above " +
-        "n/(k+1), no overcounts, undercount bounded by n/(k+1); violations + sentinel."
+        "n/(k+1), no overcounts, undercount bounded by n/(k+1); violations + sentinel.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t41
     GraftQuery(
@@ -437,7 +438,8 @@ object ExtensionQueries2 {
       Some("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"),
       doc = "SRP-LSH embedding near-dup soundness: emitted pairs must be a " +
         "subset of the complete blocked-exact join with identical sims, and " +
-        "recall must clear a 0.8 floor; emits violations + sentinel."
+        "recall must clear a 0.8 floor; emits violations + sentinel.",
+      gate = true
     )
   )
 }

@@ -147,7 +147,8 @@ object ExtensionQueries3 {
         "on the lossless length band (every edit moves length by <= 1) and " +
         "verifies with the thresholded banded DP; the oracle is the " +
         "unblocked all-pairs join — hash equality PROVES the blocking " +
-        "dropped nothing."
+        "dropped nothing.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t52
     GraftQuery(
@@ -174,7 +175,8 @@ object ExtensionQueries3 {
       doc = "Deterministic k-means fixed-point gate: re-assignment against " +
         "the final centroids must match exactly, and the exact-decimal " +
         "inertia sequence must be monotone non-increasing and strictly " +
-        "improved — Lloyd's invariants, checked on every run."
+        "improved — Lloyd's invariants, checked on every run.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t53
     GraftQuery(
@@ -363,7 +365,8 @@ object ExtensionQueries3 {
         "every id exactly once, (b) leave no surviving near-dup pair " +
         "within a cluster, (c) actually collapse something on this corpus " +
         "— pure invariants, so the oracle is constant. Repartition " +
-        "invariance is pinned in ClusteringSpec."
+        "invariance is pinned in ClusteringSpec.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t58
     GraftQuery(
