@@ -37,8 +37,15 @@ object Privacy {
 
   /** Suppression: drops every row whose quasi-identifier combination occurs
     * fewer than `k` times — the standard remediation when generalization
-    * isn't on the table. Broadcast of the (small, by construction) failing
-    * combinations; the corpus itself never shuffles.
+    * isn't on the table.
+    *
+    * The failing set is usually dimension-sized, but with high-cardinality
+    * quasi columns nearly EVERY combination can fail `k`, making it
+    * corpus-sized — so the plan carries no static `broadcast()` hint (a
+    * forced broadcast there is a driver/executor OOM). AQE's runtime size
+    * check promotes the anti join to broadcast-hash exactly when the
+    * failing side turns out small, and keeps the shuffled join otherwise;
+    * `<=>` keys stay hash-joinable either way.
     */
   def suppressRare(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
     val failing = kAnonymityAudit(df, quasi.map(col), k).where(!col("meets_k"))
@@ -46,6 +53,6 @@ object Privacy {
     // null-safe equality: a null quasi value is itself a distinguishing
     // combination and must suppress like any other rare group
     val cond = quasi.map(q => col(q) <=> col(s"__q_$q")).reduce(_ && _)
-    df.join(broadcast(failing), cond, "left_anti")
+    df.join(failing, cond, "left_anti")
   }
 }

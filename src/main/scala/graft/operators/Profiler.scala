@@ -18,25 +18,40 @@ import org.apache.spark.sql.functions._
   */
 object Profiler {
 
+  /** Exact-name reference: backtick-quoted with embedded backticks doubled,
+    * so a name containing dots, quotes or backticks resolves as ONE
+    * identifier instead of being parsed — the CLI feeds user-typed column
+    * names straight into `profile`.
+    */
+  private def ref(name: String): Column = col("`" + name.replace("`", "``") + "`")
+
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     def distinctAgg(v: Column): Column =
       if (exact) countDistinct(v) else approx_count_distinct(v)
-    val aggs: Seq[Column] = cols.flatMap { c =>
+    // Internal aliases are INDEX-based (never derived from user column
+    // names), so the only place a user name appears is as a quoted input
+    // reference or a literal label — nothing user-controlled is ever parsed.
+    val aggs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        distinctAgg(col(c)).cast("bigint").as(s"__distinct_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        sum(when(ref(c).isNull, 1L).otherwise(0L)).as(s"__c${i}_nulls"),
+        distinctAgg(ref(c)).cast("bigint").as(s"__c${i}_distinct"),
+        min(ref(c)).cast("string").as(s"__c${i}_min"),
+        max(ref(c)).cast("string").as(s"__c${i}_max"))
     }
     val row = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', `__nulls_$c`, `__distinct_$c`, `__min_$c`, `__max_$c`"
-    }.mkString(", ")
-    row.selectExpr("__rows",
-        s"stack(${cols.size}, $stackArgs) AS (column, n_nulls, n_distinct, min_value, max_value)")
-      .select(col("column"), col("__rows").as("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_value"), col("max_value"))
+    // Typed unpivot (explode over per-column structs) instead of a spliced
+    // `stack(...)` selectExpr: same one-row -> n_cols-rows shape, no SQL
+    // string assembly.
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"), col(s"__c${i}_nulls").as("n_nulls"),
+        col(s"__c${i}_distinct").as("n_distinct"), col(s"__c${i}_min").as("min_value"),
+        col(s"__c${i}_max").as("max_value"))
+    }
+    row.select(col("__rows"), explode(array(entries: _*)).as("__e"))
+      .select(col("__e.column").as("column"), col("__rows").as("n_rows"),
+        col("__e.n_nulls").as("n_nulls"), col("__e.n_distinct").as("n_distinct"),
+        col("__e.min_value").as("min_value"), col("__e.max_value").as("max_value"))
   }
 
   /** Drift report between two snapshots of the same logical dataset:

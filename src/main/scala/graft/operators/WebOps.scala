@@ -20,8 +20,12 @@ object WebOps {
   val AuthorityRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
   /** Strips a `user:pass@` prefix from an authority (keep the last `@`-part). */
   val NoUserinfoRe = "([^@]*)$"
-  /** Strips a `:port` suffix from a host. */
-  val NoPortRe = "^([^:]*)"
+  /** Strips a `:port` suffix from a host. A bracketed IPv6 authority
+    * (`[::1]:8443`) keeps its bracketed literal whole — the colons inside
+    * the brackets are address, not port. An unclosed `[` matches neither
+    * alternative and routes to empty like any other unparseable URL.
+    */
+  val NoPortRe = "^(\\[[^\\]]*\\]|[^:\\[][^:]*)"
 
   /** Lower-cased host of a URL: the authority minus userinfo and port.
     * Empty string when the value does not parse as an absolute URL —

@@ -293,7 +293,7 @@ object ExtensionQueries3 {
              |  '/p/' || doc_id || '?ref=x#frag' AS url FROM documents),
              |h AS (SELECT doc_id, n_chars, lower(regexp_extract(regexp_extract(
              |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
-             |  '([^@]*)$', 1), '^([^:]*)', 1)) AS host FROM u),
+             |  '([^@]*)$', 1), '^(\[[^\]]*\]|[^:\[][^:]*)', 1)) AS host FROM u),
              |r AS (SELECT doc_id, n_chars, CASE
              |  WHEN len(string_split(host, '.')) >= 2
              |  THEN array_to_string((string_split(host, '.'))[-2:], '.')
@@ -472,15 +472,22 @@ object ExtensionQueries3 {
           .select($"doc_id".cast("bigint").as("doc_id"), $"n_chars", $"bucket")
           .orderBy($"doc_id")
       },
-      Some("""WITH c AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
-             |  [0.25, 0.5, 0.75]) AS cuts FROM documents)
+      Some("""WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE n_chars IS NOT NULL),
+             |n AS (SELECT count(*) AS n FROM s),
+             |o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM s),
+             |c AS (SELECT list(v ORDER BY r) AS sv FROM o),
+             |cuts AS (SELECT [sv[CAST((n-1)*1//4 AS BIGINT)+1], sv[CAST((n-1)*2//4 AS BIGINT)+1],
+             |  sv[CAST((n-1)*3//4 AS BIGINT)+1]] AS cuts FROM c, n)
              |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars,
              |  CAST(len(list_filter(cuts, x -> x < CAST(n_chars AS DOUBLE))) AS BIGINT) AS bucket
-             |FROM documents CROSS JOIN c ORDER BY doc_id""".stripMargin),
-      doc = "Curriculum bucketing by exact score quantiles: n-1 interior " +
-        "cut points from ONE aggregation, broadcast, narrow assignment " +
-        "projection (ties to the lower bucket) — no ntile global-sort " +
-        "window, so no single-partition skew wall."
+             |FROM documents CROSS JOIN cuts ORDER BY doc_id""".stripMargin),
+      doc = "Curriculum bucketing by exact interior quantile ORDER " +
+        "STATISTICS (rank (n-1)*i/nBuckets, integer arithmetic): selected " +
+        "elements are bit-identical cross-engine where interpolated " +
+        "percentiles can differ in the last ulp and flip the strict-< tie " +
+        "rule. Range-partitioned single-column sort + literal-array " +
+        "assignment (ties to the lower bucket) — no ntile window, no " +
+        "single-partition skew wall."
     ),
     // ---------------------------------------------------------------- t62
     GraftQuery(

@@ -7,8 +7,9 @@ class CurriculumSpec extends SparkSpec {
   import spark.implicits._
 
   test("bucketBy quartiles: hand-computed cut points, ties to the lower bucket") {
-    // scores 1..8: interior quartiles (exact, linear interpolation) are
-    // 2.75 / 4.5 / 6.25 -> buckets: 1,2 | 3,4 | 5,6 | 7,8
+    // scores 1..8: interior quartile ORDER STATISTICS sit at 0-based ranks
+    // floor(7i/4) = 1/3/5 -> cuts 2/4/6 -> buckets: 1,2 | 3,4 | 5,6 | 7,8
+    // (ties to the lower bucket via strict <)
     val df = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
     val got = Curriculum.bucketBy(df, col("score"), 4)
       .orderBy("id").select("bucket").as[Long].collect().toSeq
@@ -16,8 +17,8 @@ class CurriculumSpec extends SparkSpec {
   }
 
   test("bucketBy: a score equal to a cut point lands in the lower bucket") {
-    // scores 0,10,20,30,40: median cut = 20 exactly; strict < sends the
-    // 20-row DOWN
+    // scores 0,10,20,30,40: median cut = order statistic at rank
+    // (5-1)*1/2 = 2 -> the value 20 itself; strict < sends the 20-row DOWN
     val df = Seq(0.0, 10.0, 20.0, 30.0, 40.0).zipWithIndex
       .map { case (s, i) => (i.toLong, s) }.toDF("id", "score")
     val got = Curriculum.bucketBy(df, col("score"), 2)

@@ -28,6 +28,14 @@ class ProfilerSpec extends SparkSpec {
     assert(!plan.contains("Union"), "per-column union would re-scan the table")
   }
 
+  test("profile handles hostile column names (dots, backticks, quotes)") {
+    val h = Seq((1L, "x"), (2L, "y")).toDF("id", "a`b.c'd\"e")
+    val got = Profiler.profile(h, Seq("a`b.c'd\"e")).collect().head
+    assert(got.getString(0) == "a`b.c'd\"e")
+    assert(got.getLong(1) == 2L && got.getLong(2) == 0L && got.getLong(3) == 2L)
+    assert(got.getString(4) == "x" && got.getString(5) == "y")
+  }
+
   test("drift: null-rate jump and schema drift are both visible") {
     val before = Seq((1L, Some("x")), (2L, Some("y"))).toDF("id", "tag")
     val after = Seq((1L, None: Option[String]), (2L, Some("y")))

@@ -22,6 +22,14 @@ class WebOpsSpec extends SparkSpec {
     assert(hostOf("relative/path/only") == "")
   }
 
+  test("host keeps bracketed IPv6 literals whole; unclosed brackets route to empty") {
+    assert(hostOf("https://[::1]:8080/x") == "[::1]")
+    assert(hostOf("https://[2001:DB8::1]/p") == "[2001:db8::1]")
+    assert(hostOf("https://u:p@[2001:db8::1]:8443/a?b#c") == "[2001:db8::1]")
+    assert(hostOf("https://[::1") == "") // malformed authority, not '['
+    assert(hostOf("https://:80/x") == "") // empty host, not ''+port
+  }
+
   test("registrableDomain is the last two labels (single-label hosts pass through)") {
     assert(domainOf("https://www.news.example.org/p") == "example.org")
     assert(domainOf("https://example.org/p") == "example.org")
