@@ -484,18 +484,37 @@ object RelationalQueries {
       "q22_approx_distinct",
       (s, d) => {
         import s.implicits._
-        // HyperLogLog++ sketch — implementation-defined estimate, so no SQL
-        // oracle (DuckDB's approx_count_distinct uses a different sketch).
-        // The driver records a rows-only check; exact parity is covered by
-        // q21_count_distinct.
-        Tables
-          .lineitem(s, d)
-          .agg(
-            approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
-            approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+        // HyperLogLog++ estimates are implementation-defined (DuckDB runs a
+        // different sketch), so the oracle-comparable surface is the error
+        // BOUND, not the estimate: per group, each approx count must sit
+        // within 5% of the exact recomputation (rsd 0.01 -> 5% is a 5-sigma
+        // bound; t33 gates the same sketch in violations+sentinel form).
+        // Real group keys keep the oracle anchored to the data.
+        //
+        // The sketches and the exact recomputation run as SEPARATE hash
+        // aggregations joined on the 3-row group key: folding them into one
+        // agg makes Spark plan the multi-column distinct through Expand and
+        // fall back to a sort-based aggregate that churns the 16 KB HLL
+        // buffers per expanded row (~50x slower, measured).
+        val li = Tables.lineitem(s, d)
+        val approxSide = li.groupBy($"l_returnflag").agg(
+          approx_count_distinct($"l_partkey", 0.01).as("ap"),
+          approx_count_distinct($"l_orderkey", 0.01).as("ao"))
+        val exactSide = li.groupBy($"l_returnflag").agg(
+          countDistinct($"l_partkey").as("ep"),
+          countDistinct($"l_orderkey").as("eo"))
+        approxSide.join(exactSide, "l_returnflag")
+          .select($"l_returnflag",
+            (abs($"ap" - $"ep").cast("double") <= $"ep".cast("double") * 0.05).as("parts_ok"),
+            (abs($"ao" - $"eo").cast("double") <= $"eo".cast("double") * 0.05).as("orders_ok"))
+          .orderBy($"l_returnflag")
       },
-      None,
-      doc = "approx_count_distinct (HLL++) — the 100 TB-scale path for distinct counting."
+      Some("""SELECT l_returnflag, true AS parts_ok, true AS orders_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      doc = "approx_count_distinct (HLL++), the 100 TB-scale distinct-count " +
+        "path, oracle-gated on its 5-sigma error bound vs the exact " +
+        "recomputation per group (the estimate itself is sketch-defined).",
+      gate = true
     )
   )
 }

@@ -180,17 +180,32 @@ object RelationalQueries3 {
       "q36_approx_quantile",
       (s, d) => {
         import s.implicits._
-        // sketch-based quantiles (Greenwald-Khanna) — implementation-defined,
-        // rows-only check; exact medians are covered by q31
+        // Greenwald-Khanna sketch values are implementation-defined, so the
+        // oracle-comparable surface is the RANK bound, not the value: each
+        // approx percentile must lie between the exact percentiles at rank
+        // +/-1% (accuracy=1000 guarantees rank error <= 0.1%; 10x slack —
+        // t34 gates the same sketch in violations+sentinel form). Exact
+        // medians are value-checked by q31.
         Tables.orders(s, d)
           .groupBy($"o_orderpriority")
           .agg(
             percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("p50"),
-            percentile_approx($"o_totalprice", lit(0.95), lit(1000)).as("p95"))
+            percentile_approx($"o_totalprice", lit(0.95), lit(1000)).as("p95"),
+            expr("percentile(o_totalprice, 0.49)").as("lo50"),
+            expr("percentile(o_totalprice, 0.51)").as("hi50"),
+            expr("percentile(o_totalprice, 0.94)").as("lo95"),
+            expr("percentile(o_totalprice, 0.96)").as("hi95"))
+          .select($"o_orderpriority",
+            ($"p50" >= $"lo50" && $"p50" <= $"hi50").as("p50_ok"),
+            ($"p95" >= $"lo95" && $"p95" <= $"hi95").as("p95_ok"))
           .orderBy($"o_orderpriority")
       },
-      None,
-      doc = "Approximate quantile sketch — the 100 TB-scale path for percentiles."
+      Some("""SELECT o_orderpriority, true AS p50_ok, true AS p95_ok
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      doc = "Approximate quantile sketch (GK), the 100 TB-scale percentile " +
+        "path, oracle-gated on its rank-error bound vs exact percentiles " +
+        "(the values themselves are sketch-defined).",
+      gate = true
     )
   )
 }
