@@ -593,6 +593,43 @@ object ExtensionQueries3 {
         "assigned over the driver-bounded V rows, encoding via a broadcast " +
         "join with OOV -> 0. The oracle re-derives the id sequences and " +
         "checks order-sensitive scalars (first/last/sum) per doc."
+    ),
+    // ---------------------------------------------------------------- t64
+    GraftQuery(
+      "t64_quality_model",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.QualityClassifier
+          .classify(Tables.documents(s, d), $"text")
+          .select($"doc_id".cast("bigint").as("doc_id"),
+            $"quality_logit", $"quality_score", $"keep")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS f_punct,
+             |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) AS f_upper,
+             |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS f_digit,
+             |    CAST((length(text) - length(replace(text, ' the ', ''))) // 5 AS DOUBLE)
+             |      / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS f_stop,
+             |    CAST(least(length(text), 20000) AS DOUBLE) / 20000.0 AS f_len,
+             |    CAST(length(text) AS DOUBLE)
+             |      / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS f_tok_len
+             |  FROM documents),
+             |z AS (SELECT doc_id,
+             |  0.5 + -2.0 * f_punct + -1.5 * f_upper + -2.0 * f_digit
+             |    + 4.0 * f_stop + 1.0 * f_len + -0.125 * f_tok_len AS quality_logit
+             |  FROM f)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, quality_logit,
+             |  0.5 + 0.5 * quality_logit / (1.0 + abs(quality_logit)) AS quality_score,
+             |  0.5 + 0.5 * quality_logit / (1.0 + abs(quality_logit)) >= 0.5 AS keep
+             |FROM z ORDER BY doc_id""".stripMargin),
+      doc = "Linear document-quality classifier (the corpus-filtering step " +
+        "between cleaning and sampling): codegen'd feature projection, " +
+        "literal-folded dot product in fixed order, RATIONAL squash " +
+        "0.5 + 0.5*z/(1+|z|) instead of a sigmoid — +, *, /, abs are " +
+        "correctly-rounded IEEE where exp/log differ across libms, so " +
+        "scores hash bit-identically cross-engine. No shuffle, no UDF."
     )
   )
 }
