@@ -41,5 +41,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dsun.jnu.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: local[32] runs driver + all 32 executor threads in ONE heap; at
+  // 8g a 100-query bench sweep accumulates enough broadcast/codegen/shuffle
+  // state that the heavy tail queries GC-thrash (t53 measured 93 s in-context
+  // vs 9.5 s isolated). The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
