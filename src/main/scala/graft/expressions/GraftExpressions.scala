@@ -349,3 +349,76 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
 }
+
+object L2SqDistancesImpl {
+  /** Squared-L2 distance from one vector to each centroid row, double
+    * precision, element-order folds — bit-identical to the HOF chain
+    * `aggregate(zip_with(vec, lit(c), (x, cv) => (x-cv)*(x-cv)), 0.0, +)`
+    * per centroid (`Clustering.distancesHof`). The input vector is read
+    * once into a local double[] so the k centroid loops run over primitive
+    * arrays instead of k× ArrayData accessor dispatch; mismatched
+    * vector/centroid lengths are a usage error (the HOF twin nulls there).
+    */
+  def compute(vec: ArrayData, isFloat: Boolean,
+      centroids: Array[Array[Double]]): ArrayData = {
+    val n = vec.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val m = math.min(n, cen.length)
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        val d = v(j) - cen(j)
+        acc += d * d
+        j += 1
+      }
+      out(c) = acc
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** l2sq_distances(vec): squared-L2 distances to a plan-time centroid matrix
+  * — the k-means assignment kernel (argmin feeds off the returned array).
+  * A native expression because the HOF formulation is CodegenFallback
+  * (higher-order functions never codegen): k interpreted lambda-tree
+  * evaluations per row dominated the kmeans-family queries' wall-clock.
+  */
+case class L2SqDistances(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
+        if centroids.nonEmpty =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2sq_distances requires array<float>/array<double> and a non-empty centroid matrix, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    L2SqDistancesImpl.compute(v.asInstanceOf[ArrayData], elemIsFloat, centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.L2SqDistancesImpl.compute($c, $elemIsFloat, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): L2SqDistances =
+    copy(child = newChild)
+}

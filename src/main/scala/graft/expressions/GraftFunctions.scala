@@ -51,7 +51,30 @@ object GraftFunctions {
         if (args.length >= 3)
           SrpSignature(args(0), intArg("graft_srp_signature")(args(1)),
             intArg("graft_srp_signature")(args(2)))
-        else SrpSignature(args(0), intArg("graft_srp_signature")(args(1)))))
+        else SrpSignature(args(0), intArg("graft_srp_signature")(args(1)))),
+    ("graft_l2sq_distances",
+      new ExpressionInfo(classOf[L2SqDistances].getName, "graft_l2sq_distances"),
+      (args: Seq[Expression]) =>
+        L2SqDistances(args(0), matrixArg("graft_l2sq_distances")(args(1)))))
+
+  /** The centroid matrix arrives from SQL as a foldable
+    * array<array<double>> literal — like [[intArg]], it sizes plan-time
+    * state, so a non-foldable argument is a usage error.
+    */
+  private def matrixArg(name: String)(e: Expression): Array[Array[Double]] = {
+    import org.apache.spark.sql.types._
+    e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) if e.foldable =>
+        val rows = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        Array.tabulate(rows.numElements()) { i =>
+          rows.getArray(i).toDoubleArray()
+        }
+      case other => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3055",
+        messageParameters = Map("scalarFunc" ->
+          s"$name: centroid matrix must be a foldable array<array<double>>, got $other"))
+    }
+  }
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
@@ -77,6 +100,8 @@ object GraftFunctions {
     exprCol(CharNgrams(expr(text), n))
   def srpSig(vec: Column, bits: Int, offset: Int = 0): Column =
     exprCol(SrpSignature(expr(vec), bits, offset))
+  def l2sqDistances(vec: Column, centroids: Array[Array[Double]]): Column =
+    exprCol(L2SqDistances(expr(vec), centroids))
 }
 
 /** `SparkSessionExtensions` injector — the deployment-grade registration

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *     deterministic "shuffle" used by the sampling operators, so the seed
   *     set is a pure function of the data;
   *   - assignment: argmin of squared L2 over the broadcast centroids,
-  *     first-index tiebreak (codegen'd `zip_with`/`aggregate` HOFs — no UDF);
+  *     first-index tiebreak (native codegen'd distance expression — no UDF,
+  *     no interpreted HOF lambda trees in the per-row loop);
   *   - update: per-(cluster, dim) sums aggregated as EXACT decimals (double
   *     addition is not associative — decimal sums make the reduce
   *     order-invariant), one IEEE double division per component on the
@@ -32,8 +33,16 @@ object Clustering {
       inertia: Seq[java.math.BigDecimal],
       iters: Int)
 
-  /** Squared-L2 distances to each centroid as an array column. */
+  /** Squared-L2 distances to each centroid as an array column. Native
+    * one-pass expression (codegen'd); [[distancesHof]] is the built-in-
+    * functions construction kept for the bit-parity spec — higher-order
+    * functions are CodegenFallback, and k interpreted lambda-tree
+    * evaluations per row dominated the kmeans-family queries' wall-clock.
+    */
   private def distances(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.expressions.GraftFunctions.l2sqDistances(vec, centroids)
+
+  private[operators] def distancesHof(vec: Column, centroids: Array[Array[Double]]): Column =
     array(centroids.map { c =>
       aggregate(
         zip_with(vec, typedLit(c.toSeq), (x, cv) => (x - cv) * (x - cv)),

@@ -44,6 +44,21 @@ class ClusteringSpec extends SparkSpec {
     assert(m1.inertia == m2.inertia)
   }
 
+  test("native distance expression is bit-identical to the HOF twin (float and double)") {
+    val cents = Array(Array(0.1, -2.5, 3.0), Array(7.0, 0.3, -1.25))
+    val dbl = Seq((1L, Seq(1.5, 2.25, -0.75)), (2L, Seq(-3.0, 0.1, 9.5)))
+      .toDF("id", "vec")
+    val flt = dbl.select($"id", $"vec".cast("array<float>").as("vec"))
+    for (df <- Seq(dbl, flt)) {
+      val rows = df.select(
+        graft.expressions.GraftFunctions.l2sqDistances($"vec", cents).as("nat"),
+        Clustering.distancesHof($"vec", cents).as("hof")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Double](0) == r.getSeq[Double](1), "native != HOF")
+      }
+    }
+  }
+
   test("assign is a pure function of the centroids (first-index tie break)") {
     val pts = Seq((1L, Seq(5.0, 0.0))).toDF("id", "vec")
     // equidistant centroids: the FIRST must win, deterministically
