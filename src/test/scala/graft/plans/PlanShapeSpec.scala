@@ -33,6 +33,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(800))
   }
 
+  test("q22 never sort-aggregates its HLL sketches") {
+    // Folding the sketches and the multi-column exact distincts into ONE
+    // agg plans through Expand into a sort-based aggregate that churns the
+    // 16 KB HLL buffers per expanded row (measured 273 s vs 2.9 s at
+    // sf0.1). The split-and-join formulation must keep the sketch side in
+    // a hash aggregate.
+    val p = planOf("q22_approx_distinct")
+    assert(!p.contains("SortAggregate"), p.take(1200))
+  }
+
   test("q01 aggregation is partial before the exchange (map-side combine)") {
     val p = planOf("q01_agg")
     // two HashAggregates around one Exchange = partial + final
