@@ -173,6 +173,21 @@ object GraftCli {
           val n2 = spark.read.parquet(outDir).count()
           println(s"clean: $n0 docs -> $n1 after exact dedup -> $n2 after " +
             s"span(<=$maxDupFrac)/repetition(>=$minDistinct) filters -> $outDir")
+        case "classify" :: sfDir :: outDir :: rest =>
+          // model-based quality filter over `documents`: score with the
+          // linear classifier, keep >= threshold, audit line for release
+          // accounting (the step a corpus pipeline runs between `clean`
+          // and sampling)
+          import org.apache.spark.sql.functions.col
+          val threshold = rest.headOption.map(_.toDouble).getOrElse(0.5)
+          val docs = graft.core.Tables.documents(spark, sfDir)
+          val scored = graft.operators.QualityClassifier
+            .classify(docs, col("text"), threshold = threshold)
+          scored.where(col("keep")).drop("keep")
+            .write.mode("overwrite").parquet(outDir)
+          val n0 = docs.count()
+          val n1 = spark.read.parquet(outDir).count()
+          println(s"classify: $n0 docs -> $n1 kept (score >= $threshold) -> $outDir")
         case "profile" :: sfDir :: table :: cols =>
           // release QA report over any testdata table; default = all columns
           val src =
@@ -260,7 +275,7 @@ object GraftCli {
               "enrich-stream <inDir> <outMdDir> <outJsonDir> <promptTpl> <ckpt> | site <csv> <mdDir> <tpl> <out.html> | " +
               "all <csv> <mdTpl> <promptTpl> <siteTpl> <workDir> | probe [.env] | dedup <sfDir> <outDir> [minhash|simhash|ngram] [best] | " +
               "prep <sfDir> <outDir> [window stride] | clean <sfDir> <outDir> [maxDupFrac minDistinctRatio] | " +
-              "profile <sfDir> <table> [cols...] | " +
+              "classify <sfDir> <outDir> [threshold] | profile <sfDir> <table> [cols...] | " +
               "zorder <in> <out> <colA> <colB> [files] | " +
               "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | stress <sfDir> <workDir> [factor] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +

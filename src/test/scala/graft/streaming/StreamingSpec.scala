@@ -182,6 +182,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("quality classifier scores a streaming corpus identically to batch") {
+    // classify is a pure narrow projection (literal-folded linear model, no
+    // aggregation), so the SAME operator runs the online filtering path in
+    // append mode — this pins that property.
+    val dir = Files.createTempDirectory("classify_stream")
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    docs.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+    val got = runToMemory(
+      graft.operators.QualityClassifier.classify(stream, col("text"))
+        .select(col("doc_id"), col("quality_score"), col("keep")),
+      "classify_stream")
+    val batch = graft.operators.QualityClassifier.classify(docs, col("text"))
+      .select(col("doc_id"), col("quality_score"), col("keep"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("dedupDocsStream emits one doc per fingerprint across micro-batches") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("docs_stream")
