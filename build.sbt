@@ -46,4 +46,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // state that the heavy tail queries GC-thrash (t53 measured 93 s in-context
   // vs 9.5 s isolated). The box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // A 100-query sweep (or a 20-stage stress run) generates far more JIT'd
+  // code than the 240 MB default code cache holds; once it fills, flushing
+  // evicts hot methods and late stages run interpreted (measured 20-30x on
+  // the stress tail). 1g keeps every generated class compiled.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
+  // Escape hatch for one-off JVM flags (profiling, GC logs) without
+  // editing the build: space-separated options.
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
