@@ -152,11 +152,12 @@ object Bench {
           samples(name) = samples(name) :+ sec
           completed += 1
           System.err.println(f"p$pass ${name.takeWhile(_ != '_')} $sec%.2f")
-          // Refresh the tail-resident contract line every few queries: a
-          // kill between refreshes loses at most 7 queries' samples, and the
-          // few stderr progress lines since the refresh can't push a ~1.8k
-          // line out of a 2000-char tail.
-          if (completed % 8 == 0) emitContract()
+          // Keep the tail-resident contract line current: during pass 1
+          // refresh after EVERY query (a kill at any point then loses
+          // nothing already timed — printing ~1.8k chars costs microseconds
+          // against sub-second queries); later passes only refine medians,
+          // so every 8th keeps the stderr/stdout interleave quieter.
+          if (pass == 1 || completed % 8 == 0) emitContract()
         }
       }
       emitDetail(pass)

@@ -356,8 +356,10 @@ object L2SqDistancesImpl {
     * `aggregate(zip_with(vec, lit(c), (x, cv) => (x-cv)*(x-cv)), 0.0, +)`
     * per centroid (`Clustering.distancesHof`). The input vector is read
     * once into a local double[] so the k centroid loops run over primitive
-    * arrays instead of k× ArrayData accessor dispatch; mismatched
-    * vector/centroid lengths are a usage error (the HOF twin nulls there).
+    * arrays instead of k× ArrayData accessor dispatch. A vector/centroid
+    * dimension mismatch THROWS (a loud usage error) — silently truncating
+    * would turn an upstream dimension bug into plausible wrong distances,
+    * and the HOF twin's null there is equally silent once an argmin eats it.
     */
   def compute(vec: ArrayData, isFloat: Boolean,
       centroids: Array[Array[Double]]): ArrayData = {
@@ -372,7 +374,10 @@ object L2SqDistancesImpl {
     var c = 0
     while (c < centroids.length) {
       val cen = centroids(c)
-      val m = math.min(n, cen.length)
+      if (cen.length != n)
+        throw new IllegalArgumentException(
+          s"l2sq_distances: vector has $n elements but centroid $c has ${cen.length}")
+      val m = n
       var acc = 0.0
       var j = 0
       while (j < m) {
@@ -392,10 +397,17 @@ object L2SqDistancesImpl {
   * A native expression because the HOF formulation is CodegenFallback
   * (higher-order functions never codegen): k interpreted lambda-tree
   * evaluations per row dominated the kmeans-family queries' wall-clock.
+  *
+  * The centroid matrix is a `Seq[Seq[Double]]` (not arrays) so the case
+  * class keeps value-based `equals`/`hashCode` — reference-equal-only
+  * arrays would defeat expression canonicalization and common-subexpression
+  * elimination for two structurally identical calls.
   */
-case class L2SqDistances(child: Expression, centroids: Array[Array[Double]])
+case class L2SqDistances(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient private lazy val centroidMatrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
   private def elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -411,10 +423,10 @@ case class L2SqDistances(child: Expression, centroids: Array[Array[Double]])
   }
 
   override def nullSafeEval(v: Any): Any =
-    L2SqDistancesImpl.compute(v.asInstanceOf[ArrayData], elemIsFloat, centroids)
+    L2SqDistancesImpl.compute(v.asInstanceOf[ArrayData], elemIsFloat, centroidMatrix)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val ref = ctx.addReferenceObj("centroids", centroidMatrix, "double[][]")
     defineCodeGen(ctx, ev,
       c => s"graft.expressions.L2SqDistancesImpl.compute($c, $elemIsFloat, $ref)")
   }

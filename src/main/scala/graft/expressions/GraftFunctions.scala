@@ -18,61 +18,91 @@ object GraftFunctions {
     * arrive from SQL as literal ints — they size per-expression state at
     * plan time, so a non-literal is a usage error, not a runtime value.
     */
+  // USER_RAISED_EXCEPTION renders <errorMessage> verbatim; the legacy
+  // scalar-func class this used before no longer exists in Spark 4's error
+  // registry, so its messages were swallowed into INTERNAL_ERROR.
+  private def usageError(name: String, detail: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" -> s"$name: $detail"))
+
   private def intArg(name: String)(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
         org.apache.spark.sql.types.IntegerType) => v
-    case other => throw new org.apache.spark.sql.AnalysisException(
-      errorClass = "_LEGACY_ERROR_TEMP_3055",
-      messageParameters = Map("scalarFunc" ->
-        s"$name: parameter must be a literal int, got $other"))
+    case other => usageError(name, s"parameter must be a literal int, got $other")
+  }
+
+  /** Arity gate for the SQL builders: a wrong argument count must fail as a
+    * usage error at analysis time, not as a raw IndexOutOfBoundsException
+    * from `args(i)`.
+    */
+  private def arity(name: String, args: Seq[Expression], n: Int): Seq[Expression] = {
+    if (args.length != n)
+      usageError(name, s"expects $n argument(s), got ${args.length}")
+    args
   }
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)),
+      (args: Seq[Expression]) => SimHash64(arity("graft_simhash64", args, 1).head),
+    ),
     ("graft_cosine_sim",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        arity("graft_cosine_sim", args, 2)
+        CosineSimilarity(args(0), args(1))
+      }),
     ("graft_minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
-      (args: Seq[Expression]) => MinHashSig(args(0),
-        intArg("graft_minhash_sig")(args(1)), intArg("graft_minhash_sig")(args(2)))),
+      (args: Seq[Expression]) => {
+        arity("graft_minhash_sig", args, 3)
+        MinHashSig(args(0),
+          intArg("graft_minhash_sig")(args(1)), intArg("graft_minhash_sig")(args(2)))
+      }),
     ("graft_shingle_hashes",
       new ExpressionInfo(classOf[ShingleHashSet].getName, "graft_shingle_hashes"),
-      (args: Seq[Expression]) => ShingleHashSet(args(0),
-        intArg("graft_shingle_hashes")(args(1)))),
+      (args: Seq[Expression]) => {
+        arity("graft_shingle_hashes", args, 2)
+        ShingleHashSet(args(0), intArg("graft_shingle_hashes")(args(1)))
+      }),
     ("graft_char_ngrams",
       new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
-      (args: Seq[Expression]) => CharNgrams(args(0), intArg("graft_char_ngrams")(args(1)))),
+      (args: Seq[Expression]) => {
+        arity("graft_char_ngrams", args, 2)
+        CharNgrams(args(0), intArg("graft_char_ngrams")(args(1)))
+      }),
     ("graft_srp_signature",
       new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_signature"),
       (args: Seq[Expression]) =>
-        if (args.length >= 3)
+        if (args.length == 3)
           SrpSignature(args(0), intArg("graft_srp_signature")(args(1)),
             intArg("graft_srp_signature")(args(2)))
-        else SrpSignature(args(0), intArg("graft_srp_signature")(args(1)))),
+        else {
+          arity("graft_srp_signature", args, 2)
+          SrpSignature(args(0), intArg("graft_srp_signature")(args(1)))
+        }),
     ("graft_l2sq_distances",
       new ExpressionInfo(classOf[L2SqDistances].getName, "graft_l2sq_distances"),
-      (args: Seq[Expression]) =>
-        L2SqDistances(args(0), matrixArg("graft_l2sq_distances")(args(1)))))
+      (args: Seq[Expression]) => {
+        arity("graft_l2sq_distances", args, 2)
+        L2SqDistances(args(0), matrixArg("graft_l2sq_distances")(args(1)))
+      }))
 
   /** The centroid matrix arrives from SQL as a foldable
     * array<array<double>> literal — like [[intArg]], it sizes plan-time
     * state, so a non-foldable argument is a usage error.
     */
-  private def matrixArg(name: String)(e: Expression): Array[Array[Double]] = {
+  private def matrixArg(name: String)(e: Expression): Seq[Seq[Double]] = {
     import org.apache.spark.sql.types._
     e.dataType match {
       case ArrayType(ArrayType(DoubleType, _), _) if e.foldable =>
         val rows = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        Array.tabulate(rows.numElements()) { i =>
-          rows.getArray(i).toDoubleArray()
+        Vector.tabulate(rows.numElements()) { i =>
+          rows.getArray(i).toDoubleArray().toVector
         }
-      case other => throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "_LEGACY_ERROR_TEMP_3055",
-        messageParameters = Map("scalarFunc" ->
-          s"$name: centroid matrix must be a foldable array<array<double>>, got $other"))
+      case other =>
+        usageError(name, s"centroid matrix must be a foldable array<array<double>>, got $other")
     }
   }
 
@@ -101,7 +131,7 @@ object GraftFunctions {
   def srpSig(vec: Column, bits: Int, offset: Int = 0): Column =
     exprCol(SrpSignature(expr(vec), bits, offset))
   def l2sqDistances(vec: Column, centroids: Array[Array[Double]]): Column =
-    exprCol(L2SqDistances(expr(vec), centroids))
+    exprCol(L2SqDistances(expr(vec), centroids.toVector.map(_.toVector)))
 }
 
 /** `SparkSessionExtensions` injector — the deployment-grade registration

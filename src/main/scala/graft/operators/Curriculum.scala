@@ -34,9 +34,12 @@ import org.apache.spark.storage.StorageLevel
 object Curriculum {
 
   /** Adds `bucket` (0-based, `nBuckets` values) assigned by exact interior
-    * quantile order statistics of `scoreCol`. Rows with a null score get
-    * bucket null. Runs two narrow jobs eagerly (count + sorted rank scan)
-    * to materialize the cut points.
+    * quantile order statistics of `scoreCol`. Rows with a null OR NaN score
+    * get bucket null — `na.drop` already excludes NaN from the cut-point
+    * computation, so letting NaN rows fall through the assignment expression
+    * would silently give them bucket 0 (zero cuts compare strictly below
+    * NaN). Unordered scores have no quantile; null says so. Runs two narrow
+    * jobs eagerly (count + sorted rank scan) to materialize the cut points.
     */
   def bucketBy(df: DataFrame, scoreCol: Column, nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
@@ -63,6 +66,7 @@ object Curriculum {
       if (cuts.isEmpty) lit(0L) // no non-null scores -> single bucket
       else size(filter(array(cuts.map(lit): _*), c => c < scoreCol)).cast("bigint")
     df.withColumn("bucket",
-      when(scoreCol.isNull, lit(null).cast("bigint")).otherwise(assigned))
+      when(scoreCol.isNull || isnan(scoreCol.cast("double")), lit(null).cast("bigint"))
+        .otherwise(assigned))
   }
 }

@@ -29,22 +29,33 @@ object QualityClassifier {
   /** Feature vector over a text column, fixed order (the model weight order
     * and the oracle SQL both bind to it). All values are dimensionless
     * ratios in small ranges, so one global weight scale works.
+    *
+    * Zero denominators are PINNED, not left to IEEE: an empty document (and
+    * the degenerate zero-token case) gets every ratio feature = 0.0, so its
+    * logit is exactly the bias. Without the guard, 0/0 = NaN poisons the
+    * score, `keep` silently flips false, and cross-engine parity for those
+    * rows rides on each engine's NaN conventions instead of the model.
     */
   def features(text: Column): Seq[(String, Column)] = {
+    val chars = length(text)
     val toks = TextAnalysis.tokenCount(text)
+    def perChar(numer: Column): Column =
+      when(chars === 0, lit(0.0)).otherwise(numer.cast("double") / chars)
+    def perTok(numer: Column): Column =
+      when(toks === 0, lit(0.0)).otherwise(numer.cast("double") / toks)
     Seq(
       // sentence punctuation share of characters
-      "f_punct" -> TextAnalysis.punctRatio(text),
+      "f_punct" -> perChar(length(regexp_replace(text, "[^.!?,;:]", ""))),
       // SHOUTING share
-      "f_upper" -> TextAnalysis.upperRatio(text),
+      "f_upper" -> perChar(length(regexp_replace(text, "[^A-Z]", ""))),
       // digit share (tables/serial numbers/boilerplate ids)
-      "f_digit" -> (length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text)),
+      "f_digit" -> perChar(length(regexp_replace(text, "[^0-9]", ""))),
       // stopword density per token (function words signal running prose)
-      "f_stop" -> (TextAnalysis.occurrences(text, " the ").cast("double") / toks),
+      "f_stop" -> perTok(TextAnalysis.occurrences(text, " the ")),
       // length, saturated at 20k chars and scaled to [0,1]
-      "f_len" -> (least(length(text), lit(20000)).cast("double") / 20000.0),
+      "f_len" -> (least(chars, lit(20000)).cast("double") / 20000.0),
       // mean chars per token (very long "tokens" are markup/base64 debris)
-      "f_tok_len" -> (length(text).cast("double") / toks))
+      "f_tok_len" -> perTok(chars))
   }
 
   /** Reference weights for the default filter: reward prose signals

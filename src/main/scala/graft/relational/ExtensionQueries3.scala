@@ -607,14 +607,19 @@ object ExtensionQueries3 {
       },
       Some("""WITH f AS (
              |  SELECT doc_id,
-             |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS f_punct,
-             |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) AS f_upper,
-             |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS f_digit,
-             |    CAST((length(text) - length(replace(text, ' the ', ''))) // 5 AS DOUBLE)
-             |      / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS f_stop,
+             |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |      CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) END AS f_punct,
+             |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |      CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) END AS f_upper,
+             |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS f_digit,
+             |    CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0 ELSE
+             |      CAST((length(text) - length(replace(text, ' the ', ''))) // 5 AS DOUBLE)
+             |      / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS f_stop,
              |    CAST(least(length(text), 20000) AS DOUBLE) / 20000.0 AS f_len,
-             |    CAST(length(text) AS DOUBLE)
-             |      / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS f_tok_len
+             |    CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0 ELSE
+             |      CAST(length(text) AS DOUBLE)
+             |      / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS f_tok_len
              |  FROM documents),
              |z AS (SELECT doc_id,
              |  0.5 + -2.0 * f_punct + -1.5 * f_upper + -2.0 * f_digit

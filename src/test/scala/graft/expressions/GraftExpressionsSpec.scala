@@ -147,6 +147,32 @@ class GraftExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration: wrong arity fails as a usage error, not an index crash") {
+    GraftFunctions.register(spark)
+    for (bad <- Seq(
+        "SELECT graft_cosine_sim(array(CAST(1.0 AS FLOAT)))",
+        "SELECT graft_l2sq_distances(array(1.0D))",
+        "SELECT graft_minhash_sig('a b c', 3)",
+        "SELECT graft_char_ngrams('ab')",
+        "SELECT graft_simhash64('a', 'b')")) {
+      // the registry may rewrap the AnalysisException; the contract is the
+      // usage message, not the wrapper type
+      val e = intercept[Exception] { spark.sql(bad).collect() }
+      assert(e.getMessage.contains("argument"), s"$bad -> $e")
+    }
+  }
+
+  test("L2SqDistances canonicalizes by centroid VALUES (Seq field, not arrays)") {
+    // structurally identical calls must be equal expressions so Catalyst can
+    // common-subexpression-eliminate them; Array fields would compare by ref
+    val a = L2SqDistances(org.apache.spark.sql.catalyst.expressions.Literal
+      .create(Seq(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)), Vector(Vector(0.0, 1.0)))
+    val b = a.copy(centroids = Vector(Vector(0.0, 1.0)))
+    assert(a == b && a.semanticEquals(b) && a.hashCode == b.hashCode)
+    assert(a != a.copy(centroids = Vector(Vector(0.0, 2.0))))
+  }
+
   test("GraftExtensions injects the functions into a fresh session") {
     val s2 = spark.newSession()
     // the injector's effect is equivalent to register(); exercise the class

@@ -59,6 +59,21 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("native distance expression throws loudly on a dimension mismatch") {
+    // The HOF twin nulls the mismatched slot (zip_with pads with null), which
+    // an argmin then silently eats; the native kernel refuses instead — an
+    // upstream dimension bug must fail the job, not skew the clustering.
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "vec")
+    val cents = Array(Array(0.0, 0.0, 0.0))
+    val e = intercept[Exception] {
+      df.select(graft.expressions.GraftFunctions.l2sqDistances($"vec", cents)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("l2sq_distances")), e.toString)
+  }
+
   test("assign is a pure function of the centroids (first-index tie break)") {
     val pts = Seq((1L, Seq(5.0, 0.0))).toDF("id", "vec")
     // equidistant centroids: the FIRST must win, deterministically

@@ -26,6 +26,17 @@ class CurriculumSpec extends SparkSpec {
     assert(got == Seq(0L, 0L, 0L, 1L, 1L))
   }
 
+  test("bucketBy: NaN scores get null buckets and are excluded from the cuts") {
+    val df = Seq((1L, 1.0), (2L, Double.NaN), (3L, 2.0), (4L, 3.0), (5L, 4.0))
+      .toDF("id", "score")
+    val got = Curriculum.bucketBy(df, col("score"), 2).orderBy("id").collect()
+    // NaN has no quantile: null bucket, same as a null score
+    assert(got(1).isNullAt(got(1).fieldIndex("bucket")))
+    // cuts come from {1,2,3,4} only: rank (4-1)*1/2 = 1 -> cut 2.0 (ties down)
+    val rest = got.filter(!_.isNullAt(2)).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rest == Map(1L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("bucketBy: null scores get null buckets; bucket count respected") {
     val df = Seq((1L, Some(1.0)), (2L, None), (3L, Some(100.0))).toDF("id", "score")
     val got = Curriculum.bucketBy(df, col("score"), 3).orderBy("id").collect()

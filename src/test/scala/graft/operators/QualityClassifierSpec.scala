@@ -36,6 +36,19 @@ class QualityClassifierSpec extends SparkSpec {
     assert(got.getBoolean(2) == (expectedZ >= 0.0))
   }
 
+  test("empty document is pinned to the bias, never NaN") {
+    // every per-char ratio guards its zero denominator -> logit is exactly
+    // the bias; without the guard 0/0 = NaN would silently drop the doc
+    val got = QualityClassifier.classify(Seq((1L, ""), (2L, "   ")).toDF("id", "t"), col("t"))
+      .orderBy("id")
+      .select("quality_logit", "quality_score", "keep").collect()
+    assert(got(0).getDouble(0) == QualityClassifier.DefaultBias)
+    assert(got(0).getDouble(1) == 0.5 + 0.5 * 0.5 / 1.5)
+    assert(got(0).getBoolean(2))
+    // whitespace-only: non-zero chars, one empty "token" — still finite
+    assert(!got(1).getDouble(0).isNaN && !got(1).getDouble(1).isNaN)
+  }
+
   test("decision: running prose keeps, caps/digit debris drops") {
     val docs = Seq(
       (1L, "We saw that the model improves when the data is clean. " +
