@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model fluency scoring — the CCNet-style
+  * "perplexity filter" slot in a training-data pipeline: score every document
+  * by how typical its word transitions are under a model trained on the
+  * corpus itself, then drop/bucket the tail. (CCNet uses a KenLM 5-gram;
+  * the operator shape — train counts, broadcast-free join back, per-doc
+  * reduce — is the same at any order.)
+  *
+  * Scores are engineered for cross-engine exactness, like the rest of the
+  * text layer (t50/t56/t64 house style): perplexity itself needs `log`,
+  * whose last-ulp differs between libms, so every emitted statistic is
+  * either an exact integer, a single IEEE division of exact integers, or an
+  * order-invariant `min` — no floating-point accumulation anywhere:
+  *
+  *   - `n_bigrams`   — transitions in the doc (exact count)
+  *   - `known_frac`  — share of transitions seen >= `minCount` times in the
+  *                     corpus (exact counts, ONE division)
+  *   - `avg_count`   — mean corpus frequency of the doc's transitions
+  *                     (exact integer sum, ONE division)
+  *   - `min_p`       — smoothed probability of the doc's RAREST transition
+  *                     (per-row exact arithmetic; `min` is order-invariant)
+  *                     = min over bigrams of (c12 + a) / (c1 + a*V),
+  *                     add-a smoothing, a = 1/2 (binary-exact)
+  *
+  * `min_p` is the parity-safe stand-in for max surprise (the thing
+  * perplexity is most sensitive to); `known_frac`/`avg_count` capture
+  * overall typicality. Monotone transforms of the per-transition
+  * probabilities don't change the induced ranking of any of these.
+  *
+  * Scale shape (100 TB): tokenization and bigram formation are one narrow
+  * projection + a per-doc window (state bounded by document length — never
+  * a global window). Counts shuffle WORD PAIRS, never text. The model
+  * (distinct bigrams with context counts attached) joins back to the
+  * per-doc distinct-bigram table on the pair key — one equi-join, AQE
+  * handles the Zipf skew of frequent pairs; the final reduce is an
+  * ordinary partial-aggregated groupBy on doc id.
+  */
+object LanguageModel {
+
+  /** Per-document bigram table: one row per (doc, w1, w2) with its
+    * within-doc multiplicity `m`. Tokens are lowercased whitespace splits
+    * (the corpus tokenizer baseline, [[TextAnalysis.tokenCount]] parity).
+    * Documents with fewer than two tokens have no transitions and no row.
+    */
+  def docBigrams(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = df
+      .select(idCol.as("doc_id"),
+        posexplode(split(trim(lower(textCol)), "\\s+")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .withColumn("w2", lead(col("w"), 1).over(byPos))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("doc_id"), col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).cast("bigint").as("m"))
+  }
+
+  /** Adds the four fluency statistics per document (see object doc).
+    * `alpha` must be binary-exact (default 1/2) so the smoothing arithmetic
+    * carries no decimal-literal rounding into the oracle.
+    *
+    * @return DataFrame[doc_id, n_bigrams, known_frac, avg_count, min_p]
+    */
+  def bigramFluency(df: DataFrame, idCol: Column, textCol: Column,
+      minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
+    val perDoc = docBigrams(df, idCol, textCol)
+    // corpus model: bigram count c12; context count c1 and context vocab V
+    // are DERIVED FROM c12 (distinct-bigram-sized — corpus-sublinear), so
+    // the corpus is tokenized for c12 and for the join-back only, and those
+    // two share one canonical subtree that exchange reuse collapses at
+    // runtime. sum over w2 of c12 = occurrences of w1 as a context.
+    val c12 = perDoc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("m")).cast("bigint").as("c12"))
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("bigint").as("c1"))
+    val v = c12.select(countDistinct(col("w1")).as("v"))
+    // model rows are distinct bigrams (corpus-sublinear); p is computed
+    // once per distinct bigram — exact ints into one IEEE division
+    val model = c12.join(c1, "w1").crossJoin(broadcast(v))
+      .withColumn("p",
+        (col("c12").cast("double") + lit(alpha)) /
+          (col("c1").cast("double") + lit(alpha) * col("v").cast("double")))
+      .select(col("w1"), col("w2"), col("c12"), col("p"))
+    perDoc.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).cast("bigint").as("n_bigrams"),
+        (sum(when(col("c12") >= minCount, col("m")).otherwise(lit(0L))).cast("double") /
+          sum(col("m"))).as("known_frac"),
+        (sum(col("m") * col("c12")).cast("double") / sum(col("m"))).as("avg_count"),
+        min(col("p")).as("min_p"))
+  }
+}

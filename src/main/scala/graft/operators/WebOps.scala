@@ -60,6 +60,71 @@ object WebOps {
       .drop("__dom")
   }
 
+  /** Tracking query parameters dropped by [[canonicalizeUrl]]: the analytics
+    * attribution keys that make one target page look like thousands of
+    * distinct URLs in a crawl frontier. Applied to the `&`-prefixed QUERY
+    * substring only — never the path, where a literal `&` is legal and must
+    * survive canonicalization byte-for-byte.
+    */
+  val TrackingParamRe = "&(utm_[a-z0-9_]*|gclid|fbclid|ref)=[^&]*"
+
+  /** Canonical form of an absolute URL — the dedup key for crawl frontiers
+    * and URL-level corpus dedup (the step before any content dedup runs:
+    * refetching `HTTPS://WWW.Example.org:443/p/1?utm_source=x` next to
+    * `https://example.org/p/1` wastes the crawler AND double-counts the
+    * page). Null when the value does not parse as an absolute URL.
+    *
+    * Rules (each a codegen'd regex step, RE2-safe — no lookaround, no
+    * backtracking-dependent constructs — so the DuckDB oracle applies the
+    * byte-identical patterns):
+    *   - scheme and host lowercase; `www.` prefix and userinfo drop
+    *   - default ports drop (`:80` for http, `:443` for https); real ports stay
+    *   - fragment drops; tracking params ([[TrackingParamRe]]) drop from the
+    *     query (path bytes are never rewritten); an emptied query drops
+    *   - a bare `/` path with no query drops (`example.org/` ≡ `example.org`)
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val h = regexp_replace(host(url), "^www\\.", "")
+    // port survives only when non-default for the scheme
+    val auth = regexp_extract(url, AuthorityRe, 1)
+    val port = regexp_extract(regexp_extract(auth, NoUserinfoRe, 1), ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    // path?query with the fragment excluded at extraction ([^#]*), then
+    // split at the FIRST '?': the query is cleaned in '&'-normalized form
+    // (every param '&'-prefixed, so one pattern hits first/middle/last
+    // position), the path is never touched.
+    val rest0 = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path0 = regexp_extract(rest0, "^([^?]*)", 1)
+    val query0 = regexp_extract(rest0, "\\?(.*)$", 1)
+    val q = regexp_replace(
+      regexp_replace(concat(lit("&"), query0), TrackingParamRe, ""), "^&", "")
+    val qPart = when(q === "", lit("")).otherwise(concat(lit("?"), q))
+    val pathPart = when(path0 === "/" && q === "", lit("")).otherwise(path0)
+    when(scheme === "" || h === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), h,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")), pathPart, qPart))
+  }
+
+  /** Adds `canonical_url` + `url_survivor` (true on the single row per
+    * canonical form with the smallest `idCol` — first-wins, deterministic).
+    * One hash aggregation on the canonical string + an equi-join back; no
+    * window over the corpus. Unparseable URLs (null canonical) are their own
+    * survivors — dropping them is a policy choice left to the caller.
+    */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: Column, idCol: Column): DataFrame = {
+    val withCanon = df.withColumn("canonical_url", canonicalizeUrl(urlCol))
+    val keepers = withCanon.filter(col("canonical_url").isNotNull)
+      .groupBy(col("canonical_url").as("__cu"))
+      .agg(min(idCol).as("__keeper"))
+    withCanon
+      .join(keepers, col("canonical_url") <=> col("__cu"), "left")
+      .withColumn("url_survivor", col("__keeper").isNull || idCol === col("__keeper"))
+      .drop("__cu", "__keeper")
+  }
+
   /** Per-domain corpus profile: document count and char-volume share —
     * the first report a crawl-derived dataset publishes, and the input to
     * domain-quota sampling ([[Sampling.perGroup]] keyed on the domain).

@@ -1,0 +1,139 @@
+package graft.relational
+
+import graft.core.{GraftQuery, Tables}
+import graft.operators.{LanguageModel, WebOps}
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: URL-level dedup (the crawl-frontier step before any
+  * content dedup) and corpus-trained n-gram LM fluency scoring (the
+  * CCNet-style perplexity-filter slot). Same contract as
+  * [[ExtensionQueries]]: Spark-first builder + DuckDB oracle that must
+  * hash-match exactly at sf0.01 and sf0.001.
+  */
+object ExtensionQueries4 {
+
+  val queries: Seq[GraftQuery] = Seq(
+    // ---------------------------------------------------------------- t65
+    GraftQuery(
+      "t65_url_canon",
+      (s, d) => {
+        import s.implicits._
+        // Deterministic URL synthesis (documents has no URL column), built
+        // to exercise every canonicalization rule: scheme/host case, www,
+        // default vs real ports, root path, tracking params in first /
+        // middle / only position, fragments, and cross-doc collisions
+        // (path keyed on doc_id % 50) so the dedup actually bites.
+        val url = concat(
+          when($"doc_id" % 2 === 0, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+          when($"doc_id" % 3 === 0, lit("WWW.")).otherwise(lit("www.")),
+          $"source", lit("-"), $"lang", lit(".org"),
+          when($"doc_id" % 5 === 0, lit(":443"))
+            .when($"doc_id" % 10 === 3, lit(":8443")).otherwise(lit("")),
+          when($"doc_id" % 9 === 0, lit("/"))
+            .otherwise(concat(lit("/p/"), ($"doc_id" % 50).cast("string"))),
+          when($"doc_id" % 4 === 0,
+            concat(lit("?utm_source=x&id="), ($"doc_id" % 7).cast("string")))
+            .when($"doc_id" % 4 === 1,
+              concat(lit("?id="), ($"doc_id" % 7).cast("string"), lit("&utm_campaign=y")))
+            .when($"doc_id" % 4 === 2, lit("?utm_medium=z"))
+            .otherwise(lit("")),
+          when($"doc_id" % 6 === 0, lit("#frag")).otherwise(lit("")))
+        val docs = Tables.documents(s, d).withColumn("url", url)
+        WebOps.dedupByCanonicalUrl(docs, $"url", $"doc_id")
+          .select($"doc_id".cast("bigint").as("doc_id"),
+            $"url", $"canonical_url", $"url_survivor")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+             |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END ||
+             |  source || '-' || lang || '.org' ||
+             |  CASE WHEN doc_id % 5 = 0 THEN ':443'
+             |       WHEN doc_id % 10 = 3 THEN ':8443' ELSE '' END ||
+             |  CASE WHEN doc_id % 9 = 0 THEN '/'
+             |       ELSE '/p/' || CAST(doc_id % 50 AS VARCHAR) END ||
+             |  CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR)
+             |       WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=y'
+             |       WHEN doc_id % 4 = 2 THEN '?utm_medium=z' ELSE '' END ||
+             |  CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+             |  FROM documents),
+             |parts AS (SELECT doc_id, url,
+             |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |  regexp_replace(lower(regexp_extract(regexp_extract(
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+             |    '([^@]*)$', 1), '^(\[[^\]]*\]|[^:\[][^:]*)', 1)), '^www\.', '') AS h,
+             |  regexp_extract(regexp_extract(
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+             |    '([^@]*)$', 1), ':([0-9]+)$', 1) AS port,
+             |  regexp_extract(regexp_extract(url,
+             |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '^([^?]*)', 1) AS path0,
+             |  regexp_replace(regexp_replace(
+             |    '&' || regexp_extract(regexp_extract(url,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '\?(.*)$', 1),
+             |    '&(utm_[a-z0-9_]*|gclid|fbclid|ref)=[^&]*', '', 'g'), '^&', '') AS q
+             |  FROM u),
+             |canon AS (SELECT doc_id, url,
+             |  CASE WHEN scheme = '' OR h = '' THEN NULL
+             |  ELSE scheme || '://' || h ||
+             |    CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+             |        OR (scheme = 'https' AND port = '443'))
+             |      THEN ':' || port ELSE '' END ||
+             |    CASE WHEN path0 = '/' AND q = '' THEN '' ELSE path0 END ||
+             |    CASE WHEN q = '' THEN '' ELSE '?' || q END
+             |  END AS canonical_url FROM parts),
+             |keep AS (SELECT canonical_url AS cu, min(doc_id) AS keeper
+             |  FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1)
+             |SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.url, c.canonical_url,
+             |  (k.keeper IS NULL OR c.doc_id = k.keeper) AS url_survivor
+             |FROM canon c LEFT JOIN keep k ON c.canonical_url = k.cu
+             |ORDER BY doc_id""".stripMargin),
+      doc = "URL canonicalization + first-wins canonical dedup (the crawl-" +
+        "frontier step before content dedup): lowercase scheme/host, www/" +
+        "userinfo/default-port/fragment/tracking-param removal, query " +
+        "repair, root-path normalization — every step an RE2-safe codegen'd " +
+        "regex the oracle applies byte-identically; the dedup is one hash " +
+        "agg on the canonical string + an equi-join, no window."
+    ),
+    // ---------------------------------------------------------------- t66
+    GraftQuery(
+      "t66_bigram_lm",
+      (s, d) => {
+        import s.implicits._
+        LanguageModel.bigramFluency(Tables.documents(s, d), $"doc_id", $"text")
+          .select($"doc_id".cast("bigint").as("doc_id"),
+            $"n_bigrams", $"known_frac", $"avg_count", $"min_p")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS w
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+             |        FROM documents)),
+             |tk AS (SELECT * FROM tok WHERE len(w) > 0),
+             |bg AS (SELECT doc_id, w AS w1,
+             |  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tk),
+             |pd AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+             |  FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+             |c12 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c12 FROM pd GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(sum(m) AS BIGINT) AS c1 FROM pd GROUP BY 1),
+             |v AS (SELECT count(DISTINCT w1) AS v FROM pd),
+             |model AS (SELECT w1, w2, c12,
+             |  (CAST(c12 AS DOUBLE) + 0.5) / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS p
+             |  FROM c12 JOIN c1 USING (w1) CROSS JOIN v)
+             |SELECT CAST(pd.doc_id AS BIGINT) AS doc_id,
+             |  CAST(sum(pd.m) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(CASE WHEN model.c12 >= 2 THEN pd.m ELSE 0 END) AS DOUBLE)
+             |    / CAST(sum(pd.m) AS BIGINT) AS known_frac,
+             |  CAST(sum(pd.m * model.c12) AS DOUBLE)
+             |    / CAST(sum(pd.m) AS BIGINT) AS avg_count,
+             |  min(model.p) AS min_p
+             |FROM pd JOIN model USING (w1, w2)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      doc = "Corpus-trained bigram LM fluency scoring (the CCNet perplexity-" +
+        "filter slot, parity-safe): perplexity's log is libm-unstable, so " +
+        "the statistics are exact integers, single IEEE divisions, and an " +
+        "order-invariant min of smoothed per-transition probabilities " +
+        "(c12+1/2)/(c1+V/2). Tokens/pairs shuffle, never text; the model " +
+        "joins back on the pair key; per-doc window state is doc-bounded."
+    )
+  )
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny corpus with known transition structure:
+  //   "a b"  appears in docs 1, 2, 3  -> c12(a,b) = 3
+  //   "b c"  appears in docs 1, 2     -> c12(b,c) = 2
+  //   "c z"  appears only in doc 3    -> c12(c,z) = 1 (the rare transition)
+  private def corpus = Seq(
+    (1L, "a b c"),
+    (2L, "a b c"),
+    (3L, "a b x a b c z")).toDF("id", "text")
+
+  test("docBigrams: per-doc pair multiplicities, short docs excluded") {
+    val got = LanguageModel.docBigrams(corpus, $"id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got((1L, "a", "b")) == 1L)
+    assert(got((3L, "a", "b")) == 2L) // multiplicity within one doc
+    assert(got((3L, "b", "x")) == 1L)
+    val one = LanguageModel.docBigrams(Seq((9L, "solo"), (10L, "  ")).toDF("id", "text"),
+      $"id", $"text")
+    assert(one.isEmpty) // <2 tokens -> no transitions, no row
+  }
+
+  test("bigramFluency: hand-computed statistics on the tiny corpus") {
+    val got = LanguageModel.bigramFluency(corpus, $"id", $"text", minCount = 2)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // corpus model: c12 = {ab:4, bc:3, bx:1, xa:1, cz:1}; c1 = {a:4, b:4, x:1, c:1}
+    // (context counts = bigram occurrences, NOT raw token counts); V = 4
+    val V = 4.0
+    def p(c12: Long, c1: Long) = (c12 + 0.5) / (c1 + 0.5 * V)
+    // doc 1 = "a b c": pairs ab (c12=4), bc (c12=3); both known (>=2)
+    val (n1, kf1, ac1, mp1) = got(1L)
+    assert(n1 == 2L && kf1 == 1.0)
+    assert(ac1 == (4.0 + 3.0) / 2)
+    assert(mp1 == math.min(p(4, 4), p(3, 4)))
+    // doc 3 = "a b x a b c z": ab ab bx xa bc cz -> 6 pairs, rare bx/xa/cz
+    val (n3, kf3, ac3, mp3) = got(3L)
+    assert(n3 == 6L)
+    assert(kf3 == 3.0 / 6.0) // ab, ab, bc known; bx, xa, cz are not
+    assert(ac3 == (4.0 + 4.0 + 1.0 + 1.0 + 3.0 + 1.0) / 6)
+    assert(mp3 == math.min(p(1, 4), math.min(p(1, 1), p(1, 1))))
+  }
+
+  test("fluency ranks corpus-typical text above a shuffled-vocabulary doc") {
+    val docs = (1L to 20L).map(i => (i, "the cat sat on the mat and the dog sat too")) :+
+      (99L, "mat the too cat dog on and sat the the")
+    val got = LanguageModel.bigramFluency(docs.toDF("id", "text"), $"id", $"text")
+      .select($"doc_id", $"known_frac", $"min_p").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 > got(99L)._1) // typical transitions are "known"
+    assert(got(1L)._2 > got(99L)._2) // and never as surprising
+  }
+
+  test("corpus tokenization is shared, not recomputed, across the model branches") {
+    // c1/V derive from the distinct-bigram table, and the two remaining
+    // corpus-tokenization branches (c12 build, join-back) share a canonical
+    // exchange — at runtime the corpus must be tokenized once, not four times
+    val df = LanguageModel.bigramFluency(corpus, $"id", $"text")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      df.queryExecution.executedPlan.toString.take(800))
+  }
+
+  test("statistics are repartition-invariant (order-invariant aggregation only)") {
+    val base = LanguageModel.bigramFluency(corpus, $"id", $"text").orderBy("doc_id").collect()
+    val reparted = LanguageModel.bigramFluency(corpus.repartition(13), $"id", $"text")
+      .orderBy("doc_id").collect()
+    assert(base.sameElements(reparted))
+  }
+}

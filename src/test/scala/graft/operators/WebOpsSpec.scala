@@ -51,6 +51,69 @@ class WebOpsSpec extends SparkSpec {
       Seq("id", "url"))
   }
 
+  private def canonOf(url: String): String = {
+    val r = Seq(url).toDF("u").select(WebOps.canonicalizeUrl(col("u"))).collect().head
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("canonicalizeUrl: golden forms for every rule") {
+    // scheme/host case, www, userinfo, default port, fragment, root path
+    assert(canonOf("HTTPS://u:p@WWW.Example.ORG:443/#frag") == "https://example.org")
+    // non-default port survives
+    assert(canonOf("https://example.org:8443/p/1") == "https://example.org:8443/p/1")
+    // http default port drops; https:80 is NOT default and survives
+    assert(canonOf("http://example.org:80/x") == "http://example.org/x")
+    assert(canonOf("https://example.org:80/x") == "https://example.org:80/x")
+    // tracking params: leading (query mark repaired), middle, and only-param
+    assert(canonOf("https://a.io/p?utm_source=x&id=3") == "https://a.io/p?id=3")
+    assert(canonOf("https://a.io/p?id=3&utm_campaign=y&b=2") == "https://a.io/p?id=3&b=2")
+    assert(canonOf("https://a.io/p?utm_medium=z") == "https://a.io/p")
+    assert(canonOf("https://a.io/p?gclid=abc&fbclid=d&ref=rss") == "https://a.io/p")
+    // non-tracking query and path are byte-preserved (no case folding there)
+    assert(canonOf("https://a.io/P/Q?Id=3") == "https://a.io/P/Q?Id=3")
+    // a literal '&' in the PATH is legal and must survive untouched, even
+    // when the query is stripped to nothing around it
+    assert(canonOf("https://a.io/a&b?utm_source=x") == "https://a.io/a&b")
+    assert(canonOf("https://a.io/a&b") == "https://a.io/a&b")
+    // root path with a surviving query keeps its '/'
+    assert(canonOf("https://a.io/?id=3&utm_source=x") == "https://a.io/?id=3")
+    // root path is the host itself; deeper trailing slashes are preserved
+    assert(canonOf("https://a.io/") == "https://a.io")
+    assert(canonOf("https://a.io/p/") == "https://a.io/p/")
+    // unparseable routes to null, never a half-canonical string
+    assert(canonOf("not a url") == null)
+    assert(canonOf("relative/only") == null)
+  }
+
+  test("canonicalizeUrl is idempotent on its own output") {
+    val urls = Seq(
+      "HTTPS://u:p@WWW.Example.ORG:443/a/b?utm_source=x&id=1#f",
+      "http://News.Site.io:80/?utm_medium=z",
+      "https://a.io:8443/p/?id=2&utm_campaign=c")
+    for (u <- urls) {
+      val once = canonOf(u)
+      assert(canonOf(once) == once, s"not idempotent on $u -> $once")
+    }
+  }
+
+  test("dedupByCanonicalUrl: min-id survivor per canonical form, nulls survive") {
+    val docs = Seq(
+      (5L, "https://www.a.io/p?utm_source=x"),
+      (2L, "HTTPS://A.IO:443/p"),
+      (7L, "https://a.io/p"),
+      (3L, "https://b.io/q"),
+      (9L, "garbage")).toDF("id", "url")
+    val got = WebOps.dedupByCanonicalUrl(docs, col("url"), col("id"))
+      .select("id", "canonical_url", "url_survivor").collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getBoolean(2))).toMap
+    // ids 5, 2, 7 all canonicalize to https://a.io/p — min id 2 survives
+    assert(got(2L) == (Some("https://a.io/p"), true))
+    assert(got(5L) == (Some("https://a.io/p"), false))
+    assert(got(7L) == (Some("https://a.io/p"), false))
+    assert(got(3L) == (Some("https://b.io/q"), true))
+    assert(got(9L) == (None, true)) // unparseable: own survivor, caller's call
+  }
+
   test("domainStats aggregates count and char volume per registrable domain") {
     val docs = Seq(
       (1L, "https://a.x.org/1", 10L),
