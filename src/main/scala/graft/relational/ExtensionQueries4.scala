@@ -134,6 +134,50 @@ object ExtensionQueries4 {
         "order-invariant min of smoothed per-transition probabilities " +
         "(c12+1/2)/(c1+V/2). Tokens/pairs shuffle, never text; the model " +
         "joins back on the pair key; per-doc window state is doc-bounded."
+    ),
+    // ---------------------------------------------------------------- t67
+    GraftQuery(
+      "t67_bpe_gate",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val model = graft.operators.Bpe.train(docs, $"text", numMerges = 16)
+        // (1) the first learned merge must be the true argmax of the
+        // independently recomputed initial pair counts (same tiebreak)
+        val top = graft.operators.Bpe.initialPairCounts(docs, $"text")
+          .orderBy($"c".desc, $"pair").limit(1).collect()(0).getString(0)
+        val firstOk = model.merges.headOption
+          .exists { case (a, b) => graft.operators.Bpe.pairKey(a, b) == top }
+        // (2) decode round-trip over the WHOLE corpus: concatenating each
+        // word's symbols must reproduce the word byte-for-byte
+        val enc = docs.select(
+          graft.operators.Bpe.words($"text").as("ws"),
+          graft.operators.Bpe.encode($"text", model).as("toks"))
+        val stats = enc.select(
+          sum(size(filter(zip_with($"ws", $"toks",
+            (w, sy) => concat_ws("", sy) =!= w), x => x))).as("viol"),
+          sum(size(flatten($"toks"))).cast("bigint").as("n_syms"),
+          sum(aggregate(transform($"ws", w => length(w).cast("long")),
+            lit(0L), (acc, x) => acc + x)).cast("bigint").as("n_chars"))
+          .collect()(0)
+        // (3) merges are distinct and (4) encoding strictly compresses
+        val distinctOk = model.merges.distinct.size == model.merges.size
+        Seq((model.merges.size.toLong, stats.getLong(0), firstOk,
+          distinctOk, stats.getLong(1) < stats.getLong(2)))
+          .toDF("merges_n", "roundtrip_violations", "first_merge_argmax",
+            "merges_distinct", "tokens_shrunk")
+      },
+      Some("SELECT CAST(16 AS BIGINT) AS merges_n, " +
+        "CAST(0 AS BIGINT) AS roundtrip_violations, " +
+        "true AS first_merge_argmax, true AS merges_distinct, " +
+        "true AS tokens_shrunk"),
+      doc = "Distributed BPE tokenizer-training gate: 16 merges learned " +
+        "over the word-frequency dictionary (ONE corpus scan, then " +
+        "corpus-sublinear pair aggregations; only the winning pair ever " +
+        "reaches the driver). Verifies the first argmax independently, a " +
+        "corpus-wide decode round-trip, merge distinctness, and strict " +
+        "compression — all SF-independent booleans.",
+      gate = true
     )
   )
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def encodeOne(text: String, model: Bpe.BpeModel): Seq[Seq[String]] =
+    Seq(text).toDF("t").select(Bpe.encode(col("t"), model))
+      .collect().head.getSeq[scala.collection.Seq[String]](0).map(_.toSeq)
+
+  test("hand-traced merge sequence on a planted dictionary") {
+    // words: aaab x3, ab x1. Initial pair counts: (a,a) = 6, (a,b) = 4.
+    // merge 1 = (a,a): aaab -> [aa, a, b]. Then (a,b) = 4 beats (aa,a) = 3.
+    // merge 2 = (a,b): aaab -> [aa, ab]. merge 3 = (aa, ab) -> [aaab].
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("id", "text")
+    val model = Bpe.train(docs, $"text", numMerges = 3)
+    assert(model.merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    assert(encodeOne("aaab ab", model) == Seq(Seq("aaab"), Seq("ab")))
+    // unseen words encode greedily with the learned merges
+    assert(encodeOne("aab baaab", model) == Seq(Seq("aa", "b"), Seq("b", "aaab")))
+  }
+
+  test("greedy left-to-right merge order: aaa + (a,a) gives [aa, a], never [a, aa]") {
+    val docs = Seq((1L, "aaa aaa")).toDF("id", "text")
+    val model = Bpe.train(docs, $"text", numMerges = 2)
+    assert(model.merges == Seq(("a", "a"), ("aa", "a")))
+    // even length: pairs merge disjointly left-to-right, no (aa,a) site
+    assert(encodeOne("aaaa", model) == Seq(Seq("aa", "aa")))
+    // odd run: [aa][aa][a], then (aa,a) fires at the SECOND aa -> [aa, aaa]
+    assert(encodeOne("aaaaa", model) == Seq(Seq("aa", "aaa")))
+  }
+
+  test("minCount stops training before degenerate singleton merges") {
+    // every pair occurs once -> nothing reaches minCount = 2
+    val docs = Seq((1L, "abc def")).toDF("id", "text")
+    val model = Bpe.train(docs, $"text", numMerges = 5)
+    assert(model.merges.isEmpty)
+  }
+
+  test("merge list is repartition-invariant and ties break on the pair string") {
+    // (a,b) and (c,d) both count 2: lexicographic tiebreak picks (a,b) first
+    val docs = Seq((1L, "ab cd"), (2L, "ab cd")).toDF("id", "text")
+    val m1 = Bpe.train(docs, $"text", numMerges = 2)
+    val m2 = Bpe.train(docs.repartition(7), $"text", numMerges = 2)
+    assert(m1.merges == m2.merges)
+    assert(m1.merges.head == ("a", "b"))
+    val real = Seq((1L, "the cat sat on the mat"), (2L, "the cats sat"),
+      (3L, "a hat on the mat")).toDF("id", "text")
+    val r1 = Bpe.train(real, $"text", numMerges = 6)
+    val r2 = Bpe.train(real.repartition(13), $"text", numMerges = 6)
+    assert(r1.merges == r2.merges && r1.merges.size == 6)
+  }
+
+  test("decode round-trip: concatenating symbols reproduces every word") {
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "Lowest newer wider low"))
+      .toDF("id", "text")
+    val model = Bpe.train(docs, $"text", numMerges = 8)
+    val viol = docs.select(
+      zip_with(Bpe.words($"text"), Bpe.encode($"text", model),
+        (w, syms) => concat_ws("", syms) =!= w).as("bad"))
+      .select(sum(size(filter($"bad", x => x))).as("v"))
+      .collect().head.getLong(0)
+    assert(viol == 0L)
+  }
+
+  test("encode is a pure narrow projection: no shuffle, no UDF in the plan") {
+    val model = Bpe.BpeModel(Seq(("a", "b"), ("ab", "c")))
+    val plan = Seq("abc").toDF("t").select(Bpe.encode(col("t"), model))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
+  }
+}
