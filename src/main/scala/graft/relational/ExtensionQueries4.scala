@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.core.{GraftQuery, Tables}
-import graft.operators.{LanguageModel, WebOps}
+import graft.operators.{CountMin, LanguageModel, WebOps}
 import org.apache.spark.sql.functions._
 
 /** Round-8 additions: URL-level dedup (the crawl-frontier step before any
@@ -177,6 +177,41 @@ object ExtensionQueries4 {
         "reaches the driver). Verifies the first argmax independently, a " +
         "corpus-wide decode round-trip, merge distinctness, and strict " +
         "compression — all SF-independent booleans.",
+      gate = true
+    ),
+    // ---------------------------------------------------------------- t68
+    GraftQuery(
+      "t68_cms_gate",
+      (s, d) => {
+        import s.implicits._
+        val depth = 4; val width = 2048
+        val toks = Tables.documents(s, d)
+          .select(explode(graft.operators.Bpe.words($"text")).as("w"))
+        val exact = toks.groupBy($"w").agg(count(lit(1)).cast("bigint").as("exact"))
+        val sk = CountMin.sketch(toks, $"w", depth, width)
+        val est = CountMin.estimate(sk, toks, $"w", depth, width)
+        val err = exact.join(est, $"w" === $"k")
+          .agg(
+            sum(when($"est" < $"exact", 1L).otherwise(0L)).as("under"),
+            max($"est" - $"exact").as("maxover"),
+            sum($"exact").cast("bigint").as("n"))
+          .collect()(0)
+        val cells = sk.count()
+        // One-sided error is the CMS contract: never under, and over is
+        // bounded by the per-row collision mass (4x the N/width expectation
+        // leaves margin; min-over-depth lands far below it in practice).
+        Seq((err.getLong(0), err.getLong(1) <= 4.0 * err.getLong(2) / width,
+          cells <= depth.toLong * width))
+          .toDF("underestimates", "overestimate_bounded", "cells_bounded")
+      },
+      Some("SELECT CAST(0 AS BIGINT) AS underestimates, " +
+        "true AS overestimate_bounded, true AS cells_bounded"),
+      doc = "Count-min sketch guarantee gate over corpus token frequencies: " +
+        "estimates never undercount (hard one-sided CMS property), the max " +
+        "overcount stays within the bounded per-row collision mass, and the " +
+        "sketch is at most depth x width cells regardless of key " +
+        "cardinality — the fixed-size point-frequency complement of the " +
+        "t40 Misra-Gries heavy hitters.",
       gate = true
     )
   )

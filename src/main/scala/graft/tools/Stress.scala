@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.core.Tables
-import graft.operators.{BloomJoin, DedupClusters, DedupOps, HeavyHitters, Layout, Merge, Similarity, TextPipeline}
+import graft.operators.{BloomJoin, Bpe, CountMin, DedupClusters, DedupOps, HeavyHitters, LanguageModel, Layout, Merge, Similarity, TextPipeline, WebOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -426,6 +426,60 @@ object Stress {
       check(encDocs == nDocs, s"every doc must encode ($encDocs of $nDocs)")
       // replica-drift tokens (u<doc>_<rep>_<j>) are unique -> guaranteed OOV
       check(oovTokens > 0, "the drifted corpus must contain OOV tokens")
+
+      // ---- bigram LM fluency at factor scale: model train + join-back;
+      // every (multi-token) doc must come back scored
+      val (lmRows, tLm) = timed {
+        LanguageModel.bigramFluency(docs, col("doc_id"), col("text")).count()
+      }
+      println(j("stage" -> "bigram_lm", "seconds" -> tLm, "docs_scored" -> lmRows))
+      check(lmRows == nDocs, s"every doc must score ($lmRows of $nDocs)")
+
+      // ---- URL canonicalization dedup: heavy collisions by construction —
+      // canonical space is <= 97*7 forms, so survivors collapse hard
+      val urlExpr = concat(lit("HTTPS://WWW.example.org:443/p/"),
+        (col("doc_id") % 97).cast("string"),
+        lit("?utm_source=x&id="), (col("doc_id") % 7).cast("string"))
+      val ((urlSurv, urlRows), tUrl) = timed {
+        val u = WebOps.dedupByCanonicalUrl(
+          docs.withColumn("url", urlExpr), col("url"), col("doc_id"))
+        (u.filter(col("url_survivor")).count(), u.count())
+      }
+      println(j("stage" -> "url_canon_dedup", "seconds" -> tUrl,
+        "rows" -> urlRows, "survivors" -> urlSurv))
+      check(urlRows == nDocs, s"dedup must preserve rows ($urlRows of $nDocs)")
+      check(urlSurv < nDocs / 2, s"synthesized collisions must dedup ($urlSurv of $nDocs)")
+
+      // ---- BPE training on the drifted corpus (distinct words grow with
+      // the drift tokens) + whole-corpus decode round-trip
+      val ((bpeMerges, bpeViol), tBpe) = timed {
+        val model = Bpe.train(docs, col("text"), numMerges = 12)
+        val viol = docs.select(
+          sum(size(filter(zip_with(Bpe.words(col("text")),
+            Bpe.encode(col("text"), model),
+            (w, sy) => concat_ws("", sy) =!= w), x => x))).as("v"))
+          .collect()(0).getLong(0)
+        (model.merges.size, viol)
+      }
+      println(j("stage" -> "bpe_train", "seconds" -> tBpe,
+        "merges" -> bpeMerges, "roundtrip_violations" -> bpeViol))
+      check(bpeMerges == 12, s"corpus must support 12 merges (got $bpeMerges)")
+      check(bpeViol == 0, s"BPE decode round-trip violated $bpeViol words")
+
+      // ---- count-min over the factor corpus tokens: cell count stays fixed
+      // while cardinality grows with factor; estimates never undercount
+      val ((cmsCells, cmsUnder), tCms) = timed {
+        val toks = docs.select(explode(Bpe.words(col("text"))).as("w"))
+        val sk = CountMin.sketch(toks, col("w"), 4, 2048)
+        val est = CountMin.estimate(sk, toks, col("w"), 4, 2048)
+        val exact = toks.groupBy(col("w")).agg(count(lit(1)).cast("bigint").as("exact"))
+        (sk.count(),
+          exact.join(est, col("w") === col("k")).filter(col("est") < col("exact")).count())
+      }
+      println(j("stage" -> "cms_tokens", "seconds" -> tCms,
+        "cells" -> cmsCells, "underestimates" -> cmsUnder))
+      check(cmsCells <= 4L * 2048, s"sketch must stay bounded ($cmsCells cells)")
+      check(cmsUnder == 0, s"count-min must never undercount ($cmsUnder keys)")
 
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
