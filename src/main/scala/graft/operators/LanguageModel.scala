@@ -60,39 +60,71 @@ object LanguageModel {
       .agg(count(lit(1)).cast("bigint").as("m"))
   }
 
-  /** Adds the four fluency statistics per document (see object doc).
+  /** A fitted bigram LM: transition counts, context counts, and the
+    * context-vocabulary size. Everything stays a DataFrame (the model is
+    * corpus-sublinear but can still be large — it joins, it is never
+    * collected; `vocab` is one row and broadcasts at score time), so
+    * fitting is lazy and free until a scoring query executes.
+    */
+  final case class BigramLm(transitions: DataFrame, contexts: DataFrame,
+      vocab: DataFrame, alpha: Double, minCount: Int)
+
+  /** Fit the bigram model on a corpus. The fit corpus and the scored corpus
+    * need not be the same — training on a trusted reference corpus and
+    * scoring a crawl with it is the standard CCNet deployment.
+    *
+    * Context counts and V derive from the distinct-bigram table
+    * (corpus-sublinear — the corpus is tokenized for c12 and nothing else;
+    * sum over w2 of c12 = occurrences of w1 as a context).
+    */
+  def fit(df: DataFrame, idCol: Column, textCol: Column,
+      minCount: Int = 2, alpha: Double = 0.5): BigramLm = {
+    val c12 = docBigrams(df, idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("m")).cast("bigint").as("c12"))
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("bigint").as("c1"))
+    val v = c12.select(countDistinct(col("w1")).as("v"))
+    BigramLm(c12, c1, v, alpha, minCount)
+  }
+
+  /** Score a corpus with a fitted model (see object doc for the four
+    * statistics). Transitions/contexts the model never saw smooth to
+    * `(0 + a) / (0 + a·V)` via the same exact arithmetic — left joins +
+    * coalesce, so scoring a disjoint corpus is total, never a dropped row.
+    *
+    * @return DataFrame[doc_id, n_bigrams, known_frac, avg_count, min_p]
+    */
+  def score(df: DataFrame, idCol: Column, textCol: Column,
+      model: BigramLm): DataFrame = {
+    val perDoc = docBigrams(df, idCol, textCol)
+    perDoc
+      .join(model.transitions, Seq("w1", "w2"), "left")
+      .join(model.contexts, Seq("w1"), "left")
+      .crossJoin(broadcast(model.vocab))
+      .withColumn("c12", coalesce(col("c12"), lit(0L)))
+      .withColumn("c1", coalesce(col("c1"), lit(0L)))
+      .withColumn("p",
+        (col("c12").cast("double") + lit(model.alpha)) /
+          (col("c1").cast("double") + lit(model.alpha) * col("v").cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).cast("bigint").as("n_bigrams"),
+        (sum(when(col("c12") >= model.minCount, col("m")).otherwise(lit(0L))).cast("double") /
+          sum(col("m"))).as("known_frac"),
+        (sum(col("m") * col("c12")).cast("double") / sum(col("m"))).as("avg_count"),
+        min(col("p")).as("min_p"))
+  }
+
+  /** Self-scored fluency: fit on the corpus, score the corpus — equivalent
+    * to the t66 oracle's single-query formulation (on the fit corpus every
+    * transition is found, so the left joins degenerate to inner).
     * `alpha` must be binary-exact (default 1/2) so the smoothing arithmetic
     * carries no decimal-literal rounding into the oracle.
     *
     * @return DataFrame[doc_id, n_bigrams, known_frac, avg_count, min_p]
     */
   def bigramFluency(df: DataFrame, idCol: Column, textCol: Column,
-      minCount: Int = 2, alpha: Double = 0.5): DataFrame = {
-    val perDoc = docBigrams(df, idCol, textCol)
-    // corpus model: bigram count c12; context count c1 and context vocab V
-    // are DERIVED FROM c12 (distinct-bigram-sized — corpus-sublinear), so
-    // the corpus is tokenized for c12 and for the join-back only, and those
-    // two share one canonical subtree that exchange reuse collapses at
-    // runtime. sum over w2 of c12 = occurrences of w1 as a context.
-    val c12 = perDoc.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("m")).cast("bigint").as("c12"))
-    val c1 = c12.groupBy(col("w1"))
-      .agg(sum(col("c12")).cast("bigint").as("c1"))
-    val v = c12.select(countDistinct(col("w1")).as("v"))
-    // model rows are distinct bigrams (corpus-sublinear); p is computed
-    // once per distinct bigram — exact ints into one IEEE division
-    val model = c12.join(c1, "w1").crossJoin(broadcast(v))
-      .withColumn("p",
-        (col("c12").cast("double") + lit(alpha)) /
-          (col("c1").cast("double") + lit(alpha) * col("v").cast("double")))
-      .select(col("w1"), col("w2"), col("c12"), col("p"))
-    perDoc.join(model, Seq("w1", "w2"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("m")).cast("bigint").as("n_bigrams"),
-        (sum(when(col("c12") >= minCount, col("m")).otherwise(lit(0L))).cast("double") /
-          sum(col("m"))).as("known_frac"),
-        (sum(col("m") * col("c12")).cast("double") / sum(col("m"))).as("avg_count"),
-        min(col("p")).as("min_p"))
-  }
+      minCount: Int = 2, alpha: Double = 0.5): DataFrame =
+    score(df, idCol, textCol, fit(df, idCol, textCol, minCount, alpha))
 }

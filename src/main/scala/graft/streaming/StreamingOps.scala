@@ -172,6 +172,34 @@ object StreamingOps {
       }
   }
 
+  final case class UrlDoc(doc_id: Long, url: String)
+  final case class UrlSeen(doc_id: Long, url: String, canonical_url: Option[String])
+
+  /** Streaming URL-level dedup — the crawl-frontier twin of the batch
+    * [[graft.operators.WebOps.dedupByCanonicalUrl]]: at most one row is
+    * EVER emitted per canonical URL form across all micro-batches (within
+    * a batch the smallest `doc_id` wins, matching the batch min-id
+    * survivor). State is one boolean per canonical form, sharded by the
+    * canonical key. Unparseable URLs (null canonical) key on a per-row
+    * sentinel, so each passes through exactly as in batch — dropping them
+    * is the caller's policy.
+    */
+  def dedupUrlsStream(docs: Dataset[UrlDoc]): Dataset[UrlSeen] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.toDF()
+      .withColumn("canonical_url",
+        graft.operators.WebOps.canonicalizeUrl(col("url")))
+      .as[UrlSeen]
+      .groupByKey(r => r.canonical_url.getOrElse("\u0000" + r.doc_id))
+      .flatMapGroupsWithState[Boolean, UrlSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[UrlSeen], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(rows.minBy(_.doc_id)) }
+      }
+  }
+
   /** Streaming enrichment: the incremental Program-2 mode. New markdown files
     * landing in `inDir` are enriched exactly once (checkpointed intake
     * replaces the reference's filesystem-existence check). Implemented with

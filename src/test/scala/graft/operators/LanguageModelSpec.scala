@@ -58,6 +58,26 @@ class LanguageModelSpec extends SparkSpec {
     assert(got(1L)._2 > got(99L)._2) // and never as surprising
   }
 
+  test("fit on corpus A, score corpus B: unseen transitions smooth, never drop") {
+    // model from `corpus`: c12 = {ab:4, bc:3, bx:1, xa:1, cz:1},
+    // c1 = {a:4, b:4, x:1, c:1}, V = 4
+    val model = LanguageModel.fit(corpus, $"id", $"text")
+    val fresh = Seq((7L, "a b q"), (8L, "q q")).toDF("id", "text")
+    val got = LanguageModel.score(fresh, $"id", $"text", model)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val V = 4.0
+    // doc 7: ab (c12=4, c1(a)=4) + bq (unseen pair, KNOWN context b: c1=4)
+    val (n7, kf7, ac7, mp7) = got(7L)
+    assert(n7 == 2L && kf7 == 0.5 && ac7 == (4.0 + 0.0) / 2)
+    assert(mp7 == (0.0 + 0.5) / (4.0 + 0.5 * V)) // smoothed unseen-pair prob
+    // doc 8: qq — unseen pair AND unseen context: (0+a)/(0+aV) = 1/V
+    val (n8, kf8, ac8, mp8) = got(8L)
+    assert(n8 == 1L && kf8 == 0.0 && ac8 == 0.0)
+    assert(mp8 == 0.5 / (0.5 * V))
+  }
+
   test("corpus tokenization is shared, not recomputed, across the model branches") {
     // c1/V derive from the distinct-bigram table, and the two remaining
     // corpus-tokenization branches (c12 build, join-back) share a canonical

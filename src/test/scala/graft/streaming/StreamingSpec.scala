@@ -235,4 +235,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("doc_dedup").select("doc_id").as[Long].collect().toSet ==
       Set(1L, 3L, 5L))
   }
+
+  test("dedupUrlsStream emits one row per canonical URL across micro-batches") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("urls_stream")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType)))
+    def dropFile(name: String, rows: Seq[StreamingOps.UrlDoc]): Unit = {
+      val tmp = Files.createTempDirectory("urls_tmp")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    // 5 and 2 canonicalize identically (www/443/utm strip) -> min id 2 wins;
+    // 9 is unparseable and must pass through
+    dropFile("b1.parquet", Seq(
+      StreamingOps.UrlDoc(5L, "https://www.a.io/p?utm_source=x"),
+      StreamingOps.UrlDoc(2L, "HTTPS://A.IO:443/p"),
+      StreamingOps.UrlDoc(9L, "garbage")))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .as[StreamingOps.UrlDoc]
+    val q = StreamingOps.dedupUrlsStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("url_dedup")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_ud").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("url_dedup").select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 9L))
+    // batch 2: the seen canonical is suppressed forever — even for a NEW
+    // surface form; a new canonical and another unparseable row pass
+    dropFile("b2.parquet", Seq(
+      StreamingOps.UrlDoc(11L, "https://www.a.io/p#frag"),
+      StreamingOps.UrlDoc(12L, "https://b.io/q"),
+      StreamingOps.UrlDoc(13L, "also garbage")))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("url_dedup").select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 9L, 12L, 13L))
+  }
 }
