@@ -96,6 +96,40 @@ object Sampling {
       .drop("__grp", "__rate")
   }
 
+  /** Sample each group down to a TOKEN budget — the "data recipe" step:
+    * training mixtures are specified in tokens per source ("300B web, 50B
+    * code, ..."), not rows. Group `g` keeps rows at rate
+    * `min(1, budget_g / tokens_g)` so the expected sampled token mass meets
+    * the budget without upsampling; groups absent from the recipe are
+    * DROPPED (a recipe is exhaustive by definition). The rate is one IEEE
+    * division of exact integer sums and membership is a pure function of
+    * the key (keyed md5 — repartition-proof, join-consistent, the
+    * [[bernoulli]]/[[toShares]] convention, so the same doc survives in
+    * every recipe that gives its group the same rate). Same scale shape as
+    * [[toShares]]: one sum aggregation, broadcast rates, a narrow filter —
+    * no window, no skew wall.
+    */
+  def toTokenBudgets(df: DataFrame, groupCol: Column, key: Column,
+      weight: Column, budgets: Seq[(String, Long)]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0L),
+      "token budgets must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bDf = budgets.toDF("__grp", "__budget")
+    val tagged = df.withColumn("__grp", groupCol.cast("string"))
+    val totals = tagged.groupBy(col("__grp"))
+      .agg(sum(weight.cast("bigint")).as("__tok"))
+    val rates = totals.join(bDf, "__grp")
+      .select(col("__grp"),
+        when(col("__budget") >= col("__tok"), lit(1.0))
+          .otherwise(col("__budget").cast("double") / col("__tok").cast("double"))
+          .as("__rate"))
+    val bucket = conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+    tagged.join(broadcast(rates), "__grp")
+      .where(bucket.cast("double") < col("__rate") * lit(4294967296.0))
+      .drop("__grp", "__rate")
+  }
+
   /** Exactly `k` rows per group (fewer when the group is smaller):
     * deterministic "reservoir" = the k smallest md5 draws within each
     * group, with the key itself as the unique tiebreak. One window over

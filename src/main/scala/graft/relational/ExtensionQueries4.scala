@@ -213,6 +213,40 @@ object ExtensionQueries4 {
         "cardinality — the fixed-size point-frequency complement of the " +
         "t40 Misra-Gries heavy hitters.",
       gate = true
+    ),
+    // ---------------------------------------------------------------- t69
+    GraftQuery(
+      "t69_token_budget",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Sampling.toTokenBudgets(
+          Tables.documents(s, d), $"lang", $"doc_id",
+          graft.operators.TextAnalysis.tokenCount($"text"),
+          Seq("en" -> 20000L, "de" -> 8000L, "es" -> 8000L,
+            "fr" -> 8000L, "zh" -> 50000000L))
+          .select($"doc_id".cast("bigint").as("doc_id"), $"lang")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b(grp, budget) AS (VALUES
+             |    ('en', CAST(20000 AS BIGINT)), ('de', CAST(8000 AS BIGINT)),
+             |    ('es', CAST(8000 AS BIGINT)), ('fr', CAST(8000 AS BIGINT)),
+             |    ('zh', CAST(50000000 AS BIGINT))),
+             |tot AS (SELECT lang AS grp,
+             |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tok
+             |  FROM documents GROUP BY 1),
+             |r AS (SELECT grp, CASE WHEN budget >= tok THEN 1.0
+             |    ELSE CAST(budget AS DOUBLE) / CAST(tok AS DOUBLE) END AS rate
+             |  FROM tot JOIN b USING (grp))
+             |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+             |FROM documents d JOIN r ON d.lang = r.grp
+             |WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+             |  < rate * 4294967296.0
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Token-budget recipe sampling: each source keeps rows at rate " +
+        "min(1, budget/tokens) — mixtures are specified in tokens, not " +
+        "rows. One exact-integer sum per group, a single IEEE division, " +
+        "keyed-md5 membership (repartition-proof; the zh budget exceeds " +
+        "its mass and exercises the keep-everything branch). No window."
     )
   )
 }

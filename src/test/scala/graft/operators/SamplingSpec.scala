@@ -87,4 +87,34 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.perGroup(df.repartition(13), $"g", $"id", k = 7)
     assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
   }
+
+  test("toTokenBudgets meets token budgets; over-budget groups keep everything") {
+    // group a: 3000 rows x 10 tokens = 30k mass, budget 6k -> rate 0.2
+    // group b: 100 rows x 10 tokens = 1k mass, budget 50k -> keep all
+    // group c: unlisted -> dropped
+    val df = ((1 to 3000).map(i => (s"a$i", "a", 10L)) ++
+      (1 to 100).map(i => (s"b$i", "b", 10L)) ++
+      (1 to 50).map(i => (s"c$i", "c", 10L))).toDF("id", "g", "w")
+    val got = Sampling.toTokenBudgets(df, $"g", $"id", $"w",
+      Seq("a" -> 6000L, "b" -> 50000L))
+    val byG = got.groupBy("g").agg(count(lit(1)).as("n"), sum($"w").as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!byG.contains("c"))
+    assert(byG("b") == (100L, 1000L)) // rate 1 branch: everything survives
+    val (nA, tokA) = byG("a")
+    // expected mass 6000 +- sampling noise on 3000 keys
+    assert(math.abs(tokA - 6000.0) / 6000.0 < 0.15, s"token mass $tokA")
+    assert(nA < 3000)
+    // membership is a pure function of the key: repartition-proof
+    val again = Sampling.toTokenBudgets(df.repartition(17), $"g", $"id", $"w",
+      Seq("a" -> 6000L, "b" -> 50000L))
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    // and consistent across recipes that give the group the same rate:
+    // a kept doc stays kept when OTHER groups' budgets change
+    val other = Sampling.toTokenBudgets(df, $"g", $"id", $"w",
+      Seq("a" -> 6000L, "b" -> 999L))
+    val keptA = got.filter($"g" === "a").select("id").collect().map(_.getString(0)).toSet
+    val keptA2 = other.filter($"g" === "a").select("id").collect().map(_.getString(0)).toSet
+    assert(keptA == keptA2)
+  }
 }
