@@ -247,6 +247,64 @@ object ExtensionQueries4 {
         "rows. One exact-integer sum per group, a single IEEE division, " +
         "keyed-md5 membership (repartition-proof; the zh budget exceeds " +
         "its mass and exercises the keep-everything branch). No window."
+    ),
+    // ---------------------------------------------------------------- t70
+    GraftQuery(
+      "t70_hll_registers",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.HllTable.build(Tables.documents(s, d), $"lang", $"doc_id")
+          .select($"group".as("lang"), $"bucket".cast("bigint").as("bucket"),
+            $"rho".cast("bigint").as("rho"))
+          .orderBy($"lang", $"bucket")
+      },
+      Some("""WITH h AS (SELECT lang,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             |  FROM documents),
+             |r AS (SELECT lang, h % 1024 AS bucket,
+             |    CASE WHEN h // 1024 = 0 THEN 51
+             |         ELSE 51 - length(bin(h // 1024)) END AS rho
+             |  FROM h)
+             |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(max(rho) AS BIGINT) AS rho
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "Per-group HLL REGISTER table (p = 10, md5-derived hash): the " +
+        "mergeable distinct-count state itself is hash-gated — DuckDB " +
+        "recomputes every (group, bucket, max rho) register bit-identically " +
+        "(bin() prints unpadded in both engines). Deliberately classic HLL, " +
+        "not DataSketches: the HIP estimator there is insertion-order-" +
+        "dependent, which would break determinism under merge."
+    ),
+    // ---------------------------------------------------------------- t71
+    GraftQuery(
+      "t71_hll_table_gate",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val whole = graft.operators.HllTable.build(docs, $"lang", $"doc_id")
+        // (1) merge-exactness: sketch two disjoint halves, max-merge, must
+        // be ROW-IDENTICAL to sketching everything at once
+        val even = graft.operators.HllTable.build(docs.filter($"doc_id" % 2 === 0), $"lang", $"doc_id")
+        val odd = graft.operators.HllTable.build(docs.filter($"doc_id" % 2 =!= 0), $"lang", $"doc_id")
+        val merged = graft.operators.HllTable.merge(even, odd)
+        val mismatch = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+        // (2) estimates within 8% of the exact distinct per group
+        val est = graft.operators.HllTable.estimates(whole)
+        val exact = docs.groupBy($"lang".as("group"))
+          .agg(countDistinct($"doc_id").as("exact"))
+        val worst = est.join(exact, "group")
+          .select(max(abs($"estimate" - $"exact") / $"exact").as("rel"))
+          .collect()(0).getDouble(0)
+        Seq((mismatch, worst <= 0.08)).toDF("merge_mismatch_rows", "est_within_8pct")
+      },
+      Some("SELECT CAST(0 AS BIGINT) AS merge_mismatch_rows, " +
+        "true AS est_within_8pct"),
+      doc = "HLL table guarantee gate: max-merged half sketches are row-" +
+        "identical to the whole-corpus sketch (exact mergeability — the " +
+        "property DataSketches HIP breaks), and per-group estimates stay " +
+        "within 8% of exact distincts (1024 registers, ~3.25% standard " +
+        "error, classic-HLL mid-range bias allowed for).",
+      gate = true
     )
   )
 }
