@@ -305,6 +305,37 @@ object ExtensionQueries4 {
         "within 8% of exact distincts (1024 registers, ~3.25% standard " +
         "error, classic-HLL mid-range bias allowed for).",
       gate = true
+    ),
+    // ---------------------------------------------------------------- t72
+    GraftQuery(
+      "t72_mad_outliers",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.RobustStats
+          .flagOutliers(Tables.documents(s, d), $"n_chars", k = 3.0)
+          .select($"doc_id".cast("bigint").as("doc_id"), $"n_chars",
+            $"robust_med", $"robust_mad", $"is_outlier")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE n_chars IS NOT NULL),
+             |n AS (SELECT count(*) AS n FROM s),
+             |o AS (SELECT list(v ORDER BY v) AS sv FROM s),
+             |med AS (SELECT sv[CAST((n-1)//2 AS BIGINT)+1] AS med FROM o, n),
+             |dl AS (SELECT list(abs(v - med) ORDER BY abs(v - med)) AS dv FROM s, med),
+             |mad AS (SELECT dv[CAST((n-1)//2 AS BIGINT)+1] AS mad FROM dl, n)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars,
+             |  med AS robust_med, mad AS robust_mad,
+             |  CASE WHEN n_chars IS NULL THEN NULL
+             |       ELSE abs(CAST(n_chars AS DOUBLE) - med) > 3.0 * mad END AS is_outlier
+             |FROM documents CROSS JOIN med CROSS JOIN mad
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Robust outlier flagging by median/MAD — mean/stddev break " +
+        "exactly when the hunted outliers drag them; both statistics are " +
+        "exact lower-median ORDER STATISTICS (rank (n-1)/2, selection not " +
+        "interpolation), deviations are one correctly-rounded op each, so " +
+        "the k*MAD flag is bit-reproducible cross-engine. Two range-" +
+        "partitioned single-column sorts, no global window."
     )
   )
 }
