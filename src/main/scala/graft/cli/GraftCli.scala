@@ -214,6 +214,34 @@ object GraftCli {
             .where(length(col("tok")) > 0)
           graft.operators.HeavyHitters.frequentItems(toks, "tok", k)
             .orderBy(col("est").desc).show(k, truncate = false)
+        case "bpe" :: sfDir :: rest =>
+          // tokenizer-merge training over the documents corpus; prints the
+          // ranked merge list (the artifact a training run consumes)
+          import org.apache.spark.sql.functions.col
+          val nMerges = rest.headOption.map(_.toInt).getOrElse(32)
+          val model = graft.operators.Bpe.train(
+            graft.core.Tables.documents(spark, sfDir), col("text"), nMerges)
+          model.merges.zipWithIndex.foreach { case ((a, b), i) =>
+            println(f"$i%4d: $a + $b -> ${a + b}")
+          }
+          println(s"bpe: learned ${model.merges.size} merges from $sfDir")
+        case "lm-score" :: sfDir :: outDir :: Nil =>
+          // corpus-fluency scoring (the perplexity-filter slot): writes the
+          // four per-doc statistics for downstream filtering/bucketing
+          import org.apache.spark.sql.functions.col
+          graft.operators.LanguageModel.bigramFluency(
+            graft.core.Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+            .write.mode("overwrite").parquet(outDir)
+          println(s"lm-score: per-doc fluency statistics -> $outDir")
+        case "url-dedup" :: inPath :: outDir :: urlCol :: idCol :: Nil =>
+          import org.apache.spark.sql.functions.col
+          graft.operators.WebOps.dedupByCanonicalUrl(
+            spark.read.parquet(inPath), col(urlCol), col(idCol))
+            .write.mode("overwrite").parquet(outDir)
+          val back = spark.read.parquet(outDir)
+          val total = back.count()
+          val kept = back.where(col("url_survivor")).count()
+          println(s"url-dedup: $total rows, $kept canonical survivors -> $outDir")
         case "reset" :: workDir :: Nil =>
           // artifact reset (reference reset_project, setup_project.py:1145-1203);
           // confirmation is the host's job — this surface is non-interactive
@@ -277,7 +305,9 @@ object GraftCli {
               "prep <sfDir> <outDir> [window stride] | clean <sfDir> <outDir> [maxDupFrac minDistinctRatio] | " +
               "classify <sfDir> <outDir> [threshold] | profile <sfDir> <table> [cols...] | " +
               "zorder <in> <out> <colA> <colB> [files] | " +
-              "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | stress <sfDir> <workDir> [factor] | " +
+              "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | " +
+              "bpe <sfDir> [merges] | lm-score <sfDir> <outDir> | " +
+              "url-dedup <in> <outDir> <urlCol> <idCol> | stress <sfDir> <workDir> [factor] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | reset <workDir>")
           sys.exit(2)

@@ -81,6 +81,11 @@ object Bpe {
       minCount: Long = 2L): BpeModel = {
     require(numMerges >= 1, s"need at least 1 merge, got $numMerges")
     val dict = df.select(explode(words(textCol)).as("w"))
+      // a word containing the NUL separator (binary debris, not text) would
+      // corrupt its symbol string and poison pair counts — keep it out of
+      // the MODEL; at encode time such a word just fails its round-trip,
+      // which the t67 gate counts
+      .filter(!col("w").contains(SEP))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("s", symInit(col("w")))
       .localCheckpoint() // materialize the ONE corpus scan

@@ -78,7 +78,9 @@ object WebOps {
     * backtracking-dependent constructs — so the DuckDB oracle applies the
     * byte-identical patterns):
     *   - scheme and host lowercase; `www.` prefix and userinfo drop
-    *   - default ports drop (`:80` for http, `:443` for https); real ports stay
+    *   - default ports drop (`:80` for http, `:443` for https); real ports
+    *     stay; a NON-NUMERIC `:port` suffix is authority junk and drops
+    *     with the rest of the garbage (the host survives)
     *   - fragment drops; tracking params ([[TrackingParamRe]]) drop from the
     *     query (path bytes are never rewritten); an emptied query drops
     *   - a bare `/` path with no query drops (`example.org/` ≡ `example.org`)
