@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document-quality RULE CHAIN (Rae et al. 2021 §A1.1, the
+  * public heuristic set used by most corpus-curation pipelines between
+  * cleaning and sampling): each rule is a named boolean with its underlying
+  * statistic exposed, so a curation report can show *why* a document was
+  * dropped, not just that it was.
+  *
+  * Differs from [[TextAnalysis.qualityScore]] (a composite score, t04) and
+  * [[QualityClassifier]] (a learned linear model, t64): this is the
+  * rule-diagnostics surface.
+  *
+  * Parity design (the cross-engine oracle must hash-match): every statistic
+  * is an exact integer count or an exact-integer-sum divided ONCE in IEEE
+  * double; token/line sums use deterministic left-fold order (array order,
+  * not shuffle order). Pure codegen'd Column expressions — no UDF, no
+  * shuffle, linear scan.
+  */
+object QualityRules {
+
+  /** Whitespace tokens of trimmed text (the house tokenizer). */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Lines (bullet/ellipsis line statistics operate per line). */
+  def lines(text: Column): Column = split(text, "\n")
+
+  private def nonEmpty(ws: Column): Column =
+    filter(ws, w => length(w) > 0)
+
+  /** Exact long count of words. */
+  def wordCount(text: Column): Column =
+    size(nonEmpty(words(text))).cast("long")
+
+  /** Mean word length: exact integer character sum over words, one IEEE
+    * division.
+    */
+  def meanWordLen(text: Column): Column = {
+    val ws = nonEmpty(words(text))
+    val chars = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    when(size(ws) > 0, chars.cast("double") / size(ws))
+  }
+
+  /** Fraction of words containing at least one ASCII letter. */
+  def alphaWordFrac(text: Column): Column = {
+    val ws = nonEmpty(words(text))
+    when(size(ws) > 0,
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / size(ws))
+  }
+
+  /** Hash-sign + ellipsis occurrences per word (Gopher's symbol-to-word
+    * ratio). Non-overlapping counts via the replace-length trick so the
+    * oracle reproduces them byte-exactly.
+    */
+  def symbolWordRatio(text: Column): Column = {
+    val symbols = TextAnalysis.occurrences(text, "#") +
+      TextAnalysis.occurrences(text, "...") +
+      TextAnalysis.occurrences(text, "…")
+    when(wordCount(text) > 0, symbols.cast("double") / wordCount(text))
+  }
+
+  /** Fraction of lines starting with a bullet marker. */
+  def bulletLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) > 0,
+      size(filter(ls, l => trim(l).rlike("^[-*•]"))).cast("double") / size(ls))
+  }
+
+  /** Fraction of lines ending in an ellipsis. */
+  def ellipsisLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) > 0,
+      size(filter(ls, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / size(ls))
+  }
+
+  /** Gopher's canonical required-stopword list. */
+  val StopWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** How many of the required stopwords appear as whole tokens. */
+  def stopwordHits(text: Column): Column = {
+    val ws = words(text)
+    StopWords.map(s => when(array_contains(ws, s), 1L).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  final case class Thresholds(
+      minWords: Long = 10L,
+      maxWords: Long = 100000L,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Long = 2L)
+
+  /** The full rule chain as named (rule, boolean) columns; `keep` is their
+    * conjunction. Null-safe: an empty document fails the word-count rule
+    * and every ratio rule evaluates false (never null) so `keep` is a
+    * total boolean.
+    */
+  def rules(text: Column, t: Thresholds = Thresholds()): Seq[(String, Column)] = {
+    def pass(c: Column): Column = coalesce(c, lit(false))
+    Seq(
+      "r_word_count" -> pass(wordCount(text).between(t.minWords, t.maxWords)),
+      "r_mean_word_len" -> pass(meanWordLen(text).between(t.minMeanWordLen, t.maxMeanWordLen)),
+      "r_symbol_ratio" -> pass(symbolWordRatio(text) <= t.maxSymbolRatio),
+      "r_bullet_lines" -> pass(bulletLineFrac(text) <= t.maxBulletFrac),
+      "r_ellipsis_lines" -> pass(ellipsisLineFrac(text) <= t.maxEllipsisFrac),
+      "r_alpha_words" -> pass(alphaWordFrac(text) >= t.minAlphaFrac),
+      "r_stopwords" -> pass(stopwordHits(text) >= t.minStopHits))
+  }
+
+  def keep(text: Column, t: Thresholds = Thresholds()): Column =
+    rules(text, t).map(_._2).reduce(_ && _)
+}
