@@ -79,6 +79,37 @@ object ExtensionQueries5 {
         "t64 learned model. Exact integer counts, deterministic array-order " +
         "folds, one IEEE division per ratio; pure codegen'd projection, " +
         "no shuffle."
-    )
+    ),
+    // ---------------------------------------------------------------- t74
+    {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val cuts = graft.operators.Splits.cutPoints(splits)
+      GraftQuery(
+        "t74_leakage_split",
+        (s, d) => {
+          import s.implicits._
+          val grp = concat($"source", lit("-"), $"lang")
+          Tables.documents(s, d)
+            .select($"doc_id", grp.as("grp"),
+              graft.operators.Splits.assign(grp, splits).as("split"))
+            .orderBy($"doc_id")
+        },
+        Some(s"""WITH g AS (SELECT doc_id, source || '-' || lang AS grp,
+               |  CAST(concat('0x', substr(md5(source || '-' || lang), 1, 8)) AS BIGINT) AS b
+               |  FROM documents)
+               |SELECT doc_id, grp,
+               |  CASE WHEN b < ${cuts(0)} THEN 'train'
+               |       WHEN b < ${cuts(1)} THEN 'val'
+               |       ELSE 'test' END AS split
+               |FROM g ORDER BY doc_id""".stripMargin),
+        doc = "Leakage-safe train/val/test assignment: the md5 bucket of the " +
+          "LEAKAGE GROUP key (source-lang here; registrable domain or cluster " +
+          "id in a crawl) is compared against cumulative cut points held as " +
+          "exact longs over the 2^32 key space — whole groups land in one " +
+          "split, assignment survives repartition/rescale, and there is no " +
+          "accumulated floating-point boundary for engines to disagree " +
+          "about. Pure projection, no shuffle."
+      )
+    }
   )
 }
