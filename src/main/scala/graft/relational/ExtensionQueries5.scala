@@ -110,6 +110,57 @@ object ExtensionQueries5 {
           "accumulated floating-point boundary for engines to disagree " +
           "about. Pure projection, no shuffle."
       )
-    }
+    },
+    // ---------------------------------------------------------------- t75
+    GraftQuery(
+      "t75_para_dedup",
+      (s, d) => {
+        import s.implicits._
+        // Deterministic paragraph synthesis (the corpus text is single-line):
+        // 4-8 paragraphs per doc drawn from a 50-paragraph space keyed on
+        // (doc_id*7 + pos*13) % 50, so cross-doc and within-doc duplicates
+        // both occur and first-wins has real work to do.
+        val nPar = $"doc_id" % 5 + 4
+        val paras = transform(sequence(lit(0L), nPar - 1), j => {
+          val k = ($"doc_id" * 7 + j * 13) % 50
+          concat(lit("para "), k.cast("string"), lit(" body "),
+            repeat(lit("w"), (k % 7 + 1).cast("int")))
+        })
+        val synth = Tables.documents(s, d)
+          .select($"doc_id", concat_ws("\n\n", paras).as("ptext"))
+        graft.operators.ParagraphDedup
+          .dedupParagraphs(synth, $"doc_id", $"ptext")
+          .select($"id".as("doc_id"), $"text_dedup", $"n_paras", $"n_kept")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH synth AS (SELECT doc_id,
+             |    array_to_string(list_transform(range(0, doc_id % 5 + 4),
+             |      j -> 'para ' || CAST((doc_id*7 + j*13) % 50 AS VARCHAR) || ' body ' ||
+             |           repeat('w', (doc_id*7 + j*13) % 50 % 7 + 1)),
+             |      chr(10) || chr(10)) AS ptext
+             |  FROM documents),
+             |p AS (SELECT doc_id, generate_subscripts(ps, 1) AS pos, unnest(ps) AS para
+             |  FROM (SELECT doc_id, string_split(ptext, chr(10) || chr(10)) AS ps FROM synth)),
+             |pn AS (SELECT * FROM p WHERE length(para) > 0),
+             |k AS (SELECT para, min(doc_id * 1048576 + pos) AS first FROM pn GROUP BY 1),
+             |kept AS (SELECT pn.doc_id, pn.pos, pn.para FROM pn JOIN k
+             |  ON pn.para = k.para AND pn.doc_id * 1048576 + pn.pos = k.first),
+             |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |  string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup
+             |  FROM kept GROUP BY 1),
+             |tot AS (SELECT doc_id, CAST(len(list_filter(string_split(ptext, chr(10) || chr(10)),
+             |    x -> length(x) > 0)) AS BIGINT) AS n_paras FROM synth)
+             |SELECT t.doc_id, COALESCE(r.text_dedup, '') AS text_dedup,
+             |  t.n_paras, CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+             |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+             |ORDER BY t.doc_id""".stripMargin),
+      doc = "Corpus-wide first-wins PARAGRAPH dedup with document " +
+        "reassembly (the RefinedWeb recipe): keeper per distinct paragraph " +
+        "is the min (doc, pos) struct — deterministic, rerun-stable; " +
+        "paragraphs shuffle once by content hash for the dedup decision " +
+        "and survivors once by doc for reassembly; the keeper table " +
+        "carries (hash, id, pos) only, never text; fully-deduped docs stay " +
+        "in the corpus with empty text. No window, no driver state."
+    )
   )
 }
