@@ -161,6 +161,35 @@ object ExtensionQueries5 {
         "and survivors once by doc for reassembly; the keeper table " +
         "carries (hash, id, pos) only, never text; fully-deduped docs stay " +
         "in the corpus with empty text. No window, no driver state."
-    )
+    ),
+    // ---------------------------------------------------------------- t76
+    {
+      val k = 8
+      val dim = 64
+      val w = graft.operators.Projection.sparseWeights(dim, k)
+      val oracleCols = w.zipWithIndex.map { case (wj, j) =>
+        s"  list_reduce(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * " +
+          s"CAST(([${wj.mkString(",")}])[i] AS DOUBLE)), (a, b) -> a + b) + 0.0 AS p$j"
+      }.mkString(",\n")
+      GraftQuery(
+        "t76_sparse_projection",
+        (s, d) => {
+          import s.implicits._
+          val proj = graft.operators.Projection.project($"embedding", w)
+          Tables.embeddings(s, d)
+            .select($"vec_id" +: proj.zipWithIndex.map { case (c, j) => c.as(s"p$j") }: _*)
+            .orderBy($"vec_id")
+        },
+        Some(s"SELECT vec_id,\n$oracleCols\nFROM embeddings ORDER BY vec_id"),
+        doc = "Achlioptas sparse random projection 64-dim -> 8-dim: the JL " +
+          "dimensionality-reduction step in front of clustering/ANN that " +
+          "cuts shuffle bytes by dim/k. The {+1,-1,0} weight matrix is a " +
+          "pure md5-of-seed function embedded as plan literals (both " +
+          "engines re-derive it), and every dot product is a deterministic " +
+          "ARRAY-ORDER left fold with a final +0.0 zero-sign " +
+          "normalization — bit-stable under repartition and cross-engine. " +
+          "Zero shuffle, zero driver state, pure codegen'd projection."
+      )
+    }
   )
 }
