@@ -190,6 +190,42 @@ object ExtensionQueries5 {
           "normalization — bit-stable under repartition and cross-engine. " +
           "Zero shuffle, zero driver state, pure codegen'd projection."
       )
-    }
+    },
+    // ---------------------------------------------------------------- t77
+    GraftQuery(
+      "t77_bucket_interval_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).withColumn("sec", unix_timestamp($"ts"))
+        val p = ev.where($"event_type" === "purchase")
+          .select($"event_id".as("p_event_id"), $"sec".as("pt"))
+        val iv = ev.where($"event_type" === "signup")
+          .select($"event_id".as("i_event_id"), $"sec".as("lo"),
+            ($"sec" + 300 + ($"event_id" % 7) * 600).as("hi"))
+        graft.operators.IntervalJoin
+          .pointInInterval(p, $"pt", iv, $"lo", $"hi", bucketWidth = 1800L)
+          .select($"p_event_id", $"i_event_id", $"pt", $"lo", $"hi")
+          .orderBy($"p_event_id", $"i_event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type,
+             |    epoch_ns(ts) // 1000000000 AS sec FROM events),
+             |p AS (SELECT event_id AS p_event_id, sec AS pt FROM ev
+             |  WHERE event_type = 'purchase'),
+             |iv AS (SELECT event_id AS i_event_id, sec AS lo,
+             |    sec + 300 + (event_id % 7) * 600 AS hi FROM ev
+             |  WHERE event_type = 'signup')
+             |SELECT p_event_id, i_event_id, pt, lo, hi
+             |FROM p JOIN iv ON pt >= lo AND pt <= hi
+             |ORDER BY p_event_id, i_event_id""".stripMargin),
+      doc = "KEYLESS point-in-interval join via bucket blocking: Spark " +
+        "plans a raw range join as BroadcastNestedLoopJoin/cartesian — " +
+        "quadratic death at scale. Intervals register in each overlapped " +
+        "fixed-width bucket, points live in exactly one, so the join is a " +
+        "shuffled EQUI-join refined by the exact predicate and every pair " +
+        "emerges exactly once with no dedup. Replication is len/width+1 " +
+        "per interval; the oracle is the naive inequality join the " +
+        "operator replaces. Complements the keyed t21 interval join and " +
+        "the t10 as-of join."
+    )
   )
 }
