@@ -226,6 +226,38 @@ object ExtensionQueries5 {
         "per interval; the oracle is the naive inequality join the " +
         "operator replaces. Complements the keyed t21 interval join and " +
         "the t10 as-of join."
+    ),
+    // ---------------------------------------------------------------- t78
+    GraftQuery(
+      "t78_containment_join",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", graft.operators.TextAnalysis.wordShingles($"text", 3).as("sh"))
+        graft.operators.ContainmentJoin
+          .containmentJoin(docs, $"doc_id", $"sh", tauNum = 1, tauDen = 2)
+          .select($"a", $"b", $"inter", $"sz_a", $"containment")
+          .orderBy($"a", $"b")
+      },
+      Some("""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+             |      range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 2),
+             |      i -> array_to_string(string_split_regex(trim(text), '\s+')[i : i + 2], ' '))) AS sh
+             |    FROM documents)
+             |SELECT a.doc_id AS a, b.doc_id AS b,
+             |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+             |  CAST(len(a.sh) AS BIGINT) AS sz_a,
+             |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+             |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+             |WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(a.sh) AND len(a.sh) > 0
+             |ORDER BY a, b""".stripMargin),
+      doc = "Asymmetric CONTAINMENT join over 3-gram shingles (|A∩B|/|A| " +
+        ">= 1/2): the quote-inclusion / subset-duplicate detector Jaccard " +
+        "misses when |B| >> |A|. Rarest-first prefix blocking (at least one " +
+        "of A's |A|-ceil(tau|A|)+1 rarest shingles must be in B — hot " +
+        "shingles never form candidates), exact integer threshold " +
+        "arithmetic, array verification on pruned pairs only; the oracle " +
+        "is the naive all-pairs join the blocking provably loses nothing " +
+        "against."
     )
   )
 }
