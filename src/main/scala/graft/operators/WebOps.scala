@@ -137,4 +137,28 @@ object WebOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(sizeCol.cast("bigint")).as("total_chars"))
+
+  /** Crawl-frontier POLITENESS scheduling: assign every pending URL a fetch
+    * round such that no round hits one registrable domain more than
+    * `perRound` times — the frontier-side enforcement of crawl-delay.
+    * Within a domain, higher priority fetches first; the unique id breaks
+    * ties so the schedule is total and rerun-stable.
+    *
+    * `round = (rank - 1) div perRound` with rank = row_number per domain:
+    * one keyed window (partitions are domain-bounded — exactly the
+    * distribution a frontier has, and a mega-domain's window is a sort of
+    * ITS OWN urls only, never a global sort). Returns the input plus
+    * `domain` and `fetch_round`.
+    */
+  def politenessRounds(df: DataFrame, urlCol: Column, priorityCol: Column,
+      idCol: Column, perRound: Int): DataFrame = {
+    require(perRound >= 1, s"perRound must be >= 1, got $perRound")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(registrableDomain(urlCol))
+      .orderBy(priorityCol.desc, idCol)
+    df.withColumn("domain", registrableDomain(urlCol))
+      .withColumn("fetch_round",
+        call_function("div", row_number().over(w).cast("bigint") - 1,
+          lit(perRound.toLong)))
+  }
 }

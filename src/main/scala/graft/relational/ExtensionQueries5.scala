@@ -258,6 +258,33 @@ object ExtensionQueries5 {
         "arithmetic, array verification on pruned pairs only; the oracle " +
         "is the naive all-pairs join the blocking provably loses nothing " +
         "against."
+    ),
+    // ---------------------------------------------------------------- t79
+    GraftQuery(
+      "t79_politeness_rounds",
+      (s, d) => {
+        import s.implicits._
+        val urls = Tables.documents(s, d).select($"doc_id", $"n_chars",
+          concat(lit("https://"), $"source", lit("-"), $"lang",
+            lit(".org/p/"), $"doc_id".cast("string")).as("url"))
+        graft.operators.WebOps
+          .politenessRounds(urls, $"url", $"n_chars", $"doc_id", perRound = 4)
+          .select($"doc_id", $"domain",
+            $"n_chars".cast("bigint").as("priority"), $"fetch_round")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id, source || '-' || lang || '.org' AS domain,
+             |    n_chars FROM documents)
+             |SELECT doc_id, domain, CAST(n_chars AS BIGINT) AS priority,
+             |  CAST((row_number() OVER (PARTITION BY domain
+             |    ORDER BY n_chars DESC, doc_id) - 1) // 4 AS BIGINT) AS fetch_round
+             |FROM u ORDER BY doc_id""".stripMargin),
+      doc = "Crawl-frontier politeness scheduling: fetch rounds per " +
+        "registrable domain with at most 4 urls per round, highest " +
+        "priority first, unique-id tiebreak — the frontier-side " +
+        "enforcement of crawl-delay. One keyed window whose partitions " +
+        "are domain-bounded (a mega-domain sorts only its own urls, " +
+        "never the frontier)."
     )
   )
 }

@@ -124,4 +124,26 @@ class WebOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("x.org", 2L, 30L), ("y.net", 1L, 5L)))
   }
+
+  test("politenessRounds: no round exceeds perRound per domain; priority then id order") {
+    val urls = Seq(
+      (1L, "https://a.org/1", 5L), (2L, "https://a.org/2", 9L),
+      (3L, "https://a.org/3", 9L), (4L, "https://a.org/4", 1L),
+      (5L, "https://www.a.org/5", 7L), // www. folds into a.org
+      (6L, "https://b.net/1", 3L)).toDF("id", "url", "prio")
+    val got = WebOps.politenessRounds(urls, col("url"), col("prio"), col("id"), perRound = 2)
+      .select("id", "domain", "fetch_round").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // a.org by (prio desc, id): 2(9), 3(9) -> round 0; 5(7), 1(5) -> round 1; 4(1) -> round 2
+    assert(got(2L) == ("a.org", 0L) && got(3L) == ("a.org", 0L))
+    assert(got(5L) == ("a.org", 1L) && got(1L) == ("a.org", 1L))
+    assert(got(4L) == ("a.org", 2L))
+    assert(got(6L) == ("b.net", 0L))
+    // invariant over a bigger frontier: every (domain, round) holds <= perRound urls
+    val big = (1L to 2000L).map(i => (i, s"https://d${i % 13}.org/p$i", i % 11)).toDF("id", "url", "prio")
+    val worst = WebOps.politenessRounds(big, col("url"), col("prio"), col("id"), perRound = 3)
+      .groupBy("domain", "fetch_round").count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(worst <= 3L)
+  }
 }
