@@ -41,8 +41,13 @@ object ContainmentJoin {
       tauNum: Int, tauDen: Int): DataFrame = {
     require(tauDen > 0 && tauNum > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0, 1], got $tauNum/$tauDen")
+    // materialize the per-doc shingle sets ONCE: the relation feeds five
+    // consumers (frequency table, sizes, prefix ranking, candidate build,
+    // exact verification) and without this the scan + shingle construction
+    // replays for each of them (7 parquet scans in the unchecked plan)
     val base = df.select(idCol.as("id"),
       array_sort(array_distinct(setCol)).as("ts"))
+      .localCheckpoint()
     val tok = base.select(col("id"), explode(col("ts")).as("w"))
     val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val sz = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
@@ -54,10 +59,15 @@ object ContainmentJoin {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("w"))))
       .where(col("rk") <= prefixLen)
-      .select(col("id").as("a"), col("w"))
-    // candidates: B contains one of A's prefix shingles
-    val cand = ranked.join(tok.select(col("id").as("b"), col("w")), "w")
-      .where(col("a") =!= col("b"))
+      .select(col("id").as("a"), col("w"), col("sz").as("sz_a"))
+    // candidates: B contains one of A's prefix shingles AND is big enough
+    // to possibly satisfy the threshold (|A∩B| <= |B|, so tauDen*|B| >=
+    // tauNum*|A| is necessary) — the size filter runs before the distinct
+    val tokB = tok.join(sz, "id")
+      .select(col("id").as("b"), col("w"), col("sz").as("sz_b"))
+    val cand = ranked.join(tokB, "w")
+      .where(col("a") =!= col("b") &&
+        col("sz_b") * tauDen >= col("sz_a") * tauNum)
       .select(col("a"), col("b")).distinct()
     // exact verification on the pruned pairs only
     val arrs = base

@@ -235,7 +235,7 @@ object ExtensionQueries5 {
         val docs = Tables.documents(s, d)
           .select($"doc_id", graft.operators.TextAnalysis.wordShingles($"text", 3).as("sh"))
         graft.operators.ContainmentJoin
-          .containmentJoin(docs, $"doc_id", $"sh", tauNum = 1, tauDen = 2)
+          .containmentJoin(docs, $"doc_id", $"sh", tauNum = 9, tauDen = 10)
           .select($"a", $"b", $"inter", $"sz_a", $"containment")
           .orderBy($"a", $"b")
       },
@@ -248,10 +248,10 @@ object ExtensionQueries5 {
              |  CAST(len(a.sh) AS BIGINT) AS sz_a,
              |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
              |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-             |WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(a.sh) AND len(a.sh) > 0
+             |WHERE len(list_intersect(a.sh, b.sh)) * 10 >= 9 * len(a.sh) AND len(a.sh) > 0
              |ORDER BY a, b""".stripMargin),
       doc = "Asymmetric CONTAINMENT join over 3-gram shingles (|A∩B|/|A| " +
-        ">= 1/2): the quote-inclusion / subset-duplicate detector Jaccard " +
+        ">= 9/10): the quote-inclusion / subset-duplicate detector Jaccard " +
         "misses when |B| >> |A|. Rarest-first prefix blocking (at least one " +
         "of A's |A|-ceil(tau|A|)+1 rarest shingles must be in B — hot " +
         "shingles never form candidates), exact integer threshold " +
