@@ -200,6 +200,38 @@ object StreamingOps {
       }
   }
 
+  final case class ParaDoc(doc_id: Long, text: String)
+  final case class ParaSeen(doc_id: Long, pos: Int, para: String)
+
+  /** Streaming PARAGRAPH-level dedup — the continuous-ingest twin of the
+    * batch [[graft.operators.ParagraphDedup]]: across all micro-batches at
+    * most one (doc, pos, para) row is EVER emitted per distinct paragraph;
+    * within a batch the smallest (doc_id, pos) wins, matching the batch
+    * first-wins keeper. State is one boolean per md5(paragraph) — content
+    * hashes, never text, so a RocksDB store carries billions. Document
+    * reassembly is a downstream batch groupBy over the emitted survivors
+    * (chaining it here would be a second stateful operator in one query,
+    * which Structured Streaming does not support).
+    */
+  def dedupParasStream(docs: Dataset[ParaDoc], sep: String = "\n\n"): Dataset[ParaSeen] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.toDF()
+      .select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .where(length(col("para")) > 0)
+      .as[ParaSeen]
+      .groupByKey(r => java.security.MessageDigest.getInstance("MD5")
+        .digest(r.para.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .flatMapGroupsWithState[Boolean, ParaSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[ParaSeen], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(rows.minBy(r => (r.doc_id, r.pos))) }
+      }
+  }
+
   /** Streaming enrichment: the incremental Program-2 mode. New markdown files
     * landing in `inDir` are enriched exactly once (checkpointed intake
     * replaces the reference's filesystem-existence check). Implemented with

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.core.Tables
-import graft.operators.{BloomJoin, Bpe, CountMin, DedupClusters, DedupOps, HeavyHitters, LanguageModel, Layout, Merge, Similarity, TextPipeline, WebOps}
+import graft.operators.{BloomJoin, Bpe, ContainmentJoin, CountMin, DedupClusters, DedupOps, HeavyHitters, IntervalJoin, LanguageModel, Layout, Merge, ParagraphDedup, Projection, QualityRules, Similarity, Splits, TextAnalysis, TextPipeline, WebOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -480,6 +480,96 @@ object Stress {
         "cells" -> cmsCells, "underestimates" -> cmsUnder))
       check(cmsCells <= 4L * 2048, s"sketch must stay bounded ($cmsCells cells)")
       check(cmsUnder == 0, s"count-min must never undercount ($cmsUnder keys)")
+
+      // ---- corpus-wide paragraph dedup: paragraphs drawn from a small
+      // canonical space collapse hard at factor scale; rows are preserved
+      // and each distinct paragraph survives exactly once
+      val ((pdRows, pdKept, pdDistinct), tPara) = timed {
+        val nPar = col("doc_id") % 5 + 4
+        val paras = transform(sequence(lit(0L), nPar - 1), jj =>
+          concat(lit("para "), ((col("doc_id") * 7 + jj * 13) % 997).cast("string")))
+        val synth = docs.select(col("doc_id"), concat_ws("\n\n", paras).as("ptext"))
+        val out = ParagraphDedup.dedupParagraphs(synth, col("doc_id"), col("ptext"))
+        (out.count(),
+          out.agg(sum(col("n_kept"))).collect()(0).getLong(0),
+          ParagraphDedup.explodeParagraphs(synth, col("doc_id"), col("ptext"))
+            .select(col("para")).distinct().count())
+      }
+      println(j("stage" -> "para_dedup", "seconds" -> tPara, "rows" -> pdRows,
+        "kept" -> pdKept, "distinct_paras" -> pdDistinct))
+      check(pdRows == nDocs, s"para dedup must preserve docs ($pdRows of $nDocs)")
+      check(pdKept == pdDistinct,
+        s"each distinct paragraph survives exactly once ($pdKept vs $pdDistinct)")
+
+      // ---- keyless interval join: result is bucket-width invariant and
+      // every pair is emitted exactly once regardless of blocking grain
+      val ((ij1, ij2), tIj) = timed {
+        val pts = docs.select(col("doc_id").as("pid"),
+          (col("doc_id") % 1000000L).as("pt"))
+        val ivs = docs.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("iid"), (col("doc_id") % 1000000L).as("lo"),
+            (col("doc_id") % 1000000L + 37).as("hi"))
+        (IntervalJoin.pointInInterval(pts, col("pt"), ivs, col("lo"), col("hi"), 64L).count(),
+          IntervalJoin.pointInInterval(pts, col("pt"), ivs, col("lo"), col("hi"), 4096L).count())
+      }
+      println(j("stage" -> "interval_join", "seconds" -> tIj, "pairs" -> ij1))
+      check(ij1 == ij2 && ij1 > 0,
+        s"interval join must be bucket-width invariant ($ij1 vs $ij2)")
+
+      // ---- containment join on a bounded replica slice: replica drift is
+      // APPEND-ONLY, so orig -> replica containment is exactly 1 and every
+      // same-base ordered (orig, replica) pair must be found
+      val nBase = nDocs / factor
+      val ((cjPairs, cjOrig), tCj) = timed {
+        val slice = docs.where(pmod(col("doc_id"), lit(factor.toLong)) < 4)
+        val shing = slice.select(col("doc_id"),
+          TextAnalysis.wordShingles(col("text"), 3).as("sh"))
+        val cj = ContainmentJoin
+          .containmentJoin(shing, col("doc_id"), col("sh"), 9, 10)
+        val orig = cj.where(pmod(col("a"), lit(factor.toLong)) === 0 &&
+          call_function("div", col("a"), lit(factor.toLong)) ===
+            call_function("div", col("b"), lit(factor.toLong))).count()
+        (cj.count(), orig)
+      }
+      println(j("stage" -> "containment_join", "seconds" -> tCj,
+        "pairs" -> cjPairs, "orig_to_replica" -> cjOrig))
+      check(cjOrig == nBase * 3,
+        s"all orig->replica containments must surface ($cjOrig of ${nBase * 3})")
+
+      // ---- sparse projection at factor vectors: linear, shuffle-free
+      val (projRows, tProj) = timed {
+        val w = Projection.sparseWeights(64, 8)
+        emb.select(col("vec_id") +: Projection.project(col("embedding"), w)
+          .zipWithIndex.map { case (c, jj) => c.as(s"p$jj") }: _*).count()
+      }
+      println(j("stage" -> "sparse_projection", "seconds" -> tProj, "rows" -> projRows))
+      check(projRows == nVecs, s"projection must cover all vectors ($projRows of $nVecs)")
+
+      // ---- governance trio at factor scale: leakage splits stay leakage-
+      // free, politeness rounds respect the per-domain cap, quality rules
+      // stay a total boolean
+      val ((worstSplit, worstRound, keepCount), tGov) = timed {
+        val s1 = docs
+          .select(col("source"), Splits.assign(col("source"),
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("sp"))
+          .groupBy(col("source")).agg(countDistinct(col("sp")).as("n"))
+          .agg(max(col("n"))).collect()(0).getLong(0)
+        val urls = docs.select(col("doc_id"),
+          concat(lit("https://d"), (col("doc_id") % 1000).cast("string"),
+            lit(".org/p")).as("url"))
+        val s2 = WebOps.politenessRounds(urls, col("url"), col("doc_id"),
+            col("doc_id"), perRound = 8)
+          .groupBy(col("domain"), col("fetch_round")).count()
+          .agg(max(col("count"))).collect()(0).getLong(0)
+        val s3 = docs.where(QualityRules.keep(col("text"))).count()
+        (s1, s2, s3)
+      }
+      println(j("stage" -> "governance", "seconds" -> tGov,
+        "max_splits_per_group" -> worstSplit, "max_urls_per_round" -> worstRound,
+        "gopher_kept" -> keepCount))
+      check(worstSplit == 1, s"a leakage group straddles splits ($worstSplit)")
+      check(worstRound <= 8, s"politeness cap violated ($worstRound > 8)")
+      check(keepCount <= nDocs, "gopher keep must be a subset")
 
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))

@@ -274,4 +274,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("url_dedup").select("doc_id").as[Long].collect().toSet ==
       Set(2L, 9L, 12L, 13L))
   }
+
+  test("dedupParasStream emits each distinct paragraph once across micro-batches") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("paras_stream")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def dropFile(name: String, rows: Seq[StreamingOps.ParaDoc]): Unit = {
+      val tmp = Files.createTempDirectory("paras_tmp")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    // within batch 1: "shared" appears in docs 1 and 2 -> (1, pos 1) wins;
+    // doc 2's internal repeat also loses
+    dropFile("b1.parquet", Seq(
+      StreamingOps.ParaDoc(1L, "alpha\n\nshared"),
+      StreamingOps.ParaDoc(2L, "shared\n\nbeta\n\nshared")))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .as[StreamingOps.ParaDoc]
+    val q = StreamingOps.dedupParasStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("para_dedup")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_pd").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("para_dedup").select("doc_id", "pos", "para")
+      .as[(Long, Int, String)].collect().toSet ==
+      Set((1L, 0, "alpha"), (1L, 1, "shared"), (2L, 1, "beta")))
+    // batch 2: previously seen paragraphs stay suppressed forever
+    dropFile("b2.parquet", Seq(
+      StreamingOps.ParaDoc(7L, "shared\n\ngamma\n\nbeta")))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("para_dedup").select("doc_id", "pos", "para")
+      .as[(Long, Int, String)].collect().toSet ==
+      Set((1L, 0, "alpha"), (1L, 1, "shared"), (2L, 1, "beta"), (7L, 1, "gamma")))
+  }
 }
