@@ -233,6 +233,43 @@ object GraftCli {
             graft.core.Tables.documents(spark, sfDir), col("doc_id"), col("text"))
             .write.mode("overwrite").parquet(outDir)
           println(s"lm-score: per-doc fluency statistics -> $outDir")
+        case "gopher" :: sfDir :: outDir :: Nil =>
+          // rule-chain curation filter with per-rule diagnostics: writes
+          // survivors plus a dropped-report showing WHICH rule fired
+          import org.apache.spark.sql.functions.col
+          val docs = graft.core.Tables.documents(spark, sfDir)
+          val rules = graft.operators.QualityRules.rules(col("text"))
+          val flagged = docs.select(
+            Seq(col("doc_id"), col("text")) ++
+              rules.map { case (n, c) => c.as(n) } :+
+              graft.operators.QualityRules.keep(col("text")).as("keep"): _*)
+          flagged.where(col("keep")).drop("keep")
+            .write.mode("overwrite").parquet(s"$outDir/kept")
+          flagged.where(!col("keep")).drop("keep", "text")
+            .write.mode("overwrite").parquet(s"$outDir/dropped_report")
+          val kept = spark.read.parquet(s"$outDir/kept").count()
+          println(s"gopher: ${docs.count()} docs -> $kept kept -> $outDir")
+        case "split" :: sfDir :: outDir :: groupCol :: Nil =>
+          // leakage-safe train/val/test partitioned write (whole groups land
+          // in one split; downstream readers partition-prune on split=)
+          import org.apache.spark.sql.functions.col
+          graft.core.Tables.documents(spark, sfDir)
+            .withColumn("split", graft.operators.Splits.assign(col(groupCol),
+              Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+            .write.mode("overwrite").partitionBy("split").parquet(outDir)
+          spark.read.parquet(outDir).groupBy("split").count()
+            .orderBy("split").collect()
+            .foreach(r => println(s"split: ${r.getString(0)} -> ${r.getLong(1)} docs"))
+          println(s"split: leakage group = $groupCol -> $outDir")
+        case "para-dedup" :: inPath :: outDir :: idCol :: textCol :: Nil =>
+          import org.apache.spark.sql.functions.col
+          val out = graft.operators.ParagraphDedup.dedupParagraphs(
+            spark.read.parquet(inPath), col(idCol), col(textCol))
+          out.write.mode("overwrite").parquet(outDir)
+          val s = spark.read.parquet(outDir)
+            .agg(org.apache.spark.sql.functions.sum(col("n_paras")),
+              org.apache.spark.sql.functions.sum(col("n_kept"))).collect()(0)
+          println(s"para-dedup: ${s.getLong(0)} paragraphs -> ${s.getLong(1)} kept -> $outDir")
         case "url-dedup" :: inPath :: outDir :: urlCol :: idCol :: Nil =>
           import org.apache.spark.sql.functions.col
           graft.operators.WebOps.dedupByCanonicalUrl(
@@ -307,6 +344,8 @@ object GraftCli {
               "zorder <in> <out> <colA> <colB> [files] | " +
               "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | " +
               "bpe <sfDir> [merges] | lm-score <sfDir> <outDir> | " +
+              "gopher <sfDir> <outDir> | split <sfDir> <outDir> <groupCol> | " +
+              "para-dedup <in> <outDir> <idCol> <textCol> | " +
               "url-dedup <in> <outDir> <urlCol> <idCol> | stress <sfDir> <workDir> [factor] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | reset <workDir>")
