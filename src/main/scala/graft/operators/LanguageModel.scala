@@ -127,4 +127,116 @@ object LanguageModel {
   def bigramFluency(df: DataFrame, idCol: Column, textCol: Column,
       minCount: Int = 2, alpha: Double = 0.5): DataFrame =
     score(df, idCol, textCol, fit(df, idCol, textCol, minCount, alpha))
+
+  // ------------------------------------------------------------------
+  // Trigram model with interpolated ABSOLUTE DISCOUNTING (Ney/Essen/
+  // Kneser 1994) — the order CCNet's KenLM actually exploits, in the
+  // same log-free parity-safe style: every model quantity is an exact
+  // integer count; a probability is a FIXED expression tree of correctly-
+  // rounded double ops (+, -, *, /, max) evaluated identically by any
+  // IEEE engine; aggregates are exact sums and an order-invariant min.
+  //
+  //   p_uni(w3)      = c(w3) / T                     (trigram-final MLE)
+  //   p_bi(w3 | w2)  = (max(c23 - D, 0) + D·N1+(w2·)·p_uni) / c2
+  //   p_tri(w3|w1w2) = (max(c123 - D, 0) + D·N1+(w1w2·)·p_bi) / c12
+  //
+  // with discount D = 3/4 (binary-exact) and N1+ = the distinct-
+  // continuation counts that make the discount mass sum to exactly 1.
+  // Unseen contexts back off a level (c12 = 0 → p_bi; c2 = 0 → p_uni),
+  // so scoring a disjoint corpus is total.
+  // ------------------------------------------------------------------
+
+  /** Per-document trigram table: one row per (doc, w1, w2, w3) with its
+    * within-doc multiplicity `m`. Same tokenizer as [[docBigrams]]; two
+    * leads over one doc-bounded window.
+    */
+  def docTrigrams(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = df
+      .select(idCol.as("doc_id"),
+        posexplode(split(trim(lower(textCol)), "\\s+")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .withColumn("w2", lead(col("w"), 1).over(byPos))
+      .withColumn("w3", lead(col("w"), 2).over(byPos))
+      .filter(col("w2").isNotNull && col("w3").isNotNull)
+      .groupBy(col("doc_id"), col("w").as("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).cast("bigint").as("m"))
+  }
+
+  /** A fitted trigram LM. All count tables derive from the ONE corpus
+    * tokenization that builds the trigram table (everything else is
+    * corpus-sublinear re-aggregation of it); `total` is one row.
+    */
+  final case class TrigramLm(tri: DataFrame, ctx12: DataFrame, bi23: DataFrame,
+      ctx2: DataFrame, uni: DataFrame, total: DataFrame, d: Double, minCount: Int)
+
+  def fitTrigram(df: DataFrame, idCol: Column, textCol: Column,
+      minCount: Int = 2, d: Double = 0.75): TrigramLm = {
+    val tri = docTrigrams(df, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("m")).cast("bigint").as("c123"))
+    val ctx12 = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).cast("bigint").as("c12"),
+        count(lit(1)).cast("bigint").as("n1p12"))
+    val bi23 = tri.groupBy(col("w2"), col("w3"))
+      .agg(sum(col("c123")).cast("bigint").as("c23"))
+    val ctx2 = bi23.groupBy(col("w2"))
+      .agg(sum(col("c23")).cast("bigint").as("c2"),
+        count(lit(1)).cast("bigint").as("n1p2"))
+    val uni = tri.groupBy(col("w3"))
+      .agg(sum(col("c123")).cast("bigint").as("c3"))
+    val total = uni.select(sum(col("c3")).cast("bigint").as("t"))
+    TrigramLm(tri, ctx12, bi23, ctx2, uni, total, d, minCount)
+  }
+
+  /** Score a corpus with a fitted trigram model.
+    * @return DataFrame[doc_id, n_trigrams, known3_frac, avg_c123, min_p3]
+    */
+  def scoreTrigram(df: DataFrame, idCol: Column, textCol: Column,
+      model: TrigramLm): DataFrame = {
+    val d = model.d
+    val perDoc = docTrigrams(df, idCol, textCol)
+    val joined = perDoc
+      .join(model.tri, Seq("w1", "w2", "w3"), "left")
+      .join(model.ctx12, Seq("w1", "w2"), "left")
+      .join(model.bi23, Seq("w2", "w3"), "left")
+      .join(model.ctx2, Seq("w2"), "left")
+      .join(model.uni, Seq("w3"), "left")
+      .crossJoin(broadcast(model.total))
+      .withColumn("c123", coalesce(col("c123"), lit(0L)))
+      .withColumn("c12", coalesce(col("c12"), lit(0L)))
+      .withColumn("n1p12", coalesce(col("n1p12"), lit(0L)))
+      .withColumn("c23", coalesce(col("c23"), lit(0L)))
+      .withColumn("c2", coalesce(col("c2"), lit(0L)))
+      .withColumn("n1p2", coalesce(col("n1p2"), lit(0L)))
+      .withColumn("c3", coalesce(col("c3"), lit(0L)))
+    val pUni = col("c3").cast("double") / col("t").cast("double")
+    val pBi = when(col("c2") > 0,
+      (greatest(col("c23").cast("double") - d, lit(0.0)) +
+        lit(d) * col("n1p2").cast("double") * col("p_uni")) /
+        col("c2").cast("double")).otherwise(col("p_uni"))
+    val pTri = when(col("c12") > 0,
+      (greatest(col("c123").cast("double") - d, lit(0.0)) +
+        lit(d) * col("n1p12").cast("double") * col("p_bi")) /
+        col("c12").cast("double")).otherwise(col("p_bi"))
+    joined
+      .withColumn("p_uni", pUni)
+      .withColumn("p_bi", pBi)
+      .withColumn("p_tri", pTri)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).cast("bigint").as("n_trigrams"),
+        (sum(when(col("c123") >= model.minCount, col("m")).otherwise(lit(0L))).cast("double") /
+          sum(col("m"))).as("known3_frac"),
+        (sum(col("m") * col("c123")).cast("double") / sum(col("m"))).as("avg_c123"),
+        min(col("p_tri")).as("min_p3"))
+  }
+
+  /** Self-scored trigram fluency (fit and score the same corpus).
+    * @return DataFrame[doc_id, n_trigrams, known3_frac, avg_c123, min_p3]
+    */
+  def trigramFluency(df: DataFrame, idCol: Column, textCol: Column,
+      minCount: Int = 2, d: Double = 0.75): DataFrame =
+    scoreTrigram(df, idCol, textCol, fitTrigram(df, idCol, textCol, minCount, d))
 }

@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.core.{GraftQuery, Tables}
-import graft.operators.QualityRules
+import graft.operators.{LanguageModel, QualityRules}
 import org.apache.spark.sql.functions._
 
 /** Round-8 continuation: curation-report quality rules, leakage-safe
@@ -285,6 +285,63 @@ object ExtensionQueries5 {
         "enforcement of crawl-delay. One keyed window whose partitions " +
         "are domain-bounded (a mega-domain sorts only its own urls, " +
         "never the frontier)."
+    ),
+    // ---------------------------------------------------------------- t80
+    GraftQuery(
+      "t80_trigram_lm",
+      (s, d) => {
+        import s.implicits._
+        LanguageModel.trigramFluency(Tables.documents(s, d), $"doc_id", $"text")
+          .select($"doc_id".cast("bigint").as("doc_id"),
+            $"n_trigrams", $"known3_frac", $"avg_c123", $"min_p3")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS w
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+             |        FROM documents)),
+             |tk AS (SELECT * FROM tok WHERE len(w) > 0),
+             |tg AS (SELECT doc_id, w AS w1,
+             |  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             |  lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3 FROM tk),
+             |pd AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS m
+             |  FROM tg WHERE w2 IS NOT NULL AND w3 IS NOT NULL GROUP BY 1, 2, 3, 4),
+             |tri AS (SELECT w1, w2, w3, CAST(sum(m) AS BIGINT) AS c123
+             |  FROM pd GROUP BY 1, 2, 3),
+             |ctx12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+             |  CAST(count(*) AS BIGINT) AS n1p12 FROM tri GROUP BY 1, 2),
+             |bi23 AS (SELECT w2, w3, CAST(sum(c123) AS BIGINT) AS c23 FROM tri GROUP BY 1, 2),
+             |ctx2 AS (SELECT w2, CAST(sum(c23) AS BIGINT) AS c2,
+             |  CAST(count(*) AS BIGINT) AS n1p2 FROM bi23 GROUP BY 1),
+             |uni AS (SELECT w3, CAST(sum(c123) AS BIGINT) AS c3 FROM tri GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c3) AS BIGINT) AS t FROM uni),
+             |p AS (SELECT pd.doc_id, pd.m, tri.c123,
+             |  (GREATEST(CAST(tri.c123 AS DOUBLE) - 0.75, 0.0)
+             |   + 0.75 * CAST(ctx12.n1p12 AS DOUBLE) *
+             |     ((GREATEST(CAST(bi23.c23 AS DOUBLE) - 0.75, 0.0)
+             |       + 0.75 * CAST(ctx2.n1p2 AS DOUBLE) *
+             |         (CAST(uni.c3 AS DOUBLE) / CAST(tot.t AS DOUBLE)))
+             |      / CAST(ctx2.c2 AS DOUBLE)))
+             |  / CAST(ctx12.c12 AS DOUBLE) AS p_tri
+             |  FROM pd JOIN tri USING (w1, w2, w3) JOIN ctx12 USING (w1, w2)
+             |    JOIN bi23 USING (w2, w3) JOIN ctx2 USING (w2)
+             |    JOIN uni USING (w3) CROSS JOIN tot)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(sum(m) AS BIGINT) AS n_trigrams,
+             |  CAST(sum(CASE WHEN c123 >= 2 THEN m ELSE 0 END) AS DOUBLE)
+             |    / CAST(sum(m) AS BIGINT) AS known3_frac,
+             |  CAST(sum(m * c123) AS DOUBLE) / CAST(sum(m) AS BIGINT) AS avg_c123,
+             |  min(p_tri) AS min_p3
+             |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      doc = "Trigram LM fluency with interpolated ABSOLUTE DISCOUNTING " +
+        "(Ney 1994, D = 3/4 binary-exact) — the order CCNet's KenLM " +
+        "exploits, log-free: probabilities are fixed trees of correctly-" +
+        "rounded double ops over exact integer counts (normalization to 1 " +
+        "is spec-asserted), statistics are exact sums, one division each, " +
+        "and an order-invariant min. Unseen contexts back off a level, so " +
+        "fit-on-reference / score-the-crawl is total. One corpus " +
+        "tokenization; all model tables are sublinear re-aggregations " +
+        "joining back on n-gram keys."
     )
   )
 }

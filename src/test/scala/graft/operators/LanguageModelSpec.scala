@@ -94,4 +94,53 @@ class LanguageModelSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(base.sameElements(reparted))
   }
+
+  test("trigramFluency: hand-computed absolute-discount interpolation") {
+    // one doc "a b a b a": trigrams (a,b,a) x2, (b,a,b) x1; T = 3
+    // p_uni(a) = 2/3; p_bi(a|b) = (2-.75 + .75*1*(2/3)) / 2 = 0.875
+    // p_bi(b|a) = (1-.75 + .75*1*(1/3)) / 1 = 0.5
+    // p_tri(a|a,b) = (2-.75 + .75*1*.875) / 2 = 0.953125
+    // p_tri(b|b,a) = (1-.75 + .75*1*.5) / 1 = 0.625  -> min
+    val got = LanguageModel.trigramFluency(
+      Seq((1L, "a b a b a")).toDF("id", "text"), $"id", $"text", minCount = 2)
+      .collect()(0)
+    assert(got.getLong(1) == 3L)                    // n_trigrams
+    assert(got.getDouble(2) == 2.0 / 3)             // known3_frac (only c123=2 rows)
+    assert(got.getDouble(3) == 5.0 / 3)             // avg_c123 = (2*2 + 1) / 3
+    assert(got.getDouble(4) == 0.625)               // min_p3, bit-exact
+  }
+
+  test("trigram scoring backs off per level on unseen contexts and stays total") {
+    val model = LanguageModel.fitTrigram(
+      Seq((1L, "a b c")).toDF("id", "text"), $"id", $"text")
+    // unseen trigram context (z,b) backs off to p_bi(c|b) = (1-.75 + .75*1*1)/1 = 1
+    val backed = LanguageModel.scoreTrigram(
+      Seq((2L, "z b c")).toDF("id", "text"), $"id", $"text", model).collect()(0)
+    assert(backed.getLong(1) == 1L && backed.getDouble(4) == 1.0)
+    // fully unseen words: every level backs off to an unseen unigram -> 0
+    val cold = LanguageModel.scoreTrigram(
+      Seq((3L, "x y z")).toDF("id", "text"), $"id", $"text", model).collect()(0)
+    assert(cold.getDouble(4) == 0.0 && cold.getDouble(2) == 0.0)
+  }
+
+  test("trigram probabilities are a normalized distribution over the vocabulary") {
+    // sum over w3 of p_tri(w3 | w1 w2) must be exactly 1 for a seen context
+    val corpus3 = Seq((1L, "a b a b c a b a c b a b b")).toDF("id", "text")
+    val m = LanguageModel.fitTrigram(corpus3, $"id", $"text")
+    val vocab = Seq("a", "b", "c")
+    // score synthetic one-trigram docs (a, b, w3) for every w3 in vocab
+    val probe = vocab.zipWithIndex
+      .map { case (w, i) => (i.toLong, s"a b $w") }.toDF("id", "text")
+    val ps = LanguageModel.scoreTrigram(probe, $"id", $"text", m)
+      .orderBy("doc_id").collect().map(_.getDouble(4))
+    assert(math.abs(ps.sum - 1.0) < 1e-12, s"sum ${ps.sum}")
+  }
+
+  test("trigram fluency is repartition-invariant") {
+    val base = LanguageModel.trigramFluency(corpus, $"id", $"text")
+      .orderBy("doc_id").collect()
+    val reparted = LanguageModel.trigramFluency(corpus.repartition(13), $"id", $"text")
+      .orderBy("doc_id").collect()
+    assert(base.sameElements(reparted))
+  }
 }
