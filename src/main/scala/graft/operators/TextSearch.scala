@@ -61,4 +61,35 @@ object TextSearch {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** Positional postings — the inverted index WITH positions that phrase
+    * and proximity queries need (BM25 above is bag-of-words and cannot
+    * tell "hash table" from "table hash"). One narrow explode; (term, doc,
+    * pos) rows shuffle, never text.
+    */
+  def positionalPostings(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("id"),
+        posexplode(split(trim(lower(textCol)), "\\s+")).as(Seq("pos", "term")))
+      .where(length(col("term")) > 0)
+
+  /** Exact PHRASE match counts per document: an n-term phrase is an
+    * (n-1)-fold position-offset EQUI-join over the phrase terms' posting
+    * slices — `p_k.pos = p_0.pos + k` on the same doc. Each join input is
+    * the postings of ONE term (the index slice a search engine would read),
+    * so the join is tiny regardless of corpus size; overlapping matches
+    * count separately, standard phrase semantics. Returns (id, n_matches)
+    * for documents with at least one occurrence.
+    */
+  def phraseCount(df: DataFrame, idCol: Column, textCol: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val post = positionalPostings(df, idCol, textCol)
+    val slices = phrase.zipWithIndex.map { case (t, k) =>
+      post.where(col("term") === t)
+        .select(col("id"), (col("pos") - k).as("p0"))
+    }
+    slices.reduceLeft((a, b) => a.join(b, Seq("id", "p0")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("bigint").as("n_matches"))
+  }
 }

@@ -342,6 +342,33 @@ object ExtensionQueries5 {
         "fit-on-reference / score-the-crawl is total. One corpus " +
         "tokenization; all model tables are sublinear re-aggregations " +
         "joining back on n-gram keys."
+    ),
+    // ---------------------------------------------------------------- t81
+    GraftQuery(
+      "t81_phrase_search",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TextSearch
+          .phraseCount(Tables.documents(s, d), $"doc_id", $"text",
+            Seq("table", "hash"))
+          .select($"id".as("doc_id"), $"n_matches")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS w
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+             |        FROM documents)),
+             |tk AS (SELECT * FROM tok WHERE len(w) > 0)
+             |SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches
+             |FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |WHERE a.w = 'table' AND b.w = 'hash'
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      doc = "Exact PHRASE search via positional postings: the (n-1)-fold " +
+        "position-offset equi-join over per-term index slices — each join " +
+        "input is one term's postings, so work scales with the phrase " +
+        "terms' frequencies, not the corpus; overlapping matches count, " +
+        "order matters (the bag-of-words t50 BM25 cannot tell \"hash " +
+        "table\" from \"table hash\"). Postings shuffle (term, doc, pos) " +
+        "rows, never text."
     )
   )
 }

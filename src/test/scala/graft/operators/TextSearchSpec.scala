@@ -56,4 +56,40 @@ class TextSearchSpec extends SparkSpec {
       .collect()
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
+
+  private def phrase(docs: Seq[(Long, String)], terms: String*) =
+    TextSearch.phraseCount(docs.toDF("id", "text"), $"id", $"text", terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("phraseCount: order matters, overlaps count, absent docs are absent") {
+    val docs = Seq(
+      (1L, "hash table hash table hash"),
+      (2L, "table hash"),
+      (3L, "hash . table"))
+    // "hash table": doc 1 has positions 0,2; doc 2 has none (wrong order);
+    // doc 3 has none (gap)
+    assert(phrase(docs, "hash", "table") == Map(1L -> 2L))
+    assert(phrase(docs, "table", "hash") == Map(1L -> 2L, 2L -> 1L))
+    // overlapping single-term repeats: "hash hash" absent; "hash" alone = tf
+    assert(phrase(docs, "hash") == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("phraseCount: 3-term phrase requires all offsets to line up") {
+    val docs = Seq(
+      (1L, "a b c a b c"),
+      (2L, "a b x c"),
+      (3L, "c b a"))
+    assert(phrase(docs, "a", "b", "c") == Map(1L -> 2L))
+  }
+
+  test("phraseCount matches an instr-style oracle on the corpus") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val got = phrase(docs, "table", "hash")
+    val want = docs.map { case (id, t) =>
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      id -> toks.sliding(2).count(w => w == Seq("table", "hash")).toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == want && want.nonEmpty)
+  }
 }
