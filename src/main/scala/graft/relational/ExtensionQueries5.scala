@@ -369,6 +369,34 @@ object ExtensionQueries5 {
         "order matters (the bag-of-words t50 BM25 cannot tell \"hash " +
         "table\" from \"table hash\"). Postings shuffle (term, doc, pos) " +
         "rows, never text."
+    ),
+    // ---------------------------------------------------------------- t82
+    GraftQuery(
+      "t82_training_order",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TrainingOrder
+          .interleave(Tables.documents(s, d), $"lang", $"doc_id",
+            Seq("de", "en", "es", "fr", "zh"))
+          .select($"doc_id", $"lang", $"skey", $"source_idx", $"global_pos")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    md5('0:' || CAST(doc_id AS VARCHAR)) AS skey,
+             |    CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+             |      WHEN 'fr' THEN 3 WHEN 'zh' THEN 4 END AS source_idx
+             |  FROM documents)
+             |SELECT doc_id, lang, skey, CAST(source_idx AS BIGINT) AS source_idx,
+             |  CAST((row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) - 1) * 5
+             |    + source_idx AS BIGINT) AS global_pos
+             |FROM t WHERE source_idx IS NOT NULL ORDER BY doc_id""".stripMargin),
+      doc = "Deterministic TRAINING ORDER: strict round-robin interleave " +
+        "across sources at per-epoch md5-shuffled within-source order — " +
+        "global_pos = (rank-1)*S + source_idx, collision-free, " +
+        "reproducible under any partitioning (resume step N, re-run an " +
+        "ablation, re-shard for a new world size). The companion " +
+        "shuffleKey path is the window-free 100 TB ordering; the strict " +
+        "interleave's per-source windows are for bounded curated sources."
     )
   )
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrainingOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+  private val sources = Seq("s0", "s1", "s2")
+
+  test("round-robin: consecutive occupied positions never share a source") {
+    val rows = TrainingOrder.interleave(docs, $"src", $"id", sources)
+      .select("src", "global_pos").as[(String, Long)].collect()
+      .sortBy(_._2)
+    rows.sliding(2).foreach { case Array((sa, _), (sb, _)) =>
+      assert(sa != sb)
+    case _ => }
+    // equal-sized sources -> dense positions 0..299, a perfect permutation
+    assert(rows.map(_._2).toSeq == (0L until 300L))
+  }
+
+  test("positions are collision-free and epoch changes the permutation") {
+    val e0 = TrainingOrder.interleave(docs, $"src", $"id", sources)
+      .select("id", "global_pos").as[(Long, Long)].collect().toMap
+    val e1 = TrainingOrder.interleave(docs, $"src", $"id", sources, epoch = 1)
+      .select("id", "global_pos").as[(Long, Long)].collect().toMap
+    assert(e0.values.toSeq.distinct.size == 300)
+    assert(e0 != e1)
+    // same epoch reproduces exactly, under any partitioning
+    val again = TrainingOrder.interleave(docs.repartition(13), $"src", $"id", sources)
+      .select("id", "global_pos").as[(Long, Long)].collect().toMap
+    assert(again == e0)
+  }
+
+  test("unequal sources: order property holds, positions stay sparse but sorted-safe") {
+    val skew = ((1L to 100L).map(i => (i, "big")) ++ (101L to 110L).map(i => (i, "small")))
+      .toDF("id", "src")
+    val rows = TrainingOrder.interleave(skew, $"src", $"id", Seq("big", "small"))
+      .select("src", "global_pos").as[(String, Long)].collect().sortBy(_._2)
+    // while both sources last, strict alternation
+    rows.take(20).sliding(2).foreach { case Array((a, _), (b, _)) => assert(a != b)
+    case _ => }
+    // collision-free always
+    assert(rows.map(_._2).distinct.length == 110)
+    // undeclared sources are dropped
+    val dropped = TrainingOrder.interleave(skew, $"src", $"id", Seq("big"))
+    assert(dropped.count() == 100)
+  }
+
+  test("shuffleKey ordering mixes sources without any window") {
+    val ordered = docs.withColumn("k", TrainingOrder.shuffleKey($"id"))
+      .orderBy("k").select("src").as[String].collect()
+    // no same-source run longer than 8 in 300 hash-ordered rows
+    val maxRun = ordered.foldLeft((0, "", 0)) { case ((best, prev, run), s) =>
+      val r = if (s == prev) run + 1 else 1
+      (math.max(best, r), s, r)
+    }._1
+    assert(maxRun <= 8, s"max same-source run $maxRun")
+  }
+}
