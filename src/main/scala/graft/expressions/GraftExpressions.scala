@@ -434,3 +434,40 @@ case class L2SqDistances(child: Expression, centroids: Seq[Seq[Double]])
   override protected def withNewChildInternal(newChild: Expression): L2SqDistances =
     copy(child = newChild)
 }
+
+object NfcNormalizeImpl {
+  /** Unicode NFC (canonical composition, UAX#15) via the JDK's ICU-derived
+    * Normalizer. Already-normalized text (the overwhelming common case) is
+    * detected with the quick-check and returned without allocation.
+    */
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** graft_nfc(text): Unicode canonical composition — the normalization pass
+  * that makes dedup/fingerprinting see `é` and `e`+COMBINING ACUTE as the
+  * same document. Codegen'd single static call, no UDF.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_nfc requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalizeImpl.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.NfcNormalizeImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}

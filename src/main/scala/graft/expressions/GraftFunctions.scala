@@ -43,6 +43,10 @@ object GraftFunctions {
   }
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_nfc",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => NfcNormalize(arity("graft_nfc", args, 1).head),
+    ),
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(arity("graft_simhash64", args, 1).head),
@@ -119,6 +123,7 @@ object GraftFunctions {
   private def expr(c: Column): Expression =
     org.apache.spark.sql.GraftColumnBridge.expression(c)
 
+  def nfc(c: Column): Column = exprCol(NfcNormalize(expr(c)))
   def simhash64(c: Column): Column = exprCol(SimHash64(expr(c)))
   def cosineSim(a: Column, b: Column): Column =
     exprCol(CosineSimilarity(expr(a), expr(b)))

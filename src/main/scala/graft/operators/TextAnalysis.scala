@@ -64,6 +64,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
 
+  /** Unicode-safe text normalization — the pass that makes dedup and
+    * fingerprint keys see `é` and `e`+COMBINING ACUTE as the same bytes:
+    * NFC canonical composition (native codegen'd [[graft.expressions
+    * .NfcNormalize]] expression, quick-check fast path), control-character
+    * strip (C0 minus tab/newline/CR, DEL, and all format chars like
+    * ZERO WIDTH SPACE), whitespace collapse, trim. Every step is also
+    * expressible in DuckDB (`nfc_normalize` + the same RE2-safe patterns),
+    * so the whole pipeline is oracle-checkable byte-for-byte.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      graft.expressions.GraftFunctions.nfc(text),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]|\\p{Cf}", ""),
+      "\\s+", " "))
+
   /** Character n-grams as an array column (requires length(text) >= n).
     * Native one-pass expression; `charNgramsHof` is the built-in-functions
     * equivalent kept for the parity spec (ArrayTransform is interpreted —

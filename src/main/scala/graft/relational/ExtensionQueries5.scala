@@ -397,6 +397,47 @@ object ExtensionQueries5 {
         "ablation, re-shard for a new world size). The companion " +
         "shuffleKey path is the window-free 100 TB ordering; the strict " +
         "interleave's per-source windows are for bounded curated sources."
+    ),
+    // ---------------------------------------------------------------- t83
+    GraftQuery(
+      "t83_unicode_normalize",
+      (s, d) => {
+        import s.implicits._
+        // Deterministic mojibake synthesis (the corpus is clean ASCII):
+        // decomposed accents, a parity-dependent ZERO WIDTH SPACE, doubled
+        // blanks, a tab, and a BEL — every class the normalizer handles.
+        val raw = concat($"text", lit(" cafe\u0301 A\u0308pfel"),
+          when($"doc_id" % 2 === 0, lit("\u200B")).otherwise(lit("")),
+          lit("  x\t"), lit("\u0007end"))
+        Tables.documents(s, d)
+          .select($"doc_id",
+            length(raw).cast("bigint").as("n_raw"),
+            graft.operators.TextAnalysis.normalizeText(raw).as("norm"),
+            length(graft.operators.TextAnalysis.normalizeText(raw))
+              .cast("bigint").as("n_norm"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id,
+             |    text || ' cafe' || chr(769) || ' A' || chr(776) || 'pfel' ||
+             |    CASE WHEN doc_id % 2 = 0 THEN chr(8203) ELSE '' END ||
+             |    '  x' || chr(9) || chr(7) || 'end' AS raw
+             |  FROM documents)
+             |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+             |  trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+             |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]|\p{Cf}', '', 'g'),
+             |    '\s+', ' ', 'g')) AS norm,
+             |  CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+             |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]|\p{Cf}', '', 'g'),
+             |    '\s+', ' ', 'g'))) AS BIGINT) AS n_norm
+             |FROM r ORDER BY doc_id""".stripMargin),
+      doc = "Unicode text normalization: NFC canonical composition as a " +
+        "native codegen'd Catalyst expression (JDK Normalizer, quick-check " +
+        "fast path — no UDF), then control/format-char strip (C0 minus " +
+        "tab/newline/CR, DEL, Cf like ZERO WIDTH SPACE) and whitespace " +
+        "collapse — the pass that makes dedup keys see e+COMBINING ACUTE " +
+        "and é as the same bytes. DuckDB recomputes the whole " +
+        "pipeline (nfc_normalize + identical RE2-safe patterns) " +
+        "byte-for-byte. Pure projection, no shuffle."
     )
   )
 }

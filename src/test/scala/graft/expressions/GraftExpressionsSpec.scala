@@ -190,4 +190,39 @@ class GraftExpressionsSpec extends SparkSpec {
       .count()
     assert(n > 0)
   }
+
+  test("NfcNormalize composes decomposed sequences; already-NFC text is unchanged") {
+    val rows = Seq(
+      "café",         // e + combining acute -> é
+      "Äpfel",        // A + combining diaeresis -> Ä
+      "café",          // already composed: quick-check fast path
+      "plain ascii").toDF("t")
+      .select(GraftFunctions.nfc($"t").as("n")).as[String].collect()
+    assert(rows(0) == "café")
+    assert(rows(1) == "Äpfel")
+    assert(rows(2) == "café")
+    assert(rows(3) == "plain ascii")
+  }
+
+  test("graft_nfc is registered for SQL; null passes through; non-string is a usage error") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_nfc('café')").as[String].collect()(0) == "café")
+    val nulls = Seq[Option[String]](None).toDF("t")
+      .select(GraftFunctions.nfc($"t")).collect()
+    assert(nulls(0).isNullAt(0))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_nfc(1)").collect()
+    }
+    assert(err.getMessage.contains("string"))
+  }
+
+  test("normalizeText: NFC + control/format strip + whitespace collapse, golden") {
+    // "hea"+COMBINING ACUTE -> composes; ZWSP and BEL strip; VT strips
+    // (word fuses); tab and double spaces collapse; ends trim
+    val raw = "  hea\u0301vy\u200B  text\u0007\twith\u000Bjunk  "
+    val got = Seq(raw).toDF("t")
+      .select(graft.operators.TextAnalysis.normalizeText($"t")).as[String]
+      .collect()(0)
+    assert(got == "hea\u0301vy".replace("a\u0301", "\u00e1") + " text withjunk")
+  }
 }
