@@ -438,6 +438,51 @@ object ExtensionQueries5 {
         "and é as the same bytes. DuckDB recomputes the whole " +
         "pipeline (nfc_normalize + identical RE2-safe patterns) " +
         "byte-for-byte. Pure projection, no shuffle."
+    ),
+    // ---------------------------------------------------------------- t84
+    GraftQuery(
+      "t84_pagerank_gate",
+      (s, d) => {
+        import s.implicits._
+        // synthesized 50-host link graph (documents carry no links):
+        // two deterministic out-edges per doc over the host space
+        val docs = Tables.documents(s, d)
+        val e1 = docs.select(
+          concat(lit("h"), ($"doc_id" % 50).cast("string")).as("src"),
+          concat(lit("h"), (($"doc_id" * 7 + 3) % 50).cast("string")).as("dst"))
+        val e2 = docs.select(
+          concat(lit("h"), ($"doc_id" % 50).cast("string")).as("src"),
+          concat(lit("h"), (($"doc_id" * 13 + 11) % 50).cast("string")).as("dst"))
+        val edges = e1.union(e2)
+        val r = graft.operators.PageRank.pageRank(edges, $"src", $"dst", iters = 6)
+        val massOk = r.masses.forall(m => (m - 1).abs < BigDecimal("1e-9"))
+        val contracting = r.deltas.sliding(2).forall {
+          case Seq(x, y) => y <= x
+          case _ => true
+        }
+        val again = graft.operators.PageRank
+          .pageRank(edges.repartition(7), $"src", $"dst", iters = 6)
+        val identical = r.ranks.exceptAll(again.ranks).count() +
+          again.ranks.exceptAll(r.ranks).count() == 0
+        val teleport = BigDecimal("0.15") / r.ranks.count()
+        val positive = BigDecimal(r.ranks
+          .agg(min($"rank")).collect()(0).getDecimal(0)) >= teleport.setScale(18, BigDecimal.RoundingMode.DOWN)
+        Seq((massOk, contracting, identical, positive))
+          .toDF("mass_conserved", "deltas_contract", "repartition_identical",
+            "rank_at_least_teleport")
+      },
+      Some("SELECT true AS mass_conserved, true AS deltas_contract, " +
+        "true AS repartition_identical, true AS rank_at_least_teleport"),
+      doc = "Deterministic PageRank gate over a synthesized host graph — " +
+        "the crawl-prioritization / domain-authority signal as a fixed-" +
+        "point DECIMAL(38,18) power iteration: mass stays 1 within " +
+        "bounded rounding, L1 deltas contract (damped-operator " +
+        "contraction), ranks are ROW-IDENTICAL under repartitioning " +
+        "(decimal sums are exact and order-invariant — the property " +
+        "double ranks cannot give), and every rank clears the teleport " +
+        "floor. One rank-onto-edges equi-join and one groupBy per " +
+        "iteration; lineage truncated per step.",
+      gate = true
     )
   )
 }
