@@ -233,6 +233,27 @@ object GraftCli {
             graft.core.Tables.documents(spark, sfDir), col("doc_id"), col("text"))
             .write.mode("overwrite").parquet(outDir)
           println(s"lm-score: per-doc fluency statistics -> $outDir")
+        case "warc" :: glob :: outDir :: Nil =>
+          // crawl ingestion: WARC records (plain or .gz) -> parquet with
+          // binary payloads; response bodies decoded downstream
+          val df = graft.sources.WarcSource.readWarc(spark, glob)
+          df.write.mode("overwrite").parquet(outDir)
+          val back = spark.read.parquet(outDir)
+          println(s"warc: ${back.count()} records " +
+            s"(${back.where(org.apache.spark.sql.functions.col("truncated")).count()} truncated) -> $outDir")
+        case "phrase" :: sfDir :: terms if terms.nonEmpty =>
+          import org.apache.spark.sql.functions.col
+          graft.operators.TextSearch.phraseCount(
+            graft.core.Tables.documents(spark, sfDir), col("doc_id"), col("text"), terms)
+            .orderBy(col("n_matches").desc, col("id")).show(20, truncate = false)
+        case "pagerank" :: inPath :: outDir :: srcCol :: dstCol :: rest =>
+          import org.apache.spark.sql.functions.col
+          val iters = rest.headOption.map(_.toInt).getOrElse(8)
+          val r = graft.operators.PageRank.pageRank(
+            spark.read.parquet(inPath), col(srcCol), col(dstCol), iters = iters)
+          r.ranks.write.mode("overwrite").parquet(outDir)
+          println(s"pagerank: ${r.ranks.count()} nodes, $iters iterations, " +
+            s"final delta ${r.deltas.last} -> $outDir")
         case "gopher" :: sfDir :: outDir :: Nil =>
           // rule-chain curation filter with per-rule diagnostics: writes
           // survivors plus a dropped-report showing WHICH rule fired
@@ -346,6 +367,8 @@ object GraftCli {
               "bpe <sfDir> [merges] | lm-score <sfDir> <outDir> | " +
               "gopher <sfDir> <outDir> | split <sfDir> <outDir> <groupCol> | " +
               "para-dedup <in> <outDir> <idCol> <textCol> | " +
+              "warc <glob> <outDir> | phrase <sfDir> <terms...> | " +
+              "pagerank <in> <outDir> <srcCol> <dstCol> [iters] | " +
               "url-dedup <in> <outDir> <urlCol> <idCol> | stress <sfDir> <workDir> [factor] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | reset <workDir>")
