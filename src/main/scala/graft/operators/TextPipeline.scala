@@ -257,6 +257,35 @@ object TextPipeline {
     */
   def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
       k: Int = 20, minDocs: Long = 2): DataFrame = {
+    val (base, spans) = dupSpanTables(df, idCol, textCol, k, minDocs)
+    val perDoc = spans.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__e") - col("__s") + 1L).as("dup_tokens"),
+        sum(col("__nw")).as("n_dup_windows"))
+    base.select(col("id"), col("n_tokens"), col("n_windows"))
+      .join(perDoc, Seq("id"), "left_outer")
+      .select(col("id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_windows") === 0, lit(null).cast("double"))
+          .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("dup_frac"))
+  }
+
+  /** Shared core of [[duplicateSpans]] / [[removeDuplicateSpans]]: tokenize,
+    * hash every `k`-token window, keep windows whose gram occurs in >=
+    * `minDocs` distinct documents, and merge flagged windows into maximal
+    * disjoint spans per document (gaps-and-islands over flagged positions).
+    *
+    * Returns `(base, spans)`: `base` = (id, __toks, n_tokens, n_windows),
+    * `spans` = (id, __isl, __s, __e, __nw) with token ranges [__s, __e]
+    * inclusive. Only window hashes cross the document-frequency shuffle;
+    * the island window is partitioned by doc id, so per-partition state is
+    * bounded by the longest single document.
+    */
+  private def dupSpanTables(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int, minDocs: Long): (DataFrame, DataFrame) = {
     require(k >= 1 && minDocs >= 2)
     val base = df.select(
       idCol.as("id"),
@@ -288,19 +317,52 @@ object TextPipeline {
       .agg(min(col("__pos")).as("__s"),
         (max(col("__pos")) + (k - 1)).as("__e"),
         count(lit(1)).as("__nw"))
-    val perDoc = spans.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_dup_spans"),
-        sum(col("__e") - col("__s") + 1L).as("dup_tokens"),
-        sum(col("__nw")).as("n_dup_windows"))
-    base.select(col("id"), col("n_tokens"), col("n_windows"))
-      .join(perDoc, Seq("id"), "left_outer")
-      .select(col("id"), col("n_tokens"), col("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        when(col("n_windows") === 0, lit(null).cast("double"))
-          .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
-            col("n_tokens").cast("double")).as("dup_frac"))
+    (base, spans)
+  }
+
+  /** Exact-substring span REMOVAL (the enforcement half of
+    * [[duplicateSpans]], i.e. the ExactSubstr recipe of "Deduplicating
+    * Training Data Makes Language Models Better"): every token covered by a
+    * duplicated span — a maximal merge of `k`-token windows whose text
+    * occurs in >= `minDocs` distinct documents — is cut from EVERY
+    * occurrence, and each document is reassembled from its surviving tokens
+    * in original order. Where [[duplicateSpans]] emits a report, this emits
+    * a corpus.
+    *
+    * Scale shape: detection is [[dupSpanTables]] (hashes-only shuffle);
+    * removal explodes each span once into its covered positions (output
+    * volume = duplicated tokens, not windows x k, because merged spans are
+    * disjoint), anti-joins the per-doc token table on (id, position), and
+    * reassembles with one groupBy(id) — the same reassembly shuffle shape
+    * as [[ParagraphDedup]]. Nothing global: every join and window is keyed
+    * by doc id or a hash.
+    *
+    * Output: `id`, `clean_text` (surviving tokens joined by a single
+    * space; empty when the whole document was duplicated), `n_tokens`,
+    * `removed_tokens`.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 20, minDocs: Long = 2): DataFrame = {
+    val (base, spans) = dupSpanTables(df, idCol, textCol, k, minDocs)
+    // merged spans are disjoint per doc, so each covered position appears
+    // exactly once — no distinct needed before the anti join
+    val covered = spans.select(col("id"),
+      explode(sequence(col("__s"), col("__e"))).as("__tp"))
+    val toks = base.select(col("id"),
+        posexplode(col("__toks")).as(Seq("__tp", "__tok")))
+      .select(col("id"), col("__tp").cast("bigint").as("__tp"), col("__tok"))
+    val kept = toks.join(covered, Seq("id", "__tp"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__tp"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("clean_text"),
+        count(lit(1)).as("kept_tokens"))
+    base.select(col("id"), col("n_tokens"))
+      .join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"))
   }
 
   /** Stateless formulation of [[contamination]] — identical output, no

@@ -248,4 +248,40 @@ class TextPipelineSpec extends SparkSpec {
     val got = spansOf(Seq((1L, text), (2L, text)), k = 4)
     assert(got == Seq((1L, 9L, 6L, 6L, 1L, 9L), (2L, 9L, 6L, 6L, 1L, 9L)))
   }
+
+  private def removedOf(docs: Seq[(Long, String)], k: Int) =
+    TextPipeline.removeDuplicateSpans(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), k = k, minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("removeDuplicateSpans cuts the shared run from EVERY doc, keeps the rest in order") {
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ")
+    val d1 = s"a1 a2 $shared z1 z2"
+    val d2 = s"b1 $shared y1 y2 y3"
+    val got = removedOf(Seq((1L, d1), (2L, d2)), k = 4)
+    assert(got == Seq(
+      (1L, "a1 a2 z1 z2", 10L, 6L),
+      (2L, "b1 y1 y2 y3", 10L, 6L)))
+  }
+
+  test("removeDuplicateSpans: fully-duplicated docs come back empty but stay in the corpus") {
+    val text = (1 to 9).map(i => s"w$i").mkString(" ")
+    val tiny = "only two"
+    val got = removedOf(Seq((1L, text), (2L, text), (3L, tiny)), k = 4)
+    assert(got == Seq(
+      (1L, "", 9L, 9L),
+      (2L, "", 9L, 9L),
+      (3L, "only two", 2L, 0L)))
+  }
+
+  test("removeDuplicateSpans: removed_tokens equals duplicateSpans' dup_tokens on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(200)
+    val rep = TextPipeline.duplicateSpans(docs, col("doc_id"), col("text"), k = 8, minDocs = 2)
+      .select(col("id"), col("dup_tokens"))
+    val cut = TextPipeline.removeDuplicateSpans(docs, col("doc_id"), col("text"), k = 8, minDocs = 2)
+      .select(col("id"), col("removed_tokens"))
+    assert(rep.join(cut, "id")
+      .where(col("dup_tokens") =!= col("removed_tokens")).count() == 0)
+  }
 }
