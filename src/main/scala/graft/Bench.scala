@@ -23,7 +23,10 @@ import org.apache.spark.sql.SparkSession
   *     timed in pass 1 only: their wall time measures the gate, not an
   *     operator, and re-sweeping them tripled ~47 s of constant cost;
   *   - each completed query logs one short stderr line (`pN name secs`), so
-  *     a killed run's tail names the stall point.
+  *     a killed run's tail names the stall point;
+  *   - a query that THROWS is reported by name in the contract line's
+  *     "errors" array and its wall time never enters the medians (round 8: a
+  *     broken query's fast-fail read as a 10x speedup inside an rc-0 record).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,6 +52,11 @@ object Bench {
     // ---- contract-line machinery (shared by the incremental re-prints) ----
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // Queries that threw in any pass. Their wall time is a fast-fail, not a
+    // timing — round 8 recorded a broken query as a 10x "speedup" inside an
+    // rc-0 bench record. Failures are named in the contract line instead and
+    // their samples never enter the medians.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
@@ -70,14 +78,20 @@ object Bench {
       */
     def emitContract(): Unit = {
       val done = ordered.filter { case (name, _) => samples(name).nonEmpty }
-      if (done.isEmpty) return
+      if (done.isEmpty && failed.isEmpty) return
       val med = done.map { case (name, _) => name -> median(samples(name)) }
       val total = med.map(_._2).sum
+      // Failed queries ride the contract line by name (qNN/tNN prefix —
+      // unique across the registry) so a breakage is loud in the driver
+      // record; omitted entirely when clean to spare the tail budget.
+      val errTok =
+        if (failed.isEmpty) ""
+        else s""","errors":${failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")}"""
       // The contract line must be (a) unprefixed — see run/outputStrategy in
       // build.sbt — and (b) short enough to survive the driver's 2000-char
       // stdout tail INCLUDING sbt's trailing "[success] ..." line.
       def line(kvs: Seq[(String, Double)])(decimals: Int): String =
-        s"""{"metric":"total","value":${compact(3)(total)},"unit":"sec","queries":${jsonObj(kvs, compact(decimals))},"sf":$sfToken}"""
+        s"""{"metric":"total","value":${compact(3)(total)},"unit":"sec","queries":${jsonObj(kvs, compact(decimals))}$errTok,"sf":$sfToken}"""
       // Past ~95 queries the full-name dict exceeds the tail budget even at
       // 0 decimals, so the ladder gains a rung BEFORE dropping coverage: the
       // qNN/tNN prefix is unique across the registry and shrinks each entry
@@ -93,12 +107,13 @@ object Bench {
     }
     def emitDetail(passesDone: Int): Unit = {
       val done = ordered.filter { case (name, _) => samples(name).nonEmpty }
-      if (done.isEmpty) return
+      if (done.isEmpty && failed.isEmpty) return
       val med = done.map { case (name, _) => name -> median(samples(name)) }
       val mins = done.map { case (name, _) => name -> samples(name).min }
+      val errTok = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
       // Full-precision detail goes to stderr with a non-JSON prefix: useful
       // to humans, impossible for the driver to mistake for the contract line.
-      System.err.println(s"""bench-detail {"total":${med.map(_._2).sum},"queries":${jsonObj(med, _.toString)},"queries_min":${jsonObj(mins, _.toString)},"total_min":${mins.map(_._2).sum},"passes":$passesDone,"sf":"$sfDir"}""")
+      System.err.println(s"""bench-detail {"total":${med.map(_._2).sum},"queries":${jsonObj(med, _.toString)},"queries_min":${jsonObj(mins, _.toString)},"total_min":${mins.map(_._2).sum},"errors":$errTok,"passes":$passesDone,"sf":"$sfDir"}""")
     }
 
     // ---- warmup (opt-in, budgeted) ----
@@ -146,12 +161,15 @@ object Bench {
           stopped = true
         } else if (pass == 1 || !gateNames.contains(name)) {
           val q0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => System.err.println(s"[bench] $name pass $pass: $e") }
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name pass $pass FAILED: $e"); false
+            }
           val sec = (System.nanoTime() - q0) / 1e9
-          samples(name) = samples(name) :+ sec
+          if (ok) samples(name) = samples(name) :+ sec else failed += name
           completed += 1
-          System.err.println(f"p$pass ${name.takeWhile(_ != '_')} $sec%.2f")
+          System.err.println(f"p$pass ${name.takeWhile(_ != '_')} $sec%.2f${if (ok) "" else " FAIL"}")
           // Keep the tail-resident contract line current: during pass 1
           // refresh after EVERY query (a kill at any point then loses
           // nothing already timed — printing ~1.8k chars costs microseconds

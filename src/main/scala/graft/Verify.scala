@@ -20,11 +20,30 @@ object Verify {
     val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
       .map(_.split(",").map(_.trim).toSet)
     def keep(name: String): Boolean = filter.forall(_.contains(name))
+    // Failure posture (round-8 lesson): a query that throws must still leave
+    // a driver-visible trace. Round 8's events-schema drift broke two queries
+    // and their rows simply VANISHED from the correctness artifact — two
+    // rounds of green history gone without any red signal. Now a failed
+    // query writes a 0-row sentinel parquet whose schema (`verify_error`)
+    // can never match an oracle or a rows-only check, so the driver records
+    // a red row instead of no row; the exception text goes to errors.json.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+        try spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "verify_error", org.apache.spark.sql.types.StringType))))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: $e2")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +61,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object when clean) so its absence vs emptiness
+    // can't be confused; one exception line per failed query.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

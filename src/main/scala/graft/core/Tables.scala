@@ -30,10 +30,15 @@ object Tables {
 
   /** `events` with `ts` normalized to a microsecond TimestampType column.
     *
-    * The raw parquet column is TIMESTAMP(NANOS): with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` Spark surfaces it as a
-    * nanosecond epoch long, which we floor-divide to microseconds —
-    * matching DuckDB's `make_timestamp(epoch_ns(ts) // 1000)`.
+    * The stored type has drifted across testdata generations — originally
+    * parquet TIMESTAMP(NANOS) (surfaced as nanosecond epoch longs under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), currently timestamp[us]
+    * (surfaced as TIMESTAMP_NTZ) — so this loader dispatches on the actual
+    * physical type. Both branches agree with DuckDB's reading of the same
+    * file under the UTC session timezone. EVERY events read (batch,
+    * streaming via StreamingOps.eventsStream, CLI export) must route
+    * through this dispatch: round 8 proved a raw read with a hard-coded ts
+    * assumption breaks silently when the driver regenerates the data.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

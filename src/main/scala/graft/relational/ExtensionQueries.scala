@@ -278,9 +278,11 @@ object ExtensionQueries {
         import s.implicits._
         // each purchase joined to the user's most recent signup/login at or
         // before it — the canonical time-series enrichment join
-        val ev = s.read.parquet(s"$d/events.parquet") // ts as raw ns long
+        // Tables.events absorbs the stored ts type (ns-long vs timestamp[us]);
+        // unix_micros matches the oracle's epoch_ns(ts) // 1000 under UTC.
+        val ev = Tables.events(s, d)
           .select($"event_id", $"user_id", $"event_type",
-            expr("ts div 1000").as("us"), $"value")
+            unix_micros($"ts").as("us"), $"value")
         val purchases = ev.filter($"event_type" === "purchase")
           .select($"event_id", $"user_id", $"us", $"value")
         // unique (user, us) on the right: keep max event_id per timestamp

@@ -20,8 +20,11 @@ object RelationalQueries2 {
         import s.implicits._
         // gaps-and-islands sessionization on exact microsecond longs — the
         // batch twin of streaming session windows (StreamingOps.sessionCounts)
-        val raw = s.read.parquet(s"$d/events.parquet") // ts as raw ns long
-          .select($"user_id", $"event_id", expr("ts div 1000").as("us"), $"value")
+        // Tables.events absorbs the stored ts type (ns-long vs timestamp[us]
+        // — it drifted once already); unix_micros on the normalized column
+        // matches the oracle's epoch_ns(ts) // 1000 under the UTC session.
+        val raw = Tables.events(s, d)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"value")
         val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
         val flagged = raw.withColumn("new_session",
           when(lag($"us", 1).over(byUser).isNull, 1L)

@@ -17,26 +17,27 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Schema of the events table as stored (ts = raw nanosecond long, see
-    * Tables.events).
-    */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming scan of an events parquet directory with `ts` normalized to
     * TimestampType — the streaming twin of `Tables.events`.
+    *
+    * `readStream` needs an explicit schema, but the stored `ts` type has
+    * already drifted once (raw nanosecond long → timestamp[us], round 8), so
+    * hard-coding either is a silent-corruption trap: a LongType schema over
+    * timestamp[us] data reads micros as if they were nanos and compresses
+    * every event time 1000×. Instead probe one parquet footer via a batch
+    * read (driver-side, metadata only) and dispatch on the actual physical
+    * type — the exact dispatch `Tables.events` does for batch.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val physical = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(physical).parquet(dir)
+    physical("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) surfaced as ns longs
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // timestamp[us] (current testdata) — cast normalizes NTZ/TZ
+        stream.withColumn("ts", date_trunc("microsecond", col("ts").cast("timestamp")))
+    }
   }
 
   /** Tumbling event-time window counts with late-data handling. */
