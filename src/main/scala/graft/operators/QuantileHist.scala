@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * here on measurement. This histogram is a plain cellwise-mergeable
   * count table: the sketch of a union is the column-sum of the sketches,
   * bit-identical under any partitioning, merge order, or re-sharding —
-  * asserted by the t87 gate, hash-gated cross-engine by t86 (both engines
+  * asserted by the t88 gate, hash-gated cross-engine by t87 (both engines
   * print `bin()` unpadded, so the bucket arithmetic is re-derivable in
   * DuckDB from first principles).
   *

@@ -1,11 +1,12 @@
 package graft.relational
 
 import graft.core.{GraftQuery, Tables}
-import graft.operators.TextPipeline
+import graft.operators.{Hits, QuantileHist, TextPipeline}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Round-8 third wave: span-removal enforcement, mergeable quantile
-  * sketches, HITS link analysis, snapshot diffing. Same contract as
+/** Rounds 8-9 wave: span-removal enforcement, the schema-drift canary,
+  * mergeable quantile sketches, and HITS link analysis. Same contract as
   * [[ExtensionQueries]]: Spark-first builder + DuckDB oracle that must
   * hash-match exactly at sf0.01 and sf0.001.
   */
@@ -61,6 +62,213 @@ object ExtensionQueries6 {
         "documents are reassembled from surviving tokens in order. Only " +
         "window hashes cross the detection shuffle; the oracle re-derives " +
         "from raw gram text and rebuilds with an ordered string_agg."
+    ),
+    // ---------------------------------------------------------------- t86
+    GraftQuery(
+      "t86_schema_canary",
+      (s, d) => {
+        import s.implicits._
+        // Observed PHYSICAL types of every table (raw reads, no
+        // normalization), pinned against a literal expectation in the
+        // oracle. The driver regenerated events.ts with a different type in
+        // round 8 and three hard-coded reads broke silently; this row goes
+        // red the moment any stored type drifts again. Schema probing is
+        // driver-side footer metadata — no data is scanned for the type rows.
+        val typeRows = Tables.all.flatMap { t =>
+          Tables.table(s, d, t).schema.fields.toSeq.zipWithIndex.map {
+            case (f, i) =>
+              (t, f.name, i.toLong, f.dataType.sql.toLowerCase(java.util.Locale.ROOT))
+          }
+        }
+        val types = typeRows.toDF("tbl", "col", "pos", "typ")
+        // Value-level probes: epoch-microsecond min/max of every stored
+        // timestamp column THROUGH OUR NORMALIZED READ PATH vs DuckDB
+        // computing the same from the file. A unit error (the round-8
+        // streaming bug read micros as nanos, 1000x off) moves these by six
+        // orders of magnitude even when the logical type looks right.
+        def tsProbe(df: DataFrame, table: String, c: String): DataFrame =
+          df.agg(
+            min(unix_micros(col(c).cast("timestamp"))).as("mn"),
+            max(unix_micros(col(c).cast("timestamp"))).as("mx"))
+            .select(explode(array(
+              struct(lit(table).as("tbl"), lit(s"__${c}_min_us").as("col"),
+                lit(-1L).as("pos"), $"mn".cast("string").as("typ")),
+              struct(lit(table).as("tbl"), lit(s"__${c}_max_us").as("col"),
+                lit(-1L).as("pos"), $"mx".cast("string").as("typ")))).as("r"))
+            .select($"r.tbl", $"r.col", $"r.pos", $"r.typ")
+        types
+          .unionAll(tsProbe(Tables.events(s, d), "events", "ts"))
+          .unionAll(tsProbe(Tables.orders(s, d), "orders", "o_orderdate"))
+          .unionAll(tsProbe(Tables.lineitem(s, d), "lineitem", "l_shipdate"))
+          .orderBy($"tbl", $"pos", $"col")
+      },
+      Some("""SELECT tbl, col, CAST(pos AS BIGINT) AS pos, typ FROM (
+             |  SELECT * FROM (VALUES
+             |    ('region','r_regionkey',0,'int'), ('region','r_name',1,'string'),
+             |    ('nation','n_nationkey',0,'int'), ('nation','n_name',1,'string'),
+             |    ('nation','n_regionkey',2,'int'),
+             |    ('customer','c_custkey',0,'bigint'), ('customer','c_name',1,'string'),
+             |    ('customer','c_nationkey',2,'int'), ('customer','c_acctbal',3,'double'),
+             |    ('customer','c_mktsegment',4,'string'),
+             |    ('supplier','s_suppkey',0,'bigint'), ('supplier','s_name',1,'string'),
+             |    ('supplier','s_nationkey',2,'int'), ('supplier','s_acctbal',3,'double'),
+             |    ('part','p_partkey',0,'bigint'), ('part','p_name',1,'string'),
+             |    ('part','p_brand',2,'string'), ('part','p_type',3,'string'),
+             |    ('part','p_size',4,'int'), ('part','p_retailprice',5,'double'),
+             |    ('orders','o_orderkey',0,'bigint'), ('orders','o_custkey',1,'bigint'),
+             |    ('orders','o_orderstatus',2,'string'), ('orders','o_totalprice',3,'double'),
+             |    ('orders','o_orderdate',4,'timestamp_ntz'), ('orders','o_orderpriority',5,'string'),
+             |    ('lineitem','l_orderkey',0,'bigint'), ('lineitem','l_partkey',1,'bigint'),
+             |    ('lineitem','l_suppkey',2,'bigint'), ('lineitem','l_linenumber',3,'int'),
+             |    ('lineitem','l_quantity',4,'double'), ('lineitem','l_extendedprice',5,'double'),
+             |    ('lineitem','l_discount',6,'double'), ('lineitem','l_tax',7,'double'),
+             |    ('lineitem','l_returnflag',8,'string'), ('lineitem','l_linestatus',9,'string'),
+             |    ('lineitem','l_shipdate',10,'timestamp_ntz'),
+             |    ('events','event_id',0,'bigint'), ('events','ts',1,'timestamp_ntz'),
+             |    ('events','user_id',2,'bigint'), ('events','event_type',3,'string'),
+             |    ('events','value',4,'double'), ('events','props',5,'string'),
+             |    ('documents','doc_id',0,'bigint'), ('documents','text',1,'string'),
+             |    ('documents','lang',2,'string'), ('documents','source',3,'string'),
+             |    ('documents','n_chars',4,'bigint'),
+             |    ('embeddings','vec_id',0,'bigint'), ('embeddings','embedding',1,'array<float>'),
+             |    ('embeddings','label',2,'int')
+             |  ) v(tbl, col, pos, typ)
+             |  UNION ALL SELECT 'events', '__ts_min_us', -1,
+             |    CAST(MIN(epoch_ns(ts) // 1000) AS VARCHAR) FROM events
+             |  UNION ALL SELECT 'events', '__ts_max_us', -1,
+             |    CAST(MAX(epoch_ns(ts) // 1000) AS VARCHAR) FROM events
+             |  UNION ALL SELECT 'orders', '__o_orderdate_min_us', -1,
+             |    CAST(MIN(epoch_ns(o_orderdate) // 1000) AS VARCHAR) FROM orders
+             |  UNION ALL SELECT 'orders', '__o_orderdate_max_us', -1,
+             |    CAST(MAX(epoch_ns(o_orderdate) // 1000) AS VARCHAR) FROM orders
+             |  UNION ALL SELECT 'lineitem', '__l_shipdate_min_us', -1,
+             |    CAST(MIN(epoch_ns(l_shipdate) // 1000) AS VARCHAR) FROM lineitem
+             |  UNION ALL SELECT 'lineitem', '__l_shipdate_max_us', -1,
+             |    CAST(MAX(epoch_ns(l_shipdate) // 1000) AS VARCHAR) FROM lineitem
+             |) ORDER BY tbl, pos, col""".stripMargin),
+      doc = "Schema-drift canary: pins the observed physical type of every " +
+        "column in all 10 tables against a literal oracle expectation, plus " +
+        "epoch-microsecond min/max probes of every stored timestamp column " +
+        "through the normalized read path vs DuckDB's epoch_ns on the same " +
+        "file. Red the moment the driver regenerates testdata with different " +
+        "types (the round-8 events.ts drift class) or a read-path unit error " +
+        "shifts timestamps."
+    ),
+    // ---------------------------------------------------------------- t87
+    GraftQuery(
+      "t87_quantile_sketch",
+      (s, d) => {
+        QuantileHist.sketch(Tables.documents(s, d), col("n_chars"), subBits = 4)
+          .orderBy(col("bucket_lo"))
+      },
+      Some("""SELECT bucket_lo, CAST(COUNT(*) AS BIGINT) AS n FROM (
+             |  SELECT (n_chars >> s) << s AS bucket_lo FROM (
+             |    SELECT n_chars, GREATEST(length(bin(n_chars)) - 5, 0) AS s
+             |    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0))
+             |GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin),
+      doc = "Mergeable quantile-histogram sketch of document lengths " +
+        "(QuantileHist: top-5-bit exponential buckets, DDSketch-style " +
+        "bound over exact bit arithmetic). The oracle re-derives the " +
+        "bucket decomposition in DuckDB from bin()/shift first principles " +
+        "— a cross-engine hash gate on the sketch STATE itself, which is " +
+        "what ships between jobs when sketches are persisted and merged."
+    ),
+    // ---------------------------------------------------------------- t88
+    GraftQuery(
+      "t88_quantile_gate",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val v = col("n_chars")
+        val full = QuantileHist.sketch(docs, v, subBits = 4).localCheckpoint()
+        // merge invariance: sketch(all) must be BIT-IDENTICAL to the
+        // cellwise merge of sketches over any disjoint split — the property
+        // that lets 100 TB be sketched shard-by-shard and unioned later
+        val merged = QuantileHist.merge(
+          QuantileHist.sketch(docs.where($"doc_id" % 2 === 0), v, 4),
+          QuantileHist.sketch(docs.where($"doc_id" % 2 =!= 0), v, 4))
+        val mergeIdentical =
+          full.exceptAll(merged).count() + merged.exceptAll(full).count() == 0
+        // rank bounds: for each quantile, the EXACT rank-th smallest value
+        // (full sort — verification twin, not the production path) must lie
+        // in the sketch's [est_lo, est_hi], and the bucket width must obey
+        // the relative-error guarantee width <= lo / 2^subBits
+        val est = QuantileHist.estimate(
+          full, Seq((1L, 100L), (1L, 4L), (1L, 2L), (3L, 4L), (99L, 100L)),
+          subBits = 4).collect()
+        val allQuantilesAnswered = est.length == 5
+        val boundsOk = est.forall { r =>
+          val exact = QuantileHist.exactRank(docs, v, r.getAs[Long]("rank"))
+          exact >= r.getAs[Long]("est_lo") && exact <= r.getAs[Long]("est_hi")
+        }
+        val widthOk = est.forall(r =>
+          r.getAs[Long]("est_hi") - r.getAs[Long]("est_lo")
+            <= r.getAs[Long]("est_lo") / 16)
+        Seq((mergeIdentical, allQuantilesAnswered, boundsOk, widthOk))
+          .toDF("merge_identical", "all_quantiles_answered",
+            "exact_rank_in_bounds", "relative_width_bounded")
+      },
+      Some("SELECT true AS merge_identical, true AS all_quantiles_answered, " +
+        "true AS exact_rank_in_bounds, true AS relative_width_bounded"),
+      doc = "Quantile-sketch guarantee gate: split-and-merge produces the " +
+        "bit-identical sketch (cellwise-mergeable state, any shard order), " +
+        "and for p1/p25/p50/p75/p99 the exact order statistic falls inside " +
+        "the estimated bucket whose width obeys the 2^-4 relative bound.",
+      gate = true
+    ),
+    // ---------------------------------------------------------------- t89
+    GraftQuery(
+      "t89_hits_gate",
+      (s, d) => {
+        import s.implicits._
+        // synthesized 50-host graph in the t84 style but with QUADRATIC dst
+        // maps: a linear map mod n is a bijection, making the graph regular
+        // and the uniform start already the HITS fixed point (a vacuous
+        // gate); squares mod 47 land non-uniformly, so in-degrees vary and
+        // the iteration genuinely moves
+        val docs = Tables.documents(s, d)
+        val m = $"doc_id" % 47 // reduce BEFORE squaring: no int64 overflow at any SF
+        val e1 = docs.select(
+          concat(lit("h"), ($"doc_id" % 50).cast("string")).as("src"),
+          concat(lit("h"), ((m * m + 3) % 47).cast("string")).as("dst"))
+        val e2 = docs.select(
+          concat(lit("h"), ($"doc_id" % 50).cast("string")).as("src"),
+          concat(lit("h"), ((m * m * m + 11) % 47).cast("string")).as("dst"))
+        val edges = e1.union(e2)
+        val r = Hits.hits(edges, $"src", $"dst", iters = 6)
+        val dec = "decimal(38,18)"
+        val masses = r.scores
+          .agg(sum($"hub").cast(dec), sum($"auth").cast(dec)).collect()(0)
+        val massOk = Seq(masses.getDecimal(0), masses.getDecimal(1))
+          .forall(m => (BigDecimal(m) - 1).abs < BigDecimal("1e-8"))
+        // mutual reinforcement converges linearly; after the first
+        // iteration the post-normalization L1 deltas must not grow
+        def contracting(ds: Seq[BigDecimal]): Boolean =
+          ds.drop(1).sliding(2).forall {
+            case Seq(x, y) => y <= x
+            case _ => true
+          }
+        val deltasOk = contracting(r.authDeltas) && contracting(r.hubDeltas)
+        val again = Hits.hits(edges.repartition(7), $"src", $"dst", iters = 6)
+        val identical = r.scores.exceptAll(again.scores).count() +
+          again.scores.exceptAll(r.scores).count() == 0
+        val nonNegative =
+          r.scores.where($"hub" < 0 || $"auth" < 0).count() == 0
+        Seq((massOk, deltasOk, identical, nonNegative))
+          .toDF("mass_normalized", "deltas_contract",
+            "repartition_identical", "scores_non_negative")
+      },
+      Some("SELECT true AS mass_normalized, true AS deltas_contract, " +
+        "true AS repartition_identical, true AS scores_non_negative"),
+      doc = "Deterministic HITS gate over the synthesized host graph — " +
+        "hubs/authorities as exact DECIMAL(38,18) mutual reinforcement " +
+        "with driver-scalar L1 normalization per half-step: both score " +
+        "vectors stay normalized within bounded rounding, post-" +
+        "normalization deltas contract after the first iteration, and " +
+        "scores are ROW-IDENTICAL under repartitioning (the determinism " +
+        "property float scores cannot give). One equi-join + one groupBy " +
+        "per half-step; lineage truncated per iteration.",
+      gate = true
     )
   )
 }
