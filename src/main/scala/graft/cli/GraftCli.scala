@@ -349,6 +349,13 @@ object GraftCli {
               .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x")
               .replaceAll("@[0-9a-f]{6,}", "@x")
               .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[x]")
+              // HOF lambda variables draw from a session-global counter
+              // (x_171 in a fresh session vs x_1 standalone) — scrub the
+              // ordinal so snapshot diffs show plan changes, not history
+              .replaceAll("\\b(lambda )?([a-z]+)_\\d+#x", "$1$2_n#x")
+              // snapshots are sfDir-agnostic: the scan location's scale
+              // factor is run configuration, not plan shape
+              .replaceAll("file:[^\\s\\]]*testdata/sf[0-9.]+", "file:<SFDIR>")
             java.nio.file.Files.write(
               java.nio.file.Paths.get(outDir, s"$n.txt"),
               normalized.getBytes(java.nio.charset.StandardCharsets.UTF_8))

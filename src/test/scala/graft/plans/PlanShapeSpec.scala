@@ -178,4 +178,47 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("t58_jsonl")
     assert(!p.contains("Join"), p.take(1200))
   }
+
+  test("t78 containment join blocks on rare shingles: equi-joins only, no cartesian") {
+    // rarest-first prefix blocking exists so candidate pairs come from a
+    // hash-partitioned equi-join on shingle; a cartesian or nested-loop
+    // here means the blocking collapsed to all-pairs
+    val p = planOf("t78_containment_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("t84 PageRank iteration: one equi-join + partial-agg inflow, no cartesian") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the gate wraps the operator in its own verification plan, so shape-
+    // check one REAL iteration directly: rank-onto-edges equi-join, inflow
+    // groupBy with map-side partial aggregation, no cartesian/BNLJ
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val edges = docs.select(
+      concat(lit("h"), ($"doc_id" % 50).cast("string")).as("src"),
+      concat(lit("h"), (($"doc_id" * 7 + 3) % 50).cast("string")).as("dst"))
+    val r = graft.operators.PageRank.pageRank(edges, $"src", $"dst", iters = 1)
+    val p = r.ranks.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    // ranks flow out of a checkpointed scan (lineage truncated per
+    // iteration — the loop contract that keeps 100-iteration jobs plannable)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p.take(800))
+  }
+
+  test("t89 HITS half-step: score push is an equi-join + partial aggregation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val m = $"doc_id" % 47
+    val edges = docs.select(
+      concat(lit("h"), ($"doc_id" % 50).cast("string")).as("src"),
+      concat(lit("h"), ((m * m + 3) % 47).cast("string")).as("dst"))
+    val r = graft.operators.Hits.hits(edges, $"src", $"dst", iters = 1)
+    val p = r.scores.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
 }
