@@ -48,8 +48,12 @@ object Hits {
     * decimal(38,18) L1-normalized to total 1, plus the per-iteration
     * post-normalization L1 deltas and pre-normalization norms for gating.
     */
+  /** `trackDeltas = false` skips the per-iteration L1-delta jobs (two extra
+    * scalar collects per iteration) — for reruns that only need the final
+    * scores, e.g. the gate's repartition-identity twin.
+    */
   def hits(edges: DataFrame, srcCol: Column, dstCol: Column,
-      iters: Int = 8): Result = {
+      iters: Int = 8, trackDeltas: Boolean = true): Result = {
     require(iters >= 1)
     val e = edges.select(srcCol.cast("string").as("src"),
         dstCol.cast("string").as("dst"))
@@ -106,8 +110,10 @@ object Hits {
       val authC = nextAuth.localCheckpoint()
       val (nextHub, nh) = normalize(push(authC, "dst", "src"))
       val hubC = nextHub.localCheckpoint()
-      authDeltas += BigDecimal(l1Delta(authC, auth))
-      hubDeltas += BigDecimal(l1Delta(hubC, hub))
+      if (trackDeltas) {
+        authDeltas += BigDecimal(l1Delta(authC, auth))
+        hubDeltas += BigDecimal(l1Delta(hubC, hub))
+      }
       authNorms += BigDecimal(na)
       hubNorms += BigDecimal(nh)
       auth = authC

@@ -2,13 +2,15 @@ package graft.relational
 
 import graft.core.{GraftQuery, Tables}
 import graft.operators.{Hits, QuantileHist, TextPipeline}
+import graft.sources.WarcSource
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Rounds 8-9 wave: span-removal enforcement, the schema-drift canary,
-  * mergeable quantile sketches, and HITS link analysis. Same contract as
-  * [[ExtensionQueries]]: Spark-first builder + DuckDB oracle that must
-  * hash-match exactly at sf0.01 and sf0.001.
+  * mergeable quantile sketches, HITS link analysis, and the WARC
+  * parse-roundtrip oracle. Same contract as [[ExtensionQueries]]:
+  * Spark-first builder + DuckDB oracle that must hash-match exactly at
+  * sf0.01 and sf0.001.
   */
 object ExtensionQueries6 {
 
@@ -235,7 +237,13 @@ object ExtensionQueries6 {
           concat(lit("h"), ($"doc_id" % 50).cast("string")).as("src"),
           concat(lit("h"), ((m * m * m + 11) % 47).cast("string")).as("dst"))
         val edges = e1.union(e2)
-        val r = Hits.hits(edges, $"src", $"dst", iters = 6)
+        // 3 iterations: every gated property (mass, contraction across two
+        // post-first-iteration deltas, row identity) is established by
+        // then, and the gate runs the job TWICE (repartition identity) at 2
+        // joins + several scalar collects per iteration — 6 iters measured
+        // 11-12 s of pure gate cost at sf0.1; the rerun also skips the
+        // delta jobs (it only needs final scores)
+        val r = Hits.hits(edges, $"src", $"dst", iters = 3)
         val dec = "decimal(38,18)"
         val masses = r.scores
           .agg(sum($"hub").cast(dec), sum($"auth").cast(dec)).collect()(0)
@@ -249,7 +257,8 @@ object ExtensionQueries6 {
             case _ => true
           }
         val deltasOk = contracting(r.authDeltas) && contracting(r.hubDeltas)
-        val again = Hits.hits(edges.repartition(7), $"src", $"dst", iters = 6)
+        val again = Hits.hits(edges.repartition(7), $"src", $"dst",
+          iters = 3, trackDeltas = false)
         val identical = r.scores.exceptAll(again.scores).count() +
           again.scores.exceptAll(r.scores).count() == 0
         val nonNegative =
@@ -269,6 +278,110 @@ object ExtensionQueries6 {
         "property float scores cannot give). One equi-join + one groupBy " +
         "per half-step; lineage truncated per iteration.",
       gate = true
+    ),
+    // ---------------------------------------------------------------- t90
+    GraftQuery(
+      "t90_warc_roundtrip",
+      (s, d) => {
+        // Deterministic WARC fixture (written fresh to tmp each run — byte-
+        // for-byte fixed content, so the parse result is pinnable in a
+        // VALUES oracle): a plain .warc with warcinfo/response/request
+        // records including a payload that EMBEDS a fake "WARC/1.0" record
+        // (Content-Length honoring is the whole game — magic-splitting
+        // parsers shear here), plus a .warc.gz member whose first record
+        // exceeds maxPayloadBytes (truncation path: bytes consumed, stream
+        // stays aligned, payload dropped).
+        val dir = WarcFixture.ensure()
+        WarcSource.readWarc(s, s"$dir/*.warc*", maxPayloadBytes = 64)
+          .select(
+            regexp_extract(col("file"), "([^/]+)$", 1).as("fname"),
+            col("record_index").as("idx"), col("warc_type").as("wtype"),
+            coalesce(col("target_uri"), lit("")).as("uri"),
+            coalesce(col("warc_date"), lit("")).as("wdate"),
+            col("content_length").as("clen"), col("truncated").as("trunc"),
+            md5(col("payload")).as("body_md5"))
+          .orderBy(col("fname"), col("idx"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('fixture.warc', CAST(0 AS BIGINT), 'warcinfo', '', '2024-01-02T03:04:05Z',
+             |   CAST(22 AS BIGINT), false, 'b9b607628468c48e0555715b5559a414'),
+             |  ('fixture.warc', CAST(1 AS BIGINT), 'response', 'http://example.com/a', '2024-01-02T03:04:05Z',
+             |   CAST(56 AS BIGINT), false, '70cc30a672133f8c536a8ff40ce56de7'),
+             |  ('fixture.warc', CAST(2 AS BIGINT), 'response', 'http://example.com/trap', '2024-01-02T03:04:06Z',
+             |   CAST(37 AS BIGINT), false, '240a80e8a70f7b43a34596cef19aee02'),
+             |  ('fixture.warc', CAST(3 AS BIGINT), 'request', 'http://example.com/a', '2024-01-02T03:04:07Z',
+             |   CAST(17 AS BIGINT), false, 'e65b2e977495c4b3b23c17d1ca63a08d'),
+             |  ('fixture2.warc.gz', CAST(0 AS BIGINT), 'response', 'https://example.org/big', '2024-01-02T03:05:00Z',
+             |   CAST(100 AS BIGINT), true, 'd41d8cd98f00b204e9800998ecf8427e'),
+             |  ('fixture2.warc.gz', CAST(1 AS BIGINT), 'response', 'https://example.org/ok', '2024-01-02T03:05:01Z',
+             |   CAST(2 AS BIGINT), false, '444bcb3a3fcf8389296c49467f27e1d6')
+             |) v(fname, idx, wtype, uri, wdate, clen, trunc, body_md5)
+             |ORDER BY fname, idx""".stripMargin),
+      doc = "WARC ingestion oracle: a byte-fixed fixture (plain + gzip " +
+        "member, an embedded fake WARC/1.0 magic inside a payload, and an " +
+        "over-limit record exercising aligned truncation) parses to exactly " +
+        "the pinned records — Content-Length honoring, header extraction, " +
+        "gzip handling, and payload bytes (md5) all hash-gated.",
+      gate = true
     )
   )
+}
+
+/** Writes the byte-deterministic WARC fixture for t90 into a tmp dir
+  * (atomic per file: temp + rename, safe under concurrent suites).
+  */
+private[relational] object WarcFixture {
+  private def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => head.append(s"$k: $v\r\n") }
+    head.append(s"Content-Length: ${payload.length}\r\n\r\n")
+    head.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+      payload ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  def ensure(): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_warc_fixture")
+    java.nio.file.Files.createDirectories(dir)
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val plain =
+      record(Seq("WARC-Type" -> "warcinfo",
+        "WARC-Date" -> "2024-01-02T03:04:05Z"),
+        "software: graft-test\r\n".getBytes(iso)) ++
+      record(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://example.com/a",
+        "WARC-Date" -> "2024-01-02T03:04:05Z"),
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello world".getBytes(iso)) ++
+      record(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://example.com/trap",
+        "WARC-Date" -> "2024-01-02T03:04:06Z"),
+        "abc\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nxyz".getBytes(iso)) ++
+      record(Seq("WARC-Type" -> "request",
+        "WARC-Target-URI" -> "http://example.com/a",
+        "WARC-Date" -> "2024-01-02T03:04:07Z"),
+        "GET /a HTTP/1.1\r\n".getBytes(iso))
+    val gzBody =
+      record(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://example.org/big",
+        "WARC-Date" -> "2024-01-02T03:05:00Z"),
+        Array.fill[Byte](100)('x')) ++
+      record(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://example.org/ok",
+        "WARC-Date" -> "2024-01-02T03:05:01Z"),
+        "ok".getBytes(iso))
+    val gzOut = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(gzOut)
+    gz.write(gzBody); gz.close()
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      // dot-prefixed stage name: must never match the reader's *.warc* glob
+      val tmp = java.nio.file.Files.createTempFile(dir, ".stage", ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    put("fixture.warc", plain)
+    put("fixture2.warc.gz", gzOut.toByteArray)
+    dir.toString
+  }
 }

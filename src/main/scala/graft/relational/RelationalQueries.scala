@@ -392,13 +392,16 @@ object RelationalQueries {
       "q18_events_json",
       (s, d) => {
         import s.implicits._
+        // get_json_object, not from_json: measured on the tiny-object props
+        // column (graft.tools.JsonBench, sf0.1, local[32]) from_json runs
+        // ~0.5 s steady / 3.3 s on a cold JVM (Jackson + codegen init — the
+        // r8 bench recorded 3.8 s) vs ~0.36 s / 0.65 s for the JSON-path
+        // extractor, against a 0.13 s no-extraction floor
         Tables
           .events(s, d)
           .select(
             $"event_type",
-            from_json($"props", org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("k",
-                org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+            get_json_object($"props", "$.k").cast("long").as("k"))
           .groupBy($"event_type")
           .agg(
             sum($"k").cast("long").as("sum_k"),
