@@ -48,11 +48,15 @@ object ParagraphDedup {
       .agg(min(struct(col("id"), col("pos"))).as("first"))
     val kept = paras.join(keepers, "h")
       .where(struct(col("id"), col("pos")) === col("first"))
+    // lambda-free reassembly (see TextPipeline.dedupLines: the interpreted
+    // transform/array_sort HOF pair measured 7x worse cold and was the
+    // documented deopt-storm source; sort_array + struct-field extraction
+    // is fully codegen'd)
     val rebuilt = kept.groupBy(col("id")).agg(
       count(lit(1)).as("n_kept"),
       concat_ws(sep,
-        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
-          s => s.getField("para"))).as("text_dedup"))
+        sort_array(collect_list(struct(col("pos"), col("para"))))
+          .getField("para")).as("text_dedup"))
     df.select(idCol.as("id"),
         size(filter(split(textCol, Pattern.quote(sep)), p => length(p) > 0))
           .cast("long").as("n_paras"))

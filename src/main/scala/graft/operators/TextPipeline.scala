@@ -221,11 +221,16 @@ object TextPipeline {
       .where(col("__df") >= minDf)
       .select(col("__h"))
     val kept = lines.join(boiler, Seq("__h"), "left_anti")
+    // sort_array + GetArrayStructFields, NOT transform(array_sort(...), λ):
+    // the lambda-free formulation is fully codegen'd — the interpreted-HOF
+    // version cost 3.6 s cold-JVM / 0.5 s steady at sf0.1 vs 0.5/0.4 here
+    // (graft.tools.ReassembleBench), and its interpreter profiles were the
+    // documented deopt-storm source on warmed JVMs (Bench.scala header)
     val reassembled = kept.groupBy(col("id"))
       .agg(
         concat_ws(delim,
-          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
-            s => s.getField("__line"))).as("clean_text"),
+          sort_array(collect_list(struct(col("__pos"), col("__line"))))
+            .getField("__line")).as("clean_text"),
         count(lit(1)).as("__n_kept"))
     df.select(idCol.as("id"),
         size(split(textCol, java.util.regex.Pattern.quote(delim))).cast("bigint").as("n_lines"))
@@ -352,10 +357,11 @@ object TextPipeline {
         posexplode(col("__toks")).as(Seq("__tp", "__tok")))
       .select(col("id"), col("__tp").cast("bigint").as("__tp"), col("__tok"))
     val kept = toks.join(covered, Seq("id", "__tp"), "left_anti")
+    // lambda-free reassembly (see dedupLines: same measured deopt rationale)
     val rebuilt = kept.groupBy(col("id"))
-      .agg(array_join(transform(
-          array_sort(collect_list(struct(col("__tp"), col("__tok")))),
-          x => x.getField("__tok")), " ").as("clean_text"),
+      .agg(array_join(
+          sort_array(collect_list(struct(col("__tp"), col("__tok"))))
+            .getField("__tok"), " ").as("clean_text"),
         count(lit(1)).as("kept_tokens"))
     base.select(col("id"), col("n_tokens"))
       .join(rebuilt, Seq("id"), "left_outer")
