@@ -254,6 +254,32 @@ object GraftCli {
           r.ranks.write.mode("overwrite").parquet(outDir)
           println(s"pagerank: ${r.ranks.count()} nodes, $iters iterations, " +
             s"final delta ${r.deltas.last} -> $outDir")
+        case "hits" :: inPath :: outDir :: srcCol :: dstCol :: rest =>
+          import org.apache.spark.sql.functions.col
+          val iters = rest.headOption.map(_.toInt).getOrElse(8)
+          val r = graft.operators.Hits.hits(
+            spark.read.parquet(inPath), col(srcCol), col(dstCol), iters = iters)
+          r.scores.write.mode("overwrite").parquet(outDir)
+          val top = r.scores.orderBy(col("auth").desc, col("node")).limit(5)
+            .collect().map(x => s"${x.getString(0)}=${x.getDecimal(2)}")
+          println(s"hits: ${r.scores.count()} nodes, $iters iterations, " +
+            s"final auth delta ${r.authDeltas.last}; top authorities: " +
+            s"${top.mkString(", ")} -> $outDir")
+        case "quantile" :: sfDir :: table :: colName :: rest =>
+          import org.apache.spark.sql.functions.col
+          val subBits = rest.headOption.map(_.toInt).getOrElse(4)
+          val src =
+            if (table == "events") graft.core.Tables.events(spark, sfDir)
+            else graft.core.Tables.table(spark, sfDir, table)
+          val sk = graft.operators.QuantileHist.sketch(src, col(colName), subBits)
+            .localCheckpoint()
+          val qs = Seq(1L -> 100L, 1L -> 4L, 1L -> 2L, 3L -> 4L, 99L -> 100L)
+          graft.operators.QuantileHist.estimate(sk, qs, subBits)
+            .orderBy(col("rank")).collect()
+            .foreach(x => println(s"p${x.getLong(0) * 100 / x.getLong(1)}: " +
+              s"rank ${x.getLong(2)} in [${x.getLong(3)}, ${x.getLong(4)}]"))
+          println(s"quantile: ${sk.count()} buckets over $table.$colName " +
+            s"(subBits=$subBits, rel err <= ${1.0 / (1 << subBits)})")
         case "gopher" :: sfDir :: outDir :: Nil =>
           // rule-chain curation filter with per-rule diagnostics: writes
           // survivors plus a dropped-report showing WHICH rule fired
@@ -376,6 +402,8 @@ object GraftCli {
               "para-dedup <in> <outDir> <idCol> <textCol> | " +
               "warc <glob> <outDir> | phrase <sfDir> <terms...> | " +
               "pagerank <in> <outDir> <srcCol> <dstCol> [iters] | " +
+              "hits <in> <outDir> <srcCol> <dstCol> [iters] | " +
+              "quantile <sfDir> <table> <col> [subBits] | " +
               "url-dedup <in> <outDir> <urlCol> <idCol> | stress <sfDir> <workDir> [factor] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | reset <workDir>")
