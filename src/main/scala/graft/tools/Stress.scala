@@ -571,6 +571,46 @@ object Stress {
       check(worstRound <= 8, s"politeness cap violated ($worstRound > 8)")
       check(keepCount <= nDocs, "gopher keep must be a subset")
 
+      // ---- quantile sketch at factor scale: bucket cardinality stays
+      // BOUNDED no matter the corpus size (the whole point of the sketch —
+      // <= 64 * 2^subBits rows ever exist), and split-and-merge stays
+      // bit-identical to sketching the union
+      val ((qBuckets, qMergeDiff), tQuant) = timed {
+        val lens = docs.select(col("doc_id"), length(col("text")).cast("bigint").as("len"))
+        val whole = graft.operators.QuantileHist.sketch(lens, col("len"))
+        val merged = graft.operators.QuantileHist.merge(
+          graft.operators.QuantileHist.sketch(lens.where(col("doc_id") % 2 === 0), col("len")),
+          graft.operators.QuantileHist.sketch(lens.where(col("doc_id") % 2 =!= 0), col("len")))
+        (whole.count(),
+          whole.exceptAll(merged).count() + merged.exceptAll(whole).count())
+      }
+      println(j("stage" -> "quantile_sketch", "seconds" -> tQuant,
+        "buckets" -> qBuckets, "merge_diff" -> qMergeDiff))
+      check(qBuckets <= 64 * 16, s"bucket cardinality unbounded ($qBuckets)")
+      check(qMergeDiff == 0, s"quantile merge not identical ($qMergeDiff rows differ)")
+
+      // ---- HITS on a factor-scaled host graph: nodes grow with the corpus
+      // (one host per 5 docs, quadratic in-degree spread), scores stay
+      // L1-normalized, every node gets a row
+      val ((hitsNodes, hitsMassOk), tHits) = timed {
+        val nHosts = math.max(50L, nDocs / 5)
+        val m = col("doc_id") % (nHosts - 3)
+        val edges = docs.select(
+          concat(lit("h"), (col("doc_id") % nHosts).cast("string")).as("src"),
+          concat(lit("h"), ((m * m + 3) % (nHosts - 3)).cast("string")).as("dst"))
+        val r = graft.operators.Hits.hits(edges, col("src"), col("dst"), iters = 2)
+        val masses = r.scores
+          .agg(sum(col("hub")).cast("decimal(38,18)"),
+            sum(col("auth")).cast("decimal(38,18)")).collect()(0)
+        (r.scores.count(),
+          Seq(masses.getDecimal(0), masses.getDecimal(1))
+            .forall(x => (BigDecimal(x) - 1).abs < BigDecimal("1e-8")))
+      }
+      println(j("stage" -> "hits_scale", "seconds" -> tHits,
+        "nodes" -> hitsNodes, "mass_ok" -> hitsMassOk))
+      check(hitsNodes >= nDocs / 5, s"hits must cover the host space ($hitsNodes)")
+      check(hitsMassOk, "hits scores not L1-normalized at scale")
+
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
       failures.foreach(f => System.err.println(s"[stress] FAILED: $f"))
