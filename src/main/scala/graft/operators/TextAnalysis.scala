@@ -130,4 +130,31 @@ object TextAnalysis {
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
   }
+
+  /** Count of characters of `text` matching a regex character class —
+    * `length(text) - length(regexp_replace(text, cls, ""))`, two codegen'd
+    * string ops, no explode. Both engines count Unicode code points.
+    */
+  def charClassCount(text: Column, cls: String): Column =
+    (length(text) - length(regexp_replace(text, cls, ""))).cast("bigint")
+
+  /** Per-script character counts + dominant script — the multilingual-
+    * curation complement of [[langId]] (script is decided by exact
+    * character ranges, not stopword heuristics, so it is robust on short
+    * or mixed documents; CJK is the unified-ideograph BMP block, which
+    * both Java and RE2 regexes address identically).
+    * Returns columns (n_latin, n_cyrillic, n_cjk, n_digit, dominant);
+    * dominance tie-breaks latin > cyrillic > cjk so the label is total.
+    */
+  def scriptCounts(text: Column): Seq[(String, Column)] = {
+    val latin = charClassCount(text, "[A-Za-z]")
+    val cyr = charClassCount(text, "[\\u0400-\\u04FF]")
+    val cjk = charClassCount(text, "[\\u4E00-\\u9FFF]")
+    val digit = charClassCount(text, "[0-9]")
+    val dominant = when(latin >= cyr && latin >= cjk, lit("latin"))
+      .when(cyr >= cjk, lit("cyrillic"))
+      .otherwise(lit("cjk"))
+    Seq("n_latin" -> latin, "n_cyrillic" -> cyr, "n_cjk" -> cjk,
+      "n_digit" -> digit, "dominant" -> dominant)
+  }
 }

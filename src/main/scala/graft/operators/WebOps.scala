@@ -161,4 +161,26 @@ object WebOps {
         call_function("div", row_number().over(w).cast("bigint") - 1,
           lit(perRound.toLong)))
   }
+
+  /** href targets of an HTML column, in document order. One RE2/Java-
+    * identical pattern (oracle parity): any-case `href`, either quote
+    * style, target up to the closing quote; fragment-only links (`#...`)
+    * never match because the capture class excludes `#` and is non-empty.
+    * A full HTML parser adds entity decoding and base-URL resolution —
+    * out of scope for the extraction shape, which is what scales: a
+    * codegen'd projection, no UDF, no parse tree.
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?i)href\\s*=\\s*[\"']([^\"'#\\s]+)"), lit(1))
+
+  /** The crawl link table: (id, pos, url, url_host) per extracted link —
+    * the edge builder feeding [[graft.operators.PageRank]] / HITS (group
+    * by (host(page), url_host) for the host graph). Pure Generate over a
+    * projection; order within a page is the document order.
+    */
+  def linkEdges(df: DataFrame, idCol: Column, htmlCol: Column): DataFrame =
+    df.select(idCol.as("id"), posexplode(extractLinks(htmlCol)).as(Seq("pos", "url")))
+      .select(col("id"), col("pos").cast("bigint").as("pos"), col("url"),
+        host(col("url")).as("url_host"))
 }

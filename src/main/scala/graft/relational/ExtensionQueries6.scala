@@ -323,6 +323,109 @@ object ExtensionQueries6 {
         "the pinned records — Content-Length honoring, header extraction, " +
         "gzip handling, and payload bytes (md5) all hash-gated.",
       gate = true
+    ),
+    // ---------------------------------------------------------------- t91
+    GraftQuery(
+      "t91_link_extract",
+      (s, d) => {
+        import s.implicits._
+        // deterministic HTML synthesis (documents carry no markup): two
+        // links per doc in both quote/case styles plus a fragment-only
+        // link on every third doc that must NOT extract
+        val html = concat(
+          lit("<p>x</p><a href=\"https://www."), $"source", lit("-"), $"lang",
+          lit(".org/a/"), $"doc_id".cast("string"), lit("\">t</a>"),
+          lit("<A HREF='http://m."), $"source", lit(".net:8080/b?q=1'>u</A>"),
+          when($"doc_id" % 3 === 0, lit("<a href=\"#frag-only\">v</a>"))
+            .otherwise(lit("")))
+        graft.operators.WebOps.linkEdges(
+          Tables.documents(s, d).withColumn("__html", html),
+          $"doc_id", $"__html")
+          .select($"id".cast("bigint").as("doc_id"), $"pos", $"url", $"url_host")
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<p>x</p><a href="https://www.' || source || '-' || lang ||
+             |    '.org/a/' || doc_id || '">t</a>' ||
+             |  '<A HREF=''http://m.' || source || '.net:8080/b?q=1''>u</A>' ||
+             |  CASE WHEN doc_id % 3 = 0 THEN '<a href="#frag-only">v</a>'
+             |       ELSE '' END AS html FROM documents),
+             |l AS (SELECT doc_id, regexp_extract_all(html,
+             |  '(?i)href\s*=\s*["'']([^"''#\s]+)', 1) AS urls FROM h),
+             |e AS (SELECT doc_id, generate_subscripts(urls, 1) - 1 AS pos,
+             |  unnest(urls) AS url FROM l)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos, url,
+             |  lower(regexp_extract(regexp_extract(regexp_extract(url,
+             |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+             |    '([^@]*)$', 1), '^(\[[^\]]*\]|[^:\[][^:]*)', 1)) AS url_host
+             |FROM e ORDER BY doc_id, pos""".stripMargin),
+      doc = "Crawl link extraction: href targets (any case, both quote " +
+        "styles, fragment-only links excluded) with per-link host — the " +
+        "edge builder feeding the PageRank/HITS host graph. One " +
+        "RE2/Java-identical pattern, codegen'd Generate, no HTML parse tree."
+    ),
+    // ---------------------------------------------------------------- t92
+    GraftQuery(
+      "t92_collocations",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Collocations.topBigrams(
+          Tables.documents(s, d), $"text", minCount = 5, k = 20)
+      },
+      Some("""WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ts
+             |  FROM documents),
+             |tot AS (SELECT CAST(SUM(len(ts)) AS BIGINT) AS total FROM t),
+             |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+             |  FROM (SELECT unnest(ts) AS w FROM t) GROUP BY 1),
+             |bi AS (SELECT ts[i] AS w1, ts[i + 1] AS w2 FROM
+             |  (SELECT ts, unnest(range(1, len(ts))) AS i FROM t)),
+             |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+             |  FROM bi GROUP BY 1, 2 HAVING count(*) >= 5),
+             |j AS (SELECT w1, w2, n_ab, a.n_w AS n_a, b.n_w AS n_b
+             |  FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w)
+             |SELECT w1, w2, n_ab, n_a, n_b,
+             |  CAST(CAST(total AS HUGEINT) * n_ab AS DOUBLE)
+             |    / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) AS lift
+             |FROM j CROSS JOIN tot
+             |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin),
+      doc = "Bigram collocation mining by exact-integer LIFT (monotone in " +
+        "PMI without the libm log): tail-zip bigrams, partial-agg counts, " +
+        "TakeOrdered top-k with a total tiebreak."
+    ),
+    // ---------------------------------------------------------------- t93
+    GraftQuery(
+      "t93_script_mix",
+      (s, d) => {
+        import s.implicits._
+        // deterministic multilingual augmentation (the corpus is Latin-
+        // heavy): every 5th doc gains Cyrillic, every 7th CJK + digits
+        val mixed = Tables.documents(s, d).withColumn("__mix", concat(
+          $"text",
+          when($"doc_id" % 5 === 0, lit(" привет мир")).otherwise(lit("")),
+          when($"doc_id" % 7 === 0, lit(" 你好世界 2024")).otherwise(lit(""))))
+        mixed.select(Seq($"doc_id") ++
+          graft.operators.TextAnalysis.scriptCounts($"__mix")
+            .map { case (n, c) => c.as(n) }: _*)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id, text ||
+             |  CASE WHEN doc_id % 5 = 0 THEN ' привет мир' ELSE '' END ||
+             |  CASE WHEN doc_id % 7 = 0 THEN ' 你好世界 2024' ELSE '' END AS mix
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(length(mix) - length(regexp_replace(mix, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+             |  CAST(length(mix) - length(regexp_replace(mix, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+             |  CAST(length(mix) - length(regexp_replace(mix, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+             |  CAST(length(mix) - length(regexp_replace(mix, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+             |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+             |       WHEN n_cyrillic >= n_cjk THEN 'cyrillic'
+             |       ELSE 'cjk' END AS dominant
+             |FROM m ORDER BY doc_id""".stripMargin),
+      doc = "Per-script character counts + dominant script (exact Unicode " +
+        "ranges, engine-identical regex counting via length-difference — " +
+        "two codegen'd string ops per class, no explode): the multilingual " +
+        "curation signal langid's stopword heuristic cannot give on short " +
+        "or mixed documents."
     )
   )
 }

@@ -308,4 +308,25 @@ class ExtensionOpsSpec extends SparkSpec {
     // cluster {4,5}: equal scores -> smallest id (4) survives
     assert(got == Seq((2L, 30L), (4L, 7L), (6L, 1L)), got.toString)
   }
+
+  test("scriptCounts: hand-computed per-script tallies and dominance") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      "abc 123",          // 3 latin, 3 digit -> latin
+      "привет ab",        // 6 cyrillic, 2 latin -> cyrillic
+      "你好 hi ok",       // 2 cjk, 4 latin -> latin
+      "你好世界",          // 4 cjk only -> cjk
+      "")                 // all zero -> latin (total tiebreak order)
+      .toDF("t")
+    val got = rows.select(
+      TextAnalysis.scriptCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (3L, 0L, 0L, 3L, "latin"),
+      (2L, 6L, 0L, 0L, "cyrillic"),
+      (4L, 0L, 2L, 0L, "latin"),
+      (0L, 0L, 4L, 0L, "cjk"),
+      (0L, 0L, 0L, 0L, "latin")))
+  }
 }

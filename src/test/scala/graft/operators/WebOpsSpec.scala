@@ -146,4 +146,30 @@ class WebOpsSpec extends SparkSpec {
       .agg(max(col("count"))).collect()(0).getLong(0)
     assert(worst <= 3L)
   }
+
+  test("extractLinks handles both quote styles, any case, and skips fragment-only") {
+    val html =
+      """<a href="https://a.org/x">1</a> text
+        |<A HREF='http://b.net:8080/y?q=1'>2</A>
+        |<a class="z" href = "https://c.io/p#frag">3</a>
+        |<a href="#top">skip</a><a href="">skip</a>""".stripMargin
+    val got = Seq((1L, html)).toDF("id", "h")
+    val edges = WebOps.linkEdges(got, col("id"), col("h")).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    // note: #frag is cut by the non-#-class capture, not by URL parsing
+    assert(edges.toSeq == Seq(
+      (0L, "https://a.org/x", "a.org"),
+      (1L, "http://b.net:8080/y?q=1", "b.net"),
+      (2L, "https://c.io/p", "c.io")))
+  }
+
+  test("linkEdges order is document order and per-doc positions restart") {
+    val docs = Seq(
+      (1L, """<a href="https://one.org/a">x</a><a href="https://two.org/b">y</a>"""),
+      (2L, """<a href="https://three.org/c">z</a>""")).toDF("id", "h")
+    val got = WebOps.linkEdges(docs, col("id"), col("h"))
+      .orderBy(col("id"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 0L, "one.org"), (1L, 1L, "two.org"), (2L, 0L, "three.org")))
+  }
 }
