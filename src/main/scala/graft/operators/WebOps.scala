@@ -183,4 +183,27 @@ object WebOps {
     df.select(idCol.as("id"), posexplode(extractLinks(htmlCol)).as(Seq("pos", "url")))
       .select(col("id"), col("pos").cast("bigint").as("pos"), col("url"),
         host(col("url")).as("url_host"))
+
+  /** Complete `<a href=...>text</a>` elements: both capture groups of one
+    * pattern (RE2/Java-identical), extracted twice and zipped positionally
+    * — the two lists are equal-length by construction because they come
+    * from the same match set. Anchors with nested markup inside the text
+    * ([^<]*) or fragment-only hrefs do not match.
+    */
+  val AnchorPattern: String =
+    "(?i)<a\\b[^>]*href\\s*=\\s*[\"']([^\"'#\\s]+)[\"'][^>]*>([^<]*)</a"
+
+  /** The anchor-text corpus: (id, pos, url, anchor) per complete link —
+    * anchor text is the classic relevance/label signal for the TARGET page
+    * (the anchor-text training sets behind early web ranking); a groupBy
+    * (canonical url) + concat of anchors builds each page's incoming
+    * description. Codegen'd projection + Generate, document order.
+    */
+  def linkAnchors(df: DataFrame, idCol: Column, htmlCol: Column): DataFrame =
+    df.select(idCol.as("id"), arrays_zip(
+        regexp_extract_all(htmlCol, lit(AnchorPattern), lit(1)).as("url"),
+        regexp_extract_all(htmlCol, lit(AnchorPattern), lit(2)).as("anchor")).as("__as"))
+      .select(col("id"), posexplode(col("__as")).as(Seq("pos", "__a")))
+      .select(col("id"), col("pos").cast("bigint").as("pos"),
+        col("__a.url").as("url"), col("__a.anchor").as("anchor"))
 }

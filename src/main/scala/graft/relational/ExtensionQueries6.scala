@@ -426,6 +426,111 @@ object ExtensionQueries6 {
         "two codegen'd string ops per class, no explode): the multilingual " +
         "curation signal langid's stopword heuristic cannot give on short " +
         "or mixed documents."
+    ),
+    // ---------------------------------------------------------------- t94
+    GraftQuery(
+      "t94_anchor_text",
+      (s, d) => {
+        import s.implicits._
+        // same HTML synthesis as t91 so the two link surfaces stay
+        // comparable; anchors carry doc-derived text
+        val html = concat(
+          lit("<p>x</p><a href=\"https://www."), $"source", lit("-"), $"lang",
+          lit(".org/a/"), $"doc_id".cast("string"), lit("\">doc "),
+          $"doc_id".cast("string"), lit(" home</a>"),
+          lit("<A HREF='http://m."), $"source", lit(".net:8080/b?q=1'>"),
+          $"lang", lit(" mirror</A>"),
+          when($"doc_id" % 3 === 0, lit("<a href=\"#frag-only\">skip</a>"))
+            .otherwise(lit("")))
+        graft.operators.WebOps.linkAnchors(
+          Tables.documents(s, d).withColumn("__html", html),
+          $"doc_id", $"__html")
+          .select($"id".cast("bigint").as("doc_id"), $"pos", $"url", $"anchor")
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<p>x</p><a href="https://www.' || source || '-' || lang ||
+             |    '.org/a/' || doc_id || '">doc ' || doc_id || ' home</a>' ||
+             |  '<A HREF=''http://m.' || source || '.net:8080/b?q=1''>' ||
+             |    lang || ' mirror</A>' ||
+             |  CASE WHEN doc_id % 3 = 0 THEN '<a href="#frag-only">skip</a>'
+             |       ELSE '' END AS html FROM documents),
+             |l AS (SELECT doc_id,
+             |  regexp_extract_all(html, '(?i)<a\b[^>]*href\s*=\s*["'']([^"''#\s]+)["''][^>]*>([^<]*)</a', 1) AS urls,
+             |  regexp_extract_all(html, '(?i)<a\b[^>]*href\s*=\s*["'']([^"''#\s]+)["''][^>]*>([^<]*)</a', 2) AS texts
+             |  FROM h)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(generate_subscripts(urls, 1) - 1 AS BIGINT) AS pos,
+             |  unnest(urls) AS url, unnest(texts) AS anchor
+             |FROM l ORDER BY doc_id, pos""".stripMargin),
+      doc = "Anchor-text corpus: complete <a href>text</a> elements as " +
+        "(url, anchor) pairs — the incoming-description signal for target " +
+        "pages; one two-group pattern extracted twice and zipped " +
+        "positionally (equal length by construction), fragment-only links " +
+        "excluded."
+    ),
+    // ---------------------------------------------------------------- t95
+    GraftQuery(
+      "t95_domain_quality",
+      (s, d) => {
+        import s.implicits._
+        // domain quality priors: the per-document classifier score (t64)
+        // aggregated to registrable domains (t55's rollup) — the standard
+        // crawl-filtering prior ("is this domain worth fetching more of").
+        // Averages go through decimal so group aggregation is
+        // order-invariant (the oracle-parity rule for double columns).
+        val url = concat(
+          lit("https://"),
+          when($"doc_id" % 4 === 0, lit("news.")).otherwise(lit("www.")),
+          $"source", lit("-"), $"lang", lit(".org/p/"), $"doc_id".cast("string"))
+        val scored = graft.operators.QualityClassifier
+          .classify(Tables.documents(s, d), $"text")
+          .withColumn("__url", url)
+        scored
+          .groupBy(graft.operators.WebOps.registrableDomain($"__url").as("domain"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"keep".cast("bigint")).cast("bigint").as("n_kept"),
+            (sum($"quality_score".cast("decimal(12,10)")).cast("double") /
+              count(lit(1))).as("avg_score"))
+          .withColumn("keep_rate", $"n_kept".cast("double") / $"n_docs")
+          .select($"domain", $"n_docs", $"n_kept", $"avg_score", $"keep_rate")
+          .orderBy($"domain")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |      CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) END AS f_punct,
+             |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |      CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) END AS f_upper,
+             |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS f_digit,
+             |    CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0 ELSE
+             |      CAST((length(text) - length(replace(text, ' the ', ''))) // 5 AS DOUBLE)
+             |      / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS f_stop,
+             |    CAST(least(length(text), 20000) AS DOUBLE) / 20000.0 AS f_len,
+             |    CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0 ELSE
+             |      CAST(length(text) AS DOUBLE)
+             |      / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS f_tok_len
+             |  FROM documents),
+             |z AS (SELECT doc_id,
+             |  0.5 + -2.0 * f_punct + -1.5 * f_upper + -2.0 * f_digit
+             |    + 4.0 * f_stop + 1.0 * f_len + -0.125 * f_tok_len AS ql FROM f),
+             |sc AS (SELECT doc_id,
+             |  0.5 + 0.5 * ql / (1.0 + abs(ql)) AS score,
+             |  0.5 + 0.5 * ql / (1.0 + abs(ql)) >= 0.5 AS keep FROM z),
+             |u AS (SELECT sc.doc_id, sc.score, sc.keep,
+             |  d.source || '-' || d.lang || '.org' AS domain
+             |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+             |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CAST(score AS DECIMAL(12,10))) AS DOUBLE) / count(*) AS avg_score,
+             |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_rate
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Domain quality priors: the t64 classifier score aggregated to " +
+        "t55's registrable domains (news./www. subdomains roll up) — " +
+        "n_docs, kept count/rate, decimal-exact average score; the " +
+        "crawl-frontier prior that decides which domains to fetch deeper."
     )
   )
 }

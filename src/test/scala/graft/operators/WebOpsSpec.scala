@@ -163,6 +163,20 @@ class WebOpsSpec extends SparkSpec {
       (2L, "https://c.io/p", "c.io")))
   }
 
+  test("linkAnchors pairs each href with its text; incomplete anchors drop") {
+    val html =
+      """<a href="https://a.org/x">Alpha Site</a>
+        |<A class=q HREF='http://b.net/y'>beta</A>
+        |<a href="https://c.io/z"><img src="i.png"></a>
+        |<a href="#f">frag</a>""".stripMargin
+    val got = WebOps.linkAnchors(Seq((9L, html)).toDF("id", "h"), col("id"), col("h"))
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    // the img-wrapped anchor has '<' inside its text -> pattern excludes it
+    // (anchor TEXT corpus wants text); frag-only drops with no capture
+    assert(got.toSeq == Seq((0L, "https://a.org/x", "Alpha Site"),
+      (1L, "http://b.net/y", "beta")))
+  }
+
   test("linkEdges order is document order and per-doc positions restart") {
     val docs = Seq(
       (1L, """<a href="https://one.org/a">x</a><a href="https://two.org/b">y</a>"""),
