@@ -275,6 +275,25 @@ class StreamingSpec extends SparkSpec {
       Set(2L, 9L, 12L, 13L))
   }
 
+  test("quantile sketch runs as streaming state and equals the batch sketch") {
+    // QuantileHist.sketch is one partially-aggregated groupBy over a pure
+    // projection, so the SAME operator code incrementally sketches a stream
+    // in complete mode — the live form of the merge-invariance the t88 gate
+    // asserts for batch shards. Bit-identical to the batch sketch over the
+    // same rows.
+    val dir = Files.createTempDirectory("qsketch_stream")
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"n_chars")
+    docs.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+    val got = runToMemory(
+      graft.operators.QuantileHist.sketch(stream, col("n_chars")),
+      "qsketch", "complete")
+    val batch = graft.operators.QuantileHist.sketch(docs, col("n_chars"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("dedupParasStream emits each distinct paragraph once across micro-batches") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("paras_stream")
