@@ -254,6 +254,23 @@ object GraftCli {
           r.ranks.write.mode("overwrite").parquet(outDir)
           println(s"pagerank: ${r.ranks.count()} nodes, $iters iterations, " +
             s"final delta ${r.deltas.last} -> $outDir")
+        case "links" :: glob :: outDir :: rest =>
+          // the full crawl composition: WARC records -> HTTP body text ->
+          // href extraction -> host-graph edges (the pagerank/hits input)
+          import org.apache.spark.sql.functions._
+          val maxBytes = rest.headOption.map(_.toInt).getOrElse(8 * 1024 * 1024)
+          val pages = graft.sources.WarcSource.readWarc(spark, glob, maxBytes)
+            .where(col("warc_type") === "response" && !col("truncated"))
+            .select(col("target_uri").as("page"),
+              graft.operators.WebOps.httpBodyText(col("payload")).as("html"))
+          val links = graft.operators.WebOps.linkEdges(pages, col("page"), col("html"))
+          val edges = links.select(
+            graft.operators.WebOps.host(col("id")).as("src_host"),
+            col("url_host").as("dst_host"))
+            .groupBy(col("src_host"), col("dst_host"))
+            .agg(count(lit(1)).as("n_links"))
+          edges.write.mode("overwrite").parquet(outDir)
+          println(s"links: ${links.count()} links, ${edges.count()} host edges -> $outDir")
         case "hits" :: inPath :: outDir :: srcCol :: dstCol :: rest =>
           import org.apache.spark.sql.functions.col
           val iters = rest.headOption.map(_.toInt).getOrElse(8)
@@ -403,6 +420,7 @@ object GraftCli {
               "warc <glob> <outDir> | phrase <sfDir> <terms...> | " +
               "pagerank <in> <outDir> <srcCol> <dstCol> [iters] | " +
               "hits <in> <outDir> <srcCol> <dstCol> [iters] | " +
+              "links <warcGlob> <outDir> [maxPayloadBytes] | " +
               "quantile <sfDir> <table> <col> [subBits] | " +
               "url-dedup <in> <outDir> <urlCol> <idCol> | stress <sfDir> <workDir> [factor] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +

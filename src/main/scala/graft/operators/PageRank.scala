@@ -44,9 +44,15 @@ object PageRank {
     * (src, dst) edges (self-loops allowed; nulls dropped). Returns ranks
     * as (node, rank decimal(38,18)) plus per-iteration L1 deltas and total
     * masses for gating.
+    *
+    * `trackStats = false` skips the per-iteration delta/mass job (one
+    * extra scalar collect per iteration — the dangling collect stays, the
+    * computation needs it) for reruns that only want the final ranks,
+    * e.g. the t84 gate's repartition-identity twin.
     */
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
-      damping: BigDecimal = BigDecimal("0.85"), iters: Int = 8): Result = {
+      damping: BigDecimal = BigDecimal("0.85"), iters: Int = 8,
+      trackStats: Boolean = true): Result = {
     require(iters >= 1 && damping > 0 && damping < 1)
     val spark = edges.sparkSession
     val e = edges.select(srcCol.cast("string").as("src"),
@@ -99,12 +105,14 @@ object PageRank {
             (lit(dJ) * coalesce(col("in"), lit(0).cast(Dec))).cast(Dec))
             .cast(Dec).as("rank"))
         .localCheckpoint()
-      val stats = next.join(ranks.withColumnRenamed("rank", "prev"), "node")
-        .agg(sum(abs(col("rank") - col("prev"))).cast(Dec),
-          sum(col("rank")).cast(Dec))
-        .collect()(0)
-      deltas += BigDecimal(stats.getDecimal(0))
-      masses += BigDecimal(stats.getDecimal(1))
+      if (trackStats) {
+        val stats = next.join(ranks.withColumnRenamed("rank", "prev"), "node")
+          .agg(sum(abs(col("rank") - col("prev"))).cast(Dec),
+            sum(col("rank")).cast(Dec))
+          .collect()(0)
+        deltas += BigDecimal(stats.getDecimal(0))
+        masses += BigDecimal(stats.getDecimal(1))
+      }
       ranks = next
     }
     Result(ranks, deltas.result(), masses.result())

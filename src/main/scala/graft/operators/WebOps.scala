@@ -193,6 +193,18 @@ object WebOps {
   val AnchorPattern: String =
     "(?i)<a\\b[^>]*href\\s*=\\s*[\"']([^\"'#\\s]+)[\"'][^>]*>([^<]*)</a"
 
+  /** UTF-8 text of an HTTP response body inside a WARC `response` payload:
+    * everything after the first CRLFCRLF, or the whole payload when no
+    * HTTP head is present — the column-level (codegen'd) twin of
+    * `WarcSource.httpBody`, for link/anchor extraction pipelines that stay
+    * in Catalyst instead of dropping to a typed map.
+    */
+  def httpBodyText(payload: Column): Column = {
+    val s = decode(payload, "UTF-8")
+    val i = instr(s, "\r\n\r\n")
+    when(i > 0, s.substr(i + 4, length(s))).otherwise(s)
+  }
+
   /** The anchor-text corpus: (id, pos, url, anchor) per complete link —
     * anchor text is the classic relevance/label signal for the TARGET page
     * (the anchor-text training sets behind early web ranking); a groupBy

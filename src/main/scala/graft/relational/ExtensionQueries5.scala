@@ -460,8 +460,11 @@ object ExtensionQueries5 {
           case Seq(x, y) => y <= x
           case _ => true
         }
+        // the repartition twin only needs final ranks; skipping its
+        // delta/mass collects saves one job per iteration of pure gate cost
         val again = graft.operators.PageRank
-          .pageRank(edges.repartition(7), $"src", $"dst", iters = 6)
+          .pageRank(edges.repartition(7), $"src", $"dst", iters = 6,
+            trackStats = false)
         val identical = r.ranks.exceptAll(again.ranks).count() +
           again.ranks.exceptAll(r.ranks).count() == 0
         val teleport = BigDecimal("0.15") / r.ranks.count()

@@ -163,6 +163,18 @@ class WebOpsSpec extends SparkSpec {
       (2L, "https://c.io/p", "c.io")))
   }
 
+  test("httpBodyText strips the HTTP head column-level, identical to WarcSource.httpBody") {
+    val withHead = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<a href=\"https://x.org/\">x</a>"
+    val bare = "no head here"
+    val got = Seq(withHead, bare).map(_.getBytes("UTF-8")).toDF("p")
+      .select(WebOps.httpBodyText(col("p"))).collect().map(_.getString(0))
+    assert(got(0) == "<a href=\"https://x.org/\">x</a>")
+    assert(got(1) == bare)
+    // parity with the byte-level parser helper
+    assert(got(0) == new String(
+      graft.sources.WarcSource.httpBody(withHead.getBytes("UTF-8")), "UTF-8"))
+  }
+
   test("linkAnchors pairs each href with its text; incomplete anchors drop") {
     val html =
       """<a href="https://a.org/x">Alpha Site</a>
