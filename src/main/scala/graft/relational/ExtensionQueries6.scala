@@ -531,6 +531,100 @@ object ExtensionQueries6 {
         "t55's registrable domains (news./www. subdomains roll up) — " +
         "n_docs, kept count/rate, decimal-exact average score; the " +
         "crawl-frontier prior that decides which domains to fetch deeper."
+    ),
+    // ---------------------------------------------------------------- t96
+    GraftQuery(
+      "t96_robots_admission",
+      (s, d) => {
+        import s.implicits._
+        // Parameterized robots synthesis: every host gets a consecutive-UA
+        // group with an empty Disallow (matches nothing), an ignored
+        // Crawl-delay/Sitemap line, and a * section; hosts with k % 3 != 0
+        // additionally get a graftbot section (exercising RFC 9309
+        // section shadowing). The oracle is the CLOSED FORM of the REP
+        // decision — derived from the spec, independent of the parser.
+        val docs = Tables.documents(s, d)
+        val k = ($"doc_id" % 10).cast("string")
+        val p = $"doc_id" % 5
+        val robots = concat(
+          lit("# managed by graft\nUser-agent: alpha\nUser-agent: beta\n" +
+            "Disallow:\nCrawl-delay: 5\n"),
+          when($"doc_id" % 10 % 3 =!= 0, concat(
+            lit("User-agent: graftbot\nDisallow: /p"), k,
+            lit("\nAllow: /p"), k, lit("/ok\n"))).otherwise(lit("")),
+          lit("User-agent: *\nDisallow: /x\nSitemap: https://example.com/s.xml"))
+        val hosts = docs
+          .select(concat(lit("h"), k, lit(".example.com")).as("hostname"),
+            robots.as("body")).distinct()
+        val rules = graft.operators.Robots
+          .parseRules(hosts, $"hostname", $"body")
+          .withColumnRenamed("id", "host")
+        val urls = docs.select($"doc_id", concat(
+          lit("https://h"), k, lit(".example.com"),
+          when(p === 0, concat(lit("/p"), k, lit("/secret")))
+            .when(p === 1, concat(lit("/p"), k, lit("/ok/page")))
+            .when(p === 2, lit("/x/y"))
+            .when(p === 3, lit("/open"))
+            .otherwise(lit(""))).as("url"))
+        graft.operators.Robots.isAllowed(urls, $"url", "GraftBot", rules)
+          .select($"doc_id".cast("bigint").as("doc_id"), $"url", $"allowed")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 10 AS k, doc_id % 5 AS p
+             |  FROM documents)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  'https://h' || k || '.example.com' ||
+             |    CASE p WHEN 0 THEN '/p' || k || '/secret'
+             |           WHEN 1 THEN '/p' || k || '/ok/page'
+             |           WHEN 2 THEN '/x/y'
+             |           WHEN 3 THEN '/open'
+             |           ELSE '' END AS url,
+             |  CASE WHEN k % 3 = 0 THEN p != 2 ELSE p != 0 END AS allowed
+             |FROM d ORDER BY doc_id""".stripMargin),
+      doc = "robots.txt admission end to end: parse (comment strip, " +
+        "consecutive-UA groups, empty-path rules match nothing, unknown " +
+        "fields ignored) then decide (exact section SHADOWS *, longest " +
+        "prefix wins, Allow beats Disallow on ties). The oracle is the " +
+        "closed-form REP decision for the parameterized synthesis — " +
+        "independent of the parser, so a parsing or ranking bug cannot " +
+        "self-confirm: hosts with a graftbot section admit everything " +
+        "except /p<k>/secret (the /x ban is shadowed), *-only hosts ban " +
+        "exactly /x/*."
+    ),
+    // ---------------------------------------------------------------- t97
+    GraftQuery(
+      "t97_sitemap_locs",
+      (s, d) => {
+        import s.implicits._
+        val k = ($"doc_id" % 10).cast("string")
+        val xml = concat(
+          lit("<?xml version=\"1.0\"?><urlset><url><loc>https://h"), k,
+          lit(".example.com/p/"), $"doc_id".cast("string"),
+          lit("</loc></url><url><LOC> https://h"), k,
+          lit(".example.com/alt </LOC></url></urlset>"))
+        Tables.documents(s, d).withColumn("__xml", xml)
+          .select($"doc_id",
+            posexplode(graft.operators.Robots.sitemapLocs($"__xml"))
+              .as(Seq("pos", "loc")))
+          .select($"doc_id".cast("bigint").as("doc_id"),
+            $"pos".cast("bigint").as("pos"), $"loc")
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""WITH x AS (SELECT doc_id,
+             |  '<?xml version="1.0"?><urlset><url><loc>https://h' ||
+             |    doc_id % 10 || '.example.com/p/' || doc_id ||
+             |  '</loc></url><url><LOC> https://h' || doc_id % 10 ||
+             |    '.example.com/alt </LOC></url></urlset>' AS xml
+             |  FROM documents),
+             |l AS (SELECT doc_id, regexp_extract_all(xml,
+             |  '(?i)<loc>\s*([^<\s]+)\s*</loc>', 1) AS locs FROM x)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(generate_subscripts(locs, 1) - 1 AS BIGINT) AS pos,
+             |  unnest(locs) AS loc
+             |FROM l ORDER BY doc_id, pos""".stripMargin),
+      doc = "Sitemap <loc> extraction (any case, inner whitespace trimmed) " +
+        "in document order — the discovery companion to t96: robots points " +
+        "at sitemaps, sitemaps list the fetchable URL frontier."
     )
   )
 }
