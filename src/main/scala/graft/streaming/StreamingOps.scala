@@ -26,11 +26,23 @@ object StreamingOps {
     * timestamp[us] data reads micros as if they were nanos and compresses
     * every event time 1000×. Instead probe one parquet footer via a batch
     * read (driver-side, metadata only) and dispatch on the actual physical
-    * type — the exact dispatch `Tables.events` does for batch.
+    * type — the exact dispatch `Tables.events` does for batch. If the
+    * directory is empty or absent at stream start (a streaming job booting
+    * ahead of its producer — no footer to probe), fall back to the current
+    * testdata schema (timestamp[us] → TIMESTAMP_NTZ) instead of failing
+    * stream construction; the t86 schema canary goes red if that default
+    * ever drifts.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical = spark.read.parquet(dir).schema
+    val physical =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+      }
     val stream = spark.readStream.schema(physical).parquet(dir)
     physical("ts").dataType match {
       case LongType => // legacy TIMESTAMP(NANOS) surfaced as ns longs

@@ -64,6 +64,54 @@ class RobotsSpec extends SparkSpec {
     assert(ok)
   }
 
+  test("CRLF robots.txt parses identically to LF (no trailing-CR fail-open)") {
+    val crlf = body.replace("\n", "\r\n")
+    val r2 = Robots.parseRules(
+      Seq(("a.org", crlf)).toDF("h", "t"), col("h"), col("t"))
+      .withColumnRenamed("id", "host")
+    val got = r2.select("agent", "directive", "path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("alpha", "disallow", "/shared"), ("beta", "disallow", "/shared"),
+      ("graftbot", "disallow", "/private"), ("graftbot", "allow", "/private/ok"),
+      ("*", "disallow", "/tmp")))
+    // and the decision is enforced, not failed-open
+    val blocked = Robots.isAllowed(
+      Seq("https://a.org/private/x").toDF("u"), col("u"), "graftbot", r2)
+      .select("allowed").collect().head.getBoolean(0)
+    assert(!blocked)
+  }
+
+  test("RFC 9309 wildcards: * spans characters, trailing $ anchors the end") {
+    val wb = "User-agent: *\nDisallow: /*.pdf$\nDisallow: /a/*/z\n" +
+      "Allow: /a/ok/z\nDisallow: /lit$eral"
+    val r2 = Robots.parseRules(
+      Seq(("w.io", wb)).toDF("h", "t"), col("h"), col("t"))
+      .withColumnRenamed("id", "host")
+    def d(url: String): Boolean =
+      Robots.isAllowed(Seq(url).toDF("u"), col("u"), "bot", r2)
+        .select("allowed").collect().head.getBoolean(0)
+    assert(!d("https://w.io/docs/file.pdf"))     // /*.pdf$ matches the end
+    assert(d("https://w.io/docs/file.pdf?x=1"))  // $ anchor: query breaks it
+    assert(d("https://w.io/pdf/page"))           // .pdf never occurs
+    assert(!d("https://w.io/a/mid/z"))           // * spans a segment
+    assert(d("https://w.io/a/ok/z"))             // longer Allow beats the * rule
+    assert(!d("https://w.io/lit$eral/x"))        // mid-pattern $ is literal
+    assert(d("https://w.io/lit"))                // ...and not an anchor there
+  }
+
+  test("isAllowed preserves cardinality on byte-identical duplicate rows") {
+    val urls = Seq("https://a.org/private/x", "https://a.org/private/x",
+      "https://a.org/open").toDF("u")
+    val out = Robots.isAllowed(urls, col("u"), "graftbot", rules)
+      .select("u", "allowed").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).sorted
+    assert(out.toSeq == Seq(
+      ("https://a.org/open", true),
+      ("https://a.org/private/x", false),
+      ("https://a.org/private/x", false)))
+  }
+
   test("sitemapLocs extracts loc urls in order, trimming inner whitespace") {
     val xml = "<urlset><url><loc>https://a.org/1</loc></url>" +
       "<url><LOC> https://a.org/2 </LOC></url></urlset>"

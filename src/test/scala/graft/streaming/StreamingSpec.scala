@@ -46,6 +46,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 
+  test("eventsStream starts on an empty directory (producer not yet up)") {
+    val emptyDir = Files.createTempDirectory("events_empty")
+    val stream = StreamingOps.eventsStream(spark, emptyDir.toString)
+    // schema falls back to the known events shape, ts normalized
+    assert(stream.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // the stream runs (zero rows) rather than throwing at construction;
+    // files arriving later are picked up by the running query
+    val got = runToMemory(
+      StreamingOps.tumblingCounts(stream, "1 hour", "0 seconds"),
+      "empty_start", "complete")
+    assert(got.count() == 0)
+  }
+
   test("sessionCounts emits per-user sessions with gap semantics") {
     val stream = StreamingOps.eventsStream(spark, eventsDir)
     val got = runToMemory(
