@@ -471,3 +471,68 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
+
+object BlockAHashImpl {
+  /** Blockwise average-hash over raw payload bytes: the byte stream is cut
+    * into 64 equal spans (block i covers [i*n/64, (i+1)*n/64)), bit i is set
+    * iff block i's mean byte value strictly exceeds the global mean. All
+    * comparisons are exact integer cross-multiplications
+    * (`sum_i * n > total * count_i`) so there is no float rounding to drift
+    * from the DuckDB oracle's re-derivation. The 64 bits are returned as
+    * four big-endian 16-bit sub-bands (bit 0 of the hash = MSB of band 0) —
+    * the exact shape banded near-dup wants, with no sign-bit trap a packed
+    * signed int64 would carry across engines. Empty payloads hash to all
+    * zeros; payloads are bounded by `sum*n` staying in int64 (n < ~190 MB
+    * per value — far above any realistic single media payload).
+    */
+  def compute(payload: Array[Byte]): ArrayData = {
+    val n = payload.length
+    val bands = new Array[Int](4)
+    if (n > 0) {
+      var total = 0L
+      var i = 0
+      while (i < n) { total += (payload(i) & 0xFF); i += 1 }
+      var blk = 0
+      while (blk < 64) {
+        val lo = (blk.toLong * n / 64).toInt
+        val hi = ((blk + 1).toLong * n / 64).toInt
+        if (hi > lo) {
+          var s = 0L
+          var j = lo
+          while (j < hi) { s += (payload(j) & 0xFF); j += 1 }
+          if (s * n > total * (hi - lo)) bands(blk >> 4) |= (1 << (15 - (blk & 15)))
+        }
+        blk += 1
+      }
+    }
+    ArrayData.toArrayData(bands)
+  }
+}
+
+/** graft_ahash_bands(payload): 64-bit blockwise perceptual fingerprint of a
+  * binary column as four 16-bit sub-bands — the multimodal analogue of
+  * [[SimHash64]] (text) and [[SrpSignature]] (embeddings). Decode-free by
+  * design: it reads the payload bytes directly, so it works on any modality
+  * and needs no native media libraries; near-identical payloads (a re-encode
+  * that perturbs a few bytes, a metadata retag) land within a small Hamming
+  * distance. Codegen'd single static call, no UDF.
+  */
+case class BlockAHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_ahash_bands requires a binary argument, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    BlockAHashImpl.compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.BlockAHashImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BlockAHash =
+    copy(child = newChild)
+}

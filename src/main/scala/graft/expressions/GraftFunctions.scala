@@ -86,6 +86,10 @@ object GraftFunctions {
           arity("graft_srp_signature", args, 2)
           SrpSignature(args(0), intArg("graft_srp_signature")(args(1)))
         }),
+    ("graft_ahash_bands",
+      new ExpressionInfo(classOf[BlockAHash].getName, "graft_ahash_bands"),
+      (args: Seq[Expression]) =>
+        BlockAHash(arity("graft_ahash_bands", args, 1).head)),
     ("graft_l2sq_distances",
       new ExpressionInfo(classOf[L2SqDistances].getName, "graft_l2sq_distances"),
       (args: Seq[Expression]) => {
@@ -137,6 +141,7 @@ object GraftFunctions {
     exprCol(SrpSignature(expr(vec), bits, offset))
   def l2sqDistances(vec: Column, centroids: Array[Array[Double]]): Column =
     exprCol(L2SqDistances(expr(vec), centroids.toVector.map(_.toVector)))
+  def aHashBands(payload: Column): Column = exprCol(BlockAHash(expr(payload)))
 }
 
 /** `SparkSessionExtensions` injector — the deployment-grade registration

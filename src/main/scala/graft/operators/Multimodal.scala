@@ -87,6 +87,57 @@ object Multimodal {
     }
   }
 
+  /** 64-bit blockwise perceptual fingerprint (aHash over payload byte
+    * blocks) of a binary column, as four big-endian 16-bit sub-bands —
+    * decode-free, so it is REAL compute on any modality with no native
+    * media libraries: near-identical payloads (small re-encodes, metadata
+    * retags) land within a small Hamming distance. Delegates to the
+    * codegen'd Catalyst expression [[graft.expressions.BlockAHash]].
+    */
+  def aHashBands(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.expressions.GraftFunctions.aHashBands(payload)
+
+  /** Banded perceptual near-dup over binary payloads: candidate pairs agree
+    * on at least one 16-bit fingerprint sub-band (equi-join — never
+    * all-pairs), then the full 64-bit Hamming distance is verified exactly.
+    * LOSSLESS for `maxHamming < 4` by pigeonhole: ≤3 differing bits across
+    * 4 disjoint 16-bit bands leave at least one band identical, so every
+    * true near-dup pair shares a band bucket. Output: (id_a, id_b, hamming)
+    * with id_a < id_b, one row per pair.
+    *
+    * Scale shape: fingerprints are 4 ints per row (the payload itself never
+    * rides the candidate shuffle); band buckets are 16-bit so random
+    * payloads spread across 65k buckets per band; the verify step is a
+    * codegen'd bit_count(xor) on the joined int columns.
+    */
+  def nearDupPairs(media: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"banding over 4 sub-bands is lossless only for maxHamming < 4, got $maxHamming")
+    val fp = media.select(
+      col(idCol).as("__id"), aHashBands(col(payloadCol)).as("__fp"))
+    val bands = fp.select(col("__id"),
+      col("__fp")(0).as("fp0"), col("__fp")(1).as("fp1"),
+      col("__fp")(2).as("fp2"), col("__fp")(3).as("fp3"))
+      .select(col("__id"), col("fp0"), col("fp1"), col("fp2"), col("fp3"),
+        posexplode(array(col("fp0"), col("fp1"), col("fp2"), col("fp3")))
+          .as(Seq("__band_idx", "__band_val")))
+    val a = bands.select(col("__id").as("id_a"), col("fp0").as("a0"),
+      col("fp1").as("a1"), col("fp2").as("a2"), col("fp3").as("a3"),
+      col("__band_idx"), col("__band_val"))
+    val b = bands.select(col("__id").as("id_b"), col("fp0").as("b0"),
+      col("fp1").as("b1"), col("fp2").as("b2"), col("fp3").as("b3"),
+      col("__band_idx"), col("__band_val"))
+    val hamming =
+      bit_count(expr("a0 ^ b0")) + bit_count(expr("a1 ^ b1")) +
+      bit_count(expr("a2 ^ b2")) + bit_count(expr("a3 ^ b3"))
+    a.join(b, Seq("__band_idx", "__band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** The batch "decode" operator: per-partition decoder instantiation (the
     * expensive native-lib init happens once per task, not per row), then a
     * streaming pass over the rows.

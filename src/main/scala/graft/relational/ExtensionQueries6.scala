@@ -625,8 +625,106 @@ object ExtensionQueries6 {
       doc = "Sitemap <loc> extraction (any case, inner whitespace trimmed) " +
         "in document order — the discovery companion to t96: robots points " +
         "at sitemaps, sitemaps list the fetchable URL frontier."
+    ),
+    // ---------------------------------------------------------------- t98
+    GraftQuery(
+      "t98_media_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        mediaCorpus(s, d)
+          .select($"media_id",
+            graft.operators.Multimodal.aHashBands($"payload").as("fp"))
+          .select($"media_id",
+            $"fp" (0).cast("bigint").as("fp0"), $"fp" (1).cast("bigint").as("fp1"),
+            $"fp" (2).cast("bigint").as("fp2"), $"fp" (3).cast("bigint").as("fp3"))
+          .orderBy($"media_id")
+      },
+      Some(s"""WITH $mediaFingerprintSql
+             |SELECT media_id, CAST(bands[1] AS BIGINT) AS fp0,
+             |  CAST(bands[2] AS BIGINT) AS fp1, CAST(bands[3] AS BIGINT) AS fp2,
+             |  CAST(bands[4] AS BIGINT) AS fp3
+             |FROM f ORDER BY media_id""".stripMargin),
+      doc = "Multimodal perceptual fingerprint made REAL: 64-bit blockwise " +
+        "aHash over raw payload bytes (codegen'd Catalyst expression, " +
+        "exact integer cross-multiplied mean compares) as four 16-bit " +
+        "sub-bands; the oracle re-derives every bit from the same bytes in " +
+        "DuckDB list lambdas, so a single flipped block comparison fails " +
+        "the hash. Corpus = two payload variants per doc (original + " +
+        "last-byte retag) standing in for re-encoded media."
+    ),
+    // ---------------------------------------------------------------- t99
+    GraftQuery(
+      "t99_media_neardup",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Multimodal
+          .nearDupPairs(mediaCorpus(s, d), "media_id", "payload", maxHamming = 3)
+          .select($"id_a".cast("bigint").as("id_a"),
+            $"id_b".cast("bigint").as("id_b"),
+            $"hamming".cast("bigint").as("hamming"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH $mediaFingerprintSql
+             |SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |  CAST(bit_count(CAST(xor(a.bands[1], b.bands[1]) AS BIGINT))
+             |     + bit_count(CAST(xor(a.bands[2], b.bands[2]) AS BIGINT))
+             |     + bit_count(CAST(xor(a.bands[3], b.bands[3]) AS BIGINT))
+             |     + bit_count(CAST(xor(a.bands[4], b.bands[4]) AS BIGINT)) AS BIGINT) AS hamming
+             |FROM f a JOIN f b ON a.media_id < b.media_id
+             |WHERE bit_count(CAST(xor(a.bands[1], b.bands[1]) AS BIGINT))
+             |    + bit_count(CAST(xor(a.bands[2], b.bands[2]) AS BIGINT))
+             |    + bit_count(CAST(xor(a.bands[3], b.bands[3]) AS BIGINT))
+             |    + bit_count(CAST(xor(a.bands[4], b.bands[4]) AS BIGINT)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin),
+      doc = "Banded multimodal near-dup, proven lossless against the " +
+        "all-pairs oracle: Spark joins on any shared 16-bit fingerprint " +
+        "sub-band then verifies exact 64-bit Hamming <= 3 (pigeonhole: 3 " +
+        "flipped bits across 4 disjoint bands leave one band identical); " +
+        "DuckDB brute-forces every pair. Equal row sets = the banding " +
+        "discards nothing. The deliberate last-byte variants surface as " +
+        "~1 pair per doc; unrelated docs stay apart."
     )
   )
+
+  /** Shared synthesis for t98/t99: two binary payload variants per document
+    * (original text bytes + a last-byte "retag"), ASCII by construction
+    * (the testdata corpus is ASCII, schema-canaried by t86) so the DuckDB
+    * oracle's character-indexed re-derivation sees the same byte values.
+    */
+  private def mediaCorpus(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    docs.select(($"doc_id" * 2).cast("bigint").as("media_id"),
+        encode($"text", "UTF-8").as("payload"))
+      .unionByName(docs.select(($"doc_id" * 2 + 1).cast("bigint").as("media_id"),
+        encode(concat(expr("substring(text, 1, length(text) - 1)"), lit("~")),
+          "UTF-8").as("payload")))
+  }
+
+  /** DuckDB re-derivation of the blockwise aHash (shared by t98/t99):
+    * byte list via unicode() on the ASCII corpus, 64 block sums via
+    * list_slice, exact cross-multiplied mean compares, 4 sub-bands.
+    */
+  // a def, not a val: `queries` above interpolates this during object init,
+  // and a val defined below it would still be null at that point
+  private def mediaFingerprintSql: String =
+    """m AS (
+      |  SELECT doc_id*2 AS media_id, text AS s FROM documents
+      |  UNION ALL
+      |  SELECT doc_id*2+1, substring(text, 1, length(text)-1) || '~' FROM documents),
+      |t AS (
+      |  SELECT media_id, length(s) AS n,
+      |    list_transform(range(1, length(s)+1), i -> unicode(substring(s, i, 1))) AS bytes
+      |  FROM m),
+      |tt AS (SELECT media_id, n, bytes, list_sum(bytes) AS total FROM t),
+      |f AS (
+      |  SELECT media_id,
+      |    list_transform(range(0, 4), bb ->
+      |      list_sum(list_transform(range(0, 16), j ->
+      |        CASE WHEN coalesce(list_sum(list_slice(bytes, (bb*16+j)*n//64 + 1, ((bb*16+j)+1)*n//64)), 0) * n
+      |          > total * (((bb*16+j)+1)*n//64 - (bb*16+j)*n//64)
+      |        THEN 1 << (15 - CAST(j AS INT)) ELSE 0 END))) AS bands
+      |  FROM tt)""".stripMargin
 }
 
 /** Writes the byte-deterministic WARC fixture for t90 into a tmp dir

@@ -100,6 +100,59 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(sv.head == "skå" && sv.contains("åäö") && sv.length == 7)
   }
 
+  test("BlockAHash matches an independent driver-side re-derivation bit-for-bit") {
+    // reference: straightforward BigInt-rational means, no cross-multiply
+    def ref(payload: Array[Byte]): Seq[Int] = {
+      val n = payload.length
+      val bands = Array.fill(4)(0)
+      if (n > 0) {
+        val vals = payload.map(_ & 0xFF)
+        val mean = BigDecimal(vals.map(BigInt(_)).sum) / n
+        for (blk <- 0 until 64) {
+          val lo = blk * n / 64
+          val hi = (blk + 1) * n / 64
+          if (hi > lo) {
+            val bm = BigDecimal(vals.slice(lo, hi).map(BigInt(_)).sum) / (hi - lo)
+            if (bm > mean) bands(blk / 16) |= (1 << (15 - blk % 16))
+          }
+        }
+      }
+      bands.toSeq
+    }
+    val rows = Tables.documents(spark, sf0001).limit(200)
+      .select($"doc_id", encode($"text", "UTF-8").as("p"))
+      .select($"doc_id", $"p", GraftFunctions.aHashBands($"p").as("fp"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](2) == ref(r.getAs[Array[Byte]](1)),
+        s"doc ${r.getLong(0)}")
+    }
+    // edge cases: empty payload -> all-zero bands; tiny payloads (< 64
+    // bytes: some blocks empty); constant payload -> no strict winner
+    val edges = Seq(Array.emptyByteArray, Array[Byte](7), Array[Byte](1, 2, 3),
+      Array.fill[Byte](63)(42), Array[Byte](-128, 127, 0, -1))
+    val got = edges.map(p => Seq(p).toDF("p")
+      .select(GraftFunctions.aHashBands($"p")).collect().head.getSeq[Int](0))
+    edges.zip(got).foreach { case (p, g) => assert(g == ref(p)) }
+    assert(got.head == Seq(0, 0, 0, 0))
+    assert(got(3) == Seq(0, 0, 0, 0)) // constant bytes: mean never exceeded
+  }
+
+  test("graft_ahash_bands is SQL-registered; binary-only; null passes through") {
+    GraftFunctions.register(spark)
+    val viaSql = Seq(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)).toDF("p")
+      .selectExpr("graft_ahash_bands(p)").collect().head.getSeq[Int](0)
+    val viaCol = Seq(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)).toDF("p")
+      .select(GraftFunctions.aHashBands($"p")).collect().head.getSeq[Int](0)
+    assert(viaSql == viaCol)
+    val nulls = Seq((1, null: Array[Byte])).toDF("id", "p")
+      .select(GraftFunctions.aHashBands($"p")).collect()
+    assert(nulls.head.isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("not binary").toDF("s").selectExpr("graft_ahash_bands(s)").collect()
+    }
+  }
+
   test("null inputs yield null (default null-intolerant behavior)") {
     val df = Seq((Some("a b"), None: Option[String])).toDF("s", "n")
     val r = df.select(

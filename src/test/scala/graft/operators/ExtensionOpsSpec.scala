@@ -286,6 +286,38 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(frames.forall(f => f.payload.length <= 32))
   }
 
+  test("multimodal nearDupPairs equals brute-force all-pairs (lossless banding)") {
+    import graft.expressions.GraftFunctions
+    // corpus: doc texts + near-variants (last byte changed) + one exact dup
+    val base = docs.filter($"doc_id" < 40)
+      .select(($"doc_id" * 3).as("media_id"), encode($"text", "UTF-8").as("payload"))
+    val variant = docs.filter($"doc_id" < 40)
+      .select(($"doc_id" * 3 + 1).as("media_id"),
+        encode(concat(expr("substring(text, 1, length(text) - 1)"), lit("~")), "UTF-8")
+          .as("payload"))
+    val exact = docs.filter($"doc_id" < 5)
+      .select(($"doc_id" * 3 + 2).as("media_id"), encode($"text", "UTF-8").as("payload"))
+    val media = base.unionByName(variant).unionByName(exact)
+    val banded = Multimodal.nearDupPairs(media, "media_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the collected fingerprints
+    val fps = media.select($"media_id", GraftFunctions.aHashBands($"payload").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = fa.zip(fb).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty)
+    // exact dups are found at distance 0
+    assert((0L until 5L).forall(d => brute.contains((d * 3, d * 3 + 2, 0))))
+    // thresholds >= 4 would break the pigeonhole proof and must be refused
+    intercept[IllegalArgumentException] {
+      Multimodal.nearDupPairs(media, "media_id", "payload", maxHamming = 4)
+    }
+  }
+
   test("langId flags Swedish function words ahead of English") {
     val df = Seq(
       (1L, "barnen gick till skolan och lärde sig att läsa"),
