@@ -1,0 +1,68 @@
+package graft.relational
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shared verdict construction for the approximate-top-k gate rows (t12
+  * SRP-LSH, t22 IVF). An approximate top-k's exact output depends on its
+  * bucketing, which DuckDB cannot re-derive — but its CONTRACT is made of
+  * theorems plus one deterministic scalar, all checkable against a constant
+  * one-row oracle:
+  *
+  *  - every emitted sim must equal the exact cosine recomputed from the
+  *    corpus vectors (the operator scores candidates exactly — value
+  *    identity is a theorem, same recipe as the t47 soundness gate);
+  *  - ranks must be dense 1..n (n <= k) in (sim desc, neighbor_id) order —
+  *    the unique tiebreak makes the ordering total, hence checkable;
+  *  - no self-neighbors, no duplicate neighbors per query;
+  *  - recall@k vs the brute-force twin must clear a per-method floor: the
+  *    bucketing is hash-derived and the k-means seed fixed, so recall is
+  *    byte-stable per corpus and a silent collapse emits a violation row
+  *    instead of drifting unobserved (floors from the t25 measurement).
+  */
+object AnnGates {
+
+  val oracle: String =
+    "SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"
+
+  def verdict(corpus: DataFrame, queries: DataFrame, topk: DataFrame, k: Int,
+      recallFloor: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val simMismatch = topk
+      .join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .filter(Similarity.cosine($"qv", $"cv") =!= $"sim")
+      .select($"query_id".as("id_a"), $"neighbor_id".as("id_b"),
+        lit("sim_mismatch").as("reason"))
+    val selfN = topk.filter($"neighbor_id" === $"query_id")
+      .select($"query_id".as("id_a"), $"neighbor_id".as("id_b"),
+        lit("self_neighbor").as("reason"))
+    val dupN = topk.groupBy($"query_id", $"neighbor_id")
+      .agg(count(lit(1)).as("n")).filter($"n" > 1)
+      .select($"query_id".as("id_a"), $"neighbor_id".as("id_b"),
+        lit("dup_neighbor").as("reason"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    val badRank = topk
+      .withColumn("expected", row_number().over(w).cast("long"))
+      .filter($"rank" =!= $"expected" || $"rank" > k || $"rank" < 1)
+      .select($"query_id".as("id_a"), $"neighbor_id".as("id_b"),
+        lit("bad_rank").as("reason"))
+    val bf = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val lowRecall = topk.join(bf, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(bf.agg(count(lit(1)).as("denom")))
+      .filter($"hits".cast("double") < $"denom".cast("double") * recallFloor)
+      .select(lit(-2L).as("id_a"), lit(-2L).as("id_b"),
+        lit("low_recall").as("reason"))
+    val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
+    simMismatch.unionAll(selfN).unionAll(dupN).unionAll(badRank)
+      .unionAll(lowRecall).unionAll(sentinel)
+      .orderBy($"id_a", $"id_b", $"reason")
+  }
+}

@@ -139,24 +139,113 @@ object ExtensionQueries {
       "t07_dedup_minhash",
       (s, d) => {
         import s.implicits._
-        DedupOps.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        val docs = Tables.documents(s, d)
+        // the banded operator under test
+        val mh = DedupOps.minhashNearDups(docs, "doc_id", "text",
           threshold = 0.5)
-          .orderBy($"id_a", $"id_b")
+        // unconditionally complete twin: the inverted-index exact join over
+        // ONE global block (the family the t09 oracle hash-validates), same
+        // shingle hashing — so surviving pairs must agree on jaccard exactly
+        val exact = DedupOps.ngramJaccardPairs(
+          docs.withColumn("blk", lit(1)), "doc_id", "text", groupCol = "blk",
+          n = 3, threshold = 0.5)
+        // soundness: every emitted pair exists in the complete join with the
+        // identical exact jaccard (the operator verifies candidates exactly,
+        // so both are theorems, not tuning)
+        val phantom = mh.join(exact, Seq("id_a", "id_b"), "left_anti")
+          .select($"id_a", $"id_b", lit("not_a_pair").as("reason"))
+        val wrongJ = mh.as("m").join(exact.as("e"), Seq("id_a", "id_b"))
+          .filter(col("m.jaccard") =!= col("e.jaccard"))
+          .select($"id_a", $"id_b", lit("jaccard_mismatch").as("reason"))
+        // guaranteed recall (theorem): an identical full signature collides
+        // in every band, so such a pair at exact jaccard >= threshold MUST
+        // be emitted
+        val sig = docs.select($"doc_id",
+          graft.expressions.GraftFunctions.minhashSig($"text", 3, 32).as("sig"))
+        val sameSig = sig.as("a").join(sig.as("b"),
+            col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val missedSame = sameSig.join(exact, Seq("id_a", "id_b"))
+          .join(mh, Seq("id_a", "id_b"), "left_anti")
+          .select($"id_a", $"id_b", lit("missed_identical_sig").as("reason"))
+        // empirical recall floor: banding is deterministic (xxhash-derived),
+        // so recall is byte-stable per corpus — measured 1.0 at sf0.001
+        // (28/28), sf0.01 (25/25) and sf0.1 (256/256); floor 0.6 turns a
+        // silent recall collapse into a violation row instead of drift
+        val lowRecall = mh.join(exact, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(exact.agg(count(lit(1)).as("denom")))
+          .filter($"hits".cast("double") < $"denom".cast("double") * 0.6)
+          .select(lit(-2L).as("id_a"), lit(-2L).as("id_b"),
+            lit("low_recall").as("reason"))
+        val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
+        phantom.unionAll(wrongJ).unionAll(missedSame).unionAll(lowRecall)
+          .unionAll(sentinel)
+          .orderBy($"id_a", $"id_b", $"reason")
       },
-      None,
-      doc = "MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join); spec-checked against exact Jaccard."
+      Some("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"),
+      doc = "MinHash+LSH near-dup soundness gate: emitted pairs must be a " +
+        "subset of the complete exact-jaccard join with identical values, " +
+        "identical-signature pairs above threshold must be found (banding " +
+        "theorem), and recall must clear a 0.6 floor; emits violations + " +
+        "sentinel against a constant oracle.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t08
     GraftQuery(
       "t08_dedup_simhash",
       (s, d) => {
         import s.implicits._
-        DedupOps.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        val docs = Tables.documents(s, d)
+        // the operator under test: 4x16-bit chunk banding, complete for
+        // hamming <= 3 by pigeonhole, exact-verified to maxHamming = 10
+        val sh4 = DedupOps.simhashNearDups(docs, "doc_id", "text",
           maxHamming = 10)
-          .orderBy($"id_a", $"id_b")
+        // independent twin: 8x8-bit banding over the same signatures —
+        // different chunking, same bit_count verify, complete for
+        // hamming <= 7 by the same pigeonhole argument
+        val sig = docs
+          .select($"doc_id".as("id"), DedupOps.simhash($"text").as("sh"))
+          .select($"id", $"sh", posexplode(
+            transform(sequence(lit(0), lit(7)),
+              c => call_function("shiftright", $"sh", c * 8).bitwiseAND(0xFFL))))
+          .withColumnRenamed("pos", "chunk_idx")
+          .withColumnRenamed("col", "chunk_val")
+        val a8 = sig.select($"id".as("id_a"), $"sh".as("sh_a"), $"chunk_idx", $"chunk_val")
+        val b8 = sig.select($"id".as("id_b"), $"sh".as("sh_b"), $"chunk_idx", $"chunk_val")
+        val sh8 = a8.join(b8, Seq("chunk_idx", "chunk_val"))
+          .filter($"id_a" < $"id_b")
+          .dropDuplicates("id_a", "id_b")
+          .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+          .filter($"hamming" <= 10)
+          .select($"id_a", $"id_b", $"hamming")
+        // both bandings are complete at hamming <= 3 → set equality there
+        // is a theorem; the 8-chunk twin is complete at <= 7 → any emitted
+        // pair at <= 7 must appear in it; value identity on shared pairs
+        val low4 = sh4.filter($"hamming" <= 3)
+        val low8 = sh8.filter($"hamming" <= 3)
+        val onlyIn4 = low4.join(low8, Seq("id_a", "id_b"), "left_anti")
+          .select($"id_a", $"id_b", lit("le3_only_in_4chunk").as("reason"))
+        val onlyIn8 = low8.join(low4, Seq("id_a", "id_b"), "left_anti")
+          .select($"id_a", $"id_b", lit("le3_only_in_8chunk").as("reason"))
+        val sub7miss = sh4.filter($"hamming" <= 7)
+          .join(sh8, Seq("id_a", "id_b"), "left_anti")
+          .select($"id_a", $"id_b", lit("le7_not_in_8chunk").as("reason"))
+        val wrongH = sh4.as("m").join(sh8.as("e"), Seq("id_a", "id_b"))
+          .filter(col("m.hamming") =!= col("e.hamming"))
+          .select($"id_a", $"id_b", lit("hamming_mismatch").as("reason"))
+        val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
+        onlyIn4.unionAll(onlyIn8).unionAll(sub7miss).unionAll(wrongH)
+          .unionAll(sentinel)
+          .orderBy($"id_a", $"id_b", $"reason")
       },
-      None,
-      doc = "SimHash near-dup pairs via 16-bit chunk banding + exact Hamming verify."
+      Some("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"),
+      doc = "SimHash near-dup gate vs an independent 8x8-bit banding of the " +
+        "same signatures: the two bandings must agree exactly at hamming " +
+        "<= 3 (both complete there by pigeonhole), emitted pairs at <= 7 " +
+        "must appear in the 8-chunk twin (complete to <= 7), and shared " +
+        "pairs must agree on hamming; violations + sentinel, constant oracle.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t09
     GraftQuery(
@@ -236,12 +325,18 @@ object ExtensionQueries {
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d)
-        Similarity.lshTopK(
-          emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, bits = 4)
-          .orderBy($"query_id", $"rank")
+        val queries = emb.filter($"vec_id" < 3)
+        val topk = Similarity.lshTopK(
+          emb, queries, "vec_id", "embedding", k = 5, bits = 4)
+        AnnGates.verdict(emb, queries, topk, k = 5, recallFloor = 0.05)
       },
-      None,
-      doc = "SRP-LSH bucketed approximate top-k (recall spec-checked against brute force)."
+      Some(AnnGates.oracle),
+      doc = "SRP-LSH bucketed approximate top-k gate: emitted sims must " +
+        "equal the exact cosine recomputed from the corpus, ranks must be " +
+        "dense and ordered by (sim desc, neighbor asc), no self/duplicate " +
+        "neighbors, and recall@5 vs brute force must clear the t25 floor " +
+        "(0.05); violations + sentinel, constant oracle.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t13
     GraftQuery(
@@ -417,12 +512,18 @@ object ExtensionQueries {
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d)
-        Similarity.ivfTopK(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding",
+        val queries = emb.filter($"vec_id" < 3)
+        val topk = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
           k = 5, nCells = 8, nProbe = 3)
-          .orderBy($"query_id", $"rank")
+        AnnGates.verdict(emb, queries, topk, k = 5, recallFloor = 0.5)
       },
-      None,
-      doc = "IVF (k-means coarse quantizer) approximate top-k — the billion-scale ANN layout; recall spec-checked vs brute force."
+      Some(AnnGates.oracle),
+      doc = "IVF (k-means coarse quantizer) approximate top-k gate — the " +
+        "billion-scale ANN layout: sims must equal the exact cosine, ranks " +
+        "dense and correctly ordered, no self/duplicate neighbors, recall@5 " +
+        "vs brute force above the t25 floor (0.5); violations + sentinel, " +
+        "constant oracle.",
+      gate = true
     ),
     // ---------------------------------------------------------------- t23
     GraftQuery(

@@ -1,0 +1,68 @@
+package graft.tools
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.{DedupOps, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Measurement record for the t07/t08/t12/t22 gate floors: recalls of the
+  * banded/bucketed operators vs their exact twins at each driver SF.
+  * Measured 2026-08-14 (this run picked the committed floors):
+  *   t07 minhash recall 1.0 at sf0.001 (28/28), sf0.01 (25/25), sf0.1
+  *     (256/256), zero phantoms -> floor 0.6;
+  *   t08 4x16 vs 8x8 banding: le-3 sets identical, zero le-7 misses at all
+  *     SFs (the pigeonhole theorems hold empirically too);
+  *   ann recall floors: ivf 0.73/0.60/0.53, lsh 0.33/0.067/0.13,
+  *     lsh_mp 0.60/0.33/0.53 -> floors 0.5 / 0.05 / 0.25 (same as t25).
+  */
+object GateProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(appName = "gate-probe")
+    import spark.implicits._
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = s"/root/testdata/$sf"
+      val docs = Tables.documents(spark, d)
+      val emb = Tables.embeddings(spark, d)
+
+      // t07: minhash vs exact global-block jaccard
+      val mh = DedupOps.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+        .select($"id_a", $"id_b").cache()
+      val exactJ = DedupOps.ngramJaccardPairs(
+        docs.withColumn("blk", lit(1)), "doc_id", "text", groupCol = "blk",
+        n = 3, threshold = 0.5)
+        .select($"id_a", $"id_b").cache()
+      val mhN = mh.count(); val exN = exactJ.count()
+      val mhHit = mh.join(exactJ, Seq("id_a", "id_b")).count()
+      val mhPhantom = mh.join(exactJ, Seq("id_a", "id_b"), "left_anti").count()
+      println(s"[$sf] t07 minhash emitted=$mhN exact=$exN hits=$mhHit phantom=$mhPhantom recall=${if (exN > 0) mhHit.toDouble / exN else -1}")
+
+      // t08: simhash 4x16 banding vs independent 8x8 banding
+      val sh4 = DedupOps.simhashNearDups(docs, "doc_id", "text", maxHamming = 10)
+        .cache()
+      val sig = docs.select($"doc_id".as("id"), DedupOps.simhash($"text").as("sh"))
+        .select($"id", $"sh", posexplode(
+          transform(sequence(lit(0), lit(7)),
+            c => call_function("shiftright", $"sh", c * 8).bitwiseAND(0xFFL))))
+        .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk_val")
+      val a8 = sig.select($"id".as("id_a"), $"sh".as("sh_a"), $"chunk_idx", $"chunk_val")
+      val b8 = sig.select($"id".as("id_b"), $"sh".as("sh_b"), $"chunk_idx", $"chunk_val")
+      val sh8 = a8.join(b8, Seq("chunk_idx", "chunk_val"))
+        .filter($"id_a" < $"id_b")
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+        .filter($"hamming" <= 10)
+        .select($"id_a", $"id_b", $"hamming").cache()
+      val n4 = sh4.count(); val n8 = sh8.count()
+      val eq3a = sh4.filter($"hamming" <= 3).join(sh8.filter($"hamming" <= 3), Seq("id_a", "id_b"), "left_anti").count()
+      val eq3b = sh8.filter($"hamming" <= 3).join(sh4.filter($"hamming" <= 3), Seq("id_a", "id_b"), "left_anti").count()
+      val sub7 = sh4.filter($"hamming" <= 7).join(sh8, Seq("id_a", "id_b"), "left_anti").count()
+      println(s"[$sf] t08 simhash n4=$n4 n8=$n8 eq3diffs=$eq3a/$eq3b sub7miss=$sub7")
+
+      // t12/t22: lsh + ivf recall vs brute force (the t25 config)
+      val rec = Similarity.annRecall(emb, emb.filter($"vec_id" < 3), "vec_id",
+        "embedding", k = 5, bits = 4, nCells = 8, nProbe = 3)
+      rec.collect().foreach(r => println(s"[$sf] ann ${r.getString(0)} recall=${r.getDouble(1)}"))
+      mh.unpersist(); exactJ.unpersist(); sh4.unpersist(); sh8.unpersist()
+    }
+    spark.stop()
+  }
+}
