@@ -39,11 +39,12 @@ object HllTable {
   private def h60(value: Column): Column =
     conv(substring(md5(value.cast("string")), 1, 15), 16, 10).cast("bigint")
 
-  /** Per-group register table: `DataFrame[group, bucket, rho]` with
-    * `rho` = 1 + leading zeros of the 50 post-bucket hash bits (the classic
-    * HLL observable), max-aggregated per bucket.
+  /** Per-row HLL observable `(group, bucket, rho)` — the pure projection
+    * that [[build]] max-aggregates. Exposed so the streaming twin
+    * ([[graft.streaming.StreamingOps.hllStream]]) shares the exact hash
+    * arithmetic with the batch path.
     */
-  def build(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+  def observations(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
     val h = h60(valueCol)
     val w = floor(h / M).cast("bigint")
     // bin() prints without leading zeros in Spark AND DuckDB, so
@@ -51,9 +52,16 @@ object HllTable {
     val rho = when(w === 0, lit(51))
       .otherwise(lit(51) - length(bin(w))).cast("bigint")
     df.select(groupCol.as("group"), pmod(h, lit(M)).as("bucket"), rho.as("rho"))
+  }
+
+  /** Per-group register table: `DataFrame[group, bucket, rho]` with
+    * `rho` = 1 + leading zeros of the 50 post-bucket hash bits (the classic
+    * HLL observable), max-aggregated per bucket.
+    */
+  def build(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    observations(df, groupCol, valueCol)
       .groupBy(col("group"), col("bucket"))
       .agg(max(col("rho")).as("rho"))
-  }
 
   /** Merge two register tables: max per (group, bucket). Exact — the merged
     * table is row-identical to sketching the unioned data directly.

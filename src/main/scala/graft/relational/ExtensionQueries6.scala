@@ -683,6 +683,73 @@ object ExtensionQueries6 {
         "DuckDB brute-forces every pair. Equal row sets = the banding " +
         "discards nothing. The deliberate last-byte variants surface as " +
         "~1 pair per doc; unrelated docs stay apart."
+    ),
+    // --------------------------------------------------------------- t100
+    GraftQuery(
+      "t100_sketch_stream_gate",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+        // stage the corpus as a 2-file stream directory; maxFilesPerTrigger=1
+        // forces two genuine micro-batches through the state store, so the
+        // equality below exercises cross-trigger state carry, not a single
+        // batch in disguise
+        val root = java.nio.file.Files.createTempDirectory("t100_sketch")
+        val inDir = root.resolve("in")
+        java.nio.file.Files.createDirectory(inDir)
+        def drop(df: DataFrame, name: String): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory("t100_stage")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(part, inDir.resolve(name))
+        }
+        drop(docs.filter($"doc_id" % 2 === 0), "b0.parquet")
+        drop(docs.filter($"doc_id" % 2 =!= 0), "b1.parquet")
+        def stream() = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        def runToTable(ds: DataFrame, name: String): DataFrame = {
+          val q = ds.writeStream.outputMode("update").format("memory")
+            .queryName(name)
+            .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+            .start()
+          q.processAllAvailable(); q.stop()
+          s.table(name)
+        }
+        // quantile sketch: counts are monotone, so max(n) per bucket is the
+        // final streaming state — must equal the batch sketch bit-for-bit
+        val qGot = runToTable(
+          graft.streaming.StreamingOps.sketchStream(stream(), $"n_chars").toDF(),
+          "t100_qsketch")
+          .groupBy($"bucket_lo").agg(max($"n").as("n"))
+        val qBatch = QuantileHist.sketch(docs, $"n_chars")
+        val qViol = qGot.exceptAll(qBatch).unionAll(qBatch.exceptAll(qGot))
+          .select($"bucket_lo".as("id_a"), $"n".as("id_b"),
+            lit("qsketch_mismatch").as("reason"))
+        // HLL registers: rho is max-monotone, same argument
+        val hGot = runToTable(
+          graft.streaming.StreamingOps.hllStream(stream(), $"lang", $"doc_id").toDF(),
+          "t100_hll")
+          .groupBy($"group", $"bucket").agg(max($"rho").as("rho"))
+        val hBatch = graft.operators.HllTable
+          .build(docs, $"lang".cast("string"), $"doc_id")
+        val hViol = hGot.exceptAll(hBatch).unionAll(hBatch.exceptAll(hGot))
+          .select($"bucket".as("id_a"), $"rho".as("id_b"),
+            concat(lit("hll_mismatch:"), $"group").as("reason"))
+        val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
+        qViol.unionAll(hViol).unionAll(sentinel)
+          .orderBy($"id_a", $"id_b", $"reason")
+      },
+      Some("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"),
+      doc = "Streaming-sketch bit-identity gate: the quantile histogram and " +
+        "the HLL register table each run as flatMapGroupsWithState " +
+        "incremental state over a forced two-micro-batch file stream of the " +
+        "corpus, and the max-merged emissions must equal the batch sketches " +
+        "row-for-row (both sketches are cellwise max/count-monotone, so " +
+        "stream state ≡ batch ≡ any shard merge); violations + sentinel, " +
+        "constant oracle.",
+      gate = true
     )
   )
 

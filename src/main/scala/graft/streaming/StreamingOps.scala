@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -242,6 +242,73 @@ object StreamingOps {
         (_: String, rows: Iterator[ParaSeen], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else { state.update(true); Iterator.single(rows.minBy(r => (r.doc_id, r.pos))) }
+      }
+  }
+
+  // -------------------------------------------------- incremental sketch state
+
+  final case class BucketCount(bucket_lo: Long, n: Long)
+
+  /** The quantile histogram ([[graft.operators.QuantileHist]]) as
+    * INCREMENTAL per-bucket streaming state: the same codegen'd bucket
+    * projection feeds a `flatMapGroupsWithState` keyed on `bucket_lo` whose
+    * state is the running count. Each trigger emits only the buckets that
+    * changed (Update mode), so a downstream sink upserts a handful of rows
+    * per trigger instead of rewriting the table the way the complete-mode
+    * groupBy twin must. Counts are monotone, so the LAST emission per bucket
+    * (equivalently `max(n)`) is the final sketch — bit-identical to the
+    * batch sketch over the same rows, asserted by the stream/batch spec and
+    * the t100 gate. Total state is <= 64·2^subBits longs (the DDSketch
+    * bound), sharded by bucket across the state store.
+    */
+  def sketchStream(values: DataFrame, valueCol: Column, subBits: Int = 4)
+      : Dataset[BucketCount] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val v = valueCol.cast("bigint")
+    values.where(v.isNotNull && v > 0)
+      .select(graft.operators.QuantileHist.bucketLo(v, subBits).as("bucket_lo"))
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, BucketCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lo: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          var add = 0L
+          rows.foreach(_ => add += 1)
+          val n = state.getOption.getOrElse(0L) + add
+          state.update(n)
+          Iterator.single(BucketCount(lo, n))
+      }
+  }
+
+  final case class HllRegister(group: String, bucket: Long, rho: Long)
+
+  /** The per-group HLL register table ([[graft.operators.HllTable]]) as
+    * incremental streaming state: keyed on (group, bucket), state is the
+    * running max rho. A row is emitted only when its register GROWS, so a
+    * steady-state stream of already-seen values emits nothing — the
+    * upsert-volume analogue of the count sketch above. Registers are
+    * max-monotone, so `max(rho)` per key over the emissions equals
+    * `HllTable.build` over the same rows bit-for-bit (group compared as
+    * string — the streaming key must be encodable). State is <= 1024 longs
+    * per group.
+    */
+  def hllStream(df: DataFrame, groupCol: Column, valueCol: Column)
+      : Dataset[HllRegister] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.operators.HllTable.observations(df, groupCol.cast("string"), valueCol)
+      .as[HllRegister]
+      .groupByKey(r => (r.group, r.bucket))
+      .flatMapGroupsWithState[Long, HllRegister](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[HllRegister], state: GroupState[Long]) =>
+          val seen = rows.map(_.rho).max
+          val prev = state.getOption.getOrElse(0L)
+          if (seen > prev) {
+            state.update(seen)
+            Iterator.single(HllRegister(key._1, key._2, seen))
+          } else Iterator.empty
       }
   }
 

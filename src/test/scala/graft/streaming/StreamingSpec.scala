@@ -346,4 +346,78 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Int, String)].collect().toSet ==
       Set((1L, 0, "alpha"), (1L, 1, "shared"), (2L, 1, "beta"), (7L, 1, "gamma")))
   }
+
+  test("sketchStream: incremental bucket-count state equals the batch sketch across micro-batches") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("qsketch_state")
+    val schema = StructType(Seq(StructField("v", LongType)))
+    def dropFile(name: String, vals: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory("qs_tmp")
+      vals.toDF("v").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    val b1 = Seq(1L, 2L, 3L, 1000L, 1023L, 77L, 0L, -5L) // 0 and -5 dropped
+    val b2 = Seq(1L, 1024L, 1023L, 77L, 77L)
+    dropFile("b1.parquet", b1)
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = StreamingOps.sketchStream(stream, col("v"))
+      .writeStream.outputMode("update").format("memory").queryName("qsketch_state")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_qs").toString)
+      .start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("qsketch_state").select($"bucket_lo", $"n")
+      .as[(Long, Long)].collect().toMap
+    // first trigger: the state IS the batch sketch of b1
+    val batchB1 = graft.operators.QuantileHist.sketch(b1.toDF("v"), col("v"))
+      .as[(Long, Long)].collect().toMap
+    assert(afterB1 == batchB1)
+    dropFile("b2.parquet", b2)
+    q.processAllAvailable()
+    q.stop()
+    // counts are monotone, so max(n) per bucket is the final state —
+    // bit-identical to the batch sketch over BOTH batches' rows
+    val got = spark.table("qsketch_state")
+      .groupBy($"bucket_lo").agg(max($"n").as("n"))
+    val batch = graft.operators.QuantileHist.sketch((b1 ++ b2).toDF("v"), col("v"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("hllStream: incremental registers equal HllTable.build; no-growth batches emit nothing") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("hll_state")
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", LongType)))
+    def dropFile(name: String, rows: Seq[(String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("hll_tmp")
+      rows.toDF("g", "v").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    val b1 = (1L to 40L).map(i => ("a", i)) ++ (1L to 10L).map(i => ("b", i))
+    dropFile("b1.parquet", b1)
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = StreamingOps.hllStream(stream, col("g"), col("v"))
+      .writeStream.outputMode("update").format("memory").queryName("hll_state")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_hll").toString)
+      .start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("hll_state").count()
+    assert(afterB1 > 0)
+    // a batch of already-seen values cannot grow any register -> no rows
+    dropFile("b2.parquet", b1.take(5))
+    q.processAllAvailable()
+    assert(spark.table("hll_state").count() == afterB1)
+    // new values: final max-merged registers equal the batch build over all rows
+    dropFile("b3.parquet", Seq(("a", 100L), ("c", 1L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hll_state")
+      .groupBy($"group", $"bucket").agg(max($"rho").as("rho"))
+    val all = b1 ++ b1.take(5) ++ Seq(("a", 100L), ("c", 1L))
+    val batch = graft.operators.HllTable.build(all.toDF("g", "v"), col("g"), col("v"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
 }
