@@ -152,8 +152,11 @@ object DedupClusters {
       val ss = dir.join(m2, Seq("u"))
         .select(explode(array($"v", $"u")).as("u"), $"m".as("v"))
         .filter($"u" =!= $"v").distinct().localCheckpoint(true)
-      // stable when the round was a no-op (set equality via two anti counts)
-      val changed = ss.exceptAll(edges).count() + edges.exceptAll(ss).count()
+      // stable when the round was a no-op (set equality as ONE symmetric-
+      // difference job instead of two anti counts — same exactness, half
+      // the per-round fixed job cost on small graphs)
+      val changed =
+        ss.exceptAll(edges).unionAll(edges.exceptAll(ss)).limit(1).count()
       edges = ss
       converged = changed == 0
       iter += 1

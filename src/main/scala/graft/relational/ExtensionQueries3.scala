@@ -344,8 +344,14 @@ object ExtensionQueries3 {
         val res = Clustering.semDedup(emb, $"vec_id", $"embedding",
           k = 16, tau = 0.3, maxIters = 4).cache()
         val total = emb.count()
-        val partitionOk = res.count() == total &&
-          res.select($"id").distinct().count() == total
+        // one aggregation job for all three scalar assertions (row count,
+        // id uniqueness, something-removed) — the gate used to re-traverse
+        // the cached result three times for these
+        val stats = res.agg(count(lit(1)).as("n"),
+          count_distinct($"id").as("nd"),
+          count(when(!$"survivor", 1)).as("removed")).head()
+        val partitionOk = stats.getLong(0) == total && stats.getLong(1) == total
+        val removed = stats.getLong(2)
         // Two survivors of the same cluster at cosine >= tau would have been
         // one component — zero such pairs is the operator's core guarantee.
         val sv = res.filter($"survivor")
@@ -354,7 +360,6 @@ object ExtensionQueries3 {
             col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
           .filter(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.3)
           .count()
-        val removed = res.filter(!$"survivor").count()
         res.unpersist(blocking = false)
         Seq((partitionOk, dupPairs, removed > 0))
           .toDF("partition_ok", "survivor_dup_pairs", "some_removed")
