@@ -343,6 +343,15 @@ object GraftCli {
           val total = back.count()
           val kept = back.where(col("url_survivor")).count()
           println(s"url-dedup: $total rows, $kept canonical survivors -> $outDir")
+        case "pipeline" :: warcGlob :: workDir :: rest =>
+          // end-to-end crawl curation (WARC -> ... -> packed sequences),
+          // sequenced through parquet checkpoints — see CrawlPipeline
+          val agent = rest.headOption.getOrElse("graftbot")
+          val capacity = rest.drop(1).headOption.map(_.toLong).getOrElse(2048L)
+          val counts = graft.pipeline.CrawlPipeline.run(
+            spark, warcGlob, workDir, agent, capacity)
+          counts.foreach(c => println(f"pipeline[${c.stage}]: ${c.rows} rows"))
+          println(s"pipeline: done -> $workDir (agent=$agent, capacity=$capacity)")
         case "reset" :: workDir :: Nil =>
           // artifact reset (reference reset_project, setup_project.py:1145-1203);
           // confirmation is the host's job — this surface is non-interactive
@@ -424,7 +433,8 @@ object GraftCli {
               "quantile <sfDir> <table> <col> [subBits] | " +
               "url-dedup <in> <outDir> <urlCol> <idCol> | stress <sfDir> <workDir> [factor] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
-              "snapshot-plans <sfDir> <outDir> [names...] | reset <workDir>")
+              "snapshot-plans <sfDir> <outDir> [names...] | " +
+              "pipeline <warcGlob> <workDir> [agent] [capacity] | reset <workDir>")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.operators.{ParagraphDedup, QualityRules, Robots, Splits, TextAnalysis, TextPipeline, WebOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The staged crawl-curation composition — the engine's analog of the
+  * reference orchestrator's sequenced 1→2→3 pipeline run
+  * (`setup_project.py:978-1031`: run each stage, checkpoint to the
+  * filesystem, later stages consume earlier stages' artifacts):
+  *
+  *   WARC → HTTP body text → robots admission → canonical-URL dedup →
+  *   Gopher quality rules → cross-doc paragraph dedup → leakage-safe
+  *   splits → sequence packing
+  *
+  * Every stage writes a parquet checkpoint under `workDir` and the next
+  * stage reads it back, so any stage can be re-run or inspected in
+  * isolation and a failure loses only one stage of work — the property
+  * that matters when stage 1 is a 100 TB WARC scan. Each stage is one of
+  * the engine's oracle-gated operators; this object adds only sequencing.
+  *
+  * The robots rule table is taken from the SAME crawl (responses whose URL
+  * path is exactly /robots.txt), which is how a real crawler materializes
+  * admission policy: fetch policy artifacts first, then gate content by
+  * them. Hosts without a robots.txt admit everything (RFC 9309 default).
+  */
+object CrawlPipeline {
+
+  final case class StageCount(stage: String, rows: Long)
+
+  def run(spark: SparkSession, warcGlob: String, workDir: String,
+      agent: String = "graftbot", capacity: Long = 2048L,
+      maxPayloadBytes: Int = 8 * 1024 * 1024): Seq[StageCount] = {
+    val counts = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+    def ck(stage: String, df: DataFrame, parts: Seq[String] = Nil): DataFrame = {
+      val w = df.write.mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+        .parquet(s"$workDir/$stage")
+      // explicit schema: a stage that filtered everything away writes no
+      // part files (AQE collapses empty plans to zero partitions) and
+      // schema inference would fail — an empty crawl slice must flow
+      // through as zero rows, not kill the run
+      val back = spark.read.schema(df.schema).parquet(s"$workDir/$stage")
+      counts += StageCount(stage, back.count())
+      back
+    }
+
+    val warc = ck("01_warc",
+      graft.sources.WarcSource.readWarc(spark, warcGlob, maxPayloadBytes))
+    val pages = ck("02_pages", warc
+      .where(col("warc_type") === "response" && !col("truncated"))
+      .select(col("target_uri").as("url"),
+        WebOps.httpBodyText(col("payload")).as("text"))
+      .where(length(col("text")) > 0))
+
+    // robots admission: policy bodies come from the crawl itself
+    val isRobotsUrl = col("url").rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/]*/robots\\.txt$")
+    val ruleTable = Robots.parseRules(
+        pages.where(isRobotsUrl)
+          .select(WebOps.host(col("url")).as("rid"), col("text")),
+        col("rid"), col("text"))
+      .withColumnRenamed("id", "host")
+    val admitted = ck("03_admitted",
+      Robots.isAllowed(pages.where(!isRobotsUrl), col("url"), agent, ruleTable)
+        .where(col("allowed")).drop("allowed", "__host", "__path"))
+
+    // canonical-URL dedup: deterministic id from the url byte string
+    val deduped = ck("04_url_dedup",
+      WebOps.dedupByCanonicalUrl(
+          admitted.withColumn("doc_id", xxhash64(col("url"))),
+          col("url"), col("doc_id"))
+        .where(col("url_survivor")).drop("url_survivor", "canonical_url"))
+
+    val quality = ck("05_quality",
+      deduped.where(QualityRules.keep(col("text"))))
+
+    // cross-doc paragraph dedup, then re-attach the url for downstream
+    // split assignment (dedupParagraphs returns id/text_dedup/counters)
+    val para = ck("06_para_dedup",
+      ParagraphDedup.dedupParagraphs(quality, col("doc_id"), col("text"))
+        .join(quality.select(col("doc_id").as("id"), col("url")), Seq("id"))
+        .select(col("id").as("doc_id"), col("url"),
+          col("text_dedup").as("text"), col("n_paras"), col("n_kept")))
+
+    // leakage-safe splits: whole HOSTS land in one split, written
+    // partitioned so readers partition-prune on split=
+    val split = ck("07_splits", para
+      .withColumn("host", WebOps.host(col("url")))
+      .withColumn("split", Splits.assign(col("host"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
+      parts = Seq("split"))
+
+    ck("08_pack", TextPipeline.packSequences(
+      split.withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
+      col("doc_id"), col("n_tokens"), capacity))
+
+    counts.toSeq
+  }
+}

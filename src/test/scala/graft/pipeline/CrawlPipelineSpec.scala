@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.nio.file.Files
+
+/** End-to-end smoke of the staged crawl composition on a synthetic WARC:
+  * every stage must fire (robots blocks a URL, canonical dedup collapses a
+  * pair, quality drops junk, paragraph dedup removes a cross-doc repeat,
+  * splits are host-keyed, packing covers every surviving doc).
+  */
+class CrawlPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def record(headers: Seq[(String, String)], payload: String): Array[Byte] = {
+    val body = payload.getBytes(ISO_8859_1)
+    val head = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => head.append(s"$k: $v\r\n") }
+    head.append(s"Content-Length: ${body.length}\r\n\r\n")
+    head.toString.getBytes(ISO_8859_1) ++ body ++ "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+
+  private def response(uri: String, body: String): Array[Byte] =
+    record(
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "WARC-Date" -> "2024-01-02T03:04:05Z"),
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body")
+
+  // passes every Gopher rule: >= 10 words, mostly alpha, stopwords present
+  private val sharedPara =
+    "the quick brown fox and the lazy dog have a walk of note with friends"
+  private val goodBody =
+    s"$sharedPara\n\nthis page is one of the pages that we have kept with care"
+  private val otherBody =
+    s"$sharedPara\n\nanother host writes about the sea and the sky that have colors with depth"
+
+  test("crawl pipeline: every stage fires on the synthetic WARC") {
+    val dir = Files.createTempDirectory("crawl_warc")
+    val work = Files.createTempDirectory("crawl_work").toString
+    val warcBytes =
+      record(Seq("WARC-Type" -> "warcinfo",
+        "WARC-Date" -> "2024-01-02T03:04:05Z"), "software: graft-test\r\n") ++
+      response("http://a.example/robots.txt",
+        "User-agent: *\nDisallow: /private/\n") ++
+      response("http://a.example/good", goodBody) ++
+      response("http://a.example/good?utm_source=news", goodBody) ++ // canonical dup
+      response("http://a.example/private/secret", goodBody) ++ // robots-blocked
+      response("http://a.example/junk", "short") ++ // fails quality rules
+      response("http://b.example/page", otherBody) // no robots on this host
+    Files.write(dir.resolve("fixture.warc"), warcBytes)
+
+    val counts = CrawlPipeline
+      .run(spark, s"$dir/*.warc*", work, agent = "graftbot", capacity = 16L)
+      .map(c => c.stage -> c.rows).toMap
+
+    assert(counts("01_warc") == 7) // warcinfo + 6 responses
+    assert(counts("02_pages") == 6) // responses with non-empty bodies
+    // robots.txt itself is policy, not content; /private/secret is blocked
+    assert(counts("03_admitted") == 4)
+    // the utm variant canonicalizes onto /good -> one survivor
+    assert(counts("04_url_dedup") == 3)
+    // "short" fails the word-count rule
+    assert(counts("05_quality") == 2)
+    assert(counts("06_para_dedup") == 2)
+    assert(counts("07_splits") == 2)
+    assert(counts("08_pack") == 2)
+
+    // the shared paragraph survives exactly once across the two docs
+    val para = spark.read.parquet(s"$work/06_para_dedup")
+    assert(para.agg(sum($"n_paras")).head().getLong(0) == 4)
+    assert(para.agg(sum($"n_kept")).head().getLong(0) == 3)
+    // blocked URL never reappears downstream
+    assert(spark.read.parquet(s"$work/04_url_dedup")
+      .where($"url".contains("/private/")).isEmpty)
+    // splits are host-keyed and partition-pruned on disk
+    val split = spark.read.parquet(s"$work/07_splits")
+    assert(split.select("split").distinct().as[String].collect()
+      .forall(Set("train", "val", "test")))
+    assert(split.groupBy($"host", $"split").count()
+      .groupBy($"host").count().where($"count" > 1).isEmpty)
+    // packing covers both docs with in-capacity offsets
+    val pack = spark.read.parquet(s"$work/08_pack")
+    assert(pack.where($"offset_in_bin" < 0 || $"offset_in_bin" >= 16).isEmpty)
+  }
+}
