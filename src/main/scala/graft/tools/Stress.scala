@@ -611,6 +611,64 @@ object Stress {
       check(hitsNodes >= nDocs / 5, s"hits must cover the host space ($hitsNodes)")
       check(hitsMassOk, "hits scores not L1-normalized at scale")
 
+      // ---- link extraction at factor scale: one codegen'd pattern +
+      // Generate per page, so links grow exactly linearly; the host-edge
+      // aggregation is bounded by the HOST-PAIR space (policy-sized),
+      // never by the corpus
+      val ((nLinks, nHostEdges, sumEdgeLinks), tLk) = timed {
+        val pages = docs.select(
+          concat(lit("https://s"), pmod(col("doc_id"), lit(509L)).cast("string"),
+            lit(".net/page")).as("page"),
+          concat(lit("<p>intro</p>"),
+            concat_ws("", transform(sequence(lit(0), lit(2)), jj =>
+              concat(lit("<a href=\"https://d"),
+                pmod(col("doc_id") + jj, lit(997L)).cast("string"),
+                lit(".org/p\">x</a>")))))
+            .as("html"))
+        val links = WebOps.linkEdges(pages, col("page"), col("html"))
+        val edges = links.select(WebOps.host(col("id")).as("src_host"),
+            col("url_host").as("dst_host"))
+          .groupBy(col("src_host"), col("dst_host"))
+          .agg(count(lit(1)).as("n_links"))
+        (links.count(), edges.count(),
+          edges.agg(sum(col("n_links"))).collect()(0).getLong(0))
+      }
+      println(j("stage" -> "link_extraction", "seconds" -> tLk,
+        "links" -> nLinks, "host_edges" -> nHostEdges))
+      check(nLinks == nDocs * 3,
+        s"every page contributes its 3 links ($nLinks of ${nDocs * 3})")
+      check(sumEdgeLinks == nLinks,
+        s"host-edge aggregation must conserve links ($sumEdgeLinks of $nLinks)")
+      check(nHostEdges <= 509L * 997L,
+        s"host-edge cardinality must stay policy-bounded ($nHostEdges)")
+
+      // ---- robots admission at factor scale: corpus-sized URL table
+      // against a policy-sized rule table (997 hosts, one Disallow each) —
+      // cardinality preserved per input row, admission decisions exact
+      val ((robAdmitted, robBlocked, robExpectBlocked), tRob) = timed {
+        val urls = docs.select(col("doc_id"),
+          concat(lit("https://d"), pmod(col("doc_id"), lit(997L)).cast("string"),
+            lit(".org/"),
+            when(col("doc_id") % 3 === 0, lit("private/x"))
+              .otherwise(lit("public/y"))).as("url"))
+        val hosts = spark.range(997).select(
+          concat(lit("d"), col("id").cast("string"), lit(".org")).as("rid"),
+          lit("User-agent: *\r\nDisallow: /private/\r\n").as("body"))
+        val rules = graft.operators.Robots
+          .parseRules(hosts, col("rid"), col("body"))
+          .withColumnRenamed("id", "host")
+        val dec = graft.operators.Robots
+          .isAllowed(urls, col("url"), "graftbot", rules)
+        (dec.where(col("allowed")).count(), dec.where(!col("allowed")).count(),
+          urls.where(col("doc_id") % 3 === 0).count())
+      }
+      println(j("stage" -> "robots_admission", "seconds" -> tRob,
+        "admitted" -> robAdmitted, "blocked" -> robBlocked))
+      check(robAdmitted + robBlocked == nDocs,
+        s"admission must preserve cardinality (${robAdmitted + robBlocked} of $nDocs)")
+      check(robBlocked == robExpectBlocked,
+        s"exactly the /private/ URLs must be blocked ($robBlocked of $robExpectBlocked)")
+
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
       failures.foreach(f => System.err.println(s"[stress] FAILED: $f"))
