@@ -536,3 +536,85 @@ case class BlockAHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): BlockAHash =
     copy(child = newChild)
 }
+
+object ContentExtractImpl {
+  /** Line-density main-content extraction over one document, single pass:
+    * split on '\n' (keeping empty trailing lines, same as the engines'
+    * `split`/`string_split`), keep a line iff
+    *   - its character (codepoint) count is >= minLen, and
+    *   - its ASCII-alphanumeric character count clears minAlnumPct percent
+    *     of the line (`100 * alnum >= minAlnumPct * chars`, exact integer
+    *     cross-multiplication — no float ratio),
+    * then rejoin the keepers with '\n'. Short pipe-navigation rows,
+    * separator rules and footer chrome fail one of the two tests; prose
+    * passes both. This is the WITHIN-document complement of the cross-corpus
+    * boilerplate operators (TextPipeline.dedupLines removes lines frequent
+    * ACROSS documents) — a readability/trafilatura-class heuristic reduced
+    * to deterministic, cross-engine-reproducible arithmetic.
+    *
+    * Returns (content, n_kept, n_total); empty input keeps its one empty
+    * line only when minLen == 0 (0 >= 0 on both tests).
+    */
+  def compute(s: UTF8String, minLen: Int, minAlnumPct: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val lines = s.toString.split("\n", -1)
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var li = 0
+    while (li < lines.length) {
+      val line = lines(li)
+      val chars = line.codePointCount(0, line.length)
+      if (chars >= minLen) {
+        var alnum = 0
+        var i = 0
+        while (i < line.length) {
+          val c = line.charAt(i)
+          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9'))
+            alnum += 1
+          i += 1
+        }
+        if (100L * alnum >= minAlnumPct.toLong * chars) {
+          if (kept > 0) sb.append('\n')
+          sb.append(line)
+          kept += 1
+        }
+      }
+      li += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString), kept, lines.length.toLong))
+  }
+}
+
+/** graft_extract_content(text, minLen, minAlnumPct): within-document
+  * main-content extraction by line density as ONE narrow codegen'd
+  * projection — no explode, no reassembly shuffle, no lambda interpreter
+  * frames (the r9 HOF-deopt lesson). Returns
+  * struct<content:string, n_kept:bigint, n_total:bigint>.
+  */
+case class ContentExtract(child: Expression, minLen: Int, minAlnumPct: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("content", StringType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("n_total", LongType, nullable = false)))
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_extract_content requires a string argument, got ${child.dataType}")
+    else if (minLen < 0 || minAlnumPct < 0 || minAlnumPct > 100)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_extract_content needs minLen >= 0 and minAlnumPct in [0,100], " +
+          s"got ($minLen, $minAlnumPct)")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(v: Any): Any =
+    ContentExtractImpl.compute(v.asInstanceOf[UTF8String], minLen, minAlnumPct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ContentExtractImpl.compute($c, $minLen, $minAlnumPct)")
+
+  override protected def withNewChildInternal(newChild: Expression): ContentExtract =
+    copy(child = newChild)
+}

@@ -90,6 +90,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[BlockAHash].getName, "graft_ahash_bands"),
       (args: Seq[Expression]) =>
         BlockAHash(arity("graft_ahash_bands", args, 1).head)),
+    ("graft_extract_content",
+      new ExpressionInfo(classOf[ContentExtract].getName, "graft_extract_content"),
+      (args: Seq[Expression]) => {
+        arity("graft_extract_content", args, 3)
+        ContentExtract(args(0),
+          intArg("graft_extract_content")(args(1)),
+          intArg("graft_extract_content")(args(2)))
+      }),
     ("graft_l2sq_distances",
       new ExpressionInfo(classOf[L2SqDistances].getName, "graft_l2sq_distances"),
       (args: Seq[Expression]) => {
@@ -142,6 +150,8 @@ object GraftFunctions {
   def l2sqDistances(vec: Column, centroids: Array[Array[Double]]): Column =
     exprCol(L2SqDistances(expr(vec), centroids.toVector.map(_.toVector)))
   def aHashBands(payload: Column): Column = exprCol(BlockAHash(expr(payload)))
+  def extractContent(text: Column, minLen: Int, minAlnumPct: Int): Column =
+    exprCol(ContentExtract(expr(text), minLen, minAlnumPct))
 }
 
 /** `SparkSessionExtensions` injector — the deployment-grade registration

@@ -116,9 +116,71 @@ object QuantileHist {
     * and tests, not the production path).
     */
   def exactRank(df: DataFrame, valueCol: Column, rank: Long): Long = {
+    require(rank >= 1 && rank <= Int.MaxValue,
+      s"exactRank is the bounded verification twin; rank must fit an Int, got $rank")
     val v = valueCol.cast("bigint")
     df.where(v.isNotNull && v > 0).select(v.as("__v"))
       .orderBy(col("__v")).limit(rank.toInt)
       .agg(max(col("__v"))).collect()(0).getLong(0)
+  }
+
+  /** Per-group sketch: one row per (group, occupied bucket). The group
+    * column count multiplies the bounded bucket cardinality, so the result
+    * stays a sketch — `n_groups * 64 * 2^subBits` rows — and the build is
+    * still ONE hash aggregation with map-side partial combine.
+    */
+  def sketchBy(df: DataFrame, groupCol: Column, valueCol: Column,
+      subBits: Int = 4): DataFrame = {
+    val v = valueCol.cast("bigint")
+    df.where(v.isNotNull && v > 0)
+      .select(groupCol.as("grp"), bucketLo(v, subBits).as("bucket_lo"))
+      .groupBy(col("grp"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-group quantile q = num/den off a [[sketchBy]] result: for each
+    * group, (grp, rank, est_lo, est_hi) with the same rank convention and
+    * error guarantee as [[estimate]]. The running sum partitions by group
+    * over the bounded per-group bucket list — no unbounded-group skew is
+    * possible because the window's partition size is capped by the sketch
+    * bound, not by the data.
+    */
+  def estimateBy(sketch: DataFrame, num: Long, den: Long,
+      subBits: Int = 4): DataFrame = {
+    require(num > 0 && num <= den, s"quantile must satisfy 0 < num <= den, got $num/$den")
+    val w = Window.partitionBy(col("grp")).orderBy(col("bucket_lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sketch
+      .select(col("grp"), col("bucket_lo"), col("n"),
+        sum(col("n")).over(w).as("__cum"))
+      .withColumn("__total", max(col("__cum")).over(wAll))
+      .withColumn("__rank",
+        expr(s"(${num}L * __total + ${den}L - 1) div ${den}L"))
+      .where(col("__cum") >= col("__rank") &&
+        col("__cum") - col("n") < col("__rank"))
+      .select(col("grp"), col("__rank").as("rank"),
+        col("bucket_lo").as("est_lo"),
+        bucketHi(col("bucket_lo"), subBits).as("est_hi"))
+  }
+
+  /** Sketch-driven per-group threshold filter: keep rows whose value is at
+    * least the group's estimated q = num/den bucket floor (`est_lo`) — e.g.
+    * "drop each language's shortest quarter" with num/den = 1/4. The CCNet
+    * shape: per-group cutoffs come from the sketch (one aggregation, tiny
+    * state), then ONE broadcast join + filter over the corpus — never a
+    * per-group rank window over 100 TB of rows. Guarantee: since the true
+    * quantile lies in [est_lo, est_hi], filtering at est_lo keeps every row
+    * above the true quantile (errs on the keep side, never over-deletes).
+    */
+  def thresholdFilter(df: DataFrame, groupCol: Column, valueCol: Column,
+      num: Long, den: Long, subBits: Int = 4): DataFrame = {
+    val cutoffs = estimateBy(sketchBy(df, groupCol, valueCol, subBits),
+      num, den, subBits)
+    df.join(broadcast(cutoffs.select(col("grp"), col("est_lo"))),
+        groupCol === col("grp"))
+      .where(valueCol.cast("bigint") >= col("est_lo"))
+      .drop("grp", "est_lo")
   }
 }

@@ -381,6 +381,30 @@ object TextPipeline {
     * join-based [[contamination]] for batch at scale (the semi join prunes
     * shuffle volume); use this one under `readStream`.
     */
+  /** Within-document main-content extraction by line density — the
+    * readability/trafilatura-class heuristic over crawl body text, reduced
+    * to deterministic arithmetic (see
+    * [[graft.expressions.ContentExtractImpl]]): a line survives iff it has
+    * at least `minLineChars` characters AND at least `minAlnumPct` percent
+    * of them are ASCII alphanumerics. Complements [[dedupLines]], which
+    * removes lines frequent ACROSS documents: chrome that appears once per
+    * site still dies here on shape alone, without any corpus statistics.
+    *
+    * Scale shape: ONE narrow codegen'd projection — no explode, no
+    * reassembly shuffle, no cross-doc state. At 100 TB this is a pure
+    * map stage that pipelines into whatever runs next.
+    *
+    * Output: `id`, `content` ('' when no line survives), `n_kept`,
+    * `n_total`.
+    */
+  def extractContent(df: DataFrame, idCol: Column, textCol: Column,
+      minLineChars: Int = 30, minAlnumPct: Int = 50): DataFrame =
+    df.select(idCol.as("id"),
+        graft.expressions.GraftFunctions
+          .extractContent(textCol, minLineChars, minAlnumPct).as("__x"))
+      .select(col("id"), col("__x.content").as("content"),
+        col("__x.n_kept").as("n_kept"), col("__x.n_total").as("n_total"))
+
   def contaminationStateless(corpus: DataFrame, benchmark: DataFrame,
       idCol: Column, textCol: Column, n: Int = 3): DataFrame = {
     val nToks = size(split(trim(textCol), "\\s+"))

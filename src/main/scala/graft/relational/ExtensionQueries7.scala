@@ -1,0 +1,135 @@
+package graft.relational
+
+import graft.core.{GraftQuery, Tables}
+import graft.operators.{IncrementalDedup, QuantileHist, TextAnalysis, TextPipeline}
+import org.apache.spark.sql.functions._
+
+/** Round-10 wave: incremental corpus admission against a persisted
+  * fingerprint index, sketch-driven per-group threshold filtering, and
+  * within-document content extraction. Same contract as
+  * [[ExtensionQueries]]: Spark-first builder + DuckDB oracle that must
+  * hash-match exactly at sf0.01 and sf0.001.
+  */
+object ExtensionQueries7 {
+
+  val queries: Seq[GraftQuery] = Seq(
+    // --------------------------------------------------------------- t101
+    GraftQuery(
+      "t101_incremental_dedup",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        // "already admitted" corpus = every third document; the index the
+        // next crawl batch dedups against is its distinct fingerprints ONLY
+        val index = IncrementalDedup.buildIndex(
+          docs.where($"doc_id" % 3 === 0), TextAnalysis.fingerprint($"text"))
+        IncrementalDedup.admit(
+          docs.where($"doc_id" % 3 =!= 0), index,
+          TextAnalysis.fingerprint($"text"), $"doc_id")
+          .select($"doc_id".cast("bigint").as("doc_id"), $"fp")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+             |  FROM documents),
+             |fresh AS (
+             |  SELECT doc_id, fp FROM f b
+             |  WHERE doc_id % 3 <> 0
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM f i WHERE i.doc_id % 3 = 0 AND i.fp = b.fp)),
+             |firsts AS (
+             |  SELECT doc_id, fp,
+             |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             |  FROM fresh)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, fp
+             |FROM firsts WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+      doc = "Incremental corpus admission: a new batch dedups against the " +
+        "persisted fingerprint index of everything already admitted (LEFT " +
+        "ANTI on 16-byte hashes — history never re-enters the job), then " +
+        "first-wins within the batch via a map-side-combining min_by " +
+        "aggregation instead of a rank window. The continuous-crawl shape: " +
+        "each snapshot's work is proportional to the snapshot, not the corpus."
+    ),
+    // --------------------------------------------------------------- t102
+    GraftQuery(
+      "t102_sketch_threshold_filter",
+      (s, d) => {
+        import s.implicits._
+        QuantileHist.thresholdFilter(
+          Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars"),
+          $"lang", $"n_chars", num = 1L, den = 4L, subBits = 4)
+          .select($"doc_id".cast("bigint").as("doc_id"), $"lang",
+            $"n_chars".cast("bigint").as("n_chars"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT lang, (n_chars >> s) << s AS bucket_lo FROM (
+             |    SELECT lang, n_chars, GREATEST(length(bin(n_chars)) - 5, 0) AS s
+             |    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)),
+             |sk AS (SELECT lang, bucket_lo, COUNT(*) AS n FROM b GROUP BY 1, 2),
+             |c AS (SELECT lang, bucket_lo, n,
+             |    SUM(n) OVER (PARTITION BY lang ORDER BY bucket_lo) AS cum,
+             |    SUM(n) OVER (PARTITION BY lang) AS total FROM sk),
+             |cut AS (SELECT lang, bucket_lo AS est_lo FROM c
+             |    WHERE cum >= (total + 3) // 4 AND cum - n < (total + 3) // 4)
+             |SELECT CAST(v.doc_id AS BIGINT) AS doc_id, v.lang,
+             |  CAST(v.n_chars AS BIGINT) AS n_chars
+             |FROM documents v JOIN cut ON v.lang = cut.lang
+             |WHERE v.n_chars >= cut.est_lo
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Sketch-driven per-language length floor (drop each language's " +
+        "shortest quarter, CCNet-style): per-group quantile cutoffs come " +
+        "off the mergeable QuantileHist sketch (one hash aggregation, " +
+        "bounded state), then ONE broadcast join + filter over the corpus " +
+        "— never a per-group rank window over the data. The oracle " +
+        "re-derives the bucket arithmetic, the exact-integer ceil rank and " +
+        "the cutoff join from first principles in DuckDB."
+    ),
+    // --------------------------------------------------------------- t103
+    GraftQuery(
+      "t103_content_extract",
+      (s, d) => {
+        import s.implicits._
+        // synthesized crawl page: nav header, body, separator rule, tag
+        // line and footer around each document's text
+        val page = concat_ws("\n",
+          lit("Home | About | Contact"),
+          $"text",
+          lit("| | --- | |"),
+          concat(lit("Tags: "), $"lang"),
+          lit("(c) 2026 - Integritet - Villkor"))
+        TextPipeline.extractContent(
+          Tables.documents(s, d).select($"doc_id", page.as("page")),
+          $"doc_id", $"page", minLineChars = 32, minAlnumPct = 50)
+          .select($"id".cast("bigint").as("doc_id"), $"content",
+            $"n_kept", $"n_total")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    'Home | About | Contact' || chr(10) || text || chr(10) ||
+             |    '| | --- | |' || chr(10) || 'Tags: ' || lang || chr(10) ||
+             |    '(c) 2026 - Integritet - Villkor' AS page
+             |  FROM documents),
+             |l AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM p),
+             |k AS (SELECT doc_id, lines,
+             |    list_filter(lines, x -> length(x) >= 32 AND
+             |      100 * (length(x) - length(regexp_replace(x, '[a-zA-Z0-9]', '', 'g')))
+             |        >= 50 * length(x)) AS keep
+             |  FROM l)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  array_to_string(keep, chr(10)) AS content,
+             |  CAST(len(keep) AS BIGINT) AS n_kept,
+             |  CAST(len(lines) AS BIGINT) AS n_total
+             |FROM k ORDER BY doc_id""".stripMargin),
+      doc = "Within-document main-content extraction by line density " +
+        "(readability/trafilatura-class heuristic as exact integer " +
+        "arithmetic): a line survives iff it has >= 32 characters and >= " +
+        "50% ASCII-alphanumerics — the synthesized nav/separator/tag/" +
+        "footer chrome fails, body prose passes. ONE narrow codegen'd " +
+        "projection (graft_extract_content): no explode, no reassembly " +
+        "shuffle, no corpus statistics — the per-page complement of the " +
+        "cross-corpus boilerplate removers (t53/t85)."
+    )
+  )
+}

@@ -669,6 +669,66 @@ object Stress {
       check(robBlocked == robExpectBlocked,
         s"exactly the /private/ URLs must be blocked ($robBlocked of $robExpectBlocked)")
 
+      // ---- incremental admission at factor scale: the second half of the
+      // corpus dedups against the fingerprint index of the first half —
+      // index traffic is hashes-only, and the admitted set must be EXACTLY
+      // the batch's fresh-fingerprint winners (count identity re-derived
+      // independently over the same hash frames)
+      val ((incAdmitted, incExpected), tInc) = timed {
+        val fp = md5(col("text"))
+        val oldHalf = docs.where(col("doc_id") % 2 === 0)
+        val batch = docs.where(col("doc_id") % 2 =!= 0)
+        val index = graft.operators.IncrementalDedup.buildIndex(oldHalf, fp)
+        val admitted = graft.operators.IncrementalDedup
+          .admit(batch, index, fp, col("doc_id"))
+        val expected = batch.select(fp.as("fp"))
+          .join(index, Seq("fp"), "left_anti").select(col("fp")).distinct().count()
+        (admitted.count(), expected)
+      }
+      println(j("stage" -> "incremental_admission", "seconds" -> tInc,
+        "admitted" -> incAdmitted, "expected" -> incExpected))
+      check(incAdmitted == incExpected,
+        s"admission must keep one winner per fresh fingerprint ($incAdmitted of $incExpected)")
+
+      // ---- sketch-driven threshold filter at factor scale: per-language
+      // cutoffs stay ONE bounded sketch aggregation + a broadcast join no
+      // matter the corpus size; the filter keeps at least the mass above
+      // each group's true quantile (errs on the keep side, never over-deletes)
+      val ((thrKept, thrTotal, thrCuts), tThr) = timed {
+        val lens = docs.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("bigint").as("len"))
+        val cuts = graft.operators.QuantileHist.estimateBy(
+          graft.operators.QuantileHist.sketchBy(lens, col("lang"), col("len")),
+          1L, 4L).count()
+        val kept = graft.operators.QuantileHist
+          .thresholdFilter(lens, col("lang"), col("len"), 1L, 4L).count()
+        (kept, lens.where(col("len") > 0).count(), cuts)
+      }
+      println(j("stage" -> "sketch_threshold", "seconds" -> tThr,
+        "kept" -> thrKept, "total" -> thrTotal, "cutoffs" -> thrCuts))
+      check(thrKept * 4 >= thrTotal * 3,
+        s"p25 floor must keep at least three quarters ($thrKept of $thrTotal)")
+      check(thrKept < thrTotal, "a length floor that drops nothing filtered nothing")
+      check(thrCuts <= 64, s"one cutoff per language expected ($thrCuts)")
+
+      // ---- content extraction at factor scale: a pure narrow projection —
+      // cardinality preserved row-for-row, chrome lines dropped everywhere
+      // (every synthesized page carries exactly 3 chrome lines around its
+      // body), no corpus statistics involved
+      val ((ceRows, ceChromeOk), tCe) = timed {
+        val pages = docs.select(col("doc_id"),
+          concat_ws("\n", lit("Home | About | Contact"), col("text"),
+            lit("| | --- | |"), lit("(c) stress footer")).as("page"))
+        val out = graft.operators.TextPipeline.extractContent(
+          pages, col("doc_id"), col("page"), minLineChars = 32, minAlnumPct = 50)
+        (out.count(),
+          out.where(col("n_total") - col("n_kept") < 3).count() == 0)
+      }
+      println(j("stage" -> "content_extract", "seconds" -> tCe,
+        "rows" -> ceRows, "chrome_dropped" -> ceChromeOk))
+      check(ceRows == nDocs, s"extraction must preserve cardinality ($ceRows of $nDocs)")
+      check(ceChromeOk, "all three chrome lines must be dropped on every page")
+
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
       failures.foreach(f => System.err.println(s"[stress] FAILED: $f"))

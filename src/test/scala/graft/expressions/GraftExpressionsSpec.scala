@@ -269,6 +269,56 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(err.getMessage.contains("string"))
   }
 
+  test("ContentExtract keeps dense long lines, drops chrome; counts are exact") {
+    val page = Seq(
+      "Home | About | Contact",                       // 22 chars: too short
+      "This is a long enough prose line with plenty of letters.", // kept
+      "| | ---------------------------------- | |",   // long but 0% alnum
+      "",                                             // empty
+      "Another substantial body sentence that clears both thresholds.") // kept
+      .mkString("\n")
+    val r = Seq(page).toDF("t")
+      .select(GraftFunctions.extractContent($"t", 32, 50).as("x"))
+      .select($"x.content", $"x.n_kept", $"x.n_total")
+      .collect()(0)
+    assert(r.getString(0) ==
+      "This is a long enough prose line with plenty of letters.\n" +
+        "Another substantial body sentence that clears both thresholds.")
+    assert(r.getLong(1) == 2L && r.getLong(2) == 5L)
+  }
+
+  test("ContentExtract edges: null in, null out; minLen 0 keeps empty lines; astral chars count once") {
+    val nulls = Seq[Option[String]](None).toDF("t")
+      .select(GraftFunctions.extractContent($"t", 32, 50)).collect()
+    assert(nulls(0).isNullAt(0))
+    // minLen=0, pct=0: everything survives, round-trips exactly
+    val loose = Seq("a\n\nb").toDF("t")
+      .select(GraftFunctions.extractContent($"t", 0, 0).as("x"))
+      .select($"x.content", $"x.n_kept").collect()(0)
+    assert(loose.getString(0) == "a\n\nb" && loose.getLong(1) == 3L)
+    // U+1F600 is 2 UTF-16 units but ONE character: a 31-codepoint line with
+    // an emoji must still fail a 32-char floor (codepoints, not chars)
+    val astral = ("x" * 30) + "😀"
+    val got = Seq(astral).toDF("t")
+      .select(GraftFunctions.extractContent($"t", 32, 50).as("x"))
+      .select($"x.n_kept").collect()(0).getLong(0)
+    assert(got == 0L)
+  }
+
+  test("graft_extract_content registered for SQL; boundary ratio is exact integer math") {
+    GraftFunctions.register(spark)
+    // 16 alnum of 32 chars = exactly 50%: cross-multiplied >= keeps it
+    val half = ("ab" * 8) + ("- " * 8)
+    val row = spark.sql(
+      s"SELECT graft_extract_content('$half', 32, 50) AS x")
+      .select($"x.n_kept").as[Long].collect()(0)
+    assert(row == 1L)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_extract_content('x', 32, 101)").collect()
+    }
+    assert(err.getMessage.contains("minAlnumPct") || err.getMessage.contains("[0,100]"))
+  }
+
   test("normalizeText: NFC + control/format strip + whitespace collapse, golden") {
     // "hea"+COMBINING ACUTE -> composes; ZWSP and BEL strip; VT strips
     // (word fuses); tab and double spaces collapse; ends trim

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fp = md5(col("text"))
+
+  test("admit drops batch rows whose fingerprint is already indexed") {
+    val admitted = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "gamma")).toDF("id", "text")
+    val idx = IncrementalDedup.buildIndex(admitted, fp)
+    val got = IncrementalDedup.admit(batch, idx, fp, col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(11L))
+  }
+
+  test("first-wins within the batch by the order column, caller columns survive") {
+    val batch = Seq((7L, "x", "b"), (3L, "x", "a"), (5L, "y", "c"))
+      .toDF("id", "text", "tag")
+    val idx = IncrementalDedup.buildIndex(
+      Seq.empty[(Long, String)].toDF("id", "text"), fp)
+    val got = IncrementalDedup.admit(batch, idx, fp, col("id"))
+      .select("id", "text", "tag").as[(Long, String, String)].collect().toSet
+    assert(got == Set((3L, "x", "a"), (5L, "y", "c")))
+  }
+
+  test("updatedIndex closes the loop: re-admitting the same batch yields nothing") {
+    val admitted = Seq((1L, "alpha")).toDF("id", "text")
+    val batch = Seq((10L, "beta"), (11L, "beta"), (12L, "gamma")).toDF("id", "text")
+    val idx0 = IncrementalDedup.buildIndex(admitted, fp)
+    val first = IncrementalDedup.admit(batch, idx0, fp, col("id"))
+    assert(first.select("id").as[Long].collect().toSet == Set(10L, 12L))
+    val idx1 = IncrementalDedup.updatedIndex(idx0, first)
+    assert(IncrementalDedup.admit(batch, idx1, fp, col("id")).count() == 0)
+    // the index carries one row per distinct fingerprint, nothing else
+    assert(idx1.columns.toSeq == Seq("fp") && idx1.count() == 3)
+  }
+
+  test("two sequential batches equal one-shot dedup of their union (same order)") {
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"), (5L, "b"), (6L, "d"))
+      .toDF("id", "text")
+    val b1 = docs.where(col("id") <= 3)
+    val b2 = docs.where(col("id") > 3)
+    val empty = IncrementalDedup.buildIndex(b1.limit(0), fp)
+    val a1 = IncrementalDedup.admit(b1, empty, fp, col("id"))
+    val a2 = IncrementalDedup.admit(b2, IncrementalDedup.updatedIndex(empty, a1),
+      fp, col("id"))
+    val incremental = a1.select("id").union(a2.select("id")).as[Long].collect().toSet
+    val oneShot = FirstWinsDedup(docs, Seq(fp), col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(incremental == oneShot)
+  }
+}

@@ -61,4 +61,54 @@ class QuantileHistSpec extends SparkSpec {
     val sk = QuantileHist.sketch(df, col("v")).collect()
     assert(sk.map(_.getLong(1)).sum == 2L)
   }
+
+  test("sketchBy per group equals independent per-group sketches") {
+    val df = spark.range(1, 3001).select(
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") * 17 % 900 + 1).as("v"))
+    val grouped = QuantileHist.sketchBy(df, col("g"), col("v"))
+    (0 until 3).foreach { g =>
+      val solo = QuantileHist.sketch(df.where(col("g") === g.toString), col("v"))
+      val slice = grouped.where(col("grp") === g.toString)
+        .select(col("bucket_lo"), col("n"))
+      assert(solo.exceptAll(slice).isEmpty && slice.exceptAll(solo).isEmpty,
+        s"group $g sketch mismatch")
+    }
+  }
+
+  test("estimateBy brackets each group's exact order statistic") {
+    val df = spark.range(1, 2001).select(
+      when(col("id") % 2 === 0, "even").otherwise("odd").as("g"),
+      when(col("id") % 50 === 0, col("id") * 1000).otherwise(col("id") % 83 + 1).as("v"))
+    val est = QuantileHist.estimateBy(
+      QuantileHist.sketchBy(df, col("g"), col("v")), 1L, 4L).collect()
+    assert(est.length == 2)
+    est.foreach { r =>
+      val g = r.getAs[String]("grp")
+      val exact = QuantileHist.exactRank(
+        df.where(col("g") === g), col("v"), r.getAs[Long]("rank"))
+      assert(exact >= r.getAs[Long]("est_lo") && exact <= r.getAs[Long]("est_hi"),
+        s"group $g: exact $exact outside bucket")
+    }
+  }
+
+  test("thresholdFilter keeps everything at or above each group's cutoff bucket") {
+    val df = spark.range(1, 1001).select(
+      (col("id") % 4).cast("string").as("g"), (col("id") % 199 + 1).as("v"))
+    val cut = QuantileHist.estimateBy(
+      QuantileHist.sketchBy(df, col("g"), col("v")), 1L, 4L)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("est_lo")).toMap
+    val kept = QuantileHist.thresholdFilter(df, col("g"), col("v"), 1L, 4L)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("v")))
+    assert(kept.nonEmpty)
+    // exactly the rows >= their group's est_lo survive — no more, no less
+    val expected = df.collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("v")))
+      .filter { case (g, v) => v >= cut(g) }
+    assert(kept.sorted.toSeq == expected.sorted.toSeq)
+    // the filter errs on the keep side: at least 1 - q of each group remains
+    val total = df.count()
+    assert(kept.length >= (total * 3) / 4 - cut.size * 200,
+      s"over-deletion: kept ${kept.length} of $total")
+  }
 }

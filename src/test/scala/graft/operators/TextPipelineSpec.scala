@@ -275,6 +275,23 @@ class TextPipelineSpec extends SparkSpec {
       (3L, "only two", 2L, 0L)))
   }
 
+  test("extractContent: per-doc line-density extraction, no shuffle in the plan") {
+    val docs = Seq(
+      (1L, "Nav | Nav | Nav\nA proper paragraph of body prose long enough to keep here.\n(c) footer"),
+      (2L, "| --- |\n=== === ==="))
+      .toDF("doc_id", "page")
+    val got = TextPipeline.extractContent(docs, col("doc_id"), col("page"),
+      minLineChars = 32, minAlnumPct = 50)
+    val rows = got.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("content"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_total"))).toSet
+    assert(rows == Set(
+      (1L, "A proper paragraph of body prose long enough to keep here.", 1L, 3L),
+      (2L, "", 0L, 2L)))
+    // pure map stage: the physical plan must contain no Exchange at all
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"),
+      got.queryExecution.executedPlan.toString.take(600))
+  }
+
   test("removeDuplicateSpans: removed_tokens equals duplicateSpans' dup_tokens on real docs") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(200)
     val rep = TextPipeline.duplicateSpans(docs, col("doc_id"), col("text"), k = 8, minDocs = 2)

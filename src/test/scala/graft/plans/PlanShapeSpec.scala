@@ -208,6 +208,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p.take(800))
   }
 
+  test("t101 incremental admission: anti-join on fingerprints, first-wins partial-aggregates map-side") {
+    val p = planOf("t101_incremental_dedup")
+    // history leaves via an anti equi-join on the hash — never a cartesian
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    // within-batch first-wins is a min_by aggregation with a PARTIAL phase
+    // below the fp exchange (the viral-duplicate batch collapses map-side),
+    // not a rank window that must co-locate every duplicate first
+    assert(p.contains("partial_min_by"), p.take(2000))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
+  test("t102 sketch threshold filter: partial-agg sketch, broadcast cutoffs, no per-group data window") {
+    val p = planOf("t102_sketch_threshold_filter")
+    // sketch build partial-aggregates before its exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+    // the per-group cutoffs (bounded sketch rows) broadcast onto the corpus
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the only Window ops run over the bounded sketch (partitioned by grp),
+    // never over the corpus: every Window sits above the sketch aggregate
+    val lines = p.linesIterator.toVector
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx < aggIdx && winIdx >= 0,
+      s"window must consume the aggregated sketch (win@$winIdx, agg@$aggIdx)\n${p.take(1500)}")
+  }
+
   test("t89 HITS half-step: score push is an equi-join + partial aggregation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -252,6 +252,48 @@ class StreamingSpec extends SparkSpec {
       Set(1L, 3L, 5L))
   }
 
+  test("dedupDocsStream equals sequential batch IncrementalDedup over the same drops") {
+    import graft.operators.IncrementalDedup
+    import org.apache.spark.sql.functions.col
+    val b1 = Seq(StreamingOps.Doc(2L, "A", "alpha-copy"),
+      StreamingOps.Doc(1L, "A", "alpha"), StreamingOps.Doc(3L, "B", "beta"))
+    val b2 = Seq(StreamingOps.Doc(4L, "A", "alpha-again"),
+      StreamingOps.Doc(5L, "C", "gamma"), StreamingOps.Doc(6L, "C", "gamma-copy"))
+    // batch side: admit drop 1 against an empty index, fold it in, admit drop 2
+    val empty = IncrementalDedup.buildIndex(b1.take(0).toDF(), col("fingerprint"))
+    val a1 = IncrementalDedup.admit(b1.toDF(), empty, col("fingerprint"), col("doc_id"))
+    val a2 = IncrementalDedup.admit(b2.toDF(),
+      IncrementalDedup.updatedIndex(empty, a1), col("fingerprint"), col("doc_id"))
+    val batchIds = (a1.select("doc_id").union(a2.select("doc_id")))
+      .as[Long].collect().toSet
+    // stream side: same two drops as micro-batches through the state store
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("docs_inc_stream")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("fingerprint", StringType),
+      StructField("text", StringType)))
+    def dropFile(name: String, rows: Seq[StreamingOps.Doc]): Unit = {
+      val tmp = Files.createTempDirectory("docs_inc_tmp")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    dropFile("b1.parquet", b1)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString).as[StreamingOps.Doc]
+    val q = StreamingOps.dedupDocsStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("inc_twin")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_it").toString)
+      .start()
+    q.processAllAvailable()
+    dropFile("b2.parquet", b2)
+    q.processAllAvailable()
+    q.stop()
+    val streamIds = spark.table("inc_twin").select("doc_id").as[Long].collect().toSet
+    assert(streamIds == batchIds && batchIds == Set(1L, 3L, 5L))
+  }
+
   test("dedupUrlsStream emits one row per canonical URL across micro-batches") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("urls_stream")
