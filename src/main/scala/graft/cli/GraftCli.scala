@@ -343,6 +343,50 @@ object GraftCli {
           val total = back.count()
           val kept = back.where(col("url_survivor")).count()
           println(s"url-dedup: $total rows, $kept canonical survivors -> $outDir")
+        case "admit" :: inPath :: indexDir :: outDir :: idCol :: textCol :: Nil =>
+          // incremental corpus admission: dedup a new batch against the
+          // persisted fingerprint index (creating it on first run), write
+          // the admitted rows and the FOLDED index back — the
+          // continuous-crawl loop surface (IncrementalDedup)
+          import org.apache.spark.sql.functions.{col, md5}
+          val fp = md5(col(textCol))
+          val batch = spark.read.parquet(inPath)
+          val indexExists = new java.io.File(indexDir).exists()
+          val index =
+            if (indexExists) spark.read.parquet(indexDir)
+            else graft.operators.IncrementalDedup.buildIndex(batch.limit(0), fp)
+          val admitted = graft.operators.IncrementalDedup
+            .admit(batch, index, fp, col(idCol)).localCheckpoint()
+          admitted.write.mode("overwrite").parquet(outDir)
+          // write-then-swap: the new index replaces the old only after a
+          // complete write, so a killed run never truncates admission state
+          val next = s"$indexDir.next"
+          graft.operators.IncrementalDedup.updatedIndex(index, admitted)
+            .write.mode("overwrite").parquet(next)
+          if (indexExists) {
+            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(indexDir))
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.delete(p))
+            finally walk.close()
+          }
+          java.nio.file.Files.move(java.nio.file.Paths.get(next),
+            java.nio.file.Paths.get(indexDir))
+          val nIdx = spark.read.parquet(indexDir).count()
+          println(s"admit: ${batch.count()} in batch, ${admitted.count()} admitted " +
+            s"-> $outDir; index now $nIdx fingerprints -> $indexDir")
+        case "extract" :: inPath :: outDir :: idCol :: textCol :: rest =>
+          // within-document content extraction by line density (zero-shuffle
+          // codegen'd projection; TextPipeline.extractContent)
+          import org.apache.spark.sql.functions.{col, sum}
+          val minLen = rest.headOption.map(_.toInt).getOrElse(30)
+          val minPct = rest.drop(1).headOption.map(_.toInt).getOrElse(50)
+          graft.operators.TextPipeline.extractContent(
+              spark.read.parquet(inPath), col(idCol), col(textCol), minLen, minPct)
+            .write.mode("overwrite").parquet(outDir)
+          val s = spark.read.parquet(outDir)
+            .agg(sum(col("n_kept")), sum(col("n_total"))).collect()(0)
+          println(s"extract: kept ${s.getLong(0)} of ${s.getLong(1)} lines " +
+            s"(minLen=$minLen, minAlnumPct=$minPct) -> $outDir")
         case "pipeline" :: warcGlob :: workDir :: rest =>
           // end-to-end crawl curation (WARC -> ... -> packed sequences),
           // sequenced through parquet checkpoints — see CrawlPipeline
@@ -432,6 +476,8 @@ object GraftCli {
               "links <warcGlob> <outDir> [maxPayloadBytes] | " +
               "quantile <sfDir> <table> <col> [subBits] | " +
               "url-dedup <in> <outDir> <urlCol> <idCol> | stress <sfDir> <workDir> [factor] | " +
+              "admit <in> <indexDir> <outDir> <idCol> <textCol> | " +
+              "extract <in> <outDir> <idCol> <textCol> [minLen minAlnumPct] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | " +
               "pipeline <warcGlob> <workDir> [agent] [capacity] | reset <workDir>")
