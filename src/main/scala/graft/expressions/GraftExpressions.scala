@@ -618,3 +618,53 @@ case class ContentExtract(child: Expression, minLen: Int, minAlnumPct: Int)
   override protected def withNewChildInternal(newChild: Expression): ContentExtract =
     copy(child = newChild)
 }
+
+object SigMatchCountImpl {
+  /** Positions where two equal-length long arrays agree — the signature-
+    * space similarity kernel: for MinHash signatures, matches/k is the
+    * standard unbiased Jaccard estimate; for the banded arrays produced by
+    * DedupOps.bands (hashes seeded by band index), `count >= 1` is exactly
+    * "shares a band at the same position". Single pass, exact integers.
+    */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"sig_match_count needs equal-length arrays, got $n vs ${b.numElements()}")
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** graft_sig_match_count(a, b): number of positions where two equal-length
+  * array<bigint> values agree. Codegen'd single static call, no lambda
+  * interpreter frames — the comparison kernel for signature-space near-dup
+  * (matches/k estimates Jaccard) and positional band overlap.
+  */
+case class SigMatchCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_sig_match_count requires two array<bigint> arguments, got $l and $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigMatchCountImpl.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.SigMatchCountImpl.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatchCount =
+    copy(left = newLeft, right = newRight)
+}

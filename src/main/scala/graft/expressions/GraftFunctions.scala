@@ -98,6 +98,12 @@ object GraftFunctions {
           intArg("graft_extract_content")(args(1)),
           intArg("graft_extract_content")(args(2)))
       }),
+    ("graft_sig_match_count",
+      new ExpressionInfo(classOf[SigMatchCount].getName, "graft_sig_match_count"),
+      (args: Seq[Expression]) => {
+        arity("graft_sig_match_count", args, 2)
+        SigMatchCount(args(0), args(1))
+      }),
     ("graft_l2sq_distances",
       new ExpressionInfo(classOf[L2SqDistances].getName, "graft_l2sq_distances"),
       (args: Seq[Expression]) => {
@@ -152,6 +158,8 @@ object GraftFunctions {
   def aHashBands(payload: Column): Column = exprCol(BlockAHash(expr(payload)))
   def extractContent(text: Column, minLen: Int, minAlnumPct: Int): Column =
     exprCol(ContentExtract(expr(text), minLen, minAlnumPct))
+  def sigMatchCount(a: Column, b: Column): Column =
+    exprCol(SigMatchCount(expr(a), expr(b)))
 }
 
 /** `SparkSessionExtensions` injector — the deployment-grade registration

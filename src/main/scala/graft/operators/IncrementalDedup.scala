@@ -65,4 +65,97 @@ object IncrementalDedup {
     */
   def updatedIndex(index: DataFrame, admitted: DataFrame): DataFrame =
     index.select(col("fp")).union(admitted.select(col("fp"))).distinct()
+
+  // ------------------------------------------------------- near-dup variant
+
+  /** MinHash signature index of an already-admitted corpus: (id, sig) with
+    * sig = array<bigint> of length k — the state a 100 TB crawl can
+    * actually persist for NEAR-dup admission (k longs per document; the
+    * shingle sets themselves never need to be stored or recomputed).
+    * Similarity is measured in signature space throughout this family:
+    * matches/k (graft_sig_match_count) is the standard unbiased Jaccard
+    * estimate, deterministic given the signatures.
+    */
+  def buildSigIndex(df: DataFrame, idCol: Column, textCol: Column,
+      shingleWords: Int = 3, k: Int = 32): DataFrame =
+    df.select(idCol.as("id"),
+      graft.expressions.GraftFunctions
+        .minhashSig(textCol, shingleWords, k).as("sig"))
+
+  /** The signature index after folding in an `admitNearDup` result (which
+    * carries `id` and `sig`).
+    */
+  def updatedSigIndex(sigIndex: DataFrame, admitted: DataFrame): DataFrame =
+    sigIndex.select(col("id"), col("sig"))
+      .unionByName(admitted.select(col("id"), col("sig")))
+
+  /** NEAR-dup incremental admission: reject batch documents whose signature
+    * similarity to an already-admitted document reaches `minMatches` of `k`
+    * (e.g. 26/32 ≈ Jaccard 0.8), then keep one representative (min id) per
+    * near-dup cluster WITHIN the surviving batch. Candidate generation is
+    * LSH banding on both steps — the only pairs ever scored are band
+    * collisions, so the work is near-linear in the batch; the admission
+    * contract is therefore "banded candidates scored exactly in signature
+    * space" (an LSH band miss can admit a borderline pair — the standard
+    * recall trade every production near-dedup makes; exact duplicates can
+    * NEVER slip through, since identical signatures collide in every band).
+    *
+    * Scale shape: bands of the (small) batch join bands of the (large)
+    * index on (band position, band hash) — an equi-join whose index side
+    * can be bucketed by band hash on disk; signatures are re-attached only
+    * to surviving candidates. Within-batch clustering runs star-contraction
+    * over the batch's own collision graph. History work is O(batch
+    * collisions), never O(corpus).
+    *
+    * @return the admitted rows (all caller columns + `sig`); fold them into
+    *         the index with [[updatedSigIndex]].
+    */
+  def admitNearDup(batch: DataFrame, sigIndex: DataFrame, idCol: String,
+      textCol: String, shingleWords: Int = 3, k: Int = 32, nBands: Int = 8,
+      minMatches: Int = 26): DataFrame = {
+    require(k % nBands == 0, s"k must split into bands, got k=$k bands=$nBands")
+    require(minMatches >= 1 && minMatches <= k,
+      s"minMatches in [1,$k], got $minMatches")
+    val cols = batch.columns
+    val bs = batch.select(
+      struct(cols.map(col): _*).as("__row"), col(idCol).as("id"),
+      graft.expressions.GraftFunctions
+        .minhashSig(col(textCol), shingleWords, k).as("sig"))
+    def explodeBands(df: DataFrame): DataFrame =
+      df.select(col("id"),
+        posexplode(DedupOps.bands(col("sig"), nBands, k / nBands))
+          .as(Seq("band_idx", "band_hash")))
+    val simOk = graft.expressions.GraftFunctions
+      .sigMatchCount(col("sig_a"), col("sig_b")) >= minMatches
+
+    // cross step: batch band -> index band, exact signature score on the
+    // collisions only; one distinct id set of rejected batch docs
+    val bBands = explodeBands(bs)
+      .select(col("id").as("bid"), col("band_idx"), col("band_hash"))
+    val iBands = explodeBands(sigIndex)
+      .select(col("id").as("iid"), col("band_idx"), col("band_hash"))
+    val rejected = bBands.join(iBands, Seq("band_idx", "band_hash"))
+      .select(col("bid"), col("iid")).distinct()
+      .join(bs.select(col("id").as("bid"), col("sig").as("sig_a")), Seq("bid"))
+      .join(sigIndex.select(col("id").as("iid"), col("sig").as("sig_b")), Seq("iid"))
+      .where(simOk)
+      .select(col("bid").as("id")).distinct()
+    val survivors = bs.join(rejected, Seq("id"), "left_anti")
+
+    // within-batch step: collision graph among survivors, min-id per cluster
+    val sBands = explodeBands(survivors)
+    val pairs = sBands.alias("a")
+      .join(sBands.alias("b"), Seq("band_idx", "band_hash"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .where(col("id_a") < col("id_b")).distinct()
+      .join(survivors.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(survivors.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .where(simOk)
+      .select(col("id_a"), col("id_b"))
+    val comps = DedupClusters.connectedComponentsStars(
+      survivors.select(col("id")), pairs, "id")
+    survivors.join(comps, Seq("id"))
+      .where(col("id") === col("component"))
+      .select(col("id") +: col("sig") +: cols.map(c => col(s"__row.$c").as(c)): _*)
+  }
 }

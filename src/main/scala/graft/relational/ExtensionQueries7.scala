@@ -2,6 +2,7 @@ package graft.relational
 
 import graft.core.{GraftQuery, Tables}
 import graft.operators.{IncrementalDedup, QuantileHist, TextAnalysis, TextPipeline}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Round-10 wave: incremental corpus admission against a persisted
@@ -130,6 +131,71 @@ object ExtensionQueries7 {
         "projection (graft_extract_content): no explode, no reassembly " +
         "shuffle, no corpus statistics — the per-page complement of the " +
         "cross-corpus boilerplate removers (t53/t85)."
+    ),
+    // --------------------------------------------------------------- t104
+    GraftQuery(
+      "t104_neardup_admission_gate",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val indexDocs = docs.where($"doc_id" % 3 === 0)
+        val batch = docs.where($"doc_id" % 3 =!= 0)
+        val sigIndex = IncrementalDedup
+          .buildSigIndex(indexDocs, $"doc_id", $"text").localCheckpoint()
+        val admitted = IncrementalDedup
+          .admitNearDup(batch, sigIndex, "doc_id", "text").localCheckpoint()
+        // spec twin, brute force end to end: score EVERY batch x index pair
+        // (positional band share via the same banded predicate, exact
+        // signature match count), derive the expected survivor set, then
+        // re-cluster the survivors over an ALL-pairs collision graph with
+        // the label-propagation components implementation (the operator
+        // uses star contraction — independently gated by t26/t32) and keep
+        // each cluster's min id. The operator's admitted set must equal
+        // this spec EXACTLY — one id off in either direction is a red row.
+        val sigs = graft.expressions.GraftFunctions.minhashSig($"text", 3, 32)
+        def withBands(df: org.apache.spark.sql.DataFrame, p: String) =
+          df.select($"id".as(s"${p}id"), $"sig".as(s"${p}sig"),
+            graft.operators.DedupOps.bands($"sig", 8, 4).as(s"${p}bands"))
+        val bSig = batch.select($"doc_id".as("id"), sigs.as("sig"))
+        val sharesBand = (a: String, b: String) =>
+          graft.expressions.GraftFunctions
+            .sigMatchCount(col(s"${a}bands"), col(s"${b}bands")) >= 1
+        val scoreOk = (a: String, b: String) =>
+          graft.expressions.GraftFunctions
+            .sigMatchCount(col(s"${a}sig"), col(s"${b}sig")) >= 26
+        val bruteRejected = withBands(bSig, "b")
+          .crossJoin(broadcast(withBands(sigIndex, "i")))
+          .where(sharesBand("b", "i") && scoreOk("b", "i"))
+          .select($"bid".as("id")).distinct()
+        val expSurvivors = bSig.join(bruteRejected, Seq("id"), "left_anti")
+        val expPairs = withBands(expSurvivors, "a")
+          .crossJoin(broadcast(withBands(expSurvivors, "z")))
+          .where($"aid" < $"zid" && sharesBand("a", "z") && scoreOk("a", "z"))
+          .select($"aid".as("id_a"), $"zid".as("id_b"))
+        val expComps = graft.operators.DedupClusters.connectedComponents(
+          expSurvivors.select($"id"), expPairs, "id")
+        val expAdmitted = expComps.where($"id" === $"component").select($"id")
+        val got = admitted.select($"id")
+        val viol = got.exceptAll(expAdmitted)
+          .select($"id".as("id_a"), lit(-1L).as("id_b"),
+            lit("admitted_not_in_spec").as("reason"))
+          .unionAll(expAdmitted.exceptAll(got)
+            .select($"id".as("id_a"), lit(-1L).as("id_b"),
+              lit("spec_not_admitted").as("reason")))
+        val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
+        viol.unionAll(sentinel).orderBy($"id_a", $"id_b", $"reason")
+      },
+      Some("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"),
+      doc = "NEAR-dup incremental admission gate: admitNearDup (banded " +
+        "LSH candidates, exact signature scoring, star-contraction batch " +
+        "clusters, min-id representatives) must produce EXACTLY the " +
+        "admitted set that the brute-force spec derives by scoring every " +
+        "batch x index and survivor x survivor pair and re-clustering with " +
+        "the independent label-propagation components implementation. " +
+        "Violations + sentinel, constant oracle. Proves the banded " +
+        "equi-joins implement the candidate spec losslessly and exact " +
+        "duplicates can never slip past the index.",
+      gate = true
     )
   )
 }

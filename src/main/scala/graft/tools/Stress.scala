@@ -729,6 +729,36 @@ object Stress {
       check(ceRows == nDocs, s"extraction must preserve cardinality ($ceRows of $nDocs)")
       check(ceChromeOk, "all three chrome lines must be dropped on every page")
 
+      // ---- NEAR-dup admission at factor scale: signature-index state only
+      // (k longs/doc), banded candidate generation; exact text copies of
+      // indexed docs can never leak through (identical sig collides in
+      // every band), and the admitted set is partitioning-invariant
+      val ((ndBatch, ndAdmitted, ndExactLeaks, ndRepartDiff), tNd) = timed {
+        val idxDocs = docs.where(col("doc_id") % 2 === 0)
+        val bt = docs.where(col("doc_id") % 2 =!= 0)
+        val sigIdx = graft.operators.IncrementalDedup
+          .buildSigIndex(idxDocs, col("doc_id"), col("text")).localCheckpoint()
+        val adm = graft.operators.IncrementalDedup
+          .admitNearDup(bt, sigIdx, "doc_id", "text").localCheckpoint()
+        val idxHashes = idxDocs.select(md5(col("text")).as("h")).distinct()
+        val leaks = adm.select(md5(col("text")).as("h")).join(idxHashes, Seq("h")).count()
+        val adm2 = graft.operators.IncrementalDedup
+          .admitNearDup(bt.repartition(7, col("source")), sigIdx, "doc_id", "text")
+          .select(col("id"))
+        val a1 = adm.select(col("id"))
+        (bt.count(), adm.count(), leaks,
+          a1.exceptAll(adm2).count() + adm2.exceptAll(a1).count())
+      }
+      println(j("stage" -> "neardup_admission", "seconds" -> tNd,
+        "batch" -> ndBatch, "admitted" -> ndAdmitted,
+        "exact_leaks" -> ndExactLeaks, "repartition_diff" -> ndRepartDiff))
+      check(ndAdmitted <= ndBatch && ndAdmitted > 0,
+        s"near-dup admission out of range ($ndAdmitted of $ndBatch)")
+      check(ndExactLeaks == 0,
+        s"exact copies of indexed docs leaked through ($ndExactLeaks)")
+      check(ndRepartDiff == 0,
+        s"admitted set must be partitioning-invariant ($ndRepartDiff rows differ)")
+
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
       failures.foreach(f => System.err.println(s"[stress] FAILED: $f"))

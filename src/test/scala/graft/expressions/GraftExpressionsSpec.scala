@@ -319,6 +319,27 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(err.getMessage.contains("minAlnumPct") || err.getMessage.contains("[0,100]"))
   }
 
+  test("SigMatchCount matches the HOF zip_with formulation; length mismatch throws; SQL-registered") {
+    val docs = Tables.documents(spark, sf0001).limit(80)
+    val sigs = docs.select(
+      GraftFunctions.minhashSig($"text", 3, 32).as("a"),
+      GraftFunctions.minhashSig(concat($"text", lit(" tail tokens here")), 3, 32).as("b"))
+    val mismatches = sigs.select(
+        GraftFunctions.sigMatchCount($"a", $"b").as("native"),
+        aggregate(zip_with($"a", $"b", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatches == 0)
+    val err = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+        .select(GraftFunctions.sigMatchCount($"a", $"b")).collect()
+    }
+    assert(err.getMessage.contains("equal-length") || err.getCause != null)
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_sig_match_count(array(1L,2L,3L), array(1L,9L,3L))")
+      .as[Int].collect()(0) == 2)
+  }
+
   test("normalizeText: NFC + control/format strip + whitespace collapse, golden") {
     // "hea"+COMBINING ACUTE -> composes; ZWSP and BEL strip; VT strips
     // (word fuses); tab and double spaces collapse; ends trim

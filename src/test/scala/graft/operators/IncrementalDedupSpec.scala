@@ -39,6 +39,35 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(idx1.columns.toSeq == Seq("fp") && idx1.count() == 3)
   }
 
+  test("admitNearDup: exact and near copies of indexed docs are rejected, novel docs pass") {
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    val near = base.replace("today", "again") // 1 of ~12 shingles differs
+    val novel = "completely different subject matter entirely about ships and the open sea voyage"
+    val idx = IncrementalDedup.buildSigIndex(
+      Seq((1L, base)).toDF("doc_id", "text"), col("doc_id"), col("text"))
+    val batch = Seq((10L, base), (11L, near), (12L, novel)).toDF("doc_id", "text")
+    val got = IncrementalDedup.admitNearDup(batch, idx, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(12L))
+  }
+
+  test("admitNearDup: within-batch clusters collapse to the min id; sig rides the output") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val idx = IncrementalDedup.buildSigIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), col("doc_id"), col("text"))
+    val batch = Seq((7L, a), (3L, a), (9L, a + " omicron extra tail"),
+      (5L, "unrelated words entirely and some more of them here to make shingles"))
+      .toDF("doc_id", "text")
+    val out = IncrementalDedup.admitNearDup(batch, idx, "doc_id", "text")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(3L) && !ids.contains(7L), s"min id must win its cluster: $ids")
+    assert(ids.contains(5L))
+    assert(out.columns.contains("sig") && out.columns.contains("id"))
+    // folding admitted into the index blocks the whole batch next time
+    val idx2 = IncrementalDedup.updatedSigIndex(idx, out)
+    assert(IncrementalDedup.admitNearDup(batch, idx2, "doc_id", "text").count() == 0)
+  }
+
   test("two sequential batches equal one-shot dedup of their union (same order)") {
     val docs = Seq(
       (1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"), (5L, "b"), (6L, "d"))

@@ -237,6 +237,25 @@ class PlanShapeSpec extends SparkSpec {
       s"window must consume the aggregated sketch (win@$winIdx, agg@$aggIdx)\n${p.take(1500)}")
   }
 
+  test("admitNearDup operator core: banded equi-joins and an anti-join, no cartesian") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the t104 GATE deliberately cross-joins (brute-force spec twin), so
+    // shape-check the OPERATOR plan directly: cross/rejection candidates
+    // must flow through (band_idx, band_hash) equi-joins, history leaves by
+    // anti-join, and nothing plans as a cartesian product
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val idx = graft.operators.IncrementalDedup.buildSigIndex(
+      docs.where($"doc_id" % 3 === 0), $"doc_id", $"text")
+    val out = graft.operators.IncrementalDedup.admitNearDup(
+      docs.where($"doc_id" % 3 =!= 0), idx, "doc_id", "text")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("band_hash"), p.take(1500))
+  }
+
   test("t89 HITS half-step: score push is an equi-join + partial aggregation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
