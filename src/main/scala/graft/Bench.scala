@@ -145,53 +145,72 @@ object Bench {
     // shared box degrades one pass of several queries — which the per-query
     // median then discards — instead of all passes of a single query.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    // 720 s (was 480): at 142 registry queries the 480 s budget cut pass 3,
+    // leaving 2-sample "medians" that are really AVERAGES - one GC/JIT spike
+    // (observed: an isolated 35 s t53 sample in an otherwise-3.8 s query)
+    // then lands undamped in the driver record. Three passes of the
+    // non-gate flow must fit, because the median's whole job here is
+    // discarding exactly those spikes.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "720").toDouble
     val t0 = System.nanoTime()
     def spent: Double = (System.nanoTime() - t0) / 1e9
+    // Gates (verification rows that deliberately double-compute) run ONCE,
+    // LAST, and budget-exempt: they are coverage-mandatory in the record,
+    // but their wall time measures the verification harness, and the JVM
+    // churn a ~2-minute gate block causes (GC backlog, JIT recompilation)
+    // must land AFTER every graded operator sample, not between the
+    // operator passes whose medians the driver grades.
+    val (gateQs, flowQs) = ordered.partition { case (name, _) => gateNames.contains(name) }
+    var completed = 0
+    def timeOne(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        pass: Int): Unit = {
+      val q0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name pass $pass FAILED: $e"); false
+        }
+      val sec = (System.nanoTime() - q0) / 1e9
+      if (ok) samples(name) = samples(name) :+ sec else failed += name
+      completed += 1
+      System.err.println(f"p$pass ${name.takeWhile(_ != '_')} $sec%.2f${if (ok) "" else " FAIL"}")
+      // Keep the tail-resident contract line current: during pass 1
+      // refresh after EVERY query (a kill at any point then loses
+      // nothing already timed - printing ~1.8k chars costs microseconds
+      // against sub-second queries); later passes only refine medians,
+      // so every 8th keeps the stderr/stdout interleave quieter.
+      if (pass == 1 || completed % 8 == 0) emitContract()
+    }
     var pass = 1
     var stopped = false
-    var completed = 0
     while (pass <= passes && !stopped) {
-      for ((name, fn) <- ordered if !stopped) {
+      for ((name, fn) <- flowQs if !stopped) {
         // Pass 1 always completes (full per-query coverage in the contract
         // line); later passes only refine medians, so the budget may cut
         // them between queries.
         if (pass > 1 && spent > budget) {
-          System.err.println(f"[bench] budget ${budget}%.0f s spent after $spent%.1f s — reporting ${pass - 1} full passes")
+          System.err.println(f"[bench] budget ${budget}%.0f s spent after $spent%.1f s - reporting ${pass - 1} full passes")
           stopped = true
-        } else if (pass == 1 || !gateNames.contains(name)) {
-          val q0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name pass $pass FAILED: $e"); false
-            }
-          val sec = (System.nanoTime() - q0) / 1e9
-          if (ok) samples(name) = samples(name) :+ sec else failed += name
-          completed += 1
-          System.err.println(f"p$pass ${name.takeWhile(_ != '_')} $sec%.2f${if (ok) "" else " FAIL"}")
-          // Keep the tail-resident contract line current: during pass 1
-          // refresh after EVERY query (a kill at any point then loses
-          // nothing already timed — printing ~1.8k chars costs microseconds
-          // against sub-second queries); later passes only refine medians,
-          // so every 8th keeps the stderr/stdout interleave quieter.
-          if (pass == 1 || completed % 8 == 0) emitContract()
-        }
+        } else timeOne(name, fn, pass)
       }
-      emitDetail(pass)
+      emitDetail(math.min(pass, passes))
       emitContract()
       // Spark's ContextCleaner reclaims shuffle files and broadcast blocks
-      // via weak references — after ~100 queries in one JVM the backlog only
+      // via weak references - after ~100 queries in one JVM the backlog only
       // drains on a full GC, and letting it pile up taxes the heavy tail
       // queries of the NEXT pass. One explicit collection per pass keeps the
       // passes comparable (local mode; this JVM is the whole cluster).
       System.gc()
       if (!stopped && spent > budget && pass < passes) {
-        System.err.println(f"[bench] budget ${budget}%.0f s spent after pass $pass ($spent%.1f s) — stopping")
+        System.err.println(f"[bench] budget ${budget}%.0f s spent after pass $pass ($spent%.1f s) - stopping")
         stopped = true
       }
       pass += 1
     }
+    gateQs.foreach { case (name, fn) => timeOne(name, fn, pass = 1) }
+    emitDetail(math.min(pass - 1, passes))
+    emitContract()
     spark.stop()
   }
 }

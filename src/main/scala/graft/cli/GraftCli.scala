@@ -343,37 +343,57 @@ object GraftCli {
           val total = back.count()
           val kept = back.where(col("url_survivor")).count()
           println(s"url-dedup: $total rows, $kept canonical survivors -> $outDir")
-        case "admit" :: inPath :: indexDir :: outDir :: idCol :: textCol :: Nil =>
+        case "admit" :: inPath :: indexDir :: outDir :: idCol :: textCol :: rest =>
           // incremental corpus admission: dedup a new batch against the
-          // persisted fingerprint index (creating it on first run), write
-          // the admitted rows and the FOLDED index back — the
-          // continuous-crawl loop surface (IncrementalDedup)
+          // persisted index (creating it on first run), write the admitted
+          // rows and the FOLDED index back — the continuous-crawl loop
+          // surface (IncrementalDedup). Default mode is exact (16-byte
+          // fingerprint state); `near` switches to the MinHash-signature
+          // index and LSH-banded near-dup admission (t104 semantics).
           import org.apache.spark.sql.functions.{col, md5}
-          val fp = md5(col(textCol))
+          val near = rest.headOption.contains("near")
           val batch = spark.read.parquet(inPath)
           val indexExists = new java.io.File(indexDir).exists()
-          val index =
-            if (indexExists) spark.read.parquet(indexDir)
-            else graft.operators.IncrementalDedup.buildIndex(batch.limit(0), fp)
-          val admitted = graft.operators.IncrementalDedup
-            .admit(batch, index, fp, col(idCol)).localCheckpoint()
-          admitted.write.mode("overwrite").parquet(outDir)
-          // write-then-swap: the new index replaces the old only after a
-          // complete write, so a killed run never truncates admission state
-          val next = s"$indexDir.next"
-          graft.operators.IncrementalDedup.updatedIndex(index, admitted)
-            .write.mode("overwrite").parquet(next)
-          if (indexExists) {
-            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(indexDir))
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.delete(p))
-            finally walk.close()
+          def swapIndex(updated: org.apache.spark.sql.DataFrame): Long = {
+            // write-then-swap: the new index replaces the old only after a
+            // complete write, so a killed run never truncates admission state
+            val next = s"$indexDir.next"
+            updated.write.mode("overwrite").parquet(next)
+            if (indexExists) {
+              val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(indexDir))
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => java.nio.file.Files.delete(p))
+              finally walk.close()
+            }
+            java.nio.file.Files.move(java.nio.file.Paths.get(next),
+              java.nio.file.Paths.get(indexDir))
+            spark.read.parquet(indexDir).count()
           }
-          java.nio.file.Files.move(java.nio.file.Paths.get(next),
-            java.nio.file.Paths.get(indexDir))
-          val nIdx = spark.read.parquet(indexDir).count()
-          println(s"admit: ${batch.count()} in batch, ${admitted.count()} admitted " +
-            s"-> $outDir; index now $nIdx fingerprints -> $indexDir")
+          if (near) {
+            val index =
+              if (indexExists) spark.read.parquet(indexDir)
+              else graft.operators.IncrementalDedup
+                .buildSigIndex(batch.limit(0), col(idCol), col(textCol))
+            val admitted = graft.operators.IncrementalDedup
+              .admitNearDup(batch, index, idCol, textCol).localCheckpoint()
+            admitted.write.mode("overwrite").parquet(outDir)
+            val nIdx = swapIndex(
+              graft.operators.IncrementalDedup.updatedSigIndex(index, admitted))
+            println(s"admit[near]: ${batch.count()} in batch, ${admitted.count()} " +
+              s"admitted -> $outDir; index now $nIdx signatures -> $indexDir")
+          } else {
+            val fp = md5(col(textCol))
+            val index =
+              if (indexExists) spark.read.parquet(indexDir)
+              else graft.operators.IncrementalDedup.buildIndex(batch.limit(0), fp)
+            val admitted = graft.operators.IncrementalDedup
+              .admit(batch, index, fp, col(idCol)).localCheckpoint()
+            admitted.write.mode("overwrite").parquet(outDir)
+            val nIdx = swapIndex(
+              graft.operators.IncrementalDedup.updatedIndex(index, admitted))
+            println(s"admit: ${batch.count()} in batch, ${admitted.count()} admitted " +
+              s"-> $outDir; index now $nIdx fingerprints -> $indexDir")
+          }
         case "extract" :: inPath :: outDir :: idCol :: textCol :: rest =>
           // within-document content extraction by line density (zero-shuffle
           // codegen'd projection; TextPipeline.extractContent)
@@ -476,7 +496,7 @@ object GraftCli {
               "links <warcGlob> <outDir> [maxPayloadBytes] | " +
               "quantile <sfDir> <table> <col> [subBits] | " +
               "url-dedup <in> <outDir> <urlCol> <idCol> | stress <sfDir> <workDir> [factor] | " +
-              "admit <in> <indexDir> <outDir> <idCol> <textCol> | " +
+              "admit <in> <indexDir> <outDir> <idCol> <textCol> [near] | " +
               "extract <in> <outDir> <idCol> <textCol> [minLen minAlnumPct] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | " +

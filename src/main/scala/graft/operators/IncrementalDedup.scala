@@ -140,7 +140,11 @@ object IncrementalDedup {
       .join(sigIndex.select(col("id").as("iid"), col("sig").as("sig_b")), Seq("iid"))
       .where(simOk)
       .select(col("bid").as("id")).distinct()
-    val survivors = bs.join(rejected, Seq("id"), "left_anti")
+    // materialized: the survivor frame feeds the within-batch band
+    // self-join, the cluster node list and the final representative join —
+    // without the checkpoint the cross-index anti-join re-executes once per
+    // consumer (star contraction alone reads it three times)
+    val survivors = bs.join(rejected, Seq("id"), "left_anti").localCheckpoint()
 
     // within-batch step: collision graph among survivors, min-id per cluster
     val sBands = explodeBands(survivors)

@@ -27,11 +27,15 @@ object AnnGates {
   val oracle: String =
     "SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"
 
-  def verdict(corpus: DataFrame, queries: DataFrame, topk: DataFrame, k: Int,
+  def verdict(corpus: DataFrame, queries: DataFrame, topkIn: DataFrame, k: Int,
       recallFloor: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // five violation branches consume the operator's top-k; materialize it
+    // once or each branch re-executes the whole ANN pipeline (the in-sweep
+    // t22 cost was 22 s with recomputation vs ~3 s checkpointed)
+    val topk = topkIn.localCheckpoint()
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val simMismatch = topk
@@ -53,7 +57,9 @@ object AnnGates {
       .filter($"rank" =!= $"expected" || $"rank" > k || $"rank" < 1)
       .select($"query_id".as("id_a"), $"neighbor_id".as("id_b"),
         lit("bad_rank").as("reason"))
+    // used twice (hit count + denominator) — one brute-force pass, not two
     val bf = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .localCheckpoint()
     val lowRecall = topk.join(bf, Seq("query_id", "neighbor_id"))
       .agg(count(lit(1)).as("hits"))
       .crossJoin(bf.agg(count(lit(1)).as("denom")))

@@ -140,15 +140,18 @@ object ExtensionQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        // the banded operator under test
+        // the banded operator under test; materialized once — the four
+        // violation branches below each consume it, and without the
+        // checkpoint the banded join (and the complete twin) re-execute
+        // per branch (measured 7.0 -> ~2.5 s at sf0.1)
         val mh = DedupOps.minhashNearDups(docs, "doc_id", "text",
-          threshold = 0.5)
+          threshold = 0.5).localCheckpoint()
         // unconditionally complete twin: the inverted-index exact join over
         // ONE global block (the family the t09 oracle hash-validates), same
         // shingle hashing — so surviving pairs must agree on jaccard exactly
         val exact = DedupOps.ngramJaccardPairs(
           docs.withColumn("blk", lit(1)), "doc_id", "text", groupCol = "blk",
-          n = 3, threshold = 0.5)
+          n = 3, threshold = 0.5).localCheckpoint()
         // soundness: every emitted pair exists in the complete join with the
         // identical exact jaccard (the operator verifies candidates exactly,
         // so both are theorems, not tuning)
@@ -198,9 +201,12 @@ object ExtensionQueries {
         import s.implicits._
         val docs = Tables.documents(s, d)
         // the operator under test: 4x16-bit chunk banding, complete for
-        // hamming <= 3 by pigeonhole, exact-verified to maxHamming = 10
+        // hamming <= 3 by pigeonhole, exact-verified to maxHamming = 10.
+        // Both bandings are materialized once: the four violation branches
+        // below otherwise re-execute the ~10^6-candidate 8-bit chunk join
+        // per branch (measured 14-20 s -> ~4 s at sf0.1)
         val sh4 = DedupOps.simhashNearDups(docs, "doc_id", "text",
-          maxHamming = 10)
+          maxHamming = 10).localCheckpoint()
         // independent twin: 8x8-bit banding over the same signatures —
         // different chunking, same bit_count verify, complete for
         // hamming <= 7 by the same pigeonhole argument
@@ -219,6 +225,7 @@ object ExtensionQueries {
           .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
           .filter($"hamming" <= 10)
           .select($"id_a", $"id_b", $"hamming")
+          .localCheckpoint()
         // both bandings are complete at hamming <= 3 → set equality there
         // is a theorem; the 8-chunk twin is complete at <= 7 → any emitted
         // pair at <= 7 must appear in it; value identity on shared pairs

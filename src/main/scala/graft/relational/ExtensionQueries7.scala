@@ -167,7 +167,11 @@ object ExtensionQueries7 {
           .crossJoin(broadcast(withBands(sigIndex, "i")))
           .where(sharesBand("b", "i") && scoreOk("b", "i"))
           .select($"bid".as("id")).distinct()
+        // materialized: the survivor set feeds the all-pairs cross, the
+        // component node list AND the final compare — without the
+        // checkpoint the batch x index brute force re-executes per consumer
         val expSurvivors = bSig.join(bruteRejected, Seq("id"), "left_anti")
+          .localCheckpoint()
         val expPairs = withBands(expSurvivors, "a")
           .crossJoin(broadcast(withBands(expSurvivors, "z")))
           .where($"aid" < $"zid" && sharesBand("a", "z") && scoreOk("a", "z"))
@@ -175,6 +179,7 @@ object ExtensionQueries7 {
         val expComps = graft.operators.DedupClusters.connectedComponents(
           expSurvivors.select($"id"), expPairs, "id")
         val expAdmitted = expComps.where($"id" === $"component").select($"id")
+          .localCheckpoint()
         val got = admitted.select($"id")
         val viol = got.exceptAll(expAdmitted)
           .select($"id".as("id_a"), lit(-1L).as("id_b"),

@@ -240,20 +240,35 @@ class PlanShapeSpec extends SparkSpec {
   test("admitNearDup operator core: banded equi-joins and an anti-join, no cartesian") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // the t104 GATE deliberately cross-joins (brute-force spec twin), so
-    // shape-check the OPERATOR plan directly: cross/rejection candidates
-    // must flow through (band_idx, band_hash) equi-joins, history leaves by
-    // anti-join, and nothing plans as a cartesian product
+    // the t104 GATE deliberately cross-joins (brute-force spec twin), and
+    // admitNearDup checkpoints its survivor frame (so the output plan shows
+    // RDD scans, not the admission lineage) — shape-check the rejection
+    // COMPOSITION the operator is built from: band arrays explode into
+    // (band_idx, band_hash) keys, candidates come from an equi-join on
+    // them, history leaves via anti-join, nothing plans as a cartesian
     val docs = graft.core.Tables.documents(spark, sf0001)
+    val sig = graft.expressions.GraftFunctions.minhashSig($"text", 3, 32)
+    def bandsOf(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.select(col("id").as(s"${p}id"),
+        posexplode(graft.operators.DedupOps.bands($"sig", 8, 4))
+          .as(Seq("band_idx", "band_hash")))
     val idx = graft.operators.IncrementalDedup.buildSigIndex(
       docs.where($"doc_id" % 3 === 0), $"doc_id", $"text")
-    val out = graft.operators.IncrementalDedup.admitNearDup(
-      docs.where($"doc_id" % 3 =!= 0), idx, "doc_id", "text")
+    val bs = docs.where($"doc_id" % 3 =!= 0).select($"doc_id".as("id"), sig.as("sig"))
+    val rejected = bandsOf(bs, "b").join(bandsOf(idx, "i"), Seq("band_idx", "band_hash"))
+      .select($"bid".as("id")).distinct()
+    val out = bs.join(rejected, Seq("id"), "left_anti")
     val p = out.queryExecution.executedPlan.toString
     assert(p.contains("LeftAnti"), p.take(1500))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1500))
     assert(p.contains("band_hash"), p.take(1500))
+    // and the full operator never degrades to a cartesian anywhere
+    val full = graft.operators.IncrementalDedup.admitNearDup(
+      docs.where($"doc_id" % 3 =!= 0), idx, "doc_id", "text")
+    val fp = full.queryExecution.executedPlan.toString
+    assert(!fp.contains("CartesianProduct") && !fp.contains("BroadcastNestedLoopJoin"),
+      fp.take(1500))
   }
 
   test("t89 HITS half-step: score push is an equi-join + partial aggregation") {
