@@ -554,28 +554,44 @@ object ContentExtractImpl {
     *
     * Returns (content, n_kept, n_total); empty input keeps its one empty
     * line only when minLen == 0 (0 >= 0 on both tests).
+    *
+    * `keepBlank` mode preserves PARAGRAPH STRUCTURE: blank (zero-length)
+    * lines are never length/density-tested; instead any run of blanks
+    * between two kept lines collapses to ONE blank separator, and
+    * leading/trailing blanks vanish. This is the mode to run BEFORE
+    * paragraph-level operators (ParagraphDedup splits on the blank-line
+    * separator) — the default mode would eat the separators and silently
+    * merge adjacent paragraphs. `n_kept` counts kept CONTENT lines in both
+    * modes (separators are structure, not content).
     */
-  def compute(s: UTF8String, minLen: Int, minAlnumPct: Int): org.apache.spark.sql.catalyst.InternalRow = {
+  def compute(s: UTF8String, minLen: Int, minAlnumPct: Int,
+      keepBlank: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     val lines = s.toString.split("\n", -1)
     val sb = new java.lang.StringBuilder
     var kept = 0L
+    var pendingBlank = false
     var li = 0
     while (li < lines.length) {
       val line = lines(li)
-      val chars = line.codePointCount(0, line.length)
-      if (chars >= minLen) {
-        var alnum = 0
-        var i = 0
-        while (i < line.length) {
-          val c = line.charAt(i)
-          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9'))
-            alnum += 1
-          i += 1
-        }
-        if (100L * alnum >= minAlnumPct.toLong * chars) {
-          if (kept > 0) sb.append('\n')
-          sb.append(line)
-          kept += 1
+      if (keepBlank && line.isEmpty) {
+        if (kept > 0) pendingBlank = true
+      } else {
+        val chars = line.codePointCount(0, line.length)
+        if (chars >= minLen) {
+          var alnum = 0
+          var i = 0
+          while (i < line.length) {
+            val c = line.charAt(i)
+            if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9'))
+              alnum += 1
+            i += 1
+          }
+          if (100L * alnum >= minAlnumPct.toLong * chars) {
+            if (kept > 0) sb.append(if (pendingBlank) "\n\n" else "\n")
+            sb.append(line)
+            kept += 1
+            pendingBlank = false
+          }
         }
       }
       li += 1
@@ -591,7 +607,8 @@ object ContentExtractImpl {
   * frames (the r9 HOF-deopt lesson). Returns
   * struct<content:string, n_kept:bigint, n_total:bigint>.
   */
-case class ContentExtract(child: Expression, minLen: Int, minAlnumPct: Int)
+case class ContentExtract(child: Expression, minLen: Int, minAlnumPct: Int,
+    keepBlank: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("content", StringType, nullable = false),
@@ -609,11 +626,11 @@ case class ContentExtract(child: Expression, minLen: Int, minAlnumPct: Int)
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(v: Any): Any =
-    ContentExtractImpl.compute(v.asInstanceOf[UTF8String], minLen, minAlnumPct)
+    ContentExtractImpl.compute(v.asInstanceOf[UTF8String], minLen, minAlnumPct, keepBlank)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.expressions.ContentExtractImpl.compute($c, $minLen, $minAlnumPct)")
+      c => s"graft.expressions.ContentExtractImpl.compute($c, $minLen, $minAlnumPct, $keepBlank)")
 
   override protected def withNewChildInternal(newChild: Expression): ContentExtract =
     copy(child = newChild)

@@ -92,12 +92,18 @@ object GraftFunctions {
         BlockAHash(arity("graft_ahash_bands", args, 1).head)),
     ("graft_extract_content",
       new ExpressionInfo(classOf[ContentExtract].getName, "graft_extract_content"),
-      (args: Seq[Expression]) => {
-        arity("graft_extract_content", args, 3)
-        ContentExtract(args(0),
-          intArg("graft_extract_content")(args(1)),
-          intArg("graft_extract_content")(args(2)))
-      }),
+      (args: Seq[Expression]) =>
+        if (args.length == 4)
+          ContentExtract(args(0),
+            intArg("graft_extract_content")(args(1)),
+            intArg("graft_extract_content")(args(2)),
+            intArg("graft_extract_content")(args(3)) != 0)
+        else {
+          arity("graft_extract_content", args, 3)
+          ContentExtract(args(0),
+            intArg("graft_extract_content")(args(1)),
+            intArg("graft_extract_content")(args(2)))
+        }),
     ("graft_sig_match_count",
       new ExpressionInfo(classOf[SigMatchCount].getName, "graft_sig_match_count"),
       (args: Seq[Expression]) => {
@@ -156,8 +162,9 @@ object GraftFunctions {
   def l2sqDistances(vec: Column, centroids: Array[Array[Double]]): Column =
     exprCol(L2SqDistances(expr(vec), centroids.toVector.map(_.toVector)))
   def aHashBands(payload: Column): Column = exprCol(BlockAHash(expr(payload)))
-  def extractContent(text: Column, minLen: Int, minAlnumPct: Int): Column =
-    exprCol(ContentExtract(expr(text), minLen, minAlnumPct))
+  def extractContent(text: Column, minLen: Int, minAlnumPct: Int,
+      keepBlank: Boolean = false): Column =
+    exprCol(ContentExtract(expr(text), minLen, minAlnumPct, keepBlank))
   def sigMatchCount(a: Column, b: Column): Column =
     exprCol(SigMatchCount(expr(a), expr(b)))
 }

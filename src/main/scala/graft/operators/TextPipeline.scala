@@ -398,10 +398,11 @@ object TextPipeline {
     * `n_total`.
     */
   def extractContent(df: DataFrame, idCol: Column, textCol: Column,
-      minLineChars: Int = 30, minAlnumPct: Int = 50): DataFrame =
+      minLineChars: Int = 30, minAlnumPct: Int = 50,
+      keepBlank: Boolean = false): DataFrame =
     df.select(idCol.as("id"),
         graft.expressions.GraftFunctions
-          .extractContent(textCol, minLineChars, minAlnumPct).as("__x"))
+          .extractContent(textCol, minLineChars, minAlnumPct, keepBlank).as("__x"))
       .select(col("id"), col("__x.content").as("content"),
         col("__x.n_kept").as("n_kept"), col("__x.n_total").as("n_total"))
 

@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * filesystem, later stages consume earlier stages' artifacts):
   *
   *   WARC → HTTP body text → robots admission → canonical-URL dedup →
+  *   content extraction (line density, paragraph-preserving) →
   *   Gopher quality rules → cross-doc paragraph dedup → leakage-safe
   *   splits → sequence packing
   *
@@ -71,12 +72,23 @@ object CrawlPipeline {
           col("url"), col("doc_id"))
         .where(col("url_survivor")).drop("url_survivor", "canonical_url"))
 
-    val quality = ck("05_quality",
-      deduped.where(QualityRules.keep(col("text"))))
+    // within-page content extraction in keepBlank mode: nav/separator/
+    // footer chrome dies on line shape alone, while blank-line paragraph
+    // separators survive (collapsed to one) — the paragraph-level dedup
+    // below splits on them, so the default mode would silently merge
+    // adjacent paragraphs here
+    val content = ck("05_content",
+      TextPipeline.extractContent(deduped, col("doc_id"), col("text"),
+          minLineChars = 30, minAlnumPct = 50, keepBlank = true)
+        .join(deduped.select(col("doc_id").as("id"), col("url")), Seq("id"))
+        .select(col("id").as("doc_id"), col("url"), col("content").as("text")))
+
+    val quality = ck("06_quality",
+      content.where(QualityRules.keep(col("text"))))
 
     // cross-doc paragraph dedup, then re-attach the url for downstream
     // split assignment (dedupParagraphs returns id/text_dedup/counters)
-    val para = ck("06_para_dedup",
+    val para = ck("07_para_dedup",
       ParagraphDedup.dedupParagraphs(quality, col("doc_id"), col("text"))
         .join(quality.select(col("doc_id").as("id"), col("url")), Seq("id"))
         .select(col("id").as("doc_id"), col("url"),
@@ -84,13 +96,13 @@ object CrawlPipeline {
 
     // leakage-safe splits: whole HOSTS land in one split, written
     // partitioned so readers partition-prune on split=
-    val split = ck("07_splits", para
+    val split = ck("08_splits", para
       .withColumn("host", WebOps.host(col("url")))
       .withColumn("split", Splits.assign(col("host"),
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
       parts = Seq("split"))
 
-    ck("08_pack", TextPipeline.packSequences(
+    ck("09_pack", TextPipeline.packSequences(
       split.withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
       col("doc_id"), col("n_tokens"), capacity))
 

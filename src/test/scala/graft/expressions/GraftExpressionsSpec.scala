@@ -305,6 +305,25 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(got == 0L)
   }
 
+  test("ContentExtract keepBlank mode: paragraph separators survive, blank runs collapse, edges trim") {
+    val p1 = "a first paragraph of honest prose long enough to clear the bar"
+    val p2 = "a second paragraph of honest prose long enough to clear the bar too"
+    val page = s"Nav | Nav | Nav\n\n$p1\n\n\n\n$p2\n\n(c) footer\n"
+    val r = Seq(page).toDF("t")
+      .select(GraftFunctions.extractContent($"t", 32, 50, keepBlank = true).as("x"))
+      .select($"x.content", $"x.n_kept").collect()(0)
+    // nav and footer die; the blank RUN between paragraphs collapses to one
+    // separator; the trailing blank (after the dropped footer) vanishes
+    assert(r.getString(0) == s"$p1\n\n$p2", r.getString(0))
+    assert(r.getLong(1) == 2L)
+    // SQL arity-4 form selects the same mode
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_extract_content('x\n\n" + p1 + "', 32, 50, 1) AS x")
+      .select($"x.content").as[String].collect()(0)
+    assert(viaSql == p1)
+  }
+
   test("graft_extract_content registered for SQL; boundary ratio is exact integer math") {
     GraftFunctions.register(spark)
     // 16 alnum of 32 chars = exactly 50%: cross-multiplied >= keeps it

@@ -35,6 +35,13 @@ class CrawlPipelineSpec extends SparkSpec {
     s"$sharedPara\n\nthis page is one of the pages that we have kept with care"
   private val otherBody =
     s"$sharedPara\n\nanother host writes about the sea and the sky that have colors with depth"
+  // a page wrapped in site chrome: the content stage must strip the nav
+  // and footer lines on shape alone while PRESERVING the blank-line
+  // paragraph separator between the two prose paragraphs
+  private val chromePara =
+    "the chrome page tells a story about hills and rivers that people have loved"
+  private val chromeBody =
+    s"Home | About | Contact\n\n$chromePara\n\n$sharedPara\n\n(c) 2026 - footer"
 
   test("crawl pipeline: every stage fires on the synthetic WARC") {
     val dir = Files.createTempDirectory("crawl_warc")
@@ -48,40 +55,50 @@ class CrawlPipelineSpec extends SparkSpec {
       response("http://a.example/good?utm_source=news", goodBody) ++ // canonical dup
       response("http://a.example/private/secret", goodBody) ++ // robots-blocked
       response("http://a.example/junk", "short") ++ // fails quality rules
-      response("http://b.example/page", otherBody) // no robots on this host
+      response("http://b.example/page", otherBody) ++ // no robots on this host
+      response("http://c.example/chromey", chromeBody) // chrome-wrapped prose
     Files.write(dir.resolve("fixture.warc"), warcBytes)
 
     val counts = CrawlPipeline
       .run(spark, s"$dir/*.warc*", work, agent = "graftbot", capacity = 16L)
       .map(c => c.stage -> c.rows).toMap
 
-    assert(counts("01_warc") == 7) // warcinfo + 6 responses
-    assert(counts("02_pages") == 6) // responses with non-empty bodies
+    assert(counts("01_warc") == 8) // warcinfo + 7 responses
+    assert(counts("02_pages") == 7) // responses with non-empty bodies
     // robots.txt itself is policy, not content; /private/secret is blocked
-    assert(counts("03_admitted") == 4)
+    assert(counts("03_admitted") == 5)
     // the utm variant canonicalizes onto /good -> one survivor
-    assert(counts("04_url_dedup") == 3)
-    // "short" fails the word-count rule
-    assert(counts("05_quality") == 2)
-    assert(counts("06_para_dedup") == 2)
-    assert(counts("07_splits") == 2)
-    assert(counts("08_pack") == 2)
+    assert(counts("04_url_dedup") == 4)
+    // content extraction is a pure projection: cardinality preserved
+    assert(counts("05_content") == 4)
+    // "short" fails the min-length line test and empties out
+    assert(counts("06_quality") == 3)
+    assert(counts("07_para_dedup") == 3)
+    assert(counts("08_splits") == 3)
+    assert(counts("09_pack") == 3)
 
-    // the shared paragraph survives exactly once across the two docs
-    val para = spark.read.parquet(s"$work/06_para_dedup")
-    assert(para.agg(sum($"n_paras")).head().getLong(0) == 4)
-    assert(para.agg(sum($"n_kept")).head().getLong(0) == 3)
+    // the content stage stripped the chrome but PRESERVED the blank-line
+    // paragraph separator (keepBlank mode) — both prose paragraphs intact
+    val chromey = spark.read.parquet(s"$work/05_content")
+      .where($"url" === "http://c.example/chromey")
+      .select("text").as[String].collect()(0)
+    assert(chromey == s"$chromePara\n\n$sharedPara", chromey)
+
+    // the shared paragraph appears in three docs, survives exactly once
+    val para = spark.read.parquet(s"$work/07_para_dedup")
+    assert(para.agg(sum($"n_paras")).head().getLong(0) == 6)
+    assert(para.agg(sum($"n_kept")).head().getLong(0) == 4)
     // blocked URL never reappears downstream
     assert(spark.read.parquet(s"$work/04_url_dedup")
       .where($"url".contains("/private/")).isEmpty)
     // splits are host-keyed and partition-pruned on disk
-    val split = spark.read.parquet(s"$work/07_splits")
+    val split = spark.read.parquet(s"$work/08_splits")
     assert(split.select("split").distinct().as[String].collect()
       .forall(Set("train", "val", "test")))
     assert(split.groupBy($"host", $"split").count()
       .groupBy($"host").count().where($"count" > 1).isEmpty)
-    // packing covers both docs with in-capacity offsets
-    val pack = spark.read.parquet(s"$work/08_pack")
+    // packing covers the surviving docs with in-capacity offsets
+    val pack = spark.read.parquet(s"$work/09_pack")
     assert(pack.where($"offset_in_bin" < 0 || $"offset_in_bin" >= 16).isEmpty)
   }
 }
