@@ -218,4 +218,73 @@ object WebOps {
       .select(col("id"), posexplode(col("__as")).as(Seq("pos", "__a")))
       .select(col("id"), col("pos").cast("bigint").as("pos"),
         col("__a.url").as("url"), col("__a.anchor").as("anchor"))
+
+  /** Recrawl prioritization from fetch history: for each URL, how often has
+    * its content actually changed, and how stale is it now? `priority =
+    * (n_versions - 1) * (asOfTs - last_ts)` — URLs whose content never
+    * changed across their fetches score 0 regardless of age (the crawl-ops
+    * heuristic behind change-rate-proportional revisit policies; with a
+    * uniform fetch count the product IS rate x staleness), in exact BIGINT
+    * arithmetic with no float rate.
+    *
+    * Scale shape: ONE hash aggregation over (url) — count, count distinct
+    * hash and max(ts) all partial-aggregate map-side; no window, no join.
+    * `asOfTs` is a caller-passed instant so runs are reproducible (never a
+    * wall clock read inside the plan).
+    *
+    * Output: (url, n_fetches, n_versions, last_ts, priority).
+    */
+  def recrawlPriority(history: DataFrame, urlCol: Column, tsCol: Column,
+      hashCol: Column, asOfTs: Long): DataFrame =
+    history
+      .groupBy(urlCol.as("url"))
+      .agg(
+        count(lit(1)).as("n_fetches"),
+        countDistinct(hashCol).as("n_versions"),
+        max(tsCol.cast("bigint")).as("last_ts"))
+      .select(col("url"), col("n_fetches"), col("n_versions"), col("last_ts"),
+        ((col("n_versions") - 1L) * (lit(asOfTs) - col("last_ts"))).as("priority"))
+
+  /** Largest-remainder (Hamilton) crawl-budget allocation: split an integer
+    * fetch budget over domains proportionally to a weight column so that
+    * the shares are integers, sum EXACTLY to the budget, and the rounding
+    * error lands on the domains with the largest remainders (deterministic
+    * domain-name tiebreak). The weight is whatever the planner trusts —
+    * t95's quality priors, content mass, distinct-URL counts.
+    *
+    * Arithmetic is DECIMAL(38,0) products and exact integer div/mod
+    * (budget x weight never rides a double), so a 100 TB weight table
+    * cannot overflow or drift. Scale shape: one aggregation to the
+    * (bounded) domain table, one scalar total, one window over that
+    * bounded table for the remainder ranking — never over the corpus.
+    *
+    * Output: (domain, weight, share) with sum(share) == totalBudget
+    * (all-zero weights allocate nothing).
+    */
+  def allocateBudget(weights: DataFrame, domainCol: Column, weightCol: Column,
+      totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0, s"budget must be non-negative, got $totalBudget")
+    val w = weights.groupBy(domainCol.as("domain"))
+      .agg(sum(weightCol.cast("decimal(38,0)")).as("w"))
+    val tot = w.agg(sum(col("w")).as("__tot"))
+    val scored = w.crossJoin(broadcast(tot))
+      .where(col("__tot") > 0)
+      .withColumn("__prod", col("w") * lit(totalBudget).cast("decimal(38,0)"))
+      // integral `div` floors exactly (weights are non-negative); the
+      // quotient is bounded by the budget, so it fits the operator's LONG
+      .withColumn("__floor", expr("__prod div __tot"))
+      .withColumn("__rem",
+        col("__prod") - col("__floor").cast("decimal(38,0)") * col("__tot"))
+    // leftover = budget - sum(floors): hand one extra fetch to the largest
+    // remainders; the window runs over the bounded domain table only
+    val leftover = scored.agg(
+      (lit(totalBudget) - sum(col("__floor"))).cast("bigint").as("__left"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("domain").asc)
+    scored.crossJoin(broadcast(leftover))
+      .withColumn("__rk", row_number().over(rk))
+      .select(col("domain"), col("w").as("weight"),
+        (col("__floor") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .cast("bigint").as("share"))
+  }
 }

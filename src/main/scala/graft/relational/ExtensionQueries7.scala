@@ -201,6 +201,76 @@ object ExtensionQueries7 {
         "equi-joins implement the candidate spec losslessly and exact " +
         "duplicates can never slip past the index.",
       gate = true
+    ),
+    // --------------------------------------------------------------- t105
+    GraftQuery(
+      "t105_recrawl_priority",
+      (s, d) => {
+        import s.implicits._
+        // synthesized fetch history: 4 fetches per URL, content version
+        // cycles mod (doc_id % 4 + 1) — so each URL has exactly
+        // doc_id % 4 + 1 distinct content hashes across its fetches
+        val hist = Tables.documents(s, d)
+          .select($"doc_id", $"text",
+            explode(sequence(lit(0), lit(3))).as("k"))
+          .select(
+            concat(lit("https://h"), ($"doc_id" % 50).cast("string"),
+              lit(".example/p/"), $"doc_id".cast("string")).as("url"),
+            ($"doc_id" * 1000 + $"k" * 250).cast("bigint").as("ts"),
+            md5(concat($"text",
+              ($"k" % (pmod($"doc_id", lit(4)) + 1)).cast("string"))).as("hash"))
+        graft.operators.WebOps
+          .recrawlPriority(hist, $"url", $"ts", $"hash", asOfTs = 10000000000L)
+          .orderBy($"url")
+      },
+      Some("""WITH h AS (
+             |  SELECT 'https://h' || (doc_id % 50) || '.example/p/' || doc_id AS url,
+             |    doc_id * 1000 + k * 250 AS ts,
+             |    md5(text || CAST(k % (doc_id % 4 + 1) AS VARCHAR)) AS hash
+             |  FROM documents CROSS JOIN range(0, 4) AS t(k)),
+             |g AS (SELECT url, COUNT(*) AS n_fetches,
+             |    COUNT(DISTINCT hash) AS n_versions, MAX(ts) AS last_ts
+             |  FROM h GROUP BY 1)
+             |SELECT url, CAST(n_fetches AS BIGINT) AS n_fetches,
+             |  CAST(n_versions AS BIGINT) AS n_versions,
+             |  CAST(last_ts AS BIGINT) AS last_ts,
+             |  CAST((n_versions - 1) * (10000000000 - last_ts) AS BIGINT) AS priority
+             |FROM g ORDER BY url""".stripMargin),
+      doc = "Recrawl prioritization from fetch history: change count x " +
+        "staleness in exact BIGINT arithmetic (URLs that never changed " +
+        "score 0 regardless of age), one partial-aggregating hash " +
+        "aggregation over the history — the revisit-policy input of a " +
+        "continuous crawl, with the as-of instant passed in so runs are " +
+        "reproducible."
+    ),
+    // --------------------------------------------------------------- t106
+    GraftQuery(
+      "t106_crawl_budget",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.WebOps.allocateBudget(
+          Tables.documents(s, d), $"source", $"n_chars", totalBudget = 10000L)
+          .select($"domain", $"weight".cast("bigint").as("weight"), $"share")
+          .orderBy($"domain")
+      },
+      Some("""WITH w AS (SELECT source AS domain,
+             |    CAST(SUM(n_chars) AS HUGEINT) AS wt FROM documents GROUP BY 1),
+             |t AS (SELECT SUM(wt) AS tot FROM w),
+             |sc AS (SELECT domain, wt, (wt * 10000) // tot AS fl,
+             |    (wt * 10000) % tot AS rem FROM w CROSS JOIN t),
+             |l AS (SELECT 10000 - SUM(fl) AS leftover FROM sc),
+             |r AS (SELECT domain, wt, fl,
+             |    ROW_NUMBER() OVER (ORDER BY rem DESC, domain ASC) AS rk FROM sc)
+             |SELECT domain, CAST(wt AS BIGINT) AS weight,
+             |  CAST(fl + CASE WHEN rk <= (SELECT leftover FROM l)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS share
+             |FROM r ORDER BY domain""".stripMargin),
+      doc = "Largest-remainder (Hamilton) crawl-budget allocation over " +
+        "content mass per source: integer shares that sum EXACTLY to the " +
+        "budget, DECIMAL(38,0) products (DuckDB mirrors in HUGEINT), " +
+        "rounding error assigned to the largest remainders with a " +
+        "deterministic name tiebreak; the bounded domain table is the only " +
+        "thing the remainder window ever sorts."
     )
   )
 }

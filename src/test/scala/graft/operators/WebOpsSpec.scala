@@ -189,6 +189,43 @@ class WebOpsSpec extends SparkSpec {
       (1L, "http://b.net/y", "beta")))
   }
 
+  test("recrawlPriority: unchanged URLs score 0, changed ones score change-count x staleness") {
+    val hist = Seq(
+      ("u1", 100L, "h1"), ("u1", 200L, "h1"), ("u1", 300L, "h1"), // never changed
+      ("u2", 100L, "a"), ("u2", 400L, "b"),                       // one change
+      ("u3", 100L, "x"), ("u3", 200L, "y"), ("u3", 300L, "z"))    // two changes
+      .toDF("url", "ts", "hash")
+    val got = WebOps.recrawlPriority(hist, col("url"), col("ts"), col("hash"), asOfTs = 1000L)
+      .orderBy(col("url")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("u1", 3L, 1L, 300L, 0L),       // (1-1) * anything = 0
+      ("u2", 2L, 2L, 400L, 600L),     // (2-1) * (1000-400)
+      ("u3", 3L, 3L, 300L, 1400L)))   // (3-1) * (1000-300)
+  }
+
+  test("allocateBudget: shares are integral, sum exactly to the budget, largest remainder wins ties by name") {
+    val w = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("d", "wt")
+    val got = WebOps.allocateBudget(w, col("d"), col("wt"), totalBudget = 10L)
+      .orderBy(col("domain")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    // 10/3: floors 3,3,3; remainders equal; name tiebreak gives 'a' the extra
+    assert(got.toSeq == Seq(("a", 4L), ("b", 3L), ("c", 3L)))
+    // zero-weight domain gets zero; sums stay exact
+    val w2 = Seq(("a", 0L), ("b", 5L), ("c", 2L)).toDF("d", "wt")
+    val got2 = WebOps.allocateBudget(w2, col("d"), col("wt"), totalBudget = 7L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(got2("a") == 0L && got2.values.sum == 7L)
+    assert(got2("b") == 5L && got2("c") == 2L)
+    // all-zero weights allocate nothing (no division by the zero total)
+    val w3 = Seq(("a", 0L)).toDF("d", "wt")
+    assert(WebOps.allocateBudget(w3, col("d"), col("wt"), 5L).count() == 0)
+    // budget 0: everyone gets 0
+    val z = WebOps.allocateBudget(w, col("d"), col("wt"), 0L)
+      .collect().map(_.getLong(2)).sum
+    assert(z == 0L)
+  }
+
   test("linkEdges order is document order and per-doc positions restart") {
     val docs = Seq(
       (1L, """<a href="https://one.org/a">x</a><a href="https://two.org/b">y</a>"""),

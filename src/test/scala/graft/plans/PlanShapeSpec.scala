@@ -271,6 +271,25 @@ class PlanShapeSpec extends SparkSpec {
       fp.take(1500))
   }
 
+  test("t105 recrawl priority: one partial-aggregating hash aggregation, no window, no join") {
+    val p = planOf("t105_recrawl_priority")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(1200))
+  }
+
+  test("t106 budget allocation: remainder window runs over the aggregated domain table only") {
+    val p = planOf("t106_crawl_budget")
+    // the corpus collapses to the bounded domain table in a partial+final
+    // hash aggregation BEFORE any window touches it (same rule as t102)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && winIdx < aggIdx,
+      s"window must consume aggregated domains (win@$winIdx, agg@$aggIdx)\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("t89 HITS half-step: score push is an equi-join + partial aggregation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
