@@ -17,6 +17,9 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** Control-flow marker for [[admitNearDupStream]]'s fresh-index branch. */
+  private final class NoIndexYet extends RuntimeException
+
   /** Streaming scan of an events parquet directory with `ts` normalized to
     * TimestampType — the streaming twin of `Tables.events`.
     *
@@ -352,4 +355,48 @@ object StreamingOps {
       }
       .start()
   }
+
+  /** Streaming NEAR-dup admission: each micro-batch runs
+    * [[graft.operators.IncrementalDedup.admitNearDup]] against the
+    * PERSISTED signature index and folds its survivors back in — the
+    * streaming form of the continuous-crawl loop (`GraftCli admit near`
+    * per batch).
+    *
+    * The index deliberately lives in parquet, NOT the state store: it must
+    * be shareable with batch jobs, survive checkpoint resets, and hold k
+    * longs per admitted document forever — exactly the contract of a table,
+    * not of per-key streaming state. Each micro-batch writes its admitted
+    * rows and its index delta to `batch=<id>` subdirectories with
+    * overwrite, so a replayed batch (foreachBatch's at-least-once unit)
+    * rewrites the same files instead of duplicating them — the standard
+    * idempotent-foreachBatch layout.
+    */
+  def admitNearDupStream(docs: Dataset[Doc], indexDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // existence probe first (the exception path also falls back, but
+        // would log a full PATH_NOT_FOUND stack on every fresh index)
+        val index =
+          try {
+            if (!new java.io.File(indexDir).exists()) throw new NoIndexYet
+            spark.read.parquet(indexDir).select(col("id"), col("sig"))
+          } catch {
+            case _: NoIndexYet | _: org.apache.spark.sql.AnalysisException =>
+              graft.operators.IncrementalDedup
+                .buildSigIndex(batch.limit(0), col("doc_id"), col("text"))
+          }
+        val admitted = graft.operators.IncrementalDedup
+          .admitNearDup(batch, index, "doc_id", "text")
+          .localCheckpoint()
+        admitted.drop("id", "sig")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        admitted.select(col("id"), col("sig"))
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        ()
+      }
+      .start()
 }

@@ -294,6 +294,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamIds == batchIds && batchIds == Set(1L, 3L, 5L))
   }
 
+  test("admitNearDupStream: per-micro-batch near-dup admission against the parquet sig index") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    val near = base.replace("today", "again")
+    val novel = "completely different subject matter entirely about ships and the open sea voyage"
+    val dir = Files.createTempDirectory("neardup_stream")
+    val indexDir = Files.createTempDirectory("neardup_idx").toString + "/idx"
+    val outDir = Files.createTempDirectory("neardup_out").toString + "/out"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("fingerprint", StringType),
+      StructField("text", StringType)))
+    def dropFile(name: String, rows: Seq[StreamingOps.Doc]): Unit = {
+      val tmp = Files.createTempDirectory("neardup_tmp")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    // batch 1: an exact-dup pair (min id wins) + that doc's near variant
+    dropFile("b1.parquet", Seq(
+      StreamingOps.Doc(5L, "x", base), StreamingOps.Doc(2L, "x", base),
+      StreamingOps.Doc(7L, "y", near)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString).as[StreamingOps.Doc]
+    val q = StreamingOps.admitNearDupStream(stream, indexDir, outDir,
+      Files.createTempDirectory("ckpt_nd").toString)
+    q.processAllAvailable()
+    // batch 2: near copy of an ADMITTED doc (rejected via the index) + novel
+    dropFile("b2.parquet", Seq(
+      StreamingOps.Doc(9L, "x2", base), StreamingOps.Doc(11L, "z", novel)))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    // 2 wins its exact cluster; 7 is near 2 (same cluster) and loses; 9 is
+    // rejected against the persisted index; 11 is genuinely new
+    assert(admitted == Set(2L, 11L), admitted.toString)
+    // the index now carries one signature per admitted doc
+    val idx = spark.read.parquet(indexDir).select("id").as[Long].collect().toSet
+    assert(idx == Set(2L, 11L), idx.toString)
+  }
+
   test("dedupUrlsStream emits one row per canonical URL across micro-batches") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("urls_stream")
