@@ -394,6 +394,13 @@ object GraftCli {
             println(s"admit: ${batch.count()} in batch, ${admitted.count()} admitted " +
               s"-> $outDir; index now $nIdx fingerprints -> $indexDir")
           }
+        case "compact-index" :: indexDir :: rest =>
+          // maintenance for the streaming admission loop's append-grown
+          // signature index (IncrementalDedup.compactSigIndex)
+          val target = rest.headOption.map(_.toLong).getOrElse(4000000L)
+          val n = graft.operators.IncrementalDedup
+            .compactSigIndex(spark, indexDir, target)
+          println(s"compact-index: $n signatures compacted -> $indexDir")
         case "extract" :: inPath :: outDir :: idCol :: textCol :: rest =>
           // within-document content extraction by line density (zero-shuffle
           // codegen'd projection; TextPipeline.extractContent)
@@ -497,6 +504,7 @@ object GraftCli {
               "quantile <sfDir> <table> <col> [subBits] | " +
               "url-dedup <in> <outDir> <urlCol> <idCol> | stress <sfDir> <workDir> [factor] | " +
               "admit <in> <indexDir> <outDir> <idCol> <textCol> [near] | " +
+              "compact-index <indexDir> [targetRows] | " +
               "extract <in> <outDir> <idCol> <textCol> [minLen minAlnumPct] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | " +

@@ -89,6 +89,35 @@ object IncrementalDedup {
     sigIndex.select(col("id"), col("sig"))
       .unionByName(admitted.select(col("id"), col("sig")))
 
+  /** Maintenance for an APPEND-grown signature index
+    * ([[graft.streaming.StreamingOps.admitNearDupStream]] adds one
+    * `batch=<id>` delta per micro-batch): rewrite the accumulated deltas as
+    * one compact table sized to `targetRows` per file, then swap it in
+    * (write-then-rename — a killed compaction never touches the live
+    * index). Without this a long-running stream degrades every future
+    * micro-batch with thousands-of-tiny-files scan overhead — the same
+    * small-file failure mode the generic layout compactor exists for,
+    * specialized to the index's (id, sig) schema and swap discipline.
+    *
+    * @return number of signatures in the compacted index
+    */
+  def compactSigIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, targetRows: Long = 4_000_000L): Long = {
+    val index = spark.read.parquet(indexDir).select(col("id"), col("sig"))
+      .localCheckpoint()
+    val n = index.count()
+    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    val next = s"$indexDir.compact"
+    index.repartition(files).write.mode("overwrite").parquet(next)
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(indexDir))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    finally walk.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(next),
+      java.nio.file.Paths.get(indexDir))
+    n
+  }
+
   /** NEAR-dup incremental admission: reject batch documents whose signature
     * similarity to an already-admitted document reaches `minMatches` of `k`
     * (e.g. 26/32 ≈ Jaccard 0.8), then keep one representative (min id) per

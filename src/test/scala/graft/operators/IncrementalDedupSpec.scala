@@ -68,6 +68,29 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(IncrementalDedup.admitNearDup(batch, idx2, "doc_id", "text").count() == 0)
   }
 
+  test("compactSigIndex folds append deltas into one table; admission is unaffected") {
+    val dir = java.nio.file.Files.createTempDirectory("sig_idx").toString + "/idx"
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = "totally different words about rivers and hills and the people near them"
+    // two append-style deltas, the admitNearDupStream layout
+    IncrementalDedup.buildSigIndex(Seq((1L, a)).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).write.parquet(s"$dir/batch=0")
+    IncrementalDedup.buildSigIndex(Seq((2L, b)).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).write.parquet(s"$dir/batch=1")
+    val before = IncrementalDedup.admitNearDup(
+      Seq((10L, a), (11L, b + " extra")).toDF("doc_id", "text"),
+      spark.read.parquet(dir).select(col("id"), col("sig")), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(IncrementalDedup.compactSigIndex(spark, dir) == 2L)
+    // the batch= partition dirs are gone; plain files remain
+    assert(!new java.io.File(s"$dir/batch=0").exists())
+    val after = IncrementalDedup.admitNearDup(
+      Seq((10L, a), (11L, b + " extra")).toDF("doc_id", "text"),
+      spark.read.parquet(dir), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == before, s"$after vs $before")
+  }
+
   test("two sequential batches equal one-shot dedup of their union (same order)") {
     val docs = Seq(
       (1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"), (5L, "b"), (6L, "d"))
