@@ -250,7 +250,10 @@ object WebOps {
     * the shares are integers, sum EXACTLY to the budget, and the rounding
     * error lands on the domains with the largest remainders (deterministic
     * domain-name tiebreak). The weight is whatever the planner trusts —
-    * t95's quality priors, content mass, distinct-URL counts.
+    * t95's quality priors, content mass, distinct-URL counts — but must be
+    * NON-NEGATIVE: the integral-div floor truncates toward zero, so a
+    * negative aggregate weight would break the floor <= exact-share
+    * invariant the method rests on.
     *
     * Arithmetic is DECIMAL(38,0) products and exact integer div/mod
     * (budget x weight never rides a double), so a 100 TB weight table
