@@ -759,6 +759,35 @@ object Stress {
       check(ndRepartDiff == 0,
         s"admitted set must be partitioning-invariant ($ndRepartDiff rows differ)")
 
+      // ---- crawl planning at factor scale: priorities from a 2x-corpus
+      // fetch history (one partial-agg pass), and budget shares that sum
+      // EXACTLY to the budget under distributed partial aggregation of the
+      // decimal products
+      val ((cpUrls, cpZero, cpShareSum, cpDomains), tCp) = timed {
+        val hist = docs.select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), lit(1))).as("k"))
+          .select(concat(lit("u"), col("doc_id").cast("string")).as("url"),
+            (col("doc_id") * 10 + col("k")).cast("bigint").as("ts"),
+            md5(concat(col("text"),
+              (col("k") * pmod(col("doc_id"), lit(2))).cast("string"))).as("hash"))
+        val pr = graft.operators.WebOps
+          .recrawlPriority(hist, col("url"), col("ts"), col("hash"),
+            asOfTs = 10_000_000_000L).localCheckpoint()
+        val alloc = graft.operators.WebOps.allocateBudget(
+          docs, col("source"), length(col("text")), totalBudget = 1000000L)
+        (pr.count(), pr.where(col("priority") === 0).count(),
+          alloc.agg(sum(col("share"))).collect()(0).getLong(0),
+          alloc.count())
+      }
+      println(j("stage" -> "crawl_planning", "seconds" -> tCp,
+        "urls" -> cpUrls, "unchanged" -> cpZero,
+        "share_sum" -> cpShareSum, "domains" -> cpDomains))
+      check(cpUrls == nDocs, s"one priority row per URL ($cpUrls of $nDocs)")
+      check(cpZero * 2 == nDocs,
+        s"exactly the even doc_ids never changed ($cpZero of ${nDocs / 2})")
+      check(cpShareSum == 1000000L,
+        s"largest-remainder shares must sum exactly to the budget ($cpShareSum)")
+
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
       failures.foreach(f => System.err.println(s"[stress] FAILED: $f"))
