@@ -355,18 +355,13 @@ object GraftCli {
           val batch = spark.read.parquet(inPath)
           val indexExists = new java.io.File(indexDir).exists()
           def swapIndex(updated: org.apache.spark.sql.DataFrame): Long = {
-            // write-then-swap: the new index replaces the old only after a
-            // complete write, so a killed run never truncates admission state
+            // write-then-swap: the new index is fully written BESIDE the
+            // live one, then swapped in rename-aside (replaceDir) — at every
+            // instant at least one complete index exists on disk, and a
+            // crash mid-swap leaves both `.old` and `.next` for recovery
             val next = s"$indexDir.next"
             updated.write.mode("overwrite").parquet(next)
-            if (indexExists) {
-              val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(indexDir))
-              try walk.sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => java.nio.file.Files.delete(p))
-              finally walk.close()
-            }
-            java.nio.file.Files.move(java.nio.file.Paths.get(next),
-              java.nio.file.Paths.get(indexDir))
+            graft.operators.IncrementalDedup.replaceDir(indexDir, next)
             spark.read.parquet(indexDir).count()
           }
           if (near) {

@@ -89,32 +89,83 @@ object IncrementalDedup {
     sigIndex.select(col("id"), col("sig"))
       .unionByName(admitted.select(col("id"), col("sig")))
 
+  /** Recursively delete `dir` if it exists (cleanup for swap leftovers). */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+
+  /** Replace the directory at `liveDir` with the fully-written `nextDir`:
+    * rename the live dir ASIDE to `liveDir.old`, rename `nextDir` in, then
+    * delete the old copy — at every instant at least one complete index
+    * exists ON DISK. A crash between the two renames leaves no live dir but
+    * BOTH `liveDir.old` (the previous index, intact) and `nextDir` (the new
+    * index, complete) for one-rename recovery; the earlier delete-then-move
+    * discipline destroyed the old index BEFORE the new one was in place,
+    * so that same crash window lost everything.
+    */
+  def replaceDir(liveDir: String, nextDir: String): Unit = {
+    val live = java.nio.file.Paths.get(liveDir)
+    val old = java.nio.file.Paths.get(s"$liveDir.old")
+    deleteRecursively(old) // stale leftover from a previous crashed swap
+    if (java.nio.file.Files.exists(live)) java.nio.file.Files.move(live, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(nextDir), live)
+    deleteRecursively(old)
+  }
+
   /** Maintenance for an APPEND-grown signature index
     * ([[graft.streaming.StreamingOps.admitNearDupStream]] adds one
     * `batch=<id>` delta per micro-batch): rewrite the accumulated deltas as
-    * one compact table sized to `targetRows` per file, then swap it in
-    * (write-then-rename — a killed compaction never touches the live
-    * index). Without this a long-running stream degrades every future
-    * micro-batch with thousands-of-tiny-files scan overhead — the same
-    * small-file failure mode the generic layout compactor exists for,
-    * specialized to the index's (id, sig) schema and swap discipline.
+    * one compact table sized to `targetRows` per file, then swap it in via
+    * [[replaceDir]] (a killed compaction never leaves less than one
+    * complete index on disk). Without this a long-running stream degrades
+    * every future micro-batch with thousands-of-tiny-files scan overhead —
+    * the same small-file failure mode the generic layout compactor exists
+    * for, specialized to the index's (id, sig) schema and swap discipline.
+    *
+    * The compacted table is written UNDER `batch=-1` so the directory
+    * layout stays uniformly partition-style: Spark's partition discovery
+    * silently ignores root-level data files once `batch=<id>` subdirs
+    * reappear, so a root-file compact layout would make the ENTIRE
+    * compacted corpus index invisible to admission after the stream's next
+    * delta — every historical near-dup would be silently re-admitted.
+    * (-1 can never collide with a real micro-batch id.)
+    *
+    * Deltas that land DURING the compaction (a racing micro-batch) are
+    * detected by diffing the `batch=` listing after the snapshot and are
+    * carried into the new layout unmodified rather than deleted. The one
+    * remaining race is a delta written between the two swap renames —
+    * stop the stream (or pause triggers) while compacting to close it.
     *
     * @return number of signatures in the compacted index
     */
   def compactSigIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, targetRows: Long = 4_000_000L): Long = {
+    def batchDirs(): Set[String] = {
+      val fs = new java.io.File(indexDir).listFiles()
+      if (fs == null) Set.empty
+      else fs.filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    }
+    val snapshot = batchDirs()
     val index = spark.read.parquet(indexDir).select(col("id"), col("sig"))
       .localCheckpoint()
     val n = index.count()
     val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
     val next = s"$indexDir.compact"
-    index.repartition(files).write.mode("overwrite").parquet(next)
-    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(indexDir))
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.delete(p))
-    finally walk.close()
-    java.nio.file.Files.move(java.nio.file.Paths.get(next),
-      java.nio.file.Paths.get(indexDir))
+    deleteRecursively(java.nio.file.Paths.get(next))
+    index.repartition(files).write.parquet(s"$next/batch=-1")
+    // fold-preserve deltas a racing micro-batch appended after the snapshot:
+    // they were not part of the compacted read, so deleting them with the old
+    // dir would silently lose those docs' signatures
+    (batchDirs() -- snapshot).foreach { d =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$indexDir/$d"),
+        java.nio.file.Paths.get(s"$next/$d"))
+    }
+    replaceDir(indexDir, next)
     n
   }
 
@@ -175,18 +226,29 @@ object IncrementalDedup {
     // consumer (star contraction alone reads it three times)
     val survivors = bs.join(rejected, Seq("id"), "left_anti").localCheckpoint()
 
-    // within-batch step: collision graph among survivors, min-id per cluster
-    val sBands = explodeBands(survivors)
+    // within-batch step: collision graph among survivors, min-id per cluster.
+    // Identical signatures are collapsed to ONE min-id representative per
+    // distinct sig BEFORE band explosion (map-side-combining min under a
+    // groupBy): m exact copies of a viral page would otherwise band-collide
+    // into m^2 candidate pairs before the distinct — 10^12 join rows for a
+    // doc duplicated 10^6 times in one batch. The collapse is lossless:
+    // identical sigs agree in every band and score k/k, so each member is a
+    // near-dup of its representative by construction, and the final keeper
+    // (the min id of its component) is always a sig-group minimum — members
+    // can never win representative selection, so clustering the
+    // representatives alone decides the admitted set exactly.
+    val sReps = survivors.groupBy(col("sig")).agg(min(col("id")).as("id"))
+    val sBands = explodeBands(sReps)
     val pairs = sBands.alias("a")
       .join(sBands.alias("b"), Seq("band_idx", "band_hash"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .where(col("id_a") < col("id_b")).distinct()
-      .join(survivors.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(survivors.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sReps.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sReps.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .where(simOk)
       .select(col("id_a"), col("id_b"))
     val comps = DedupClusters.connectedComponentsStars(
-      survivors.select(col("id")), pairs, "id")
+      sReps.select(col("id")), pairs, "id")
     survivors.join(comps, Seq("id"))
       .where(col("id") === col("component"))
       .select(col("id") +: col("sig") +: cols.map(c => col(s"__row.$c").as(c)): _*)

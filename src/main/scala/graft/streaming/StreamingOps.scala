@@ -369,7 +369,13 @@ object StreamingOps {
     * rows and its index delta to `batch=<id>` subdirectories with
     * overwrite, so a replayed batch (foreachBatch's at-least-once unit)
     * rewrites the same files instead of duplicating them — the standard
-    * idempotent-foreachBatch layout.
+    * idempotent-foreachBatch layout. Replay idempotency additionally
+    * requires EXCLUDING the batch's own `batch=<id>` delta when reading the
+    * index: a replayed batch would otherwise score every previously
+    * admitted doc against its own persisted signature (k/k self-match),
+    * reject the whole batch, and overwrite both the output and the delta
+    * with empty frames — permanently losing the admitted rows AND their
+    * signatures, so future copies of them would sail in.
     */
   def admitNearDupStream(docs: Dataset[Doc], indexDir: String, outDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -379,16 +385,30 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // existence probe first (the exception path also falls back, but
-        // would log a full PATH_NOT_FOUND stack on every fresh index)
-        val index =
+        // would log a full PATH_NOT_FOUND stack on every fresh index).
+        // Only the genuinely-missing-path condition falls back to a fresh
+        // index: any OTHER read failure (corrupt/partial files from a
+        // concurrent compaction, schema drift) must FAIL the micro-batch
+        // loudly — admitting against an accidentally-empty index is silent
+        // mass duplicate admission.
+        def freshIndex = graft.operators.IncrementalDedup
+          .buildSigIndex(batch.limit(0), col("doc_id"), col("text"))
+        val raw =
           try {
             if (!new java.io.File(indexDir).exists()) throw new NoIndexYet
-            spark.read.parquet(indexDir).select(col("id"), col("sig"))
+            spark.read.parquet(indexDir)
           } catch {
-            case _: NoIndexYet | _: org.apache.spark.sql.AnalysisException =>
-              graft.operators.IncrementalDedup
-                .buildSigIndex(batch.limit(0), col("doc_id"), col("text"))
+            case _: NoIndexYet => freshIndex
+            case ae: org.apache.spark.sql.AnalysisException
+                if ae.getCondition == "PATH_NOT_FOUND" => freshIndex
           }
+        // replay guard: drop this batch's own delta (the inferred `batch`
+        // partition column exists whenever the index grew via this stream
+        // or was compacted into the batch=-1 layout; a batch-built root-file
+        // index has no such column and nothing to exclude)
+        val index =
+          (if (raw.columns.contains("batch")) raw.where(col("batch") =!= batchId)
+           else raw).select(col("id"), col("sig"))
         val admitted = graft.operators.IncrementalDedup
           .admitNearDup(batch, index, "doc_id", "text")
           .localCheckpoint()

@@ -82,13 +82,56 @@ class IncrementalDedupSpec extends SparkSpec {
       spark.read.parquet(dir).select(col("id"), col("sig")), "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(IncrementalDedup.compactSigIndex(spark, dir) == 2L)
-    // the batch= partition dirs are gone; plain files remain
+    // the delta dirs are gone; the compacted table lives under batch=-1 so
+    // the layout stays uniformly partition-style (root-level data files
+    // would be silently IGNORED by partition discovery once the stream
+    // appends its next batch=<id> delta)
     assert(!new java.io.File(s"$dir/batch=0").exists())
+    assert(new java.io.File(s"$dir/batch=-1").isDirectory)
     val after = IncrementalDedup.admitNearDup(
       Seq((10L, a), (11L, b + " extra")).toDF("doc_id", "text"),
       spark.read.parquet(dir), "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(after == before, s"$after vs $before")
+  }
+
+  test("stream appends after compaction: the compacted corpus stays visible to admission") {
+    val dir = java.nio.file.Files.createTempDirectory("sig_idx2").toString + "/idx"
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val c = "yet another corpus of words concerning mountains and long winter roads"
+    IncrementalDedup.buildSigIndex(Seq((1L, a)).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).write.parquet(s"$dir/batch=0")
+    IncrementalDedup.compactSigIndex(spark, dir)
+    // the stream keeps appending deltas AFTER the compaction — the mixed
+    // root-files + batch= layout this exercises used to make the whole
+    // compacted index invisible (partition discovery drops root files), so
+    // every historical near-dup was silently re-admitted
+    IncrementalDedup.buildSigIndex(Seq((2L, c)).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).write.parquet(s"$dir/batch=7")
+    val idx = spark.read.parquet(dir)
+    assert(idx.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    val admitted = IncrementalDedup.admitNearDup(
+      Seq((10L, a), (11L, c)).toDF("doc_id", "text"), idx, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted.isEmpty,
+      s"old (compacted) and new (delta) index entries must both reject: $admitted")
+  }
+
+  test("admitNearDup collapses identical signatures before banding (mass-duplicate batch)") {
+    val viral = "breaking news story copied verbatim across every mirror site tonight again"
+    val other = "quiet essay about gardening and the patience it requires of its readers"
+    val idx = IncrementalDedup.buildSigIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), col("doc_id"), col("text"))
+    // 400 exact copies + 1 distinct doc: the survivor band self-join would
+    // have emitted 160k candidate pairs before the collapse; with it the
+    // viral doc is ONE representative row through banding and clustering
+    val batch = ((1L to 400L).map(i => (i + 100L, viral)) :+ (7L, other)).toDF("doc_id", "text")
+    val out = IncrementalDedup.admitNearDup(batch, idx, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(7L, 101L))
+    // the physical plan carries the collapse: an Aggregate on sig BELOW the
+    // band explode (not just the pair distinct above it)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("min(id"), s"expected sig-collapse aggregate in plan:\n$plan")
   }
 
   test("two sequential batches equal one-shot dedup of their union (same order)") {

@@ -337,6 +337,44 @@ class StreamingSpec extends SparkSpec {
     assert(idx == Set(2L, 11L), idx.toString)
   }
 
+  test("admitNearDupStream replay: a batch whose own index delta already exists is not self-rejected") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    val novel = "completely different subject matter entirely about ships and the open sea voyage"
+    val dir = Files.createTempDirectory("neardup_replay")
+    val indexDir = Files.createTempDirectory("neardup_replay_idx").toString + "/idx"
+    val outDir = Files.createTempDirectory("neardup_replay_out").toString + "/out"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("fingerprint", StringType),
+      StructField("text", StringType)))
+    // foreachBatch replay reproduced exactly: the index ALREADY holds this
+    // micro-batch's own batch=0 delta (as after a crash between the index
+    // write and the commit), and the fresh checkpoint re-runs batch 0.
+    // Without the own-delta exclusion every doc self-matches its persisted
+    // signature (32/32), the whole batch is rejected, and the overwrite
+    // erases the admitted rows and their signatures permanently.
+    graft.operators.IncrementalDedup.buildSigIndex(
+      Seq((2L, base)).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .write.parquet(s"$indexDir/batch=0")
+    val rows = Seq(StreamingOps.Doc(2L, "x", base), StreamingOps.Doc(11L, "z", novel))
+    val tmp = Files.createTempDirectory("neardup_replay_tmp")
+    rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part, dir.resolve("b1.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .as[StreamingOps.Doc]
+    val q = StreamingOps.admitNearDupStream(stream, indexDir, outDir,
+      Files.createTempDirectory("ckpt_replay").toString)
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(2L, 11L), s"replayed batch lost rows: $admitted")
+    val idx = spark.read.parquet(indexDir).select("id").as[Long].collect().toSet
+    assert(idx == Set(2L, 11L), s"replayed batch lost index signatures: $idx")
+  }
+
   test("dedupUrlsStream emits one row per canonical URL across micro-batches") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("urls_stream")
