@@ -759,6 +759,40 @@ object Stress {
       check(ndRepartDiff == 0,
         s"admitted set must be partitioning-invariant ($ndRepartDiff rows differ)")
 
+      // ---- NEAR-dup admission under a mass-duplicate batch: the same
+      // admission with 10^5 exact copies of one viral page spliced into the
+      // batch. Identical signatures collapse to one representative BEFORE
+      // the band explosion (map-side min under a groupBy), so the viral
+      // pile adds one row to the banding/clustering work instead of 10^10
+      // within-batch candidate pairs — the stage must land in the same time
+      // band as the uniform batch above, and admit exactly one viral copy
+      // (the min id) on top of the uniform winners.
+      val ((ndvAdmitted, ndvViralKept), tNdv) = timed {
+        val idxDocs = docs.where(col("doc_id") % 2 === 0)
+        val bt = docs.where(col("doc_id") % 2 =!= 0)
+        val sigIdx = graft.operators.IncrementalDedup
+          .buildSigIndex(idxDocs, col("doc_id"), col("text")).localCheckpoint()
+        val viral = spark.range(100000).select(
+          (col("id") + 5_000_000_000L).as("doc_id"),
+          lit("viral").as("source"), lit("xx").as("lang"),
+          lit("breaking wire story copied verbatim across one hundred " +
+            "thousand mirror pages in a single crawl snapshot tonight").as("text"))
+        val batch = bt.select(col("doc_id"), col("source"), col("lang"), col("text"))
+          .unionByName(viral)
+        val adm = graft.operators.IncrementalDedup
+          .admitNearDup(batch, sigIdx, "doc_id", "text").localCheckpoint()
+        (adm.count(), adm.where(col("id") >= 5_000_000_000L).count())
+      }
+      println(j("stage" -> "neardup_admission_viral", "seconds" -> tNdv,
+        "admitted" -> ndvAdmitted, "viral_kept" -> ndvViralKept,
+        "uniform_seconds" -> tNd))
+      check(ndvViralKept == 1L,
+        s"exactly one of 10^5 viral copies must be admitted ($ndvViralKept)")
+      check(ndvAdmitted == ndAdmitted + 1,
+        s"viral pile must not disturb the uniform winners ($ndvAdmitted vs ${ndAdmitted + 1})")
+      check(tNdv <= 10 * math.max(tNd, 1.0),
+        f"mass-duplicate batch must stay in the uniform time band ($tNdv%.1f s vs $tNd%.1f s)")
+
       // ---- crawl planning at factor scale: priorities from a 2x-corpus
       // fetch history (one partial-agg pass), and budget shares that sum
       // EXACTLY to the budget under distributed partial aggregation of the
