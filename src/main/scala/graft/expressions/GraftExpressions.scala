@@ -542,15 +542,24 @@ object ContentExtractImpl {
     * split on '\n' (keeping empty trailing lines, same as the engines'
     * `split`/`string_split`), keep a line iff
     *   - its character (codepoint) count is >= minLen, and
-    *   - its ASCII-alphanumeric character count clears minAlnumPct percent
-    *     of the line (`100 * alnum >= minAlnumPct * chars`, exact integer
-    *     cross-multiplication — no float ratio),
+    *   - its UNICODE letter-or-digit codepoint count clears minAlnumPct
+    *     percent of the line (`100 * alnum >= minAlnumPct * chars`, exact
+    *     integer cross-multiplication — no float ratio),
     * then rejoin the keepers with '\n'. Short pipe-navigation rows,
     * separator rules and footer chrome fail one of the two tests; prose
     * passes both. This is the WITHIN-document complement of the cross-corpus
     * boilerplate operators (TextPipeline.dedupLines removes lines frequent
     * ACROSS documents) — a readability/trafilatura-class heuristic reduced
     * to deterministic, cross-engine-reproducible arithmetic.
+    *
+    * The density test counts `Character.isLetterOrDigit` over CODEPOINTS
+    * (Unicode categories L* and Nd — mirrored cross-engine by the RE2
+    * class `[\pL\p{Nd}]`, the t83/t93 regex-parity playbook), NOT ASCII
+    * `[a-zA-Z0-9]`: a Chinese/Cyrillic/Arabic prose line has ~0% ASCII
+    * alphanumerics and an ASCII test at 50% density silently deletes every
+    * non-Latin-script page — the exact corpus a web-scale crawl is made of.
+    * Chrome still dies on line SHAPE (pipes, dashes, parens, short length)
+    * in every script, because punctuation is never letter-or-digit.
     *
     * Returns (content, n_kept, n_total); empty input keeps its one empty
     * line only when minLen == 0 (0 >= 0 on both tests).
@@ -581,10 +590,9 @@ object ContentExtractImpl {
           var alnum = 0
           var i = 0
           while (i < line.length) {
-            val c = line.charAt(i)
-            if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9'))
-              alnum += 1
-            i += 1
+            val cp = line.codePointAt(i)
+            if (Character.isLetterOrDigit(cp)) alnum += 1
+            i += Character.charCount(cp)
           }
           if (100L * alnum >= minAlnumPct.toLong * chars) {
             if (kept > 0) sb.append(if (pendingBlank) "\n\n" else "\n")

@@ -76,7 +76,10 @@ object CrawlPipeline {
     // footer chrome dies on line shape alone, while blank-line paragraph
     // separators survive (collapsed to one) — the paragraph-level dedup
     // below splits on them, so the default mode would silently merge
-    // adjacent paragraphs here
+    // adjacent paragraphs here. The 50% density floor counts UNICODE
+    // letters/digits, so non-Latin pages (CJK/Cyrillic/Arabic prose has
+    // ~0% ASCII alphanumerics) flow through intact rather than being
+    // deleted wholesale
     val content = ck("05_content",
       TextPipeline.extractContent(deduped, col("doc_id"), col("text"),
           minLineChars = 30, minAlnumPct = 50, keepBlank = true)

@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionQueries7 {
 
+  // t103 fixtures, shared verbatim by the Spark page builder and the DuckDB
+  // oracle (hash parity requires byte-identical literals on both sides):
+  // CJK prose with no word spaces, Cyrillic prose, and a long dash rule
+  // that must die on line shape in any script.
+  private val CjkLine = "这是一段足够长的中文正文内容，其中包含许多汉字，" +
+    "用来验证提取器在没有空格的文字系统里也能保留正文。"
+  private val CyrLine = "Это довольно длинная строка русской прозы, которая " +
+    "проверяет плотность букв в тексте страницы."
+  private val DashRule =
+    "— — — — — — — — — — — — — — — — — — — — — — — — — — — — — — — —"
+
   val queries: Seq[GraftQuery] = Seq(
     // --------------------------------------------------------------- t101
     GraftQuery(
@@ -93,11 +104,19 @@ object ExtensionQueries7 {
       (s, d) => {
         import s.implicits._
         // synthesized crawl page: nav header, body, separator rule, tag
-        // line and footer around each document's text
+        // line and footer around each document's text — plus non-Latin
+        // prose lines (CJK with no word spaces, Cyrillic) that MUST
+        // survive and a long dash-rule that must die on shape alone: the
+        // density test counts Unicode letters/digits, so scripts with ~0%
+        // ASCII alphanumerics pass while punctuation chrome fails in any
+        // script
         val page = concat_ws("\n",
           lit("Home | About | Contact"),
           $"text",
+          lit(CjkLine),
+          lit(CyrLine),
           lit("| | --- | |"),
+          lit(DashRule),
           concat(lit("Tags: "), $"lang"),
           lit("(c) 2026 - Integritet - Villkor"))
         TextPipeline.extractContent(
@@ -107,30 +126,41 @@ object ExtensionQueries7 {
             $"n_kept", $"n_total")
           .orderBy($"doc_id")
       },
-      Some("""WITH p AS (SELECT doc_id,
+      Some(("""WITH p AS (SELECT doc_id,
              |    'Home | About | Contact' || chr(10) || text || chr(10) ||
-             |    '| | --- | |' || chr(10) || 'Tags: ' || lang || chr(10) ||
+             |    'CJK' || chr(10) ||
+             |    'CYR' || chr(10) ||
+             |    '| | --- | |' || chr(10) ||
+             |    'DASHRULE' || chr(10) ||
+             |    'Tags: ' || lang || chr(10) ||
              |    '(c) 2026 - Integritet - Villkor' AS page
              |  FROM documents),
              |l AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM p),
              |k AS (SELECT doc_id, lines,
              |    list_filter(lines, x -> length(x) >= 32 AND
-             |      100 * (length(x) - length(regexp_replace(x, '[a-zA-Z0-9]', '', 'g')))
+             |      100 * (length(x) - length(regexp_replace(x, '[\pL\p{Nd}]', '', 'g')))
              |        >= 50 * length(x)) AS keep
              |  FROM l)
              |SELECT CAST(doc_id AS BIGINT) AS doc_id,
              |  array_to_string(keep, chr(10)) AS content,
              |  CAST(len(keep) AS BIGINT) AS n_kept,
              |  CAST(len(lines) AS BIGINT) AS n_total
-             |FROM k ORDER BY doc_id""".stripMargin),
+             |FROM k ORDER BY doc_id""").stripMargin
+        .replace("CJK", CjkLine)
+        .replace("CYR", CyrLine)
+        .replace("DASHRULE", DashRule)),
       doc = "Within-document main-content extraction by line density " +
         "(readability/trafilatura-class heuristic as exact integer " +
-        "arithmetic): a line survives iff it has >= 32 characters and >= " +
-        "50% ASCII-alphanumerics — the synthesized nav/separator/tag/" +
-        "footer chrome fails, body prose passes. ONE narrow codegen'd " +
-        "projection (graft_extract_content): no explode, no reassembly " +
-        "shuffle, no corpus statistics — the per-page complement of the " +
-        "cross-corpus boilerplate removers (t53/t85)."
+        "arithmetic): a line survives iff it has >= 32 codepoints and >= " +
+        "50% Unicode letters/digits (Character.isLetterOrDigit, mirrored " +
+        "in DuckDB by the RE2 class [\\pL\\p{Nd}] — the t83/t93 " +
+        "regex-parity playbook). The synthesized nav/separator/tag/footer " +
+        "chrome and a 32-codepoint dash rule fail on line shape; Latin, " +
+        "CJK and Cyrillic body prose all pass — the density test is " +
+        "script-agnostic, so multilingual pages are not destroyed. ONE " +
+        "narrow codegen'd projection (graft_extract_content): no explode, " +
+        "no reassembly shuffle, no corpus statistics — the per-page " +
+        "complement of the cross-corpus boilerplate removers (t53/t85)."
     ),
     // --------------------------------------------------------------- t104
     GraftQuery(

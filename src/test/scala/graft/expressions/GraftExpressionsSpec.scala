@@ -305,6 +305,23 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(got == 0L)
   }
 
+  test("ContentExtract is script-agnostic: CJK/Cyrillic/Arabic prose survives, chrome dies in any script") {
+    // non-Latin prose has ~0% ASCII alphanumerics — an ASCII density test
+    // at 50% would delete all three body lines wholesale
+    val cjk = "这是一段足够长的中文正文内容，其中包含许多汉字，用来验证提取器不会删除整页中文。"
+    val cyr = "Это достаточно длинная строка русской прозы для проверки плотности букв."
+    val ar = "هذا سطر نثري طويل بما يكفي باللغة العربية لاختبار كثافة الحروف في الصفحة."
+    val dashRule = "— — — — — — — — — — — — — — — — — — — — — — — — — — — — — — — —"
+    val page = Seq("Home | About | Contact", cjk, cyr, ar, dashRule).mkString("\n")
+    val r = Seq(page).toDF("t")
+      .select(GraftFunctions.extractContent($"t", 32, 50).as("x"))
+      .select($"x.content", $"x.n_kept", $"x.n_total").collect()(0)
+    assert(r.getString(0) == Seq(cjk, cyr, ar).mkString("\n"), r.getString(0))
+    // the 63-codepoint dash rule clears the length floor but dies on
+    // density: punctuation is never letter-or-digit in any script
+    assert(r.getLong(1) == 3L && r.getLong(2) == 5L)
+  }
+
   test("ContentExtract keepBlank mode: paragraph separators survive, blank runs collapse, edges trim") {
     val p1 = "a first paragraph of honest prose long enough to clear the bar"
     val p2 = "a second paragraph of honest prose long enough to clear the bar too"

@@ -15,7 +15,9 @@ class CrawlPipelineSpec extends SparkSpec {
   import spark.implicits._
 
   private def record(headers: Seq[(String, String)], payload: String): Array[Byte] = {
-    val body = payload.getBytes(ISO_8859_1)
+    // UTF-8 payload bytes (httpBodyText decodes UTF-8); the header block
+    // itself is pure ASCII so its ISO_8859_1 encoding is unaffected
+    val body = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val head = new StringBuilder("WARC/1.0\r\n")
     headers.foreach { case (k, v) => head.append(s"$k: $v\r\n") }
     head.append(s"Content-Length: ${body.length}\r\n\r\n")
@@ -42,6 +44,17 @@ class CrawlPipelineSpec extends SparkSpec {
     "the chrome page tells a story about hills and rivers that people have loved"
   private val chromeBody =
     s"Home | About | Contact\n\n$chromePara\n\n$sharedPara\n\n(c) 2026 - footer"
+  // an entirely non-Latin page: the content stage's density test counts
+  // UNICODE letters/digits, so chinese prose (~0% ASCII alphanumerics) must
+  // come through 05_content INTACT while the short nav/footer chrome still
+  // dies on line shape. (It is then dropped at 06_quality by design: the
+  // Gopher rule chain is the published English-centric heuristic set.)
+  private val cjkPara1 =
+    "这是一页完全用中文写成的正文，行长超过三十个字符，用来验证管道不会删除非拉丁文字。"
+  private val cjkPara2 =
+    "第二段同样足够长，继续讲述山川与河流的故事，并保持合理的文字密度以通过检查。"
+  private val cjkBody =
+    s"导航 | 关于 | 联系\n\n$cjkPara1\n\n$cjkPara2\n\n(c) 2026 页脚"
 
   test("crawl pipeline: every stage fires on the synthetic WARC") {
     val dir = Files.createTempDirectory("crawl_warc")
@@ -56,22 +69,26 @@ class CrawlPipelineSpec extends SparkSpec {
       response("http://a.example/private/secret", goodBody) ++ // robots-blocked
       response("http://a.example/junk", "short") ++ // fails quality rules
       response("http://b.example/page", otherBody) ++ // no robots on this host
-      response("http://c.example/chromey", chromeBody) // chrome-wrapped prose
+      response("http://c.example/chromey", chromeBody) ++ // chrome-wrapped prose
+      response("http://d.example/zhongwen", cjkBody) // non-Latin page
     Files.write(dir.resolve("fixture.warc"), warcBytes)
 
     val counts = CrawlPipeline
       .run(spark, s"$dir/*.warc*", work, agent = "graftbot", capacity = 16L)
       .map(c => c.stage -> c.rows).toMap
 
-    assert(counts("01_warc") == 8) // warcinfo + 7 responses
-    assert(counts("02_pages") == 7) // responses with non-empty bodies
+    assert(counts("01_warc") == 9) // warcinfo + 8 responses
+    assert(counts("02_pages") == 8) // responses with non-empty bodies
     // robots.txt itself is policy, not content; /private/secret is blocked
-    assert(counts("03_admitted") == 5)
+    assert(counts("03_admitted") == 6)
     // the utm variant canonicalizes onto /good -> one survivor
-    assert(counts("04_url_dedup") == 4)
+    assert(counts("04_url_dedup") == 5)
     // content extraction is a pure projection: cardinality preserved
-    assert(counts("05_content") == 4)
-    // "short" fails the min-length line test and empties out
+    assert(counts("05_content") == 5)
+    // "short" fails the min-length line test and empties out; the CJK page
+    // (kept intact by 05_content) is dropped here by the English-centric
+    // Gopher word rules — a density-test deletion would have emptied it a
+    // stage EARLIER, which the assertion below forbids
     assert(counts("06_quality") == 3)
     assert(counts("07_para_dedup") == 3)
     assert(counts("08_splits") == 3)
@@ -83,6 +100,14 @@ class CrawlPipelineSpec extends SparkSpec {
       .where($"url" === "http://c.example/chromey")
       .select("text").as[String].collect()(0)
     assert(chromey == s"$chromePara\n\n$sharedPara", chromey)
+
+    // the non-Latin page comes through 05_content INTACT (both paragraphs,
+    // separator preserved, chrome stripped) — the ASCII density test used
+    // to delete every line of it
+    val zhongwen = spark.read.parquet(s"$work/05_content")
+      .where($"url" === "http://d.example/zhongwen")
+      .select("text").as[String].collect()(0)
+    assert(zhongwen == s"$cjkPara1\n\n$cjkPara2", zhongwen)
 
     // the shared paragraph appears in three docs, survives exactly once
     val para = spark.read.parquet(s"$work/07_para_dedup")
