@@ -81,6 +81,13 @@ object Bench {
       if (done.isEmpty && failed.isEmpty) return
       val med = done.map { case (name, _) => name -> median(samples(name)) }
       val total = med.map(_._2).sum
+      // Graded vs gate accounting, split in the record itself: gates are
+      // once-sampled verification harnesses that deliberately double-compute
+      // (exact twins, brute-force equality checks) and breathe up to 4x with
+      // box contention — r10's record read as a 28% regression that was one
+      // breathing gate. graded_total is the round-over-round comparable.
+      val gateTotal = med.collect { case (n, v) if gateNames.contains(n) => v }.sum
+      val gradedTotal = total - gateTotal
       // Failed queries ride the contract line by name (qNN/tNN prefix —
       // unique across the registry) so a breakage is loud in the driver
       // record; omitted entirely when clean to spare the tail budget.
@@ -91,7 +98,7 @@ object Bench {
       // build.sbt — and (b) short enough to survive the driver's 2000-char
       // stdout tail INCLUDING sbt's trailing "[success] ..." line.
       def line(kvs: Seq[(String, Double)])(decimals: Int): String =
-        s"""{"metric":"total","value":${compact(3)(total)},"unit":"sec","queries":${jsonObj(kvs, compact(decimals))}$errTok,"sf":$sfToken}"""
+        s"""{"metric":"total","value":${compact(3)(total)},"unit":"sec","graded_total":${compact(3)(gradedTotal)},"gate_total":${compact(3)(gateTotal)},"queries":${jsonObj(kvs, compact(decimals))}$errTok,"sf":$sfToken}"""
       // Past ~95 queries the full-name dict exceeds the tail budget even at
       // 0 decimals, so the ladder gains a rung BEFORE dropping coverage: the
       // qNN/tNN prefix is unique across the registry and shrinks each entry
@@ -110,10 +117,11 @@ object Bench {
       if (done.isEmpty && failed.isEmpty) return
       val med = done.map { case (name, _) => name -> median(samples(name)) }
       val mins = done.map { case (name, _) => name -> samples(name).min }
+      val gateTotal = med.collect { case (n, v) if gateNames.contains(n) => v }.sum
       val errTok = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
       // Full-precision detail goes to stderr with a non-JSON prefix: useful
       // to humans, impossible for the driver to mistake for the contract line.
-      System.err.println(s"""bench-detail {"total":${med.map(_._2).sum},"queries":${jsonObj(med, _.toString)},"queries_min":${jsonObj(mins, _.toString)},"total_min":${mins.map(_._2).sum},"errors":$errTok,"passes":$passesDone,"sf":"$sfDir"}""")
+      System.err.println(s"""bench-detail {"total":${med.map(_._2).sum},"graded_total":${med.map(_._2).sum - gateTotal},"gate_total":$gateTotal,"queries":${jsonObj(med, _.toString)},"queries_min":${jsonObj(mins, _.toString)},"total_min":${mins.map(_._2).sum},"errors":$errTok,"passes":$passesDone,"sf":"$sfDir"}""")
     }
 
     // ---- warmup (opt-in, budgeted) ----

@@ -411,11 +411,32 @@ object GraftCli {
             s"(minLen=$minLen, minAlnumPct=$minPct) -> $outDir")
         case "pipeline" :: warcGlob :: workDir :: rest =>
           // end-to-end crawl curation (WARC -> ... -> packed sequences),
-          // sequenced through parquet checkpoints — see CrawlPipeline
-          val agent = rest.headOption.getOrElse("graftbot")
-          val capacity = rest.drop(1).headOption.map(_.toLong).getOrElse(2048L)
+          // sequenced through parquet checkpoints — see CrawlPipeline.
+          // Positional: [agent] [capacity]. Flags: --index <dir> turns on
+          // cross-snapshot admission against persisted fp/sig indexes;
+          // --enrich <templateFile> appends the LLM-map stage (transport
+          // resolved from the environment, mock when nothing is configured —
+          // the reference's Program 1→2→3 chain in one command).
+          val (flags, pos) = {
+            def split(args: List[String], acc: Map[String, String],
+                p: List[String]): (Map[String, String], List[String]) = args match {
+              case f :: v :: t if f.startsWith("--") => split(t, acc + (f -> v), p)
+              case a :: t => split(t, acc, p :+ a)
+              case Nil => (acc, p)
+            }
+            split(rest, Map.empty, Nil)
+          }
+          val agent = pos.headOption.getOrElse("graftbot")
+          val capacity = pos.drop(1).headOption.map(_.toLong).getOrElse(2048L)
+          val enrich = flags.get("--enrich").map { tf =>
+            graft.pipeline.CrawlPipeline.EnrichStage(
+              () => graft.enrich.LlmTransports.fromEnvironment(),
+              new String(java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(tf)), java.nio.charset.StandardCharsets.UTF_8))
+          }
           val counts = graft.pipeline.CrawlPipeline.run(
-            spark, warcGlob, workDir, agent, capacity)
+            spark, warcGlob, workDir, agent, capacity,
+            indexDir = flags.get("--index"), enrichStage = enrich)
           counts.foreach(c => println(f"pipeline[${c.stage}]: ${c.rows} rows"))
           println(s"pipeline: done -> $workDir (agent=$agent, capacity=$capacity)")
         case "reset" :: workDir :: Nil =>
@@ -503,7 +524,7 @@ object GraftCli {
               "extract <in> <outDir> <idCol> <textCol> [minLen minAlnumPct] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | " +
-              "pipeline <warcGlob> <workDir> [agent] [capacity] | reset <workDir>")
+              "pipeline <warcGlob> <workDir> [agent] [capacity] [--index <dir>] [--enrich <templateFile>] | reset <workDir>")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -1,8 +1,10 @@
 package graft.pipeline
 
-import graft.operators.{ParagraphDedup, QualityRules, Robots, Splits, TextAnalysis, TextPipeline, WebOps}
+import graft.enrich.{EnrichConfig, EnrichOperator, LlmTransport}
+import graft.operators.{IncrementalDedup, ParagraphDedup, QualityRules, Robots, Splits, TextAnalysis, TextPipeline, WebOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
 
 /** The staged crawl-curation composition — the engine's analog of the
   * reference orchestrator's sequenced 1→2→3 pipeline run
@@ -29,9 +31,20 @@ object CrawlPipeline {
 
   final case class StageCount(stage: String, rows: Long)
 
+  /** Optional `10_enrich` stage config: the distributed LLM-map operator
+    * (E1–E7) runs over the curated corpus with this transport + prompt —
+    * the reference's Program 1→2→3 chain (`setup_project.py:978-1031`)
+    * as one sequenced command. The transport is a FACTORY because it is
+    * instantiated per partition on executors (pooled-session analog).
+    */
+  final case class EnrichStage(transportFactory: () => LlmTransport,
+      promptTemplate: String, config: EnrichConfig = EnrichConfig())
+
   def run(spark: SparkSession, warcGlob: String, workDir: String,
       agent: String = "graftbot", capacity: Long = 2048L,
-      maxPayloadBytes: Int = 8 * 1024 * 1024): Seq[StageCount] = {
+      maxPayloadBytes: Int = 8 * 1024 * 1024,
+      indexDir: Option[String] = None,
+      enrichStage: Option[EnrichStage] = None): Seq[StageCount] = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[StageCount]
     def ck(stage: String, df: DataFrame, parts: Seq[String] = Nil): DataFrame = {
       val w = df.write.mode("overwrite")
@@ -72,6 +85,47 @@ object CrawlPipeline {
           col("url"), col("doc_id"))
         .where(col("url_survivor")).drop("url_survivor", "canonical_url"))
 
+    // cross-SNAPSHOT admission (optional): dedup this crawl against the
+    // persisted fingerprint + MinHash-signature indexes of everything
+    // already admitted by PREVIOUS runs, then fold the survivors back into
+    // both indexes — the reference's skip-already-processed incrementality
+    // (`src/program2_ai_processor.py:692-724`) lifted from file names to
+    // content granularity at corpus scale. Without this, a second crawl of
+    // the same sites re-admits everything downstream. Exact admission is a
+    // LEFT ANTI join on 16-byte hashes; near-dup admission is LSH-banded
+    // against signatures only (history work is O(batch collisions), never
+    // O(corpus)). Index updates go through write-then-swap ([[IncrementalDedup.replaceDir]]):
+    // a killed run never truncates the live index.
+    val fresh = indexDir match {
+      case None => deduped
+      case Some(ix) =>
+        val fpDir = s"$ix/fp"
+        val sigDir = s"$ix/sig"
+        def readOrEmpty(dir: String, schema: StructType): DataFrame =
+          if (new java.io.File(dir).exists()) spark.read.parquet(dir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val fpIndex = readOrEmpty(fpDir,
+          new StructType().add("fp", StringType))
+        val sigIndex = readOrEmpty(sigDir, new StructType()
+          .add("id", LongType).add("sig", ArrayType(LongType)))
+        val exact = IncrementalDedup.admit(
+          deduped, fpIndex, TextAnalysis.fingerprint(col("text")), col("doc_id"))
+        // checkpointed (parquet write + read-back) BEFORE the index updates:
+        // both updates consume the admitted rows, and their lineage reads
+        // the LIVE index dirs, which the swaps below replace
+        val admitted = ck("04b_admit",
+          IncrementalDedup.admitNearDup(exact, sigIndex, "doc_id", "text"))
+        IncrementalDedup.updatedIndex(fpIndex, admitted)
+          .write.parquet(s"$fpDir.next")
+        IncrementalDedup.replaceDir(fpDir, s"$fpDir.next")
+        IncrementalDedup.updatedSigIndex(sigIndex,
+            admitted.select(col("id"), col("sig")))
+          .write.parquet(s"$sigDir.next")
+        IncrementalDedup.replaceDir(sigDir, s"$sigDir.next")
+        admitted.drop("id", "sig", "fp")
+    }
+
     // within-page content extraction in keepBlank mode: nav/separator/
     // footer chrome dies on line shape alone, while blank-line paragraph
     // separators survive (collapsed to one) — the paragraph-level dedup
@@ -81,9 +135,9 @@ object CrawlPipeline {
     // ~0% ASCII alphanumerics) flow through intact rather than being
     // deleted wholesale
     val content = ck("05_content",
-      TextPipeline.extractContent(deduped, col("doc_id"), col("text"),
+      TextPipeline.extractContent(fresh, col("doc_id"), col("text"),
           minLineChars = 30, minAlnumPct = 50, keepBlank = true)
-        .join(deduped.select(col("doc_id").as("id"), col("url")), Seq("id"))
+        .join(fresh.select(col("doc_id").as("id"), col("url")), Seq("id"))
         .select(col("id").as("doc_id"), col("url"), col("content").as("text")))
 
     val quality = ck("06_quality",
@@ -108,6 +162,22 @@ object CrawlPipeline {
     ck("09_pack", TextPipeline.packSequences(
       split.withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
       col("doc_id"), col("n_tokens"), capacity))
+
+    // optional LLM enrichment over the curated corpus (the reference's
+    // Program 2 run over Program 1's output): the distributed LLM-map
+    // operator with its rate/concurrency envelope, written partitioned by
+    // the ok flag so the ok/fail routing (E7) is partition-pruned on disk —
+    // `10_enrich/ok=true` IS the success sink, `ok=false` the failure sink.
+    enrichStage.foreach { e =>
+      import spark.implicits._
+      val enriched = EnrichOperator.enrich(
+        para.select(col("url").as("key"), col("text").as("content"))
+          .as[EnrichOperator.Doc],
+        e.transportFactory, e.promptTemplate, e.config)
+      val out = ck("10_enrich", enriched.toDF(), parts = Seq("ok"))
+      counts += StageCount("10_enrich_ok", out.where(col("ok")).count())
+      counts += StageCount("10_enrich_fail", out.where(!col("ok")).count())
+    }
 
     counts.toSeq
   }

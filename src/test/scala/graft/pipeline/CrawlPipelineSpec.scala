@@ -126,4 +126,66 @@ class CrawlPipelineSpec extends SparkSpec {
     val pack = spark.read.parquet(s"$work/09_pack")
     assert(pack.where($"offset_in_bin" < 0 || $"offset_in_bin" >= 16).isEmpty)
   }
+
+  // ~400 words so a one-word edit keeps shingle-Jaccard ~0.99 — firmly a
+  // near-dup at the default 26/32 signature-match threshold. Stopwords are
+  // woven in so the bodies clear the Gopher rule chain and reach enrichment.
+  private val alphaWords =
+    (1 to 100).flatMap(i => Seq("the", s"alpha${i % 7}", "and", s"word$i"))
+  private val bodyAlpha = alphaWords.mkString(" ")
+  private val bodyAlphaNear = (alphaWords.dropRight(1) :+ "mirrored").mkString(" ")
+  private val bodyBeta =
+    (1 to 100).flatMap(i => Seq("the", s"beta${i % 5}", "of", s"item$i")).mkString(" ")
+  private val bodyGamma =
+    (1 to 100).flatMap(i => Seq("the", s"gamma${i % 3}", "with", s"note$i")).mkString(" ")
+  private val promptTemplate =
+    "SYSTEM: Du är en hjälpsam assistent.\nUSER: Sammanfatta: {school_data}"
+
+  test("cross-snapshot admission: a second crawl admits only novel pages; enrich routes ok/fail") {
+    val warc1Dir = Files.createTempDirectory("crawl2_warc1")
+    val warc2Dir = Files.createTempDirectory("crawl2_warc2")
+    val work1 = Files.createTempDirectory("crawl2_work1").toString
+    val work2 = Files.createTempDirectory("crawl2_work2").toString
+    val ix = Files.createTempDirectory("crawl2_ix").toString + "/index"
+
+    Files.write(warc1Dir.resolve("snap1.warc"),
+      response("http://a.example/alpha", bodyAlpha) ++
+      response("http://b.example/beta", bodyBeta))
+    // snapshot 2: exact recrawl of alpha (same content → fingerprint-index
+    // reject), a near-dup mirror on a NEW url (one word changed → signature-
+    // index reject), and one genuinely novel page
+    Files.write(warc2Dir.resolve("snap2.warc"),
+      response("http://a.example/alpha", bodyAlpha) ++
+      response("http://a.example/alpha-mirror", bodyAlphaNear) ++
+      response("http://c.example/gamma", bodyGamma))
+
+    val c1 = CrawlPipeline.run(spark, s"$warc1Dir/*.warc*", work1,
+        indexDir = Some(ix),
+        enrichStage = Some(CrawlPipeline.EnrichStage(
+          () => new graft.enrich.MockLlmTransport, promptTemplate)))
+      .map(c => c.stage -> c.rows).toMap
+    assert(c1("04b_admit") == 2) // first snapshot: everything is novel
+    // both pages clear the Gopher rules and reach enrichment, all ok-routed
+    assert(c1("07_para_dedup") == 2)
+    assert(c1("10_enrich") == c1("07_para_dedup"))
+    assert(c1("10_enrich_ok") == c1("10_enrich") && c1("10_enrich_fail") == 0)
+    // ok/fail routing is a disk partition, not just a column
+    assert(new java.io.File(s"$work1/10_enrich/ok=true").isDirectory)
+
+    val c2 = CrawlPipeline.run(spark, s"$warc2Dir/*.warc*", work2,
+        indexDir = Some(ix))
+      .map(c => c.stage -> c.rows).toMap
+    assert(c2("04_url_dedup") == 3) // three distinct URLs in the crawl
+    assert(c2("04b_admit") == 1, s"expected only the novel page, got $c2")
+    val admitted = spark.read.parquet(s"$work2/04b_admit")
+      .select("url").as[String].collect().toSeq
+    assert(admitted == Seq("http://c.example/gamma"))
+
+    // both indexes grew by exactly the one admitted survivor and went
+    // through the swap (no .next / .old leftovers)
+    assert(spark.read.parquet(s"$ix/fp").count() == 3)
+    assert(spark.read.parquet(s"$ix/sig").count() == 3)
+    for (d <- Seq("fp", "sig"); suf <- Seq(".next", ".old"))
+      assert(!new java.io.File(s"$ix/$d$suf").exists())
+  }
 }
