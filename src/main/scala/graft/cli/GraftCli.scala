@@ -475,7 +475,17 @@ object GraftCli {
           // noise. Expression ids (#123) and the per-plan codegen ids vary
           // run-to-run and are normalized out; paths are stable for a fixed
           // sfDir.
-          val sel = if (names.isEmpty) graft.SparkEntry.queries.keys.toSeq.sorted else names
+          // t100_sketch_stream_gate is EXCLUDED from the default sweep, by
+          // design and not drift: its builder eagerly runs real micro-batches
+          // through the state store (seconds of work per explain), and the
+          // plans that matter are the PER-BATCH incremental plans inside
+          // foreachBatch — the returned verdict frame is just assertion
+          // scaffolding. plans/ therefore holds registry-minus-one snapshots.
+          val streamingGates = Set("t100_sketch_stream_gate")
+          val sel =
+            if (names.isEmpty)
+              graft.SparkEntry.queries.keys.toSeq.sorted.filterNot(streamingGates)
+            else names
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
           sel.foreach { n =>
             val df = graft.SparkEntry.queries(n)(spark, sfDir)

@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
   * processed in partition-sized batches.
   *
-  * The decode step (image resize / audio resample / video frame-sample) needs
-  * native media libraries that are not in this container, so `StubDecoder`
-  * computes deterministic fake features; everything Spark-side — the schema,
-  * the binary column handling, the mapPartitions batch shape, the partition
-  * parallelism — is real. Swap `Decoder` for a JNI/FFmpeg-backed impl on a
-  * real cluster.
+  * IMAGE decode is real: [[ImageIoDecoder]] / [[pixelFeatures]] parse
+  * payloads with the JDK's own `javax.imageio` readers (BMP/PNG/JPEG, no
+  * native deps) and compute true dimensions + pixel-space statistics,
+  * round-trip-gated against a closed-form oracle (t107). Audio/video decode
+  * needs codec libraries that are not in this container, so [[StubDecoder]]
+  * keeps a deterministic byte-level stand-in for those modalities;
+  * everything Spark-side — the schema, the binary column handling, the
+  * mapPartitions batch shape, the partition parallelism — is real either
+  * way. Swap `Decoder` for a JNI/FFmpeg-backed impl on a real cluster.
   */
 object Multimodal {
 
@@ -32,6 +35,129 @@ object Multimodal {
         case "image" => (base % 1920, base % 1080)
         case "audio" => (base % 48000, 1)
         case _ => (base % 1920, base % 60) // video: (res, fps-ish)
+      }
+    }
+  }
+
+  /** REAL image decode on the pure JVM: `javax.imageio` ships BMP/PNG/JPEG
+    * readers in the JDK itself, no native media libraries needed. Image
+    * payloads that ImageIO can parse report their true pixel dimensions;
+    * opaque payloads (and the audio/video modalities, whose codecs genuinely
+    * are not in this container) keep the byte-level stub path.
+    */
+  object ImageIoDecoder extends Decoder {
+    override def decode(modality: String, payload: Array[Byte]): (Int, Int) =
+      if (modality == "image") {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) StubDecoder.decode(modality, payload)
+        else (img.getWidth, img.getHeight)
+      } else StubDecoder.decode(modality, payload)
+  }
+
+  /** Minimal 24-bpp uncompressed BMP writer (pure JVM, bottom-up row order
+    * with 4-byte row padding per the format): `gray(x, y)` is written to all
+    * three channels so any decoder-side luminance weighting recovers it
+    * exactly. Used to synthesize REAL image payloads for the round-trip
+    * decode gate (t107) and specs — encode here, decode via `javax.imageio`,
+    * so the decode path under test is the JDK's, not ours.
+    */
+  def encodeBmp(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowBytes = (width * 3 + 3) & ~3
+    val dataSize = rowBytes * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(dataSize) // BI_RGB (uncompressed), image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette none
+    var y = height - 1 // bottom-up: last scanline first
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val v = (gray(x, y) & 0xFF).toByte
+        buf.put(v).put(v).put(v) // B, G, R
+        x += 1
+      }
+      var p = width * 3
+      while (p < rowBytes) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  final case class PixelFeatures(doc_id: Long, width: Int, height: Int,
+      pix_sum: Long, ahash_bits: String)
+
+  /** PIXEL-space featurization — the path that retires the stub for images:
+    * a real `javax.imageio` decode per row (JDK BMP/PNG/JPEG readers, no
+    * native deps), then exact integer luminance statistics and the classic
+    * 8×8 average-hash computed over DECODED PIXELS rather than payload
+    * bytes. Rows whose payload ImageIO cannot parse are dropped (they belong
+    * on the byte-level [[aHashBands]] path).
+    *
+    *  - luminance = (r+g+b)/3 integer — exact for grayscale pixels, so a
+    *    cross-engine oracle can reproduce `pix_sum` closed-form;
+    *  - `ahash_bits(8r+c)` = '1' iff cell (r,c) of the 8×8 grid averages
+    *    strictly brighter than the whole image, decided by the exact
+    *    cross-multiplied integer compare `cellSum * nPixels > pixSum *
+    *    cellN` (no IEEE division, no ties-by-rounding);
+    *  - emitted as a 64-char '0'/'1' string: sortable, cross-engine-stable,
+    *    and free of the Long sign pitfalls of a packed 64-bit value.
+    *
+    * Scale shape: one narrow mapPartitions projection, no shuffle; the
+    * payload never leaves its partition and only (id, dims, 64 bits) flow on.
+    */
+  def pixelFeatures(media: Dataset[MediaRow]): Dataset[PixelFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val lum = Array.ofDim[Int](h, w)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val v = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+              lum(y)(x) = v
+              total += v
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val bits = new java.lang.StringBuilder(64)
+          var b = 0
+          while (b < 64) {
+            // integer cell boundaries (exact for any dims; when w,h are
+            // multiples of 8 every cell is identical and the compare below
+            // reduces to cellSum * 64 > pixSum — the oracle's form)
+            val r0 = (b / 8) * h / 8
+            val r1 = (b / 8 + 1) * h / 8
+            val c0 = (b % 8) * w / 8
+            val c1 = (b % 8 + 1) * w / 8
+            var cs = 0L
+            var cn = 0L
+            var yy = r0
+            while (yy < r1) {
+              var xx = c0
+              while (xx < c1) { cs += lum(yy)(xx); cn += 1; xx += 1 }
+              yy += 1
+            }
+            bits.append(if (cs * n > total * cn) '1' else '0')
+            b += 1
+          }
+          Some(PixelFeatures(r.doc_id, w, h, total, bits.toString))
+        }
       }
     }
   }

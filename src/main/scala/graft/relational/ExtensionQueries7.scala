@@ -301,6 +301,60 @@ object ExtensionQueries7 {
         "rounding error assigned to the largest remainders with a " +
         "deterministic name tiebreak; the bounded domain table is the only " +
         "thing the remainder window ever sorts."
+    ),
+    // --------------------------------------------------------------- t107
+    GraftQuery(
+      "t107_image_decode",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        // REAL image payloads: a 24-bpp BMP is encoded per document with
+        // dimensions and a gray gradient derived from doc_id, then decoded
+        // back through the JDK's javax.imageio reader — so width/height/
+        // pix_sum/ahash_bits are measured from DECODED PIXELS while the
+        // oracle computes the same quantities closed-form from the gradient
+        // formula. Any encode, decode, orientation (BMP rows are stored
+        // bottom-up), padding, or hash-cell error breaks the hash match.
+        val media = Tables.documents(s, d).select($"doc_id")
+          .where($"doc_id" < 48).as[Long].map { id =>
+            val w = 8 * (1 + (id % 4).toInt)
+            val h = 8 * (1 + (id % 3).toInt)
+            Multimodal.MediaRow(id, "image", Multimodal.encodeBmp(w, h,
+              (x, y) => ((x * 7 + y * 13 + id) % 256).toInt))
+          }
+        Multimodal.pixelFeatures(media).toDF()
+          .select($"doc_id", $"width", $"height", $"pix_sum", $"ahash_bits")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    8 * (1 + CAST(doc_id % 4 AS INT)) AS w,
+             |    8 * (1 + CAST(doc_id % 3 AS INT)) AS h
+             |  FROM documents WHERE doc_id < 48),
+             |s AS (
+             |  SELECT doc_id, w, h,
+             |    list_sum(flatten(list_transform(range(0, h), y ->
+             |      list_transform(range(0, w), x ->
+             |        (x*7 + y*13 + doc_id) % 256)))) AS pix_sum
+             |  FROM p)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  list_aggregate(list_transform(range(0, 64), b ->
+             |    CASE WHEN 64 * list_sum(flatten(list_transform(
+             |        range((b // 8) * h // 8, (b // 8 + 1) * h // 8), y ->
+             |          list_transform(range((b % 8) * w // 8, (b % 8 + 1) * w // 8), x ->
+             |            (x*7 + y*13 + doc_id) % 256)))) > pix_sum
+             |      THEN '1' ELSE '0' END), 'string_agg', '') AS ahash_bits
+             |FROM s ORDER BY doc_id""".stripMargin),
+      doc = "Real image decode round trip: per-doc 24-bpp BMP payloads " +
+        "(deterministic gray gradient, doc_id-derived dimensions) decoded " +
+        "with the JDK's javax.imageio reader; true width/height, exact " +
+        "integer luminance sum and the 8x8 average-hash over decoded " +
+        "pixels (cross-multiplied integer compares, emitted as a 64-char " +
+        "bit string) must hash-match the oracle's closed-form computation " +
+        "of the same gradient. One narrow mapPartitions projection, no " +
+        "shuffle; payloads never leave their partition."
     )
   )
 }

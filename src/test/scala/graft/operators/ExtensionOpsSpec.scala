@@ -268,6 +268,54 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("bmp round trip: hand-built fixture decodes to pinned dims and pixels via ImageIO") {
+    // 5x3 exercises the 4-byte row padding (5*3=15 -> 16 bytes per row) and
+    // non-multiple-of-8 hash cells
+    def gray(x: Int, y: Int): Int = (x * 11 + y * 29 + 3) % 256
+    val bmp = Multimodal.encodeBmp(5, 3, gray)
+    assert(bmp.length == 54 + 16 * 3) // header + padded scanlines
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(img != null && img.getWidth == 5 && img.getHeight == 3)
+    // orientation: BMP stores rows bottom-up; getRGB must return gray(x, y)
+    // in TOP-DOWN coordinates
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val rgb = img.getRGB(x, y)
+      assert((rgb & 0xFF) == gray(x, y), s"($x,$y)")
+      assert(((rgb >> 8) & 0xFF) == gray(x, y) && ((rgb >> 16) & 0xFF) == gray(x, y))
+    }
+    // ImageIoDecoder: real dims for image payloads, stub path for opaque ones
+    assert(Multimodal.ImageIoDecoder.decode("image", bmp) == ((5, 3)))
+    val opaque = Array.tabulate[Byte](100)(_.toByte)
+    assert(Multimodal.ImageIoDecoder.decode("image", opaque) ==
+      Multimodal.StubDecoder.decode("image", opaque))
+    assert(Multimodal.ImageIoDecoder.decode("audio", bmp) ==
+      Multimodal.StubDecoder.decode("audio", bmp))
+  }
+
+  test("pixelFeatures: decoded-pixel stats match an independent reference computation") {
+    def gray(id: Long)(x: Int, y: Int): Int = ((x * 5 + y * 17 + id * 3) % 256).toInt
+    val dims = Map(1L -> (16, 8), 2L -> (5, 3), 3L -> (32, 24))
+    val media = spark.createDataset(dims.toSeq.map { case (id, (w, h)) =>
+      Multimodal.MediaRow(id, "image", Multimodal.encodeBmp(w, h, gray(id)))
+    } :+ Multimodal.MediaRow(9L, "image", Array.tabulate[Byte](64)(_.toByte)))
+    val got = Multimodal.pixelFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // undecodable payload dropped
+    for ((id, (w, h)) <- dims) {
+      val f = got(id)
+      assert(f.width == w && f.height == h)
+      val total = (for (y <- 0 until h; x <- 0 until w) yield gray(id)(x, y).toLong).sum
+      assert(f.pix_sum == total, s"id=$id")
+      val bits = (0 until 64).map { b =>
+        val (r0, r1) = ((b / 8) * h / 8, (b / 8 + 1) * h / 8)
+        val (c0, c1) = ((b % 8) * w / 8, (b % 8 + 1) * w / 8)
+        val cell = for (y <- r0 until r1; x <- c0 until c1) yield gray(id)(x, y).toLong
+        if (cell.sum * w * h > total * cell.size) '1' else '0'
+      }.mkString
+      assert(f.ahash_bits == bits, s"id=$id")
+    }
+  }
+
   test("multimodal resize and frameSample preserve keys and batch shape") {
     val media = Multimodal.mediaFromDocuments(docs.filter($"doc_id" < 30))
     val resized = Multimodal.resize(media, 64, 64).collect()
