@@ -44,7 +44,11 @@ object CrawlPipeline {
       agent: String = "graftbot", capacity: Long = 2048L,
       maxPayloadBytes: Int = 8 * 1024 * 1024,
       indexDir: Option[String] = None,
-      enrichStage: Option[EnrichStage] = None): Seq[StageCount] = {
+      enrichStage: Option[EnrichStage] = None,
+      // per-stage row accounting is one extra pass per stage (cheap here,
+      // real money on a 100 TB WARC scan) — turn it off and the returned
+      // Seq names each stage with rows = -1, checkpoints unaffected
+      countStages: Boolean = true): Seq[StageCount] = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[StageCount]
     def ck(stage: String, df: DataFrame, parts: Seq[String] = Nil): DataFrame = {
       val w = df.write.mode("overwrite")
@@ -55,7 +59,7 @@ object CrawlPipeline {
       // schema inference would fail — an empty crawl slice must flow
       // through as zero rows, not kill the run
       val back = spark.read.schema(df.schema).parquet(s"$workDir/$stage")
-      counts += StageCount(stage, back.count())
+      counts += StageCount(stage, if (countStages) back.count() else -1L)
       back
     }
 
@@ -175,8 +179,10 @@ object CrawlPipeline {
           .as[EnrichOperator.Doc],
         e.transportFactory, e.promptTemplate, e.config)
       val out = ck("10_enrich", enriched.toDF(), parts = Seq("ok"))
-      counts += StageCount("10_enrich_ok", out.where(col("ok")).count())
-      counts += StageCount("10_enrich_fail", out.where(!col("ok")).count())
+      if (countStages) {
+        counts += StageCount("10_enrich_ok", out.where(col("ok")).count())
+        counts += StageCount("10_enrich_fail", out.where(!col("ok")).count())
+      }
     }
 
     counts.toSeq
