@@ -130,6 +130,73 @@ object Sampling {
       .drop("__grp", "__rate")
   }
 
+  /** EXACT token-budget mix assembly — the deterministic-prefix sibling of
+    * [[toTokenBudgets]]: where that keeps rows at an expected RATE, this
+    * admits, per group, the maximal prefix of the md5-ordered documents
+    * whose running token mass stays strictly under the group's budget — so
+    * the admitted token count is exactly determined (never exceeds budget +
+    * one document), membership is still a pure function of the data, and
+    * ablating "the same 30B-token web slice" is reproducible row-for-row.
+    *
+    * The naive formulation is a running-sum window over each whole group —
+    * the skew wall [[toShares]] documents (a handful of languages = window
+    * partitions as large as the largest group). This implementation removes
+    * it by decomposing the hash order into 4096 buckets (first 3 hex chars
+    * of the md5 — bucket order IS hash-prefix order):
+    *
+    *  1. one aggregation builds the per-(group, bucket) token ledger — at
+    *     most `|groups| * 4096` rows, so its prefix-sum window is driver-
+    *     scale work no matter how big the data is;
+    *  2. buckets whose ledger prefix ends strictly under the budget admit
+    *     every row with NO window at all (a broadcast ledger join + filter);
+    *  3. only the boundary bucket — at most ONE per group — pays a per-row
+    *     running-sum window, bounded to ~1/4096 of its group.
+    *
+    * The decomposition is exact, not approximate: a row is admitted iff
+    * `ledgerPrefix(bucket) + inBucketPrefix(row) < budget`, which equals the
+    * naive global running sum because bucket order refines hash order (the
+    * oracle recomputes the naive form and must hash-match). Groups absent
+    * from the recipe are dropped ([[toTokenBudgets]] convention). Weights
+    * must be non-negative; zero-weight rows admit with the prefix they land
+    * in (strict `<` keeps the rule total).
+    */
+  def exactTokenBudgets(df: DataFrame, groupCol: Column, key: Column,
+      weight: Column, budgets: Seq[(String, Long)]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0L),
+      "token budgets must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bDf = budgets.toDF("__grp", "__budget")
+    val tagged = df
+      .withColumn("__grp", groupCol.cast("string"))
+      .withColumn("__h", md5(key.cast("string")))
+      .withColumn("__bucket", conv(substring(col("__h"), 1, 3), 16, 10).cast("int"))
+      .withColumn("__w", weight.cast("bigint"))
+    // bounded ledger: exclusive token prefix per (group, bucket)
+    val ledgerWnd = Window.partitionBy(col("__grp")).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ledger = tagged.groupBy(col("__grp"), col("__bucket"))
+      .agg(sum(col("__w")).as("__btok"))
+      .withColumn("__bcum", coalesce(sum(col("__btok")).over(ledgerWnd), lit(0L)))
+      .join(bDf, "__grp")
+      .select(col("__grp"), col("__bucket"), col("__bcum"), col("__budget"),
+        // full: every row of the bucket fits under the budget even if the
+        // bucket's mass lands entirely before a trailing zero-weight row
+        (col("__bcum") + col("__btok") < col("__budget")).as("__full"),
+        (col("__bcum") < col("__budget")).as("__open"))
+    val joined = tagged.join(broadcast(ledger), Seq("__grp", "__bucket"))
+    val fullRows = joined.where(col("__full"))
+    val inBucketWnd = Window.partitionBy(col("__grp"), col("__bucket"))
+      .orderBy(col("__h"), key.cast("string"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundaryRows = joined.where(!col("__full") && col("__open"))
+      .withColumn("__incum", coalesce(sum(col("__w")).over(inBucketWnd), lit(0L)))
+      .where(col("__bcum") + col("__incum") < col("__budget"))
+      .drop("__incum")
+    fullRows.unionByName(boundaryRows)
+      .drop("__grp", "__h", "__bucket", "__w", "__bcum", "__budget", "__full", "__open")
+  }
+
   /** Exactly `k` rows per group (fewer when the group is smaller):
     * deterministic "reservoir" = the k smallest md5 draws within each
     * group, with the key itself as the unique tiebreak. One window over

@@ -355,6 +355,45 @@ object ExtensionQueries7 {
         "bit string) must hash-match the oracle's closed-form computation " +
         "of the same gradient. One narrow mapPartitions projection, no " +
         "shuffle; payloads never leave their partition."
+    ),
+    // --------------------------------------------------------------- t108
+    GraftQuery(
+      "t108_exact_mix",
+      (s, d) => {
+        import s.implicits._
+        // fr's budget exceeds its mass (keep-everything / all-buckets-full
+        // path); the other four bind mid-corpus (boundary-bucket path)
+        graft.operators.Sampling.exactTokenBudgets(
+          Tables.documents(s, d), $"lang", $"doc_id", $"n_chars",
+          Seq("en" -> 30000L, "de" -> 9000L, "es" -> 7000L,
+            "fr" -> 50000000L, "zh" -> 8000L))
+          .select($"doc_id".cast("bigint").as("doc_id"), $"lang",
+            $"n_chars".cast("bigint").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b(grp, budget) AS (VALUES
+             |    ('en', CAST(30000 AS BIGINT)), ('de', CAST(9000 AS BIGINT)),
+             |    ('es', CAST(7000 AS BIGINT)), ('fr', CAST(50000000 AS BIGINT)),
+             |    ('zh', CAST(8000 AS BIGINT))),
+             |t AS (SELECT doc_id, lang, n_chars,
+             |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |sel AS (SELECT t.doc_id, t.lang, t.n_chars, b.budget,
+             |    COALESCE(SUM(t.n_chars) OVER (PARTITION BY t.lang
+             |      ORDER BY t.h, CAST(t.doc_id AS VARCHAR)
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+             |  FROM t JOIN b ON b.grp = t.lang)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+             |  CAST(n_chars AS BIGINT) AS n_tokens
+             |FROM sel WHERE cumb < budget ORDER BY doc_id""".stripMargin),
+      doc = "EXACT token-budget mix assembly (deterministic-prefix sibling " +
+        "of t69's rate sampler): per group, admit the maximal md5-ordered " +
+        "document prefix whose running token mass stays strictly under the " +
+        "budget. The operator decomposes the hash order into 4096 buckets " +
+        "— full buckets admit via a broadcast ledger join with NO window, " +
+        "only the (at most one per group) boundary bucket pays a " +
+        "running-sum window bounded to ~1/4096 of its group — while the " +
+        "oracle recomputes the naive whole-group window; the hash match " +
+        "proves the skew-wall-free decomposition exact."
     )
   )
 }

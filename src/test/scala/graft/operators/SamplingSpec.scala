@@ -117,4 +117,37 @@ class SamplingSpec extends SparkSpec {
     val keptA2 = other.filter($"g" === "a").select("id").collect().map(_.getString(0)).toSet
     assert(keptA == keptA2)
   }
+
+  test("exactTokenBudgets: bucketed decomposition equals the naive per-group prefix") {
+    import org.apache.spark.sql.expressions.Window
+    // group a binds mid-corpus (incl. zero-weight rows), b keeps everything,
+    // c is not in the recipe and must vanish
+    val df = ((1 to 3000).map(i => (s"a$i", "a", (i % 7).toLong)) ++
+      (1 to 200).map(i => (s"b$i", "b", 10L)) ++
+      (1 to 50).map(i => (s"c$i", "c", 10L))).toDF("id", "g", "w")
+    val budgets = Seq("a" -> 4000L, "b" -> 50000L)
+    val got = Sampling.exactTokenBudgets(df, $"g", $"id", $"w", budgets)
+
+    // naive reference: one running-sum window over the WHOLE group — the
+    // formulation the bucketed operator must match row-for-row
+    val wnd = Window.partitionBy($"g")
+      .orderBy(md5($"id".cast("string")), $"id".cast("string"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = df.join(budgets.toDF("g", "budget"), "g")
+      .withColumn("cumb", coalesce(sum($"w").over(wnd), lit(0L)))
+      .where($"cumb" < $"budget").select("id", "g", "w")
+    val gotSel = got.select("id", "g", "w")
+    assert(gotSel.exceptAll(ref).isEmpty && ref.exceptAll(gotSel).isEmpty)
+
+    // exact-prefix guarantee: admitted mass never exceeds budget + one doc
+    val massA = got.where($"g" === "a").agg(sum($"w")).head().getLong(0)
+    assert(massA <= 4000L + 6L, s"mass $massA")
+    assert(got.where($"g" === "b").count() == 200) // under-budget: keep all
+    assert(got.where($"g" === "c").count() == 0) // not in the recipe
+    // membership is a pure function of the data — repartition-proof
+    val again = Sampling.exactTokenBudgets(df.repartition(17), $"g", $"id", $"w", budgets)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    // zero budget admits nothing (strict-< prefix rule is total)
+    assert(Sampling.exactTokenBudgets(df, $"g", $"id", $"w", Seq("a" -> 0L)).count() == 0)
+  }
 }
