@@ -439,6 +439,17 @@ object GraftCli {
             indexDir = flags.get("--index"), enrichStage = enrich)
           counts.foreach(c => println(f"pipeline[${c.stage}]: ${c.rows} rows"))
           println(s"pipeline: done -> $workDir (agent=$agent, capacity=$capacity)")
+        case "pipeline-stream" :: warcDir :: workDir :: indexDir :: rest =>
+          // continuous-crawl daemon: new WARC files under warcDir are each
+          // curated as one snapshot and admitted against the persisted
+          // indexes (delta layout, replay-idempotent); runs until killed
+          val agent = rest.headOption.getOrElse("graftbot")
+          val capacity = rest.drop(1).headOption.map(_.toLong).getOrElse(2048L)
+          val q = graft.pipeline.CrawlPipeline.runStream(
+            spark, warcDir, workDir, indexDir, agent, capacity,
+            onBatch = (id, cs) => cs.foreach(c =>
+              println(f"pipeline-stream[batch=$id][${c.stage}]: ${c.rows} rows")))
+          q.awaitTermination()
         case "reset" :: workDir :: Nil =>
           // artifact reset (reference reset_project, setup_project.py:1145-1203);
           // confirmation is the host's job — this surface is non-interactive
@@ -534,7 +545,8 @@ object GraftCli {
               "extract <in> <outDir> <idCol> <textCol> [minLen minAlnumPct] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | " +
-              "pipeline <warcGlob> <workDir> [agent] [capacity] [--index <dir>] [--enrich <templateFile>] | reset <workDir>")
+              "pipeline <warcGlob> <workDir> [agent] [capacity] [--index <dir>] [--enrich <templateFile>] | " +
+              "pipeline-stream <warcDir> <workDir> <indexDir> [agent] [capacity] | reset <workDir>")
           sys.exit(2)
       }
     } finally spark.stop()

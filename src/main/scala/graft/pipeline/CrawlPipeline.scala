@@ -48,7 +48,12 @@ object CrawlPipeline {
       // per-stage row accounting is one extra pass per stage (cheap here,
       // real money on a 100 TB WARC scan) — turn it off and the returned
       // Seq names each stage with rows = -1, checkpoints unaffected
-      countStages: Boolean = true): Seq[StageCount] = {
+      countStages: Boolean = true,
+      // set by [[runStream]]'s foreachBatch: switches the admission indexes
+      // from swap-on-update to the replay-idempotent `batch=<id>` DELTA
+      // layout ([[graft.streaming.StreamingOps.admitNearDupStream]]'s
+      // discipline — own delta excluded on read, overwritten on write)
+      snapshotId: Option[Long] = None): Seq[StageCount] = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[StageCount]
     def ck(stage: String, df: DataFrame, parts: Seq[String] = Nil): DataFrame = {
       val w = df.write.mode("overwrite")
@@ -105,10 +110,22 @@ object CrawlPipeline {
       case Some(ix) =>
         val fpDir = s"$ix/fp"
         val sigDir = s"$ix/sig"
-        def readOrEmpty(dir: String, schema: StructType): DataFrame =
-          if (new java.io.File(dir).exists()) spark.read.parquet(dir)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        // In delta mode (snapshotId set) the batch's OWN `batch=<id>` delta
+        // is excluded on read: a replayed micro-batch would otherwise
+        // self-match every previously admitted page against its persisted
+        // fingerprint/signature, reject the whole batch, and overwrite the
+        // admitted output and deltas with empty frames — permanent loss.
+        def readOrEmpty(dir: String, schema: StructType): DataFrame = {
+          val base =
+            if (new java.io.File(dir).exists()) spark.read.parquet(dir)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          snapshotId match {
+            case Some(bid) if base.columns.contains("batch") =>
+              base.where(col("batch") =!= bid).select(schema.fieldNames.map(col): _*)
+            case _ => base.select(schema.fieldNames.map(col): _*)
+          }
+        }
         val fpIndex = readOrEmpty(fpDir,
           new StructType().add("fp", StringType))
         val sigIndex = readOrEmpty(sigDir, new StructType()
@@ -117,16 +134,29 @@ object CrawlPipeline {
           deduped, fpIndex, TextAnalysis.fingerprint(col("text")), col("doc_id"))
         // checkpointed (parquet write + read-back) BEFORE the index updates:
         // both updates consume the admitted rows, and their lineage reads
-        // the LIVE index dirs, which the swaps below replace
+        // the LIVE index dirs, which the writes below modify
         val admitted = ck("04b_admit",
           IncrementalDedup.admitNearDup(exact, sigIndex, "doc_id", "text"))
-        IncrementalDedup.updatedIndex(fpIndex, admitted)
-          .write.parquet(s"$fpDir.next")
-        IncrementalDedup.replaceDir(fpDir, s"$fpDir.next")
-        IncrementalDedup.updatedSigIndex(sigIndex,
-            admitted.select(col("id"), col("sig")))
-          .write.parquet(s"$sigDir.next")
-        IncrementalDedup.replaceDir(sigDir, s"$sigDir.next")
+        snapshotId match {
+          case Some(bid) =>
+            // replay-idempotent delta layout: overwrite THIS batch's deltas
+            // only; history and concurrent batches are untouched, and a
+            // replay rewrites the same files instead of duplicating them
+            admitted.select(col("fp")).distinct()
+              .write.mode("overwrite").parquet(s"$fpDir/batch=$bid")
+            admitted.select(col("id"), col("sig"))
+              .write.mode("overwrite").parquet(s"$sigDir/batch=$bid")
+          case None =>
+            // batch mode: full-index rewrite behind a write-then-swap so a
+            // killed run never truncates the live index
+            IncrementalDedup.updatedIndex(fpIndex, admitted)
+              .write.parquet(s"$fpDir.next")
+            IncrementalDedup.replaceDir(fpDir, s"$fpDir.next")
+            IncrementalDedup.updatedSigIndex(sigIndex,
+                admitted.select(col("id"), col("sig")))
+              .write.parquet(s"$sigDir.next")
+            IncrementalDedup.replaceDir(sigDir, s"$sigDir.next")
+        }
         admitted.drop("id", "sig", "fp")
     }
 
@@ -187,4 +217,61 @@ object CrawlPipeline {
 
     counts.toSeq
   }
+
+  /** The continuous-crawl DAEMON: watch `warcDir` for new WARC files and run
+    * the full staged curation on each micro-batch of files, admitting
+    * against (and growing) the persisted cross-snapshot indexes — [[run]]
+    * lifted to Structured Streaming, so "a crawler keeps dropping snapshot
+    * files; only novel pages ever reach the curated corpus" is one call.
+    *
+    * Semantics per micro-batch: the batch IS one crawl snapshot (robots
+    * policy from its own fetches, canonical-URL dedup within it), then
+    * delta-mode admission against everything previous batches admitted.
+    * Replay safety comes from the `batch=<id>` discipline ([[run]]'s
+    * snapshotId mode + per-batch work dirs): a replayed batch overwrites
+    * exactly its own outputs and index deltas, reads the index WITHOUT its
+    * own delta, and therefore re-derives the same admitted set. The
+    * checkpointed file-source offsets make each WARC file process exactly
+    * once across restarts.
+    *
+    * Scale shape: only the file LIST crosses the driver (the binaryFile
+    * source prunes the content column away before the collect); record
+    * parsing streams through [[graft.sources.WarcSource]]'s per-file
+    * sequential parser on executors, thousands of files in parallel. The
+    * growing `batch=` index deltas are compacted with
+    * [[graft.operators.IncrementalDedup.compactSigIndex]] (stream stopped,
+    * per its contract).
+    */
+  def runStream(spark: SparkSession, warcDir: String, workDir: String,
+      indexDir: String, agent: String = "graftbot", capacity: Long = 2048L,
+      maxPayloadBytes: Int = 8 * 1024 * 1024, countStages: Boolean = true,
+      onBatch: (Long, Seq[StageCount]) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("binaryFile")
+      // the binaryFile schema is FIXED by the format, but the streaming
+      // source API still demands it spelled out
+      .schema(new StructType()
+        .add("path", StringType)
+        .add("modificationTime", org.apache.spark.sql.types.TimestampType)
+        .add("length", LongType)
+        .add("content", org.apache.spark.sql.types.BinaryType))
+      .option("pathGlobFilter", "*.warc*")
+      .load(warcDir)
+      .select(col("path"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val paths = batch.select("path").distinct()
+          .collect().map(_.getString(0)).sorted
+        if (paths.nonEmpty) {
+          val counts = run(spark, paths.mkString(","),
+            s"$workDir/batch=$batchId", agent, capacity, maxPayloadBytes,
+            indexDir = Some(indexDir), enrichStage = None,
+            countStages = countStages, snapshotId = Some(batchId))
+          onBatch(batchId, counts)
+        }
+        ()
+      }
+      .start()
 }

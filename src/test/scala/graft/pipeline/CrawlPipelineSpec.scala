@@ -188,4 +188,46 @@ class CrawlPipelineSpec extends SparkSpec {
     for (d <- Seq("fp", "sig"); suf <- Seq(".next", ".old"))
       assert(!new java.io.File(s"$ix/$d$suf").exists())
   }
+
+  test("streaming crawl daemon: each snapshot admits only novel pages; replay is idempotent") {
+    val warcDir = Files.createTempDirectory("crawl3_warc")
+    val work = Files.createTempDirectory("crawl3_work").toString
+    val ix = Files.createTempDirectory("crawl3_ix").toString + "/index"
+    val batches = scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+
+    Files.write(warcDir.resolve("snap1.warc"),
+      response("http://a.example/alpha", bodyAlpha) ++
+      response("http://b.example/beta", bodyBeta))
+    val q = CrawlPipeline.runStream(spark, warcDir.toString, work, ix,
+      onBatch = (id, cs) => batches(id) = cs.map(c => c.stage -> c.rows).toMap)
+    try {
+      q.processAllAvailable()
+      // second snapshot lands while the daemon is running: an exact recrawl,
+      // a near-dup mirror on a new URL, and one novel page
+      Files.write(warcDir.resolve("snap2.warc"),
+        response("http://a.example/alpha", bodyAlpha) ++
+        response("http://a.example/alpha-mirror", bodyAlphaNear) ++
+        response("http://c.example/gamma", bodyGamma))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(batches(0L)("04b_admit") == 2, batches.toString)
+    assert(batches(1L)("04b_admit") == 1, batches.toString)
+    val admitted1 = spark.read.parquet(s"$work/batch=1/04b_admit")
+      .select("url").as[String].collect().toSeq
+    assert(admitted1 == Seq("http://c.example/gamma"))
+    // the index holds one signature delta per batch, three docs total
+    assert(spark.read.parquet(s"$ix/sig").count() == 3)
+
+    // replay (foreachBatch's at-least-once unit): rerunning batch 1 with the
+    // same snapshotId must re-derive the SAME admitted set — reading the
+    // index without its own delta — not self-reject and wipe the outputs
+    val replay = CrawlPipeline.run(spark, s"$warcDir/snap2.warc",
+        s"$work/batch=1", indexDir = Some(ix), snapshotId = Some(1L))
+      .map(c => c.stage -> c.rows).toMap
+    assert(replay("04b_admit") == 1, replay.toString)
+    assert(spark.read.parquet(s"$work/batch=1/04b_admit")
+      .select("url").as[String].collect().toSeq == Seq("http://c.example/gamma"))
+    assert(spark.read.parquet(s"$ix/sig").count() == 3)
+  }
 }
