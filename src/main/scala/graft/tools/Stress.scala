@@ -822,6 +822,38 @@ object Stress {
       check(cpShareSum == 1000000L,
         s"largest-remainder shares must sum exactly to the budget ($cpShareSum)")
 
+      // ---- exact mix assembly at factor scale: with binding budgets the
+      // admitted mass per group must land in [budget, budget + one doc) —
+      // the maximal-prefix guarantee — and membership must be invariant to
+      // partitioning (the bucketed decomposition cannot depend on layout)
+      val ((mixGroups, mixViol, mixDiff), tMix) = timed {
+        val weighted = docs.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("bigint").as("w"))
+        val totals = weighted.groupBy(col("lang"))
+          .agg(sum(col("w")).as("tot"), max(col("w")).as("maxw")).collect()
+        val budgets = totals.map(r => r.getString(0) -> r.getLong(1) / 3).toSeq
+        val maxw = totals.map(_.getLong(2)).max
+        val got = graft.operators.Sampling.exactTokenBudgets(
+          weighted, col("lang"), col("doc_id"), col("w"), budgets)
+          .localCheckpoint()
+        val bm = budgets.toMap
+        val viol = got.groupBy(col("lang")).agg(sum(col("w")).as("m"))
+          .collect().count { r =>
+            val b = bm(r.getString(0)); val m = r.getLong(1)
+            m < b || m >= b + maxw
+          }
+        val again = graft.operators.Sampling.exactTokenBudgets(
+          weighted.repartition(97), col("lang"), col("doc_id"), col("w"), budgets)
+        val diff = got.exceptAll(again).count() + again.exceptAll(got).count()
+        (totals.length, viol, diff)
+      }
+      println(j("stage" -> "exact_mix", "seconds" -> tMix,
+        "groups" -> mixGroups, "violations" -> mixViol,
+        "repartition_diff" -> mixDiff))
+      check(mixViol == 0,
+        s"admitted mass must land within one doc above each binding budget ($mixViol groups out)")
+      check(mixDiff == 0, s"exact mix must be repartition-invariant (diff $mixDiff)")
+
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
       failures.foreach(f => System.err.println(s"[stress] FAILED: $f"))
