@@ -172,11 +172,14 @@ class CrawlPipelineSpec extends SparkSpec {
     // ok/fail routing is a disk partition, not just a column
     assert(new java.io.File(s"$work1/10_enrich/ok=true").isDirectory)
 
+    // second run with countStages=false: stages are named but never counted
+    // (no extra read pass per checkpoint) — row assertions below come from
+    // the checkpoints themselves
     val c2 = CrawlPipeline.run(spark, s"$warc2Dir/*.warc*", work2,
-        indexDir = Some(ix))
+        indexDir = Some(ix), countStages = false)
       .map(c => c.stage -> c.rows).toMap
-    assert(c2("04_url_dedup") == 3) // three distinct URLs in the crawl
-    assert(c2("04b_admit") == 1, s"expected only the novel page, got $c2")
+    assert(c2.contains("04b_admit") && c2.values.forall(_ == -1L), c2.toString)
+    assert(spark.read.parquet(s"$work2/04_url_dedup").count() == 3)
     val admitted = spark.read.parquet(s"$work2/04b_admit")
       .select("url").as[String].collect().toSeq
     assert(admitted == Seq("http://c.example/gamma"))

@@ -290,6 +290,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("t108 exact mix: no whole-group window on the data path") {
+    val p = planOf("t108_exact_mix")
+    // the boundary row window must partition by (group, bucket) — a window
+    // partitioned by group alone ordering the per-row hashes would be the
+    // skew wall the operator exists to remove. (The ledger's prefix-sum
+    // window partitions by group but orders the BOUNDED bucket table.)
+    assert("windowspecdefinition\\(__grp#\\d+L?, __bucket#\\d+L?, __h#".r
+      .findFirstIn(p).isDefined, p.take(1500))
+    assert("windowspecdefinition\\(__grp#\\d+L?, __h#".r
+      .findFirstIn(p).isEmpty, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("t89 HITS half-step: score push is an equi-join + partial aggregation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
