@@ -76,11 +76,57 @@ object CrawlPipeline {
         WebOps.httpBodyText(col("payload")).as("text"))
       .where(length(col("text")) > 0))
 
-    // robots admission: policy bodies come from the crawl itself
+    // robots admission: policy bodies come from the crawl itself — and,
+    // when a cross-snapshot index dir is given, from every PREVIOUS crawl
+    // too: a snapshot that does not refetch a host's robots.txt must still
+    // honor the host's standing policy (real crawlers cache robots far
+    // longer than one fetch round). The current crawl's fetch wins per host
+    // (that IS the policy refresh); persisted bodies fill in the rest.
     val isRobotsUrl = col("url").rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/]*/robots\\.txt$")
+    val crawlBodies = pages.where(isRobotsUrl)
+      .select(WebOps.host(col("url")).as("host"), col("text"))
+    val policyBodies = indexDir match {
+      case None => crawlBodies
+      case Some(ix) =>
+        val rDir = s"$ix/robots"
+        val rSchema = new StructType().add("host", StringType).add("text", StringType)
+        val prev0 =
+          if (new java.io.File(rDir).exists()) spark.read.parquet(rDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rSchema)
+        // delta mode: drop this batch's own delta (replay guard), then the
+        // LATEST persisted body per host stands; the swap layout is already
+        // one row per host
+        val prev1 = snapshotId match {
+          case Some(bid) if prev0.columns.contains("batch") =>
+            prev0.where(col("batch") =!= bid)
+          case _ => prev0
+        }
+        val prev =
+          if (prev1.columns.contains("batch"))
+            prev1.groupBy(col("host")).agg(max_by(col("text"), col("batch")).as("text"))
+          else prev1.select(col("host"), col("text"))
+        // one deterministic body per host within the crawl (a WARC can carry
+        // the same robots URL twice)
+        val crawlDedup = crawlBodies.groupBy(col("host")).agg(min(col("text")).as("text"))
+        val merged = crawlDedup.unionByName(
+          prev.join(crawlDedup.select(col("host")), Seq("host"), "left_anti"))
+        snapshotId match {
+          case Some(bid) =>
+            // replay-idempotent delta: persist ONLY this crawl's fetches;
+            // history selection happens at read time (latest batch wins)
+            crawlDedup.write.mode("overwrite").parquet(s"$rDir/batch=$bid")
+            merged
+          case None =>
+            merged.write.parquet(s"$rDir.next")
+            IncrementalDedup.replaceDir(rDir, s"$rDir.next")
+            // read-back: merged's lineage points at the dir the swap just
+            // replaced; downstream stages must read the new live copy
+            spark.read.schema(rSchema).parquet(rDir)
+        }
+    }
     val ruleTable = Robots.parseRules(
-        pages.where(isRobotsUrl)
-          .select(WebOps.host(col("url")).as("rid"), col("text")),
+        policyBodies.select(col("host").as("rid"), col("text")),
         col("rid"), col("text"))
       .withColumnRenamed("id", "host")
     val admitted = ck("03_admitted",

@@ -199,6 +199,8 @@ class CrawlPipelineSpec extends SparkSpec {
     val batches = scala.collection.mutable.Map.empty[Long, Map[String, Long]]
 
     Files.write(warcDir.resolve("snap1.warc"),
+      response("http://a.example/robots.txt",
+        "User-agent: *\nDisallow: /private/\n") ++
       response("http://a.example/alpha", bodyAlpha) ++
       response("http://b.example/beta", bodyBeta))
     val q = CrawlPipeline.runStream(spark, warcDir.toString, work, ix,
@@ -206,13 +208,23 @@ class CrawlPipelineSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       // second snapshot lands while the daemon is running: an exact recrawl,
-      // a near-dup mirror on a new URL, and one novel page
+      // a near-dup mirror on a new URL, one novel page — and a novel page
+      // under /private/ WITHOUT a robots refetch: the standing policy
+      // persisted from snapshot 1 must still block it
       Files.write(warcDir.resolve("snap2.warc"),
         response("http://a.example/alpha", bodyAlpha) ++
         response("http://a.example/alpha-mirror", bodyAlphaNear) ++
+        response("http://a.example/private/hidden",
+          (1 to 100).flatMap(i => Seq("the", s"delta${i % 2}", "be", s"case$i"))
+            .mkString(" ")) ++
         response("http://c.example/gamma", bodyGamma))
       q.processAllAvailable()
     } finally q.stop()
+
+    // the persisted robots policy blocked /private/hidden in a snapshot
+    // that never refetched robots.txt
+    assert(spark.read.parquet(s"$work/batch=1/03_admitted")
+      .where($"url".contains("/private/")).isEmpty)
 
     assert(batches(0L)("04b_admit") == 2, batches.toString)
     assert(batches(1L)("04b_admit") == 1, batches.toString)
