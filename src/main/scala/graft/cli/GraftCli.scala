@@ -391,11 +391,19 @@ object GraftCli {
           }
         case "compact-index" :: indexDir :: rest =>
           // maintenance for the streaming admission loop's append-grown
-          // signature index (IncrementalDedup.compactSigIndex)
-          val target = rest.headOption.map(_.toLong).getOrElse(4000000L)
-          val n = graft.operators.IncrementalDedup
-            .compactSigIndex(spark, indexDir, target)
-          println(s"compact-index: $n signatures compacted -> $indexDir")
+          // delta indexes; kind selects the schema/resolution: sig (default,
+          // id+signature), fp (distinct fingerprints), robots (latest policy
+          // body per host). Stop the stream first (compactDeltaIndex
+          // contract).
+          val kind = rest.headOption.filter(Set("sig", "fp", "robots")).getOrElse("sig")
+          val target = rest.drop(if (rest.headOption.exists(Set("sig", "fp", "robots"))) 1 else 0)
+            .headOption.map(_.toLong).getOrElse(4000000L)
+          val n = kind match {
+            case "fp" => graft.operators.IncrementalDedup.compactFpIndex(spark, indexDir, target)
+            case "robots" => graft.operators.IncrementalDedup.compactRobotsIndex(spark, indexDir, target)
+            case _ => graft.operators.IncrementalDedup.compactSigIndex(spark, indexDir, target)
+          }
+          println(s"compact-index[$kind]: $n rows compacted -> $indexDir")
         case "extract" :: inPath :: outDir :: idCol :: textCol :: rest =>
           // within-document content extraction by line density (zero-shuffle
           // codegen'd projection; TextPipeline.extractContent)

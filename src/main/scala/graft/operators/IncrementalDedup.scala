@@ -143,15 +143,52 @@ object IncrementalDedup {
     * @return number of signatures in the compacted index
     */
   def compactSigIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, targetRows: Long = 4_000_000L): Long = {
+      indexDir: String, targetRows: Long = 4_000_000L): Long =
+    compactDeltaIndex(spark, indexDir,
+      _.select(col("id"), col("sig")), targetRows)
+
+  /** Compaction for a FINGERPRINT delta index (`fp` per row, grown one
+    * `batch=<id>` dir per crawl snapshot by the pipeline's delta-mode
+    * admission): the set union collapses to distinct fingerprints. Same
+    * layout and swap discipline as [[compactSigIndex]].
+    */
+  def compactFpIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, targetRows: Long = 64_000_000L): Long =
+    compactDeltaIndex(spark, indexDir,
+      _.select(col("fp")).distinct(), targetRows)
+
+  /** Compaction for the ROBOTS-policy delta index ((host, text) per row,
+    * one delta per crawl snapshot): resolution is latest-batch-wins per
+    * host, and the compacted rows land under `batch=-1` — strictly below
+    * every real batch id, so deltas appended after the compaction still win
+    * their hosts at read time.
+    */
+  def compactRobotsIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, targetRows: Long = 4_000_000L): Long =
+    compactDeltaIndex(spark, indexDir, df =>
+      if (df.columns.contains("batch"))
+        df.groupBy(col("host")).agg(max_by(col("text"), col("batch")).as("text"))
+      else df.select(col("host"), col("text")), targetRows)
+
+  /** Shared delta-compaction core: read the whole `batch=`-partitioned
+    * index, collapse it with `resolve`, rewrite as one compact table under
+    * `batch=-1`, and swap it in via [[replaceDir]]. See [[compactSigIndex]]
+    * for the layout rationale (root-level files beside `batch=` subdirs are
+    * silently invisible to partition discovery — the compacted table MUST
+    * stay partition-style) and the mid-compaction-delta fold-preserve.
+    *
+    * @return number of rows in the compacted index
+    */
+  def compactDeltaIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, resolve: DataFrame => DataFrame,
+      targetRows: Long): Long = {
     def batchDirs(): Set[String] = {
       val fs = new java.io.File(indexDir).listFiles()
       if (fs == null) Set.empty
       else fs.filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
     }
     val snapshot = batchDirs()
-    val index = spark.read.parquet(indexDir).select(col("id"), col("sig"))
-      .localCheckpoint()
+    val index = resolve(spark.read.parquet(indexDir)).localCheckpoint()
     val n = index.count()
     val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
     val next = s"$indexDir.compact"
@@ -159,7 +196,7 @@ object IncrementalDedup {
     index.repartition(files).write.parquet(s"$next/batch=-1")
     // fold-preserve deltas a racing micro-batch appended after the snapshot:
     // they were not part of the compacted read, so deleting them with the old
-    // dir would silently lose those docs' signatures
+    // dir would silently lose those docs' rows
     (batchDirs() -- snapshot).foreach { d =>
       java.nio.file.Files.move(
         java.nio.file.Paths.get(s"$indexDir/$d"),

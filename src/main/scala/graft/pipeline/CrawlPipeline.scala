@@ -285,8 +285,9 @@ object CrawlPipeline {
     * parsing streams through [[graft.sources.WarcSource]]'s per-file
     * sequential parser on executors, thousands of files in parallel. The
     * growing `batch=` index deltas are compacted with
-    * [[graft.operators.IncrementalDedup.compactSigIndex]] (stream stopped,
-    * per its contract).
+    * [[graft.operators.IncrementalDedup.compactSigIndex]] /
+    * `compactFpIndex` / `compactRobotsIndex` (CLI `compact-index <dir>
+    * <kind>`; stream stopped, per their shared contract).
     */
   def runStream(spark: SparkSession, warcDir: String, workDir: String,
       indexDir: String, agent: String = "graftbot", capacity: Long = 2048L,

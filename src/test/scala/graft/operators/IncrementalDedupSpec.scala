@@ -117,6 +117,40 @@ class IncrementalDedupSpec extends SparkSpec {
       s"old (compacted) and new (delta) index entries must both reject: $admitted")
   }
 
+  test("compactFpIndex collapses fingerprint deltas to distinct fps under batch=-1") {
+    val dir = java.nio.file.Files.createTempDirectory("fp_idx").toString + "/idx"
+    Seq("f1", "f2").toDF("fp").write.parquet(s"$dir/batch=0")
+    Seq("f2", "f3").toDF("fp").write.parquet(s"$dir/batch=1")
+    assert(IncrementalDedup.compactFpIndex(spark, dir) == 3L) // distinct fps
+    assert(new java.io.File(s"$dir/batch=-1").isDirectory)
+    assert(!new java.io.File(s"$dir/batch=0").exists())
+    // a delta appended after compaction coexists with the compacted set
+    Seq("f4").toDF("fp").write.parquet(s"$dir/batch=5")
+    assert(spark.read.parquet(dir).select("fp").as[String].collect().toSet ==
+      Set("f1", "f2", "f3", "f4"))
+  }
+
+  test("compactRobotsIndex keeps the latest policy per host; later deltas still win") {
+    val dir = java.nio.file.Files.createTempDirectory("rb_idx").toString + "/idx"
+    Seq(("a.example", "Disallow: /old/"), ("b.example", "Disallow: /b/"))
+      .toDF("host", "text").write.parquet(s"$dir/batch=0")
+    Seq(("a.example", "Disallow: /new/"))
+      .toDF("host", "text").write.parquet(s"$dir/batch=3")
+    assert(IncrementalDedup.compactRobotsIndex(spark, dir) == 2L) // one row per host
+    val compacted = spark.read.parquet(dir)
+      .select("host", "text").as[(String, String)].collect().toMap
+    assert(compacted("a.example") == "Disallow: /new/") // latest batch won
+    assert(compacted("b.example") == "Disallow: /b/")
+    // compacted rows live under batch=-1: a post-compaction delta (any real
+    // id > -1) must still out-rank them at latest-batch-wins read time
+    Seq(("a.example", "Disallow: /newest/"))
+      .toDF("host", "text").write.parquet(s"$dir/batch=9")
+    val resolved = spark.read.parquet(dir)
+      .groupBy($"host").agg(max_by($"text", $"batch").as("text"))
+      .as[(String, String)].collect().toMap
+    assert(resolved("a.example") == "Disallow: /newest/")
+  }
+
   test("admitNearDup collapses identical signatures before banding (mass-duplicate batch)") {
     val viral = "breaking news story copied verbatim across every mirror site tonight again"
     val other = "quiet essay about gardening and the patience it requires of its readers"
