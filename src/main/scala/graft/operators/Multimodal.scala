@@ -122,17 +122,48 @@ object Multimodal {
           val h = img.getHeight
           val lum = Array.ofDim[Int](h, w)
           var total = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val v = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
-              lum(y)(x) = v
-              total += v
-              x += 1
+          // fast path for the interleaved byte layouts the JDK readers
+          // produce for BMP/JPEG (BGR) — one raster grab instead of a
+          // per-pixel getRGB (which pays a color-model conversion call per
+          // pixel: 3-4M calls on a single-megapixel image)
+          val fastBands = img.getType match {
+            case java.awt.image.BufferedImage.TYPE_3BYTE_BGR => 3
+            case java.awt.image.BufferedImage.TYPE_4BYTE_ABGR => 4
+            case _ => 0
+          }
+          // guard against exotic strides (subimages): the buffer must be
+          // exactly the packed scanline layout or we fall back to getRGB
+          if (fastBands > 0 &&
+              img.getRaster.getDataBuffer.getSize == w * h * fastBands) {
+            val data = img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferByte].getData
+            val off = fastBands - 3 // alpha leads in ABGR
+            var y = 0
+            while (y < h) {
+              var x = 0
+              val row = y * w * fastBands
+              while (x < w) {
+                val p = row + x * fastBands + off
+                val v = ((data(p) & 0xFF) + (data(p + 1) & 0xFF) + (data(p + 2) & 0xFF)) / 3
+                lum(y)(x) = v
+                total += v
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+          } else {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val v = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+                lum(y)(x) = v
+                total += v
+                x += 1
+              }
+              y += 1
+            }
           }
           val n = w.toLong * h
           val bits = new java.lang.StringBuilder(64)

@@ -292,6 +292,9 @@ object CrawlPipeline {
   def runStream(spark: SparkSession, warcDir: String, workDir: String,
       indexDir: String, agent: String = "graftbot", capacity: Long = 2048L,
       maxPayloadBytes: Int = 8 * 1024 * 1024, countStages: Boolean = true,
+      // optional per-snapshot LLM enrichment (at-least-once on replay, like
+      // any external effect in foreachBatch; the mock transport is exact)
+      enrichStage: Option[EnrichStage] = None,
       onBatch: (Long, Seq[StageCount]) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("binaryFile")
@@ -314,7 +317,7 @@ object CrawlPipeline {
         if (paths.nonEmpty) {
           val counts = run(spark, paths.mkString(","),
             s"$workDir/batch=$batchId", agent, capacity, maxPayloadBytes,
-            indexDir = Some(indexDir), enrichStage = None,
+            indexDir = Some(indexDir), enrichStage = enrichStage,
             countStages = countStages, snapshotId = Some(batchId))
           onBatch(batchId, counts)
         }
