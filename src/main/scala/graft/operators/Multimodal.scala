@@ -269,13 +269,41 @@ object Multimodal {
     */
   def nearDupPairs(media: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 4,
-      s"banding over 4 sub-bands is lossless only for maxHamming < 4, got $maxHamming")
     val fp = media.select(
       col(idCol).as("__id"), aHashBands(col(payloadCol)).as("__fp"))
-    val bands = fp.select(col("__id"),
-      col("__fp")(0).as("fp0"), col("__fp")(1).as("fp1"),
-      col("__fp")(2).as("fp2"), col("__fp")(3).as("fp3"))
+      .select(col("__id"),
+        col("__fp")(0).as("fp0"), col("__fp")(1).as("fp1"),
+        col("__fp")(2).as("fp2"), col("__fp")(3).as("fp3"))
+    bandedHammingPairs(fp, maxHamming)
+  }
+
+  /** Pixel-space banded near-dup — the cross-FORMAT duplicate detector the
+    * byte-level path cannot be: a BMP and a PNG of the same pixels share no
+    * payload bytes (so [[nearDupPairs]] sees nothing) but have the
+    * identical pixel average-hash, Hamming 0. Decodes each payload with
+    * [[pixelFeatures]] (JDK readers; undecodable rows drop out), splits the
+    * 64-bit pixel hash into the same 4 disjoint 16-bit bands, and runs the
+    * shared pigeonhole-lossless band join. Output: (id_a, id_b, hamming).
+    */
+  def pixelNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val fp = pixelFeatures(media).toDF().select(
+      col("doc_id").as("__id") +:
+        (0 to 3).map(i => conv(substring(col("ahash_bits"), i * 16 + 1, 16), 2, 10)
+          .cast("int").as(s"fp$i")): _*)
+    bandedHammingPairs(fp, maxHamming)
+  }
+
+  /** Shared pigeonhole band join over (__id, fp0..fp3): candidate pairs
+    * agree on at least one 16-bit band (equi-join — never all-pairs), then
+    * the full 64-bit Hamming distance is verified exactly. LOSSLESS for
+    * `maxHamming < 4`: ≤3 differing bits across 4 disjoint 16-bit bands
+    * leave at least one band identical, so every true near-dup pair shares
+    * a band bucket. Only 4 ints per row ride the candidate shuffle.
+    */
+  private def bandedHammingPairs(fp: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"banding over 4 sub-bands is lossless only for maxHamming < 4, got $maxHamming")
+    val bands = fp
       .select(col("__id"), col("fp0"), col("fp1"), col("fp2"), col("fp3"),
         posexplode(array(col("fp0"), col("fp1"), col("fp2"), col("fp3")))
           .as(Seq("__band_idx", "__band_val")))

@@ -394,6 +394,66 @@ object ExtensionQueries7 {
         "running-sum window bounded to ~1/4096 of its group — while the " +
         "oracle recomputes the naive whole-group window; the hash match " +
         "proves the skew-wall-free decomposition exact."
+    ),
+    // --------------------------------------------------------------- t109
+    GraftQuery(
+      "t109_image_neardup",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        // doc i and doc i+24 get IDENTICAL images (dims and gradient depend
+        // on id mod 24, whose period divides both dim cycles), so pixel
+        // near-dup pairs exist by construction; everything flows through
+        // the REAL path — BMP encode, JDK decode, pixel average-hash,
+        // pigeonhole band join, exact Hamming verify — while the oracle
+        // recomputes the hashes closed-form and brute-forces ALL pairs.
+        val media = Tables.documents(s, d).select($"doc_id")
+          .where($"doc_id" < 48).as[Long].map { id =>
+            val c = id % 24
+            val w = 8 * (1 + (c % 4).toInt)
+            val h = 8 * (1 + (c % 3).toInt)
+            Multimodal.MediaRow(id, "image", Multimodal.encodeBmp(w, h,
+              (x, y) => ((x * 7 + y * 13 + c * 11) % 256).toInt))
+          }
+        Multimodal.pixelNearDupPairs(media)
+          .select($"id_a", $"id_b", $"hamming")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, doc_id % 24 AS c,
+             |    8 * (1 + CAST(doc_id % 24 % 4 AS INT)) AS w,
+             |    8 * (1 + CAST(doc_id % 24 % 3 AS INT)) AS h
+             |  FROM documents WHERE doc_id < 48),
+             |s AS (
+             |  SELECT doc_id, c, w, h,
+             |    list_sum(flatten(list_transform(range(0, h), y ->
+             |      list_transform(range(0, w), x ->
+             |        (x*7 + y*13 + c*11) % 256)))) AS pix_sum
+             |  FROM p),
+             |hsh AS (
+             |  SELECT doc_id,
+             |    list_aggregate(list_transform(range(0, 64), b ->
+             |      CASE WHEN 64 * list_sum(flatten(list_transform(
+             |          range((b // 8) * h // 8, (b // 8 + 1) * h // 8), y ->
+             |            list_transform(range((b % 8) * w // 8, (b % 8 + 1) * w // 8), x ->
+             |              (x*7 + y*13 + c*11) % 256)))) > pix_sum
+             |        THEN '1' ELSE '0' END), 'string_agg', '') AS bits
+             |  FROM s)
+             |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+             |  CAST(b.doc_id AS BIGINT) AS id_b,
+             |  CAST(len(list_filter(range(1, 65),
+             |    i -> substr(a.bits, CAST(i AS INT), 1) <> substr(b.bits, CAST(i AS INT), 1))) AS INT) AS hamming
+             |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+             |WHERE len(list_filter(range(1, 65),
+             |    i -> substr(a.bits, CAST(i AS INT), 1) <> substr(b.bits, CAST(i AS INT), 1))) <= 3
+             |ORDER BY id_a, id_b""".stripMargin),
+      doc = "Pixel-space banded near-dup over real decoded images — the " +
+        "cross-format duplicate detector (a re-encode shares no payload " +
+        "bytes but is pixel-identical): BMP encode -> JDK decode -> 8x8 " +
+        "average-hash -> 16-bit pigeonhole band join -> exact Hamming " +
+        "verify, against a DuckDB oracle that recomputes every hash " +
+        "closed-form and brute-forces ALL pairs. The match proves the " +
+        "banding lossless at Hamming<=3 AND the decode byte-exact."
     )
   )
 }

@@ -316,6 +316,44 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("pixelNearDupPairs catches cross-format duplicates byte-level hashing cannot") {
+    def gray(x: Int, y: Int): Int = (x * 3 + y * 11 + 5) % 256
+    val bmp = Multimodal.encodeBmp(32, 24, gray)
+    // the SAME pixels re-encoded as PNG via the JDK encoder: entirely
+    // different payload bytes, identical decoded image
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    assert(!java.util.Arrays.equals(png, bmp))
+    val other = Multimodal.encodeBmp(32, 24, (x, y) => ((x / 4 + y / 4) % 2) * 255)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", bmp),
+      Multimodal.MediaRow(2L, "image", png),
+      Multimodal.MediaRow(3L, "image", other)))
+
+    // banded pixel pairs must equal brute-force Hamming over the pixel
+    // hashes (pigeonhole losslessness), and the BMP/PNG pair is exact
+    val feats = Multimodal.pixelFeatures(media).collect()
+      .map(f => f.doc_id -> f.ahash_bits).toMap
+    def ham(a: String, b: String): Int = a.zip(b).count { case (p, q) => p != q }
+    val ids = feats.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; jj <- ids if i < jj
+      h = ham(feats(i), feats(jj)) if h <= 3
+    } yield (i, jj, h)).toSet
+    val banded = Multimodal.pixelNearDupPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"$banded vs $brute")
+    assert(banded.contains((1L, 2L, 0)), s"re-encode must be pixel-exact: $banded")
+
+    // the byte-level path cannot see the re-encode (no shared bytes)
+    val bytePairs = Multimodal
+      .nearDupPairs(media.toDF(), "doc_id", "payload").collect()
+      .map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    assert(!bytePairs.contains(Set(1L, 2L)), s"byte path saw $bytePairs")
+  }
+
   test("multimodal resize and frameSample preserve keys and batch shape") {
     val media = Multimodal.mediaFromDocuments(docs.filter($"doc_id" < 30))
     val resized = Multimodal.resize(media, 64, 64).collect()
