@@ -450,11 +450,21 @@ object GraftCli {
         case "pipeline-stream" :: warcDir :: workDir :: indexDir :: rest =>
           // continuous-crawl daemon: new WARC files under warcDir are each
           // curated as one snapshot and admitted against the persisted
-          // indexes (delta layout, replay-idempotent); runs until killed
-          val agent = rest.headOption.getOrElse("graftbot")
-          val capacity = rest.drop(1).headOption.map(_.toLong).getOrElse(2048L)
+          // indexes (delta layout, replay-idempotent); runs until killed.
+          // --compact-every <n> auto-compacts the delta indexes at the
+          // start of every n-th batch (current batch preserved as a delta)
+          val ce = rest.sliding(2).collectFirst {
+            case Seq("--compact-every", v) => v.toInt
+          }
+          val pos = {
+            val i = rest.indexOf("--compact-every")
+            if (i < 0) rest else rest.patch(i, Nil, 2)
+          }
+          val agent = pos.headOption.getOrElse("graftbot")
+          val capacity = pos.drop(1).headOption.map(_.toLong).getOrElse(2048L)
           val q = graft.pipeline.CrawlPipeline.runStream(
             spark, warcDir, workDir, indexDir, agent, capacity,
+            compactEvery = ce,
             onBatch = (id, cs) => cs.foreach(c =>
               println(f"pipeline-stream[batch=$id][${c.stage}]: ${c.rows} rows")))
           q.awaitTermination()
@@ -554,7 +564,7 @@ object GraftCli {
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | " +
               "pipeline <warcGlob> <workDir> [agent] [capacity] [--index <dir>] [--enrich <templateFile>] | " +
-              "pipeline-stream <warcDir> <workDir> <indexDir> [agent] [capacity] | reset <workDir>")
+              "pipeline-stream <warcDir> <workDir> <indexDir> [agent] [capacity] [--compact-every <n>] | reset <workDir>")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -143,9 +143,10 @@ object IncrementalDedup {
     * @return number of signatures in the compacted index
     */
   def compactSigIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, targetRows: Long = 4_000_000L): Long =
+      indexDir: String, targetRows: Long = 4_000_000L,
+      preserveBatchIds: Set[Long] = Set.empty): Long =
     compactDeltaIndex(spark, indexDir,
-      _.select(col("id"), col("sig")), targetRows)
+      _.select(col("id"), col("sig")), targetRows, preserveBatchIds)
 
   /** Compaction for a FINGERPRINT delta index (`fp` per row, grown one
     * `batch=<id>` dir per crawl snapshot by the pipeline's delta-mode
@@ -153,9 +154,10 @@ object IncrementalDedup {
     * layout and swap discipline as [[compactSigIndex]].
     */
   def compactFpIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, targetRows: Long = 64_000_000L): Long =
+      indexDir: String, targetRows: Long = 64_000_000L,
+      preserveBatchIds: Set[Long] = Set.empty): Long =
     compactDeltaIndex(spark, indexDir,
-      _.select(col("fp")).distinct(), targetRows)
+      _.select(col("fp")).distinct(), targetRows, preserveBatchIds)
 
   /** Compaction for the ROBOTS-policy delta index ((host, text) per row,
     * one delta per crawl snapshot): resolution is latest-batch-wins per
@@ -164,11 +166,12 @@ object IncrementalDedup {
     * their hosts at read time.
     */
   def compactRobotsIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, targetRows: Long = 4_000_000L): Long =
+      indexDir: String, targetRows: Long = 4_000_000L,
+      preserveBatchIds: Set[Long] = Set.empty): Long =
     compactDeltaIndex(spark, indexDir, df =>
       if (df.columns.contains("batch"))
         df.groupBy(col("host")).agg(max_by(col("text"), col("batch")).as("text"))
-      else df.select(col("host"), col("text")), targetRows)
+      else df.select(col("host"), col("text")), targetRows, preserveBatchIds)
 
   /** Shared delta-compaction core: read the whole `batch=`-partitioned
     * index, collapse it with `resolve`, rewrite as one compact table under
@@ -177,27 +180,44 @@ object IncrementalDedup {
     * silently invisible to partition discovery — the compacted table MUST
     * stay partition-style) and the mid-compaction-delta fold-preserve.
     *
+    * `preserveBatchIds`: deltas that must survive AS DELTAS — excluded from
+    * the compacted read AND carried into the new layout unmodified. This is
+    * how a streaming caller compacts safely from INSIDE foreachBatch for
+    * batch N (the only point with no concurrent delta writers): folding
+    * batch N's own delta (left by a crashed earlier attempt) into
+    * `batch=-1` would defeat the replay guard — the replay excludes
+    * `batch=N` but not the compacted table, so every previously admitted
+    * row would self-match and the batch would wipe its own outputs.
+    *
     * @return number of rows in the compacted index
     */
   def compactDeltaIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, resolve: DataFrame => DataFrame,
-      targetRows: Long): Long = {
+      targetRows: Long, preserveBatchIds: Set[Long] = Set.empty): Long = {
     def batchDirs(): Set[String] = {
       val fs = new java.io.File(indexDir).listFiles()
       if (fs == null) Set.empty
       else fs.filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
     }
     val snapshot = batchDirs()
-    val index = resolve(spark.read.parquet(indexDir)).localCheckpoint()
+    val preserved = snapshot.filter(d =>
+      preserveBatchIds.contains(d.stripPrefix("batch=").toLong))
+    val raw = spark.read.parquet(indexDir)
+    val scoped =
+      if (preserved.nonEmpty && raw.columns.contains("batch"))
+        raw.where(!col("batch").isin(preserveBatchIds.toSeq: _*))
+      else raw
+    val index = resolve(scoped).localCheckpoint()
     val n = index.count()
     val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
     val next = s"$indexDir.compact"
     deleteRecursively(java.nio.file.Paths.get(next))
     index.repartition(files).write.parquet(s"$next/batch=-1")
-    // fold-preserve deltas a racing micro-batch appended after the snapshot:
-    // they were not part of the compacted read, so deleting them with the old
-    // dir would silently lose those docs' rows
-    (batchDirs() -- snapshot).foreach { d =>
+    // fold-preserve deltas a racing micro-batch appended after the snapshot
+    // plus the explicitly preserved ones: they were not part of the
+    // compacted read, so deleting them with the old dir would silently lose
+    // those docs' rows
+    ((batchDirs() -- snapshot) ++ preserved).foreach { d =>
       java.nio.file.Files.move(
         java.nio.file.Paths.get(s"$indexDir/$d"),
         java.nio.file.Paths.get(s"$next/$d"))

@@ -295,6 +295,13 @@ object CrawlPipeline {
       // optional per-snapshot LLM enrichment (at-least-once on replay, like
       // any external effect in foreachBatch; the mock transport is exact)
       enrichStage: Option[EnrichStage] = None,
+      // auto-compact the fp/sig/robots delta indexes at the START of every
+      // n-th batch's foreachBatch — the one point in a streaming job with
+      // no concurrent delta writers, which is exactly compactDeltaIndex's
+      // contract. The current batch id is PRESERVED as a delta (a crashed
+      // earlier attempt may have left one; folding it into batch=-1 would
+      // defeat the replay guard and wipe the batch's own outputs).
+      compactEvery: Option[Int] = None,
       onBatch: (Long, Seq[StageCount]) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("binaryFile")
@@ -312,6 +319,20 @@ object CrawlPipeline {
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery.exists(n => batchId > 0 && batchId % n == 0)) {
+          val s = batch.sparkSession
+          val keep = Set(batchId)
+          def ifPresent(sub: String)(body: String => Unit): Unit = {
+            val d = s"$indexDir/$sub"
+            if (new java.io.File(d).exists()) body(d)
+          }
+          ifPresent("fp")(d =>
+            IncrementalDedup.compactFpIndex(s, d, preserveBatchIds = keep))
+          ifPresent("sig")(d =>
+            IncrementalDedup.compactSigIndex(s, d, preserveBatchIds = keep))
+          ifPresent("robots")(d =>
+            IncrementalDedup.compactRobotsIndex(s, d, preserveBatchIds = keep))
+        }
         val paths = batch.select("path").distinct()
           .collect().map(_.getString(0)).sorted
         if (paths.nonEmpty) {

@@ -244,5 +244,50 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/batch=1/04b_admit")
       .select("url").as[String].collect().toSeq == Seq("http://c.example/gamma"))
     assert(spark.read.parquet(s"$ix/sig").count() == 3)
+
+    // in-flight compaction with the current batch PRESERVED as a delta:
+    // batch 1's signatures must stay excludable (folding them into
+    // batch=-1 would make a replay self-match and wipe its outputs)
+    graft.operators.IncrementalDedup.compactSigIndex(spark, s"$ix/sig",
+      preserveBatchIds = Set(1L))
+    assert(new java.io.File(s"$ix/sig/batch=-1").isDirectory)
+    assert(new java.io.File(s"$ix/sig/batch=1").isDirectory) // preserved
+    assert(!new java.io.File(s"$ix/sig/batch=0").exists()) // folded
+    val replay2 = CrawlPipeline.run(spark, s"$warcDir/snap2.warc",
+        s"$work/batch=1", indexDir = Some(ix), snapshotId = Some(1L))
+      .map(c => c.stage -> c.rows).toMap
+    assert(replay2("04b_admit") == 1, replay2.toString)
+    assert(spark.read.parquet(s"$ix/sig").count() == 3)
+  }
+
+  test("daemon auto-compaction folds old deltas while the stream keeps admitting correctly") {
+    val warcDir = Files.createTempDirectory("crawl4_warc")
+    val work = Files.createTempDirectory("crawl4_work").toString
+    val ix = Files.createTempDirectory("crawl4_ix").toString + "/index"
+    val batches = scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+
+    Files.write(warcDir.resolve("snap1.warc"),
+      response("http://a.example/alpha", bodyAlpha) ++
+      response("http://b.example/beta", bodyBeta))
+    val q = CrawlPipeline.runStream(spark, warcDir.toString, work, ix,
+      compactEvery = Some(1),
+      onBatch = (id, cs) => batches(id) = cs.map(c => c.stage -> c.rows).toMap)
+    try {
+      q.processAllAvailable()
+      Files.write(warcDir.resolve("snap2.warc"),
+        response("http://a.example/alpha", bodyAlpha) ++
+        response("http://c.example/gamma", bodyGamma))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch 1 compacted batch 0's deltas at its start, then admitted only
+    // the novel page against the compacted history
+    assert(batches(1L)("04b_admit") == 1, batches.toString)
+    for (sub <- Seq("fp", "sig", "robots")) {
+      assert(new java.io.File(s"$ix/$sub/batch=-1").isDirectory, sub)
+      assert(!new java.io.File(s"$ix/$sub/batch=0").exists(), sub)
+    }
+    assert(spark.read.parquet(s"$ix/sig").count() == 3)
+    assert(spark.read.parquet(s"$ix/fp").select("fp").distinct().count() == 3)
   }
 }
