@@ -153,4 +153,39 @@ class PropertySpec extends SparkSpec {
       DedupClusters.connectedComponents(ids, chain, "id", maxIter = 20)
     }
   }
+
+  test("property: exactTokenBudgets bucketed decomposition equals the naive prefix on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // randomized corpora: skewed group sizes, zero weights, budgets that
+    // bind at arbitrary points (incl. 0 and beyond-total) — the bucketed
+    // operator must agree row-for-row with the naive whole-group window on
+    // every draw
+    val corpusGen = for {
+      nGroups <- Gen.chooseNum(1, 4)
+      n <- Gen.chooseNum(50, 400)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.chooseNum(0, nGroups - 1)
+        w <- Gen.oneOf(Gen.const(0L), Gen.chooseNum(1L, 50L))
+      } yield (g, w))
+      budgets <- Gen.listOfN(nGroups, Gen.oneOf(
+        Gen.const(0L), Gen.chooseNum(1L, 500L), Gen.const(1000000L)))
+    } yield (rows, budgets)
+    samples(corpusGen, 6).zipWithIndex.foreach { case ((rows, budgets), trial) =>
+      val df = rows.zipWithIndex
+        .map { case ((g, w), i) => (s"d$trial-$i", s"g$g", w) }
+        .toDF("id", "g", "w")
+      val recipe = budgets.zipWithIndex.map { case (b, g) => s"g$g" -> b }
+      val got = Sampling.exactTokenBudgets(df, $"g", $"id", $"w", recipe)
+        .select("id", "g", "w")
+      val wnd = Window.partitionBy($"g")
+        .orderBy(md5($"id".cast("string")), $"id".cast("string"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ref = df.join(recipe.toDF("g", "budget"), "g")
+        .withColumn("cumb", coalesce(sum($"w").over(wnd), lit(0L)))
+        .where($"cumb" < $"budget").select("id", "g", "w")
+      assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+        s"trial $trial: budgets=$recipe")
+    }
+  }
 }
