@@ -53,7 +53,11 @@ object CrawlPipeline {
       // from swap-on-update to the replay-idempotent `batch=<id>` DELTA
       // layout ([[graft.streaming.StreamingOps.admitNearDupStream]]'s
       // discipline — own delta excluded on read, overwritten on write)
-      snapshotId: Option[Long] = None): Seq[StageCount] = {
+      snapshotId: Option[Long] = None,
+      // Gopher rule thresholds for the 06_quality stage — the published
+      // English-centric defaults are a starting point every real corpus
+      // tunes (e.g. relax minStopHits for non-English or synthetic slices)
+      qualityThresholds: QualityRules.Thresholds = QualityRules.Thresholds()): Seq[StageCount] = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[StageCount]
     def ck(stage: String, df: DataFrame, parts: Seq[String] = Nil): DataFrame = {
       val w = df.write.mode("overwrite")
@@ -221,7 +225,7 @@ object CrawlPipeline {
         .select(col("id").as("doc_id"), col("url"), col("content").as("text")))
 
     val quality = ck("06_quality",
-      content.where(QualityRules.keep(col("text"))))
+      content.where(QualityRules.keep(col("text"), qualityThresholds)))
 
     // cross-doc paragraph dedup, then re-attach the url for downstream
     // split assignment (dedupParagraphs returns id/text_dedup/counters)
@@ -302,6 +306,7 @@ object CrawlPipeline {
       // earlier attempt may have left one; folding it into batch=-1 would
       // defeat the replay guard and wipe the batch's own outputs).
       compactEvery: Option[Int] = None,
+      qualityThresholds: QualityRules.Thresholds = QualityRules.Thresholds(),
       onBatch: (Long, Seq[StageCount]) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("binaryFile")
@@ -339,7 +344,8 @@ object CrawlPipeline {
           val counts = run(spark, paths.mkString(","),
             s"$workDir/batch=$batchId", agent, capacity, maxPayloadBytes,
             indexDir = Some(indexDir), enrichStage = enrichStage,
-            countStages = countStages, snapshotId = Some(batchId))
+            countStages = countStages, snapshotId = Some(batchId),
+            qualityThresholds = qualityThresholds)
           onBatch(batchId, counts)
         }
         ()

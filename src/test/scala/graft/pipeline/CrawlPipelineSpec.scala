@@ -260,6 +260,25 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$ix/sig").count() == 3)
   }
 
+  test("quality thresholds are tunable per corpus slice") {
+    // prose-shaped body with NO Gopher stopwords: the published defaults
+    // drop it (r_stopwords), a per-corpus recipe keeps it — the knob every
+    // real pipeline turns for non-English or domain-specific slices
+    val noStops = (1 to 60).map(i => s"alpha${i % 7} worda$i").mkString(" ")
+    val warcDir = Files.createTempDirectory("crawl5_warc")
+    Files.write(warcDir.resolve("s.warc"),
+      response("http://a.example/page", noStops))
+    val strict = CrawlPipeline.run(spark, s"$warcDir/*.warc*",
+        Files.createTempDirectory("crawl5_w1").toString)
+      .map(c => c.stage -> c.rows).toMap
+    assert(strict("05_content") == 1 && strict("06_quality") == 0, strict.toString)
+    val relaxed = CrawlPipeline.run(spark, s"$warcDir/*.warc*",
+        Files.createTempDirectory("crawl5_w2").toString,
+        qualityThresholds = graft.operators.QualityRules.Thresholds(minStopHits = 0L))
+      .map(c => c.stage -> c.rows).toMap
+    assert(relaxed("06_quality") == 1 && relaxed("09_pack") == 1, relaxed.toString)
+  }
+
   test("daemon auto-compaction folds old deltas while the stream keeps admitting correctly") {
     val warcDir = Files.createTempDirectory("crawl4_warc")
     val work = Files.createTempDirectory("crawl4_work").toString
