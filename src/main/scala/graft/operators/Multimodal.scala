@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is real: [[ImageIoDecoder]] / [[pixelFeatures]] parse
   * payloads with the JDK's own `javax.imageio` readers (BMP/PNG/JPEG, no
   * native deps) and compute true dimensions + pixel-space statistics,
-  * round-trip-gated against a closed-form oracle (t107). Audio/video decode
-  * needs codec libraries that are not in this container, so [[StubDecoder]]
-  * keeps a deterministic byte-level stand-in for those modalities;
-  * everything Spark-side — the schema, the binary column handling, the
-  * mapPartitions batch shape, the partition parallelism — is real either
-  * way. Swap `Decoder` for a JNI/FFmpeg-backed impl on a real cluster.
+  * round-trip-gated against a closed-form oracle (t107/t109). AUDIO decode
+  * is real too: [[audioFeatures]] parses WAV/AIFF with the JDK's
+  * `javax.sound.sampled` (t110). Video and compressed-audio codecs
+  * genuinely are not in this container, so [[StubDecoder]] keeps a
+  * deterministic byte-level stand-in there; everything Spark-side — the
+  * schema, the binary column handling, the mapPartitions batch shape, the
+  * partition parallelism — is real either way. Swap `Decoder` for a
+  * JNI/FFmpeg-backed impl on a real cluster.
   */
 object Multimodal {
 
@@ -86,6 +88,82 @@ object Multimodal {
       y -= 1
     }
     buf.array()
+  }
+
+  /** Minimal 16-bit PCM mono WAV writer (RIFF header + little-endian
+    * samples) — the audio counterpart of [[encodeBmp]]: synthesize REAL
+    * audio payloads so the round-trip gate (t110) decodes them through the
+    * JDK's own `javax.sound.sampled` parser, not our writer.
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && samples.nonEmpty, "need a rate and samples")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int,
+      n_samples: Long, energy_sq_sum: Long, zero_crossings: Long)
+
+  /** REAL audio decode on the pure JVM — retires the audio stub the way
+    * [[pixelFeatures]] retired the image one: `javax.sound.sampled` ships a
+    * WAV/AIFF parser in the JDK itself (no codec libraries, no audio
+    * device). Payloads decode to their true sample rate and PCM samples;
+    * the features are exact integer statistics a curation pipeline filters
+    * on — squared-sample energy (silence/clipping detection) and
+    * zero-crossing count (noisiness proxy) — so a cross-engine oracle can
+    * recompute them closed-form. Rows that are not 16-bit mono
+    * little-endian PCM (or not audio at all) drop out.
+    *
+    * Scale shape: one narrow mapPartitions projection, no shuffle; the
+    * payload never leaves its partition and only (id, rate, 3 longs) flow
+    * on. Compressed formats (MP3/AAC) still need codec libraries — the
+    * byte-level [[aHashBands]] path keeps covering those as opaque bytes.
+    */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+              fmt.isBigEndian ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val bb = java.nio.ByteBuffer.wrap(in.readAllBytes())
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var energy = 0L
+            var zc = 0L
+            var n = 0L
+            var prevNeg = false
+            while (bb.remaining() >= 2) {
+              val s = bb.getShort.toLong
+              energy += s * s
+              val neg = s < 0
+              if (n > 0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              n += 1
+            }
+            Some(AudioFeatures(r.doc_id, fmt.getSampleRate.toInt, n, energy, zc))
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+      }
+    }
   }
 
   final case class PixelFeatures(doc_id: Long, width: Int, height: Int,

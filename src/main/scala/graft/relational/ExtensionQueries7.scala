@@ -454,6 +454,55 @@ object ExtensionQueries7 {
         "verify, against a DuckDB oracle that recomputes every hash " +
         "closed-form and brute-forces ALL pairs. The match proves the " +
         "banding lossless at Hamming<=3 AND the decode byte-exact."
+    ),
+    // --------------------------------------------------------------- t110
+    GraftQuery(
+      "t110_audio_decode",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        // REAL audio payloads: a 16-bit PCM mono WAV is synthesized per
+        // document (deterministic sawtooth-ish wave from doc_id), decoded
+        // back through the JDK's javax.sound.sampled parser, and the exact
+        // integer statistics — squared-sample energy, zero crossings — are
+        // measured from DECODED samples while the oracle computes the same
+        // quantities closed-form. Any header, endianness, or sample-walk
+        // error breaks the hash match.
+        val media = Tables.documents(s, d).select($"doc_id")
+          .where($"doc_id" < 48).as[Long].map { id =>
+            val k = 3 + (id % 5)
+            val n = 800 + (id % 5).toInt * 160
+            val rate = 8000 + (id % 3).toInt * 4000
+            Multimodal.MediaRow(id, "audio", Multimodal.encodeWav(rate,
+              Array.tabulate[Short](n)(i => ((i * k + id) % 65536 - 32768).toShort)))
+          }
+        Multimodal.audioFeatures(media).toDF()
+          .select($"doc_id", $"sample_rate",
+            $"n_samples", $"energy_sq_sum", $"zero_crossings")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, 3 + doc_id % 5 AS k,
+             |    800 + CAST(doc_id % 5 AS INT) * 160 AS n,
+             |    8000 + CAST(doc_id % 3 AS INT) * 4000 AS rate
+             |  FROM documents WHERE doc_id < 48)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(rate AS INT) AS sample_rate,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(list_sum(list_transform(range(0, n), i ->
+             |    ((i*k + doc_id) % 65536 - 32768) * ((i*k + doc_id) % 65536 - 32768))) AS BIGINT) AS energy_sq_sum,
+             |  CAST(list_sum(list_transform(range(1, n), i ->
+             |    CASE WHEN ((i*k + doc_id) % 65536 - 32768 >= 0)
+             |           <> (((i-1)*k + doc_id) % 65536 - 32768 >= 0)
+             |      THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+             |FROM p ORDER BY doc_id""".stripMargin),
+      doc = "Real audio decode round trip: per-doc 16-bit PCM mono WAV " +
+        "payloads (deterministic wave, doc_id-derived rate and length) " +
+        "decoded with the JDK's javax.sound.sampled parser; true sample " +
+        "rate, exact integer squared-sample energy and zero-crossing " +
+        "count from DECODED samples must hash-match the oracle's " +
+        "closed-form computation. One narrow mapPartitions projection, " +
+        "no shuffle; payloads never leave their partition."
     )
   )
 }

@@ -316,6 +316,22 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("wav round trip: hand-built fixture decodes to pinned stats via javax.sound") {
+    val samples = Array[Short](0, 100, -100, 200, -200, 32767, -32768, 0)
+    val wav = Multimodal.encodeWav(16000, samples)
+    assert(wav.length == 44 + 16) // RIFF header + 8 16-bit samples
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", wav),
+      Multimodal.MediaRow(2L, "audio", Array.tabulate[Byte](64)(_.toByte))))
+    val got = Multimodal.audioFeatures(media).collect()
+    assert(got.map(_.doc_id).toSeq == Seq(1L)) // undecodable payload dropped
+    val f = got(0)
+    assert(f.sample_rate == 16000 && f.n_samples == 8)
+    assert(f.energy_sq_sum == samples.map(s => s.toLong * s).sum)
+    // sign sequence + + - + - + - + → six boundary transitions
+    assert(f.zero_crossings == 6, f.toString)
+  }
+
   test("pixelNearDupPairs catches cross-format duplicates byte-level hashing cannot") {
     def gray(x: Int, y: Int): Int = (x * 3 + y * 11 + 5) % 256
     val bmp = Multimodal.encodeBmp(32, 24, gray)
