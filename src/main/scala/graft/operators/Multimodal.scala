@@ -166,6 +166,167 @@ object Multimodal {
     }
   }
 
+  /** Minimal AVI writer for UNCOMPRESSED video (BI_RGB 24-bpp DIB frames,
+    * the `00db` stream — a real format any player opens): RIFF `AVI ` with
+    * an `hdrl` LIST (avih + one video strl) and a `movi` LIST of per-frame
+    * DIB chunks, each frame bottom-up BGR like [[encodeBmp]]'s pixel data.
+    * The video counterpart of encodeBmp/encodeWav: synthesize REAL video
+    * payloads for the round-trip gate (t111).
+    */
+  def encodeAvi(width: Int, height: Int, fps: Int,
+      frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && frames.nonEmpty, "bad avi params")
+    val rowBytes = (width * 3 + 3) & ~3
+    val frameBytes = rowBytes * height
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      if ((body.length & 1) == 1) b.put(0.toByte) // RIFF chunks are word-aligned
+      b.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    def le(n: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      n.foreach(b.putInt)
+      b.array()
+    }
+    // avih: usec/frame, max bytes/sec, pad, flags, totalFrames, initial,
+    // streams, suggested buffer, width, height, reserved[4]
+    val avih = chunk("avih", le(1000000 / fps, 0, 0, 0, frames.size, 0, 1,
+      frameBytes, width, height, 0, 0, 0, 0))
+    // strh: 'vids', 'DIB ', flags, prio+lang, initial, scale, rate, start,
+    // length, bufsize, quality, sampleSize, rcFrame
+    val strh = chunk("strh", "vids".getBytes("US-ASCII") ++
+      "DIB ".getBytes("US-ASCII") ++
+      le(0, 0, 0, 1, fps, 0, frames.size, frameBytes, 0, 0, 0, 0))
+    // strf: BITMAPINFOHEADER (40 bytes, BI_RGB)
+    val strf = chunk("strf", {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .putInt(0).putInt(frameBytes).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      b.array()
+    })
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap { gray =>
+      val b = java.nio.ByteBuffer.allocate(frameBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var y = height - 1 // bottom-up scanlines, like BMP
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val v = (gray(x, y) & 0xFF).toByte
+          b.put(v).put(v).put(v)
+          x += 1
+        }
+        var p = width * 3
+        while (p < rowBytes) { b.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      chunk("00db", b.array())
+    }.toArray)
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  final case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, fps: Int, frame_sum: Long)
+
+  /** REAL video decode for the uncompressed-AVI format — retires the video
+    * stub the way pixelFeatures/audioFeatures retired the image and audio
+    * ones, within what a pure JVM can honestly do: a RIFF container walk
+    * (chunk discipline per the AVI spec: word alignment, hdrl's
+    * BITMAPINFOHEADER for dimensions, avih for the frame rate) plus exact
+    * per-frame luminance sums over the bottom-up BGR DIB scanlines. One
+    * output row per decoded frame (UDTF-shaped row expansion). Payloads
+    * that are not RIFF/AVI, not BI_RGB 24-bpp, or truncated mid-frame drop
+    * out. Compressed codecs (H.264 & co) still need native libraries — the
+    * byte-level path keeps covering those as opaque bytes.
+    *
+    * Scale shape: one narrow mapPartitions flatMap, no shuffle; only
+    * (id, frame_idx, dims, one long) per frame flows on.
+    */
+  def videoFrames(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bb = java.nio.ByteBuffer.wrap(r.payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def str(n: Int): String = {
+          val a = new Array[Byte](n); bb.get(a); new String(a, "US-ASCII")
+        }
+        try {
+          if (bb.remaining() < 12 || str(4) != "RIFF") Iterator.empty
+          else {
+            bb.getInt // riff size
+            if (str(4) != "AVI ") Iterator.empty
+            else {
+              var width = 0
+              var height = 0
+              var fps = 0
+              var bitCount = 0
+              var compression = -1
+              val frames = scala.collection.mutable.ArrayBuffer.empty[Long]
+              // walk chunks; descend into LISTs (their body is kind + chunks)
+              def walk(end: Int): Unit =
+                while (bb.position() + 8 <= end) {
+                  val id = str(4)
+                  val size = bb.getInt
+                  val next = bb.position() + size + (size & 1)
+                  if (next > end) throw new java.io.EOFException("truncated chunk")
+                  id match {
+                    case "LIST" => str(4); walk(next)
+                    case "avih" =>
+                      val usec = bb.getInt
+                      if (usec > 0) fps = 1000000 / usec
+                    case "strf" if size >= 40 =>
+                      bb.getInt // biSize
+                      width = bb.getInt
+                      height = bb.getInt
+                      bb.getShort // planes
+                      bitCount = bb.getShort.toInt
+                      compression = bb.getInt
+                    case "00db" if width > 0 && height > 0 &&
+                        bitCount == 24 && compression == 0 =>
+                      val rowBytes = (width * 3 + 3) & ~3
+                      if (size < rowBytes * height)
+                        throw new java.io.EOFException("truncated frame")
+                      var sum = 0L
+                      var y = 0
+                      while (y < height) {
+                        val row = bb.position() + y * rowBytes
+                        var x = 0
+                        while (x < width) {
+                          val p = row + x * 3
+                          sum += ((bb.get(p) & 0xFF) + (bb.get(p + 1) & 0xFF) +
+                            (bb.get(p + 2) & 0xFF)) / 3
+                          x += 1
+                        }
+                        y += 1
+                      }
+                      frames += sum
+                    case _ => ()
+                  }
+                  bb.position(next)
+                }
+              walk(bb.limit())
+              frames.iterator.zipWithIndex.map { case (s, i) =>
+                VideoFrame(r.doc_id, i, width, height, fps, s)
+              }
+            }
+          }
+        } catch {
+          case _: java.io.EOFException => Iterator.empty
+          case _: java.nio.BufferUnderflowException => Iterator.empty
+        }
+      }
+    }
+  }
+
   final case class PixelFeatures(doc_id: Long, width: Int, height: Int,
       pix_sum: Long, ahash_bits: String)
 

@@ -503,6 +503,55 @@ object ExtensionQueries7 {
         "count from DECODED samples must hash-match the oracle's " +
         "closed-form computation. One narrow mapPartitions projection, " +
         "no shuffle; payloads never leave their partition."
+    ),
+    // --------------------------------------------------------------- t111
+    GraftQuery(
+      "t111_video_decode",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        // REAL video payloads: an uncompressed AVI (BI_RGB 24-bpp DIB
+        // frames — a format any player opens) is synthesized per document,
+        // then decoded by the RIFF container walk + exact per-frame
+        // luminance sums; the oracle recomputes every frame closed-form.
+        // Any chunk-alignment, header, or scanline error breaks the match.
+        val media = Tables.documents(s, d).select($"doc_id")
+          .where($"doc_id" < 24).as[Long].map { id =>
+            val nf = 2 + (id % 3).toInt
+            val w = 8 + (id % 4).toInt * 4
+            val h = 6 + (id % 3).toInt * 2
+            val fps = 10 + (id % 2).toInt * 5
+            Multimodal.MediaRow(id, "video", Multimodal.encodeAvi(w, h, fps,
+              (0 until nf).map(f =>
+                (x: Int, y: Int) => ((x * 3 + y * 7 + f * 11 + id) % 256).toInt)))
+          }
+        Multimodal.videoFrames(media).toDF()
+          .select($"doc_id", $"frame_idx", $"width", $"height", $"fps",
+            $"frame_sum")
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, 2 + CAST(doc_id % 3 AS INT) AS nf,
+             |    8 + CAST(doc_id % 4 AS INT) * 4 AS w,
+             |    6 + CAST(doc_id % 3 AS INT) * 2 AS h,
+             |    10 + CAST(doc_id % 2 AS INT) * 5 AS fps
+             |  FROM documents WHERE doc_id < 24)
+             |SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+             |  CAST(f AS INT) AS frame_idx,
+             |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |  CAST(fps AS INT) AS fps,
+             |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+             |    list_transform(range(0, w), x ->
+             |      (x*3 + y*7 + f*11 + p.doc_id) % 256)))) AS BIGINT) AS frame_sum
+             |FROM p CROSS JOIN range(0, 4) AS t(f)
+             |WHERE f < nf
+             |ORDER BY doc_id, frame_idx""".stripMargin),
+      doc = "Real video decode round trip for uncompressed AVI (BI_RGB " +
+        "24-bpp DIB frames): RIFF container walk (word-aligned chunks, " +
+        "BITMAPINFOHEADER dims, avih frame rate) + exact integer per-frame " +
+        "luminance sums, one output row per frame, against a DuckDB oracle " +
+        "computing every frame closed-form. Compressed codecs stay on the " +
+        "byte-level fingerprint path (no native libraries on the JVM)."
     )
   )
 }

@@ -332,6 +332,25 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(f.zero_crossings == 6, f.toString)
   }
 
+  test("avi round trip: hand-built uncompressed video decodes frame-exact") {
+    def gray(f: Int)(x: Int, y: Int): Int = (x * 2 + y * 9 + f * 31 + 7) % 256
+    val avi = Multimodal.encodeAvi(5, 3, 10, (0 until 2).map(f => gray(f) _))
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", avi),
+      Multimodal.MediaRow(2L, "video", Array.tabulate[Byte](64)(_.toByte)),
+      // truncated mid-frame: must drop out, not mis-decode
+      Multimodal.MediaRow(3L, "video", avi.dropRight(10))))
+    val got = Multimodal.videoFrames(media).collect().sortBy(_.frame_idx)
+    assert(got.map(_.doc_id).distinct.toSeq == Seq(1L))
+    assert(got.length == 2)
+    got.foreach { fr =>
+      assert(fr.width == 5 && fr.height == 3 && fr.fps == 10)
+      val expect = (for (y <- 0 until 3; x <- 0 until 5)
+        yield gray(fr.frame_idx)(x, y).toLong).sum
+      assert(fr.frame_sum == expect, fr.toString)
+    }
+  }
+
   test("pixelNearDupPairs catches cross-format duplicates byte-level hashing cannot") {
     def gray(x: Int, y: Int): Int = (x * 3 + y * 11 + 5) % 256
     val bmp = Multimodal.encodeBmp(32, 24, gray)
