@@ -233,7 +233,7 @@ object Multimodal {
   }
 
   final case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
-      height: Int, fps: Int, frame_sum: Long)
+      height: Int, fps: Int, frame_sum: Long, ahash_bits: String)
 
   /** REAL video decode for the uncompressed-AVI format — retires the video
     * stub the way pixelFeatures/audioFeatures retired the image and audio
@@ -270,7 +270,7 @@ object Multimodal {
               var fps = 0
               var bitCount = 0
               var compression = -1
-              val frames = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
               // walk chunks; descend into LISTs (their body is kind + chunks)
               def walk(end: Int): Unit =
                 while (bb.position() + 8 <= end) {
@@ -295,27 +295,35 @@ object Multimodal {
                       val rowBytes = (width * 3 + 3) & ~3
                       if (size < rowBytes * height)
                         throw new java.io.EOFException("truncated frame")
+                      // DIB scanlines are BOTTOM-UP: scanline s is image
+                      // row height-1-s. The sum is orientation-free, but
+                      // the average-hash cells are not — lum is built in
+                      // image (top-down) orientation
+                      val lum = Array.ofDim[Int](height, width)
                       var sum = 0L
-                      var y = 0
-                      while (y < height) {
-                        val row = bb.position() + y * rowBytes
+                      var s = 0
+                      while (s < height) {
+                        val row = bb.position() + s * rowBytes
+                        val imgY = height - 1 - s
                         var x = 0
                         while (x < width) {
                           val p = row + x * 3
-                          sum += ((bb.get(p) & 0xFF) + (bb.get(p + 1) & 0xFF) +
+                          val v = ((bb.get(p) & 0xFF) + (bb.get(p + 1) & 0xFF) +
                             (bb.get(p + 2) & 0xFF)) / 3
+                          lum(imgY)(x) = v
+                          sum += v
                           x += 1
                         }
-                        y += 1
+                        s += 1
                       }
-                      frames += sum
+                      frames += ((sum, ahashBitsOf(lum, sum, width, height)))
                     case _ => ()
                   }
                   bb.position(next)
                 }
               walk(bb.limit())
-              frames.iterator.zipWithIndex.map { case (s, i) =>
-                VideoFrame(r.doc_id, i, width, height, fps, s)
+              frames.iterator.zipWithIndex.map { case ((s, bits), i) =>
+                VideoFrame(r.doc_id, i, width, height, fps, s, bits)
               }
             }
           }
@@ -325,6 +333,27 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Banded near-dup over DECODED VIDEO FRAMES — the dedup step a
+    * captioning/training pipeline runs before spending model budget on
+    * near-identical frames (static scenes within one video, re-uploads
+    * across videos): [[videoFrames]] decodes and hashes each frame, then
+    * the shared pigeonhole band join pairs frames whose 64-bit pixel
+    * hashes lie within `maxHamming`, WITHIN and ACROSS videos. The pair
+    * key is the (video, frame) struct, ordered lexicographically. Output:
+    * (id_a, frame_a, id_b, frame_b, hamming).
+    */
+  def frameNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val fp = videoFrames(media).toDF().select(
+      struct(col("doc_id"), col("frame_idx")).as("__id") +:
+        (0 to 3).map(i =>
+          conv(substring(col("ahash_bits"), i * 16 + 1, 16), 2, 10)
+            .cast("int").as(s"fp$i")): _*)
+    bandedHammingPairs(fp, maxHamming)
+      .select(col("id_a.doc_id").as("id_a"), col("id_a.frame_idx").as("frame_a"),
+        col("id_b.doc_id").as("id_b"), col("id_b.frame_idx").as("frame_b"),
+        col("hamming"))
   }
 
   final case class PixelFeatures(doc_id: Long, width: Int, height: Int,
@@ -404,32 +433,40 @@ object Multimodal {
               y += 1
             }
           }
-          val n = w.toLong * h
-          val bits = new java.lang.StringBuilder(64)
-          var b = 0
-          while (b < 64) {
-            // integer cell boundaries (exact for any dims; when w,h are
-            // multiples of 8 every cell is identical and the compare below
-            // reduces to cellSum * 64 > pixSum — the oracle's form)
-            val r0 = (b / 8) * h / 8
-            val r1 = (b / 8 + 1) * h / 8
-            val c0 = (b % 8) * w / 8
-            val c1 = (b % 8 + 1) * w / 8
-            var cs = 0L
-            var cn = 0L
-            var yy = r0
-            while (yy < r1) {
-              var xx = c0
-              while (xx < c1) { cs += lum(yy)(xx); cn += 1; xx += 1 }
-              yy += 1
-            }
-            bits.append(if (cs * n > total * cn) '1' else '0')
-            b += 1
-          }
-          Some(PixelFeatures(r.doc_id, w, h, total, bits.toString))
+          Some(PixelFeatures(r.doc_id, w, h, total, ahashBitsOf(lum, total, w, h)))
         }
       }
     }
+  }
+
+  /** The 8×8 average-hash bit string over a TOP-DOWN luminance grid —
+    * shared by the image ([[pixelFeatures]]) and video ([[videoFrames]])
+    * paths. Integer cell boundaries are exact for any dims; when w,h are
+    * multiples of 8 every cell is identical and the cross-multiplied
+    * compare reduces to `cellSum * 64 > pixSum` — the oracles' form.
+    */
+  private def ahashBitsOf(lum: Array[Array[Int]], total: Long,
+      w: Int, h: Int): String = {
+    val n = w.toLong * h
+    val bits = new java.lang.StringBuilder(64)
+    var b = 0
+    while (b < 64) {
+      val r0 = (b / 8) * h / 8
+      val r1 = (b / 8 + 1) * h / 8
+      val c0 = (b % 8) * w / 8
+      val c1 = (b % 8 + 1) * w / 8
+      var cs = 0L
+      var cn = 0L
+      var yy = r0
+      while (yy < r1) {
+        var xx = c0
+        while (xx < c1) { cs += lum(yy)(xx); cn += 1; xx += 1 }
+        yy += 1
+      }
+      bits.append(if (cs * n > total * cn) '1' else '0')
+      b += 1
+    }
+    bits.toString
   }
 
   /** Documents table → media rows: text bytes stand in for the payload; the

@@ -552,6 +552,69 @@ object ExtensionQueries7 {
         "luminance sums, one output row per frame, against a DuckDB oracle " +
         "computing every frame closed-form. Compressed codecs stay on the " +
         "byte-level fingerprint path (no native libraries on the JVM)."
+    ),
+    // --------------------------------------------------------------- t112
+    GraftQuery(
+      "t112_frame_neardup",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        // frame content depends on (doc_id mod 8, frame), so videos id and
+        // id+8 carry identical frames — duplicate frames exist within and
+        // across videos by construction. Everything flows through the real
+        // path (AVI encode -> container walk -> top-down per-frame hash ->
+        // pigeonhole band join -> exact Hamming) while the oracle
+        // recomputes every frame hash closed-form and brute-forces ALL
+        // frame pairs.
+        val media = Tables.documents(s, d).select($"doc_id")
+          .where($"doc_id" < 24).as[Long].map { id =>
+            val nf = 2 + (id % 2).toInt
+            val c0 = (id % 8) * 3
+            Multimodal.MediaRow(id, "video", Multimodal.encodeAvi(16, 8, 10,
+              (0 until nf).map(f =>
+                (x: Int, y: Int) => ((x * 5 + y * 11 + (c0 + f) * 7) % 256).toInt)))
+          }
+        Multimodal.frameNearDupPairs(media)
+          .orderBy($"id_a", $"frame_a", $"id_b", $"frame_b")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, 2 + CAST(doc_id % 2 AS INT) AS nf
+             |  FROM documents WHERE doc_id < 24),
+             |fr AS (
+             |  SELECT doc_id, f, (doc_id % 8) * 3 + f AS c
+             |  FROM p CROSS JOIN range(0, 3) AS t(f) WHERE f < nf),
+             |s AS (
+             |  SELECT doc_id, f, c,
+             |    list_sum(flatten(list_transform(range(0, 8), y ->
+             |      list_transform(range(0, 16), x ->
+             |        (x*5 + y*11 + c*7) % 256)))) AS pix_sum
+             |  FROM fr),
+             |hsh AS (
+             |  SELECT doc_id, f,
+             |    list_aggregate(list_transform(range(0, 64), b ->
+             |      CASE WHEN 64 * list_sum(flatten(list_transform(
+             |          range((b // 8) * 8 // 8, (b // 8 + 1) * 8 // 8), y ->
+             |            list_transform(range((b % 8) * 16 // 8, (b % 8 + 1) * 16 // 8), x ->
+             |              (x*5 + y*11 + c*7) % 256)))) > pix_sum
+             |        THEN '1' ELSE '0' END), 'string_agg', '') AS bits
+             |  FROM s)
+             |SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(a.f AS INT) AS frame_a,
+             |  CAST(b.doc_id AS BIGINT) AS id_b, CAST(b.f AS INT) AS frame_b,
+             |  CAST(len(list_filter(range(1, 65),
+             |    i -> substr(a.bits, CAST(i AS INT), 1) <> substr(b.bits, CAST(i AS INT), 1))) AS INT) AS hamming
+             |FROM hsh a JOIN hsh b
+             |  ON (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.f < b.f))
+             |WHERE len(list_filter(range(1, 65),
+             |    i -> substr(a.bits, CAST(i AS INT), 1) <> substr(b.bits, CAST(i AS INT), 1))) <= 3
+             |ORDER BY id_a, frame_a, id_b, frame_b""".stripMargin),
+      doc = "Video-frame near-dup across and within videos — the dedup " +
+        "step before captioning spends model budget on near-identical " +
+        "frames: real AVI decode per frame, top-down 8x8 average-hash, " +
+        "pigeonhole band join on (video, frame) struct keys, exact Hamming " +
+        "verify; the oracle recomputes every frame hash closed-form and " +
+        "brute-forces all frame pairs. The match proves banding lossless " +
+        "AND the bottom-up scanline flip correct (the t111 sums cannot " +
+        "catch a missed flip; cell hashes can)."
     )
   )
 }

@@ -348,7 +348,49 @@ class ExtensionOpsSpec extends SparkSpec {
       val expect = (for (y <- 0 until 3; x <- 0 until 5)
         yield gray(fr.frame_idx)(x, y).toLong).sum
       assert(fr.frame_sum == expect, fr.toString)
+      // hash orientation: cells must be computed over TOP-DOWN image rows
+      // (DIB scanlines are bottom-up; the sum can't catch a missed flip,
+      // the hash can)
+      val bits = (0 until 64).map { b =>
+        val (r0, r1) = ((b / 8) * 3 / 8, (b / 8 + 1) * 3 / 8)
+        val (c0, c1) = ((b % 8) * 5 / 8, (b % 8 + 1) * 5 / 8)
+        val cell = for (y <- r0 until r1; x <- c0 until c1)
+          yield gray(fr.frame_idx)(x, y).toLong
+        if (cell.sum * 15 > expect * cell.size) '1' else '0'
+      }.mkString
+      assert(fr.ahash_bits == bits, fr.toString)
     }
+  }
+
+  test("frameNearDupPairs pairs duplicate frames within and across videos") {
+    // video 1 and video 2 share frame content c=0 (v1 frame 0, v2 frame 1);
+    // within v2, frames 1 and 2 are identical (static scene); video 3 is
+    // unrelated high-frequency content
+    def frame(c: Int)(x: Int, y: Int): Int = (x * 5 + y * 11 + c * 37) % 256
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video",
+        Multimodal.encodeAvi(16, 8, 10, Seq(frame(0) _))),
+      Multimodal.MediaRow(2L, "video",
+        Multimodal.encodeAvi(16, 8, 10, Seq(frame(5) _, frame(0) _, frame(0) _))),
+      Multimodal.MediaRow(3L, "video",
+        Multimodal.encodeAvi(16, 8, 10, Seq((x, y) => ((x + y) % 2) * 255)))))
+    // banded pairs must equal brute force over the per-frame hashes
+    val feats = Multimodal.videoFrames(media).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f.ahash_bits).toMap
+    def ham(a: String, b: String): Int = a.zip(b).count { case (p, q) => p != q }
+    val keys = feats.keys.toSeq.sorted
+    val brute = (for {
+      a <- keys; b <- keys
+      if a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      h = ham(feats(a), feats(b)) if h <= 3
+    } yield (a._1, a._2, b._1, b._2, h)).toSet
+    val banded = Multimodal.frameNearDupPairs(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    assert(banded == brute, s"$banded vs $brute")
+    // the constructed duplicates are pixel-exact pairs
+    assert(banded.contains((1L, 0, 2L, 1, 0)), banded.toString) // across videos
+    assert(banded.contains((2L, 1, 2L, 2, 0)), banded.toString) // within a video
   }
 
   test("pixelNearDupPairs catches cross-format duplicates byte-level hashing cannot") {
