@@ -389,6 +389,26 @@ object GraftCli {
             println(s"admit: ${batch.count()} in batch, ${admitted.count()} admitted " +
               s"-> $outDir; index now $nIdx fingerprints -> $indexDir")
           }
+        case "mix" :: sfDir :: outDir :: recipe :: Nil =>
+          // exact token-budget mix assembly (the t108 operator): admit, per
+          // language, the maximal md5-ordered document prefix strictly
+          // under the budget. recipe = "en:30000,de:9000,..."
+          import org.apache.spark.sql.functions.{col, count, lit, sum}
+          val budgets = recipe.split(",").toSeq.map { kv =>
+            val Array(g, b) = kv.split(":", 2)
+            g -> b.toLong
+          }
+          val out = graft.operators.Sampling.exactTokenBudgets(
+            graft.core.Tables.documents(spark, sfDir),
+            col("lang"), col("doc_id"), col("n_chars"), budgets)
+          out.write.mode("overwrite").parquet(outDir)
+          val bm = budgets.toMap
+          spark.read.parquet(outDir).groupBy(col("lang"))
+            .agg(count(lit(1)).as("rows"), sum(col("n_chars")).as("tokens"))
+            .collect().sortBy(_.getString(0))
+            .foreach(r => println(s"mix[${r.getString(0)}]: ${r.getLong(1)} docs, " +
+              s"${r.getLong(2)} tokens (budget ${bm(r.getString(0))})"))
+          println(s"mix: done -> $outDir")
         case "compact-index" :: indexDir :: rest =>
           // maintenance for the streaming admission loop's append-grown
           // delta indexes; kind selects the schema/resolution: sig (default,
@@ -559,7 +579,8 @@ object GraftCli {
               "quantile <sfDir> <table> <col> [subBits] | " +
               "url-dedup <in> <outDir> <urlCol> <idCol> | stress <sfDir> <workDir> [factor] | " +
               "admit <in> <indexDir> <outDir> <idCol> <textCol> [near] | " +
-              "compact-index <indexDir> [targetRows] | " +
+              "compact-index <indexDir> [sig|fp|robots] [targetRows] | " +
+              "mix <sfDir> <outDir> <lang:budget,...> | " +
               "extract <in> <outDir> <idCol> <textCol> [minLen minAlnumPct] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | " +
