@@ -290,6 +290,8 @@ class CrawlPipelineSpec extends SparkSpec {
       response("http://b.example/beta", bodyBeta))
     val q = CrawlPipeline.runStream(spark, warcDir.toString, work, ix,
       compactEvery = Some(1),
+      enrichStage = Some(CrawlPipeline.EnrichStage(
+        () => new graft.enrich.MockLlmTransport, promptTemplate)),
       onBatch = (id, cs) => batches(id) = cs.map(c => c.stage -> c.rows).toMap)
     try {
       q.processAllAvailable()
@@ -308,5 +310,12 @@ class CrawlPipelineSpec extends SparkSpec {
     }
     assert(spark.read.parquet(s"$ix/sig").count() == 3)
     assert(spark.read.parquet(s"$ix/fp").select("fp").distinct().count() == 3)
+
+    // enrichment rode along per snapshot: each batch's curated docs were
+    // enriched and ok-routed (the daemon's enrichStage passthrough)
+    assert(batches(0L)("10_enrich_ok") == batches(0L)("07_para_dedup"))
+    assert(batches(1L)("10_enrich_ok") == batches(1L)("07_para_dedup"))
+    assert(batches(1L)("10_enrich_fail") == 0L)
+    assert(new java.io.File(s"$work/batch=1/10_enrich/ok=true").isDirectory)
   }
 }
