@@ -94,10 +94,18 @@ object CrawlPipeline {
       case Some(ix) =>
         val rDir = s"$ix/robots"
         val rSchema = new StructType().add("host", StringType).add("text", StringType)
+        def rEmpty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rSchema)
         val prev0 =
-          if (new java.io.File(rDir).exists()) spark.read.parquet(rDir)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rSchema)
+          if (!new java.io.File(rDir).exists()) rEmpty
+          else
+            try spark.read.parquet(rDir)
+            catch {
+              // robots-less snapshots write zero-row deltas: no footers to
+              // infer from is an empty policy table, not corruption
+              case ae: org.apache.spark.sql.AnalysisException
+                  if ae.getCondition == "UNABLE_TO_INFER_SCHEMA" => rEmpty
+            }
         // delta mode: drop this batch's own delta (replay guard), then the
         // LATEST persisted body per host stands; the swap layout is already
         // one row per host
@@ -166,10 +174,20 @@ object CrawlPipeline {
         // fingerprint/signature, reject the whole batch, and overwrite the
         // admitted output and deltas with empty frames — permanent loss.
         def readOrEmpty(dir: String, schema: StructType): DataFrame = {
+          def empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           val base =
-            if (new java.io.File(dir).exists()) spark.read.parquet(dir)
-            else spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            if (!new java.io.File(dir).exists()) empty
+            else
+              try spark.read.parquet(dir)
+              catch {
+                // a dir whose deltas hold zero rows has no parquet footers
+                // to infer from (a snapshot that admitted NOTHING still
+                // writes its batch=<id> delta) — that is an empty index,
+                // not corruption; every OTHER read failure still propagates
+                case ae: org.apache.spark.sql.AnalysisException
+                    if ae.getCondition == "UNABLE_TO_INFER_SCHEMA" => empty
+              }
           snapshotId match {
             case Some(bid) if base.columns.contains("batch") =>
               base.where(col("batch") =!= bid).select(schema.fieldNames.map(col): _*)

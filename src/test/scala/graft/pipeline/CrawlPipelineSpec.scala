@@ -279,6 +279,33 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(relaxed("06_quality") == 1 && relaxed("09_pack") == 1, relaxed.toString)
   }
 
+  test("daemon survives a snapshot that admits nothing (empty index deltas)") {
+    val warcDir = Files.createTempDirectory("crawl6_warc")
+    val work = Files.createTempDirectory("crawl6_work").toString
+    val ix = Files.createTempDirectory("crawl6_ix").toString + "/index"
+    val batches = scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+
+    // snapshot 1 is robots-only: zero content pages, zero admitted docs —
+    // the batch still writes its (empty) index deltas, which the NEXT
+    // batch's read must treat as an empty index, not a schema-inference
+    // crash
+    Files.write(warcDir.resolve("snap1.warc"),
+      response("http://a.example/robots.txt", "User-agent: *\nDisallow: /x/\n"))
+    val q = CrawlPipeline.runStream(spark, warcDir.toString, work, ix,
+      onBatch = (id, cs) => batches(id) = cs.map(c => c.stage -> c.rows).toMap)
+    try {
+      q.processAllAvailable()
+      Files.write(warcDir.resolve("snap2.warc"),
+        response("http://a.example/page", bodyAlpha))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(batches(0L)("04b_admit") == 0, batches.toString)
+    assert(batches(1L)("04b_admit") == 1, batches.toString)
+    // and the robots policy persisted by the empty snapshot still stands
+    assert(spark.read.parquet(s"$ix/robots").where($"host" === "a.example").count() >= 1)
+  }
+
   test("daemon auto-compaction folds old deltas while the stream keeps admitting correctly") {
     val warcDir = Files.createTempDirectory("crawl4_warc")
     val work = Files.createTempDirectory("crawl4_work").toString
