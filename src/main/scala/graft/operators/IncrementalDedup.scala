@@ -202,7 +202,16 @@ object IncrementalDedup {
     val snapshot = batchDirs()
     val preserved = snapshot.filter(d =>
       preserveBatchIds.contains(d.stripPrefix("batch=").toLong))
-    val raw = spark.read.parquet(indexDir)
+    val raw =
+      try spark.read.parquet(indexDir)
+      catch {
+        // an index whose deltas all hold zero rows has no parquet footers
+        // to infer from — nothing to compact, not corruption (the daemon
+        // writes a batch=<id> delta even for a snapshot that admitted
+        // nothing); any other read failure still propagates
+        case ae: org.apache.spark.sql.AnalysisException
+            if ae.getCondition == "UNABLE_TO_INFER_SCHEMA" => return 0L
+      }
     val scoped =
       if (preserved.nonEmpty && raw.columns.contains("batch"))
         raw.where(!col("batch").isin(preserveBatchIds.toSeq: _*))

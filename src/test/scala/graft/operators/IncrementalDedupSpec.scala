@@ -130,6 +130,14 @@ class IncrementalDedupSpec extends SparkSpec {
       Set("f1", "f2", "f3", "f4"))
   }
 
+  test("compaction of an all-empty delta index is a no-op, not a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("empty_idx").toString + "/idx"
+    // a zero-row delta can end up footerless (AQE collapses empty writes);
+    // simulate the worst case: the dir exists with an empty batch subdir
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/batch=0"))
+    assert(IncrementalDedup.compactFpIndex(spark, dir) == 0L)
+  }
+
   test("compactRobotsIndex keeps the latest policy per host; later deltas still win") {
     val dir = java.nio.file.Files.createTempDirectory("rb_idx").toString + "/idx"
     Seq(("a.example", "Disallow: /old/"), ("b.example", "Disallow: /b/"))
