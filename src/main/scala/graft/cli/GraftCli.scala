@@ -449,6 +449,10 @@ object GraftCli {
             def split(args: List[String], acc: Map[String, String],
                 p: List[String]): (Map[String, String], List[String]) = args match {
               case f :: v :: t if f.startsWith("--") => split(t, acc + (f -> v), p)
+              // a trailing value-less flag would otherwise fall through to
+              // the positional list and silently become the agent name
+              case f :: Nil if f.startsWith("--") =>
+                sys.error(s"flag $f needs a value")
               case a :: t => split(t, acc, p :+ a)
               case Nil => (acc, p)
             }
@@ -476,6 +480,9 @@ object GraftCli {
           val ce = rest.sliding(2).collectFirst {
             case Seq("--compact-every", v) => v.toInt
           }
+          // 0 would divide-by-zero inside foreachBatch at the first batch
+          // boundary — fail at the CLI, not minutes into the stream
+          ce.foreach(n => require(n > 0, s"--compact-every must be > 0, got $n"))
           val pos = {
             val i = rest.indexOf("--compact-every")
             if (i < 0) rest else rest.patch(i, Nil, 2)

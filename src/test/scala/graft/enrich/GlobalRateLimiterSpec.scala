@@ -82,6 +82,16 @@ class GlobalRateLimiterSpec extends graft.SparkSpec {
       assert(sorted.forall(w => w > 0 && w <= 800), s"waits=$sorted")
       assert(sorted.distinct.size >= sorted.size - 1,
         s"slots must serialize, not share: $sorted")
+      // schedule-SPAN floor: with >= 6 recorded waits the latest slot sits
+      // at >= 500ms in the exact schedule; a limiter that hands out all
+      // slots almost immediately would pass the checks above (positive,
+      // distinct, <= 800) yet fail this — load-tolerant (stalls only SHRINK
+      // waits, and fewer than 6 recorded waits means the box already ate
+      // slots, at which point the span says nothing)
+      if (sorted.size >= 6)
+        assert(sorted.last > 200,
+          s"schedule collapsed: max wait ${sorted.last}ms across " +
+            s"${sorted.size} serialized slots; waits=$sorted")
     } finally srv.stop()
   }
 
