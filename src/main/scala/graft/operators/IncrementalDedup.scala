@@ -116,6 +116,28 @@ object IncrementalDedup {
     deleteRecursively(old)
   }
 
+  /** Recover from a [[replaceDir]] crash window before rebuilding: a crash
+    * between the swap's two renames leaves NO live dir but a complete
+    * `liveDir.old` — roll BACK to it (the `.next` of that crashed swap is
+    * deleted by the caller and rebuilt deterministically, so rolling back
+    * re-derives the exact state the crashed run was committing). A stale
+    * `.old` BESIDE an intact live dir (crash after the second rename,
+    * before the cleanup delete) is simply removed.
+    */
+  def recoverDir(liveDir: String): Unit = {
+    val live = java.nio.file.Paths.get(liveDir)
+    val old = java.nio.file.Paths.get(s"$liveDir.old")
+    if (!java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
+      java.nio.file.Files.move(old, live)
+    else deleteRecursively(old)
+  }
+
+  /** Delete a staging dir outright (a stale `.next` from a crashed run —
+    * left on disk by design, see [[replaceDir]]; the rebuild starts clean).
+    */
+  def clearStaging(dir: String): Unit =
+    deleteRecursively(java.nio.file.Paths.get(dir))
+
   /** Maintenance for an APPEND-grown signature index
     * ([[graft.streaming.StreamingOps.admitNearDupStream]] adds one
     * `batch=<id>` delta per micro-batch): rewrite the accumulated deltas as
@@ -253,15 +275,32 @@ object IncrementalDedup {
     * over the batch's own collision graph. History work is O(batch
     * collisions), never O(corpus).
     *
+    * @param maxBandPostings hot-band guard for the cross step: an index-side
+    *        (band position, band hash) bucket holding MORE than this many
+    *        distinct-signature postings is dropped from banded candidate
+    *        generation. Such a bucket means the band carries ~no information
+    *        for a degenerate corpus slice (boilerplate/short texts collapsing
+    *        onto one band hash) — and joining the batch against it is the one
+    *        place admission cost could leave O(batch collisions). Safety:
+    *        identical signatures are rejected by a direct full-signature
+    *        equi-join BEFORE banding (immune to the cap — so the "exact dups
+    *        can NEVER slip through" theorem survives any cap value), and
+    *        index-side identical signatures are pre-collapsed to one
+    *        representative (lossless: the match score is a function of the
+    *        signature alone), so the cap only thins genuinely-distinct
+    *        near-dup candidates in pathological buckets — recall there
+    *        degrades gracefully while the join stays bounded by
+    *        |batch bucket| * maxBandPostings per bucket.
     * @return the admitted rows (all caller columns + `sig`); fold them into
     *         the index with [[updatedSigIndex]].
     */
   def admitNearDup(batch: DataFrame, sigIndex: DataFrame, idCol: String,
       textCol: String, shingleWords: Int = 3, k: Int = 32, nBands: Int = 8,
-      minMatches: Int = 26): DataFrame = {
+      minMatches: Int = 26, maxBandPostings: Long = 1L << 17): DataFrame = {
     require(k % nBands == 0, s"k must split into bands, got k=$k bands=$nBands")
     require(minMatches >= 1 && minMatches <= k,
       s"minMatches in [1,$k], got $minMatches")
+    require(maxBandPostings >= 1, s"maxBandPostings >= 1, got $maxBandPostings")
     val cols = batch.columns
     val bs = batch.select(
       struct(cols.map(col): _*).as("__row"), col(idCol).as("id"),
@@ -274,18 +313,43 @@ object IncrementalDedup {
     val simOk = graft.expressions.GraftFunctions
       .sigMatchCount(col("sig_a"), col("sig_b")) >= minMatches
 
+    // index side: ONE representative per distinct signature before banding —
+    // the same lossless pre-collapse the within-batch step runs (the score
+    // is a function of the signature, so any member decides for the group),
+    // here killing the degenerate case where the index holds 10^6 identical
+    // signatures whose postings would all land in every shared bucket
+    val iReps = sigIndex.select(col("id"), col("sig"))
+      .groupBy(col("sig")).agg(min(col("id")).as("id"))
+    // theorem guard, immune to the postings cap below: a batch doc whose
+    // FULL signature already exists in the index is rejected via one
+    // equi-join on the signature itself (identical sigs score k/k >=
+    // minMatches by construction — banding was only ever a candidate
+    // generator for this case)
+    val sigHit = bs.select(col("id"), col("sig"))
+      .join(iReps.select(col("sig")), Seq("sig"), "left_semi")
+      .select(col("id"))
+
     // cross step: batch band -> index band, exact signature score on the
     // collisions only; one distinct id set of rejected batch docs
     val bBands = explodeBands(bs)
       .select(col("id").as("bid"), col("band_idx"), col("band_hash"))
-    val iBands = explodeBands(sigIndex)
+    val iBands = explodeBands(iReps)
       .select(col("id").as("iid"), col("band_idx"), col("band_hash"))
-    val rejected = bBands.join(iBands, Seq("band_idx", "band_hash"))
+    // hot-band guard (see @param maxBandPostings): the bucket census is one
+    // partial-aggregated pass over hashes, and the semi-join keeps postings
+    // of surviving buckets only
+    val keptBuckets = iBands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBandPostings)
+      .select(col("band_idx"), col("band_hash"))
+    val iBandsCapped =
+      iBands.join(keptBuckets, Seq("band_idx", "band_hash"), "left_semi")
+    val rejected = bBands.join(iBandsCapped, Seq("band_idx", "band_hash"))
       .select(col("bid"), col("iid")).distinct()
       .join(bs.select(col("id").as("bid"), col("sig").as("sig_a")), Seq("bid"))
-      .join(sigIndex.select(col("id").as("iid"), col("sig").as("sig_b")), Seq("iid"))
+      .join(iReps.select(col("id").as("iid"), col("sig").as("sig_b")), Seq("iid"))
       .where(simOk)
-      .select(col("bid").as("id")).distinct()
+      .select(col("bid").as("id"))
+      .union(sigHit).distinct()
     // materialized: the survivor frame feeds the within-batch band
     // self-join, the cluster node list and the final representative join —
     // without the checkpoint the cross-index anti-join re-executes once per

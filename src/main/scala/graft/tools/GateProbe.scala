@@ -15,8 +15,37 @@ import org.apache.spark.sql.functions._
   *     lsh_mp 0.60/0.33/0.53 -> floors 0.5 / 0.05 / 0.25 (same as t25).
   */
 object GateProbe {
+
+  /** `runMain graft.tools.GateProbe ann` — parameter sweep for the ANN
+    * production-path tuning (round-13 verdict #1): recall@5 of each
+    * (method, config) against brute force at every driver SF, so the gate
+    * params/floors are picked from measurement, not hope.
+    */
+  private def annSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val emb = Tables.embeddings(spark, s"/root/testdata/$sf").cache()
+      val n = emb.count()
+      val q = emb.filter($"vec_id" < 3)
+      val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select($"query_id", $"neighbor_id").cache()
+      val denom = bf.count().toDouble
+      def recall(approx: org.apache.spark.sql.DataFrame): Double =
+        approx.select($"query_id", $"neighbor_id")
+          .join(bf, Seq("query_id", "neighbor_id")).count() / denom
+      for ((nc, np) <- Seq((8, 3), (8, 4), (8, 5), (16, 6), (16, 8), (22, 8), (22, 11), (32, 12)))
+        println(f"[$sf] n=$n ivf nCells=$nc nProbe=$np recall=${recall(
+          Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, nc, np))}%.3f")
+      for ((bits, mp) <- Seq((4, 0), (4, 4), (3, 3), (3, 0), (2, 2), (5, 5)))
+        println(f"[$sf] n=$n lsh bits=$bits mp=$mp recall=${recall(
+          Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, bits, mp))}%.3f")
+      emb.unpersist(); bf.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(appName = "gate-probe")
+    if (args.contains("ann")) { annSweep(spark); spark.stop(); return }
     import spark.implicits._
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val d = s"/root/testdata/$sf"

@@ -793,6 +793,58 @@ object Stress {
       check(tNdv <= 10 * math.max(tNd, 1.0),
         f"mass-duplicate batch must stay in the uniform time band ($tNdv%.1f s vs $tNd%.1f s)")
 
+      // ---- NEAR-dup admission against a DEGENERATE index: 10^5 template
+      // variants with DISTINCT signatures (so the identical-sig collapse
+      // cannot help) whose postings pile onto a handful of band buckets —
+      // short boilerplate where most minhash rows take their min from the
+      // shared shingles. Uncapped, the cross band join would be
+      // |hot batch bucket| x |hot index bucket| ~ 10^8-10^9 rows; the
+      // hot-band cap drops overloaded index buckets so the join stays
+      // bounded, while exact copies of indexed entries are STILL all
+      // rejected via the full-signature equi-join (cap-immune theorem).
+      val ((dgAdmitted, dgLeaks), tDg) = timed {
+        // 8 of 11 shingles are the shared template frame -> a minhash row
+        // takes its min from the frame with p ~ 0.73, a 4-row band is
+        // all-frame with p ~ 0.28, and every all-frame band value is THE
+        // SAME across all 10^5 variants: ~28k-posting index buckets. The
+        // 3000 exact copies carry the same frame, so ~840 of their postings
+        // land in each hot bucket — uncapped, the cross join is
+        // 840 x 28000 x 8 bands ~ 2x10^8 rows for ONE degenerate slice.
+        def tmpl(i: org.apache.spark.sql.Column) =
+          concat(lit("stock ticker update entry number "), i.cast("string"),
+            lit(" closing value steady end of report line"))
+        val idxDocs = spark.range(100000).select(
+          (col("id") + 6_000_000_000L).as("doc_id"), tmpl(col("id")).as("text"))
+        val sigIdx = graft.operators.IncrementalDedup
+          .buildSigIndex(idxDocs, col("doc_id"), col("text")).localCheckpoint()
+        // 3000 exact copies of indexed entries (must ALL reject, cap or no
+        // cap) + 50 genuinely novel docs (no shared shingles -> admitted)
+        val batch = spark.range(3000).select(
+            (col("id") + 7_000_000_000L).as("doc_id"), tmpl(col("id")).as("text"))
+          .unionByName(spark.range(50).select(
+            (col("id") + 7_100_000_000L).as("doc_id"),
+            concat(lit("quiet essay "), col("id").cast("string"),
+              lit(" about the "), col("id").cast("string"),
+              lit(" gardens "), col("id").cast("string"),
+              lit(" and their "), col("id").cast("string"),
+              lit(" winters tale")).as("text")))
+        val adm = graft.operators.IncrementalDedup
+          .admitNearDup(batch, sigIdx, "doc_id", "text",
+            maxBandPostings = 1000L).localCheckpoint()
+        val idxHashes = idxDocs.select(md5(col("text")).as("h")).distinct()
+        (adm.count(),
+          adm.select(md5(col("text")).as("h")).join(idxHashes, Seq("h")).count())
+      }
+      println(j("stage" -> "neardup_admission_degenerate", "seconds" -> tDg,
+        "admitted" -> dgAdmitted, "exact_leaks" -> dgLeaks,
+        "uniform_seconds" -> tNd))
+      check(dgLeaks == 0L,
+        s"exact copies must reject through the capped banding ($dgLeaks leaked)")
+      check(dgAdmitted == 50L,
+        s"the 50 novel docs must be admitted ($dgAdmitted)")
+      check(tDg <= 10 * math.max(tNd, 1.0),
+        f"degenerate batch must complete in the uniform time band ($tDg%.1f s vs $tNd%.1f s)")
+
       // ---- crawl planning at factor scale: priorities from a 2x-corpus
       // fetch history (one partial-agg pass), and budget shares that sum
       // EXACTLY to the budget under distributed partial aggregation of the

@@ -176,6 +176,32 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(plan.contains("min(id"), s"expected sig-collapse aggregate in plan:\n$plan")
   }
 
+  test("admitNearDup hot-band cap: identical signatures reject even when every bucket overflows") {
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    val near = base.replace("today", "again")
+    val novel = "completely different subject matter entirely about ships and the open sea voyage"
+    // index: the base doc plus nine near-variants with DISTINCT signatures —
+    // their postings crowd the band buckets they share
+    val idxDocs = (1L to 9L).map(i => (i, base.replace("today", s"day$i"))) :+ ((10L, base))
+    val idx = IncrementalDedup.buildSigIndex(
+      idxDocs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+    // cap = 1: every bucket shared by 2+ distinct index sigs is dropped from
+    // banded candidate generation — yet the exact copy of an indexed doc is
+    // STILL rejected (full-signature equi-join, immune to the cap), and the
+    // novel doc still passes
+    val capped = IncrementalDedup.admitNearDup(
+      Seq((20L, base), (21L, novel)).toDF("doc_id", "text"), idx, "doc_id", "text",
+      maxBandPostings = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped == Set(21L), s"capped admission: $capped")
+    // default cap: r12 semantics unchanged (near copies rejected via banding)
+    val dflt = IncrementalDedup.admitNearDup(
+      Seq((20L, base), (21L, near), (22L, novel)).toDF("doc_id", "text"),
+      idx, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dflt == Set(22L), s"default admission: $dflt")
+  }
+
   test("two sequential batches equal one-shot dedup of their union (same order)") {
     val docs = Seq(
       (1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"), (5L, "b"), (6L, "d"))
