@@ -216,15 +216,23 @@ object GraftCli {
             .orderBy(col("est").desc).show(k, truncate = false)
         case "bpe" :: sfDir :: rest =>
           // tokenizer-merge training over the documents corpus; prints the
-          // ranked merge list (the artifact a training run consumes)
+          // ranked merge list (the artifact a training run consumes).
+          // --out <file> persists it for `pipeline --bpe-merges`.
           import org.apache.spark.sql.functions.col
-          val nMerges = rest.headOption.map(_.toInt).getOrElse(32)
+          val outFile = rest.sliding(2).collectFirst { case Seq("--out", f) => f }
+          val pos = {
+            val i = rest.indexOf("--out")
+            if (i < 0) rest else rest.patch(i, Nil, 2)
+          }
+          val nMerges = pos.headOption.map(_.toInt).getOrElse(32)
           val model = graft.operators.Bpe.train(
             graft.core.Tables.documents(spark, sfDir), col("text"), nMerges)
           model.merges.zipWithIndex.foreach { case ((a, b), i) =>
             println(f"$i%4d: $a + $b -> ${a + b}")
           }
-          println(s"bpe: learned ${model.merges.size} merges from $sfDir")
+          outFile.foreach(f => graft.operators.Bpe.saveMerges(model, f))
+          println(s"bpe: learned ${model.merges.size} merges from $sfDir" +
+            outFile.fold("")(f => s" -> $f"))
         case "lm-score" :: sfDir :: outDir :: Nil =>
           // corpus-fluency scoring (the perplexity-filter slot): writes the
           // four per-doc statistics for downstream filtering/bucketing
@@ -466,9 +474,21 @@ object GraftCli {
               new String(java.nio.file.Files.readAllBytes(
                 java.nio.file.Paths.get(tf)), java.nio.charset.StandardCharsets.UTF_8))
           }
+          // --mix en:30000,de:9000 adds the dataset-assembly stages
+          // (language tag → exact token-budget mix → training order);
+          // --bpe-merges <file> (the `bpe --out` artifact) sizes budgets
+          // and packing bins in real tokenizer tokens
+          val mix = flags.get("--mix").map { recipe =>
+            graft.pipeline.CrawlPipeline.MixStage(recipe.split(",").toSeq.map { kv =>
+              val Array(g, b) = kv.split(":", 2)
+              g -> b.toLong
+            })
+          }
           val counts = graft.pipeline.CrawlPipeline.run(
             spark, warcGlob, workDir, agent, capacity,
-            indexDir = flags.get("--index"), enrichStage = enrich)
+            indexDir = flags.get("--index"), enrichStage = enrich,
+            mixStage = mix,
+            packTokenizer = flags.get("--bpe-merges").map(graft.operators.Bpe.loadMerges))
           counts.foreach(c => println(f"pipeline[${c.stage}]: ${c.rows} rows"))
           println(s"pipeline: done -> $workDir (agent=$agent, capacity=$capacity)")
         case "pipeline-stream" :: warcDir :: workDir :: indexDir :: rest =>

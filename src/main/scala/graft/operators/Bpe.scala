@@ -134,4 +134,34 @@ object Bpe {
       }
       filter(split(merged, SEP), x => x =!= "")
     })
+
+  /** REAL tokenizer token count of a text column under a trained model —
+    * the packing/budget weight a training run actually consumes. Whitespace
+    * counts ([[TextAnalysis.tokenCount]]) are wrong by the whitespace↔BPE
+    * ratio, which varies by language and script; bins sized with this column
+    * hold what the model will see. Same plan shape as [[encode]]: a pure
+    * projection (static replace chain + splits), no shuffle, no UDF.
+    */
+  def tokenCount(text: Column, model: BpeModel): Column =
+    size(flatten(encode(text, model))).cast("long")
+
+  /** Serialize a merge list, one `a b` pair per line (symbols come from
+    * whitespace-split words, so the space separator is unambiguous) — the
+    * artifact format [[loadMerges]] reads back and the CLI ships between
+    * `bpe --out` and `pipeline --bpe-merges`.
+    */
+  def saveMerges(model: BpeModel, path: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      model.merges.map { case (a, b) => s"$a $b" }
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def loadMerges(path: String): BpeModel =
+    BpeModel(scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))).asScala
+      .toSeq.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf(' ')
+        require(i > 0 && i < line.length - 1, s"bad merge line: '$line'")
+        (line.substring(0, i), line.substring(i + 1))
+      })
 }

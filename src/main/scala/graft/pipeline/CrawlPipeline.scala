@@ -40,6 +40,15 @@ object CrawlPipeline {
   final case class EnrichStage(transportFactory: () => LlmTransport,
       promptTemplate: String, config: EnrichConfig = EnrichConfig())
 
+  /** Optional dataset-assembly config for the post-split mixing stages
+    * (`08b_lang` → `08c_mix` → `08d_order`): `budgets` is the training
+    * recipe, language → token budget — exhaustive by definition, so
+    * documents tagged with a language absent from the recipe are DROPPED
+    * ([[graft.operators.Sampling.exactTokenBudgets]]'s contract); `epoch`
+    * varies the deterministic training order between passes.
+    */
+  final case class MixStage(budgets: Seq[(String, Long)], epoch: Int = 0)
+
   def run(spark: SparkSession, warcGlob: String, workDir: String,
       agent: String = "graftbot", capacity: Long = 2048L,
       maxPayloadBytes: Int = 8 * 1024 * 1024,
@@ -57,7 +66,17 @@ object CrawlPipeline {
       // Gopher rule thresholds for the 06_quality stage — the published
       // English-centric defaults are a starting point every real corpus
       // tunes (e.g. relax minStopHits for non-English or synthetic slices)
-      qualityThresholds: QualityRules.Thresholds = QualityRules.Thresholds()): Seq[StageCount] = {
+      qualityThresholds: QualityRules.Thresholds = QualityRules.Thresholds(),
+      // optional dataset-assembly stages between 08_splits and 09_pack
+      // (language tag → exact token-budget mix → training order) — see
+      // [[MixStage]]; the curated corpus then packs to the RECIPE, not to
+      // whatever language mix the crawl happened to fetch
+      mixStage: Option[MixStage] = None,
+      // optional trained tokenizer ([[graft.operators.Bpe.BpeModel]]):
+      // sizes the mix budgets AND the packing bins in real BPE tokens
+      // instead of whitespace tokens — whitespace counts are wrong by the
+      // whitespace↔BPE ratio, which varies by language and script
+      packTokenizer: Option[graft.operators.Bpe.BpeModel] = None): Seq[StageCount] = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[StageCount]
     def ck(stage: String, df: DataFrame, parts: Seq[String] = Nil): DataFrame = {
       val w = df.write.mode("overwrite")
@@ -92,6 +111,23 @@ object CrawlPipeline {
     val policyBodies = indexDir match {
       case None => crawlBodies
       case Some(ix) =>
+        // Batch-mode index updates commit ATOMICALLY (round-12 verdict #2 /
+        // ADVICE): each new generation of ALL THREE indexes is staged under
+        // `$ix.next/{robots,fp,sig}` while the live dirs stay untouched,
+        // then ONE `replaceDir($ix, $ix.next)` after stage 04b swaps the
+        // whole generation in. The r12 layout swapped the three dirs at
+        // three separate points (robots at stage 03, fp/sig at 04b): a
+        // crash between the fp and sig swaps made the NEXT run's exact
+        // admission reject the crashed run's docs (already in fp) so their
+        // signatures never reached the sig index — a permanent near-dup
+        // blind spot. Now a crash before the commit point leaves every
+        // index at the old snapshot (the rerun clears the stale staging
+        // and rebuilds it deterministically), and a crash inside the swap
+        // itself is healed by recoverDir's roll-back.
+        if (snapshotId.isEmpty) {
+          IncrementalDedup.recoverDir(ix)
+          IncrementalDedup.clearStaging(s"$ix.next")
+        }
         val rDir = s"$ix/robots"
         val rSchema = new StructType().add("host", StringType).add("text", StringType)
         def rEmpty = spark.createDataFrame(
@@ -130,11 +166,10 @@ object CrawlPipeline {
             crawlDedup.write.mode("overwrite").parquet(s"$rDir/batch=$bid")
             merged
           case None =>
-            merged.write.parquet(s"$rDir.next")
-            IncrementalDedup.replaceDir(rDir, s"$rDir.next")
-            // read-back: merged's lineage points at the dir the swap just
-            // replaced; downstream stages must read the new live copy
-            spark.read.schema(rSchema).parquet(rDir)
+            // staged, not swapped: the live robots dir keeps serving until
+            // the single commit point after stage 04b
+            merged.write.mode("overwrite").parquet(s"$ix.next/robots")
+            spark.read.schema(rSchema).parquet(s"$ix.next/robots")
         }
     }
     val ruleTable = Robots.parseRules(
@@ -215,15 +250,19 @@ object CrawlPipeline {
             admitted.select(col("id"), col("sig"))
               .write.mode("overwrite").parquet(s"$sigDir/batch=$bid")
           case None =>
-            // batch mode: full-index rewrite behind a write-then-swap so a
-            // killed run never truncates the live index
+            // batch mode: full-index rewrites staged beside the robots
+            // generation, then the SINGLE commit point — one swap advances
+            // robots+fp+sig together, so "one snapshot = one index
+            // generation" holds across any crash (see the staging comment
+            // at stage 03). Until the swap, every live dir still serves
+            // the previous snapshot; both updates below read the LIVE
+            // index lineage, which stays intact while staging is written.
             IncrementalDedup.updatedIndex(fpIndex, admitted)
-              .write.parquet(s"$fpDir.next")
-            IncrementalDedup.replaceDir(fpDir, s"$fpDir.next")
+              .write.mode("overwrite").parquet(s"$ix.next/fp")
             IncrementalDedup.updatedSigIndex(sigIndex,
                 admitted.select(col("id"), col("sig")))
-              .write.parquet(s"$sigDir.next")
-            IncrementalDedup.replaceDir(sigDir, s"$sigDir.next")
+              .write.mode("overwrite").parquet(s"$ix.next/sig")
+            IncrementalDedup.replaceDir(ix, s"$ix.next")
         }
         admitted.drop("id", "sig", "fp")
     }
@@ -261,8 +300,35 @@ object CrawlPipeline {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
       parts = Seq("split"))
 
+    // the token weight both the mix budgets and the packing bins are sized
+    // in: whitespace tokens by default, the trained tokenizer's REAL BPE
+    // count when a model is given — one definition for both stages, or a
+    // recipe admitted in one unit would be packed in another
+    def tokWeight(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      packTokenizer.fold(TextAnalysis.tokenCount(c))(m =>
+        graft.operators.Bpe.tokenCount(c, m))
+
+    // optional mixing stages (each one an oracle-gated operator, reused
+    // unchanged): 08b tags the language (t05 semantics), 08c admits per
+    // language the maximal md5-ordered document prefix under the recipe's
+    // token budget (t108 semantics — exactly determined, reproducible
+    // row-for-row), 08d writes the deterministic round-robin training-order
+    // manifest (t82 semantics; packing keeps its own md5 shuffle order, so
+    // the manifest is a sibling checkpoint consumers join back by doc_id)
+    val packInput = mixStage match {
+      case None => split
+      case Some(m) =>
+        val lang = ck("08b_lang",
+          split.withColumn("lang", TextAnalysis.langId(col("text"))))
+        val mixed = ck("08c_mix", graft.operators.Sampling.exactTokenBudgets(
+          lang, col("lang"), col("doc_id"), tokWeight(col("text")), m.budgets))
+        ck("08d_order", graft.operators.TrainingOrder.interleave(
+          mixed, col("lang"), col("doc_id"), m.budgets.map(_._1), m.epoch))
+        mixed
+    }
+
     ck("09_pack", TextPipeline.packSequences(
-      split.withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
+      packInput.withColumn("n_tokens", tokWeight(col("text"))),
       col("doc_id"), col("n_tokens"), capacity))
 
     // optional LLM enrichment over the curated corpus (the reference's
@@ -272,11 +338,46 @@ object CrawlPipeline {
     // `10_enrich/ok=true` IS the success sink, `ok=false` the failure sink.
     enrichStage.foreach { e =>
       import spark.implicits._
-      val enriched = EnrichOperator.enrich(
-        para.select(col("url").as("key"), col("text").as("content"))
-          .as[EnrichOperator.Doc],
+      val inputs = para.select(col("url").as("key"), col("text").as("content"))
+      // Replay idempotence: a replayed daemon micro-batch (or a re-run
+      // batch pipeline) must not RE-PAY the LLM call for documents a
+      // previous attempt already enriched successfully — the P9 anti-join
+      // skip ([[graft.enrich.EnrichJob]]'s discipline, the distributed form
+      // of the reference's skip-if-exists,
+      // `src/program2_ai_processor.py:692-724`) applied at this stage's own
+      // checkpoint: previously-ok rows are CARRIED OVER (for keys still in
+      // the current corpus), failed and new docs go to the transport. The
+      // localCheckpoint is load-bearing: the carried rows' lineage would
+      // otherwise lazily read the very directory ck() overwrites below.
+      val eDir = s"$workDir/10_enrich"
+      val eSchema = new StructType().add("key", StringType)
+        .add("ok", org.apache.spark.sql.types.BooleanType)
+        .add("description", StringType).add("raw", StringType)
+      val prevOk =
+        if (!new java.io.File(eDir).exists())
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eSchema)
+        else
+          // `ok` is a PARTITION column on disk and partition-value type
+          // inference does not cover booleans — it reads back as the
+          // string "true"/"false" and must be cast explicitly
+          try spark.read.parquet(eDir).where(col("ok").cast("boolean"))
+            .select(col("key"), col("ok").cast("boolean").as("ok"),
+              col("description"), col("raw"))
+            .localCheckpoint()
+          catch {
+            // an empty previous attempt writes no parquet footers
+            case ae: org.apache.spark.sql.AnalysisException
+                if ae.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eSchema)
+          }
+      val carried = prevOk.join(inputs.select(col("key")), Seq("key"), "left_semi")
+      val fresh = inputs.join(prevOk.select(col("key")), Seq("key"), "left_anti")
+      val enriched = EnrichOperator.enrich(fresh.as[EnrichOperator.Doc],
         e.transportFactory, e.promptTemplate, e.config)
-      val out = ck("10_enrich", enriched.toDF(), parts = Seq("ok"))
+      val out = ck("10_enrich",
+        enriched.toDF().unionByName(carried), parts = Seq("ok"))
       if (countStages) {
         counts += StageCount("10_enrich_ok", out.where(col("ok")).count())
         counts += StageCount("10_enrich_fail", out.where(!col("ok")).count())
@@ -314,8 +415,10 @@ object CrawlPipeline {
   def runStream(spark: SparkSession, warcDir: String, workDir: String,
       indexDir: String, agent: String = "graftbot", capacity: Long = 2048L,
       maxPayloadBytes: Int = 8 * 1024 * 1024, countStages: Boolean = true,
-      // optional per-snapshot LLM enrichment (at-least-once on replay, like
-      // any external effect in foreachBatch; the mock transport is exact)
+      // optional per-snapshot LLM enrichment. Replay-SAFE for the expensive
+      // part: a replayed micro-batch anti-joins its own previous ok-outputs
+      // before touching the transport (see the 10_enrich stage), so only
+      // failed/unattempted docs re-pay the call
       enrichStage: Option[EnrichStage] = None,
       // auto-compact the fp/sig/robots delta indexes at the START of every
       // n-th batch's foreachBatch — the one point in a streaming job with
@@ -325,6 +428,9 @@ object CrawlPipeline {
       // defeat the replay guard and wipe the batch's own outputs).
       compactEvery: Option[Int] = None,
       qualityThresholds: QualityRules.Thresholds = QualityRules.Thresholds(),
+      // per-snapshot mixing/packing config, forwarded to [[run]] verbatim
+      mixStage: Option[MixStage] = None,
+      packTokenizer: Option[graft.operators.Bpe.BpeModel] = None,
       onBatch: (Long, Seq[StageCount]) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("binaryFile")
@@ -363,7 +469,8 @@ object CrawlPipeline {
             s"$workDir/batch=$batchId", agent, capacity, maxPayloadBytes,
             indexDir = Some(indexDir), enrichStage = enrichStage,
             countStages = countStages, snapshotId = Some(batchId),
-            qualityThresholds = qualityThresholds)
+            qualityThresholds = qualityThresholds,
+            mixStage = mixStage, packTokenizer = packTokenizer)
           onBatch(batchId, counts)
         }
         ()

@@ -71,4 +71,47 @@ class BpeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
   }
+
+  test("tokenCount diverges materially from whitespace counts and sizes packing bins") {
+    // merges (a,a) then (aa,aa) cover "aaaa" wholly (1 BPE token/word)
+    // while "bb" stays unmerged (2 BPE tokens/word): whitespace and BPE
+    // counts then disagree 2x on doc 3 — the divergence that makes
+    // whitespace-sized packing bins WRONG for the training run
+    val docs = Seq((1L, "aaaa aaaa aaaa"), (2L, "aaaa aaaa"), (3L, "bb bb bb bb"))
+      .toDF("id", "text")
+    val model = Bpe.train(docs, $"text", numMerges = 2)
+    assert(model.merges == Seq(("a", "a"), ("aa", "aa")))
+    val countsOf = docs.select($"id",
+        TextAnalysis.tokenCount($"text").as("ws"),
+        Bpe.tokenCount($"text", model).as("bpe"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(countsOf == Map(1L -> ((3L, 3L)), 2L -> ((2L, 2L)), 3L -> ((4L, 8L))),
+      countsOf.toString)
+
+    // packing with the REAL counts: bin arithmetic runs over BPE mass
+    // (13 tokens at capacity 4 -> last bin 3), per-doc n_tokens carries
+    // the tokenizer count, and the plan shape is packSequences' own —
+    // swapping the weight column adds no window over unbounded groups
+    val packed = TextPipeline.packSequences(
+      docs.withColumn("n_tokens", Bpe.tokenCount($"text", model)),
+      $"id", $"n_tokens", capacity = 4L)
+    val byId = packed.select($"id", $"n_tokens", $"bin_first", $"bin_last")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(byId(3L)._2 == 8L, byId.toString)
+    assert(packed.agg(sum($"n_tokens")).head().getLong(0) == 13L)
+    assert(packed.agg(max($"bin_last")).head().getLong(0) == 3L) // (13-1) div 4
+    // every doc's start offset sits inside its first bin
+    assert(packed.where($"offset_in_bin" < 0 || $"offset_in_bin" >= 4).isEmpty)
+  }
+
+  test("saveMerges/loadMerges round-trips the pipeline artifact") {
+    val model = Bpe.BpeModel(Seq(("a", "b"), ("ab", "cd"), ("x", "yz")))
+    val f = java.nio.file.Files.createTempFile("merges", ".txt").toString
+    Bpe.saveMerges(model, f)
+    assert(Bpe.loadMerges(f) == model)
+    // an empty model round-trips too (a corpus below minCount learns none)
+    val g = java.nio.file.Files.createTempFile("merges0", ".txt").toString
+    Bpe.saveMerges(Bpe.BpeModel(Nil), g)
+    assert(Bpe.loadMerges(g) == Bpe.BpeModel(Nil))
+  }
 }

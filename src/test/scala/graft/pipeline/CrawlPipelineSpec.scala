@@ -6,6 +6,27 @@ import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets.ISO_8859_1
 import java.nio.file.Files
 
+/** Per-document transport call census for the replay-idempotence spec:
+  * local mode runs executors in this JVM, so a static concurrent map sees
+  * every partition's calls. Keyed on a marker word in the user message.
+  * Responds 500 to documents containing "gamma" (routes them ok=false).
+  */
+object CountingTransport {
+  val calls = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def count(marker: String): Int = calls.getOrDefault(marker, 0).toInt
+  def reset(): Unit = calls.clear()
+}
+final class CountingTransport extends graft.enrich.LlmTransport {
+  private val inner = new graft.enrich.MockLlmTransport
+  override def post(p: graft.enrich.LlmPayload): graft.enrich.LlmResponse = {
+    val user = p.messages.find(_.role == "user").map(_.content).getOrElse("")
+    val marker = if (user.contains("gamma")) "gamma" else "alpha"
+    CountingTransport.calls.merge(marker, 1, (a, b) => a + b)
+    if (marker == "gamma") graft.enrich.LlmResponse(500, "boom")
+    else inner.post(p)
+  }
+}
+
 /** End-to-end smoke of the staged crawl composition on a synthetic WARC:
   * every stage must fire (robots blocks a URL, canonical dedup collapses a
   * pair, quality drops junk, paragraph dedup removes a cross-doc repeat,
@@ -260,6 +281,93 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$ix/sig").count() == 3)
   }
 
+  test("10_enrich replay: ok docs never re-pay the transport; failures re-attempt; outputs identical") {
+    CountingTransport.reset()
+    val warcDir = Files.createTempDirectory("crawl7_warc")
+    val work = Files.createTempDirectory("crawl7_work").toString
+    // alpha enriches ok; gamma's body makes CountingTransport respond 500
+    Files.write(warcDir.resolve("s.warc"),
+      response("http://a.example/alpha", bodyAlpha) ++
+      response("http://c.example/gamma", bodyGamma))
+    def runOnce() = CrawlPipeline.run(spark, s"$warcDir/*.warc*", work,
+        enrichStage = Some(CrawlPipeline.EnrichStage(() => new CountingTransport,
+          promptTemplate,
+          graft.enrich.EnrichConfig(maxRetries = 0, backoffFactor = 0.0))))
+      .map(c => c.stage -> c.rows).toMap
+
+    val c1 = runOnce()
+    assert(c1("10_enrich_ok") == 1 && c1("10_enrich_fail") == 1, c1.toString)
+    val alpha1 = CountingTransport.count("alpha")
+    val gamma1 = CountingTransport.count("gamma")
+    assert(alpha1 == 1 && gamma1 == 1, s"alpha=$alpha1 gamma=$gamma1")
+    val out1 = spark.read.parquet(s"$work/10_enrich")
+      .select("key", "ok", "description").collect().toSet
+
+    // replay the whole batch run over the same workDir: the ok doc is
+    // carried from the previous attempt's checkpoint (the P9 anti-join —
+    // at real API prices the single most expensive idempotence gap), the
+    // failed doc goes back to the transport
+    val c2 = runOnce()
+    assert(c2("10_enrich_ok") == 1 && c2("10_enrich_fail") == 1, c2.toString)
+    assert(CountingTransport.count("alpha") == alpha1,
+      s"ok doc re-paid the transport on replay (${CountingTransport.count("alpha")} vs $alpha1)")
+    assert(CountingTransport.count("gamma") == gamma1 + 1,
+      s"failed doc must be re-attempted (${CountingTransport.count("gamma")} vs ${gamma1 + 1})")
+    val out2 = spark.read.parquet(s"$work/10_enrich")
+      .select("key", "ok", "description").collect().toSet
+    assert(out2 == out1, s"replay must reproduce the stage output\n$out2\nvs\n$out1")
+  }
+
+  test("batch-mode index commit is one point: stale staging and a crashed swap both self-heal") {
+    val warc1Dir = Files.createTempDirectory("crawl8_warc1")
+    val warc2Dir = Files.createTempDirectory("crawl8_warc2")
+    val ix = Files.createTempDirectory("crawl8_ix").toString + "/index"
+    Files.write(warc1Dir.resolve("s1.warc"),
+      response("http://a.example/robots.txt", "User-agent: *\nDisallow: /x/\n") ++
+      response("http://a.example/alpha", bodyAlpha))
+    Files.write(warc2Dir.resolve("s2.warc"),
+      response("http://b.example/beta", bodyBeta))
+
+    CrawlPipeline.run(spark, s"$warc1Dir/*.warc*",
+      Files.createTempDirectory("crawl8_w1").toString, indexDir = Some(ix))
+    val fp1 = spark.read.parquet(s"$ix/fp").count()
+    assert(fp1 == 1L)
+
+    // crash window A: a previous run died AFTER staging but BEFORE the
+    // commit point, leaving a stale $ix.next (with garbage) — the next run
+    // must clear it, not fail on path-exists or ingest the leftovers
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$ix.next/fp"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ix.next/fp/garbage.bin"), Array[Byte](1, 2, 3))
+    CrawlPipeline.run(spark, s"$warc2Dir/*.warc*",
+      Files.createTempDirectory("crawl8_w2").toString, indexDir = Some(ix))
+    // all three indexes advanced TOGETHER to generation 2; staging gone
+    assert(spark.read.parquet(s"$ix/fp").count() == 2L)
+    assert(spark.read.parquet(s"$ix/sig").count() == 2L)
+    assert(spark.read.parquet(s"$ix/robots").count() == 1L)
+    assert(!new java.io.File(s"$ix.next").exists())
+    assert(!new java.io.File(s"$ix.old").exists())
+
+    // crash window B: between replaceDir's two renames — no live dir, a
+    // complete .old, a complete .next. The next run rolls BACK to .old,
+    // clears the staging, and re-derives generation 3 from generation 2:
+    // indexes advance all-or-none, never mixed
+    java.nio.file.Files.move(java.nio.file.Paths.get(ix),
+      java.nio.file.Paths.get(s"$ix.old"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$ix.next"))
+    val warc3Dir = Files.createTempDirectory("crawl8_warc3")
+    Files.write(warc3Dir.resolve("s3.warc"),
+      response("http://c.example/gamma", bodyGamma))
+    val c3 = CrawlPipeline.run(spark, s"$warc3Dir/*.warc*",
+        Files.createTempDirectory("crawl8_w3").toString, indexDir = Some(ix))
+      .map(c => c.stage -> c.rows).toMap
+    assert(c3("04b_admit") == 1L, c3.toString)
+    assert(spark.read.parquet(s"$ix/fp").count() == 3L)
+    assert(spark.read.parquet(s"$ix/sig").count() == 3L)
+    assert(!new java.io.File(s"$ix.next").exists())
+    assert(!new java.io.File(s"$ix.old").exists())
+  }
+
   test("quality thresholds are tunable per corpus slice") {
     // prose-shaped body with NO Gopher stopwords: the published defaults
     // drop it (r_stopwords), a per-corpus recipe keeps it — the knob every
@@ -277,6 +385,53 @@ class CrawlPipelineSpec extends SparkSpec {
         qualityThresholds = graft.operators.QualityRules.Thresholds(minStopHits = 0L))
       .map(c => c.stage -> c.rows).toMap
     assert(relaxed("06_quality") == 1 && relaxed("09_pack") == 1, relaxed.toString)
+  }
+
+  test("mix stages: the curated corpus packs to the recipe, not to what the crawl fetched") {
+    val warcDir = Files.createTempDirectory("crawl9_warc")
+    val work = Files.createTempDirectory("crawl9_work").toString
+    // skewed bilingual crawl: 6 English pages, 2 German — each 160
+    // whitespace tokens of distinct words (no paragraph collisions), one
+    // page per host so splits/robots stay out of the way
+    def enBody(i: Int) =
+      (1 to 40).flatMap(j => Seq("the", s"en${i}w$j", "and", s"t$i$j")).mkString(" ")
+    def deBody(i: Int) =
+      (1 to 40).flatMap(j => Seq("und", s"de${i}w$j", "der", s"d$i$j")).mkString(" ")
+    val recs = (1 to 6).map(i => response(s"http://en$i.example/p", enBody(i))) ++
+      (1 to 2).map(i => response(s"http://de$i.example/p", deBody(i)))
+    Files.write(warcDir.resolve("s.warc"), recs.reduce(_ ++ _))
+
+    val budgets = Seq("en" -> 400L, "de" -> 100000L)
+    val counts = CrawlPipeline.run(spark, s"$warcDir/*.warc*", work,
+        qualityThresholds = graft.operators.QualityRules.Thresholds(minStopHits = 0L),
+        mixStage = Some(CrawlPipeline.MixStage(budgets)))
+      .map(c => c.stage -> c.rows).toMap
+    assert(counts("08_splits") == 8 && counts("08b_lang") == 8, counts.toString)
+
+    // 08c: the en budget (400) admits the maximal md5-ordered prefix —
+    // 3 docs x 160 tokens (the running sum stays strictly under 400 for
+    // exactly three; total 480 never exceeds budget + one document); the
+    // de budget is unconstrained and keeps both docs
+    val mixed = spark.read.parquet(s"$work/08c_mix")
+    val byLang = mixed.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 3L, "de" -> 2L), byLang.toString)
+    assert(counts("08c_mix") == 5 && counts("09_pack") == 5, counts.toString)
+
+    // the stage IS the oracle-gated operator, unchanged: identical admitted
+    // set to calling Sampling.exactTokenBudgets on the 08b checkpoint
+    val lang = spark.read.parquet(s"$work/08b_lang")
+    val direct = graft.operators.Sampling.exactTokenBudgets(lang, $"lang",
+        $"doc_id", graft.operators.TextAnalysis.tokenCount($"text"), budgets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(mixed.select("doc_id").as[Long].collect().toSet == direct)
+
+    // 08d: strict round-robin manifest over the recipe's languages
+    val order = spark.read.parquet(s"$work/08d_order")
+      .select($"lang", $"global_pos").as[(String, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(order("en") == Set(0L, 2L, 4L), order.toString)
+    assert(order("de") == Set(1L, 3L), order.toString)
   }
 
   test("daemon survives a snapshot that admits nothing (empty index deltas)") {
