@@ -6,10 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
   *
-  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
-  * one pass over the corpus, per-query heap via ranking window. Scale path:
-  * sign-random-projection LSH buckets so each query only scans its bucket;
-  * recall traded via number of probe bits.
+  * The tiers, from exact to fastest (round-13: production path designated
+  * from the GateProbe recall sweep):
+  *  - [[bruteForceTopK]] — the exact oracle; right answer, full scan.
+  *  - [[ivfTopK]] / [[ivfBuild]]+[[ivfQuery]] — **the production ANN
+  *    path**: k-means coarse quantization, recall governed by
+  *    nProbe/nCells, and the persisted layout reads only the probed
+  *    cells from disk. Gate-locked at recall@5 >= 0.8 (t22/t25).
+  *  - [[lshTopK]] with multiProbe — the index-free approximation when no
+  *    training pass is wanted; gate-locked at recall@5 >= 0.5 (t12).
+  *  - [[lshTopK]] single-probe — a recall-WEAK baseline by construction
+  *    (one bucket = 2^-bits of the corpus): kept for the soundness gate
+  *    (t30) and as the cheapest possible filter, not a product surface.
   *
   * All dot products run in double precision, folding in element order, so
   * results are bit-deterministic across partitions and match an oracle that
@@ -100,6 +108,13 @@ object Similarity {
     (assigned, probes)
   }
 
+  /** Sizing (measured, GateProbe ann sweep): recall rises with the probe
+    * FRACTION nProbe/nCells, and the cell count must not outrun the corpus —
+    * at n=500 vectors, nCells=16/nProbe=8 collapsed to recall 0.47 while
+    * nCells=8/nProbe=5 held 0.80-0.87 across the driver SFs (the gate
+    * config). At real scale grow nCells ~ sqrt(N) and re-measure the probe
+    * fraction against a brute-force sample ([[annRecall]] is that harness).
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession

@@ -346,16 +346,23 @@ object ExtensionQueries {
         import s.implicits._
         val emb = Tables.embeddings(s, d)
         val queries = emb.filter($"vec_id" < 3)
+        // the TUNED multi-probe configuration (bits=2, probe the bucket +
+        // both 1-bit neighbors): measured recall@5 0.93/0.53/0.73 at
+        // sf0.001/0.01/0.1 (GateProbe ann sweep, 2026-08-14) — the
+        // single-probe baseline is recall-weak by construction (one bucket
+        // = 1/2^bits of the corpus) and stays covered by t30's soundness
+        // gate + t25's floored lsh row
         val topk = Similarity.lshTopK(
-          emb, queries, "vec_id", "embedding", k = 5, bits = 4)
-        AnnGates.verdict(emb, queries, topk, k = 5, recallFloor = 0.05)
+          emb, queries, "vec_id", "embedding", k = 5, bits = 2, multiProbe = 2)
+        AnnGates.verdict(emb, queries, topk, k = 5, recallFloor = 0.5)
       },
       Some(AnnGates.oracle),
-      doc = "SRP-LSH bucketed approximate top-k gate: emitted sims must " +
-        "equal the exact cosine recomputed from the corpus, ranks must be " +
-        "dense and ordered by (sim desc, neighbor asc), no self/duplicate " +
-        "neighbors, and recall@5 vs brute force must clear the t25 floor " +
-        "(0.05); violations + sentinel, constant oracle.",
+      doc = "SRP-LSH bucketed approximate top-k gate at the tuned " +
+        "multi-probe config: emitted sims must equal the exact cosine " +
+        "recomputed from the corpus, ranks must be dense and ordered by " +
+        "(sim desc, neighbor asc), no self/duplicate neighbors, and " +
+        "recall@5 vs brute force must clear the 0.5 floor (measured " +
+        "0.53-0.93 across SFs); violations + sentinel, constant oracle.",
       gate = true
     ),
     // ---------------------------------------------------------------- t13
@@ -533,16 +540,26 @@ object ExtensionQueries {
         import s.implicits._
         val emb = Tables.embeddings(s, d)
         val queries = emb.filter($"vec_id" < 3)
+        // the PRODUCTION ANN path (round-13: designated and tuned): at the
+        // driver corpora the per-cell structure is weak (500-2000 random-ish
+        // 64-dim vectors), so clearing recall 0.8 takes probing 5 of 8
+        // cells — measured 0.80/0.87/0.87 at sf0.001/0.01/0.1 (GateProbe
+        // ann sweep, 2026-08-14; nCells=16/nProbe=8 collapses to 0.47 at
+        // n=500 while winning at n=2000 — cell count must not outrun the
+        // corpus). At real scale nCells grows ~sqrt(N) and the probe
+        // FRACTION falls as cells gain internal coherence; the floor locks
+        // the recall CONTRACT, ivfBuild/ivfQuery lock the partition-pruned
+        // disk layout (t27).
         val topk = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
-          k = 5, nCells = 8, nProbe = 3)
-        AnnGates.verdict(emb, queries, topk, k = 5, recallFloor = 0.5)
+          k = 5, nCells = 8, nProbe = 5)
+        AnnGates.verdict(emb, queries, topk, k = 5, recallFloor = 0.8)
       },
       Some(AnnGates.oracle),
       doc = "IVF (k-means coarse quantizer) approximate top-k gate — the " +
-        "billion-scale ANN layout: sims must equal the exact cosine, ranks " +
-        "dense and correctly ordered, no self/duplicate neighbors, recall@5 " +
-        "vs brute force above the t25 floor (0.5); violations + sentinel, " +
-        "constant oracle.",
+        "designated production ANN path: sims must equal the exact cosine, " +
+        "ranks dense and correctly ordered, no self/duplicate neighbors, " +
+        "recall@5 vs brute force >= 0.8 (measured 0.80-0.87 across SFs); " +
+        "violations + sentinel, constant oracle.",
       gate = true
     ),
     // ---------------------------------------------------------------- t23
@@ -601,20 +618,23 @@ object ExtensionQueries {
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d)
-        // same configurations as t12 (SRP-LSH) and t22 (IVF), plus the
-        // multi-probe LSH variant; recall vs the t11 brute-force oracle.
-        // Everything is deterministic (fixed k-means seed, hash-derived
-        // hyperplanes, unique tiebreaks), so the recalls are byte-stable —
-        // gated against per-method floors that hold at every driver SF
-        // (measured at sf0.01/sf0.001: ivf 0.60/0.73, lsh 0.067/0.33,
-        // lsh_mp 0.33/0.60), so a silent recall collapse fails the constant
-        // oracle rather than drifting unobserved.
+        // the TUNED configurations of t12 (multi-probe SRP-LSH) and t22
+        // (IVF, the designated production path), plus the single-probe LSH
+        // baseline; recall vs the t11 brute-force oracle. Everything is
+        // deterministic (fixed k-means seed, hash-derived hyperplanes,
+        // unique tiebreaks), so the recalls are byte-stable — gated against
+        // per-method floors that hold at every driver SF (GateProbe ann
+        // sweep 2026-08-14, sf0.001/0.01/0.1: ivf 0.80/0.87/0.87 at
+        // nCells=8 nProbe=5; lsh_mp 0.93/0.53/0.73 at bits=2 mp=2; lsh
+        // single-probe 0.53/0.20/0.40). Floors ivf 0.8 / lsh_mp 0.5 /
+        // lsh 0.15 LOCK the tuned recall: a regression to the r12 state
+        // (ivf 0.5-0.73, lsh 0.067) is a red row now, not a passing 0.05.
         Similarity.annRecall(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding",
-          k = 5, bits = 4, nCells = 8, nProbe = 3)
+          k = 5, bits = 2, nCells = 8, nProbe = 5)
           .select($"method",
-            ($"recall" >= when($"method" === "ivf", 0.5)
-              .when($"method" === "lsh_mp", 0.25)
-              .otherwise(0.05))
+            ($"recall" >= when($"method" === "ivf", 0.8)
+              .when($"method" === "lsh_mp", 0.5)
+              .otherwise(0.15))
               .cast("bigint").as("recall_ok"))
           .orderBy($"method")
       },
@@ -624,7 +644,9 @@ object ExtensionQueries {
              |UNION ALL
              |SELECT 'lsh_mp' AS method, CAST(1 AS BIGINT) AS recall_ok
              |ORDER BY method""".stripMargin),
-      doc = "Recall@5 of the SRP-LSH and IVF ANN paths vs brute force, deterministic and gated against per-method recall floors via a constant oracle.",
+      doc = "Recall@5 of the tuned SRP-LSH and IVF ANN paths vs brute " +
+        "force, deterministic and gated against per-method floors (ivf 0.8, " +
+        "lsh_mp 0.5, lsh 0.15) via a constant oracle.",
       gate = true
     ),
     // ---------------------------------------------------------------- t26

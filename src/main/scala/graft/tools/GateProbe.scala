@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   *     (256/256), zero phantoms -> floor 0.6;
   *   t08 4x16 vs 8x8 banding: le-3 sets identical, zero le-7 misses at all
   *     SFs (the pigeonhole theorems hold empirically too);
-  *   ann recall floors: ivf 0.73/0.60/0.53, lsh 0.33/0.067/0.13,
-  *     lsh_mp 0.60/0.33/0.53 -> floors 0.5 / 0.05 / 0.25 (same as t25).
+  *   ann recall (round-13 `ann` sweep, sf0.001/0.01/0.1): the TUNED gate
+  *     configs are ivf nCells=8 nProbe=5 -> 0.80/0.87/0.87 (floor 0.8,
+  *     production path), lsh_mp bits=2 mp=2 -> 0.93/0.53/0.73 (floor 0.5),
+  *     lsh single-probe bits=2 -> 0.53/0.20/0.40 (floor 0.15, designated
+  *     weak baseline). Cell count must not outrun the corpus: nCells=16
+  *     nProbe=8 gave 0.47 at n=500 but 0.93 at n=2000.
   */
 object GateProbe {
 
@@ -33,10 +37,10 @@ object GateProbe {
       def recall(approx: org.apache.spark.sql.DataFrame): Double =
         approx.select($"query_id", $"neighbor_id")
           .join(bf, Seq("query_id", "neighbor_id")).count() / denom
-      for ((nc, np) <- Seq((8, 3), (8, 4), (8, 5), (16, 6), (16, 8), (22, 8), (22, 11), (32, 12)))
+      for ((nc, np) <- Seq((8, 4), (8, 5), (16, 8), (32, 8), (45, 12), (45, 16)))
         println(f"[$sf] n=$n ivf nCells=$nc nProbe=$np recall=${recall(
           Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, nc, np))}%.3f")
-      for ((bits, mp) <- Seq((4, 0), (4, 4), (3, 3), (3, 0), (2, 2), (5, 5)))
+      for ((bits, mp) <- Seq((2, 0), (2, 2), (3, 3), (4, 4)))
         println(f"[$sf] n=$n lsh bits=$bits mp=$mp recall=${recall(
           Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, bits, mp))}%.3f")
       emb.unpersist(); bf.unpersist()
@@ -88,7 +92,7 @@ object GateProbe {
 
       // t12/t22: lsh + ivf recall vs brute force (the t25 config)
       val rec = Similarity.annRecall(emb, emb.filter($"vec_id" < 3), "vec_id",
-        "embedding", k = 5, bits = 4, nCells = 8, nProbe = 3)
+        "embedding", k = 5, bits = 2, nCells = 8, nProbe = 5)
       rec.collect().foreach(r => println(s"[$sf] ann ${r.getString(0)} recall=${r.getDouble(1)}"))
       mh.unpersist(); exactJ.unpersist(); sh4.unpersist(); sh8.unpersist()
     }
