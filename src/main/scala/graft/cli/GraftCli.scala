@@ -596,7 +596,7 @@ object GraftCli {
               "classify <sfDir> <outDir> [threshold] | profile <sfDir> <table> [cols...] | " +
               "zorder <in> <out> <colA> <colB> [files] | " +
               "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | " +
-              "bpe <sfDir> [merges] | lm-score <sfDir> <outDir> | " +
+              "bpe <sfDir> [merges] [--out <file>] | lm-score <sfDir> <outDir> | " +
               "gopher <sfDir> <outDir> | split <sfDir> <outDir> <groupCol> | " +
               "para-dedup <in> <outDir> <idCol> <textCol> | " +
               "warc <glob> <outDir> | phrase <sfDir> <terms...> | " +
@@ -611,7 +611,8 @@ object GraftCli {
               "extract <in> <outDir> <idCol> <textCol> [minLen minAlnumPct] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | " +
-              "pipeline <warcGlob> <workDir> [agent] [capacity] [--index <dir>] [--enrich <templateFile>] | " +
+              "pipeline <warcGlob> <workDir> [agent] [capacity] [--index <dir>] [--enrich <templateFile>] " +
+              "[--mix <lang:budget,...>] [--bpe-merges <file>] | " +
               "pipeline-stream <warcDir> <workDir> <indexDir> [agent] [capacity] [--compact-every <n>] | reset <workDir>")
           sys.exit(2)
       }

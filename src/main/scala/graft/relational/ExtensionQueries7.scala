@@ -615,6 +615,46 @@ object ExtensionQueries7 {
         "brute-forces all frame pairs. The match proves banding lossless " +
         "AND the bottom-up scanline flip correct (the t111 sums cannot " +
         "catch a missed flip; cell hashes can)."
+    ),
+    // --------------------------------------------------------------- t113
+    GraftQuery(
+      "t113_bpe_token_count",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{Bpe, TextAnalysis}
+        // a FIXED merge list (the artifact `pipeline --bpe-merges` loads,
+        // with a chaining merge: th+e consumes t+h's output): the oracle
+        // replays the identical NUL-wrapped literal-replace chain, so the
+        // REAL-tokenizer count the packing stage sizes bins with is checked
+        // value-for-value against an independent engine, next to the
+        // whitespace count it replaces — the divergence between the two
+        // columns is the packing error a whitespace-sized bin would carry.
+        val model = Bpe.BpeModel(Seq(("e", "r"), ("t", "h"), ("th", "e")))
+        Tables.documents(s, d).select($"doc_id",
+            TextAnalysis.tokenCount($"text").as("ws_tokens"),
+            Bpe.tokenCount($"text", model).as("bpe_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+             |  CAST(coalesce(list_sum(list_transform(ws, wd ->
+             |    len(list_filter(string_split(
+             |      replace(replace(replace(
+             |        regexp_replace(wd, '(.)', chr(0) || '\1' || chr(0), 'g'),
+             |        chr(0)||'e'||chr(0)||chr(0)||'r'||chr(0), chr(0)||'er'||chr(0)),
+             |        chr(0)||'t'||chr(0)||chr(0)||'h'||chr(0), chr(0)||'th'||chr(0)),
+             |        chr(0)||'th'||chr(0)||chr(0)||'e'||chr(0), chr(0)||'the'||chr(0)),
+             |      chr(0)), x -> x <> '')))), 0) AS BIGINT) AS bpe_tokens
+             |FROM w ORDER BY doc_id""".stripMargin),
+      doc = "Real-tokenizer token counts under a fixed BPE merge list (the " +
+        "packing/budget weight a training run consumes) vs the whitespace " +
+        "count: the oracle replays the NUL-wrapped literal-replace merge " +
+        "chain per word, proving encode's greedy left-to-right merge " +
+        "application value-identical cross-engine."
     )
   )
 }
