@@ -160,6 +160,46 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  /** Append new vectors to a persisted IVF index WITHOUT retraining — the
+    * vector analog of the crawl's incremental admission: a continuously
+    * growing corpus (each snapshot adds embeddings) must not re-cluster
+    * history to stay searchable. Each new vector is assigned to its
+    * nearest EXISTING centroid under the build's own metric — KMeans
+    * assignment is EUCLIDEAN argmin (not the cosine rule probes use), so
+    * the append recomputes squared Euclidean distance to the broadcast
+    * centroid table with a deterministic (distance, cell) tiebreak — and
+    * appended into the cell-partitioned layout, so [[ivfQuery]] over
+    * the grown index is indistinguishable from an index whose build had
+    * seen the union under the same centroids — appends are associative
+    * (one batch ≡ any split into sub-batches, spec-pinned) and the t114
+    * gate locks soundness + recall of the grown index.
+    *
+    * The coarse quantizer is intentionally FROZEN: recall drifts only as
+    * far as the data distribution drifts from the trained centroids.
+    * Re-measure with [[annRecall]] and rebuild (the compaction discipline
+    * applied to vectors) when the floor approaches.
+    *
+    * Scale shape: one broadcast of nCells centroid rows, one map-side
+    * `min_by` argmin per vector — no shuffle of the vectors beyond the
+    * partitioned write; history is never read.
+    */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    newVectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(centroids))
+      // squared Euclidean — the metric KMeans.transform assigns by
+      .withColumn("cdist", norm2($"cv") - lit(2.0) * dot($"cv", $"centroid")
+        + norm2($"centroid"))
+      .groupBy($"neighbor_id")
+      .agg(
+        min_by($"cell", struct($"cdist", $"cell")).as("cell"),
+        first($"cv").as("cv"))
+      .select($"neighbor_id", $"cv", $"cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
   /** Query a persisted IVF index (see [[ivfBuild]]).
     *
     * The probe-cell set (≤ nQueries·nProbe ints) is collected driver-side

@@ -655,6 +655,42 @@ object ExtensionQueries7 {
         "count: the oracle replays the NUL-wrapped literal-replace merge " +
         "chain per word, proving encode's greedy left-to-right merge " +
         "application value-identical cross-engine."
+    ),
+    // --------------------------------------------------------------- t114
+    GraftQuery(
+      "t114_ivf_append",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val emb = graft.core.Tables.embeddings(s, d)
+        // the continuous-crawl shape for vectors: the index is built on the
+        // corpus that existed at build time (even vec_ids), the rest
+        // arrives later and is appended under the FROZEN quantizer — no
+        // retrain, no history reads. The grown index must then behave as
+        // a first-class index over the whole corpus: every AnnGates claim
+        // (exact sims, dense ranks, no self/dups) plus a recall floor vs
+        // brute force over ALL vectors. A fresh temp dir per invocation:
+        // ivfAppend appends, so a reused dir would double-insert.
+        val dir = java.nio.file.Files.createTempDirectory("graft_t114").toString
+        Similarity.ivfBuild(emb.where($"vec_id" % 2 === 0),
+          "vec_id", "embedding", nCells = 8, dir)
+        Similarity.ivfAppend(s, dir, emb.where($"vec_id" % 2 =!= 0),
+          "vec_id", "embedding")
+        val queries = emb.filter($"vec_id" < 3)
+        val topk = Similarity.ivfQuery(s, dir, queries,
+          "vec_id", "embedding", k = 5, nProbe = 5)
+        // measured (GateProbe ann): 0.60/0.80/1.00 at sf0.001/0.01/0.1 —
+        // the half-corpus quantizer costs recall exactly where the corpus
+        // is tiny (centroids from 250 vectors), and the floor locks that
+        // measured state
+        AnnGates.verdict(emb, queries, topk, k = 5, recallFloor = 0.6)
+      },
+      Some(AnnGates.oracle),
+      doc = "Incremental IVF: build on half the corpus, append the rest " +
+        "under the frozen quantizer, query the grown index — sims exact, " +
+        "ranks dense, no self/dups, recall@5 vs brute force over the FULL " +
+        "corpus above the floor; violations + sentinel, constant oracle.",
+      gate = true
     )
   )
 }

@@ -43,6 +43,12 @@ object GateProbe {
       for ((bits, mp) <- Seq((2, 0), (2, 2), (3, 3), (4, 4)))
         println(f"[$sf] n=$n lsh bits=$bits mp=$mp recall=${recall(
           Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, bits, mp))}%.3f")
+      // t114: half-built + appended index, queried at the gate config
+      val dir = java.nio.file.Files.createTempDirectory("probe_ivf_app").toString
+      Similarity.ivfBuild(emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", 8, dir)
+      Similarity.ivfAppend(spark, dir, emb.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding")
+      println(f"[$sf] n=$n ivf_append nCells=8 nProbe=5 recall=${recall(
+        Similarity.ivfQuery(spark, dir, q, "vec_id", "embedding", 5, nProbe = 5))}%.3f")
       emb.unpersist(); bf.unpersist()
     }
   }

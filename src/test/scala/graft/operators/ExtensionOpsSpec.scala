@@ -135,6 +135,36 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(cellDirs == 8)
   }
 
+  test("ivfAppend: frozen-centroid appends are associative; the grown index finds appended vectors") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sf0001)
+    val half = emb.where($"vec_id" % 2 === 0)
+    val rest = emb.where($"vec_id" % 2 =!= 0)
+    val dir1 = java.nio.file.Files.createTempDirectory("ivf_app1").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_app2").toString
+    Similarity.ivfBuild(half, "vec_id", "embedding", nCells = 8, dir1)
+    Similarity.ivfBuild(half, "vec_id", "embedding", nCells = 8, dir2)
+    // one-shot append vs the same rows in two batches: the frozen
+    // quantizer makes assignment per-vector, so the grown indexes must
+    // answer identically (associativity — the property that lets a
+    // daemon append per snapshot without coordination)
+    Similarity.ivfAppend(spark, dir1, rest, "vec_id", "embedding")
+    Similarity.ivfAppend(spark, dir2, rest.where($"vec_id" % 4 === 1), "vec_id", "embedding")
+    Similarity.ivfAppend(spark, dir2, rest.where($"vec_id" % 4 === 3), "vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 3)
+    def res(dir: String) = Similarity.ivfQuery(spark, dir, q, "vec_id",
+      "embedding", k = 5, nProbe = 5).orderBy($"query_id", $"rank").collect().toSeq
+    assert(res(dir1) == res(dir2))
+    // an appended exact copy of query 1's vector must surface as its top
+    // neighbor (cosine 1.0 dominates; nProbe = nCells so no cell is unprobed)
+    val copy = emb.where($"vec_id" === 1)
+      .select(lit(9001L).as("vec_id"), $"embedding")
+    Similarity.ivfAppend(spark, dir1, copy, "vec_id", "embedding")
+    val top = Similarity.ivfQuery(spark, dir1, emb.where($"vec_id" === 1),
+      "vec_id", "embedding", k = 1, nProbe = 8).collect()
+    assert(top.length == 1 && top(0).getLong(2) == 9001L, top.mkString(","))
+  }
+
   test("simhash: identical texts collide, different texts differ") {
     val df = Seq(
       (1L, "spark is a distributed engine"),
