@@ -124,10 +124,13 @@ object CrawlPipeline {
         // index at the old snapshot (the rerun clears the stale staging
         // and rebuilds it deterministically), and a crash inside the swap
         // itself is healed by recoverDir's roll-back.
-        if (snapshotId.isEmpty) {
-          IncrementalDedup.recoverDir(ix)
-          IncrementalDedup.clearStaging(s"$ix.next")
-        }
+        // recovery runs in EVERY mode: a batch-mode crash between the
+        // swap's renames leaves no live parent, and a daemon starting in
+        // delta mode right after would otherwise read "empty index" and
+        // re-admit the entire corpus; staging cleanup is batch-only (delta
+        // mode never stages)
+        IncrementalDedup.recoverDir(ix)
+        if (snapshotId.isEmpty) IncrementalDedup.clearStaging(s"$ix.next")
         val rDir = s"$ix/robots"
         val rSchema = new StructType().add("host", StringType).add("text", StringType)
         def rEmpty = spark.createDataFrame(
@@ -167,9 +170,15 @@ object CrawlPipeline {
             merged
           case None =>
             // staged, not swapped: the live robots dir keeps serving until
-            // the single commit point after stage 04b
-            merged.write.mode("overwrite").parquet(s"$ix.next/robots")
-            spark.read.schema(rSchema).parquet(s"$ix.next/robots")
+            // the single commit point after stage 04b. Written UNDER
+            // `batch=-1` so every index layout is uniformly
+            // partition-style: a daemon later appending `batch=<id>`
+            // deltas to a batch-built index would otherwise make
+            // partition discovery silently IGNORE the root-level files —
+            // the entire batch-built corpus index would vanish from
+            // admission (the same hazard compactDeltaIndex documents).
+            merged.write.mode("overwrite").parquet(s"$ix.next/robots/batch=-1")
+            spark.read.schema(rSchema).parquet(s"$ix.next/robots/batch=-1")
         }
     }
     val ruleTable = Robots.parseRules(
@@ -257,11 +266,14 @@ object CrawlPipeline {
             // at stage 03). Until the swap, every live dir still serves
             // the previous snapshot; both updates below read the LIVE
             // index lineage, which stays intact while staging is written.
+            // full rewrites land under `batch=-1` (uniform partition-style
+            // layout — see the robots staging comment: root-level files
+            // would be invisible once a daemon appends its first delta)
             IncrementalDedup.updatedIndex(fpIndex, admitted)
-              .write.mode("overwrite").parquet(s"$ix.next/fp")
+              .write.mode("overwrite").parquet(s"$ix.next/fp/batch=-1")
             IncrementalDedup.updatedSigIndex(sigIndex,
                 admitted.select(col("id"), col("sig")))
-              .write.mode("overwrite").parquet(s"$ix.next/sig")
+              .write.mode("overwrite").parquet(s"$ix.next/sig/batch=-1")
             IncrementalDedup.replaceDir(ix, s"$ix.next")
         }
         admitted.drop("id", "sig", "fp")

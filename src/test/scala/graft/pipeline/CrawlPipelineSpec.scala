@@ -368,6 +368,30 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(!new java.io.File(s"$ix.old").exists())
   }
 
+  test("daemon after a batch-built index: the batch corpus stays visible under delta appends") {
+    val warcDir = Files.createTempDirectory("crawl10_warc")
+    val ix = Files.createTempDirectory("crawl10_ix").toString + "/index"
+    Files.write(warcDir.resolve("s.warc"),
+      response("http://a.example/alpha", bodyAlpha))
+    CrawlPipeline.run(spark, s"$warcDir/*.warc*",
+      Files.createTempDirectory("crawl10_w1").toString, indexDir = Some(ix))
+    // the batch rewrite lands partition-style (batch=-1), so partition
+    // discovery keeps it visible after delta appends
+    assert(new java.io.File(s"$ix/fp/batch=-1").isDirectory)
+    assert(spark.read.parquet(s"$ix/fp").count() == 1L)
+
+    // a daemon-style delta snapshot recrawls the SAME page: if the
+    // batch-built index were root-level files, the delta append would hide
+    // it from partition discovery and the page would be silently
+    // re-admitted — it must be rejected instead
+    val c = CrawlPipeline.run(spark, s"$warcDir/*.warc*",
+        Files.createTempDirectory("crawl10_w2").toString,
+        indexDir = Some(ix), snapshotId = Some(5L))
+      .map(x => x.stage -> x.rows).toMap
+    assert(c("04b_admit") == 0L, c.toString)
+    assert(spark.read.parquet(s"$ix/fp").select("fp").distinct().count() == 1L)
+  }
+
   test("quality thresholds are tunable per corpus slice") {
     // prose-shaped body with NO Gopher stopwords: the published defaults
     // drop it (r_stopwords), a per-corpus recipe keeps it — the knob every
