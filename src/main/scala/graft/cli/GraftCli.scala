@@ -13,6 +13,28 @@ import graft.pipeline.{MarkdownJob, SiteJob}
   *   graft.cli.GraftCli site <csv> <aiMarkdownDir> <template.html> <out.html>
   */
 object GraftCli {
+
+  /** `--flag value` pairs split from positionals; a trailing value-less
+    * flag errors instead of silently becoming a positional.
+    */
+  private def splitFlags(args: List[String]): (Map[String, String], List[String]) = {
+    def go(a: List[String], acc: Map[String, String],
+        p: List[String]): (Map[String, String], List[String]) = a match {
+      case f :: v :: t if f.startsWith("--") => go(t, acc + (f -> v), p)
+      case f :: Nil if f.startsWith("--") => sys.error(s"flag $f needs a value")
+      case x :: t => go(t, acc, p :+ x)
+      case Nil => (acc, p)
+    }
+    go(args, Map.empty, Nil)
+  }
+
+  /** `en:30000,de:9000` → MixStage recipe. */
+  private def parseMix(recipe: String): graft.pipeline.CrawlPipeline.MixStage =
+    graft.pipeline.CrawlPipeline.MixStage(recipe.split(",").toSeq.map { kv =>
+      val Array(g, b) = kv.split(":", 2)
+      g -> b.toLong
+    })
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
@@ -214,6 +236,28 @@ object GraftCli {
             .where(length(col("tok")) > 0)
           graft.operators.HeavyHitters.frequentItems(toks, "tok", k)
             .orderBy(col("est").desc).show(k, truncate = false)
+        case "ann-build" :: sfDir :: indexDir :: rest =>
+          // build the production ANN index (IVF, cell-partitioned parquet)
+          // over the embeddings table; see Similarity for the sizing rule
+          val nCells = rest.headOption.map(_.toInt).getOrElse(8)
+          graft.operators.Similarity.ivfBuild(
+            graft.core.Tables.embeddings(spark, sfDir),
+            "vec_id", "embedding", nCells, indexDir)
+          println(s"ann-build: $nCells cells -> $indexDir")
+        case "ann-append" :: inParquet :: indexDir :: Nil =>
+          // grow a persisted index under its frozen quantizer (vec_id +
+          // embedding columns; the continuous-crawl shape for vectors)
+          val in = spark.read.parquet(inParquet)
+          graft.operators.Similarity.ivfAppend(
+            spark, indexDir, in, "vec_id", "embedding")
+          println(s"ann-append: ${in.count()} vectors -> $indexDir")
+        case "ann-query" :: queriesParquet :: indexDir :: rest =>
+          val k = rest.headOption.map(_.toInt).getOrElse(5)
+          val nProbe = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
+          graft.operators.Similarity.ivfQuery(spark, indexDir,
+              spark.read.parquet(queriesParquet), "vec_id", "embedding", k, nProbe)
+            .show(50, truncate = false)
+          println(s"ann-query: k=$k nProbe=$nProbe over $indexDir")
         case "bpe" :: sfDir :: rest =>
           // tokenizer-merge training over the documents corpus; prints the
           // ranked merge list (the artifact a training run consumes).
@@ -453,19 +497,7 @@ object GraftCli {
           // --enrich <templateFile> appends the LLM-map stage (transport
           // resolved from the environment, mock when nothing is configured —
           // the reference's Program 1→2→3 chain in one command).
-          val (flags, pos) = {
-            def split(args: List[String], acc: Map[String, String],
-                p: List[String]): (Map[String, String], List[String]) = args match {
-              case f :: v :: t if f.startsWith("--") => split(t, acc + (f -> v), p)
-              // a trailing value-less flag would otherwise fall through to
-              // the positional list and silently become the agent name
-              case f :: Nil if f.startsWith("--") =>
-                sys.error(s"flag $f needs a value")
-              case a :: t => split(t, acc, p :+ a)
-              case Nil => (acc, p)
-            }
-            split(rest, Map.empty, Nil)
-          }
+          val (flags, pos) = splitFlags(rest)
           val agent = pos.headOption.getOrElse("graftbot")
           val capacity = pos.drop(1).headOption.map(_.toLong).getOrElse(2048L)
           val enrich = flags.get("--enrich").map { tf =>
@@ -478,12 +510,7 @@ object GraftCli {
           // (language tag → exact token-budget mix → training order);
           // --bpe-merges <file> (the `bpe --out` artifact) sizes budgets
           // and packing bins in real tokenizer tokens
-          val mix = flags.get("--mix").map { recipe =>
-            graft.pipeline.CrawlPipeline.MixStage(recipe.split(",").toSeq.map { kv =>
-              val Array(g, b) = kv.split(":", 2)
-              g -> b.toLong
-            })
-          }
+          val mix = flags.get("--mix").map(parseMix)
           val counts = graft.pipeline.CrawlPipeline.run(
             spark, warcGlob, workDir, agent, capacity,
             indexDir = flags.get("--index"), enrichStage = enrich,
@@ -496,22 +523,22 @@ object GraftCli {
           // curated as one snapshot and admitted against the persisted
           // indexes (delta layout, replay-idempotent); runs until killed.
           // --compact-every <n> auto-compacts the delta indexes at the
-          // start of every n-th batch (current batch preserved as a delta)
-          val ce = rest.sliding(2).collectFirst {
-            case Seq("--compact-every", v) => v.toInt
-          }
+          // start of every n-th batch (current batch preserved as a
+          // delta); --mix / --bpe-merges configure the per-snapshot
+          // dataset-assembly stages exactly as in `pipeline`
+          val (flags, pos) = splitFlags(rest)
+          val ce = flags.get("--compact-every").map(_.toInt)
           // 0 would divide-by-zero inside foreachBatch at the first batch
           // boundary — fail at the CLI, not minutes into the stream
           ce.foreach(n => require(n > 0, s"--compact-every must be > 0, got $n"))
-          val pos = {
-            val i = rest.indexOf("--compact-every")
-            if (i < 0) rest else rest.patch(i, Nil, 2)
-          }
           val agent = pos.headOption.getOrElse("graftbot")
           val capacity = pos.drop(1).headOption.map(_.toLong).getOrElse(2048L)
           val q = graft.pipeline.CrawlPipeline.runStream(
             spark, warcDir, workDir, indexDir, agent, capacity,
             compactEvery = ce,
+            mixStage = flags.get("--mix").map(parseMix),
+            packTokenizer = flags.get("--bpe-merges")
+              .map(graft.operators.Bpe.loadMerges),
             onBatch = (id, cs) => cs.foreach(c =>
               println(f"pipeline-stream[batch=$id][${c.stage}]: ${c.rows} rows")))
           q.awaitTermination()
@@ -607,13 +634,16 @@ object GraftCli {
               "url-dedup <in> <outDir> <urlCol> <idCol> | stress <sfDir> <workDir> [factor] | " +
               "admit <in> <indexDir> <outDir> <idCol> <textCol> [near] | " +
               "compact-index <indexDir> [sig|fp|robots] [targetRows] | " +
+              "ann-build <sfDir> <indexDir> [nCells] | ann-append <inParquet> <indexDir> | " +
+              "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
               "mix <sfDir> <outDir> <lang:budget,...> | " +
               "extract <in> <outDir> <idCol> <textCol> [minLen minAlnumPct] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | " +
               "pipeline <warcGlob> <workDir> [agent] [capacity] [--index <dir>] [--enrich <templateFile>] " +
               "[--mix <lang:budget,...>] [--bpe-merges <file>] | " +
-              "pipeline-stream <warcDir> <workDir> <indexDir> [agent] [capacity] [--compact-every <n>] | reset <workDir>")
+              "pipeline-stream <warcDir> <workDir> <indexDir> [agent] [capacity] [--compact-every <n>] " +
+              "[--mix <lang:budget,...>] [--bpe-merges <file>] | reset <workDir>")
           sys.exit(2)
       }
     } finally spark.stop()
