@@ -251,6 +251,12 @@ object GraftCli {
           graft.operators.Similarity.ivfAppend(
             spark, indexDir, in, "vec_id", "embedding")
           println(s"ann-append: ${in.count()} vectors -> $indexDir")
+        case "ann-compact" :: indexDir :: rest =>
+          // coalesce append-grown cell files (write-then-swap; stop
+          // appenders first — replaceDir's contract)
+          val target = rest.headOption.map(_.toLong).getOrElse(4000000L)
+          val n = graft.operators.Similarity.ivfCompact(spark, indexDir, target)
+          println(s"ann-compact: $n vectors compacted -> $indexDir")
         case "ann-query" :: queriesParquet :: indexDir :: rest =>
           val k = rest.headOption.map(_.toInt).getOrElse(5)
           val nProbe = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
@@ -635,6 +641,7 @@ object GraftCli {
               "admit <in> <indexDir> <outDir> <idCol> <textCol> [near] | " +
               "compact-index <indexDir> [sig|fp|robots] [targetRows] | " +
               "ann-build <sfDir> <indexDir> [nCells] | ann-append <inParquet> <indexDir> | " +
+              "ann-compact <indexDir> [targetRows] | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
               "mix <sfDir> <outDir> <lang:budget,...> | " +
               "extract <in> <outDir> <idCol> <textCol> [minLen minAlnumPct] | " +

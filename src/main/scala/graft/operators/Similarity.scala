@@ -200,6 +200,36 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
   }
 
+  /** Compact a persisted IVF index's cell files: every [[ivfAppend]] batch
+    * adds at least one file per touched cell, and a daemon appending per
+    * snapshot degrades queries with thousands-of-tiny-files scan overhead —
+    * the same small-file failure mode the delta-index compactor exists
+    * for, specialized to the cell-partitioned layout. Rows are re-written
+    * cell-clustered (repartition on `cell` sized to `targetRows` per file)
+    * into a staging dir and swapped in via the write-then-swap discipline
+    * ([[graft.operators.IncrementalDedup.replaceDir]]): a killed
+    * compaction never leaves less than one complete index on disk.
+    * Centroids are carried unchanged — compaction moves bytes, never
+    * assignments, so [[ivfQuery]] answers are row-identical (spec-pinned).
+    * Stop appenders while compacting (replaceDir's contract).
+    *
+    * @return number of vectors in the compacted index
+    */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      targetRows: Long = 4_000_000L): Long = {
+    val cells = spark.read.parquet(s"$indexDir/cells").localCheckpoint()
+    val centroids = spark.read.parquet(s"$indexDir/centroids").localCheckpoint()
+    val n = cells.count()
+    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    val next = s"$indexDir.compact"
+    IncrementalDedup.clearStaging(next)
+    cells.repartition(files, col("cell"))
+      .write.partitionBy("cell").parquet(s"$next/cells")
+    centroids.write.parquet(s"$next/centroids")
+    IncrementalDedup.replaceDir(indexDir, next)
+    n
+  }
+
   /** Query a persisted IVF index (see [[ivfBuild]]).
     *
     * The probe-cell set (≤ nQueries·nProbe ints) is collected driver-side

@@ -165,6 +165,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(top.length == 1 && top(0).getLong(2) == 9001L, top.mkString(","))
   }
 
+  test("ivfCompact coalesces appended cell files; queries stay row-identical") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cmp").toString
+    Similarity.ivfBuild(emb.where($"vec_id" % 2 === 0), "vec_id", "embedding", 8, dir)
+    // three append batches -> at least one extra file per touched cell each
+    for (r <- Seq(1, 3, 5))
+      Similarity.ivfAppend(spark, dir,
+        emb.where($"vec_id" % 6 === r), "vec_id", "embedding")
+    def parquetFiles(): Long = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/cells"))
+      try w.filter(p => p.toString.endsWith(".parquet")).count()
+      finally w.close()
+    }
+    val q = emb.filter($"vec_id" < 3)
+    def res() = Similarity.ivfQuery(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 5).orderBy($"query_id", $"rank").collect().toSeq
+    val before = res()
+    val filesBefore = parquetFiles()
+    assert(Similarity.ivfCompact(spark, dir) == emb.count())
+    assert(parquetFiles() < filesBefore,
+      s"compaction must reduce files (${parquetFiles()} vs $filesBefore)")
+    assert(res() == before, "compaction moves bytes, never answers")
+    assert(!new java.io.File(s"$dir.compact").exists())
+    assert(!new java.io.File(s"$dir.old").exists())
+  }
+
   test("simhash: identical texts collide, different texts differ") {
     val df = Seq(
       (1L, "spark is a distributed engine"),
