@@ -522,7 +522,8 @@ object GraftCli {
             indexDir = flags.get("--index"), enrichStage = enrich,
             mixStage = mix,
             packTokenizer = flags.get("--bpe-merges").map(graft.operators.Bpe.loadMerges))
-          counts.foreach(c => println(f"pipeline[${c.stage}]: ${c.rows} rows"))
+          counts.foreach(c => println(f"pipeline[${c.stage}]: ${c.rows} rows" +
+            (if (c.seconds >= 0) f" (${c.seconds}%.1f s)" else "")))
           println(s"pipeline: done -> $workDir (agent=$agent, capacity=$capacity)")
         case "pipeline-stream" :: warcDir :: workDir :: indexDir :: rest =>
           // continuous-crawl daemon: new WARC files under warcDir are each
@@ -546,7 +547,8 @@ object GraftCli {
             packTokenizer = flags.get("--bpe-merges")
               .map(graft.operators.Bpe.loadMerges),
             onBatch = (id, cs) => cs.foreach(c =>
-              println(f"pipeline-stream[batch=$id][${c.stage}]: ${c.rows} rows")))
+              println(f"pipeline-stream[batch=$id][${c.stage}]: ${c.rows} rows" +
+                (if (c.seconds >= 0) f" (${c.seconds}%.1f s)" else ""))))
           q.awaitTermination()
         case "reset" :: workDir :: Nil =>
           // artifact reset (reference reset_project, setup_project.py:1145-1203);

@@ -29,7 +29,12 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
   */
 object CrawlPipeline {
 
-  final case class StageCount(stage: String, rows: Long)
+  /** Per-stage accounting: row count (-1 when `countStages = false`) and
+    * wall seconds for the stage's checkpoint write + count (-1 for the
+    * derived sub-counts like `10_enrich_ok`) — at 100 TB the per-stage
+    * timing is the first thing an operator asks for when a run slows.
+    */
+  final case class StageCount(stage: String, rows: Long, seconds: Double = -1.0)
 
   /** Optional `10_enrich` stage config: the distributed LLM-map operator
     * (E1–E7) runs over the curated corpus with this transport + prompt —
@@ -79,6 +84,7 @@ object CrawlPipeline {
       packTokenizer: Option[graft.operators.Bpe.BpeModel] = None): Seq[StageCount] = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[StageCount]
     def ck(stage: String, df: DataFrame, parts: Seq[String] = Nil): DataFrame = {
+      val t0 = System.nanoTime()
       val w = df.write.mode("overwrite")
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
         .parquet(s"$workDir/$stage")
@@ -87,7 +93,8 @@ object CrawlPipeline {
       // schema inference would fail — an empty crawl slice must flow
       // through as zero rows, not kill the run
       val back = spark.read.schema(df.schema).parquet(s"$workDir/$stage")
-      counts += StageCount(stage, if (countStages) back.count() else -1L)
+      counts += StageCount(stage, if (countStages) back.count() else -1L,
+        (System.nanoTime() - t0) / 1e9)
       back
     }
 
