@@ -236,6 +236,19 @@ object GraftCli {
             .where(length(col("tok")) > 0)
           graft.operators.HeavyHitters.frequentItems(toks, "tok", k)
             .orderBy(col("est").desc).show(k, truncate = false)
+        case "shards" :: sfDir :: outDir :: rest =>
+          // materialize an epoch's deterministic training order as
+          // shard=<id> parquet dirs (the files a data loader consumes)
+          import org.apache.spark.sql.functions.{col, count, lit}
+          val n = rest.headOption.map(_.toInt).getOrElse(8)
+          val epoch = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+          val back = graft.operators.TrainingOrder.writeShards(
+            graft.core.Tables.documents(spark, sfDir), col("doc_id"),
+            outDir, n, epoch)
+          back.groupBy(col("shard")).agg(count(lit(1)).as("docs"))
+            .orderBy(col("shard")).collect()
+            .foreach(r => println(s"shards[${r.getInt(0)}]: ${r.getLong(1)} docs"))
+          println(s"shards: epoch=$epoch n=$n -> $outDir")
         case "ann-build" :: sfDir :: indexDir :: rest =>
           // build the production ANN index (IVF, cell-partitioned parquet)
           // over the embeddings table; see Similarity for the sizing rule
@@ -642,6 +655,7 @@ object GraftCli {
               "url-dedup <in> <outDir> <urlCol> <idCol> | stress <sfDir> <workDir> [factor] | " +
               "admit <in> <indexDir> <outDir> <idCol> <textCol> [near] | " +
               "compact-index <indexDir> [sig|fp|robots] [targetRows] | " +
+              "shards <sfDir> <outDir> [nShards] [epoch] | " +
               "ann-build <sfDir> <indexDir> [nCells] | ann-append <inParquet> <indexDir> | " +
               "ann-compact <indexDir> [targetRows] | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +

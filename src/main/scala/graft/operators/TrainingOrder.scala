@@ -35,6 +35,44 @@ object TrainingOrder {
   def shuffleKey(idCol: Column, epoch: Int = 0): Column =
     md5(concat(lit(epoch.toString), lit(":"), idCol.cast("string")))
 
+  /** Deterministic shard assignment for materializing an epoch's training
+    * order as files: `floor(bucket(shuffleKey) * nShards / 2^32)` with
+    * `bucket` = the first 8 hex chars of the md5 shuffle key. A pure
+    * function of (epoch, id) — repartition-proof, balanced in expectation,
+    * window-free — and the arithmetic is exact in IEEE doubles
+    * (`bucket * nShards < 2^53`, division by 2^32 is a power of two), so
+    * any engine reproduces the same shard per document (the t115 oracle
+    * does). Shard-range reads stay consistent with [[shuffleKey]] order:
+    * shard boundaries ARE contiguous key ranges, so "train on shards
+    * 0..k" is a prefix of the epoch's global order.
+    */
+  def shard(idCol: Column, epoch: Int, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= (1 << 20), s"nShards in [1, 2^20], got $nShards")
+    floor(conv(substring(shuffleKey(idCol, epoch), 1, 8), 16, 10)
+      .cast("bigint").cast("double") * nShards / 4294967296.0).cast("int")
+  }
+
+  /** Materialize the epoch's training order as `shard=<id>` parquet dirs:
+    * rows land in their [[shard]] and are range-partitioned + sorted by
+    * the shuffle key WITHIN each shard, so a data loader streaming shard
+    * files in (shard, file, row) order replays the exact global md5 order.
+    * One range shuffle — the same cost as any global sort — and nothing
+    * ever funnels through a single partition.
+    *
+    * @return the written frame read back (input columns + `skey`, `shard`)
+    */
+  def writeShards(df: DataFrame, idCol: Column, outDir: String,
+      nShards: Int, epoch: Int = 0): DataFrame = {
+    val keyed = df
+      .withColumn("skey", shuffleKey(idCol, epoch))
+      .withColumn("shard", shard(idCol, epoch, nShards))
+    keyed
+      .repartitionByRange(math.max(1, nShards), col("skey"))
+      .sortWithinPartitions(col("skey"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    df.sparkSession.read.schema(keyed.schema).parquet(outDir)
+  }
+
   /** Strict round-robin positions for the given source values; rows whose
     * source is not listed are dropped (train on declared mixtures only).
     * Output: input columns + `skey`, `source_idx`, `global_pos`.

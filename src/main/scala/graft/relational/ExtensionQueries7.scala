@@ -691,6 +691,30 @@ object ExtensionQueries7 {
         "ranks dense, no self/dups, recall@5 vs brute force over the FULL " +
         "corpus above the floor; violations + sentinel, constant oracle.",
       gate = true
+    ),
+    // --------------------------------------------------------------- t115
+    GraftQuery(
+      "t115_train_shards",
+      (s, d) => {
+        import s.implicits._
+        // shard assignment for the materialized training order (the files
+        // a data loader consumes): floor(bucket(md5(epoch:id)) * n / 2^32)
+        // — exact in IEEE doubles (bucket*n < 2^53; /2^32 is a power of
+        // two), so DuckDB's integer `//` reproduces it bit-for-bit. Two
+        // epochs checked: a new epoch is a fresh deterministic permutation.
+        graft.core.Tables.documents(s, d).select($"doc_id",
+            graft.operators.TrainingOrder.shard($"doc_id", epoch = 0, nShards = 8).as("shard"),
+            graft.operators.TrainingOrder.shard($"doc_id", epoch = 1, nShards = 8).as("shard_e1"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(CAST(concat('0x', substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 8 // 4294967296 AS INT) AS shard,
+             |  CAST(CAST(concat('0x', substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 8 // 4294967296 AS INT) AS shard_e1
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Deterministic training-shard assignment (TrainingOrder.shard) " +
+        "for two epochs vs DuckDB's integer md5-bucket arithmetic — the " +
+        "shard layout writeShards materializes is a pure, engine-" +
+        "independent function of (epoch, id)."
     )
   )
 }

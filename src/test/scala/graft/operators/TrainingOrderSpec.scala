@@ -48,6 +48,31 @@ class TrainingOrderSpec extends SparkSpec {
     assert(dropped.count() == 100)
   }
 
+  test("writeShards materializes the epoch order: union exact, assignment pure, replay sorted") {
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val back = TrainingOrder.writeShards(docs, $"id", out, nShards = 8)
+    // nothing lost, nothing invented
+    assert(back.count() == 300)
+    assert(back.select("id").as[Long].collect().toSet == (1L to 300L).toSet)
+    // on-disk shard dirs match the pure assignment column exactly
+    val diskVsCol = back.withColumn("expect", TrainingOrder.shard($"id", 0, 8))
+      .where($"shard" =!= $"expect").count()
+    assert(diskVsCol == 0)
+    val shardDirs = new java.io.File(out).list().count(_.startsWith("shard="))
+    assert(shardDirs >= 2 && shardDirs <= 8, s"dirs=$shardDirs")
+    // a loader streaming (shard, file, row) replays the global md5 order:
+    // shard boundaries are contiguous key ranges, rows sorted within files
+    val replay = back.orderBy($"shard", $"skey").select("skey").as[String].collect()
+    assert(replay.toSeq == replay.sorted.toSeq)
+    // rerun under different input partitioning is identical (pure function
+    // of (epoch, id)) — snapshot the first run's assignments BEFORE the
+    // overwrite invalidates `back`'s cached file listing
+    val firstRun = back.select("id", "shard").as[(Long, Int)].collect().toSet
+    val again = TrainingOrder.writeShards(
+      docs.repartition(13), $"id", out, nShards = 8)
+    assert(again.select("id", "shard").as[(Long, Int)].collect().toSet == firstRun)
+  }
+
   test("shuffleKey ordering mixes sources without any window") {
     val ordered = docs.withColumn("k", TrainingOrder.shuffleKey($"id"))
       .orderBy("k").select("src").as[String].collect()
