@@ -181,8 +181,10 @@ object ExtensionQueries {
           .join(mh, Seq("id_a", "id_b"), "left_anti")
           .select($"id_a", $"id_b", lit("missed_identical_sig").as("reason"))
         // empirical recall floor: banding is deterministic (xxhash-derived),
-        // so recall is byte-stable per corpus — measured 1.0 at sf0.001
-        // (28/28), sf0.01 (25/25) and sf0.1 (256/256); floor 0.6 turns a
+        // so recall is byte-stable per corpus — measured 1.0 on the FULL
+        // corpus at every driver SF (GateProbe; full-corpus coverage lives
+        // there and in the stress minhash stages), and the quarter's green
+        // verify runs at all three SFs pin it above the floor; 0.6 turns a
         // silent recall collapse into a violation row instead of drift
         val lowRecall = mh.join(exact, Seq("id_a", "id_b"))
           .agg(count(lit(1)).as("hits"))
