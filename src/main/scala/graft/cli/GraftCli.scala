@@ -534,7 +534,8 @@ object GraftCli {
             spark, warcGlob, workDir, agent, capacity,
             indexDir = flags.get("--index"), enrichStage = enrich,
             mixStage = mix,
-            packTokenizer = flags.get("--bpe-merges").map(graft.operators.Bpe.loadMerges))
+            packTokenizer = flags.get("--bpe-merges").map(graft.operators.Bpe.loadMerges),
+            shards = flags.get("--shards").map(_.toInt))
           counts.foreach(c => println(f"pipeline[${c.stage}]: ${c.rows} rows" +
             (if (c.seconds >= 0) f" (${c.seconds}%.1f s)" else "")))
           println(s"pipeline: done -> $workDir (agent=$agent, capacity=$capacity)")
@@ -559,6 +560,7 @@ object GraftCli {
             mixStage = flags.get("--mix").map(parseMix),
             packTokenizer = flags.get("--bpe-merges")
               .map(graft.operators.Bpe.loadMerges),
+            shards = flags.get("--shards").map(_.toInt),
             onBatch = (id, cs) => cs.foreach(c =>
               println(f"pipeline-stream[batch=$id][${c.stage}]: ${c.rows} rows" +
                 (if (c.seconds >= 0) f" (${c.seconds}%.1f s)" else ""))))
@@ -664,9 +666,9 @@ object GraftCli {
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | " +
               "pipeline <warcGlob> <workDir> [agent] [capacity] [--index <dir>] [--enrich <templateFile>] " +
-              "[--mix <lang:budget,...>] [--bpe-merges <file>] | " +
+              "[--mix <lang:budget,...>] [--bpe-merges <file>] [--shards <n>] | " +
               "pipeline-stream <warcDir> <workDir> <indexDir> [agent] [capacity] [--compact-every <n>] " +
-              "[--mix <lang:budget,...>] [--bpe-merges <file>] | reset <workDir>")
+              "[--mix <lang:budget,...>] [--bpe-merges <file>] [--shards <n>] | reset <workDir>")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -81,7 +81,12 @@ object CrawlPipeline {
       // sizes the mix budgets AND the packing bins in real BPE tokens
       // instead of whitespace tokens — whitespace counts are wrong by the
       // whitespace↔BPE ratio, which varies by language and script
-      packTokenizer: Option[graft.operators.Bpe.BpeModel] = None): Seq[StageCount] = {
+      packTokenizer: Option[graft.operators.Bpe.BpeModel] = None,
+      // optional final stage 09b: materialize the curated (and mixed)
+      // corpus as `nShards` deterministic training-shard dirs
+      // ([[graft.operators.TrainingOrder.writeShards]]) — the files a data
+      // loader consumes; epoch comes from the mix config when present
+      shards: Option[Int] = None): Seq[StageCount] = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[StageCount]
     def ck(stage: String, df: DataFrame, parts: Seq[String] = Nil): DataFrame = {
       val t0 = System.nanoTime()
@@ -350,6 +355,19 @@ object CrawlPipeline {
       packInput.withColumn("n_tokens", tokWeight(col("text"))),
       col("doc_id"), col("n_tokens"), capacity))
 
+    // 09b (optional): shard files of the same corpus 09_pack packed —
+    // writeShards owns its write discipline (partitioned, sorted within
+    // files), so it does not go through ck()
+    shards.foreach { n =>
+      val t0 = System.nanoTime()
+      val back = graft.operators.TrainingOrder.writeShards(
+        packInput, col("doc_id"), s"$workDir/09b_shards", n,
+        epoch = mixStage.map(_.epoch).getOrElse(0))
+      counts += StageCount("09b_shards",
+        if (countStages) back.count() else -1L,
+        (System.nanoTime() - t0) / 1e9)
+    }
+
     // optional LLM enrichment over the curated corpus (the reference's
     // Program 2 run over Program 1's output): the distributed LLM-map
     // operator with its rate/concurrency envelope, written partitioned by
@@ -447,9 +465,10 @@ object CrawlPipeline {
       // defeat the replay guard and wipe the batch's own outputs).
       compactEvery: Option[Int] = None,
       qualityThresholds: QualityRules.Thresholds = QualityRules.Thresholds(),
-      // per-snapshot mixing/packing config, forwarded to [[run]] verbatim
+      // per-snapshot mixing/packing/sharding config, forwarded to [[run]]
       mixStage: Option[MixStage] = None,
       packTokenizer: Option[graft.operators.Bpe.BpeModel] = None,
+      shards: Option[Int] = None,
       onBatch: (Long, Seq[StageCount]) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("binaryFile")
@@ -489,7 +508,8 @@ object CrawlPipeline {
             indexDir = Some(indexDir), enrichStage = enrichStage,
             countStages = countStages, snapshotId = Some(batchId),
             qualityThresholds = qualityThresholds,
-            mixStage = mixStage, packTokenizer = packTokenizer)
+            mixStage = mixStage, packTokenizer = packTokenizer,
+            shards = shards)
           onBatch(batchId, counts)
         }
         ()

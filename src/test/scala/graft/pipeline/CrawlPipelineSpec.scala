@@ -428,7 +428,7 @@ class CrawlPipelineSpec extends SparkSpec {
     val budgets = Seq("en" -> 400L, "de" -> 100000L)
     val counts = CrawlPipeline.run(spark, s"$warcDir/*.warc*", work,
         qualityThresholds = graft.operators.QualityRules.Thresholds(minStopHits = 0L),
-        mixStage = Some(CrawlPipeline.MixStage(budgets)))
+        mixStage = Some(CrawlPipeline.MixStage(budgets)), shards = Some(4))
       .map(c => c.stage -> c.rows).toMap
     assert(counts("08_splits") == 8 && counts("08b_lang") == 8, counts.toString)
 
@@ -456,6 +456,15 @@ class CrawlPipelineSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(order("en") == Set(0L, 2L, 4L), order.toString)
     assert(order("de") == Set(1L, 3L), order.toString)
+
+    // 09b: the mixed corpus materialized as deterministic shard files —
+    // every admitted doc in exactly one shard= dir, assignment pure
+    assert(counts("09b_shards") == 5, counts.toString)
+    val shardRows = spark.read.parquet(s"$work/09b_shards")
+    assert(shardRows.select("doc_id").as[Long].collect().toSet ==
+      mixed.select("doc_id").as[Long].collect().toSet)
+    assert(shardRows.where($"shard" =!=
+      graft.operators.TrainingOrder.shard($"doc_id", 0, 4)).count() == 0)
   }
 
   test("daemon survives a snapshot that admits nothing (empty index deltas)") {
