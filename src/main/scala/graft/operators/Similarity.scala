@@ -179,24 +179,29 @@ object Similarity {
     * Re-measure with [[annRecall]] and rebuild (the compaction discipline
     * applied to vectors) when the floor approaches.
     *
-    * Scale shape: one broadcast of nCells centroid rows, one map-side
-    * `min_by` argmin per vector — no shuffle of the vectors beyond the
-    * partitioned write; history is never read.
+    * Scale shape: the centroid matrix (nCells × dim, driver-scale by
+    * design) bakes into the plan and the native codegen'd
+    * `graft_l2sq_distances` kernel (the k-means assignment expression)
+    * computes all squared Euclidean distances in one pass per row —
+    * append is a PURE NARROW PROJECTION plus the partitioned write: no
+    * join, no shuffle, and history is never read. Tiebreak =
+    * first-minimum = lowest cell index, the same rule KMeans' own
+    * findClosest applies.
     */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
     import spark.implicits._
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
-    newVectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .crossJoin(broadcast(centroids))
-      // squared Euclidean — the metric KMeans.transform assigns by
-      .withColumn("cdist", norm2($"cv") - lit(2.0) * dot($"cv", $"centroid")
-        + norm2($"centroid"))
-      .groupBy($"neighbor_id")
-      .agg(
-        min_by($"cell", struct($"cdist", $"cell")).as("cell"),
-        first($"cv").as("cv"))
-      .select($"neighbor_id", $"cv", $"cell")
+    val cen = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").select("cell", "centroid").collect()
+    require(cen.nonEmpty && cen.zipWithIndex.forall {
+        case (r, i) => r.getInt(0) == i },
+      "centroid table must carry contiguous cells 0..n-1")
+    val matrix = cen.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val d = graft.expressions.GraftFunctions.l2sqDistances(col(vecCol), matrix)
+    newVectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), d.as("__d"))
+      .select($"neighbor_id", $"cv",
+        (array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
   }
 
