@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   *     occupied positions from the same source while each source lasts —
   *     the hard mixing guarantee hash order only gives asymptotically.
   *     Positions are sparse when sources differ in size (it is an order,
-  *     not an array index). The per-source window makes a mega-source sort
-  *     its own rows in one partition — use it for bounded curated sources
-  *     and shuffleKey for open-domain scale.
+  *     not an array index). The per-source ranks run as a two-phase
+  *     distributed scan (the [[graft.operators.TextPipeline.packSequences]]
+  *     construction), so a mega-source never funnels through one task —
+  *     strict interleave and shuffleKey now share the same scale shape.
   */
 object TrainingOrder {
 
@@ -73,9 +74,89 @@ object TrainingOrder {
     df.sparkSession.read.schema(keyed.schema).parquet(outDir)
   }
 
+  /** Materialize an [[interleave]]d mixture as `shard=<id>` parquet dirs
+    * that REPLAY the mixture order: a data loader streaming shard files in
+    * (shard, file, row) order reads the exact round-robin training order
+    * `posCol` encodes. [[writeShards]] shards the md5 shuffle order (its
+    * shard is a pure function of the id); a mixed corpus must instead be
+    * sharded by its interleaved ORDER, or the loader would undo the
+    * round-robin guarantee the 08d stage constructed.
+    *
+    * Shards are exact-balanced rank ranges: `shard = (rank * nShards) div
+    * total` with rank = 0-based dense rank by `posCol` — engine-independent
+    * integer arithmetic any SQL engine replays (`(row_number() - 1) *
+    * nShards // total`).
+    *
+    * Scale shape: ONE range shuffle (the same cost as any global sort),
+    * and the ranks come window-free from the pinned physical layout:
+    * rows are range-partitioned + sorted by `posCol`, `localCheckpoint`
+    * pins partition identity AND row order, and
+    * `monotonically_increasing_id` (per-partition base `pid << 33` plus the
+    * in-order record number) yields the within-partition index without any
+    * exchange. Per-partition prefix counts — a `numPartitions`-row
+    * aggregate, collected driver-side — turn those into global ranks via
+    * one broadcast join. Nothing re-shuffles between the sort and the
+    * write, so within every task the write order IS the pos order and the
+    * (shard, file, row) replay contract holds.
+    *
+    * @param ordered output of [[interleave]] (or any frame with a unique
+    *                orderable position column)
+    * @return the written frame read back (input columns + `shard`)
+    */
+  def writeMixtureShards(ordered: DataFrame, posCol: Column, outDir: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 20), s"nShards in [1, 2^20], got $nShards")
+    val parted = ordered
+      .repartitionByRange(math.max(1, nShards), posCol)
+      .sortWithinPartitions(posCol)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    // per-partition (row count, first mid): numPartitions rows, collected
+    // driver-side to fold the prefix offsets
+    val stats = parted
+      .groupBy(shiftright(col("__mid"), 33).cast("int").as("__pid"))
+      .agg(count(lit(1)).as("__n"), min(col("__mid")).as("__m0"))
+      .orderBy(col("__pid")).collect()
+    var acc = 0L
+    val offsets = stats.map { r =>
+      val row = (r.getInt(0), acc, r.getLong(2)); acc += r.getLong(1); row
+    }.toSeq
+    val total = math.max(1L, acc)
+    val spark = ordered.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__pid", "__roff", "__m0")
+    val sharded = parted
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("shard",
+        expr(s"((__roff + __mid - __m0) * $nShards) div ${total}L").cast("int"))
+      .select(ordered.columns.map(col) :+ col("shard"): _*)
+    // (shard, pos) ordering satisfies the partitioned writer's required
+    // [shard] ordering up front, so no writer-side re-sort touches the rows
+    sharded
+      .sortWithinPartitions(col("shard"), posCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    spark.read.schema(sharded.schema).parquet(outDir)
+  }
+
   /** Strict round-robin positions for the given source values; rows whose
     * source is not listed are dropped (train on declared mixtures only).
     * Output: input columns + `skey`, `source_idx`, `global_pos`.
+    *
+    * Scale: the naive construction (`row_number` over a per-SOURCE window)
+    * sorts each source's rows in ONE task — a mega-source in an open-domain
+    * mix serializes the whole stage. Instead, per-source ranks come from
+    * the two-phase distributed scan: range-partition by the GLOBAL order
+    * key (skey, id) — balanced by Spark's range sampling no matter how
+    * skewed the sources are — rank within (partition, source) in parallel,
+    * then add each source's per-partition prefix counts via a broadcast of
+    * a `numPartitions × S`-row aggregate. Valid because every source's
+    * order is a restriction of the one global (skey, id) order, so a
+    * source's rows in partition p all precede its rows in partition p+1.
+    * The `localCheckpoint` pins partition identity so the count branch and
+    * the rank branch read the SAME shuffle output (packSequences'
+    * discipline). Output values are identical to the window construction —
+    * the t82 oracle replays them row-for-row.
     */
   def interleave(df: DataFrame, sourceCol: Column, idCol: Column,
       sources: Seq[String], epoch: Int = 0): DataFrame = {
@@ -85,12 +166,28 @@ object TrainingOrder {
       when(sourceCol === sources.head, lit(0L))) {
       case (acc, (v, i)) => acc.when(sourceCol === v, lit(i.toLong))
     }
-    val w = Window.partitionBy(sourceCol)
-      .orderBy(col("skey"), idCol)
-    df.withColumn("skey", shuffleKey(idCol, epoch))
+    val keyed = df
+      .withColumn("skey", shuffleKey(idCol, epoch))
       .withColumn("source_idx", idx)
       .where(col("source_idx").isNotNull)
+    val parted = keyed.repartitionByRange(col("skey"), idCol).localCheckpoint()
+    val withPid = parted.withColumn("__pid", spark_partition_id())
+    val inPart = Window.partitionBy(col("__pid"), col("source_idx"))
+      .orderBy(col("skey"), idCol)
+    val ranked = withPid
+      .withColumn("__rin", row_number().over(inPart).cast("bigint"))
+    // per-(partition, source) counts → per-source prefix offsets: at most
+    // numPartitions × S rows, windowed per source over the pid order —
+    // driver-scale by construction
+    val prefix = Window.partitionBy(col("source_idx")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPid.groupBy(col("__pid"), col("source_idx"))
+      .agg(count(lit(1)).as("__pcnt"))
+      .select(col("__pid"), col("source_idx"),
+        coalesce(sum(col("__pcnt")).over(prefix), lit(0L)).as("__roff"))
+    ranked.join(broadcast(offsets), Seq("__pid", "source_idx"))
       .withColumn("global_pos",
-        (row_number().over(w).cast("bigint") - 1) * sources.size + col("source_idx"))
+        (col("__roff") + col("__rin") - 1) * sources.size + col("source_idx"))
+      .select(keyed.columns.map(col) :+ col("global_pos"): _*)
   }
 }

@@ -339,16 +339,16 @@ object CrawlPipeline {
     // row-for-row), 08d writes the deterministic round-robin training-order
     // manifest (t82 semantics; packing keeps its own md5 shuffle order, so
     // the manifest is a sibling checkpoint consumers join back by doc_id)
-    val packInput = mixStage match {
-      case None => split
+    val (packInput, orderedOpt) = mixStage match {
+      case None => (split, None)
       case Some(m) =>
         val lang = ck("08b_lang",
           split.withColumn("lang", TextAnalysis.langId(col("text"))))
         val mixed = ck("08c_mix", graft.operators.Sampling.exactTokenBudgets(
           lang, col("lang"), col("doc_id"), tokWeight(col("text")), m.budgets))
-        ck("08d_order", graft.operators.TrainingOrder.interleave(
+        val ordered = ck("08d_order", graft.operators.TrainingOrder.interleave(
           mixed, col("lang"), col("doc_id"), m.budgets.map(_._1), m.epoch))
-        mixed
+        (mixed, Some(ordered))
     }
 
     ck("09_pack", TextPipeline.packSequences(
@@ -356,13 +356,21 @@ object CrawlPipeline {
       col("doc_id"), col("n_tokens"), capacity))
 
     // 09b (optional): shard files of the same corpus 09_pack packed —
-    // writeShards owns its write discipline (partitioned, sorted within
-    // files), so it does not go through ck()
+    // the shard writers own their write discipline (partitioned, sorted
+    // within files), so this does not go through ck(). With a mix config
+    // the shards replay the 08d MIXTURE order (a loader streaming them in
+    // (shard, file, row) order reads the round-robin interleave, not the
+    // raw md5 shuffle — sharding by id would undo the order 08d built);
+    // without one they replay the epoch's md5 shuffle order.
     shards.foreach { n =>
       val t0 = System.nanoTime()
-      val back = graft.operators.TrainingOrder.writeShards(
-        packInput, col("doc_id"), s"$workDir/09b_shards", n,
-        epoch = mixStage.map(_.epoch).getOrElse(0))
+      val back = orderedOpt match {
+        case Some(ordered) => graft.operators.TrainingOrder.writeMixtureShards(
+          ordered, col("global_pos"), s"$workDir/09b_shards", n)
+        case None => graft.operators.TrainingOrder.writeShards(
+          packInput, col("doc_id"), s"$workDir/09b_shards", n,
+          epoch = mixStage.map(_.epoch).getOrElse(0))
+      }
       counts += StageCount("09b_shards",
         if (countStages) back.count() else -1L,
         (System.nanoTime() - t0) / 1e9)

@@ -715,6 +715,47 @@ object ExtensionQueries7 {
         "for two epochs vs DuckDB's integer md5-bucket arithmetic — the " +
         "shard layout writeShards materializes is a pure, engine-" +
         "independent function of (epoch, id)."
+    ),
+    // --------------------------------------------------------------- t116
+    GraftQuery(
+      "t116_mixture_shards",
+      (s, d) => {
+        import s.implicits._
+        // shard the INTERLEAVED mixture order (the t82 construction) into
+        // exact-balanced rank ranges and read the written layout back: the
+        // loader-facing contract is engine-independent integer arithmetic —
+        // shard = (0-based rank by global_pos) * n // total — which DuckDB
+        // replays against its own window interleave. Exercises the real
+        // write path (range shuffle + pinned-partition rank + partitioned
+        // write), not just the shard formula.
+        val ordered = graft.operators.TrainingOrder
+          .interleave(Tables.documents(s, d), $"lang", $"doc_id",
+            Seq("de", "en", "es", "fr", "zh"))
+        val dir = java.nio.file.Files.createTempDirectory("graft_t116").toString
+        graft.operators.TrainingOrder
+          .writeMixtureShards(ordered, $"global_pos", s"$dir/shards", 8)
+          .select($"doc_id", $"lang", $"global_pos",
+            $"shard".cast("int").as("shard"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    md5('0:' || CAST(doc_id AS VARCHAR)) AS skey,
+             |    CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+             |      WHEN 'fr' THEN 3 WHEN 'zh' THEN 4 END AS source_idx
+             |  FROM documents),
+             |o AS (SELECT doc_id, lang,
+             |    CAST((row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) - 1) * 5
+             |      + source_idx AS BIGINT) AS global_pos
+             |  FROM t WHERE source_idx IS NOT NULL)
+             |SELECT doc_id, lang, global_pos,
+             |  CAST((row_number() OVER (ORDER BY global_pos) - 1) * 8
+             |    // (SELECT count(*) FROM o) AS INT) AS shard
+             |FROM o ORDER BY doc_id""".stripMargin),
+      doc = "Mixture-order training shards (TrainingOrder.writeMixtureShards): " +
+        "the interleaved corpus lands in exact-balanced rank-range shard " +
+        "dirs whose (shard, file, row) read order replays the round-robin " +
+        "mixture — shard ids verified value-for-value against DuckDB's " +
+        "rank arithmetic over its own replay of the interleave."
     )
   )
 }

@@ -457,14 +457,22 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(order("en") == Set(0L, 2L, 4L), order.toString)
     assert(order("de") == Set(1L, 3L), order.toString)
 
-    // 09b: the mixed corpus materialized as deterministic shard files —
-    // every admitted doc in exactly one shard= dir, assignment pure
+    // 09b: with a mix configured the shards are MIXTURE-order rank ranges —
+    // every admitted doc in exactly one shard= dir, and a loader streaming
+    // the dirs in order replays 08d's round-robin, not the raw md5 epoch
+    // order (sharding by id would undo the order 08d built)
     assert(counts("09b_shards") == 5, counts.toString)
     val shardRows = spark.read.parquet(s"$work/09b_shards")
     assert(shardRows.select("doc_id").as[Long].collect().toSet ==
       mixed.select("doc_id").as[Long].collect().toSet)
-    assert(shardRows.where($"shard" =!=
-      graft.operators.TrainingOrder.shard($"doc_id", 0, 4)).count() == 0)
+    val byPos = shardRows.select($"global_pos", $"shard".cast("int"))
+      .as[(Long, Int)].collect().sortBy(_._1)
+    val expectShard = byPos.map(_._1).zipWithIndex
+      .map { case (p, r) => (p, r * 4 / 5) }
+    assert(byPos.toSeq == expectShard.toSeq, byPos.mkString(","))
+    // shard ids nondecreasing in mixture order: a prefix of the shard dirs
+    // is a prefix of the training recipe
+    assert(byPos.map(_._2).toSeq == byPos.map(_._2).sorted.toSeq)
   }
 
   test("daemon survives a snapshot that admits nothing (empty index deltas)") {

@@ -303,6 +303,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("t82 interleave: rank window is per-(partition, source); per-source window only sees the bounded offsets aggregate") {
+    import spark.implicits._
+    // the scale-killer this operator replaced was row_number() over
+    // Window.partitionBy(source) — every source's whole corpus through ONE
+    // task. The distributed construction must (a) rank inside
+    // (__pid, source_idx) windows, which hash-partition across the cluster,
+    // and (b) confine any per-source-only window to the per-partition count
+    // table (numPartitions × S rows), i.e. ABOVE a HashAggregate.
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val r = graft.operators.TrainingOrder.interleave(
+      docs, $"lang", $"doc_id", Seq("de", "en", "es", "fr", "zh"))
+    val p = r.queryExecution.executedPlan.toString
+    // the data-path rank window carries __pid in its partition spec
+    assert("windowspecdefinition\\(__pid#\\d+, source_idx#".r.findFirstIn(p).isDefined,
+      p.take(1500))
+    // no window partitions by source_idx alone ordering the DATA keys (skey)
+    assert("windowspecdefinition\\(source_idx#\\d+L?, skey#".r.findFirstIn(p).isEmpty,
+      p.take(1500))
+    // the per-source prefix window consumes the aggregated counts: it sits
+    // above a partial+final HashAggregate and joins back via broadcast
+    val lines = p.linesIterator.toVector
+    val offWin = lines.indexWhere(l =>
+      l.contains("windowspecdefinition(source_idx") && l.contains("__pid"))
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(offWin >= 0 && offWin < aggIdx,
+      s"offsets window must consume the count aggregate (win@$offWin, agg@$aggIdx)\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("t89 HITS half-step: score push is an equi-join + partial aggregation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
