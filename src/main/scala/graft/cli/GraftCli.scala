@@ -31,8 +31,11 @@ object GraftCli {
   /** `en:30000,de:9000` → MixStage recipe. */
   private def parseMix(recipe: String): graft.pipeline.CrawlPipeline.MixStage =
     graft.pipeline.CrawlPipeline.MixStage(recipe.split(",").toSeq.map { kv =>
-      val Array(g, b) = kv.split(":", 2)
-      g -> b.toLong
+      kv.split(":", 2) match {
+        case Array(g, b) if g.nonEmpty && b.toLongOption.isDefined => g -> b.toLong
+        case _ => sys.error(s"bad --mix entry '$kv', expected lang:budget " +
+          "(e.g. en:30000,de:9000)")
+      }
     })
 
   def main(args: Array[String]): Unit = {
@@ -261,9 +264,12 @@ object GraftCli {
           // grow a persisted index under its frozen quantizer (vec_id +
           // embedding columns; the continuous-crawl shape for vectors)
           val in = spark.read.parquet(inParquet)
-          graft.operators.Similarity.ivfAppend(
+          val st = graft.operators.Similarity.ivfAppend(
             spark, indexDir, in, "vec_id", "embedding")
-          println(s"ann-append: ${in.count()} vectors -> $indexDir")
+          val drift = st.driftRatio.fold("n/a (no build baseline)")(r =>
+            f"$r%.3f" + (if (r > 1.5) "  ** DRIFTED: rebuild the quantizer **" else ""))
+          println(f"ann-append: ${st.n} vectors -> $indexDir " +
+            f"(mean_l2sq=${st.meanL2sq}%.4f drift_ratio=$drift)")
         case "ann-compact" :: indexDir :: rest =>
           // coalesce append-grown cell files (write-then-swap; stop
           // appenders first — replaceDir's contract)
@@ -283,6 +289,9 @@ object GraftCli {
           // --out <file> persists it for `pipeline --bpe-merges`.
           import org.apache.spark.sql.functions.col
           val outFile = rest.sliding(2).collectFirst { case Seq("--out", f) => f }
+          if (rest.contains("--out") && outFile.isEmpty)
+            sys.error("flag --out needs a value") // match splitFlags: a bare
+          // trailing --out must fail loudly, not silently skip persistence
           val pos = {
             val i = rest.indexOf("--out")
             if (i < 0) rest else rest.patch(i, Nil, 2)

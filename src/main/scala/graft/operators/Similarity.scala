@@ -158,7 +158,33 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
       .toSeq.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // per-cell baseline of the build's own assignment distances — the
+    // yardstick [[ivfAppend]]'s quantizer-drift diagnostic compares each
+    // append batch against. One extra narrow pass + an nCells-row agg.
+    val matrix = model.clusterCenters.map(_.toArray)
+    val d = graft.expressions.GraftFunctions.l2sqDistances(col(vecCol), matrix)
+    corpus.select(d.as("__d"))
+      .select((array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"),
+        array_min($"__d").as("__min"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"), avg($"__min").as("mean_l2sq"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
   }
+
+  /** Quantizer-drift reading from one [[ivfAppend]] batch: `meanL2sq` is
+    * the batch's mean squared distance to its assigned (frozen) centroids;
+    * `baselineMeanL2sq` is what the BUILD corpus averaged over the same
+    * cell mixture (Σ batch-cellcount × build-cell-mean / n, so a batch that
+    * legitimately concentrates in tight cells is not misread as drift);
+    * `driftRatio` = meanL2sq / baselineMeanL2sq. A ratio near 1 means the
+    * appended distribution still matches the trained quantizer; a
+    * sustained ratio ≫ 1 (rule of thumb: > 1.5) means the frozen centroids
+    * no longer describe the data and recall is decaying — time to rebuild
+    * ([[ivfBuild]] over the union, then [[ivfCompact]]'s swap discipline).
+    * Baseline fields are None for a pre-stats index (no `stats` dir).
+    */
+  case class IvfAppendStats(n: Long, meanL2sq: Double,
+      baselineMeanL2sq: Option[Double], driftRatio: Option[Double])
 
   /** Append new vectors to a persisted IVF index WITHOUT retraining — the
     * vector analog of the crawl's incremental admission: a continuously
@@ -176,8 +202,13 @@ object Similarity {
     *
     * The coarse quantizer is intentionally FROZEN: recall drifts only as
     * far as the data distribution drifts from the trained centroids.
-    * Re-measure with [[annRecall]] and rebuild (the compaction discipline
-    * applied to vectors) when the floor approaches.
+    * Every append therefore returns an [[IvfAppendStats]] reading — the
+    * batch's mean assigned squared distance against the build's per-cell
+    * baseline (`indexDir/stats`), computed from the distances the append
+    * already evaluates — so "time to rebuild" is a number (`driftRatio`),
+    * not a guess. Re-measure recall with [[annRecall]] and rebuild (the
+    * compaction discipline applied to vectors) when the ratio sustains
+    * above ~1.5 or the recall floor approaches.
     *
     * Scale shape: the centroid matrix (nCells × dim, driver-scale by
     * design) bakes into the plan and the native codegen'd
@@ -189,8 +220,19 @@ object Similarity {
     * findClosest applies.
     */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+      newVectors: DataFrame, idCol: String, vecCol: String): IvfAppendStats = {
     import spark.implicits._
+    // heal a crashed ivfCompact swap before touching the index: a crash
+    // between replaceDir's two renames leaves no live dir but a complete
+    // `.old` — roll back to it rather than failing every IVF operation
+    // until a manual rename (the crawl pipeline's recovery discipline)
+    IncrementalDedup.recoverDir(indexDir)
+    // NOTE: the float-persisted centroid table is the AUTHORITATIVE
+    // quantizer for appends. ivfBuild's own assignments come from KMeans
+    // prediction over double-precision centers, so a vector lying exactly
+    // on a Voronoi boundary can tie-break into a different cell here than
+    // a from-scratch build over the union would place it — recall-only and
+    // boundary-measure-zero (similarities stay exact either way).
     val cen = spark.read.parquet(s"$indexDir/centroids")
       .orderBy("cell").select("cell", "centroid").collect()
     require(cen.nonEmpty && cen.zipWithIndex.forall {
@@ -203,6 +245,30 @@ object Similarity {
       .select($"neighbor_id", $"cv",
         (array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+
+    // drift diagnostic: re-derive (cell, min-distance) from the same
+    // deterministic projection — a second narrow pass with a map-side
+    // partial agg, never a join or a vector shuffle — and weigh the
+    // build's per-cell baseline by THIS batch's cell mixture
+    val batch = newVectors.select(d.as("__d"))
+      .select((array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"),
+        array_min($"__d").as("__min"))
+      .groupBy($"cell").agg(count(lit(1)).as("bn"), sum($"__min").as("bsum"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val n = batch.values.map(_._1).sum
+    val meanL2sq = if (n == 0) 0.0 else batch.values.map(_._2).sum / n
+    val statsPath = java.nio.file.Paths.get(s"$indexDir/stats")
+    val baseline = if (!java.nio.file.Files.exists(statsPath)) None else {
+      val base = spark.read.parquet(s"$indexDir/stats")
+        .select("cell", "mean_l2sq").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val covered = batch.filter { case (c, _) => base.contains(c) }
+      val cn = covered.values.map(_._1).sum
+      if (cn == 0) None
+      else Some(covered.map { case (c, (bn, _)) => bn * base(c) }.sum / cn)
+    }
+    IvfAppendStats(n, meanL2sq, baseline,
+      baseline.filter(_ > 0).map(meanL2sq / _))
   }
 
   /** Compact a persisted IVF index's cell files: every [[ivfAppend]] batch
@@ -222,8 +288,13 @@ object Similarity {
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       targetRows: Long = 4_000_000L): Long = {
+    IncrementalDedup.recoverDir(indexDir) // heal a prior crashed swap first
     val cells = spark.read.parquet(s"$indexDir/cells").localCheckpoint()
     val centroids = spark.read.parquet(s"$indexDir/centroids").localCheckpoint()
+    val stats = // drift baseline rides along unchanged (pre-stats indexes: none)
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/stats")))
+        Some(spark.read.parquet(s"$indexDir/stats").localCheckpoint())
+      else None
     val n = cells.count()
     val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
     val next = s"$indexDir.compact"
@@ -231,6 +302,7 @@ object Similarity {
     cells.repartition(files, col("cell"))
       .write.partitionBy("cell").parquet(s"$next/cells")
     centroids.write.parquet(s"$next/centroids")
+    stats.foreach(_.write.parquet(s"$next/stats"))
     IncrementalDedup.replaceDir(indexDir, next)
     n
   }
@@ -248,6 +320,7 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 4): DataFrame = {
     import spark.implicits._
+    IncrementalDedup.recoverDir(indexDir) // heal a prior crashed swap first
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy($"query_id").orderBy($"cdist", $"cell")

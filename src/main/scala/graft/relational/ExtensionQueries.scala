@@ -192,9 +192,18 @@ object ExtensionQueries {
           .filter($"hits".cast("double") < $"denom".cast("double") * 0.6)
           .select(lit(-2L).as("id_a"), lit(-2L).as("id_b"),
             lit("low_recall").as("reason"))
+        // vacuity guard: `hits < denom * 0.6` is trivially false at denom 0,
+        // so a corpus/testdata change that collapses the exact-pair set
+        // would silently reduce this gate to soundness-only — an empty
+        // denominator must fail LOUDLY, not pass vacuously (7 pairs at
+        // sf0.001, 1 at sf0.01 today)
+        val noPairs = exact.agg(count(lit(1)).as("denom"))
+          .filter($"denom" === 0)
+          .select(lit(-3L).as("id_a"), lit(-3L).as("id_b"),
+            lit("no_pairs").as("reason"))
         val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
         phantom.unionAll(wrongJ).unionAll(missedSame).unionAll(lowRecall)
-          .unionAll(sentinel)
+          .unionAll(noPairs).unionAll(sentinel)
           .orderBy($"id_a", $"id_b", $"reason")
       },
       Some("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"),
@@ -256,9 +265,18 @@ object ExtensionQueries {
         val wrongH = sh4.as("m").join(sh8.as("e"), Seq("id_a", "id_b"))
           .filter(col("m.hamming") =!= col("e.hamming"))
           .select($"id_a", $"id_b", lit("hamming_mismatch").as("reason"))
+        // vacuity guard (same rule as t07): every assertion above is a
+        // set/value comparison that holds trivially over empty pair sets —
+        // if the complete-to-7 twin finds NOTHING the gate is proving
+        // nothing, and a collapsed corpus must fail loudly (the twin holds
+        // >= the le3 pairs by completeness: 5 at sf0.001, 1 at sf0.01)
+        val noPairs = sh8.agg(count(lit(1)).as("denom"))
+          .filter($"denom" === 0)
+          .select(lit(-3L).as("id_a"), lit(-3L).as("id_b"),
+            lit("no_pairs").as("reason"))
         val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
         onlyIn4.unionAll(onlyIn8).unionAll(sub7miss).unionAll(wrongH)
-          .unionAll(sentinel)
+          .unionAll(noPairs).unionAll(sentinel)
           .orderBy($"id_a", $"id_b", $"reason")
       },
       Some("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"),

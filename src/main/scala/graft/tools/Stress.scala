@@ -186,6 +186,32 @@ object Stress {
       check(pruned, s"ivfQuery scan not partition-pruned: $scanLine")
       check(qdf.count() == 15, "ivfQuery did not return 3 queries x top-5")
 
+      // ---- quantizer-drift diagnostic: an append drawn from the BUILD
+      // distribution must read near ratio 1, while a genuinely drifted
+      // batch (every coordinate shifted by a constant the build never saw)
+      // must cross the rebuild threshold — "time to rebuild" is a number,
+      // not a guess. Ids are disjoint from the built corpus (appends, not
+      // re-inserts).
+      val (driftStats, tDrift) = timed {
+        val same = Similarity.ivfAppend(spark, idx,
+          emb.select((col("vec_id") + nVecs).as("vec_id"), col("embedding")),
+          "vec_id", "embedding")
+        val drifted = Similarity.ivfAppend(spark, idx,
+          emb.select((col("vec_id") + 2 * nVecs).as("vec_id"),
+            transform(col("embedding"), x => (x + lit(0.35f)).cast("float"))
+              .as("embedding")),
+          "vec_id", "embedding")
+        (same, drifted)
+      }
+      val (sameSt, driftSt) = driftStats
+      println(j("stage" -> "ivf_drift_diag", "seconds" -> tDrift,
+        "same_ratio" -> sameSt.driftRatio.getOrElse(-1.0),
+        "drift_ratio" -> driftSt.driftRatio.getOrElse(-1.0)))
+      check(sameSt.driftRatio.exists(r => r > 0.5 && r < 1.5),
+        s"same-distribution append misread as drift: ${sameSt.driftRatio}")
+      check(driftSt.driftRatio.exists(_ > 1.5),
+        s"drifted append not flagged: ${driftSt.driftRatio}")
+
       // ---- SRP-LSH embedding near-dups with NO blocking assumption at
       // 2x-factor vectors (100k at the default factor). The corpus has
       // KNOWN cluster structure: each base vector spawns sub-clusters of

@@ -165,6 +165,41 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(top.length == 1 && top(0).getLong(2) == 9001L, top.mkString(","))
   }
 
+  test("ivfAppend drift diagnostic: same-distribution ~1, shifted batch crosses the rebuild threshold, compact keeps the baseline, crashed swap heals") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 8, dir)
+    assert(new java.io.File(s"$dir/stats").exists(), "build must persist the baseline")
+    // a batch drawn from the build distribution reads near ratio 1
+    val same = Similarity.ivfAppend(spark, dir,
+      emb.select(($"vec_id" + 10000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding")
+    assert(same.n == emb.count() && same.baselineMeanL2sq.isDefined)
+    assert(same.driftRatio.exists(r => r > 0.5 && r < 1.5), same.toString)
+    // a constant coordinate shift the quantizer never saw must flag
+    val drifted = Similarity.ivfAppend(spark, dir,
+      emb.select(($"vec_id" + 20000L).as("vec_id"),
+        transform($"embedding", x => (x + lit(0.5f)).cast("float")).as("embedding")),
+      "vec_id", "embedding")
+    assert(drifted.driftRatio.exists(_ > 1.5), drifted.toString)
+    // compaction carries the baseline along: the diagnostic survives
+    Similarity.ivfCompact(spark, dir)
+    assert(new java.io.File(s"$dir/stats").exists(), "compact must keep stats")
+    val after = Similarity.ivfAppend(spark, dir,
+      emb.select(($"vec_id" + 30000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding")
+    assert(after.driftRatio.exists(r => r > 0.5 && r < 1.5), after.toString)
+    // crash window between replaceDir's two renames: no live dir, a
+    // complete .old — every IVF entry point must self-heal, not fail
+    val live = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.move(live, java.nio.file.Paths.get(s"$dir.old"))
+    val q = emb.filter($"vec_id" < 3)
+    val healed = Similarity.ivfQuery(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 3)
+    assert(healed.count() > 0 && java.nio.file.Files.exists(live))
+  }
+
   test("ivfCompact coalesces appended cell files; queries stay row-identical") {
     import graft.core.Tables
     val emb = Tables.embeddings(spark, sf0001)
