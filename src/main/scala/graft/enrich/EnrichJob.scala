@@ -27,6 +27,42 @@ object EnrichJob {
     catch { case _: Exception => s }
   }
 
+  /** The E2/E3 exact-global envelope: ONE driver-hosted lease server owning
+    * the token-bucket clock ([[EnrichConfig.exactGlobalRpm]]) and/or the
+    * concurrency slots ([[EnrichConfig.exactGlobalConcurrency]]), plus the
+    * partition-side factories [[EnrichOperator.enrich]] threads to every
+    * executor. `stop()` when the enrich actions have run. Shared by this
+    * job and the crawl pipeline's `10_enrich` stage, so the exact options
+    * behave identically on both paths (the reference's Semaphore(250) /
+    * 10k-RPM contract, `src/config.py:91-92`) and can never be silently
+    * dropped on one of them. When neither flag is set this is a no-op
+    * envelope (no server, no factories — the per-partition approximation).
+    */
+  final case class ExactEnvelope(server: Option[RateLimiterServer],
+      limiterFactory: Option[() => RateLimiter],
+      slotFactory: Option[() => RemoteConcurrencyLimiter]) {
+    def stop(): Unit = server.foreach(_.stop())
+  }
+
+  def exactEnvelope(spark: SparkSession, config: EnrichConfig,
+      sleeper: Long => Unit = Thread.sleep): ExactEnvelope = {
+    val server =
+      if (config.exactGlobalRpm || config.exactGlobalConcurrency)
+        Some(RateLimiterServer.start(config.targetRpm.toDouble,
+          if (config.exactGlobalConcurrency) config.maxConcurrent else Int.MaxValue))
+      else None
+    val host = spark.sparkContext.getConf.get("spark.driver.host", "127.0.0.1")
+    val limiterFactory = server.filter(_ => config.exactGlobalRpm).map { srv =>
+      val port = srv.port
+      () => new RemoteRateLimiter(host, port, sleeper): RateLimiter
+    }
+    val slotFactory = server.filter(_ => config.exactGlobalConcurrency).map { srv =>
+      val port = srv.port
+      () => new RemoteConcurrencyLimiter(host, port)
+    }
+    ExactEnvelope(server, limiterFactory, slotFactory)
+  }
+
   def run(
       spark: SparkSession,
       inputMarkdownDir: String,
@@ -61,27 +97,14 @@ object EnrichJob {
     // E2/E3 exact modes: one driver-hosted server owns the token-bucket
     // clock and/or the concurrency slots for every partition; it lives for
     // the duration of the job's actions below
-    val server =
-      if (config.exactGlobalRpm || config.exactGlobalConcurrency)
-        Some(RateLimiterServer.start(config.targetRpm.toDouble,
-          if (config.exactGlobalConcurrency) config.maxConcurrent else Int.MaxValue))
-      else None
-    val host = spark.sparkContext.getConf.get("spark.driver.host", "127.0.0.1")
-    val limiterFactory = server.filter(_ => config.exactGlobalRpm).map { srv =>
-      val port = srv.port
-      () => new RemoteRateLimiter(host, port, sleeper): RateLimiter
-    }
-    val slotFactory = server.filter(_ => config.exactGlobalConcurrency).map { srv =>
-      val port = srv.port
-      () => new RemoteConcurrencyLimiter(host, port)
-    }
+    val envelope = exactEnvelope(spark, config, sleeper)
     try {
 
     val enriched = EnrichOperator
       .enrich(
         limited.select(col("key"), col("content")).as[EnrichOperator.Doc],
-        transportFactory, promptTemplate, config, sleeper, limiterFactory,
-        slotFactory)
+        transportFactory, promptTemplate, config, sleeper,
+        envelope.limiterFactory, envelope.slotFactory)
       .cache()
 
     val okDf = enriched.filter(col("ok")).toDF()
@@ -106,6 +129,6 @@ object EnrichJob {
     enriched.unpersist()
     stats
 
-    } finally server.foreach(_.stop())
+    } finally envelope.stop()
   }
 }

@@ -275,10 +275,11 @@ object IncrementalDedup {
     * over the batch's own collision graph. History work is O(batch
     * collisions), never O(corpus).
     *
-    * @param maxBandPostings hot-band guard for the cross step: an index-side
+    * @param maxBandPostings hot-band guard for BOTH banded steps: a
     *        (band position, band hash) bucket holding MORE than this many
-    *        distinct-signature postings is dropped from banded candidate
-    *        generation. Such a bucket means the band carries ~no information
+    *        distinct-signature postings — index-side in the cross step,
+    *        survivor-side in the within-batch self-join — is dropped from
+    *        banded candidate generation. Such a bucket means the band carries ~no information
     *        for a degenerate corpus slice (boilerplate/short texts collapsing
     *        onto one band hash) — and joining the batch against it is the one
     *        place admission cost could leave O(batch collisions). Safety:
@@ -369,8 +370,24 @@ object IncrementalDedup {
     // representatives alone decides the admitted set exactly.
     val sReps = survivors.groupBy(col("sig")).agg(min(col("id")).as("id"))
     val sBands = explodeBands(sReps)
-    val pairs = sBands.alias("a")
-      .join(sBands.alias("b"), Seq("band_idx", "band_hash"))
+    // batch-side hot-band guard, the within-batch twin of the cross-step
+    // census: sReps holds DISTINCT signatures only (identical sigs are
+    // pre-collapsed above), so a bucket with > maxBandPostings postings is
+    // 10^5+ distinct-but-banding-hot variants — a templated degenerate
+    // batch — whose self-join would be quadratic in the bucket. The cap
+    // drops such buckets from candidate generation. Safety contract: the
+    // exact-dup theorem is untouched (identical sigs never reach this join —
+    // each sig group is one rep, and members rejoin their rep's component
+    // unconditionally); what degrades is RECALL among distinct-sig near-dups
+    // inside a capped bucket, gracefully — they may land in separate
+    // clusters and both be admitted, never mis-rejected. A capped bucket's
+    // pairs can still surface through the doc's other nBands-1 bands.
+    val sKept = sBands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBandPostings)
+      .select(col("band_idx"), col("band_hash"))
+    val sBandsCapped = sBands.join(sKept, Seq("band_idx", "band_hash"), "left_semi")
+    val pairs = sBandsCapped.alias("a")
+      .join(sBandsCapped.alias("b"), Seq("band_idx", "band_hash"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .where(col("id_a") < col("id_b")).distinct()
       .join(sReps.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))

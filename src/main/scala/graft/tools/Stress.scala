@@ -875,6 +875,55 @@ object Stress {
       check(tDg <= 10 * math.max(tNd, 5.0),
         f"degenerate batch must complete in the uniform time band ($tDg%.1f s vs $tNd%.1f s)")
 
+      // ---- degenerate WITHIN-BATCH step: the same 10^5 templated
+      // distinct-signature variants arrive in ONE batch against an EMPTY
+      // index, so the load lands entirely on the survivor band self-join —
+      // the hot all-frame buckets hold ~28k DISTINCT-sig postings each
+      // (identical sigs pre-collapse, so they can't be the quadratic
+      // driver), and uncapped the self-join is ~(28k)^2 x 8 bands ~ 10^9
+      // rows. The batch-side census must keep it in the uniform time band.
+      // Cap-immunity theorem (within-batch flavor): exact text copies share
+      // a signature and are collapsed to one representative BEFORE the
+      // self-join, so no two admitted rows may carry identical text no
+      // matter what the cap drops.
+      val ((wbAdmitted, wbDupTexts, wbNovel), tWb) = timed {
+        def tmpl2(i: org.apache.spark.sql.Column) =
+          concat(lit("stock ticker update entry number "), i.cast("string"),
+            lit(" closing value steady end of report line"))
+        val batch = spark.range(100000).select(
+            (col("id") + 8_000_000_000L).as("doc_id"), tmpl2(col("id")).as("text"))
+          // 3000 exact copies of variant 0: one admitted representative total
+          .unionByName(spark.range(3000).select(
+            (col("id") + 8_200_000_000L).as("doc_id"), tmpl2(lit(0)).as("text")))
+          .unionByName(spark.range(50).select(
+            (col("id") + 8_300_000_000L).as("doc_id"),
+            concat(lit("quiet essay "), col("id").cast("string"),
+              lit(" about the "), col("id").cast("string"),
+              lit(" gardens "), col("id").cast("string"),
+              lit(" and their "), col("id").cast("string"),
+              lit(" winters tale")).as("text")))
+        val emptyIdx = batch.select(col("doc_id").as("id"),
+          graft.expressions.GraftFunctions.minhashSig(col("text"), 3, 32).as("sig"))
+          .limit(0)
+        val adm = graft.operators.IncrementalDedup
+          .admitNearDup(batch, emptyIdx, "doc_id", "text",
+            maxBandPostings = 1000L).localCheckpoint()
+        val dupTexts = adm.groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+          .where(col("n") > 1).count()
+        val novel = adm.where(col("doc_id") >= 8_300_000_000L).count()
+        (adm.count(), dupTexts, novel)
+      }
+      println(j("stage" -> "neardup_batch_degenerate", "seconds" -> tWb,
+        "admitted" -> wbAdmitted, "dup_texts" -> wbDupTexts,
+        "novel_admitted" -> wbNovel, "uniform_seconds" -> tNd))
+      check(wbDupTexts == 0L,
+        s"within-batch exact copies must collapse to one rep ($wbDupTexts texts duplicated)")
+      check(wbNovel == 50L, s"the 50 novel docs must be admitted ($wbNovel)")
+      check(wbAdmitted <= 100051L,
+        s"admitted exceeds distinct variants + novels ($wbAdmitted)")
+      check(tWb <= 10 * math.max(tNd, 5.0),
+        f"degenerate within-batch step must complete in the uniform time band ($tWb%.1f s vs $tNd%.1f s)")
+
       // ---- crawl planning at factor scale: priorities from a 2x-corpus
       // fetch history (one partial-agg pass), and budget shares that sum
       // EXACTLY to the budget under distributed partial aggregation of the

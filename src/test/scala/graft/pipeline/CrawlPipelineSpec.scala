@@ -281,6 +281,33 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$ix/sig").count() == 3)
   }
 
+  test("10_enrich enforces the EXACT global concurrency envelope through the pipeline path") {
+    // the reference's Semaphore(250) contract (src/config.py:91) must hold
+    // when enrichment runs as a pipeline stage, not only via EnrichJob: the
+    // enrich input is a post-join frame spread over the 32 shuffle
+    // partitions, so if the pipeline DROPPED the lease factories the
+    // per-partition approximation would run min-1-thread pools on many
+    // concurrent tasks and overshoot maxConcurrent=2 — the driver-hosted
+    // slot server is the only thing that can hold the global peak at 2
+    val warcDir = Files.createTempDirectory("crawl10_warc")
+    val work = Files.createTempDirectory("crawl10_work").toString
+    def body(i: Int) =
+      (1 to 40).flatMap(j => Seq("the", s"p${i}w$j", "and", s"x$i$j")).mkString(" ")
+    val recs = (1 to 12).map(i => response(s"http://h$i.example/p", body(i)))
+    Files.write(warcDir.resolve("s.warc"), recs.reduce(_ ++ _))
+    graft.enrich.ConcurrencyProbe.reset()
+    val counts = CrawlPipeline.run(spark, s"$warcDir/*.warc*", work,
+        qualityThresholds = graft.operators.QualityRules.Thresholds(minStopHits = 0L),
+        enrichStage = Some(CrawlPipeline.EnrichStage(
+          () => new graft.enrich.ProbeTransport, promptTemplate,
+          graft.enrich.EnrichConfig(maxConcurrent = 2,
+            exactGlobalConcurrency = true))))
+      .map(c => c.stage -> c.rows).toMap
+    assert(counts("10_enrich") == 12 && counts("10_enrich_ok") == 12, counts.toString)
+    val peak = graft.enrich.ConcurrencyProbe.peak.get()
+    assert(peak >= 1 && peak <= 2, s"exact global cap violated: peak=$peak")
+  }
+
   test("10_enrich replay: ok docs never re-pay the transport; failures re-attempt; outputs identical") {
     CountingTransport.reset()
     val warcDir = Files.createTempDirectory("crawl7_warc")
