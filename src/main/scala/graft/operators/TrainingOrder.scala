@@ -106,8 +106,16 @@ object TrainingOrder {
   def writeMixtureShards(ordered: DataFrame, posCol: Column, outDir: String,
       nShards: Int): DataFrame = {
     require(nShards >= 1 && nShards <= (1 << 20), s"nShards in [1, 2^20], got $nShards")
+    // task count is NOT the shard count: a shard may span several
+    // consecutive range partitions (several part-files whose NAME order is
+    // partition order, so the (shard, file, row) replay contract holds),
+    // and tying tasks to nShards would push corpus/nShards through one
+    // task — e.g. 12.5 TB per task for 8 shards at 100 TB. Scale the range
+    // partitioning with the session's shuffle width instead.
+    val numParts = math.max(nShards,
+      ordered.sparkSession.sessionState.conf.numShufflePartitions)
     val parted = ordered
-      .repartitionByRange(math.max(1, nShards), posCol)
+      .repartitionByRange(numParts, posCol)
       .sortWithinPartitions(posCol)
       .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint()

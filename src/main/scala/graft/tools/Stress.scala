@@ -5,6 +5,8 @@ import graft.operators.{BloomJoin, Bpe, ContainmentJoin, CountMin, DedupClusters
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** Empirical scale-up proof for the scale-critical operators (VERDICT r3
   * backlog #3): synthesize a `factor`× corpus by replicating documents /
   * embeddings with deterministic per-replica perturbations, then drive the
@@ -984,6 +986,64 @@ object Stress {
       check(mixViol == 0,
         s"admitted mass must land within one doc above each binding budget ($mixViol groups out)")
       check(mixDiff == 0, s"exact mix must be repartition-invariant (diff $mixDiff)")
+
+      // ---- composed daemon throughput: N snapshots through runStream —
+      // the full curate → admit → delta-index chain as ONE number (docs/s)
+      // plus the dominant stage, instead of per-operator bench rows that
+      // can't see stage composition. Fixed-size like the degenerate stages
+      // (the throughput RECORD wants a stable denominator, not a scale
+      // proof — the per-operator stages above own scaling), pages drawn
+      // from the real stress corpus so dedup/quality do realistic work.
+      val ((tpDocs, tpBatches, stageSecs), tTp) = timed {
+        def warcResponse(uri: String, body: String): Array[Byte] = {
+          val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+          val payload = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+            body).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+            s"WARC-Date: 2024-01-02T03:04:05Z\r\n" +
+            s"Content-Length: ${payload.length}\r\n\r\n").getBytes(iso) ++
+            payload ++ "\r\n\r\n".getBytes(iso)
+        }
+        val perSnap = 1000
+        val nSnaps = 3
+        // deterministic slice: page i of snapshot s is stress doc
+        // (s * perSnap + i) — snapshots are disjoint except the replica
+        // near-dups the admission indexes must reject across snapshots
+        val pages = docs.orderBy(col("doc_id")).limit(perSnap * nSnaps)
+          .select(col("doc_id"), col("text")).collect()
+        val warcDir = java.nio.file.Files.createDirectory(
+          java.nio.file.Paths.get(s"$workDir/tp_warc"))
+        val byStage = mutable.LinkedHashMap.empty[String, Double]
+        var batches = 0L
+        val q = graft.pipeline.CrawlPipeline.runStream(spark,
+          warcDir.toString, s"$workDir/tp_work", s"$workDir/tp_ix/index",
+          qualityThresholds = QualityRules.Thresholds(minStopHits = 0L),
+          onBatch = (_, cs) => {
+            batches += 1
+            cs.foreach(c => byStage(c.stage) =
+              byStage.getOrElse(c.stage, 0.0) + c.seconds)
+          })
+        try {
+          for (s <- 0 until nSnaps) {
+            val bytes = pages.slice(s * perSnap, (s + 1) * perSnap)
+              .map(r => warcResponse(
+                s"http://d${r.getLong(0)}.example/page", r.getString(1)))
+              .reduce(_ ++ _)
+            java.nio.file.Files.write(warcDir.resolve(f"snap$s%02d.warc"), bytes)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        (perSnap.toLong * nSnaps, batches, byStage.toSeq)
+      }
+      val tpDominant = stageSecs.sortBy(-_._2).headOption.getOrElse(("none", 0.0))
+      println(j(Seq("stage" -> "daemon_throughput", "seconds" -> tTp,
+        "docs_in" -> tpDocs, "batches" -> tpBatches,
+        "docs_per_sec" -> tpDocs / math.max(tTp, 1e-9),
+        "dominant_stage" -> tpDominant._1,
+        "dominant_seconds" -> tpDominant._2) ++
+        stageSecs.map { case (s, v) => s"t_$s" -> v }: _*))
+      check(tpBatches >= 3,
+        s"daemon throughput stage must process all 3 snapshots ($tpBatches batches)")
 
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
