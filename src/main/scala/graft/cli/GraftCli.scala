@@ -270,6 +270,13 @@ object GraftCli {
             f"$r%.3f" + (if (r > 1.5) "  ** DRIFTED: rebuild the quantizer **" else ""))
           println(f"ann-append: ${st.n} vectors -> $indexDir " +
             f"(mean_l2sq=${st.meanL2sq}%.4f drift_ratio=$drift)")
+        case "ann-rebuild" :: indexDir :: rest =>
+          // re-train the quantizer over the accumulated corpus behind a
+          // write-then-swap (the action ann-append's drift warning points
+          // to; stop appenders/queries first — replaceDir's contract)
+          val nCells = rest.headOption.map(_.toInt).getOrElse(8)
+          val n = graft.operators.Similarity.ivfRebuild(spark, indexDir, nCells)
+          println(s"ann-rebuild: $n vectors re-quantized into $nCells cells -> $indexDir")
         case "ann-compact" :: indexDir :: rest =>
           // coalesce append-grown cell files (write-then-swap; stop
           // appenders first — replaceDir's contract)

@@ -307,6 +307,34 @@ object Similarity {
     n
   }
 
+  /** Re-train the coarse quantizer over everything the index holds and swap
+    * the result in atomically — the ACTION [[IvfAppendStats.driftRatio]]
+    * points to. [[ivfBuild]] writes into its target directly (fine for a
+    * fresh dir), so rebuilding a LIVE index in place would destroy it on a
+    * mid-build crash; this builds into `indexDir.rebuild` staging and
+    * commits via the write-then-swap discipline ([[ivfCompact]]'s
+    * contract — stop appenders/queries while rebuilding, recoverDir heals
+    * the crash windows). The fresh build re-trains centroids on the full
+    * accumulated corpus and re-baselines `stats`, so post-rebuild appends
+    * measure drift against quantizers that have seen everything.
+    *
+    * @param nCells cell count for the new quantizer — grow ~sqrt(N) as the
+    *               corpus accumulates (see [[ivfTopK]]'s sizing note)
+    * @return number of vectors in the rebuilt index
+    */
+  def ivfRebuild(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      nCells: Int): Long = {
+    IncrementalDedup.recoverDir(indexDir)
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .select(col("neighbor_id"), col("cv")).localCheckpoint()
+    val n = cells.count()
+    val next = s"$indexDir.rebuild"
+    IncrementalDedup.clearStaging(next)
+    ivfBuild(cells, "neighbor_id", "cv", nCells, next)
+    IncrementalDedup.replaceDir(indexDir, next)
+    n
+  }
+
   /** Query a persisted IVF index (see [[ivfBuild]]).
     *
     * The probe-cell set (≤ nQueries·nProbe ints) is collected driver-side

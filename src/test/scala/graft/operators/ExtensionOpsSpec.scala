@@ -200,6 +200,34 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(healed.count() > 0 && java.nio.file.Files.exists(live))
   }
 
+  test("ivfRebuild re-trains the quantizer over the accumulated corpus and resets the drift baseline") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild").toString
+    // build on half, then append a SHIFTED second half: under the frozen
+    // quantizer the batch reads as heavy drift
+    Similarity.ivfBuild(emb.where($"vec_id" % 2 === 0), "vec_id", "embedding", 8, dir)
+    val shifted = emb.where($"vec_id" % 2 =!= 0)
+      .select($"vec_id", transform($"embedding",
+        x => (x + lit(0.5f)).cast("float")).as("embedding"))
+    val before = Similarity.ivfAppend(spark, dir, shifted, "vec_id", "embedding")
+    assert(before.driftRatio.exists(_ > 1.5), before.toString)
+    // rebuild: quantizer re-trained on the union, swap atomic, count exact
+    assert(Similarity.ivfRebuild(spark, dir, nCells = 8) == emb.count())
+    assert(!new java.io.File(s"$dir.rebuild").exists())
+    assert(!new java.io.File(s"$dir.old").exists())
+    // the union's mass is preserved cell-partitioned and queryable
+    assert(spark.read.parquet(s"$dir/cells").count() == emb.count())
+    assert(Similarity.ivfQuery(spark, dir, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 5, nProbe = 8).count() > 0)
+    // re-baselined stats: a re-append of the same shifted distribution now
+    // reads as in-distribution (the new quantizer has seen it)
+    val after = Similarity.ivfAppend(spark, dir,
+      shifted.select(($"vec_id" + 50000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding")
+    assert(after.driftRatio.exists(r => r > 0.3 && r < 1.5), after.toString)
+  }
+
   test("ivfCompact coalesces appended cell files; queries stay row-identical") {
     import graft.core.Tables
     val emb = Tables.embeddings(spark, sf0001)
