@@ -693,3 +693,61 @@ case class SigMatchCount(left: Expression, right: Expression) extends BinaryExpr
       newLeft: Expression, newRight: Expression): SigMatchCount =
     copy(left = newLeft, right = newRight)
 }
+
+object PqAdcImpl {
+  /** Asymmetric-distance (ADC) accumulation for a product-quantized vector:
+    * Σ_s lut[s][codes[s]] — the code array picks one precomputed
+    * sub-distance per subspace from the query's lookup table. Double
+    * precision, subspace order, so the fold is bit-identical to the HOF
+    * twin `aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c+1)),
+    * 0.0, +)` kept for the parity spec. Shape mismatches THROW (loud usage
+    * errors — a silent zero would rank garbage plausibly).
+    */
+  def compute(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    if (lut.numElements() != m)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: $m codes but ${lut.numElements()} LUT rows")
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val row = lut.getArray(s)
+      val c = codes.getInt(s)
+      if (c < 0 || c >= row.numElements())
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code $c out of [0, ${row.numElements()}) in subspace $s")
+      acc += row.getDouble(c)
+      s += 1
+    }
+    acc
+  }
+}
+
+/** graft_pq_adc(codes, lut): the PQ query scan's hot-path scorer — runs once
+  * per (corpus row × query), so it is a native codegen'd expression for the
+  * same reason as [[SrpSignature]] (higher-order functions never codegen;
+  * an interpreted m-lambda chain per scanned row would dominate the scan).
+  */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_adc requires array<int> codes and array<array<double>> lut, got $l and $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAdcImpl.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.PqAdcImpl.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}

@@ -167,6 +167,8 @@ object GraftFunctions {
     exprCol(ContentExtract(expr(text), minLen, minAlnumPct, keepBlank))
   def sigMatchCount(a: Column, b: Column): Column =
     exprCol(SigMatchCount(expr(a), expr(b)))
+  def pqAdc(codes: Column, lut: Column): Column =
+    exprCol(PqAdc(expr(codes), expr(lut)))
 }
 
 /** `SparkSessionExtensions` injector — the deployment-grade registration

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the STORAGE tier of the ANN stack (Jégou,
+  * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011; the same role PQ plays under FAISS's IVF-PQ indexes).
+  *
+  * At 100 TB the embedding column dominates storage and scan volume: a
+  * 64-dim float vector is 256 bytes, its PQ code (m=8 subspaces, one
+  * small-codebook id each) is m ints — 32× less to store, shuffle, and
+  * scan. The vector is split into `m` contiguous subspaces; each subspace
+  * gets its own tiny k-means codebook; a vector's code is its per-subspace
+  * nearest-centroid ids. A query never decodes the corpus: it precomputes
+  * one lookup table per subspace (its distance to every codebook entry —
+  * exactly the row the native `graft_l2sq_distances` kernel returns) and
+  * scores a corpus row as the sum of `m` table lookups (asymmetric
+  * distance, ADC) via the codegen'd `graft_pq_adc` expression.
+  *
+  * Metric contract: vectors are unit-normalized inside [[encode]]/
+  * [[queryLut]], so squared L2 = 2 − 2·cosine and the ADC ranking
+  * approximates the COSINE ranking the rest of the similarity stack
+  * ([[Similarity.bruteForceTopK]], IVF, SRP-LSH) uses — recall is directly
+  * comparable across tiers and gate-able against the same brute-force
+  * oracle. Approximation error comes only from quantizing the corpus
+  * vector; the query side is exact per subspace.
+  *
+  * Determinism: per-subspace k-means uses seed 42+s (like [[Similarity]]'s
+  * IVF fits, deterministic per input layout — k-means|| init samples per
+  * partition); argmin ties break to the lowest code id (first minimum);
+  * ADC folds in subspace order in double precision — encode/query over a
+  * fixed model agree bit-for-bit under any partitioning.
+  *
+  * Sizing (same lesson as the IVF cells, Similarity.scala): codebooks must
+  * not outrun the corpus — nCodes ≤ ~corpus/30 per subspace keeps the
+  * k-means fits meaningful; at real scale use nCodes=256 (one byte per
+  * subspace, the classic layout) and train on a sample.
+  */
+object ProductQuantizer {
+
+  /** Trained codebooks: `codebooks(s)(c)` is centroid `c` of subspace `s`
+    * (length [[subDim]]). Plain vectors so the model serializes into plan
+    * literals — queries bake it into expressions, never join against it.
+    */
+  final case class PqModel(m: Int, subDim: Int, nCodes: Int,
+      codebooks: Vector[Vector[Vector[Double]]]) {
+    require(codebooks.length == m && codebooks.forall(_.length == nCodes),
+      s"codebooks must be m=$m x nCodes=$nCodes")
+    private[operators] def matrix(s: Int): Array[Array[Double]] =
+      codebooks(s).map(_.toArray).toArray
+  }
+
+  /** Unit-normalize to doubles (zero vectors pass through unscaled rather
+    * than dividing by zero — they rank last against everything either way).
+    */
+  private def unitize(vec: Column): Column = {
+    val n = sqrt(Similarity.norm2(vec))
+    transform(vec, x => when(n > 0, x.cast("double") / n)
+      .otherwise(x.cast("double")))
+  }
+
+  /** Train `m` per-subspace codebooks of `nCodes` centroids each over the
+    * unit-normalized corpus. One narrow pass materializes the normalized
+    * vectors once (localCheckpoint); each fit then slices its own subspace —
+    * m driver-coordinated fits over nCodes×subDim driver-scale state.
+    */
+  def train(corpus: DataFrame, vecCol: String, m: Int = 8,
+      nCodes: Int = 16): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(m >= 1 && nCodes >= 2, s"need m >= 1 and nCodes >= 2, got ($m, $nCodes)")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val subDim = dim / m
+    val unit = corpus.select(unitize(col(vecCol)).as("__u")).localCheckpoint()
+    val codebooks = (0 until m).map { s =>
+      val train = unit.select(
+        array_to_vector(slice(col("__u"), s * subDim + 1, subDim)).as("features"))
+      new KMeans().setK(nCodes).setSeed(42L + s).setMaxIter(10).fit(train)
+        .clusterCenters.map(_.toArray.toVector).toVector
+    }.toVector
+    PqModel(m, subDim, nCodes, codebooks)
+  }
+
+  /** PQ code of a vector: `array<int>` of length m, code s = nearest
+    * codebook entry of subspace s (first-minimum tiebreak — the KMeans
+    * findClosest rule). A pure narrow projection over the codegen'd
+    * distance kernel; this is the column to PERSIST in place of (or beside)
+    * the raw vectors.
+    */
+  def encode(vec: Column, model: PqModel): Column = {
+    val u = unitize(vec)
+    array((0 until model.m).map { s =>
+      val d = graft.expressions.GraftFunctions.l2sqDistances(
+        slice(u, s * model.subDim + 1, model.subDim), model.matrix(s))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** The query's per-subspace distance tables: `array<array<double>>`,
+    * row s = squared L2 from the query's subspace-s slice to every entry of
+    * codebook s — one `graft_l2sq_distances` call per subspace.
+    */
+  def queryLut(vec: Column, model: PqModel): Column = {
+    val u = unitize(vec)
+    array((0 until model.m).map { s =>
+      graft.expressions.GraftFunctions.l2sqDistances(
+        slice(u, s * model.subDim + 1, model.subDim), model.matrix(s))
+    }: _*)
+  }
+
+  /** The ADC score — HOF twin of the native expression, kept for the
+    * bit-parity spec (the native path is the one the scan uses).
+    */
+  def adcHof(codes: Column, lut: Column): Column =
+    aggregate(zip_with(codes, lut, (c, row) => element_at(row, c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Approximate top-k neighbors per query over PQ codes: the corpus scan
+    * reads codes only (m ints/row — on a persisted coded table, 32× less
+    * I/O than vectors), queries broadcast with their precomputed LUTs, and
+    * each (row, query) costs m table lookups inside whole-stage codegen.
+    * Output: (query_id, rank, neighbor_id, adist) — `adist` is the
+    * quantized squared L2 on the unit sphere (2 − 2·cosine up to
+    * quantization), ascending = most similar first.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: PqModel,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      encode(col(vecCol), model).as("__codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      queryLut(col(vecCol), model).as("__lut"))
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) $"neighbor_id" =!= $"query_id" else lit(true))
+      .select($"query_id", $"neighbor_id",
+        graft.expressions.GraftFunctions.pqAdc($"__codes", $"__lut").as("adist"))
+    val w = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"adist")
+  }
+
+  /** The production PQ query shape (FAISS's refine step): the code-only
+    * ADC scan retrieves a `rerank`-sized candidate pool per query, exact
+    * cosine re-ranks the POOL ONLY, and top-k of the re-rank is returned.
+    * Raw ADC ranks carry the corpus-side quantization error — on weakly
+    * separated neighbors (any near-uniform embedding cloud) that error
+    * shuffles the head of the list, but it rarely pushes a true neighbor
+    * out of a 10-20× pool; the exact re-rank then restores the head. The
+    * expensive full-width vectors are fetched for nQueries×rerank rows via
+    * an equi-join — never scanned: at 100 TB the scan stays 32× thin and
+    * the re-rank reads a bounded sliver.
+    *
+    * Emitted sims are EXACT cosines (the [[Similarity.bruteForceTopK]]
+    * metric) — approximation affects only which candidates reach the pool,
+    * the same contract as the banded dedup tiers. Output:
+    * (query_id, rank, neighbor_id, sim).
+    */
+  def pqTopKReranked(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: PqModel, rerank: Int = 50,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerank >= k, s"rerank pool $rerank must be >= k=$k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pool = pqTopK(corpus, queries, idCol, vecCol, rerank, model, excludeSelf)
+      .select($"query_id", $"neighbor_id")
+    val exact = pool
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"))), Seq("query_id"))
+      .select($"query_id", $"neighbor_id",
+        Similarity.cosine($"__qv", $"__cv").as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+  }
+}

@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *    (one bucket = 2^-bits of the corpus): kept for the soundness gate
   *    (t30) and as the cheapest possible filter, not a product surface.
   *
+  * The STORAGE tier is [[ProductQuantizer]]: PQ codes shrink the scanned
+  * bytes ~32× and the re-ranked query (ADC pool → exact cosine refine)
+  * emits exact sims — gate-locked at recall@5 >= 0.8 (t117).
+  *
   * All dot products run in double precision, folding in element order, so
   * results are bit-deterministic across partitions and match an oracle that
   * evaluates the same chain.

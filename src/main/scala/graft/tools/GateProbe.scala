@@ -16,7 +16,14 @@ import org.apache.spark.sql.functions._
   *     production path), lsh_mp bits=2 mp=2 -> 0.93/0.53/0.73 (floor 0.5),
   *     lsh single-probe bits=2 -> 0.53/0.20/0.40 (floor 0.15, designated
   *     weak baseline). Cell count must not outrun the corpus: nCells=16
-  *     nProbe=8 gave 0.47 at n=500 but 0.93 at n=2000.
+  *     nProbe=8 gave 0.47 at n=500 but 0.93 at n=2000;
+  *   pq recall (round-14 sweep): raw ADC ranks are weak on this
+  *     near-uniform embedding cloud at every config (0.07-0.40 — the
+  *     corpus-side quantization error shuffles barely-separated heads),
+  *     and the re-ranked production shape recovers them: the t117 gate
+  *     config m=16 nCodes=16 rerank=100 -> 0.93/1.00/0.87 (floor 0.8);
+  *     runner-up m=8 nCodes=32 -> 0.87/0.80/0.80. The rerank pool must
+  *     scale with the corpus (~5% of n): rr25 at n=2000 read 0.33-0.47.
   */
 object GateProbe {
 
@@ -49,6 +56,19 @@ object GateProbe {
       Similarity.ivfAppend(spark, dir, emb.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding")
       println(f"[$sf] n=$n ivf_append nCells=8 nProbe=5 recall=${recall(
         Similarity.ivfQuery(spark, dir, q, "vec_id", "embedding", 5, nProbe = 5))}%.3f")
+      // PQ storage tier: recall@5 per (m, nCodes) — codebooks must not
+      // outrun the corpus (the IVF cells lesson, per subspace this time).
+      // Raw ADC ranks carry the corpus-side quantization error; the
+      // re-ranked (FAISS refine) recall is the production number.
+      for ((m, nc) <- Seq((4, 16), (4, 32), (8, 16), (8, 32), (16, 16))) {
+        val model = graft.operators.ProductQuantizer.train(emb, "embedding", m, nc)
+        val raw = recall(graft.operators.ProductQuantizer
+          .pqTopK(emb, q, "vec_id", "embedding", 5, model))
+        val rr = Seq(25, 50, 100).map(r => f"rr$r=${recall(
+          graft.operators.ProductQuantizer.pqTopKReranked(
+            emb, q, "vec_id", "embedding", 5, model, rerank = r))}%.3f")
+        println(f"[$sf] n=$n pq m=$m nCodes=$nc adc=$raw%.3f ${rr.mkString(" ")}")
+      }
       emb.unpersist(); bf.unpersist()
     }
   }

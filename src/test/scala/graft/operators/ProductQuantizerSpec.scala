@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProductQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.core.Tables.embeddings(spark, sf0001)
+  private lazy val model = ProductQuantizer.train(emb, "embedding", m = 8, nCodes = 16)
+
+  test("codes: m per vector, every code in range, deterministic under repartition") {
+    val coded = emb.select($"vec_id",
+      ProductQuantizer.encode($"embedding", model).as("codes"))
+    assert(coded.where(size($"codes") =!= 8).count() == 0)
+    assert(coded.where(exists($"codes", c => c < 0 || c >= 16)).count() == 0)
+    val a = coded.as[(Long, Seq[Int])].collect().toMap
+    val b = emb.repartition(13).select($"vec_id",
+        ProductQuantizer.encode($"embedding", model).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(a == b)
+    // and a fresh train over the same frame yields the same codebooks
+    // (fixed per-subspace seeds; like ivfBuild, determinism is per input
+    // layout — k-means|| init samples per partition)
+    val model2 = ProductQuantizer.train(emb, "embedding", 8, 16)
+    assert(model2.codebooks == model.codebooks)
+  }
+
+  test("native graft_pq_adc is bit-identical to the HOF fold") {
+    val df = emb.select(
+      ProductQuantizer.encode($"embedding", model).as("codes"),
+      ProductQuantizer.queryLut($"embedding", model).as("lut"))
+    val diff = df.where(graft.expressions.GraftFunctions.pqAdc($"codes", $"lut")
+      =!= ProductQuantizer.adcHof($"codes", $"lut")).count()
+    assert(diff == 0)
+    // self-ADC is the vector's own quantization error: non-negative and
+    // small on the unit sphere (each subspace contributes its residual)
+    val worst = df.select(max(graft.expressions.GraftFunctions
+      .pqAdc($"codes", $"lut"))).head().getDouble(0)
+    assert(worst >= 0.0 && worst < 2.0, s"self quantization error $worst")
+  }
+
+  test("pqTopKReranked: exact sims, dense ranks, k rows per query, pool >= raw-ADC recall") {
+    val q = emb.filter($"vec_id" < 3)
+    val topk = ProductQuantizer.pqTopKReranked(
+      emb, q, "vec_id", "embedding", k = 5, model, rerank = 100)
+      .localCheckpoint()
+    assert(topk.groupBy($"query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 5))
+    assert(topk.where($"query_id" === $"neighbor_id").count() == 0)
+    // emitted sims are EXACT cosines — value identity against recompute
+    val cv = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("cv"))
+    val qv = emb.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    assert(topk.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .where(Similarity.cosine($"qv", $"cv") =!= $"sim").count() == 0)
+    // ranks dense in (sim desc, neighbor_id) order
+    val ranks = topk.orderBy($"query_id", $"rank")
+      .select($"query_id", $"rank").as[(Long, Long)].collect()
+    ranks.groupBy(_._1).values.foreach(rs =>
+      assert(rs.map(_._2).toSeq == (1L to rs.length)))
+    // the exact re-rank can only improve on raw ADC head ordering: every
+    // reranked hit was IN the ADC pool by construction
+    val pool = ProductQuantizer.pqTopK(
+      emb, q, "vec_id", "embedding", k = 100, model)
+      .select($"query_id", $"neighbor_id")
+    assert(topk.select($"query_id", $"neighbor_id")
+      .join(pool, Seq("query_id", "neighbor_id"), "left_anti").count() == 0)
+  }
+}
