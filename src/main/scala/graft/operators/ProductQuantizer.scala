@@ -183,4 +183,107 @@ object ProductQuantizer {
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"neighbor_id", $"sim")
   }
+
+  /** Persist the IVF-PQ layout — the composition that IS the billion-scale
+    * index (FAISS `IVFPQ` + refine): one parquet table PARTITIONED BY the
+    * IVF cell, carrying per row the PQ code array AND the raw vector. A
+    * query then pays three strictly shrinking reads: (1) the probed-cell
+    * partition filter prunes `1 − nProbe/nCells` of the data at the SCAN;
+    * (2) the ADC pass over the surviving rows reads the codes column only
+    * (parquet column pruning — the 256-byte vector column is never
+    * decoded); (3) the exact re-rank reads full vectors for the
+    * pool ∩ probed cells only, re-applying the same partition filter.
+    * Deterministic like [[Similarity.ivfBuild]] (same seed/layout rules);
+    * `model` + the centroid table persist beside the cells for query time.
+    */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, model: PqModel, indexDir: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
+    km.transform(corpus.withColumn("features", array_to_vector(col(vecCol))))
+      .select(col(idCol).as("neighbor_id"),
+        encode(col(vecCol), model).as("codes"), col(vecCol).as("cv"),
+        col("prediction").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+    km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    spark.createDataset(model.codebooks.zipWithIndex.map {
+      case (cb, s) => (s, cb.map(_.toArray).toArray)
+    }).toDF("subspace", "codebook")
+      .write.mode("overwrite").parquet(s"$indexDir/pq_model")
+  }
+
+  /** Load the PQ model persisted by [[ivfPqBuild]]. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): PqModel = {
+    val rows = spark.read.parquet(s"$indexDir/pq_model")
+      .orderBy("subspace").collect()
+    val codebooks = rows.map(_.getSeq[scala.collection.Seq[Double]](1)
+      .map(_.toVector).toVector).toVector
+    PqModel(codebooks.length, codebooks.head.head.length,
+      codebooks.head.length, codebooks)
+  }
+
+  /** Query a persisted IVF-PQ index: probe cells come from the broadcast
+    * centroid table ([[Similarity.ivfQuery]]'s cosine probe rule and static
+    * `IN` partition filter), the ADC pool forms over the probed cells'
+    * CODES column, and the exact re-rank re-reads only pool rows — every
+    * stage prunes before the next pays. Output like [[pqTopKReranked]]:
+    * (query_id, rank, neighbor_id, sim) with EXACT cosine sims.
+    */
+  def ivfPqQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4, rerank: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(rerank >= k, s"rerank pool $rerank must be >= k=$k")
+    IncrementalDedup.recoverDir(indexDir)
+    val model = loadModel(spark, indexDir)
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy($"query_id").orderBy($"cdist", $"cell")
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -Similarity.dot($"qv", $"centroid") /
+        (sqrt(Similarity.norm2($"qv")) * sqrt(Similarity.norm2($"centroid"))))
+      .withColumn("prn", row_number().over(probeW))
+      .filter($"prn" <= nProbe)
+      .select($"query_id", $"qv", $"cell")
+    val probeCells = probes.select($"cell".cast("int")).distinct()
+      .as[Int].collect().toSeq
+
+    // ADC pool: codes-only columns of the probed cells (ReadSchema carries
+    // codes, never cv), LUTs ride the broadcast probe rows
+    val coded = spark.read.parquet(s"$indexDir/cells")
+      .filter($"cell".isInCollection(probeCells))
+      .select($"cell", $"neighbor_id", $"codes")
+    val withLut = probes.select($"query_id", $"cell",
+      queryLut($"qv", model).as("__lut"))
+    val poolW = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
+    val pool = coded.join(broadcast(withLut), Seq("cell"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id",
+        graft.expressions.GraftFunctions.pqAdc($"codes", $"__lut").as("adist"))
+      .withColumn("prank", row_number().over(poolW))
+      .filter($"prank" <= rerank)
+      .select($"query_id", $"neighbor_id")
+
+    // exact refine: full vectors for pool rows only, same partition filter
+    val vecs = spark.read.parquet(s"$indexDir/cells")
+      .filter($"cell".isInCollection(probeCells))
+      .select($"neighbor_id", $"cv")
+    val exact = pool.join(vecs, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select($"query_id", $"neighbor_id",
+        Similarity.cosine($"qv", $"cv").as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+  }
 }

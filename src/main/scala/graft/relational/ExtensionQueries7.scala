@@ -784,6 +784,37 @@ object ExtensionQueries7 {
         "refine shape) — sims exact, ranks dense, no self/dups, recall@5 " +
         ">= 0.8 vs brute force; violations + sentinel, constant oracle.",
       gate = true
+    ),
+    // --------------------------------------------------------------- t118
+    GraftQuery(
+      "t118_ivfpq",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{ProductQuantizer => PQ}
+        // the composed billion-scale layout (FAISS IVFPQ + refine): one
+        // cell-partitioned table carrying PQ codes AND raw vectors; a query
+        // pays three strictly shrinking reads — probed-cell partition
+        // pruning, codes-only ADC pool, pool-only exact refine (plan shape
+        // pinned in PlanShapeSpec). Measured recall@5 at the locked config
+        // (nCells=8, nProbe=5, m=16/nCodes=16, rerank=100, GateProbe ann):
+        // 0.800/0.867/0.800 at sf0.001/0.01/0.1 — floor 0.8, the same
+        // at-the-floor determinism contract as t22.
+        val emb = graft.core.Tables.embeddings(s, d)
+        val queries = emb.filter($"vec_id" < 3)
+        val model = PQ.train(emb, "embedding", m = 16, nCodes = 16)
+        val dir = java.nio.file.Files.createTempDirectory("graft_t118").toString
+        PQ.ivfPqBuild(emb, "vec_id", "embedding", nCells = 8, model, dir)
+        val topk = PQ.ivfPqQuery(s, dir, queries, "vec_id", "embedding",
+          k = 5, nProbe = 5, rerank = 100)
+        AnnGates.verdict(emb, queries, topk, k = 5, recallFloor = 0.8)
+      },
+      Some(AnnGates.oracle),
+      doc = "IVF-PQ composed index: cell-partitioned PQ codes + vectors, " +
+        "probed-cell pruning at the scan, codes-only ADC pool, exact " +
+        "cosine refine of pool rows — sims exact, ranks dense, no " +
+        "self/dups, recall@5 >= 0.8 vs brute force; violations + " +
+        "sentinel, constant oracle.",
+      gate = true
     )
   )
 }

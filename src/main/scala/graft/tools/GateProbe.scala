@@ -69,6 +69,14 @@ object GateProbe {
             emb, q, "vec_id", "embedding", 5, model, rerank = r))}%.3f")
         println(f"[$sf] n=$n pq m=$m nCodes=$nc adc=$raw%.3f ${rr.mkString(" ")}")
       }
+      // IVF-PQ composed layout: cell pruning x thin ADC x exact refine
+      val pqm = graft.operators.ProductQuantizer.train(emb, "embedding", 16, 16)
+      val ipDir = java.nio.file.Files.createTempDirectory("probe_ivfpq").toString
+      graft.operators.ProductQuantizer.ivfPqBuild(emb, "vec_id", "embedding", 8, pqm, ipDir)
+      for ((np, rr) <- Seq((4, 50), (5, 100), (6, 100), (8, 100)))
+        println(f"[$sf] n=$n ivfpq nCells=8 nProbe=$np rerank=$rr recall=${recall(
+          graft.operators.ProductQuantizer.ivfPqQuery(spark, ipDir, q,
+            "vec_id", "embedding", 5, np, rr))}%.3f")
       emb.unpersist(); bf.unpersist()
     }
   }

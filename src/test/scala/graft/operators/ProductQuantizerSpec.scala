@@ -66,4 +66,36 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(topk.select($"query_id", $"neighbor_id")
       .join(pool, Seq("query_id", "neighbor_id"), "left_anti").count() == 0)
   }
+
+  test("ivfPqBuild/ivfPqQuery: persisted model round-trips, sims exact, crashed swap heals") {
+    val q = emb.filter($"vec_id" < 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val m16 = ProductQuantizer.train(emb, "embedding", 16, 16)
+    ProductQuantizer.ivfPqBuild(emb, "vec_id", "embedding", 8, m16, dir)
+    // the persisted model is the model (quantizer authority round-trips)
+    assert(ProductQuantizer.loadModel(spark, dir).codebooks == m16.codebooks)
+    val topk = ProductQuantizer.ivfPqQuery(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 8, rerank = 100).localCheckpoint()
+    assert(topk.groupBy($"query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 5))
+    // emitted sims are exact cosines
+    val cv = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("cv"))
+    val qv = emb.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    assert(topk.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .where(Similarity.cosine($"qv", $"cv") =!= $"sim").count() == 0)
+    // nProbe = nCells probes every cell, so with rerank >= corpus the pool
+    // IS the corpus and the refined head must EQUAL brute force exactly —
+    // a theorem (exact cosine over all candidates), not a recall sample
+    val all = ProductQuantizer.ivfPqQuery(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 8, rerank = 500)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select($"query_id", $"rank", $"neighbor_id")
+    assert(all.select($"query_id", $"rank", $"neighbor_id")
+      .exceptAll(bf).count() == 0, "exhaustive IVF-PQ must equal brute force")
+    // crash window between the (future) swap renames heals on query
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(s"$dir.old"))
+    assert(ProductQuantizer.ivfPqQuery(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 3).count() > 0)
+  }
 }

@@ -96,6 +96,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!scanLine.contains("PartitionFilters: []"), scanLine)
   }
 
+  test("ivfPqQuery: ADC scan prunes to probed cells AND reads codes without vectors") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val model = graft.operators.ProductQuantizer.train(emb, "embedding", 16, 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-plan").toString
+    graft.operators.ProductQuantizer.ivfPqBuild(emb, "vec_id", "embedding", 8, model, dir)
+    val df = graft.operators.ProductQuantizer.ivfPqQuery(spark, dir,
+      emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, nProbe = 3)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("cells")).toVector
+    assert(scans.nonEmpty, p.take(1500))
+    // every cells scan is partition-pruned to the probed cells
+    scans.foreach(l => assert(l.contains("PartitionFilters: [cell") &&
+      !l.contains("PartitionFilters: []"), l))
+    // the ADC-pool scan reads codes but NOT the 256-byte vector column —
+    // that column-pruning is the 32x I/O claim of the layout
+    val adcScan = scans.find(l => l.replace(" ", "").contains("codes:array"))
+    assert(adcScan.isDefined, scans.mkString("\n"))
+    assert(!adcScan.get.replace(" ", "").contains("cv:array"),
+      s"ADC scan must not decode vectors:\n${adcScan.get}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t39 bloom prefilter runs on the probe side BELOW the semi join") {
     val p = planOf("t39_bloomjoin")
     assert(p.contains("LeftSemi"), p.take(1200))
