@@ -270,6 +270,26 @@ object GraftCli {
             f"$r%.3f" + (if (r > 1.5) "  ** DRIFTED: rebuild the quantizer **" else ""))
           println(f"ann-append: ${st.n} vectors -> $indexDir " +
             f"(mean_l2sq=${st.meanL2sq}%.4f drift_ratio=$drift)")
+        case "ann-pq-build" :: sfDir :: indexDir :: rest =>
+          // the composed billion-scale layout: IVF cells carrying PQ codes
+          // + vectors (see ProductQuantizer.ivfPqBuild)
+          val nCells = rest.headOption.map(_.toInt).getOrElse(8)
+          val m = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
+          val nCodes = rest.drop(2).headOption.map(_.toInt).getOrElse(16)
+          val emb = graft.core.Tables.embeddings(spark, sfDir)
+          val model = graft.operators.ProductQuantizer.train(emb, "embedding", m, nCodes)
+          graft.operators.ProductQuantizer.ivfPqBuild(
+            emb, "vec_id", "embedding", nCells, model, indexDir)
+          println(s"ann-pq-build: $nCells cells x ($m x $nCodes) codebooks -> $indexDir")
+        case "ann-pq-query" :: queriesParquet :: indexDir :: rest =>
+          val k = rest.headOption.map(_.toInt).getOrElse(5)
+          val nProbe = rest.drop(1).headOption.map(_.toInt).getOrElse(5)
+          val rerank = rest.drop(2).headOption.map(_.toInt).getOrElse(100)
+          graft.operators.ProductQuantizer.ivfPqQuery(spark, indexDir,
+              spark.read.parquet(queriesParquet), "vec_id", "embedding",
+              k, nProbe, rerank)
+            .show(50, truncate = false)
+          println(s"ann-pq-query: k=$k nProbe=$nProbe rerank=$rerank over $indexDir")
         case "ann-rebuild" :: indexDir :: rest =>
           // re-train the quantizer over the accumulated corpus behind a
           // write-then-swap (the action ann-append's drift warning points
@@ -675,8 +695,10 @@ object GraftCli {
               "compact-index <indexDir> [sig|fp|robots] [targetRows] | " +
               "shards <sfDir> <outDir> [nShards] [epoch] | " +
               "ann-build <sfDir> <indexDir> [nCells] | ann-append <inParquet> <indexDir> | " +
-              "ann-compact <indexDir> [targetRows] | " +
+              "ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells] | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
+              "ann-pq-build <sfDir> <indexDir> [nCells] [m] [nCodes] | " +
+              "ann-pq-query <queriesParquet> <indexDir> [k] [nProbe] [rerank] | " +
               "mix <sfDir> <outDir> <lang:budget,...> | " +
               "extract <in> <outDir> <idCol> <textCol> [minLen minAlnumPct] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
