@@ -281,6 +281,15 @@ object GraftCli {
           graft.operators.ProductQuantizer.ivfPqBuild(
             emb, "vec_id", "embedding", nCells, model, indexDir)
           println(s"ann-pq-build: $nCells cells x ($m x $nCodes) codebooks -> $indexDir")
+        case "ann-pq-append" :: inParquet :: indexDir :: Nil =>
+          // grow the composed index under both frozen quantizers
+          val in = spark.read.parquet(inParquet)
+          val st = graft.operators.ProductQuantizer.ivfPqAppend(
+            spark, indexDir, in, "vec_id", "embedding")
+          val drift = st.driftRatio.fold("n/a (no build baseline)")(r =>
+            f"$r%.3f" + (if (r > 1.5) "  ** DRIFTED: rebuild the quantizers **" else ""))
+          println(f"ann-pq-append: ${st.n} vectors -> $indexDir " +
+            f"(mean_l2sq=${st.meanL2sq}%.4f drift_ratio=$drift)")
         case "ann-pq-query" :: queriesParquet :: indexDir :: rest =>
           val k = rest.headOption.map(_.toInt).getOrElse(5)
           val nProbe = rest.drop(1).headOption.map(_.toInt).getOrElse(5)
@@ -698,6 +707,7 @@ object GraftCli {
               "ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells] | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
               "ann-pq-build <sfDir> <indexDir> [nCells] [m] [nCodes] | " +
+              "ann-pq-append <inParquet> <indexDir> | " +
               "ann-pq-query <queriesParquet> <indexDir> [k] [nProbe] [rerank] | " +
               "mix <sfDir> <outDir> <lang:budget,...> | " +
               "extract <in> <outDir> <idCol> <textCol> [minLen minAlnumPct] | " +

@@ -217,6 +217,73 @@ object ProductQuantizer {
       case (cb, s) => (s, cb.map(_.toArray).toArray)
     }).toDF("subspace", "codebook")
       .write.mode("overwrite").parquet(s"$indexDir/pq_model")
+    // per-cell drift baseline for [[ivfPqAppend]] ([[Similarity.ivfBuild]]'s
+    // discipline — one extra narrow pass, an nCells-row table)
+    val cmatrix = km.clusterCenters.map(_.toArray)
+    val cd = graft.expressions.GraftFunctions.l2sqDistances(col(vecCol), cmatrix)
+    corpus.select(cd.as("__d"))
+      .select((array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"),
+        array_min($"__d").as("__min"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"), avg($"__min").as("mean_l2sq"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** Grow a persisted IVF-PQ index under BOTH frozen quantizers — the
+    * composed-layout analog of [[Similarity.ivfAppend]]: cells come from
+    * the float-persisted centroid table (the authoritative coarse
+    * quantizer, Euclidean argmin with the first-min tiebreak), codes from
+    * the persisted PQ model, both as one narrow projection plus the
+    * partitioned append — no join, no shuffle, history never read. Returns
+    * the same [[Similarity.IvfAppendStats]] drift reading as the plain
+    * IVF append (the coarse quantizer is the drift sensor; PQ codebooks
+    * drift with it). When the ratio sustains above ~1.5, rebuild with
+    * [[ivfPqBuild]] into staging + [[graft.operators.IncrementalDedup.replaceDir]]
+    * (or just re-point at a fresh dir) — and note [[Similarity.ivfCompact]]
+    * compacts this layout too, carrying `pq_model` and `stats` through the
+    * swap.
+    */
+  def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      newVectors: DataFrame, idCol: String,
+      vecCol: String): Similarity.IvfAppendStats = {
+    import spark.implicits._
+    IncrementalDedup.recoverDir(indexDir)
+    val model = loadModel(spark, indexDir)
+    val cen = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").select("cell", "centroid").collect()
+    require(cen.nonEmpty && cen.zipWithIndex.forall {
+        case (r, i) => r.getInt(0) == i },
+      "centroid table must carry contiguous cells 0..n-1")
+    val matrix = cen.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val d = graft.expressions.GraftFunctions.l2sqDistances(col(vecCol), matrix)
+    newVectors
+      .select(col(idCol).as("neighbor_id"),
+        encode(col(vecCol), model).as("codes"), col(vecCol).as("cv"), d.as("__d"))
+      .select($"neighbor_id", $"codes", $"cv",
+        (array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+
+    // the same drift reading as Similarity.ivfAppend: batch per-cell mean
+    // assigned l2sq vs the build baseline over THIS batch's cell mixture
+    val batch = newVectors.select(d.as("__d"))
+      .select((array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"),
+        array_min($"__d").as("__min"))
+      .groupBy($"cell").agg(count(lit(1)).as("bn"), sum($"__min").as("bsum"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val n = batch.values.map(_._1).sum
+    val meanL2sq = if (n == 0) 0.0 else batch.values.map(_._2).sum / n
+    val statsPath = java.nio.file.Paths.get(s"$indexDir/stats")
+    val baseline = if (!java.nio.file.Files.exists(statsPath)) None else {
+      val base = spark.read.parquet(s"$indexDir/stats")
+        .select("cell", "mean_l2sq").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val covered = batch.filter { case (c, _) => base.contains(c) }
+      val cn = covered.values.map(_._1).sum
+      if (cn == 0) None
+      else Some(covered.map { case (c, (bn, _)) => bn * base(c) }.sum / cn)
+    }
+    Similarity.IvfAppendStats(n, meanL2sq, baseline,
+      baseline.filter(_ > 0).map(meanL2sq / _))
   }
 
   /** Load the PQ model persisted by [[ivfPqBuild]]. */

@@ -295,10 +295,14 @@ object Similarity {
     IncrementalDedup.recoverDir(indexDir) // heal a prior crashed swap first
     val cells = spark.read.parquet(s"$indexDir/cells").localCheckpoint()
     val centroids = spark.read.parquet(s"$indexDir/centroids").localCheckpoint()
-    val stats = // drift baseline rides along unchanged (pre-stats indexes: none)
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/stats")))
-        Some(spark.read.parquet(s"$indexDir/stats").localCheckpoint())
+    // drift baseline and the PQ model (IVF-PQ layouts) ride along
+    // unchanged — the swap replaces the WHOLE index dir, so any side table
+    // not copied into staging would be silently destroyed
+    def carry(name: String) =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/$name")))
+        Some(name -> spark.read.parquet(s"$indexDir/$name").localCheckpoint())
       else None
+    val side = Seq(carry("stats"), carry("pq_model")).flatten
     val n = cells.count()
     val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
     val next = s"$indexDir.compact"
@@ -306,7 +310,7 @@ object Similarity {
     cells.repartition(files, col("cell"))
       .write.partitionBy("cell").parquet(s"$next/cells")
     centroids.write.parquet(s"$next/centroids")
-    stats.foreach(_.write.parquet(s"$next/stats"))
+    side.foreach { case (name, df) => df.write.parquet(s"$next/$name") }
     IncrementalDedup.replaceDir(indexDir, next)
     n
   }

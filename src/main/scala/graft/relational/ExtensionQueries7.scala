@@ -815,6 +815,40 @@ object ExtensionQueries7 {
         "self/dups, recall@5 >= 0.8 vs brute force; violations + " +
         "sentinel, constant oracle.",
       gate = true
+    ),
+    // --------------------------------------------------------------- t119
+    GraftQuery(
+      "t119_ivfpq_append",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{ProductQuantizer => PQ}
+        // the composed layout's incremental lifecycle (t114's analog):
+        // build on the half that existed, append the rest under BOTH
+        // frozen quantizers (coarse cells + PQ codebooks), then hold the
+        // grown index to every AnnGates theorem plus a recall floor over
+        // the FULL corpus. Measured (GateProbe ann): 0.533/0.800/0.933 at
+        // sf0.001/0.01/0.1 — the half-corpus quantizers cost recall
+        // exactly where the corpus is tiny, and the floor locks that
+        // measured state (t114's contract, floor 0.5).
+        val emb = graft.core.Tables.embeddings(s, d)
+        val queries = emb.filter($"vec_id" < 3)
+        val half = emb.where($"vec_id" % 2 === 0)
+        val model = PQ.train(half, "embedding", m = 16, nCodes = 16)
+        val dir = java.nio.file.Files.createTempDirectory("graft_t119").toString
+        PQ.ivfPqBuild(half, "vec_id", "embedding", nCells = 8, model, dir)
+        PQ.ivfPqAppend(s, dir, emb.where($"vec_id" % 2 =!= 0),
+          "vec_id", "embedding")
+        val topk = PQ.ivfPqQuery(s, dir, queries, "vec_id", "embedding",
+          k = 5, nProbe = 5, rerank = 100)
+        AnnGates.verdict(emb, queries, topk, k = 5, recallFloor = 0.5)
+      },
+      Some(AnnGates.oracle),
+      doc = "Incremental IVF-PQ: build on half the corpus, append the rest " +
+        "under the frozen coarse + PQ quantizers, query the grown index — " +
+        "sims exact, ranks dense, no self/dups, recall@5 vs brute force " +
+        "over the FULL corpus above the floor; violations + sentinel, " +
+        "constant oracle.",
+      gate = true
     )
   )
 }

@@ -77,6 +77,17 @@ object GateProbe {
         println(f"[$sf] n=$n ivfpq nCells=8 nProbe=$np rerank=$rr recall=${recall(
           graft.operators.ProductQuantizer.ivfPqQuery(spark, ipDir, q,
             "vec_id", "embedding", 5, np, rr))}%.3f")
+      // t119 shape: half-built + appended composed index at the gate config
+      val ipDir2 = java.nio.file.Files.createTempDirectory("probe_ivfpq_app").toString
+      val pqmHalf = graft.operators.ProductQuantizer.train(
+        emb.filter($"vec_id" % 2 === 0), "embedding", 16, 16)
+      graft.operators.ProductQuantizer.ivfPqBuild(
+        emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", 8, pqmHalf, ipDir2)
+      graft.operators.ProductQuantizer.ivfPqAppend(
+        spark, ipDir2, emb.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding")
+      println(f"[$sf] n=$n ivfpq_append nProbe=5 rerank=100 recall=${recall(
+        graft.operators.ProductQuantizer.ivfPqQuery(spark, ipDir2, q,
+          "vec_id", "embedding", 5, 5, 100))}%.3f")
       emb.unpersist(); bf.unpersist()
     }
   }

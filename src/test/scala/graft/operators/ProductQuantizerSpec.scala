@@ -98,4 +98,36 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(ProductQuantizer.ivfPqQuery(spark, dir, q, "vec_id", "embedding",
       k = 5, nProbe = 3).count() > 0)
   }
+
+  test("ivfPqAppend: associative, drift-read, and ivfCompact keeps the PQ model through the swap") {
+    val q = emb.filter($"vec_id" < 3)
+    val half = emb.where($"vec_id" % 2 === 0)
+    val rest = emb.where($"vec_id" % 2 =!= 0)
+    val m16 = ProductQuantizer.train(half, "embedding", 16, 16)
+    val dir1 = java.nio.file.Files.createTempDirectory("ivfpq_a1").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_a2").toString
+    ProductQuantizer.ivfPqBuild(half, "vec_id", "embedding", 8, m16, dir1)
+    ProductQuantizer.ivfPqBuild(half, "vec_id", "embedding", 8, m16, dir2)
+    // one-shot vs split batches: both quantizers are frozen, so assignment
+    // and codes are per-vector — the grown indexes answer identically
+    val st = ProductQuantizer.ivfPqAppend(spark, dir1, rest, "vec_id", "embedding")
+    ProductQuantizer.ivfPqAppend(spark, dir2,
+      rest.where($"vec_id" % 4 === 1), "vec_id", "embedding")
+    ProductQuantizer.ivfPqAppend(spark, dir2,
+      rest.where($"vec_id" % 4 === 3), "vec_id", "embedding")
+    def res(dir: String) = ProductQuantizer.ivfPqQuery(spark, dir, q,
+      "vec_id", "embedding", k = 5, nProbe = 8, rerank = 100)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(res(dir1) == res(dir2))
+    // same-distribution append reads near ratio 1 against the build stats
+    assert(st.baselineMeanL2sq.isDefined &&
+      st.driftRatio.exists(r => r > 0.4 && r < 1.6), st.toString)
+    // compaction must carry pq_model AND stats through the whole-dir swap —
+    // losing either would brick queries / blind the drift sensor
+    val before = res(dir1)
+    assert(Similarity.ivfCompact(spark, dir1) == emb.count())
+    assert(new java.io.File(s"$dir1/pq_model").exists(), "pq_model lost in swap")
+    assert(new java.io.File(s"$dir1/stats").exists(), "stats lost in swap")
+    assert(res(dir1) == before, "compaction moves bytes, never answers")
+  }
 }
