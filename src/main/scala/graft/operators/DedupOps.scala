@@ -261,6 +261,25 @@ object DedupOps {
       maxDf: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val withCommon = ngramJaccardCore(df, idCol, textCol, groupCol, n,
+      threshold, maxDf)
+    withCommon
+      .withColumn("jaccard",
+        $"common".cast("double") / ($"sz_a" + $"sz_b" - $"common"))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** The candidate/verify machinery shared by [[ngramJaccardPairs]] and
+    * [[jaccardThresholdSensitivity]]: every length-compatible pair sharing
+    * at least one (surviving) shingle, with the EXACT integer overlap.
+    * Returns (id_a, id_b, sz_a, sz_b, common); the Jaccard filter itself is
+    * the caller's (the length prune is lossless only down to `threshold`).
+    */
+  private def ngramJaccardCore(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int, threshold: Double, maxDf: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val base = hashedSets(df, idCol, textCol, groupCol, n)
     val postings = base.select($"g", $"id", $"sz", explode($"sh").as("h"))
 
@@ -307,10 +326,58 @@ object DedupOps {
         .withColumn("common", $"common_rare" +
           coalesce(size(array_intersect($"hot_a", $"hot_b")), lit(0)))
     }
-    withCommon
-      .withColumn("jaccard",
-        $"common".cast("double") / ($"sz_a" + $"sz_b" - $"common"))
-      .filter($"jaccard" >= threshold)
-      .select($"id_a", $"id_b", $"jaccard")
+    withCommon.select($"id_a", $"id_b", $"sz_a", $"sz_b", $"common")
+  }
+
+  /** Dedup threshold-SENSITIVITY report: how many documents (and candidate
+    * pairs) a near-dup pass would remove at EVERY threshold of a grid, from
+    * one candidate-generation pass — the number a curation run needs before
+    * committing to a threshold, without re-running the join per setting.
+    *
+    * Grid: thresholds `minT/den .. (den-1)/den`. All threshold tests are
+    * INTEGER arithmetic — a pair qualifies at `t/den` iff
+    * `den·common ≥ t·union`, so each pair's maximal qualifying step is
+    * `tmax = (den·common) div union` and the per-threshold counts are
+    * suffix sums of tiny tmax histograms. No float compare sits on a
+    * boundary, and any SQL engine replays the report value-for-value.
+    *
+    * `docs_removed` counts documents with at least one SMALLER-id partner
+    * at the threshold — exact first-wins PAIR semantics (the upper bound a
+    * transitive-cluster pass refines; cluster-level resolution is
+    * [[DedupClusters]]' job). One pass of [[ngramJaccardCore]] at the grid
+    * minimum feeds every row; everything after the pair groupBy runs on
+    * histogram-scale data (≤ den rows).
+    */
+  def jaccardThresholdSensitivity(df: DataFrame, idCol: String,
+      textCol: String, groupCol: String, n: Int = 3, den: Int = 20,
+      minT: Int = 10, maxDf: Int = Int.MaxValue): DataFrame = {
+    require(den >= 2 && minT >= 1 && minT < den,
+      s"need 1 <= minT < den, got minT=$minT den=$den")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = ngramJaccardCore(df, idCol, textCol, groupCol, n,
+      minT.toDouble / den, maxDf)
+      .select($"id_a", $"id_b",
+        expr(s"($den * common) div (sz_a + sz_b - common)").as("tmax"))
+      .filter($"tmax" >= minT)
+    // ONE linear chain off the single candidate pass — a docs-histogram /
+    // pairs-histogram branch pair would silently recompute the whole
+    // posting self-join twice (static plans don't reuse exchanges): reduce
+    // pairs to (doc, step) counts, explode each row into the grid steps it
+    // covers (tmax = den when common = union, so cap at den-1), then fold
+    // both report columns in one aggregation. Explode factor <= den - minT
+    // over doc-scale rows; no theta join, no second pass.
+    val hi = lit((den - 1).toLong)
+    val perT = pairs.groupBy($"id_b", $"tmax").agg(count(lit(1)).as("cnt"))
+      .select(explode(sequence(lit(minT.toLong), least($"tmax", hi))).as("t"),
+        $"id_b", $"cnt")
+      .groupBy($"t")
+      .agg(countDistinct($"id_b").as("docs_removed"), sum($"cnt").as("pairs"))
+    spark.range(minT.toLong, den.toLong).toDF("t")
+      .join(perT, Seq("t"), "left")
+      .select($"t".cast("int").as("t"),
+        ($"t".cast("double") / den).as("threshold"),
+        coalesce($"docs_removed", lit(0L)).as("docs_removed"),
+        coalesce($"pairs", lit(0L)).as("pairs"))
   }
 }

@@ -61,6 +61,94 @@ object Profiler {
     * Columns present in only one side are reported with nulls on the
     * other, so schema drift is visible in the same frame.
     */
+  /** Power-of-two histogram bucket for numeric dimensions of
+    * [[distributionDrift]]: keep the top 5 bits (`(x >> s) << s` with
+    * `s = max(bitlength - 5, 0)`) — the [[QuantileHist]] sketch's bucket
+    * arithmetic, so buckets are exact integers any engine reproduces
+    * (never float quantile edges). ~16-32 buckets per power of two of
+    * range; null and non-positive values fall through to the null
+    * category.
+    */
+  def log2Bucket(c: Column): Column = {
+    val s = greatest(length(bin(c.cast("bigint"))) - 5, lit(0))
+    // call_function: the Scala shiftleft/shiftright overloads only take a
+    // literal Int shift; the SQL functions take any expression
+    when(c.isNotNull && c > 0,
+      call_function("shiftleft",
+        call_function("shiftright", c.cast("bigint"), s), s))
+  }
+
+  /** Distribution-SHAPE drift between two snapshots — the signal
+    * [[drift]]'s column profile cannot see: null rates and ranges can sit
+    * still while the language mix or the length distribution silently
+    * shifts under a changed crawl frontier (and a shifted mix is a changed
+    * TRAINING RECIPE downstream — the corpus-side analog of the ANN
+    * tier's quantizer-drift diagnostic). Each dimension is a named
+    * categorical expression (bucket numerics first — [[log2Bucket]]);
+    * output is one row per (dim, value) with both counts, both shares,
+    * the share delta, and the dimension's total-variation distance
+    * `TV = Σ_v |p_after(v) − p_before(v)| / 2 ∈ [0, 1]` repeated per row.
+    *
+    * Cross-engine determinism (the oracle-hash discipline): every double
+    * is a SINGLE division of exactly-computed integers — shares are
+    * `n/N`, and TV folds as the exact integer sum
+    * `Σ|n_after·N_before − n_before·N_after|` (decimal arithmetic, no
+    * float accumulation, order-free) divided once by
+    * `2·N_after·N_before`. Null dimension values are folded into a
+    * `"(null)"` category BEFORE the join (equi-joins drop null keys).
+    *
+    * Scale shape: ONE scan per side exploding each row into its
+    * (dim, value) pairs, one hash aggregation each down to category
+    * cardinality; everything after runs on category-scale rows (the tiny
+    * per-dim totals broadcast). No data-scale window, no collect.
+    */
+  def distributionDrift(before: DataFrame, after: DataFrame,
+      dims: Seq[(String, Column)]): DataFrame = {
+    require(dims.nonEmpty, "distributionDrift needs at least one dimension")
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(array(dims.map { case (name, c) =>
+        struct(lit(name).as("dim"),
+          coalesce(c.cast("string"), lit("(null)")).as("value"))
+      }: _*)).as("__e"))
+      .groupBy(col("__e.dim").as("dim"), col("__e.value").as("value"))
+      .agg(count(lit(1)).as("n"))
+    val cb = counts(before).withColumnRenamed("n", "n_before")
+    val ca = counts(after).withColumnRenamed("n", "n_after")
+    val joined = cb.join(ca, Seq("dim", "value"), "full_outer")
+      .select(col("dim"), col("value"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+    // Per-dim totals and the TV numerator fold as WINDOW sums over the
+    // already-aggregated joined frame — a groupBy + re-join would leave the
+    // totals branch recomputing the whole subtree (the data-scale scans
+    // twice over; static plans don't reuse exchanges). The window partitions
+    // by dim over CATEGORY-scale rows only. All three sums share one spec,
+    // so this is a single Window operator.
+    val byDim = org.apache.spark.sql.expressions.Window.partitionBy(col("dim"))
+    // 18+18 digits: the product stays inside decimal(38,0) EXACTLY (19,0
+    // would need precision 39 and silently round); counts are < 1e18 by
+    // construction (row counts)
+    val dec = "decimal(18,0)"
+    joined
+      .withColumn("__tb", sum(col("n_before")).over(byDim))
+      .withColumn("__ta", sum(col("n_after")).over(byDim))
+      .withColumn("__num", abs(
+        col("n_after").cast(dec) * col("__tb").cast(dec) -
+          col("n_before").cast(dec) * col("__ta").cast(dec)))
+      .withColumn("share_before",
+        when(col("__tb") > 0, col("n_before").cast("double") / col("__tb")))
+      .withColumn("share_after",
+        when(col("__ta") > 0, col("n_after").cast("double") / col("__ta")))
+      .withColumn("share_delta",
+        coalesce(col("share_after"), lit(0.0)) -
+          coalesce(col("share_before"), lit(0.0)))
+      .withColumn("tv", when(col("__tb") > 0 && col("__ta") > 0,
+        sum(col("__num")).over(byDim).cast("double") /
+          (lit(2.0) * col("__tb").cast("double") * col("__ta").cast("double"))))
+      .select(col("dim"), col("value"), col("n_before"), col("n_after"),
+        col("share_before"), col("share_after"), col("share_delta"), col("tv"))
+  }
+
   def drift(before: DataFrame, after: DataFrame, cols: Seq[String]): DataFrame = {
     val b = profile(before, cols.filter(before.columns.contains))
       .withColumnsRenamed(Map("n_rows" -> "rows_before", "n_nulls" -> "nulls_before",

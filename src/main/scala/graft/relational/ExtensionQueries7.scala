@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.core.{GraftQuery, Tables}
-import graft.operators.{IncrementalDedup, QuantileHist, TextAnalysis, TextPipeline}
+import graft.operators.{DedupOps, IncrementalDedup, QuantileHist, TextAnalysis, TextPipeline}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -849,6 +849,107 @@ object ExtensionQueries7 {
         "over the FULL corpus above the floor; violations + sentinel, " +
         "constant oracle.",
       gate = true
+    ),
+    // --------------------------------------------------------------- t120
+    GraftQuery(
+      "t120_dist_drift",
+      (s, d) => {
+        import s.implicits._
+        val before = Tables.documents(s, d)
+        // deterministic "next snapshot" with a genuine SHAPE shift (t62's
+        // profile drift cannot see it: null rates and ranges barely move):
+        // 10% of rows dropped by the keyed Bernoulli, every 7th doc
+        // relabeled to a new language — the changed-crawl-frontier signal
+        val after = before
+          .where(graft.operators.Sampling.bernoulli($"doc_id", 0.9))
+          .withColumn("lang",
+            when($"doc_id" % 7 === 0, lit("xx")).otherwise($"lang"))
+        graft.operators.Profiler.distributionDrift(before, after, Seq(
+          "lang" -> $"lang",
+          "n_chars" -> graft.operators.Profiler.log2Bucket($"n_chars")))
+          .orderBy($"dim", $"value")
+      },
+      Some("""WITH aft AS (
+             |  SELECT CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+             |    n_chars
+             |  FROM documents
+             |  WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+             |    < 0.9 * 4294967296.0),
+             |vb AS (
+             |  SELECT 'lang' AS dim, COALESCE(CAST(lang AS VARCHAR), '(null)') AS value FROM documents
+             |  UNION ALL
+             |  SELECT 'n_chars', CASE WHEN n_chars IS NOT NULL AND n_chars > 0
+             |    THEN CAST(((CAST(n_chars AS BIGINT) >> GREATEST(length(bin(CAST(n_chars AS BIGINT))) - 5, 0))
+             |               << GREATEST(length(bin(CAST(n_chars AS BIGINT))) - 5, 0)) AS VARCHAR)
+             |    ELSE '(null)' END FROM documents),
+             |va AS (
+             |  SELECT 'lang' AS dim, COALESCE(CAST(lang AS VARCHAR), '(null)') AS value FROM aft
+             |  UNION ALL
+             |  SELECT 'n_chars', CASE WHEN n_chars IS NOT NULL AND n_chars > 0
+             |    THEN CAST(((CAST(n_chars AS BIGINT) >> GREATEST(length(bin(CAST(n_chars AS BIGINT))) - 5, 0))
+             |               << GREATEST(length(bin(CAST(n_chars AS BIGINT))) - 5, 0)) AS VARCHAR)
+             |    ELSE '(null)' END FROM aft),
+             |cb AS (SELECT dim, value, COUNT(*) AS nb FROM vb GROUP BY 1, 2),
+             |ca AS (SELECT dim, value, COUNT(*) AS na FROM va GROUP BY 1, 2),
+             |j AS (
+             |  SELECT COALESCE(cb.dim, ca.dim) AS dim, COALESCE(cb.value, ca.value) AS value,
+             |    COALESCE(nb, 0) AS n_before, COALESCE(na, 0) AS n_after
+             |  FROM cb FULL OUTER JOIN ca ON cb.dim = ca.dim AND cb.value = ca.value),
+             |tt AS (SELECT dim, SUM(n_before) AS tb, SUM(n_after) AS ta FROM j GROUP BY 1),
+             |w AS (
+             |  SELECT j.dim, j.value, n_before, n_after, tb, ta,
+             |    abs(CAST(n_after AS HUGEINT) * tb - CAST(n_before AS HUGEINT) * ta) AS num
+             |  FROM j JOIN tt USING (dim))
+             |SELECT dim, value, n_before, n_after,
+             |  CAST(n_before AS DOUBLE) / tb AS share_before,
+             |  CAST(n_after AS DOUBLE) / ta AS share_after,
+             |  (CAST(n_after AS DOUBLE) / ta) - (CAST(n_before AS DOUBLE) / tb) AS share_delta,
+             |  CAST(SUM(num) OVER (PARTITION BY dim) AS DOUBLE)
+             |    / (2.0 * CAST(tb AS DOUBLE) * CAST(ta AS DOUBLE)) AS tv
+             |FROM w ORDER BY dim, value""".stripMargin),
+      doc = "Distribution-shape drift between snapshots: per-(dim, value) " +
+        "share deltas plus a per-dimension total-variation distance — the " +
+        "corpus-side analog of the ANN quantizer-drift diagnostic (a " +
+        "shifted mix is a changed training recipe). TV folds as an EXACT " +
+        "integer sum divided once, shares are single divisions — every " +
+        "double is bit-replayable cross-engine. One scan + one hash agg " +
+        "per side; everything after is category-scale."
+    ),
+    // --------------------------------------------------------------- t121
+    GraftQuery(
+      "t121_dedup_sensitivity",
+      (s, d) => {
+        import s.implicits._
+        DedupOps.jaccardThresholdSensitivity(Tables.documents(s, d),
+          "doc_id", "text", groupCol = "source", n = 3, den = 20, minT = 10)
+          .orderBy($"t")
+      },
+      Some("""WITH sets AS (
+             |  SELECT doc_id, source, list_distinct(list_transform(
+             |    range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 2),
+             |    i -> array_to_string(string_split_regex(trim(text), '\s+')[i : i + 2], ' '))) AS sh
+             |  FROM documents),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    (20 * len(list_intersect(a.sh, b.sh)))
+             |      // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS tmax
+             |  FROM sets a JOIN sets b
+             |    ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+             |q AS (SELECT * FROM p WHERE tmax >= 10),
+             |dh AS (SELECT id_b, MAX(tmax) AS dmax FROM q GROUP BY 1),
+             |g AS (SELECT t FROM range(10, 20) r(t))
+             |SELECT CAST(g.t AS INTEGER) AS t,
+             |  CAST(g.t AS DOUBLE) / 20 AS threshold,
+             |  (SELECT COUNT(*) FROM dh WHERE dmax >= g.t) AS docs_removed,
+             |  (SELECT COUNT(*) FROM q WHERE tmax >= g.t) AS pairs
+             |FROM g ORDER BY t""".stripMargin),
+      doc = "Near-dup threshold sensitivity: docs/pairs a first-wins dedup " +
+        "pass would remove at EVERY threshold of the 0.50-0.95 grid, from " +
+        "ONE candidate pass — the report a curation run reads before " +
+        "committing to a threshold. All threshold tests are integer " +
+        "(den*common >= t*union), so the brute-force DuckDB oracle replays " +
+        "the counts exactly; suffix sums run on <= 11-row histograms."
     )
   )
 }

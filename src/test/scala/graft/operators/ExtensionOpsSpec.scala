@@ -93,6 +93,40 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(cut == full)   // cutoff never changes emitted pairs or exact values
   }
 
+  test("jaccardThresholdSensitivity equals per-threshold re-runs of the pair join") {
+    val sample = docs.filter($"doc_id" < 120).withColumn("g", lit(1))
+    val report = DedupOps.jaccardThresholdSensitivity(
+      sample, "doc_id", "text", "g", n = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(report.keySet == (10 to 19).toSet, "full grid, including zero rows")
+    for (t <- 10 to 19) {
+      val pairs = DedupOps.ngramJaccardPairs(
+        sample, "doc_id", "text", "g", n = 3, threshold = t / 20.0)
+      val (docsRemoved, nPairs) = report(t)
+      assert(nPairs == pairs.count(), s"t=$t pair count")
+      assert(docsRemoved == pairs.select($"id_b").distinct().count(),
+        s"t=$t docs with a smaller-id partner")
+    }
+  }
+
+  test("jaccardThresholdSensitivity: exact boundary steps on a hand fixture") {
+    // B = exact copy of A (J = 1, tmax = 20 -> removed at every step).
+    // C/D: 19 shingles each over a DISJOINT word run, sharing the 16
+    // pure-run shingles -> J = 16/22, tmax = (20*16) div 22 = 14 -> D
+    // removed for t <= 14, gone at 15. E unrelated.
+    val runC = (1 to 18).map(i => s"c$i").mkString(" ")
+    val runD = (1 to 18).map(i => s"d$i").mkString(" ")
+    val df = Seq(
+      (1L, "a " + runC), (2L, "a " + runC),
+      (3L, "x y z " + runD), (4L, "p q r " + runD),
+      (5L, (1 to 30).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text").withColumn("g", lit(1))
+    val got = DedupOps.jaccardThresholdSensitivity(df, "doc_id", "text", "g")
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    for (t <- 10 to 14) assert(got(t) == 2L, s"t=$t: both B and D removed")
+    for (t <- 15 to 19) assert(got(t) == 1L, s"t=$t: only the exact copy")
+  }
+
   test("connectedComponents collapses multi-hop chains; cluster dedup keeps min id") {
     // chain 1-2-3-4 has diameter 3 → exercises multiple propagation rounds
     val ids = (1L to 8L).toDF("id")

@@ -36,6 +36,55 @@ class ProfilerSpec extends SparkSpec {
     assert(got.getString(4) == "x" && got.getString(5) == "y")
   }
 
+  test("distributionDrift: hand-computed shares and total-variation distance") {
+    val before = Seq("a", "a", "a", "b").toDF("tag")
+    val after = Seq("a", "b", "b", "b").toDF("tag")
+    val got = Profiler.distributionDrift(before, after, Seq("tag" -> col("tag")))
+      .orderBy("value").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("a", "b"))
+    val a = got(0)
+    assert(a.getLong(2) == 3L && a.getLong(3) == 1L)
+    assert(a.getDouble(4) == 0.75 && a.getDouble(5) == 0.25)
+    assert(a.getDouble(6) == -0.5)
+    // TV = (|1/4-3/4| + |3/4-1/4|) / 2 = 0.5 — exact in doubles
+    assert(got.forall(_.getDouble(7) == 0.5))
+  }
+
+  test("distributionDrift: identical snapshots read zero; disjoint read one") {
+    val x = Seq("a", "b", "c").toDF("tag")
+    val same = Profiler.distributionDrift(x, x, Seq("tag" -> col("tag"))).collect()
+    assert(same.forall(r => r.getDouble(6) == 0.0 && r.getDouble(7) == 0.0))
+    val disjoint = Profiler.distributionDrift(
+      Seq("a", "a").toDF("tag"), Seq("b", "b").toDF("tag"),
+      Seq("tag" -> col("tag"))).orderBy("value").collect()
+    assert(disjoint.forall(_.getDouble(7) == 1.0), "disjoint supports: TV = 1")
+    // one-sided categories carry a zero count, not a dropped row
+    assert(disjoint.map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      == Seq(("a", 2L, 0L), ("b", 0L, 2L)))
+  }
+
+  test("distributionDrift: nulls fold into a counted category; empty side guards") {
+    val before = Seq(Some("a"), None, None).toDF("tag")
+    val after = Seq(Some("a"), None).toDF("tag")
+    val got = Profiler.distributionDrift(before, after, Seq("tag" -> col("tag")))
+      .orderBy("value").collect()
+    val nullRow = got.find(_.getString(1) == "(null)").get
+    assert(nullRow.getLong(2) == 2L && nullRow.getLong(3) == 1L)
+    val empty = Profiler.distributionDrift(
+      before, before.limit(0), Seq("tag" -> col("tag"))).collect()
+    assert(empty.forall(r => r.isNullAt(5) && r.isNullAt(7)),
+      "empty side: shares/tv null, never a division by zero")
+  }
+
+  test("log2Bucket: top-5-bit buckets as exact integers, null below one") {
+    val got = Seq(101L, 31L, 32L, 1000L, 0L).toDF("v")
+      .select(Profiler.log2Bucket(col("v"))).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    // 101 = 1100101b (7 bits, s=2) -> 100; 31 (5 bits, s=0) -> 31;
+    // 32 (6 bits, s=1) -> 32; 1000 = 1111101000b (10 bits, s=5) -> 992
+    assert(got == Seq(Some(100L), Some(31L), Some(32L), Some(992L), None))
+  }
+
   test("drift: null-rate jump and schema drift are both visible") {
     val before = Seq((1L, Some("x")), (2L, Some("y"))).toDF("id", "tag")
     val after = Seq((1L, None: Option[String]), (2L, Some("y")))
