@@ -105,15 +105,29 @@ object Profiler {
   def distributionDrift(before: DataFrame, after: DataFrame,
       dims: Seq[(String, Column)]): DataFrame = {
     require(dims.nonEmpty, "distributionDrift needs at least one dimension")
-    def counts(df: DataFrame): DataFrame = df
-      .select(explode(array(dims.map { case (name, c) =>
-        struct(lit(name).as("dim"),
-          coalesce(c.cast("string"), lit("(null)")).as("value"))
-      }: _*)).as("__e"))
-      .groupBy(col("__e.dim").as("dim"), col("__e.value").as("value"))
-      .agg(count(lit(1)).as("n"))
-    val cb = counts(before).withColumnRenamed("n", "n_before")
-    val ca = counts(after).withColumnRenamed("n", "n_after")
+    driftFromCounts(dimCounts(before, dims), dimCounts(after, dims))
+  }
+
+  /** One side's (dim, value, n) category counts — ONE scan exploding each
+    * row into its dimension values, one hash aggregation. This is also the
+    * PROFILE a snapshot persists so later snapshots can drift-check against
+    * accumulated history without rereading it ([[driftFromCounts]]).
+    */
+  def dimCounts(df: DataFrame, dims: Seq[(String, Column)]): DataFrame = df
+    .select(explode(array(dims.map { case (name, c) =>
+      struct(lit(name).as("dim"),
+        coalesce(c.cast("string"), lit("(null)")).as("value"))
+    }: _*)).as("__e"))
+    .groupBy(col("__e.dim").as("dim"), col("__e.value").as("value"))
+    .agg(count(lit(1)).as("n"))
+
+  /** [[distributionDrift]] over pre-aggregated (dim, value, n) counts —
+    * the incremental form: a persisted profile (counts summed across
+    * snapshots) on one side, a fresh snapshot's [[dimCounts]] on the other.
+    */
+  def driftFromCounts(before: DataFrame, after: DataFrame): DataFrame = {
+    val cb = before.select(col("dim"), col("value"), col("n").as("n_before"))
+    val ca = after.select(col("dim"), col("value"), col("n").as("n_after"))
     val joined = cb.join(ca, Seq("dim", "value"), "full_outer")
       .select(col("dim"), col("value"),
         coalesce(col("n_before"), lit(0L)).as("n_before"),

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.enrich.{EnrichConfig, EnrichOperator, LlmTransport}
-import graft.operators.{IncrementalDedup, ParagraphDedup, QualityRules, Robots, Splits, TextAnalysis, TextPipeline, WebOps}
+import graft.operators.{IncrementalDedup, ParagraphDedup, Profiler, QualityRules, Robots, Splits, TextAnalysis, TextPipeline, WebOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
@@ -323,6 +323,55 @@ object CrawlPipeline {
       .withColumn("split", Splits.assign(col("host"),
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
       parts = Seq("split"))
+
+    // corpus drift monitoring (daemon mode): the distribution-SHAPE check
+    // of this snapshot's curated corpus against everything previous
+    // snapshots curated — the corpus-side analog of the ANN tier's
+    // quantizer-drift diagnostic (ivfAppend's ratio): admission stays
+    // correct under a shifted crawl frontier, but the MIX the corpus feeds
+    // downstream silently changes, and this is the number that says so.
+    // The snapshot's (dim, value) profile is compared against the SUM of
+    // all previous batches' persisted profiles, then appended as its own
+    // replay-idempotent `batch=<id>` delta beside the admission indexes
+    // (own delta excluded on read, overwritten on replay — the standard
+    // discipline). Deltas are category-scale rows (hundreds per snapshot),
+    // so there is no compaction pressure; the first snapshot has no
+    // baseline and reports null tv (driftFromCounts' empty-side guard).
+    // Batch mode runs drift-free: two standalone corpora compare directly
+    // via Profiler.distributionDrift.
+    for (ix <- indexDir; bid <- snapshotId) {
+      val t0 = System.nanoTime()
+      val dims = Seq(
+        "lang" -> TextAnalysis.langId(col("text")),
+        "len" -> Profiler.log2Bucket(length(col("text"))))
+      // checkpoint: the category matrix is tiny and feeds both the report
+      // and the persisted delta — recomputing would re-scan the corpus
+      val cur = Profiler.dimCounts(split, dims).localCheckpoint()
+      val pDir = s"$ix/profile"
+      val pSchema = new StructType().add("dim", StringType)
+        .add("value", StringType).add("n", LongType)
+      def pEmpty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pSchema)
+      val prev0 =
+        if (!new java.io.File(pDir).exists()) pEmpty
+        else
+          try spark.read.parquet(pDir)
+          catch {
+            case ae: org.apache.spark.sql.AnalysisException
+                if ae.getCondition == "UNABLE_TO_INFER_SCHEMA" => pEmpty
+          }
+      val prev = (if (prev0.columns.contains("batch"))
+          prev0.where(col("batch") =!= bid)
+        else prev0)
+        .groupBy(col("dim"), col("value")).agg(sum(col("n")).as("n"))
+      Profiler.driftFromCounts(prev, cur).coalesce(1)
+        .write.mode("overwrite").parquet(s"$workDir/08a_drift")
+      cur.write.mode("overwrite").parquet(s"$pDir/batch=$bid")
+      counts += StageCount("08a_drift",
+        if (countStages) spark.read.parquet(s"$workDir/08a_drift").count()
+        else -1L,
+        (System.nanoTime() - t0) / 1e9)
+    }
 
     // the token weight both the mix budgets and the packing bins are sized
     // in: whitespace tokens by default, the trained tokenizer's REAL BPE

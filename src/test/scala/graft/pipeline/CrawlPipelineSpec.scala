@@ -281,6 +281,53 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$ix/sig").count() == 3)
   }
 
+  test("08a_drift: daemon snapshots report distribution drift vs the accumulated profile; replay identical") {
+    val warcDir = Files.createTempDirectory("crawl9_warc")
+    val work = Files.createTempDirectory("crawl9_work").toString
+    val ix = Files.createTempDirectory("crawl9_ix").toString + "/index"
+    // Gopher-passing synthetic bodies with controlled length: snapshot 2's
+    // docs are ~8x longer, so their curated texts land in disjoint
+    // log2Bucket categories — a pure distribution-SHAPE shift (no nulls,
+    // no range explosion — t62's profile drift would see nothing)
+    def body(stem: String, n: Int) = (1 to n)
+      .flatMap(i => Seq("the", s"$stem${i % 7}", "be", s"$stem$i"))
+      .mkString(" ")
+    Files.write(warcDir.resolve("snap1.warc"),
+      response("http://a.example/one", body("alpha", 60)) ++
+      response("http://b.example/two", body("beta", 60)))
+    val q = CrawlPipeline.runStream(spark, warcDir.toString, work, ix)
+    try {
+      q.processAllAvailable()
+      Files.write(warcDir.resolve("snap2.warc"),
+        response("http://c.example/three", body("gamma", 500)) ++
+        response("http://d.example/four", body("delta", 500)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // first snapshot: report exists, tv null everywhere (no baseline —
+    // the empty-side guard, not a zero)
+    val r0 = spark.read.parquet(s"$work/batch=0/08a_drift")
+    assert(r0.count() > 0)
+    assert(r0.where($"tv".isNotNull).isEmpty, "first snapshot has no baseline")
+
+    // second snapshot: the length dimension reads a strong shift
+    val r1 = spark.read.parquet(s"$work/batch=1/08a_drift")
+    val lenTv = r1.where($"dim" === "len").select("tv")
+      .distinct().as[Double].collect()
+    assert(lenTv.length == 1 && lenTv.head > 0.5, s"len tv: ${lenTv.toSeq}")
+    assert(new java.io.File(s"$ix/profile/batch=0").isDirectory)
+    assert(new java.io.File(s"$ix/profile/batch=1").isDirectory)
+
+    // replay of batch 1 re-derives the SAME report: its own profile delta
+    // is excluded from the baseline on read and overwritten on write
+    val before = r1.orderBy("dim", "value").collect().toSeq
+    CrawlPipeline.run(spark, s"$warcDir/snap2.warc", s"$work/batch=1",
+      indexDir = Some(ix), snapshotId = Some(1L))
+    val after = spark.read.parquet(s"$work/batch=1/08a_drift")
+      .orderBy("dim", "value").collect().toSeq
+    assert(after == before, "replay must not drift the drift report")
+  }
+
   test("10_enrich enforces the EXACT global concurrency envelope through the pipeline path") {
     // the reference's Semaphore(250) contract (src/config.py:91) must hold
     // when enrichment runs as a pipeline stage, not only via EnrichJob: the
