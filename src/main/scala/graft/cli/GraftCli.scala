@@ -221,6 +221,47 @@ object GraftCli {
           val selected = if (cols.isEmpty) src.columns.toSeq else cols
           graft.operators.Profiler.profile(src, selected)
             .orderBy("column").show(truncate = false)
+        case "drift" :: beforePath :: afterPath :: cols =>
+          // distribution-shape drift between two corpus snapshots: named
+          // columns become categorical dimensions (numerics bucketed to
+          // exact powers of two); no columns -> the curation defaults
+          // (language + length bucket of `text`). Prints per-dimension
+          // total variation, then the largest per-category share movers.
+          import org.apache.spark.sql.functions.{abs, col, length}
+          import org.apache.spark.sql.types.{NumericType, StringType}
+          val before = spark.read.parquet(beforePath)
+          val after = spark.read.parquet(afterPath)
+          val dims: Seq[(String, org.apache.spark.sql.Column)] =
+            if (cols.isEmpty)
+              Seq("lang" -> graft.operators.TextAnalysis.langId(col("text")),
+                "len" -> graft.operators.Profiler.log2Bucket(length(col("text"))))
+            else cols.map { c =>
+              val f = before.schema.fields.find(_.name == c).getOrElse(
+                sys.error(s"drift: column '$c' not in $beforePath"))
+              f.dataType match {
+                case _: NumericType => c -> graft.operators.Profiler.log2Bucket(col(c))
+                case _: StringType => c -> col(c)
+                case other => sys.error(
+                  s"drift: column '$c' is $other — name a string or numeric column")
+              }
+            }
+          val report = graft.operators.Profiler
+            .distributionDrift(before, after, dims).localCheckpoint()
+          report.select("dim", "tv").distinct().orderBy(col("tv").desc)
+            .show(truncate = false)
+          report.orderBy(abs(col("share_after") - col("share_before")).desc)
+            .show(20, truncate = false)
+        case "dedup-sensitivity" :: sfDir :: rest =>
+          // what WOULD a near-dup pass remove at each threshold? One
+          // candidate pass of the lossless n-gram Jaccard machinery,
+          // folded into a per-threshold docs/pairs report — the number a
+          // curation operator reads before picking the production cutoff.
+          val minT = rest.headOption.map(_.toInt).getOrElse(10)
+          val den = rest.drop(1).headOption.map(_.toInt).getOrElse(20)
+          graft.operators.DedupOps.jaccardThresholdSensitivity(
+            graft.core.Tables.documents(spark, sfDir),
+            "doc_id", "text", "lang", minT = minT, den = den)
+            .orderBy("t").show(den, truncate = false)
         case "zorder" :: inPath :: outPath :: colA :: colB :: rest =>
           import org.apache.spark.sql.functions.col
           val files = rest.headOption.map(_.toInt).getOrElse(64)
@@ -300,12 +341,22 @@ object GraftCli {
             .show(50, truncate = false)
           println(s"ann-pq-query: k=$k nProbe=$nProbe rerank=$rerank over $indexDir")
         case "ann-rebuild" :: indexDir :: rest =>
-          // re-train the quantizer over the accumulated corpus behind a
-          // write-then-swap (the action ann-append's drift warning points
-          // to; stop appenders/queries first — replaceDir's contract)
+          // re-train the quantizer(s) over the accumulated corpus behind a
+          // write-then-swap (the action the append drift warning points
+          // to; stop appenders/queries first — replaceDir's contract).
+          // Dispatches on the layout: an index carrying a pq_model is the
+          // composed IVF-PQ layout and re-fits BOTH quantizers.
           val nCells = rest.headOption.map(_.toInt).getOrElse(8)
-          val n = graft.operators.Similarity.ivfRebuild(spark, indexDir, nCells)
-          println(s"ann-rebuild: $n vectors re-quantized into $nCells cells -> $indexDir")
+          val composed = java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$indexDir/pq_model"))
+          val n =
+            if (composed) graft.operators.ProductQuantizer.ivfPqRebuild(
+              spark, indexDir, nCells,
+              m = rest.drop(1).headOption.map(_.toInt),
+              nCodes = rest.drop(2).headOption.map(_.toInt))
+            else graft.operators.Similarity.ivfRebuild(spark, indexDir, nCells)
+          val kind = if (composed) "ivf-pq (both quantizers)" else "ivf"
+          println(s"ann-rebuild: $n vectors re-quantized ($kind) into $nCells cells -> $indexDir")
         case "ann-compact" :: indexDir :: rest =>
           // coalesce append-grown cell files (write-then-swap; stop
           // appenders first — replaceDir's contract)
@@ -689,6 +740,8 @@ object GraftCli {
               "all <csv> <mdTpl> <promptTpl> <siteTpl> <workDir> | probe [.env] | dedup <sfDir> <outDir> [minhash|simhash|ngram] [best] | " +
               "prep <sfDir> <outDir> [window stride] | clean <sfDir> <outDir> [maxDupFrac minDistinctRatio] | " +
               "classify <sfDir> <outDir> [threshold] | profile <sfDir> <table> [cols...] | " +
+              "drift <beforeParquet> <afterParquet> [cols...] | " +
+              "dedup-sensitivity <sfDir> [minT den] | " +
               "zorder <in> <out> <colA> <colB> [files] | " +
               "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | " +
               "bpe <sfDir> [merges] [--out <file>] | lm-score <sfDir> <outDir> | " +
@@ -704,7 +757,7 @@ object GraftCli {
               "compact-index <indexDir> [sig|fp|robots] [targetRows] | " +
               "shards <sfDir> <outDir> [nShards] [epoch] | " +
               "ann-build <sfDir> <indexDir> [nCells] | ann-append <inParquet> <indexDir> | " +
-              "ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells] | " +
+              "ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells [m nCodes]] | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
               "ann-pq-build <sfDir> <indexDir> [nCells] [m] [nCodes] | " +
               "ann-pq-append <inParquet> <indexDir> | " +

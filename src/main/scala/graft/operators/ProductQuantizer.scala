@@ -237,11 +237,10 @@ object ProductQuantizer {
     * partitioned append — no join, no shuffle, history never read. Returns
     * the same [[Similarity.IvfAppendStats]] drift reading as the plain
     * IVF append (the coarse quantizer is the drift sensor; PQ codebooks
-    * drift with it). When the ratio sustains above ~1.5, rebuild with
-    * [[ivfPqBuild]] into staging + [[graft.operators.IncrementalDedup.replaceDir]]
-    * (or just re-point at a fresh dir) — and note [[Similarity.ivfCompact]]
-    * compacts this layout too, carrying `pq_model` and `stats` through the
-    * swap.
+    * drift with it). When the ratio sustains above ~1.5, [[ivfPqRebuild]]
+    * re-trains both quantizers behind the same write-then-swap — and note
+    * [[Similarity.ivfCompact]] compacts this layout too, carrying
+    * `pq_model` and `stats` through the swap.
     */
   def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       newVectors: DataFrame, idCol: String,
@@ -284,6 +283,41 @@ object ProductQuantizer {
     }
     Similarity.IvfAppendStats(n, meanL2sq, baseline,
       baseline.filter(_ > 0).map(meanL2sq / _))
+  }
+
+  /** Re-train BOTH quantizers of a composed IVF-PQ index over everything it
+    * holds and swap the result in atomically — the composed-layout analog of
+    * [[Similarity.ivfRebuild]], and the ACTION [[ivfPqAppend]]'s drift ratio
+    * points to: after enough appends of a drifted distribution, the frozen
+    * coarse centroids mis-route vectors AND the frozen PQ codebooks quantize
+    * them badly — both must re-fit. Builds into `indexDir.rebuild` staging
+    * and commits via [[graft.operators.IncrementalDedup.replaceDir]]
+    * (stop appenders/queries first; `recoverDir` heals the crash windows).
+    * The fresh build re-baselines `stats`, so post-rebuild appends measure
+    * drift against quantizers that have seen everything.
+    *
+    * PQ layout (`m`, `nCodes`) defaults to the index's CURRENT model — a
+    * rebuild re-fits codebooks, it does not silently change the storage
+    * contract; pass explicit values to re-size (e.g. growing nCodes with
+    * the corpus, the [[train]] sizing rule).
+    *
+    * @return number of vectors in the rebuilt index
+    */
+  def ivfPqRebuild(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      nCells: Int, m: Option[Int] = None,
+      nCodes: Option[Int] = None): Long = {
+    IncrementalDedup.recoverDir(indexDir)
+    val prev = loadModel(spark, indexDir)
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .select(col("neighbor_id"), col("cv")).localCheckpoint()
+    val n = cells.count()
+    val next = s"$indexDir.rebuild"
+    IncrementalDedup.clearStaging(next)
+    val model = train(cells, "cv", m.getOrElse(prev.m),
+      nCodes.getOrElse(prev.nCodes))
+    ivfPqBuild(cells, "neighbor_id", "cv", nCells, model, next)
+    IncrementalDedup.replaceDir(indexDir, next)
+    n
   }
 
   /** Load the PQ model persisted by [[ivfPqBuild]]. */

@@ -31,7 +31,23 @@ class ProbeTransport extends LlmTransport {
 
 class GlobalRateLimiterSpec extends graft.SparkSpec {
 
-  test("sequential acquires are spaced one interval apart on the shared clock") {
+  /** Re-run a timing-sensitive scenario on failure (fresh server each
+    * attempt). The schedule assertions are load-tolerant by construction —
+    * stalls only SHRINK recorded waits — but a full-suite run can stall
+    * client threads past whole slots and eat the recordings the floors
+    * need. One noisy sample must not fail the suite; the same failure on
+    * three independent attempts is no longer load, it's a bug.
+    */
+  private def retryOnLoad(attempts: Int = 3)(body: => Unit): Unit = {
+    var left = attempts
+    while (left > 1) {
+      try { body; return }
+      catch { case _: org.scalatest.exceptions.TestFailedException => left -= 1 }
+    }
+    body
+  }
+
+  test("sequential acquires are spaced one interval apart on the shared clock") { retryOnLoad() {
     val srv = RateLimiterServer.start(ratePerMinute = 600) // 100 ms interval
     try {
       val waits = mutable.Buffer[Long]()
@@ -51,9 +67,9 @@ class GlobalRateLimiterSpec extends graft.SparkSpec {
       assert(waits.nonEmpty, s"no wait recorded: either the box stalled " +
         s">400ms across 5 acquires or the schedule collapsed; waits=$waits")
     } finally srv.stop()
-  }
+  } }
 
-  test("concurrent acquires from many threads get distinct serialized slots") {
+  test("concurrent acquires from many threads get distinct serialized slots") { retryOnLoad() {
     val srv = RateLimiterServer.start(ratePerMinute = 600)
     try {
       val waits = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
@@ -93,7 +109,7 @@ class GlobalRateLimiterSpec extends graft.SparkSpec {
           s"schedule collapsed: max wait ${sorted.last}ms across " +
             s"${sorted.size} serialized slots; waits=$sorted")
     } finally srv.stop()
-  }
+  } }
 
   test("fails open (no exception, no sleep) when the server is gone") {
     val srv = RateLimiterServer.start(ratePerMinute = 600)

@@ -130,4 +130,34 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(new java.io.File(s"$dir1/stats").exists(), "stats lost in swap")
     assert(res(dir1) == before, "compaction moves bytes, never answers")
   }
+
+  test("ivfPqRebuild re-trains BOTH quantizers, keeps the PQ layout, resets the drift baseline") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rb").toString
+    val half = emb.where($"vec_id" % 2 === 0)
+    ProductQuantizer.ivfPqBuild(half, "vec_id", "embedding", 8,
+      ProductQuantizer.train(half, "embedding", 16, 16), dir)
+    // append a SHIFTED second half: heavy drift under the frozen quantizers
+    val shifted = emb.where($"vec_id" % 2 =!= 0)
+      .select($"vec_id", transform($"embedding",
+        x => (x + lit(0.5f)).cast("float")).as("embedding"))
+    val before = ProductQuantizer.ivfPqAppend(spark, dir, shifted,
+      "vec_id", "embedding")
+    assert(before.driftRatio.exists(_ > 1.5), before.toString)
+    // rebuild: both quantizers re-trained on the union, swap atomic; the
+    // PQ storage contract (m, nCodes) carries over from the live model
+    assert(ProductQuantizer.ivfPqRebuild(spark, dir, nCells = 8) == emb.count())
+    assert(!new java.io.File(s"$dir.rebuild").exists())
+    assert(!new java.io.File(s"$dir.old").exists())
+    val rebuilt = ProductQuantizer.loadModel(spark, dir)
+    assert(rebuilt.m == 16 && rebuilt.nCodes == 16)
+    assert(spark.read.parquet(s"$dir/cells").count() == emb.count())
+    assert(ProductQuantizer.ivfPqQuery(spark, dir, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 5, nProbe = 8, rerank = 100).count() > 0)
+    // re-baselined stats: the same shifted distribution now reads
+    // in-distribution (the new quantizers have seen it)
+    val after = ProductQuantizer.ivfPqAppend(spark, dir,
+      shifted.select(($"vec_id" + 50000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding")
+    assert(after.driftRatio.exists(r => r > 0.3 && r < 1.5), after.toString)
+  }
 }
