@@ -357,6 +357,18 @@ object GraftCli {
             else graft.operators.Similarity.ivfRebuild(spark, indexDir, nCells)
           val kind = if (composed) "ivf-pq (both quantizers)" else "ivf"
           println(s"ann-rebuild: $n vectors re-quantized ($kind) into $nCells cells -> $indexDir")
+        case "ann-recall" :: indexDir :: rest =>
+          // ground-truth recall of the PERSISTED query path vs brute force
+          // over the index's own vectors — the measurement the drift
+          // ratio predicts; run it when ann-append warns, before deciding
+          // to ann-rebuild
+          val k = rest.headOption.map(_.toInt).getOrElse(5)
+          val nProbe = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
+          val nQueries = rest.drop(2).headOption.map(_.toInt).getOrElse(16)
+          val r = graft.operators.Similarity.indexRecall(
+            spark, indexDir, k, nProbe, nQueries)
+          println(f"ann-recall: recall@$k = $r%.3f " +
+            f"(nProbe=$nProbe, $nQueries sampled queries) for $indexDir")
         case "ann-compact" :: indexDir :: rest =>
           // coalesce append-grown cell files (write-then-swap; stop
           // appenders first — replaceDir's contract)
@@ -758,6 +770,7 @@ object GraftCli {
               "shards <sfDir> <outDir> [nShards] [epoch] | " +
               "ann-build <sfDir> <indexDir> [nCells] | ann-append <inParquet> <indexDir> | " +
               "ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells [m nCodes]] | " +
+              "ann-recall <indexDir> [k nProbe nQueries] | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
               "ann-pq-build <sfDir> <indexDir> [nCells] [m] [nCodes] | " +
               "ann-pq-append <inParquet> <indexDir> | " +

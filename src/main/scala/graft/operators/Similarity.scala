@@ -526,6 +526,43 @@ object Similarity {
       .orderBy($"method")
   }
 
+  /** Recall@k of a PERSISTED index's own query path against brute force
+    * over the index's own vectors — the operational measurement the drift
+    * ratio's contract points to ("re-measure recall and rebuild when the
+    * floor approaches"): the drift ratio is the cheap per-append signal,
+    * this is the ground truth it predicts. Queries are the `nQueries`
+    * lowest-id vectors IN the index (deterministic, no external input);
+    * the approximate side is [[ivfQuery]] — or the composed
+    * [[ProductQuantizer.ivfPqQuery]] when the layout carries a
+    * `pq_model` — so what is measured is exactly what production queries
+    * get, partition pruning and all. The brute-force side scans the cells
+    * table once against the broadcast query sample; cost scales with
+    * nQueries, not with the index (keep the sample driver-scale).
+    */
+  def indexRecall(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      k: Int = 5, nProbe: Int = 4, nQueries: Int = 16,
+      rerank: Int = 50): Double = {
+    import spark.implicits._
+    IncrementalDedup.recoverDir(indexDir)
+    val corpus = spark.read.parquet(s"$indexDir/cells")
+      .select($"neighbor_id".as("vid"), $"cv")
+    val qIds = corpus.select($"vid").orderBy($"vid").limit(nQueries)
+      .as[Long].collect().toSeq
+    val queries = corpus.filter($"vid".isInCollection(qIds))
+    val composed = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$indexDir/pq_model"))
+    val approx =
+      if (composed) ProductQuantizer.ivfPqQuery(spark, indexDir, queries,
+        "vid", "cv", k, nProbe, math.max(rerank, k))
+      else ivfQuery(spark, indexDir, queries, "vid", "cv", k, nProbe)
+    val bf = bruteForceTopK(corpus, queries, "vid", "cv", k)
+    val hits = approx.select($"query_id", $"neighbor_id")
+      .join(bf.select($"query_id", $"neighbor_id"), Seq("query_id", "neighbor_id"))
+      .count()
+    val denom = bf.count()
+    if (denom == 0) 1.0 else hits.toDouble / denom
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the SRP bucket of
     * the query, scored exactly within the bucket. Lower `bits` → bigger
     * buckets → higher recall and cost.

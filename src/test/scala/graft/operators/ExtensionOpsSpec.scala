@@ -262,6 +262,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(after.driftRatio.exists(r => r > 0.3 && r < 1.5), after.toString)
   }
 
+  test("indexRecall: exhaustive probes read exactly 1.0; production probes stay in (0, 1]; composed dispatch") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_recall").toString
+    Similarity.ivfBuild(emb, "vec_id", "embedding", 8, dir)
+    // nProbe = nCells probes every cell: the candidate set is the full
+    // corpus minus self under identical tiebreaks — brute force exactly
+    assert(Similarity.indexRecall(spark, dir, k = 5, nProbe = 8, nQueries = 8) == 1.0)
+    val r = Similarity.indexRecall(spark, dir, k = 5, nProbe = 2, nQueries = 8)
+    assert(r > 0.0 && r <= 1.0, s"recall $r")
+    // composed layout dispatches through ivfPqQuery (pq_model present)
+    val pdir = java.nio.file.Files.createTempDirectory("ivfpq_recall").toString
+    ProductQuantizer.ivfPqBuild(emb, "vec_id", "embedding", 8,
+      ProductQuantizer.train(emb, "embedding", 16, 16), pdir)
+    val rc = Similarity.indexRecall(spark, pdir, k = 5, nProbe = 5,
+      nQueries = 8, rerank = 100)
+    assert(rc > 0.0 && rc <= 1.0, s"composed recall $rc")
+  }
+
   test("ivfCompact coalesces appended cell files; queries stay row-identical") {
     import graft.core.Tables
     val emb = Tables.embeddings(spark, sf0001)
