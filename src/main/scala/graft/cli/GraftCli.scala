@@ -262,6 +262,27 @@ object GraftCli {
             graft.core.Tables.documents(spark, sfDir),
             "doc_id", "text", "lang", minT = minT, den = den)
             .orderBy("t").show(den, truncate = false)
+        case "mix-plan" :: sfDir :: recipe :: Nil =>
+          // feasibility forecast for a token recipe BEFORE sampling: per
+          // group, docs/tokens available vs budget, the sampler's keep
+          // rate, epochs (> 1 = the recipe upsamples — repetition regime),
+          // deficit/surplus, and a status; recipe typos and surprise
+          // corpus groups surface as 'missing'/'unbudgeted' rows
+          import org.apache.spark.sql.functions.col
+          graft.operators.Sampling.mixFeasibility(
+            graft.core.Tables.documents(spark, sfDir), col("lang"),
+            graft.operators.QualityRules.wordCount(col("text")),
+            parseMix(recipe).budgets).show(100, truncate = false)
+        case "filter-impact" :: sfDir :: Nil =>
+          // what the Gopher rule chain does to the per-language MIX:
+          // docs/tokens kept and removed plus each language's token share
+          // before vs after — share_delta is the recipe-change signal
+          import org.apache.spark.sql.functions.col
+          graft.operators.Profiler.filterImpact(
+            graft.core.Tables.documents(spark, sfDir), col("lang"),
+            graft.operators.QualityRules.keep(col("text")),
+            graft.operators.QualityRules.wordCount(col("text")))
+            .show(100, truncate = false)
         case "zorder" :: inPath :: outPath :: colA :: colB :: rest =>
           import org.apache.spark.sql.functions.col
           val files = rest.headOption.map(_.toInt).getOrElse(64)
@@ -754,6 +775,7 @@ object GraftCli {
               "classify <sfDir> <outDir> [threshold] | profile <sfDir> <table> [cols...] | " +
               "drift <beforeParquet> <afterParquet> [cols...] | " +
               "dedup-sensitivity <sfDir> [minT den] | " +
+              "mix-plan <sfDir> <lang:budget,...> | filter-impact <sfDir> | " +
               "zorder <in> <out> <colA> <colB> [files] | " +
               "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | " +
               "bpe <sfDir> [merges] [--out <file>] | lm-score <sfDir> <outDir> | " +

@@ -163,6 +163,64 @@ object Profiler {
         col("share_before"), col("share_after"), col("share_delta"), col("tv"))
   }
 
+  /** Filter IMPACT report — what a boolean keep-predicate does to the
+    * corpus MIX, per group: docs/tokens before, kept and removed, the
+    * keep rates, and the group's token share of the corpus before vs
+    * after the filter. `share_delta` is the line a curation operator
+    * actually reads: a quality filter that silently halves a language's
+    * share of the mix is a recipe change, not a cleanup — the filter-side
+    * analog of [[distributionDrift]] (which compares two corpora; this
+    * compares one corpus with and without a predicate, in one pass).
+    * Generic over the predicate: Gopher rules, langid confidence,
+    * contamination flags — anything boolean.
+    *
+    * Scale shape: ONE scan, one hash aggregation to group cardinality
+    * (kept masses fold as conditional sums in the same aggregate — the
+    * filtered side is never re-scanned); the two corpus totals broadcast
+    * back over the category-scale frame. Cross-engine parity: all counts
+    * are exact integer sums; every rate/share is a single IEEE division;
+    * `share_delta` subtracts two such divisions (exact given identical
+    * operands).
+    */
+  def filterImpact(df: DataFrame, groupCol: Column, keep: Column,
+      weight: Column): DataFrame = {
+    val w = weight.cast("bigint")
+    val perGroup = df
+      .groupBy(groupCol.cast("string").as("group"))
+      .agg(
+        count(lit(1)).as("docs_before"),
+        sum(when(keep, 1L).otherwise(0L)).as("docs_kept"),
+        sum(w).as("tokens_before"),
+        sum(when(keep, w).otherwise(0L)).as("tokens_kept"))
+    val totals = perGroup.agg(
+      sum(col("tokens_before")).as("__tot_before"),
+      sum(col("tokens_kept")).as("__tot_kept"))
+    perGroup.crossJoin(broadcast(totals))
+      .select(
+        col("group"),
+        col("docs_before"), col("docs_kept"),
+        (col("docs_before") - col("docs_kept")).as("docs_removed"),
+        col("tokens_before"), col("tokens_kept"),
+        (col("tokens_before") - col("tokens_kept")).as("tokens_removed"),
+        (col("docs_kept").cast("double") / col("docs_before"))
+          .as("doc_keep_rate"),
+        when(col("tokens_before") > 0,
+          col("tokens_kept").cast("double") / col("tokens_before"))
+          .as("token_keep_rate"),
+        when(col("__tot_before") > 0,
+          col("tokens_before").cast("double") / col("__tot_before"))
+          .as("share_before"),
+        when(col("__tot_kept") > 0,
+          col("tokens_kept").cast("double") / col("__tot_kept"))
+          .as("share_after"),
+        (coalesce(when(col("__tot_kept") > 0,
+          col("tokens_kept").cast("double") / col("__tot_kept")), lit(0.0)) -
+          coalesce(when(col("__tot_before") > 0,
+            col("tokens_before").cast("double") / col("__tot_before")), lit(0.0)))
+          .as("share_delta"))
+      .orderBy(col("group"))
+  }
+
   def drift(before: DataFrame, after: DataFrame, cols: Seq[String]): DataFrame = {
     val b = profile(before, cols.filter(before.columns.contains))
       .withColumnsRenamed(Map("n_rows" -> "rows_before", "n_nulls" -> "nulls_before",

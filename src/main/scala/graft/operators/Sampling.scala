@@ -166,7 +166,16 @@ object Sampling {
       "token budgets must be >= 0")
     val spark = df.sparkSession
     import spark.implicits._
-    val bDf = budgets.toDF("__grp", "__budget")
+    exactPrefix(df, groupCol, key, weight, budgets.toDF("__grp", "__budget"))
+  }
+
+  /** [[exactTokenBudgets]]'s machinery over a budgets FRAME
+    * (`__grp` string, `__budget` long) — the internal form [[repeatToBudget]]
+    * needs, whose remainder budgets are computed from the data rather than
+    * written in the recipe.
+    */
+  private def exactPrefix(df: DataFrame, groupCol: Column, key: Column,
+      weight: Column, bDf: DataFrame): DataFrame = {
     val tagged = df
       .withColumn("__grp", groupCol.cast("string"))
       .withColumn("__h", md5(key.cast("string")))
@@ -195,6 +204,132 @@ object Sampling {
       .drop("__incum")
     fullRows.unionByName(boundaryRows)
       .drop("__grp", "__h", "__bucket", "__w", "__bcum", "__budget", "__full", "__open")
+  }
+
+  /** Materialize the DATA-CONSTRAINED side of a recipe — what
+    * [[mixFeasibility]]'s `repeat` status forecasts (budget > supply, the
+    * regime where training must revisit data; Muennighoff et al. 2023):
+    * per group with budget `B` and token mass `T`, emit `k = B div T` FULL
+    * epochs of the group (every row, epoch ids `0..k-1`) plus a partial
+    * epoch `k` holding the maximal md5-ordered prefix whose running mass
+    * stays strictly under the remainder `B mod T` — so the emitted mass is
+    * exactly determined (k·T + a prefix that never exceeds the remainder
+    * plus one document) and membership/multiplicity is a pure function of
+    * the data. With `B <= T` this IS [[exactTokenBudgets]] with an
+    * `epoch = 0` column (k = 0, remainder = B) — one definition of "admit
+    * under a budget" across both regimes, spec-pinned.
+    *
+    * The `epoch` column is the handle downstream ordering salts on
+    * (`TrainingOrder.interleave(epoch = ...)`) so repeated data is
+    * revisited in a DIFFERENT deterministic order each epoch instead of
+    * replaying one sequence k times. Groups in the recipe but absent from
+    * the corpus emit nothing (you cannot repeat what does not exist) —
+    * [[mixFeasibility]]'s `missing` row is the audit signal for that case;
+    * a zero-mass group with a positive budget emits its rows once
+    * (epoch 0, the [[exactTokenBudgets]] zero-weight convention).
+    *
+    * Scale shape: full epochs are a broadcast join (|groups| rows) plus a
+    * narrow `explode` — NO shuffle, and the k-fold blowup is the requested
+    * output, not overhead; only the partial epoch pays the bucket-ledger
+    * prefix machinery (skew-wall-free, see [[exactTokenBudgets]]). All
+    * epoch arithmetic (`div`/`mod`) is exact integer, cross-engine.
+    */
+  def repeatToBudget(df: DataFrame, groupCol: Column, key: Column,
+      weight: Column, budgets: Seq[(String, Long)]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0L),
+      "token budgets must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bDf = budgets.toDF("__grp", "__budget")
+    val tagged = df.withColumn("__grp", groupCol.cast("string"))
+    val totals = tagged.groupBy(col("__grp"))
+      .agg(sum(weight.cast("bigint")).as("__tok"))
+    // k full epochs + a remainder budget; T = 0 degenerates to k = 0 with
+    // the whole budget in the partial epoch (zero-weight rows admit once)
+    val sized = totals.join(bDf, "__grp")
+      .select(col("__grp"),
+        when(col("__tok") > 0, expr("__budget div __tok"))
+          .otherwise(lit(0L)).as("__k"),
+        when(col("__tok") > 0, col("__budget") % col("__tok"))
+          .otherwise(col("__budget")).as("__rem"))
+    // sequence() is ascending-or-DESCENDING (k = 0 would yield [0, -1]),
+    // so groups without a full epoch must not reach the explode
+    val fullEpochs = tagged
+      .join(broadcast(sized.where(col("__k") >= 1L).select("__grp", "__k")), "__grp")
+      .withColumn("epoch", explode(sequence(lit(0L), col("__k") - 1L)))
+      .drop("__grp", "__k")
+    val partial = exactPrefix(df, groupCol, key, weight,
+        sized.select(col("__grp"), col("__rem").as("__budget")))
+      .withColumn("__grp", groupCol.cast("string"))
+      .join(broadcast(sized.select(col("__grp"), col("__k"))), "__grp")
+      .withColumn("epoch", col("__k"))
+      .drop("__grp", "__k")
+    fullEpochs.unionByName(partial)
+  }
+
+  /** Mix FEASIBILITY forecast — the planning report read BEFORE running
+    * [[toTokenBudgets]]/[[exactTokenBudgets]]: for every group in the
+    * recipe or the corpus, what the recipe would actually do. Per group:
+    * available docs/tokens, the budget, the keep rate the rate-based
+    * sampler would apply, `epochs = budget / tokens` (how many passes over
+    * the source the budget demands — > 1 means the recipe upsamples, the
+    * data-constrained regime where repetition cost kicks in), and the
+    * token deficit/surplus. Status classifies each line: `repeat` (budget
+    * exceeds supply), `downsample`, `exact`, `missing` (budgeted group
+    * absent from the corpus — a recipe typo or an empty source), and
+    * `unbudgeted` (corpus group the recipe drops — its whole token mass is
+    * surplus). The full outer join is what makes the report an AUDIT: both
+    * failure directions (typo'd recipe key, surprise corpus group) surface
+    * as rows instead of silently sampling to zero.
+    *
+    * Scale shape: one hash aggregation over one scan, then a full-outer
+    * join against the literal recipe (|groups| rows). Cross-engine parity:
+    * counts and deficits are exact integer arithmetic; `keep_rate` and
+    * `epochs` are single IEEE divisions of exact integers.
+    */
+  def mixFeasibility(df: DataFrame, groupCol: Column, weight: Column,
+      budgets: Seq[(String, Long)]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0L),
+      "token budgets must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bDf = budgets.toDF("group", "budget")
+    val totals = df.groupBy(groupCol.cast("string").as("group"))
+      .agg(count(lit(1)).as("docs_available"),
+        sum(weight.cast("bigint")).as("tokens_available"))
+    totals.join(bDf, Seq("group"), "full_outer")
+      .select(
+        col("group"),
+        coalesce(col("docs_available"), lit(0L)).as("docs_available"),
+        coalesce(col("tokens_available"), lit(0L)).as("tokens_available"),
+        col("budget"))
+      .select(
+        col("group"), col("docs_available"), col("tokens_available"),
+        col("budget"),
+        when(col("budget").isNull || col("tokens_available") === 0L,
+          lit(null).cast("double"))
+          .when(col("budget") >= col("tokens_available"), lit(1.0))
+          .otherwise(col("budget").cast("double") /
+            col("tokens_available").cast("double"))
+          .as("keep_rate"),
+        when(col("budget").isNull || col("tokens_available") === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("budget").cast("double") /
+            col("tokens_available").cast("double"))
+          .as("epochs"),
+        when(col("budget").isNull, lit(0L))
+          .otherwise(greatest(col("budget") - col("tokens_available"), lit(0L)))
+          .as("deficit_tokens"),
+        when(col("budget").isNull, col("tokens_available"))
+          .otherwise(greatest(col("tokens_available") - col("budget"), lit(0L)))
+          .as("surplus_tokens"),
+        when(col("budget").isNull, lit("unbudgeted"))
+          .when(col("tokens_available") === 0L, lit("missing"))
+          .when(col("budget") > col("tokens_available"), lit("repeat"))
+          .when(col("budget") === col("tokens_available"), lit("exact"))
+          .otherwise(lit("downsample"))
+          .as("status"))
+      .orderBy(col("group"))
   }
 
   /** Exactly `k` rows per group (fewer when the group is smaller):

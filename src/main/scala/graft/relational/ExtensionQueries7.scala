@@ -950,6 +950,192 @@ object ExtensionQueries7 {
         "committing to a threshold. All threshold tests are integer " +
         "(den*common >= t*union), so the brute-force DuckDB oracle replays " +
         "the counts exactly; suffix sums run on <= 11-row histograms."
+    ),
+    // --------------------------------------------------------------- t122
+    GraftQuery(
+      "t122_mix_feasibility",
+      (s, d) => {
+        import s.implicits._
+        // recipe chosen to exercise every status against the shipped
+        // corpus: en downsamples (budget < supply at both SFs), de repeats
+        // (budget >> supply), xx is missing (recipe typo / empty source),
+        // es/fr/zh are unbudgeted (their mass is all surplus)
+        graft.operators.Sampling.mixFeasibility(
+          Tables.documents(s, d), $"lang",
+          graft.operators.QualityRules.wordCount($"text"),
+          Seq("de" -> 40000L, "en" -> 5000L, "xx" -> 1000L))
+      },
+      Some("""WITH t AS (
+             |  SELECT lang AS grp, COUNT(*) AS docs,
+             |    CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> length(x) > 0))) AS BIGINT) AS toks
+             |  FROM documents GROUP BY 1),
+             |b AS (SELECT * FROM (VALUES
+             |  ('de', CAST(40000 AS BIGINT)), ('en', CAST(5000 AS BIGINT)),
+             |  ('xx', CAST(1000 AS BIGINT))) v(grp, budget)),
+             |j AS (
+             |  SELECT COALESCE(t.grp, b.grp) AS grp,
+             |    COALESCE(docs, CAST(0 AS BIGINT)) AS docs_available,
+             |    COALESCE(toks, CAST(0 AS BIGINT)) AS tokens_available, budget
+             |  FROM t FULL OUTER JOIN b ON t.grp = b.grp)
+             |SELECT grp AS "group", docs_available, tokens_available, budget,
+             |  CASE WHEN budget IS NULL OR tokens_available = 0 THEN NULL
+             |       WHEN budget >= tokens_available THEN 1.0
+             |       ELSE CAST(budget AS DOUBLE) / CAST(tokens_available AS DOUBLE)
+             |  END AS keep_rate,
+             |  CASE WHEN budget IS NULL OR tokens_available = 0 THEN NULL
+             |       ELSE CAST(budget AS DOUBLE) / CAST(tokens_available AS DOUBLE)
+             |  END AS epochs,
+             |  CASE WHEN budget IS NULL THEN CAST(0 AS BIGINT)
+             |       ELSE GREATEST(budget - tokens_available, CAST(0 AS BIGINT))
+             |  END AS deficit_tokens,
+             |  CASE WHEN budget IS NULL THEN tokens_available
+             |       ELSE GREATEST(tokens_available - budget, CAST(0 AS BIGINT))
+             |  END AS surplus_tokens,
+             |  CASE WHEN budget IS NULL THEN 'unbudgeted'
+             |       WHEN tokens_available = 0 THEN 'missing'
+             |       WHEN budget > tokens_available THEN 'repeat'
+             |       WHEN budget = tokens_available THEN 'exact'
+             |       ELSE 'downsample' END AS status
+             |FROM j ORDER BY "group"""".stripMargin),
+      doc = "Mix-feasibility forecast: for every group in the recipe OR the " +
+        "corpus, available docs/tokens vs budget, the sampler's keep rate, " +
+        "epochs (= budget/tokens; > 1 is the data-constrained repetition " +
+        "regime), deficit/surplus, and a status line — the planning report " +
+        "read BEFORE committing to a token recipe. Full outer join makes " +
+        "both failure directions (typo'd recipe key, surprise corpus group) " +
+        "rows instead of silent zero-samples. One scan + one hash agg; " +
+        "rates are single IEEE divisions of exact integers."
+    ),
+    // --------------------------------------------------------------- t123
+    GraftQuery(
+      "t123_filter_impact",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profiler.filterImpact(Tables.documents(s, d),
+          $"lang", graft.operators.QualityRules.keep($"text"),
+          graft.operators.QualityRules.wordCount($"text"))
+      },
+      Some("""WITH w AS (SELECT lang, text,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS ws,
+             |    string_split_regex(trim(text), '\s+') AS ws0,
+             |    string_split(text, chr(10)) AS ls
+             |  FROM documents),
+             |s AS (SELECT lang, CAST(len(ws) AS BIGINT) AS n_words,
+             |  CASE WHEN len(ws) > 0
+             |    THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) END AS mean_word_len,
+             |  CASE WHEN len(ws) > 0
+             |    THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws) END AS alpha_frac,
+             |  CASE WHEN len(ws) > 0 THEN CAST(
+             |      (length(text) - length(replace(text, '#', '')))
+             |      + (length(text) - length(replace(text, '...', ''))) // 3
+             |      + (length(text) - length(replace(text, '…', ''))) AS DOUBLE) / len(ws) END AS symbol_ratio,
+             |  (CASE WHEN list_contains(ws0, 'the') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'be') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'to') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'of') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'and') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'that') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'have') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'with') THEN 1 ELSE 0 END) AS stop_hits,
+             |  CASE WHEN len(ls) > 0
+             |    THEN CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(ls) END AS bullet_frac,
+             |  CASE WHEN len(ls) > 0
+             |    THEN CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) / len(ls) END AS ellipsis_frac
+             |  FROM w),
+             |k AS (SELECT lang, n_words,
+             |  (COALESCE(n_words BETWEEN 10 AND 100000, false)
+             |   AND COALESCE(mean_word_len BETWEEN 2.0 AND 10.0, false)
+             |   AND COALESCE(symbol_ratio <= 0.1, false)
+             |   AND COALESCE(bullet_frac <= 0.9, false)
+             |   AND COALESCE(ellipsis_frac <= 0.3, false)
+             |   AND COALESCE(alpha_frac >= 0.8, false)
+             |   AND COALESCE(stop_hits >= 2, false)) AS keep
+             |  FROM s),
+             |g AS (SELECT lang AS grp, COUNT(*) AS docs_before,
+             |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+             |  CAST(SUM(n_words) AS BIGINT) AS tokens_before,
+             |  CAST(SUM(CASE WHEN keep THEN n_words ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS tokens_kept
+             |  FROM k GROUP BY 1),
+             |t AS (SELECT CAST(SUM(tokens_before) AS BIGINT) AS tot_b,
+             |  CAST(SUM(tokens_kept) AS BIGINT) AS tot_k FROM g)
+             |SELECT grp AS "group", docs_before, docs_kept,
+             |  docs_before - docs_kept AS docs_removed,
+             |  tokens_before, tokens_kept,
+             |  tokens_before - tokens_kept AS tokens_removed,
+             |  CAST(docs_kept AS DOUBLE) / docs_before AS doc_keep_rate,
+             |  CASE WHEN tokens_before > 0
+             |    THEN CAST(tokens_kept AS DOUBLE) / tokens_before END AS token_keep_rate,
+             |  CASE WHEN tot_b > 0
+             |    THEN CAST(tokens_before AS DOUBLE) / tot_b END AS share_before,
+             |  CASE WHEN tot_k > 0
+             |    THEN CAST(tokens_kept AS DOUBLE) / tot_k END AS share_after,
+             |  COALESCE(CASE WHEN tot_k > 0
+             |      THEN CAST(tokens_kept AS DOUBLE) / tot_k END, 0.0)
+             |    - COALESCE(CASE WHEN tot_b > 0
+             |      THEN CAST(tokens_before AS DOUBLE) / tot_b END, 0.0) AS share_delta
+             |FROM g CROSS JOIN t ORDER BY "group"""".stripMargin),
+      doc = "Filter-impact report: what the Gopher rule chain (t73) does to " +
+        "the per-language MIX — docs/tokens kept and removed, keep rates, " +
+        "and each language's token share before vs after the filter. " +
+        "share_delta is the recipe-change signal: a filter that halves a " +
+        "language's share is a mix decision, not a cleanup. ONE scan, one " +
+        "hash agg (kept masses as conditional sums — the filtered side is " +
+        "never re-scanned); every rate/share a single IEEE division."
+    ),
+    // --------------------------------------------------------------- t124
+    GraftQuery(
+      "t124_repeat_to_budget",
+      (s, d) => {
+        import s.implicits._
+        // de's budget is ~2.3x its mass (k = 2 full epochs + a boundary
+        // prefix at both SFs), en's is under-mass (partial-only — the
+        // exactTokenBudgets regime), zh's is zero (emits nothing);
+        // es/fr are unbudgeted (dropped, the recipe convention)
+        graft.operators.Sampling.repeatToBudget(
+          Tables.documents(s, d), $"lang", $"doc_id", $"n_chars",
+          Seq("de" -> 50000L, "en" -> 5000L, "zh" -> 0L))
+          .select($"doc_id".cast("bigint").as("doc_id"), $"lang", $"epoch")
+          .orderBy($"lang", $"epoch", $"doc_id")
+      },
+      Some("""WITH b(grp, budget) AS (VALUES
+             |    ('de', CAST(50000 AS BIGINT)), ('en', CAST(5000 AS BIGINT)),
+             |    ('zh', CAST(0 AS BIGINT))),
+             |t AS (SELECT doc_id, lang, n_chars,
+             |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |tot AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS tok
+             |  FROM t GROUP BY 1),
+             |s AS (SELECT b.grp, b.budget, tot.tok,
+             |    CASE WHEN tok > 0 THEN budget // tok ELSE CAST(0 AS BIGINT) END AS k,
+             |    CASE WHEN tok > 0 THEN budget % tok ELSE budget END AS rem
+             |  FROM b JOIN tot ON b.grp = tot.lang),
+             |eps AS (SELECT grp, unnest(range(k)) AS epoch FROM s),
+             |fullep AS (
+             |  SELECT t.doc_id, t.lang, eps.epoch
+             |  FROM t JOIN eps ON t.lang = eps.grp),
+             |cums AS (SELECT doc_id, lang,
+             |    COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+             |      ORDER BY h, CAST(doc_id AS VARCHAR)
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+             |  FROM t),
+             |part AS (
+             |  SELECT c.doc_id, c.lang, s.k AS epoch
+             |  FROM cums c JOIN s ON c.lang = s.grp
+             |  WHERE c.cumb < s.rem)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, epoch FROM fullep
+             |UNION ALL
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, epoch FROM part
+             |ORDER BY lang, epoch, doc_id""".stripMargin),
+      doc = "Data-constrained recipe execution (the 'repeat' status of t122 " +
+        "materialized): k = budget div mass FULL epochs per group plus a " +
+        "partial epoch holding the exact md5-ordered prefix under the " +
+        "remainder — emitted multiplicity is a pure function of the data, " +
+        "and budget <= mass degenerates to t108's exactTokenBudgets with " +
+        "an epoch column. Full epochs are a broadcast join + narrow " +
+        "explode (NO shuffle — the k-fold blowup is the requested output); " +
+        "only the boundary prefix pays the bucket-ledger machinery. The " +
+        "oracle replays epochs via unnest(range(k)) and the prefix via the " +
+        "naive whole-group window; integer div/mod replays exactly."
     )
   )
 }

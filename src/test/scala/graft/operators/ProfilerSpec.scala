@@ -96,4 +96,40 @@ class ProfilerSpec extends SparkSpec {
     val extra = got.find(_.getString(0) == "extra").get
     assert(extra.isNullAt(extra.fieldIndex("rows_before")), "schema drift row")
   }
+
+  test("filterImpact: per-group mix shares before vs after a predicate, hand-computed") {
+    val df = Seq(
+      ("en", 10L, true), ("en", 30L, false),
+      ("de", 20L, true), ("de", 20L, true),
+      ("zh", 5L, false)
+    ).toDF("lang", "w", "ok")
+    // totals: 85 tokens before, 50 kept
+    val got = Profiler.filterImpact(df, col("lang"), col("ok"), col("w"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = got("en")
+    assert(en.getAs[Long]("docs_before") == 2 && en.getAs[Long]("docs_kept") == 1
+      && en.getAs[Long]("docs_removed") == 1)
+    assert(en.getAs[Long]("tokens_before") == 40 && en.getAs[Long]("tokens_kept") == 10
+      && en.getAs[Long]("tokens_removed") == 30)
+    assert(en.getAs[Double]("doc_keep_rate") == 0.5
+      && en.getAs[Double]("token_keep_rate") == 0.25)
+    assert(en.getAs[Double]("share_before") == 40.0 / 85.0
+      && en.getAs[Double]("share_after") == 10.0 / 50.0)
+    assert(en.getAs[Double]("share_delta") == 10.0 / 50.0 - 40.0 / 85.0)
+    val zh = got("zh") // fully filtered: share_after is a real 0, not null
+    assert(zh.getAs[Long]("tokens_kept") == 0L
+      && zh.getAs[Double]("share_after") == 0.0
+      && zh.getAs[Double]("share_delta") == -(5.0 / 85.0))
+    // predicate false everywhere: kept totals zero, shares-after null,
+    // delta collapses to -share_before (never a division by zero)
+    val none = Profiler.filterImpact(df, col("lang"), lit(false), col("w")).collect()
+    assert(none.forall(r => r.getAs[Long]("tokens_kept") == 0L
+      && r.isNullAt(r.fieldIndex("share_after"))))
+    // a NULL predicate value counts as removed (CASE WHEN semantics both engines)
+    val nullish = Profiler.filterImpact(df, col("lang"),
+      when(col("lang") === "en", lit(true)), col("w"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(nullish("en").getAs[Long]("docs_kept") == 2L
+      && nullish("de").getAs[Long]("docs_kept") == 0L)
+  }
 }

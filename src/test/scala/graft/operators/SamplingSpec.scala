@@ -150,4 +150,78 @@ class SamplingSpec extends SparkSpec {
     // zero budget admits nothing (strict-< prefix rule is total)
     assert(Sampling.exactTokenBudgets(df, $"g", $"id", $"w", Seq("a" -> 0L)).count() == 0)
   }
+
+  test("mixFeasibility: every status line, exact arithmetic, both audit directions") {
+    val df = Seq(
+      ("a", 10L), ("a", 20L), // 2 docs, 30 tokens
+      ("b", 100L),            // 1 doc, 100 tokens
+      ("c", 5L), ("c", 5L)    // 2 docs, 10 tokens
+    ).toDF("g", "w")
+    val got = Sampling.mixFeasibility(df, $"g", $"w",
+      Seq("a" -> 15L, "b" -> 200L, "c" -> 10L, "z" -> 7L))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a") // budget under supply: downsample at rate 1/2
+    assert(a.getAs[Long]("docs_available") == 2L
+      && a.getAs[Long]("tokens_available") == 30L)
+    assert(a.getAs[Double]("keep_rate") == 0.5 && a.getAs[Double]("epochs") == 0.5)
+    assert(a.getAs[Long]("deficit_tokens") == 0L
+      && a.getAs[Long]("surplus_tokens") == 15L)
+    assert(a.getAs[String]("status") == "downsample")
+    val b = got("b") // budget over supply: the data-constrained regime
+    assert(b.getAs[Double]("keep_rate") == 1.0 && b.getAs[Double]("epochs") == 2.0)
+    assert(b.getAs[Long]("deficit_tokens") == 100L
+      && b.getAs[String]("status") == "repeat")
+    val c = got("c")
+    assert(c.getAs[String]("status") == "exact" && c.getAs[Double]("epochs") == 1.0
+      && c.getAs[Long]("deficit_tokens") == 0L
+      && c.getAs[Long]("surplus_tokens") == 0L)
+    val z = got("z") // budgeted group absent from the corpus: audit row, not a silent zero-sample
+    assert(z.getAs[String]("status") == "missing"
+      && z.getAs[Long]("docs_available") == 0L
+      && z.isNullAt(z.fieldIndex("keep_rate"))
+      && z.isNullAt(z.fieldIndex("epochs"))
+      && z.getAs[Long]("deficit_tokens") == 7L)
+    // corpus group the recipe drops: all of its mass is surplus
+    val got2 = Sampling.mixFeasibility(df, $"g", $"w", Seq("a" -> 15L))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = got2("b")
+    assert(u.getAs[String]("status") == "unbudgeted"
+      && u.getAs[Long]("surplus_tokens") == 100L
+      && u.isNullAt(u.fieldIndex("epochs"))
+      && u.getAs[Long]("deficit_tokens") == 0L)
+    // the forecast's keep_rate IS toTokenBudgets' sampling rate: the rate
+    // column of the report and the sampler must never disagree
+    assert(got.size == 4 && got2.size == 3)
+  }
+
+  test("repeatToBudget: k full epochs + exact remainder prefix; degenerates to exactTokenBudgets") {
+    val df = (1L to 5L).map(i => ("a", i, 10L)).toDF("g", "id", "w")
+    // T = 50, B = 125: k = 2 full epochs, remainder 25 admits the 3-doc
+    // md5 prefix (cum 0/10/20 < 25)
+    val got = Sampling.repeatToBudget(df, $"g", $"id", $"w", Seq("a" -> 125L))
+    val byEpoch = got.groupBy($"epoch").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byEpoch == Map(0L -> 5L, 1L -> 5L, 2L -> 3L))
+    // emitted mass is exactly determined: k*T + the strict-< prefix
+    assert(got.agg(sum($"w")).head().getLong(0) == 130L)
+    // the partial epoch IS exactTokenBudgets at the remainder budget
+    val prefix = Sampling.exactTokenBudgets(df, $"g", $"id", $"w", Seq("a" -> 25L))
+      .select($"id").as[Long].collect().toSet
+    assert(got.where($"epoch" === 2L).select($"id").as[Long].collect().toSet == prefix)
+    // budget <= mass: one definition of "admit under a budget" across both
+    // regimes — identical membership, all of it epoch 0
+    val small = Sampling.repeatToBudget(df, $"g", $"id", $"w", Seq("a" -> 35L))
+    assert(small.select($"epoch").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(small.select($"id").as[Long].collect().toSet ==
+      Sampling.exactTokenBudgets(df, $"g", $"id", $"w", Seq("a" -> 35L))
+        .select($"id").as[Long].collect().toSet)
+    // zero budget emits nothing; a recipe group absent from the corpus
+    // emits nothing (mixFeasibility's 'missing' row is the audit signal)
+    assert(Sampling.repeatToBudget(df, $"g", $"id", $"w", Seq("a" -> 0L)).count() == 0)
+    assert(Sampling.repeatToBudget(df, $"g", $"id", $"w", Seq("nope" -> 100L)).count() == 0)
+    // multiplicity is a pure function of the data — repartition-proof
+    val again = Sampling.repeatToBudget(
+      df.repartition(7), $"g", $"id", $"w", Seq("a" -> 125L))
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
 }
