@@ -50,9 +50,17 @@ object CrawlPipeline {
     * recipe, language → token budget — exhaustive by definition, so
     * documents tagged with a language absent from the recipe are DROPPED
     * ([[graft.operators.Sampling.exactTokenBudgets]]'s contract); `epoch`
-    * varies the deterministic training order between passes.
+    * varies the deterministic training order between passes. With
+    * `repeat = true`, budgets ABOVE a language's supply are honored by
+    * repetition ([[graft.operators.Sampling.repeatToBudget]] — k full
+    * epochs + an exact remainder prefix, the data-constrained regime)
+    * instead of silently capping at the supply; each copy carries its
+    * `epoch` and the composite (doc_id, epoch) key is the unit of
+    * identity through ordering and packing, so copies occupy distinct,
+    * differently-shuffled positions.
     */
-  final case class MixStage(budgets: Seq[(String, Long)], epoch: Int = 0)
+  final case class MixStage(budgets: Seq[(String, Long)], epoch: Int = 0,
+      repeat: Boolean = false)
 
   def run(spark: SparkSession, warcGlob: String, workDir: String,
       agent: String = "graftbot", capacity: Long = 2048L,
@@ -388,21 +396,33 @@ object CrawlPipeline {
     // row-for-row), 08d writes the deterministic round-robin training-order
     // manifest (t82 semantics; packing keeps its own md5 shuffle order, so
     // the manifest is a sibling checkpoint consumers join back by doc_id)
-    val (packInput, orderedOpt) = mixStage match {
-      case None => (split, None)
+    val (packInput, orderedOpt, packKey) = mixStage match {
+      case None => (split, None, col("doc_id"))
       case Some(m) =>
         val lang = ck("08b_lang",
           split.withColumn("lang", TextAnalysis.langId(col("text"))))
-        val mixed = ck("08c_mix", graft.operators.Sampling.exactTokenBudgets(
-          lang, col("lang"), col("doc_id"), tokWeight(col("text")), m.budgets))
+        // with repeat, a budget above a language's supply is honored by
+        // k full epochs + an exact remainder prefix (t124 semantics) and
+        // a document legitimately appears once per epoch — the composite
+        // (doc_id, epoch) key becomes the unit of identity downstream:
+        // it keeps ordering keys unique AND salts each copy's shuffle
+        // position differently (same-doc copies do not travel together)
+        val mixed = ck("08c_mix",
+          if (m.repeat) graft.operators.Sampling.repeatToBudget(
+            lang, col("lang"), col("doc_id"), tokWeight(col("text")), m.budgets)
+          else graft.operators.Sampling.exactTokenBudgets(
+            lang, col("lang"), col("doc_id"), tokWeight(col("text")), m.budgets))
+        val mixKey =
+          if (m.repeat) concat_ws(":", col("doc_id"), col("epoch"))
+          else col("doc_id")
         val ordered = ck("08d_order", graft.operators.TrainingOrder.interleave(
-          mixed, col("lang"), col("doc_id"), m.budgets.map(_._1), m.epoch))
-        (mixed, Some(ordered))
+          mixed, col("lang"), mixKey, m.budgets.map(_._1), m.epoch))
+        (mixed, Some(ordered), mixKey)
     }
 
     ck("09_pack", TextPipeline.packSequences(
       packInput.withColumn("n_tokens", tokWeight(col("text"))),
-      col("doc_id"), col("n_tokens"), capacity))
+      packKey, col("n_tokens"), capacity))
 
     // 09b (optional): shard files of the same corpus 09_pack packed —
     // the shard writers own their write discipline (partitioned, sorted

@@ -124,4 +124,33 @@ class TrainingOrderSpec extends SparkSpec {
     }._1
     assert(maxRun <= 8, s"max same-source run $maxRun")
   }
+
+  test("repeatToBudget composes with interleave via the composite (id, epoch) key") {
+    val df = ((1L to 8L).map(i => ("a", i, 10L)) ++
+      (1L to 3L).map(i => ("b", i + 100L, 10L))).toDF("src", "id", "w")
+    // a: T = 80, budget 160 -> exactly 2 full epochs (16 copies);
+    // b: T = 30, budget 30 -> 1 full epoch (3 copies)
+    val rep = Sampling.repeatToBudget(df, $"src", $"id", $"w",
+      Seq("a" -> 160L, "b" -> 30L))
+    assert(rep.count() == 19)
+    // the composite key restores uniqueness, so every COPY gets its own
+    // round-robin position — this is the documented downstream contract
+    val ordered = TrainingOrder.interleave(rep, $"src",
+      concat_ws(":", $"id", $"epoch"), Seq("a", "b"))
+    assert(ordered.count() == 19
+      && ordered.select("global_pos").distinct().count() == 19)
+    // strict alternation while both sources last (b's 3 copies occupy the
+    // first three odd positions)
+    val seq = ordered.select($"global_pos", $"src").as[(Long, String)]
+      .collect().sortBy(_._1).map(_._2)
+    assert(seq.take(6).toSeq == Seq("a", "b", "a", "b", "a", "b"), seq.mkString)
+    // the epoch component SALTS the order: the two full epochs of source a
+    // hold the same ids but replay them in different deterministic orders
+    val byEpoch = ordered.where($"src" === "a")
+      .select($"epoch", $"global_pos", $"id").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byEpoch(0L).toSet == byEpoch(1L).toSet, byEpoch.toString)
+    assert(byEpoch(0L) != byEpoch(1L),
+      "epoch copies must not replay one sequence twice")
+  }
 }

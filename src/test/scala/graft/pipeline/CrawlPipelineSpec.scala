@@ -549,6 +549,69 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(byPos.map(_._2).toSeq == byPos.map(_._2).sorted.toSeq)
   }
 
+  test("mix repeat mode: a budget above supply is honored by epoch repetition, not capped") {
+    val warcDir = Files.createTempDirectory("crawl10_warc")
+    val work = Files.createTempDirectory("crawl10_work").toString
+    // same skewed bilingual shape as the mix test: 6 en pages, 2 de pages,
+    // 160 whitespace tokens each
+    def enBody(i: Int) =
+      (1 to 40).flatMap(j => Seq("the", s"en${i}w$j", "and", s"t$i$j")).mkString(" ")
+    def deBody(i: Int) =
+      (1 to 40).flatMap(j => Seq("und", s"de${i}w$j", "der", s"d$i$j")).mkString(" ")
+    val recs = (1 to 6).map(i => response(s"http://en$i.example/p", enBody(i))) ++
+      (1 to 2).map(i => response(s"http://de$i.example/p", deBody(i)))
+    Files.write(warcDir.resolve("s.warc"), recs.reduce(_ ++ _))
+
+    // de: supply 320, budget 800 -> 2 full epochs + a 160-token remainder
+    // prefix (ONE doc: the second's running sum 160 is not < 160) = 5
+    // copies; en: budget 400 under supply -> the 3-doc prefix at epoch 0
+    val budgets = Seq("en" -> 400L, "de" -> 800L)
+    val counts = CrawlPipeline.run(spark, s"$warcDir/*.warc*", work,
+        qualityThresholds = graft.operators.QualityRules.Thresholds(minStopHits = 0L),
+        mixStage = Some(CrawlPipeline.MixStage(budgets, repeat = true)),
+        shards = Some(4))
+      .map(c => c.stage -> c.rows).toMap
+    assert(counts("08c_mix") == 8 && counts("09_pack") == 8, counts.toString)
+
+    val mixed = spark.read.parquet(s"$work/08c_mix")
+    val byLang = mixed.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 3L, "de" -> 5L), byLang.toString)
+    // de multiplicities: both docs ride epochs 0 and 1, exactly one (the
+    // md5-first) also rides the partial epoch 2
+    val deCopies = mixed.where($"lang" === "de").groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().map(_._2).sorted.toSeq
+    assert(deCopies == Seq(2L, 3L), deCopies.toString)
+    assert(mixed.where($"lang" === "en").select(max($"epoch")).head().getLong(0) == 0L)
+    assert(mixed.where($"lang" === "de").select(max($"epoch")).head().getLong(0) == 2L)
+
+    // the stage IS the oracle-gated operator (t124 semantics), unchanged
+    val lang = spark.read.parquet(s"$work/08b_lang")
+    val direct = graft.operators.Sampling.repeatToBudget(lang, $"lang",
+        $"doc_id", graft.operators.TextAnalysis.tokenCount($"text"), budgets)
+      .select($"doc_id", $"epoch").as[(Long, Long)].collect().sorted.toSeq
+    assert(mixed.select($"doc_id", $"epoch").as[(Long, Long)].collect()
+      .sorted.toSeq == direct)
+
+    // 08d: every COPY holds its own round-robin position (composite
+    // (doc_id, epoch) key), strict alternation while both languages last
+    val order = spark.read.parquet(s"$work/08d_order")
+    assert(order.count() == 8 && order.select("global_pos").distinct().count() == 8)
+    val seq = order.select($"global_pos", $"lang").as[(Long, String)]
+      .collect().sortBy(_._1).map(_._2)
+    assert(seq.take(6).count(_ == "en") == 3 && seq.take(6).count(_ == "de") == 3,
+      seq.mkString(","))
+    seq.take(6).sliding(2).foreach { case Array(x, y) => assert(x != y) case _ => }
+
+    // 09b: mixture shards replay the repeated mixture order — rank ranges
+    // over 8 copies, shard ids nondecreasing in mixture order
+    assert(counts("09b_shards") == 8, counts.toString)
+    val byPos = spark.read.parquet(s"$work/09b_shards")
+      .select($"global_pos", $"shard".cast("int"))
+      .as[(Long, Int)].collect().sortBy(_._1)
+    val expectShard = byPos.map(_._1).zipWithIndex.map { case (p, r) => (p, r * 4 / 8) }
+    assert(byPos.toSeq == expectShard.toSeq, byPos.mkString(","))
+  }
+
   test("daemon survives a snapshot that admits nothing (empty index deltas)") {
     val warcDir = Files.createTempDirectory("crawl6_warc")
     val work = Files.createTempDirectory("crawl6_work").toString
