@@ -28,6 +28,15 @@ object GraftCli {
     go(args, Map.empty, Nil)
   }
 
+  /** `--mix-mode exact|repeat` → MixStage.repeat (default exact). */
+  private def parseMixMode(flags: Map[String, String]): Boolean =
+    flags.get("--mix-mode") match {
+      case None | Some("exact") => false
+      case Some("repeat") => true
+      case Some(other) =>
+        sys.error(s"bad --mix-mode '$other', expected exact or repeat")
+    }
+
   /** `en:30000,de:9000` → MixStage recipe. */
   private def parseMix(recipe: String): graft.pipeline.CrawlPipeline.MixStage =
     graft.pipeline.CrawlPipeline.MixStage(recipe.split(",").toSeq.map { kv =>
@@ -656,9 +665,12 @@ object GraftCli {
           }
           // --mix en:30000,de:9000 adds the dataset-assembly stages
           // (language tag → exact token-budget mix → training order);
-          // --bpe-merges <file> (the `bpe --out` artifact) sizes budgets
-          // and packing bins in real tokenizer tokens
-          val mix = flags.get("--mix").map(parseMix)
+          // --mix-mode repeat honors budgets ABOVE a language's supply by
+          // epoch repetition (t124 semantics) instead of capping at the
+          // supply; --bpe-merges <file> (the `bpe --out` artifact) sizes
+          // budgets and packing bins in real tokenizer tokens
+          val mix = flags.get("--mix").map(r =>
+            parseMix(r).copy(repeat = parseMixMode(flags)))
           val counts = graft.pipeline.CrawlPipeline.run(
             spark, warcGlob, workDir, agent, capacity,
             indexDir = flags.get("--index"), enrichStage = enrich,
@@ -686,7 +698,8 @@ object GraftCli {
           val q = graft.pipeline.CrawlPipeline.runStream(
             spark, warcDir, workDir, indexDir, agent, capacity,
             compactEvery = ce,
-            mixStage = flags.get("--mix").map(parseMix),
+            mixStage = flags.get("--mix").map(r =>
+              parseMix(r).copy(repeat = parseMixMode(flags))),
             packTokenizer = flags.get("--bpe-merges")
               .map(graft.operators.Bpe.loadMerges),
             shards = flags.get("--shards").map(_.toInt),
@@ -802,7 +815,7 @@ object GraftCli {
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | " +
               "pipeline <warcGlob> <workDir> [agent] [capacity] [--index <dir>] [--enrich <templateFile>] " +
-              "[--mix <lang:budget,...>] [--bpe-merges <file>] [--shards <n>] | " +
+              "[--mix <lang:budget,...>] [--mix-mode exact|repeat] [--bpe-merges <file>] [--shards <n>] | " +
               "pipeline-stream <warcDir> <workDir> <indexDir> [agent] [capacity] [--compact-every <n>] " +
               "[--mix <lang:budget,...>] [--bpe-merges <file>] [--shards <n>] | reset <workDir>")
           sys.exit(2)
