@@ -271,16 +271,25 @@ object GraftCli {
             graft.core.Tables.documents(spark, sfDir),
             "doc_id", "text", "lang", minT = minT, den = den)
             .orderBy("t").show(den, truncate = false)
-        case "mix-plan" :: sfDir :: recipe :: Nil =>
+        case "mix-plan" :: sfDir :: recipe :: rest =>
           // feasibility forecast for a token recipe BEFORE sampling: per
           // group, docs/tokens available vs budget, the sampler's keep
           // rate, epochs (> 1 = the recipe upsamples — repetition regime),
           // deficit/surplus, and a status; recipe typos and surprise
-          // corpus groups surface as 'missing'/'unbudgeted' rows
+          // corpus groups surface as 'missing'/'unbudgeted' rows.
+          // The token UNIT matches the pipeline's mix stage exactly —
+          // whitespace tokens by default, REAL BPE tokens with
+          // --bpe-merges — a forecast in a different unit than the
+          // executor would mislead by the tokenizer's fertility factor.
           import org.apache.spark.sql.functions.col
+          val (flags, _) = splitFlags(rest)
+          def weight(c: org.apache.spark.sql.Column) =
+            flags.get("--bpe-merges").map(graft.operators.Bpe.loadMerges)
+              .fold(graft.operators.TextAnalysis.tokenCount(c))(m =>
+                graft.operators.Bpe.tokenCount(c, m))
           graft.operators.Sampling.mixFeasibility(
             graft.core.Tables.documents(spark, sfDir), col("lang"),
-            graft.operators.QualityRules.wordCount(col("text")),
+            weight(col("text")),
             parseMix(recipe).budgets).show(100, truncate = false)
         case "filter-impact" :: sfDir :: Nil =>
           // what the Gopher rule chain does to the per-language MIX:
@@ -788,7 +797,8 @@ object GraftCli {
               "classify <sfDir> <outDir> [threshold] | profile <sfDir> <table> [cols...] | " +
               "drift <beforeParquet> <afterParquet> [cols...] | " +
               "dedup-sensitivity <sfDir> [minT den] | " +
-              "mix-plan <sfDir> <lang:budget,...> | filter-impact <sfDir> | " +
+              "mix-plan <sfDir> <lang:budget,...> [--bpe-merges <file>] | " +
+              "filter-impact <sfDir> | " +
               "zorder <in> <out> <colA> <colB> [files] | " +
               "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | " +
               "bpe <sfDir> [merges] [--out <file>] | lm-score <sfDir> <outDir> | " +
