@@ -301,6 +301,24 @@ object GraftCli {
             graft.operators.QualityRules.keep(col("text")),
             graft.operators.QualityRules.wordCount(col("text")))
             .show(100, truncate = false)
+        case "manifest" :: dir :: Nil =>
+          // write the release manifest beside the data (dir/_manifest):
+          // per part file, bytes + footer row count + streaming md5
+          import org.apache.spark.sql.functions.{col, sum}
+          val m = graft.sinks.DatasetManifest.write(spark, dir)
+          val t = m.agg(sum(col("bytes")), sum(col("rows"))).head()
+          println(s"manifest: ${m.count()} files, ${t.getLong(0)} bytes, " +
+            s"${t.getLong(1)} rows -> $dir/_manifest")
+        case "manifest-verify" :: dir :: Nil =>
+          // check the dataset against its stored manifest; prints every
+          // non-ok file, most severe first
+          import org.apache.spark.sql.functions.col
+          val v = graft.sinks.DatasetManifest.verify(spark, dir).localCheckpoint()
+          val bad = v.where(col("status") =!= "ok")
+          bad.show(100, truncate = false)
+          val nBad = bad.count()
+          println(s"manifest-verify: ${v.count()} files, " +
+            s"${v.count() - nBad} ok, $nBad not ok")
         case "zorder" :: inPath :: outPath :: colA :: colB :: rest =>
           import org.apache.spark.sql.functions.col
           val files = rest.headOption.map(_.toInt).getOrElse(64)
@@ -798,7 +816,7 @@ object GraftCli {
               "drift <beforeParquet> <afterParquet> [cols...] | " +
               "dedup-sensitivity <sfDir> [minT den] | " +
               "mix-plan <sfDir> <lang:budget,...> [--bpe-merges <file>] | " +
-              "filter-impact <sfDir> | " +
+              "filter-impact <sfDir> | manifest <dir> | manifest-verify <dir> | " +
               "zorder <in> <out> <colA> <colB> [files] | " +
               "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | " +
               "bpe <sfDir> [merges] [--out <file>] | lm-score <sfDir> <outDir> | " +

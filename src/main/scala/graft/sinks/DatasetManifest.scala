@@ -1,0 +1,190 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
+
+/** Dataset RELEASE manifest — the file-level inventory + integrity record
+  * a published dataset ships with, and the check its consumers run before
+  * training: per part file, the relative path, byte size, row count, and
+  * an md5 content digest. A training run that reads a shard the writer
+  * never produced (a stray copy), misses one (partial sync), or reads one
+  * that changed since release (re-compaction, bit rot) should fail at the
+  * manifest, not at step 40k of the run.
+  *
+  * Scale shape: ONE distributed pass, one file per task row. The digest
+  * STREAMS each file through a fixed 1 MiB buffer (constant memory — a
+  * 10 GB part file costs no more heap than a 10 MB one), and the row
+  * count comes from the file's OWN parquet footer (a tail-seek + a
+  * metadata parse — never a data scan). No shuffle anywhere: the output
+  * is |files| rows. The digest binds the bytes, so a footer cannot lie
+  * relative to release time — if the footer changed, so did the md5; the
+  * spec cross-checks footer counts against a real scan at write time.
+  * Failures isolate per file by construction: an unreadable footer yields
+  * a null row count for THAT entry (the digest still reports it), never a
+  * dead verification pass — a manifest check that dies on the exact
+  * corruption it exists to catch would be useless.
+  *
+  * Hidden-file convention: entries with a `_` or `.` path segment are
+  * excluded — the same rule Spark's own file discovery applies — so the
+  * stored `_manifest` never lists itself and never changes what the
+  * dataset reads as.
+  */
+object DatasetManifest {
+
+  private final case class Entry(
+      file: String, bytes: Long, rows: Option[Long], md5: String)
+
+  /** Hadoop Configuration is not Serializable; ship it to tasks via its
+    * own wire format (Spark's internal wrapper is `private[spark]`).
+    */
+  private final class ConfCarrier(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Recursive driver-side listing of visible `*.parquet` files:
+    * (relative path, fully-qualified URI, bytes). Driver cost scales with
+    * the file COUNT (the same listing any read of the dataset performs),
+    * never with bytes.
+    */
+  private def listParts(spark: SparkSession,
+      dir: String): (String, Seq[(String, String, Long)]) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p).toUri.getPath
+    val out = ArrayBuffer.empty[(String, String, Long)]
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val uriPath = st.getPath.toUri.getPath
+        if (uriPath.startsWith(root + "/")) {
+          val rel = uriPath.substring(root.length + 1)
+          if (rel.endsWith(".parquet") &&
+            !rel.split("/").exists(s => s.startsWith("_") || s.startsWith(".")))
+            out += ((rel, st.getPath.toString, st.getLen))
+        }
+      }
+    }
+    (root, out.sortBy(_._1).toSeq)
+  }
+
+  /** One file's manifest entry over an open filesystem: streaming md5,
+    * then the row count from the parquet tail (`footerLen ++ "PAR1"`,
+    * little-endian, footer immediately before). Any footer anomaly —
+    * short file, wrong magic, unparseable metadata — is a null row count,
+    * not an error.
+    */
+  private def entryOf(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, rel: String, bytes: Long): Entry = {
+    val in = fs.open(path)
+    try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = new Array[Byte](1 << 20)
+      var r = in.read(buf)
+      while (r >= 0) { if (r > 0) md.update(buf, 0, r); r = in.read(buf) }
+      val md5hex = md.digest().map("%02x".format(_)).mkString
+      val rows: Option[Long] =
+        try {
+          if (bytes < 12) None
+          else {
+            val tail = new Array[Byte](8)
+            in.seek(bytes - 8)
+            in.readFully(tail)
+            if (!(tail(4) == 'P' && tail(5) == 'A' && tail(6) == 'R' && tail(7) == '1')) None
+            else {
+              val fLen = ByteBuffer.wrap(tail, 0, 4)
+                .order(ByteOrder.LITTLE_ENDIAN).getInt
+              if (fLen <= 0 || fLen > bytes - 12) None
+              else {
+                val fb = new Array[Byte](fLen)
+                in.seek(bytes - 8 - fLen)
+                in.readFully(fb)
+                Some(org.apache.parquet.format.Util
+                  .readFileMetaData(new java.io.ByteArrayInputStream(fb))
+                  .getNum_rows)
+              }
+            }
+          }
+        } catch { case NonFatal(_) => None }
+      Entry(rel, bytes, rows, md5hex)
+    } finally in.close()
+  }
+
+  /** Compute the manifest of every visible `*.parquet` part file under
+    * `dir` (recursively — partition dirs included), ordered by relative
+    * path. Columns: `file`, `bytes`, `rows` (null when the footer is
+    * unreadable), `md5`.
+    */
+  def manifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, parts) = listParts(spark, dir)
+    val conf = spark.sparkContext.broadcast(
+      new ConfCarrier(spark.sessionState.newHadoopConf()))
+    val n = math.max(1, math.min(parts.size,
+      spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(parts, n)
+      .map { case (rel, uri, bytes) =>
+        val path = new org.apache.hadoop.fs.Path(uri)
+        entryOf(path.getFileSystem(conf.value.value), path, rel, bytes)
+      }
+      .toDF()
+      .orderBy(col("file"))
+  }
+
+  /** Compute and persist the manifest beside the data as
+    * `dir/_manifest` — the `_` prefix keeps it out of parquet discovery,
+    * so writing it does not change what the dataset reads as.
+    * @return the stored manifest read back
+    */
+  def write(spark: SparkSession, dir: String): DataFrame = {
+    // one file: the manifest is |files| rows — driver-scale by definition
+    manifest(spark, dir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_manifest")
+    spark.read.parquet(s"$dir/_manifest")
+  }
+
+  /** Check the dataset against its stored manifest: one row per file seen
+    * on either side with `status` in `ok` (bytes, rows, and md5 all
+    * match), `changed` (present both sides, any field differs), `missing`
+    * (in the manifest, not on disk), `extra` (on disk, not in the
+    * manifest). Ordered most-severe first, then by path — a clean release
+    * reads as an all-`ok` frame.
+    */
+  def verify(spark: SparkSession, dir: String): DataFrame = {
+    val stored = spark.read.parquet(s"$dir/_manifest")
+      .withColumnsRenamed(Map("bytes" -> "bytes_manifest",
+        "rows" -> "rows_manifest", "md5" -> "md5_manifest"))
+    val actual = manifest(spark, dir)
+      .withColumnsRenamed(Map("bytes" -> "bytes_actual",
+        "rows" -> "rows_actual", "md5" -> "md5_actual"))
+    stored.join(actual, Seq("file"), "full_outer")
+      .withColumn("status",
+        when(col("md5_actual").isNull, lit("missing"))
+          .when(col("md5_manifest").isNull, lit("extra"))
+          .when(col("bytes_manifest") === col("bytes_actual") &&
+            (col("rows_manifest") <=> col("rows_actual")) &&
+            col("md5_manifest") === col("md5_actual"), lit("ok"))
+          .otherwise(lit("changed")))
+      .select("file", "status", "bytes_manifest", "bytes_actual",
+        "rows_manifest", "rows_actual", "md5_manifest", "md5_actual")
+      .orderBy(
+        when(col("status") === "missing", 0).when(col("status") === "changed", 1)
+          .when(col("status") === "extra", 2).otherwise(3),
+        col("file"))
+  }
+}
