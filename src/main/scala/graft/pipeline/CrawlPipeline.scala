@@ -440,6 +440,12 @@ object CrawlPipeline {
           packInput, col("doc_id"), s"$workDir/09b_shards", n,
           epoch = mixStage.map(_.epoch).getOrElse(0))
       }
+      // the shard set is a RELEASE: seal it with the integrity manifest
+      // (bytes + footer rows + streaming md5 per part file, stored as
+      // _manifest beside the data — hidden from discovery, so replays and
+      // loaders read the same dataset with or without it); a loader runs
+      // `manifest-verify` before training instead of failing at step 40k
+      graft.sinks.DatasetManifest.write(spark, s"$workDir/09b_shards")
       counts += StageCount("09b_shards",
         if (countStages) back.count() else -1L,
         (System.nanoTime() - t0) / 1e9)

@@ -602,6 +602,13 @@ class CrawlPipelineSpec extends SparkSpec {
       seq.mkString(","))
     seq.take(6).sliding(2).foreach { case Array(x, y) => assert(x != y) case _ => }
 
+    // the shard release ships sealed: its manifest verifies all-ok and
+    // hides from discovery (the counted read above already proved the
+    // dataset reads the same with the _manifest present)
+    val manifest = graft.sinks.DatasetManifest.verify(spark, s"$work/09b_shards")
+    assert(manifest.where($"status" =!= "ok").count() == 0,
+      manifest.collect().mkString(","))
+
     // 09b: mixture shards replay the repeated mixture order — rank ranges
     // over 8 copies, shard ids nondecreasing in mixture order
     assert(counts("09b_shards") == 8, counts.toString)
