@@ -176,8 +176,9 @@ object Profiler {
     *
     * Scale shape: ONE scan, one hash aggregation to group cardinality
     * (kept masses fold as conditional sums in the same aggregate — the
-    * filtered side is never re-scanned); the two corpus totals broadcast
-    * back over the category-scale frame. Cross-engine parity: all counts
+    * filtered side is never re-scanned); the two corpus totals fold as
+    * window sums over the aggregated category frame, so the scan subtree
+    * is never recomputed. Cross-engine parity: all counts
     * are exact integer sums; every rate/share is a single IEEE division;
     * `share_delta` subtracts two such divisions (exact given identical
     * operands).
@@ -192,10 +193,15 @@ object Profiler {
         sum(when(keep, 1L).otherwise(0L)).as("docs_kept"),
         sum(w).as("tokens_before"),
         sum(when(keep, w).otherwise(0L)).as("tokens_kept"))
-    val totals = perGroup.agg(
-      sum(col("tokens_before")).as("__tot_before"),
-      sum(col("tokens_kept")).as("__tot_kept"))
-    perGroup.crossJoin(broadcast(totals))
+    // corpus totals fold as WINDOW sums over the already-aggregated
+    // category frame (driftFromCounts' discipline) — an agg + crossJoin
+    // would leave the totals branch recomputing the whole scan subtree
+    // (static plans don't reuse exchanges); the constant partition key
+    // moves only |groups| rows through one task
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    perGroup
+      .withColumn("__tot_before", sum(col("tokens_before")).over(whole))
+      .withColumn("__tot_kept", sum(col("tokens_kept")).over(whole))
       .select(
         col("group"),
         col("docs_before"), col("docs_kept"),

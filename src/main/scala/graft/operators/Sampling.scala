@@ -245,23 +245,29 @@ object Sampling {
     val totals = tagged.groupBy(col("__grp"))
       .agg(sum(weight.cast("bigint")).as("__tok"))
     // k full epochs + a remainder budget; T = 0 degenerates to k = 0 with
-    // the whole budget in the partial epoch (zero-weight rows admit once)
-    val sized = totals.join(bDf, "__grp")
+    // the whole budget in the partial epoch (zero-weight rows admit once).
+    // |groups| rows, collected ONCE so the token-mass aggregation (a full
+    // scan) never replays under the three consumer branches — the bounded
+    // driver-state convention (cf. ivfAppend's centroid fetch); everything
+    // downstream joins literal frames.
+    val sized: Seq[(String, Long, Long)] = totals.join(bDf, "__grp")
       .select(col("__grp"),
         when(col("__tok") > 0, expr("__budget div __tok"))
           .otherwise(lit(0L)).as("__k"),
         when(col("__tok") > 0, col("__budget") % col("__tok"))
           .otherwise(col("__budget")).as("__rem"))
+      .as[(String, Long, Long)].collect().toSeq
     // sequence() is ascending-or-DESCENDING (k = 0 would yield [0, -1]),
     // so groups without a full epoch must not reach the explode
     val fullEpochs = tagged
-      .join(broadcast(sized.where(col("__k") >= 1L).select("__grp", "__k")), "__grp")
+      .join(broadcast(sized.filter(_._2 >= 1L).map(t => (t._1, t._2))
+        .toDF("__grp", "__k")), "__grp")
       .withColumn("epoch", explode(sequence(lit(0L), col("__k") - 1L)))
       .drop("__grp", "__k")
     val partial = exactPrefix(df, groupCol, key, weight,
-        sized.select(col("__grp"), col("__rem").as("__budget")))
+        sized.map(t => (t._1, t._3)).toDF("__grp", "__budget"))
       .withColumn("__grp", groupCol.cast("string"))
-      .join(broadcast(sized.select(col("__grp"), col("__k"))), "__grp")
+      .join(broadcast(sized.map(t => (t._1, t._2)).toDF("__grp", "__k")), "__grp")
       .withColumn("epoch", col("__k"))
       .drop("__grp", "__k")
     fullEpochs.unionByName(partial)
