@@ -354,7 +354,40 @@ object Similarity {
     */
   def ivfQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int = 4): DataFrame = {
+      k: Int, nProbe: Int = 4): DataFrame =
+    ivfQueryImpl(spark, indexDir, queries, idCol, vecCol, k, nProbe, identity)
+
+  /** FILTERED ANN over a persisted IVF index: top-k among index rows whose
+    * id survives the `allowed` set — "nearest English documents", "nearest
+    * not-yet-deduped vectors" — the predicate-under-ANN shape every
+    * production vector store needs. The filter lives where metadata lives
+    * (the caller derives `allowed` from its own tables) and the index
+    * stays vectors-only; candidates are restricted by a LEFT SEMI join
+    * against the distinct allowed ids AFTER partition pruning, so the scan
+    * still reads only probed cells and Spark broadcasts the allowed side
+    * whenever it is small.
+    *
+    * Recall contract: the probe list is chosen by the QUERY alone, so a
+    * selective filter thins probed cells without redirecting probes —
+    * recall vs the FILTERED brute force degrades as selectivity rises.
+    * Raise nProbe with selectivity (the standard filtered-ANN correction);
+    * at nProbe = nCells this is EXACTLY brute force over the allowed set
+    * (spec-pinned theorem, and the t125 gate holds a floor at the
+    * production config).
+    */
+  def ivfQueryFiltered(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      allowed: DataFrame, allowedIdCol: String,
+      k: Int, nProbe: Int = 4): DataFrame =
+    ivfQueryImpl(spark, indexDir, queries, idCol, vecCol, k, nProbe,
+      assigned => assigned.join(
+        allowed.select(col(allowedIdCol).as("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_semi"))
+
+  private def ivfQueryImpl(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int,
+      restrict: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     IncrementalDedup.recoverDir(indexDir) // heal a prior crashed swap first
     val centroids = spark.read.parquet(s"$indexDir/centroids")
@@ -369,8 +402,8 @@ object Similarity {
 
     val probeCells = probes.select($"cell".cast("int")).distinct().as[Int].collect().toSeq
 
-    val assigned = spark.read.parquet(s"$indexDir/cells")
-      .filter($"cell".isInCollection(probeCells))
+    val assigned = restrict(spark.read.parquet(s"$indexDir/cells")
+      .filter($"cell".isInCollection(probeCells)))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter($"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", cosine($"qv", $"cv").as("sim"))

@@ -850,6 +850,36 @@ object ExtensionQueries7 {
         "constant oracle.",
       gate = true
     ),
+    // --------------------------------------------------------------- t125
+    GraftQuery(
+      "t125_ivf_filtered",
+      (s, d) => {
+        import s.implicits._
+        // filtered ANN over the persisted index: top-k among the 1/3 of
+        // vectors the predicate allows. The semi-join restricts candidates
+        // AFTER partition pruning, so probes are chosen by the query alone
+        // and a selective filter thins probed cells — measured recall@5 at
+        // the production config (nCells=8, nProbe=5): 0.667 / 0.800 at
+        // sf0.001 / sf0.01 vs the FILTERED brute force; floor 0.6 locks
+        // that regime (the t119 pattern: measure, then lock).
+        val emb = graft.core.Tables.embeddings(s, d)
+        val allowed = emb.where($"vec_id" % 3 === 0)
+        val queries = emb.filter($"vec_id" < 3)
+        val dir = java.nio.file.Files.createTempDirectory("graft_t125").toString
+        graft.operators.Similarity.ivfBuild(emb, "vec_id", "embedding", 8, dir)
+        val topk = graft.operators.Similarity.ivfQueryFiltered(s, dir,
+          queries, "vec_id", "embedding", allowed, "vec_id", k = 5, nProbe = 5)
+        AnnGates.verdict(allowed, queries, topk, k = 5, recallFloor = 0.6)
+      },
+      Some(AnnGates.oracle),
+      doc = "Filtered ANN gate: top-k under an allowed-id predicate via the " +
+        "persisted IVF index — sims exact, ranks dense, no self/dups, no " +
+        "disallowed id can surface (semi-join before scoring), recall@5 vs " +
+        "brute force over the FILTERED corpus above the floor; the " +
+        "exhaustive-probe theorem (nProbe = nCells ≡ filtered brute force " +
+        "row-for-row) is spec-pinned at both driver SFs.",
+      gate = true
+    ),
     // --------------------------------------------------------------- t120
     GraftQuery(
       "t120_dist_drift",

@@ -280,6 +280,36 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rc > 0.0 && rc <= 1.0, s"composed recall $rc")
   }
 
+  test("ivfQueryFiltered: exhaustive probes equal filtered brute force; soundness; empty filter") {
+    import graft.core.Tables
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val emb = Tables.embeddings(spark, sf)
+      val allowed = emb.where($"vec_id" % 3 === 0)
+      val queries = emb.filter($"vec_id" < 3)
+      val dir = java.nio.file.Files.createTempDirectory("ivf_filter").toString
+      Similarity.ivfBuild(emb, "vec_id", "embedding", 8, dir)
+      // exhaustive theorem: probing every cell under the filter IS brute
+      // force over the allowed set, row for row
+      val exhaustive = Similarity.ivfQueryFiltered(spark, dir, queries,
+        "vec_id", "embedding", allowed, "vec_id", k = 5, nProbe = 8)
+      val bf = Similarity.bruteForceTopK(allowed, queries, "vec_id", "embedding", 5)
+      assert(exhaustive.exceptAll(bf).isEmpty && bf.exceptAll(exhaustive).isEmpty)
+      // soundness at the production config: no disallowed id can ever
+      // surface (the semi-join is before scoring), and recall vs the
+      // FILTERED brute force is the number the t125 floor locks
+      val prod = Similarity.ivfQueryFiltered(spark, dir, queries,
+        "vec_id", "embedding", allowed, "vec_id", k = 5, nProbe = 5)
+        .localCheckpoint()
+      assert(prod.join(allowed.select($"vec_id".as("neighbor_id")),
+        Seq("neighbor_id"), "left_anti").count() == 0)
+      val hits = prod.join(bf, Seq("query_id", "neighbor_id")).count()
+      info(f"sf=$sf filtered recall@5 nProbe=5: ${hits.toDouble / bf.count()}%.3f")
+      // an empty allowed set returns an empty result, not an error
+      assert(Similarity.ivfQueryFiltered(spark, dir, queries, "vec_id",
+        "embedding", allowed.where(lit(false)), "vec_id", 5, 5).count() == 0)
+    }
+  }
+
   test("ivfCompact coalesces appended cell files; queries stay row-identical") {
     import graft.core.Tables
     val emb = Tables.embeddings(spark, sf0001)
