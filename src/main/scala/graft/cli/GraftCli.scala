@@ -442,14 +442,25 @@ object GraftCli {
         case "ann-query-filtered" :: queriesParquet :: allowedParquet :: indexDir :: rest =>
           // filtered ANN: top-k among index rows whose vec_id appears in
           // the allowed parquet; raise nProbe with filter selectivity
-          // (probes are chosen by the query alone — see ivfQueryFiltered)
+          // (probes are chosen by the query alone — see ivfQueryFiltered).
+          // Dispatches on the layout: composed (pq_model present) goes
+          // through the filtered ADC pool, plain IVF scores directly.
           val k = rest.headOption.map(_.toInt).getOrElse(5)
           val nProbe = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
-          graft.operators.Similarity.ivfQueryFiltered(spark, indexDir,
+          val rerank = rest.drop(2).headOption.map(_.toInt).getOrElse(50)
+          val composed = java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$indexDir/pq_model"))
+          val out =
+            if (composed) graft.operators.ProductQuantizer.ivfPqQueryFiltered(
+              spark, indexDir, spark.read.parquet(queriesParquet), "vec_id",
+              "embedding", spark.read.parquet(allowedParquet), "vec_id",
+              k, nProbe, math.max(rerank, k))
+            else graft.operators.Similarity.ivfQueryFiltered(spark, indexDir,
               spark.read.parquet(queriesParquet), "vec_id", "embedding",
               spark.read.parquet(allowedParquet), "vec_id", k, nProbe)
-            .show(50, truncate = false)
-          println(s"ann-query-filtered: k=$k nProbe=$nProbe over $indexDir")
+          out.show(50, truncate = false)
+          val kind = if (composed) "ivf-pq" else "ivf"
+          println(s"ann-query-filtered: k=$k nProbe=$nProbe ($kind) over $indexDir")
         case "bpe" :: sfDir :: rest =>
           // tokenizer-merge training over the documents corpus; prints the
           // ranked merge list (the artifact a training run consumes).
@@ -846,7 +857,7 @@ object GraftCli {
               "ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells [m nCodes]] | " +
               "ann-recall <indexDir> [k nProbe nQueries] | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
-              "ann-query-filtered <queriesParquet> <allowedParquet> <indexDir> [k] [nProbe] | " +
+              "ann-query-filtered <queriesParquet> <allowedParquet> <indexDir> [k] [nProbe] [rerank] | " +
               "ann-pq-build <sfDir> <indexDir> [nCells] [m] [nCodes] | " +
               "ann-pq-append <inParquet> <indexDir> | " +
               "ann-pq-query <queriesParquet> <indexDir> [k] [nProbe] [rerank] | " +

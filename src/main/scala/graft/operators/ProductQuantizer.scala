@@ -340,7 +340,34 @@ object ProductQuantizer {
     */
   def ivfPqQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbe: Int = 4, rerank: Int = 50): DataFrame = {
+      nProbe: Int = 4, rerank: Int = 50): DataFrame =
+    ivfPqQueryImpl(spark, indexDir, queries, idCol, vecCol, k, nProbe,
+      rerank, identity)
+
+  /** FILTERED composed query ([[graft.operators.Similarity.ivfQueryFiltered]]'s
+    * IVF-PQ sibling): the allowed-id semi-join restricts the CODES scan
+    * BEFORE ADC pooling, so the whole rerank budget is spent on allowed
+    * candidates — restricting after the pool would let disallowed rows
+    * crowd out allowed ones and silently shrink the effective pool. Same
+    * recall contract as the IVF form: probes are chosen by the query
+    * alone, so raise nProbe (and keep rerank sized to the ALLOWED corpus
+    * fraction) as the filter gets more selective; at nProbe = nCells with
+    * rerank ≥ the allowed corpus this is exactly brute force over the
+    * allowed set (spec-pinned).
+    */
+  def ivfPqQueryFiltered(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      allowed: DataFrame, allowedIdCol: String, k: Int,
+      nProbe: Int = 4, rerank: Int = 50): DataFrame =
+    ivfPqQueryImpl(spark, indexDir, queries, idCol, vecCol, k, nProbe,
+      rerank, coded => coded.join(
+        allowed.select(col(allowedIdCol).as("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_semi"))
+
+  private def ivfPqQueryImpl(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, rerank: Int,
+      restrict: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     require(rerank >= k, s"rerank pool $rerank must be >= k=$k")
     IncrementalDedup.recoverDir(indexDir)
@@ -359,9 +386,9 @@ object ProductQuantizer {
 
     // ADC pool: codes-only columns of the probed cells (ReadSchema carries
     // codes, never cv), LUTs ride the broadcast probe rows
-    val coded = spark.read.parquet(s"$indexDir/cells")
+    val coded = restrict(spark.read.parquet(s"$indexDir/cells")
       .filter($"cell".isInCollection(probeCells))
-      .select($"cell", $"neighbor_id", $"codes")
+      .select($"cell", $"neighbor_id", $"codes"))
     val withLut = probes.select($"query_id", $"cell",
       queryLut($"qv", model).as("__lut"))
     val poolW = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")

@@ -880,6 +880,38 @@ object ExtensionQueries7 {
         "row-for-row) is spec-pinned at both driver SFs.",
       gate = true
     ),
+    // --------------------------------------------------------------- t126
+    GraftQuery(
+      "t126_ivfpq_filtered",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{ProductQuantizer => PQ}
+        // t125's composed sibling: the allowed-id semi-join restricts the
+        // CODES scan before ADC pooling, so the rerank budget is spent on
+        // allowed candidates only. Measured at the production config
+        // (nCells=8, nProbe=5, rerank=100, 1/3-selective filter): 0.667 /
+        // 0.800 at sf0.001 / sf0.01 — probe-set recall dominates and the
+        // filtered pool recovers everything ADC loses, so the composed
+        // path reads identical to the plain IVF path; floor 0.6.
+        val emb = graft.core.Tables.embeddings(s, d)
+        val allowed = emb.where($"vec_id" % 3 === 0)
+        val queries = emb.filter($"vec_id" < 3)
+        val dir = java.nio.file.Files.createTempDirectory("graft_t126").toString
+        PQ.ivfPqBuild(emb, "vec_id", "embedding", 8,
+          PQ.train(emb, "embedding", 16, 16), dir)
+        val topk = PQ.ivfPqQueryFiltered(s, dir, queries, "vec_id",
+          "embedding", allowed, "vec_id", k = 5, nProbe = 5, rerank = 100)
+        AnnGates.verdict(allowed, queries, topk, k = 5, recallFloor = 0.6)
+      },
+      Some(AnnGates.oracle),
+      doc = "Filtered IVF-PQ gate: top-k under an allowed-id predicate via " +
+        "the composed index — the semi-join precedes ADC pooling (honest " +
+        "rerank budget), sims exact, ranks dense, no self/dups/disallowed, " +
+        "recall@5 vs brute force over the FILTERED corpus above the floor; " +
+        "the exhaustive theorem (all cells + pool >= allowed corpus ≡ " +
+        "filtered brute force) is spec-pinned at both driver SFs.",
+      gate = true
+    ),
     // --------------------------------------------------------------- t120
     GraftQuery(
       "t120_dist_drift",

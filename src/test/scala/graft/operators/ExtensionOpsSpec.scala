@@ -310,6 +310,37 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqQueryFiltered: filtered ADC pool — exhaustive theorem, soundness, honest rerank budget") {
+    import graft.core.Tables
+    import graft.operators.{ProductQuantizer => PQ}
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val emb = Tables.embeddings(spark, sf)
+      val allowed = emb.where($"vec_id" % 3 === 0)
+      val queries = emb.filter($"vec_id" < 3)
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq_filter").toString
+      PQ.ivfPqBuild(emb, "vec_id", "embedding", 8,
+        PQ.train(emb, "embedding", 16, 16), dir)
+      // exhaustive theorem: every cell probed + a pool bigger than the
+      // allowed corpus = brute force over the allowed set, row for row
+      val n = allowed.count().toInt
+      val exhaustive = PQ.ivfPqQueryFiltered(spark, dir, queries, "vec_id",
+        "embedding", allowed, "vec_id", k = 5, nProbe = 8, rerank = n + 5)
+      val bf = Similarity.bruteForceTopK(allowed, queries, "vec_id", "embedding", 5)
+      assert(exhaustive.exceptAll(bf).isEmpty && bf.exceptAll(exhaustive).isEmpty)
+      // production config: no disallowed id can surface (the semi-join
+      // precedes ADC pooling — the rerank budget is spent on allowed
+      // candidates only), and recall vs filtered brute force is printed
+      // for the t126 floor record
+      val prod = PQ.ivfPqQueryFiltered(spark, dir, queries, "vec_id",
+        "embedding", allowed, "vec_id", k = 5, nProbe = 5, rerank = 100)
+        .localCheckpoint()
+      assert(prod.join(allowed.select($"vec_id".as("neighbor_id")),
+        Seq("neighbor_id"), "left_anti").count() == 0)
+      val hits = prod.join(bf, Seq("query_id", "neighbor_id")).count()
+      info(f"sf=$sf composed filtered recall@5 nProbe=5 rerank=100: ${hits.toDouble / bf.count()}%.3f")
+    }
+  }
+
   test("ivfCompact coalesces appended cell files; queries stay row-identical") {
     import graft.core.Tables
     val emb = Tables.embeddings(spark, sf0001)
