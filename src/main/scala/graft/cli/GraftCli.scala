@@ -301,6 +301,13 @@ object GraftCli {
             graft.operators.QualityRules.keep(col("text")),
             graft.operators.QualityRules.wordCount(col("text")))
             .show(100, truncate = false)
+        case "rule-impact" :: sfDir :: Nil =>
+          // which Gopher rule is binding, per language, and what relaxing
+          // it would buy (docs failing ONLY that rule)
+          import org.apache.spark.sql.functions.col
+          graft.operators.QualityRules.ruleImpact(
+            graft.core.Tables.documents(spark, sfDir), col("lang"), col("text"))
+            .show(100, truncate = false)
         case "manifest" :: dir :: Nil =>
           // write the release manifest beside the data (dir/_manifest):
           // per part file, bytes + footer row count + streaming md5
@@ -838,7 +845,7 @@ object GraftCli {
               "drift <beforeParquet> <afterParquet> [cols...] | " +
               "dedup-sensitivity <sfDir> [minT den] | " +
               "mix-plan <sfDir> <lang:budget,...> [--bpe-merges <file>] | " +
-              "filter-impact <sfDir> | manifest <dir> | manifest-verify <dir> | " +
+              "filter-impact <sfDir> | rule-impact <sfDir> | manifest <dir> | manifest-verify <dir> | " +
               "zorder <in> <out> <colA> <colB> [files] | " +
               "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | " +
               "bpe <sfDir> [merges] [--out <file>] | lm-score <sfDir> <outDir> | " +

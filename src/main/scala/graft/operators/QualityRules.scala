@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Gopher-style document-quality RULE CHAIN (Rae et al. 2021 §A1.1, the
@@ -116,4 +116,39 @@ object QualityRules {
 
   def keep(text: Column, t: Thresholds = Thresholds()): Column =
     rules(text, t).map(_._2).reduce(_ && _)
+
+  /** Per-(group, rule) IMPACT breakdown — the "why" behind a filter's
+    * kill count ([[graft.operators.Profiler.filterImpact]] says WHAT the
+    * chain removed; this says WHICH rule did it, per group): for every
+    * rule, how many documents fail it (`n_fail`), and how many fail ONLY
+    * it (`n_unique_fail` — the documents that single rule alone costs;
+    * docs failing several rules are not recovered by relaxing one). The
+    * two numbers answer the two curation questions: "which rule is
+    * binding?" and "what would relaxing it actually buy?".
+    *
+    * Scale shape: ONE scan; each document emits one small struct per rule
+    * (|rules| = 7), one hash aggregation to (group, rule) cardinality.
+    * Cross-engine parity: counts exact, `fail_rate` a single IEEE
+    * division.
+    */
+  def ruleImpact(df: DataFrame, groupCol: Column, text: Column,
+      t: Thresholds = Thresholds()): DataFrame = {
+    val rs = rules(text, t)
+    val failCount = rs.map { case (_, c) => (!c).cast("int") }.reduce(_ + _)
+    df
+      .select(groupCol.cast("string").as("group"),
+        explode(array(rs.map { case (name, c) =>
+          struct(lit(name).as("rule"),
+            (!c).cast("int").as("fail"),
+            ((!c) && failCount === 1).cast("int").as("uniq"))
+        }: _*)).as("__e"))
+      .groupBy(col("group"), col("__e.rule").as("rule"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__e.fail")).as("n_fail"),
+        sum(col("__e.uniq")).as("n_unique_fail"))
+      .select(col("group"), col("rule"), col("n_docs"), col("n_fail"),
+        col("n_unique_fail"),
+        (col("n_fail").cast("double") / col("n_docs")).as("fail_rate"))
+      .orderBy(col("group"), col("rule"))
+  }
 }

@@ -850,6 +850,90 @@ object ExtensionQueries7 {
         "constant oracle.",
       gate = true
     ),
+    // --------------------------------------------------------------- t127
+    GraftQuery(
+      "t127_rule_impact",
+      (s, d) => {
+        import s.implicits._
+        // default thresholds ON PURPOSE: the report's job is to show that
+        // r_stopwords is the binding rule on this corpus (100% fail — the
+        // very insight t123's threshold choice encodes), and n_unique_fail
+        // quantifies what relaxing each rule would actually buy
+        graft.operators.QualityRules.ruleImpact(
+          Tables.documents(s, d), $"lang", $"text")
+      },
+      Some("""WITH w AS (SELECT lang, text,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS ws,
+             |    string_split_regex(trim(text), '\s+') AS ws0,
+             |    string_split(text, chr(10)) AS ls
+             |  FROM documents),
+             |s AS (SELECT lang, CAST(len(ws) AS BIGINT) AS n_words,
+             |  CASE WHEN len(ws) > 0
+             |    THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) END AS mean_word_len,
+             |  CASE WHEN len(ws) > 0
+             |    THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws) END AS alpha_frac,
+             |  CASE WHEN len(ws) > 0 THEN CAST(
+             |      (length(text) - length(replace(text, '#', '')))
+             |      + (length(text) - length(replace(text, '...', ''))) // 3
+             |      + (length(text) - length(replace(text, '…', ''))) AS DOUBLE) / len(ws) END AS symbol_ratio,
+             |  (CASE WHEN list_contains(ws0, 'the') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'be') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'to') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'of') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'and') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'that') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'have') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(ws0, 'with') THEN 1 ELSE 0 END) AS stop_hits,
+             |  CASE WHEN len(ls) > 0
+             |    THEN CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(ls) END AS bullet_frac,
+             |  CASE WHEN len(ls) > 0
+             |    THEN CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) / len(ls) END AS ellipsis_frac
+             |  FROM w),
+             |f AS (SELECT lang,
+             |  CASE WHEN COALESCE(n_words BETWEEN 10 AND 100000, false) THEN 0 ELSE 1 END AS f_wc,
+             |  CASE WHEN COALESCE(mean_word_len BETWEEN 2.0 AND 10.0, false) THEN 0 ELSE 1 END AS f_mwl,
+             |  CASE WHEN COALESCE(symbol_ratio <= 0.1, false) THEN 0 ELSE 1 END AS f_sym,
+             |  CASE WHEN COALESCE(bullet_frac <= 0.9, false) THEN 0 ELSE 1 END AS f_bul,
+             |  CASE WHEN COALESCE(ellipsis_frac <= 0.3, false) THEN 0 ELSE 1 END AS f_ell,
+             |  CASE WHEN COALESCE(alpha_frac >= 0.8, false) THEN 0 ELSE 1 END AS f_alp,
+             |  CASE WHEN COALESCE(stop_hits >= 2, false) THEN 0 ELSE 1 END AS f_stp
+             |  FROM s),
+             |g AS (SELECT *, f_wc+f_mwl+f_sym+f_bul+f_ell+f_alp+f_stp AS nf FROM f),
+             |u AS (
+             |  SELECT lang, 'r_word_count' AS rule, COUNT(*) AS n_docs,
+             |    CAST(SUM(f_wc) AS BIGINT) AS n_fail,
+             |    CAST(SUM(CASE WHEN f_wc = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_fail
+             |  FROM g GROUP BY 1
+             |  UNION ALL SELECT lang, 'r_mean_word_len', COUNT(*),
+             |    CAST(SUM(f_mwl) AS BIGINT),
+             |    CAST(SUM(CASE WHEN f_mwl = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM g GROUP BY 1
+             |  UNION ALL SELECT lang, 'r_symbol_ratio', COUNT(*),
+             |    CAST(SUM(f_sym) AS BIGINT),
+             |    CAST(SUM(CASE WHEN f_sym = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM g GROUP BY 1
+             |  UNION ALL SELECT lang, 'r_bullet_lines', COUNT(*),
+             |    CAST(SUM(f_bul) AS BIGINT),
+             |    CAST(SUM(CASE WHEN f_bul = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM g GROUP BY 1
+             |  UNION ALL SELECT lang, 'r_ellipsis_lines', COUNT(*),
+             |    CAST(SUM(f_ell) AS BIGINT),
+             |    CAST(SUM(CASE WHEN f_ell = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM g GROUP BY 1
+             |  UNION ALL SELECT lang, 'r_alpha_words', COUNT(*),
+             |    CAST(SUM(f_alp) AS BIGINT),
+             |    CAST(SUM(CASE WHEN f_alp = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM g GROUP BY 1
+             |  UNION ALL SELECT lang, 'r_stopwords', COUNT(*),
+             |    CAST(SUM(f_stp) AS BIGINT),
+             |    CAST(SUM(CASE WHEN f_stp = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM g GROUP BY 1)
+             |SELECT lang AS "group", rule, n_docs, n_fail, n_unique_fail,
+             |  CAST(n_fail AS DOUBLE) / n_docs AS fail_rate
+             |FROM u ORDER BY "group", rule""".stripMargin),
+      doc = "Per-(language, rule) impact breakdown of the Gopher chain — " +
+        "the WHY behind t123's kill counts: docs failing each rule and " +
+        "docs failing ONLY that rule (what relaxing it would actually " +
+        "buy — multi-rule failures are not recovered by relaxing one). " +
+        "ONE scan, 7 structs per doc, one hash agg to (group, rule) " +
+        "cardinality; counts exact, fail_rate a single IEEE division. " +
+        "On this corpus it shows r_stopwords binding at 100% — the " +
+        "insight t123's threshold choice encodes."
+    ),
     // --------------------------------------------------------------- t125
     GraftQuery(
       "t125_ivf_filtered",

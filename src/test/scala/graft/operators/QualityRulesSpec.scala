@@ -64,4 +64,27 @@ class QualityRulesSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("ruleImpact: n_fail and n_unique_fail hand-computed per rule") {
+    // A fails ONLY r_stopwords (clean 10-word prose, zero stopwords);
+    // B fails r_word_count AND r_stopwords (one word) — unique nowhere;
+    // C passes everything
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "hi"
+    val c = "the cat and the dog sat with all of that have been here today"
+    val df = Seq(("g", a), ("g", b), ("g", c)).toDF("grp", "text")
+    val got = QualityRules.ruleImpact(df, $"grp", $"text").collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 7 && got.values.forall(_._1 == 3L))
+    assert(got("r_stopwords") == ((3L, 2L, 1L)), got.toString) // A+B fail; only A uniquely
+    assert(got("r_word_count") == ((3L, 1L, 0L)), got.toString) // B, not unique
+    Seq("r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+      "r_ellipsis_lines", "r_alpha_words").foreach { r =>
+      assert(got(r) == ((3L, 0L, 0L)), s"$r: ${got(r)}")
+    }
+    // fail_rate is the single division of those exact counts
+    val rates = QualityRules.ruleImpact(df, $"grp", $"text")
+      .where($"rule" === "r_stopwords").select($"fail_rate").head().getDouble(0)
+    assert(rates == 2.0 / 3.0)
+  }
 }
