@@ -356,7 +356,9 @@ object GraftCli {
           back.groupBy(col("shard")).agg(count(lit(1)).as("docs"))
             .orderBy(col("shard")).collect()
             .foreach(r => println(s"shards[${r.getInt(0)}]: ${r.getLong(1)} docs"))
-          println(s"shards: epoch=$epoch n=$n -> $outDir")
+          // seal the release like pipeline 09b does
+          graft.sinks.DatasetManifest.write(spark, outDir)
+          println(s"shards: epoch=$epoch n=$n -> $outDir (manifest sealed)")
         case "ann-build" :: sfDir :: indexDir :: rest =>
           // build the production ANN index (IVF, cell-partitioned parquet)
           // over the embeddings table; see Similarity for the sizing rule

@@ -149,6 +149,12 @@ object DatasetManifest {
   /** Compute and persist the manifest beside the data as
     * `dir/_manifest` — the `_` prefix keeps it out of parquet discovery,
     * so writing it does not change what the dataset reads as.
+    *
+    * Crash posture: Spark's overwrite deletes then writes, so a kill
+    * mid-write can leave a partial `_manifest`. That window is LOUD by
+    * construction — `verify` fails to read it rather than passing — and
+    * healed by re-running `write` (the manifest derives entirely from
+    * the data; nothing is lost). The data itself is never touched.
     * @return the stored manifest read back
     */
   def write(spark: SparkSession, dir: String): DataFrame = {
