@@ -126,29 +126,37 @@ object QualityRules {
     * two numbers answer the two curation questions: "which rule is
     * binding?" and "what would relaxing it actually buy?".
     *
-    * Scale shape: ONE scan; each document emits one small struct per rule
-    * (|rules| = 7), one hash aggregation to (group, rule) cardinality.
-    * Cross-engine parity: counts exact, `fail_rate` a single IEEE
-    * division.
+    * Scale shape: ONE scan, ONE hash aggregation over un-multiplied rows —
+    * the 7 rules fold as 14 conditional aggregates per group (an
+    * explode-per-rule shape would feed the aggregate 7× the rows and pay
+    * struct churn for nothing); the per-rule unpivot runs AFTER, on
+    * |groups| rows. Cross-engine parity: counts exact, `fail_rate` a
+    * single IEEE division.
     */
   def ruleImpact(df: DataFrame, groupCol: Column, text: Column,
       t: Thresholds = Thresholds()): DataFrame = {
-    val rs = rules(text, t)
-    val failCount = rs.map { case (_, c) => (!c).cast("int") }.reduce(_ + _)
-    df
-      .select(groupCol.cast("string").as("group"),
-        explode(array(rs.map { case (name, c) =>
-          struct(lit(name).as("rule"),
-            (!c).cast("int").as("fail"),
-            ((!c) && failCount === 1).cast("int").as("uniq"))
-        }: _*)).as("__e"))
-      .groupBy(col("group"), col("__e.rule").as("rule"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("__e.fail")).as("n_fail"),
-        sum(col("__e.uniq")).as("n_unique_fail"))
-      .select(col("group"), col("rule"), col("n_docs"), col("n_fail"),
-        col("n_unique_fail"),
-        (col("n_fail").cast("double") / col("n_docs")).as("fail_rate"))
+    val names = rules(text, t).map(_._1)
+    val failExprs = rules(text, t).map { case (n, c) =>
+      (!c).cast("int").as(s"__f_$n")
+    }
+    val withNf = df
+      .select(groupCol.cast("string").as("group") +: failExprs: _*)
+      .withColumn("__nf", names.map(n => col(s"__f_$n")).reduce(_ + _))
+    val aggs = names.flatMap { n => Seq(
+      sum(col(s"__f_$n")).cast("long").as(s"__fail_$n"),
+      sum(when(col(s"__f_$n") === 1 && col("__nf") === 1, 1L).otherwise(0L))
+        .as(s"__uniq_$n"))
+    }
+    withNf.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .select(col("group"), col("n_docs"),
+        explode(array(names.map(n => struct(lit(n).as("rule"),
+          col(s"__fail_$n").as("n_fail"),
+          col(s"__uniq_$n").as("n_unique_fail"))): _*)).as("__e"))
+      .select(col("group"), col("__e.rule").as("rule"), col("n_docs"),
+        col("__e.n_fail").as("n_fail"),
+        col("__e.n_unique_fail").as("n_unique_fail"),
+        (col("__e.n_fail").cast("double") / col("n_docs")).as("fail_rate"))
       .orderBy(col("group"), col("rule"))
   }
 }
