@@ -147,6 +147,39 @@ object TrainingOrder {
     spark.read.schema(sharded.schema).parquet(outDir)
   }
 
+  /** Consumer side of the shard contract: read shards `[from, to]` of a
+    * materialized training order and return rows in REPLAY order (sorted
+    * by `posCol` — `global_pos` for mixture shards, `skey` for epoch
+    * shards). Both writers shard by rank ranges of that order, so
+    * "train on shards 0..k" is exactly `readShardRange(dir, 0, k)`: a
+    * contiguous PREFIX of the training order, never a sample of it.
+    *
+    * When the release carries a `_manifest` (pipeline `09b` and the
+    * `shards` CLI seal one), the integrity check runs FIRST and a non-ok
+    * release fails loudly here — before the first training step, not at
+    * step 40k ([[graft.sinks.DatasetManifest]]'s contract). The `shard`
+    * partition column prunes unread shard directories at the scan; the
+    * sort is one range shuffle over only the requested shards.
+    */
+  def readShardRange(spark: org.apache.spark.sql.SparkSession, dir: String,
+      from: Int, to: Int, posCol: String = "global_pos",
+      verifyManifest: Boolean = true): DataFrame = {
+    require(from >= 0 && to >= from, s"bad shard range [$from, $to]")
+    if (verifyManifest &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_manifest"))) {
+      val bad = graft.sinks.DatasetManifest.verify(spark, dir)
+        .filter(col("status") =!= "ok")
+      val sample = bad.select(col("file"), col("status")).take(4)
+        .map(r => s"${r.getString(0)}=${r.getString(1)}")
+      require(sample.isEmpty,
+        s"readShardRange: release manifest check failed at $dir: " +
+          sample.mkString(", "))
+    }
+    spark.read.parquet(dir)
+      .where(col("shard") >= from && col("shard") <= to)
+      .orderBy(col(posCol))
+  }
+
   /** Strict round-robin positions for the given source values; rows whose
     * source is not listed are dropped (train on declared mixtures only).
     * Output: input columns + `skey`, `source_idx`, `global_pos`.

@@ -153,4 +153,35 @@ class TrainingOrderSpec extends SparkSpec {
     assert(byEpoch(0L) != byEpoch(1L),
       "epoch copies must not replay one sequence twice")
   }
+
+  test("readShardRange: prefix reads replay the mixture order; tampered release fails loudly") {
+    val ordered = TrainingOrder.interleave(docs, $"src", $"id", sources)
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("read_range").toString + "/ds"
+    TrainingOrder.writeMixtureShards(ordered, $"global_pos", dir, 4)
+    graft.sinks.DatasetManifest.write(spark, dir)
+    // full range = the exact global sequence; a sub-range = a strict
+    // contiguous prefix of it (never a sample)
+    val full = TrainingOrder.readShardRange(spark, dir, 0, 3)
+      .select($"global_pos").as[Long].collect().toSeq
+    assert(full == ordered.select($"global_pos").as[Long]
+      .collect().sorted.toSeq)
+    val prefix = TrainingOrder.readShardRange(spark, dir, 0, 0)
+      .select($"global_pos").as[Long].collect().toSeq
+    assert(prefix.nonEmpty && prefix == full.take(prefix.length))
+    // explicit opt-out skips the manifest pass (the caller owns the risk)
+    assert(TrainingOrder.readShardRange(spark, dir, 1, 3,
+      verifyManifest = false).count() > 0)
+    // a torn release fails at the manifest, before any training step
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/shard=0"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.write(part, Array[Byte](0x7f),
+      java.nio.file.StandardOpenOption.APPEND)
+    java.nio.file.Files.deleteIfExists(
+      part.getParent.resolve("." + part.getFileName.toString + ".crc"))
+    val e = intercept[IllegalArgumentException] {
+      TrainingOrder.readShardRange(spark, dir, 0, 3)
+    }
+    assert(e.getMessage.contains("manifest"), e.getMessage)
+  }
 }
