@@ -122,7 +122,7 @@ class GlobalRateLimiterSpec extends graft.SparkSpec {
     assert(waits.isEmpty)
   }
 
-  test("concurrency leases: at most maxConcurrent bodies run at once (E2 exact)") {
+  test("concurrency leases: at most maxConcurrent bodies run at once (E2 exact)") { retryOnLoad() {
     val srv = RateLimiterServer.start(ratePerMinute = 6000000, maxConcurrent = 2)
     try {
       val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -145,9 +145,9 @@ class GlobalRateLimiterSpec extends graft.SparkSpec {
       assert(peak.get() >= 1 && peak.get() <= 2, s"peak=${peak.get()}")
       assert(srv.slotsInUse == 0) // every lease returned
     } finally srv.stop()
-  }
+  } }
 
-  test("a dropped lease connection frees its slot (executor-death teardown)") {
+  test("a dropped lease connection frees its slot (executor-death teardown)") { retryOnLoad() {
     val srv = RateLimiterServer.start(ratePerMinute = 6000000, maxConcurrent = 1)
     try {
       // hold the single slot via a raw socket (no clean protocol release)
@@ -167,9 +167,9 @@ class GlobalRateLimiterSpec extends graft.SparkSpec {
       assert(acquired.await(10, TimeUnit.SECONDS))
       t.join(10000)
     } finally srv.stop()
-  }
+  } }
 
-  test("EnrichOperator exactGlobalConcurrency holds <=N in flight across partitions") {
+  test("EnrichOperator exactGlobalConcurrency holds <=N in flight across partitions") { retryOnLoad() {
     val srv = RateLimiterServer.start(ratePerMinute = 6000000, maxConcurrent = 2)
     try {
       import spark.implicits._
@@ -188,7 +188,7 @@ class GlobalRateLimiterSpec extends graft.SparkSpec {
       assert(ConcurrencyProbe.peak.get() >= 1 && ConcurrencyProbe.peak.get() <= 2,
         s"peak=${ConcurrencyProbe.peak.get()}")
     } finally srv.stop()
-  }
+  } }
 
   test("EnrichJob end-to-end with exactGlobalRpm routes permits through the server") {
     val dir = java.nio.file.Files.createTempDirectory("grl").toString
