@@ -314,13 +314,21 @@ object GraftCli {
           import org.apache.spark.sql.functions.{col, sum}
           val m = graft.sinks.DatasetManifest.write(spark, dir)
           val t = m.agg(sum(col("bytes")), sum(col("rows"))).head()
-          println(s"manifest: ${m.count()} files, ${t.getLong(0)} bytes, " +
-            s"${t.getLong(1)} rows -> $dir/_manifest")
-        case "manifest-verify" :: dir :: Nil =>
+          // sum() is null on an empty dir (or when every footer was
+          // unreadable) — summarize as 0 rather than NPE on getLong
+          val bytes = if (t.isNullAt(0)) 0L else t.getLong(0)
+          val rows = if (t.isNullAt(1)) 0L else t.getLong(1)
+          println(s"manifest: ${m.count()} files, $bytes bytes, " +
+            s"$rows rows -> $dir/_manifest")
+        case "manifest-verify" :: dir :: rest =>
           // check the dataset against its stored manifest; prints every
-          // non-ok file, most severe first
+          // non-ok file, most severe first. Default tier is FULL (the
+          // sealing check — streams every byte); pass `quick` for the
+          // structural tier (file set + bytes + footer rows, no data read)
           import org.apache.spark.sql.functions.col
-          val v = graft.sinks.DatasetManifest.verify(spark, dir).localCheckpoint()
+          val mode = rest.headOption.getOrElse("full")
+          val v = graft.sinks.DatasetManifest.verify(spark, dir, mode)
+            .localCheckpoint()
           val bad = v.where(col("status") =!= "ok")
           bad.show(100, truncate = false)
           val nBad = bad.count()

@@ -99,6 +99,16 @@ object TrainingOrder {
     * write, so within every task the write order IS the pos order and the
     * (shard, file, row) replay contract holds.
     *
+    * Loader-contract caveat: Spark pads part-file task indices to 5
+    * digits, so LEXICOGRAPHIC file-name order equals task (= range
+    * partition) order only up to 99,999 partitions — beyond that,
+    * `part-100000` sorts before `part-99999` and a loader streaming files
+    * in plain name order would silently violate the replay. An external
+    * name-order loader must therefore order part files NUMERICALLY by
+    * their part index; [[readShardRange]] is immune (it orders by
+    * `posCol`), and numParts only exceeds 99,999 when the session's
+    * shuffle width or `nShards` does.
+    *
     * @param ordered output of [[interleave]] (or any frame with a unique
     *                orderable position column)
     * @return the written frame read back (input columns + `shard`)
@@ -157,17 +167,27 @@ object TrainingOrder {
     * When the release carries a `_manifest` (pipeline `09b` and the
     * `shards` CLI seal one), the integrity check runs FIRST and a non-ok
     * release fails loudly here — before the first training step, not at
-    * step 40k ([[graft.sinks.DatasetManifest]]'s contract). The `shard`
-    * partition column prunes unread shard directories at the scan; the
-    * sort is one range shuffle over only the requested shards.
+    * step 40k ([[graft.sinks.DatasetManifest]]'s contract). The manifest is
+    * probed through the Hadoop FileSystem API, so the gate fires on any
+    * filesystem the release lives on (HDFS/S3 included). `verify` tiers:
+    * `"quick"` (default) checks the file set, byte sizes, and footer row
+    * counts from each part's tail only — truncation, missing, and stray
+    * parts are caught without re-reading the release (at 100 TB the full
+    * digest would DOUBLE the job's read volume); `"full"` re-streams every
+    * byte for the md5, catching even a same-length flip — run it at seal
+    * time and after incidents; `"off"` skips the gate (the caller owns the
+    * risk). The `shard` partition column prunes unread shard directories
+    * at the scan; the sort is one range shuffle over only the requested
+    * shards.
     */
   def readShardRange(spark: org.apache.spark.sql.SparkSession, dir: String,
       from: Int, to: Int, posCol: String = "global_pos",
-      verifyManifest: Boolean = true): DataFrame = {
+      verify: String = "quick"): DataFrame = {
     require(from >= 0 && to >= from, s"bad shard range [$from, $to]")
-    if (verifyManifest &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_manifest"))) {
-      val bad = graft.sinks.DatasetManifest.verify(spark, dir)
+    require(Set("full", "quick", "off")(verify),
+      s"verify must be full|quick|off, got '$verify'")
+    if (verify != "off" && graft.sinks.DatasetManifest.hasManifest(spark, dir)) {
+      val bad = graft.sinks.DatasetManifest.verify(spark, dir, mode = verify)
         .filter(col("status") =!= "ok")
       val sample = bad.select(col("file"), col("status")).take(4)
         .map(r => s"${r.getString(0)}=${r.getString(1)}")

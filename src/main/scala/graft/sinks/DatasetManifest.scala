@@ -36,7 +36,7 @@ import scala.util.control.NonFatal
 object DatasetManifest {
 
   private final case class Entry(
-      file: String, bytes: Long, rows: Option[Long], md5: String)
+      file: String, bytes: Long, rows: Option[Long], md5: Option[String])
 
   /** Hadoop Configuration is not Serializable; ship it to tasks via its
     * own wire format (Spark's internal wrapper is `private[spark]`).
@@ -83,21 +83,25 @@ object DatasetManifest {
     (root, out.sortBy(_._1).toSeq)
   }
 
-  /** One file's manifest entry over an open filesystem: streaming md5,
+  /** One file's manifest entry over an open filesystem: streaming md5
+    * (skipped in the QUICK tier — `withMd5 = false` reads only the tail),
     * then the row count from the parquet tail (`footerLen ++ "PAR1"`,
     * little-endian, footer immediately before). Any footer anomaly —
     * short file, wrong magic, unparseable metadata — is a null row count,
     * not an error.
     */
   private def entryOf(fs: org.apache.hadoop.fs.FileSystem,
-      path: org.apache.hadoop.fs.Path, rel: String, bytes: Long): Entry = {
+      path: org.apache.hadoop.fs.Path, rel: String, bytes: Long,
+      withMd5: Boolean): Entry = {
     val in = fs.open(path)
     try {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val buf = new Array[Byte](1 << 20)
-      var r = in.read(buf)
-      while (r >= 0) { if (r > 0) md.update(buf, 0, r); r = in.read(buf) }
-      val md5hex = md.digest().map("%02x".format(_)).mkString
+      val md5hex: Option[String] = if (!withMd5) None else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](1 << 20)
+        var r = in.read(buf)
+        while (r >= 0) { if (r > 0) md.update(buf, 0, r); r = in.read(buf) }
+        Some(md.digest().map("%02x".format(_)).mkString)
+      }
       val rows: Option[Long] =
         try {
           if (bytes < 12) None
@@ -128,9 +132,11 @@ object DatasetManifest {
   /** Compute the manifest of every visible `*.parquet` part file under
     * `dir` (recursively — partition dirs included), ordered by relative
     * path. Columns: `file`, `bytes`, `rows` (null when the footer is
-    * unreadable), `md5`.
+    * unreadable), `md5` (null when `withMd5 = false` — the QUICK tier,
+    * which reads only each file's parquet tail, never its bytes).
     */
-  def manifest(spark: SparkSession, dir: String): DataFrame = {
+  def manifest(spark: SparkSession, dir: String,
+      withMd5: Boolean = true): DataFrame = {
     import spark.implicits._
     val (_, parts) = listParts(spark, dir)
     val conf = spark.sparkContext.broadcast(
@@ -140,7 +146,7 @@ object DatasetManifest {
     spark.sparkContext.parallelize(parts, n)
       .map { case (rel, uri, bytes) =>
         val path = new org.apache.hadoop.fs.Path(uri)
-        entryOf(path.getFileSystem(conf.value.value), path, rel, bytes)
+        entryOf(path.getFileSystem(conf.value.value), path, rel, bytes, withMd5)
       }
       .toDF()
       .orderBy(col("file"))
@@ -164,27 +170,55 @@ object DatasetManifest {
     spark.read.parquet(s"$dir/_manifest")
   }
 
+  /** Whether `dir` carries a stored `_manifest`, resolved through the
+    * Hadoop FileSystem API — the same resolution every other manifest
+    * operation uses, so the consumer-side integrity gate fires on ANY
+    * filesystem the release can live on (HDFS/S3 URIs included), not just
+    * the local one a `java.nio.file` probe would see.
+    */
+  def hasManifest(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_manifest")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Check the dataset against its stored manifest: one row per file seen
-    * on either side with `status` in `ok` (bytes, rows, and md5 all
-    * match), `changed` (present both sides, any field differs), `missing`
+    * on either side with `status` in `ok` (every checked field matches),
+    * `changed` (present both sides, any checked field differs), `missing`
     * (in the manifest, not on disk), `extra` (on disk, not in the
     * manifest). Ordered most-severe first, then by path — a clean release
     * reads as an all-`ok` frame.
+    *
+    * Two tiers. `mode = "full"` (the sealing/CLI default) re-streams every
+    * byte for the md5 — it binds CONTENT, catching even a same-length byte
+    * flip, at the cost of re-reading the release. `mode = "quick"` checks
+    * the file set, byte sizes, and parquet-footer row counts from each
+    * file's tail only — it catches truncation, a missing or stray part,
+    * and any corruption that moves the length or the footer, WITHOUT
+    * reading the data; what it provably cannot catch is a length-preserving
+    * flip in the page bytes (md5_actual is null in quick rows — the digest
+    * was never computed, not "matched"). Consumers on the hot path (e.g.
+    * [[graft.operators.TrainingOrder.readShardRange]]) default to quick so
+    * the integrity gate does not double a 100 TB job's read volume; run
+    * full before sealing or after any incident.
     */
-  def verify(spark: SparkSession, dir: String): DataFrame = {
+  def verify(spark: SparkSession, dir: String,
+      mode: String = "full"): DataFrame = {
+    require(mode == "full" || mode == "quick",
+      s"verify mode must be full|quick, got '$mode'")
     val stored = spark.read.parquet(s"$dir/_manifest")
       .withColumnsRenamed(Map("bytes" -> "bytes_manifest",
         "rows" -> "rows_manifest", "md5" -> "md5_manifest"))
-    val actual = manifest(spark, dir)
+    val actual = manifest(spark, dir, withMd5 = mode == "full")
       .withColumnsRenamed(Map("bytes" -> "bytes_actual",
         "rows" -> "rows_actual", "md5" -> "md5_actual"))
     stored.join(actual, Seq("file"), "full_outer")
       .withColumn("status",
-        when(col("md5_actual").isNull, lit("missing"))
-          .when(col("md5_manifest").isNull, lit("extra"))
+        when(col("bytes_actual").isNull, lit("missing"))
+          .when(col("bytes_manifest").isNull, lit("extra"))
           .when(col("bytes_manifest") === col("bytes_actual") &&
             (col("rows_manifest") <=> col("rows_actual")) &&
-            col("md5_manifest") === col("md5_actual"), lit("ok"))
+            (lit(mode == "quick") || col("md5_manifest") === col("md5_actual")),
+            lit("ok"))
           .otherwise(lit("changed")))
       .select("file", "status", "bytes_manifest", "bytes_actual",
         "rows_manifest", "rows_actual", "md5_manifest", "md5_actual")

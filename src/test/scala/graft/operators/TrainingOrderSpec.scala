@@ -169,9 +169,12 @@ class TrainingOrderSpec extends SparkSpec {
     val prefix = TrainingOrder.readShardRange(spark, dir, 0, 0)
       .select($"global_pos").as[Long].collect().toSeq
     assert(prefix.nonEmpty && prefix == full.take(prefix.length))
-    // explicit opt-out skips the manifest pass (the caller owns the risk)
+    // explicit opt-out skips the manifest pass (the caller owns the risk);
+    // the full tier also passes a clean release
     assert(TrainingOrder.readShardRange(spark, dir, 1, 3,
-      verifyManifest = false).count() > 0)
+      verify = "off").count() > 0)
+    assert(TrainingOrder.readShardRange(spark, dir, 0, 0,
+      verify = "full").count() > 0)
     // a torn release fails at the manifest, before any training step
     val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/shard=0"))
       .filter(p => p.toString.endsWith(".parquet")).findFirst().get()

@@ -72,4 +72,51 @@ class DatasetManifestSpec extends SparkSpec {
     assert(statuses.take(3).toSet == Set("missing", "changed", "extra"))
     assert(statuses.drop(3).forall(_ == "ok"))
   }
+
+  test("verify tiers: quick binds structure without reading data; only full catches a same-length flip") {
+    val dir = Files.createTempDirectory("manifest_q").toString + "/ds"
+    (1L to 120L).map(i => (i, s"t$i")).toDF("id", "text")
+      .repartition(4).write.parquet(dir)
+    DatasetManifest.write(spark, dir)
+    val files = DatasetManifest.manifest(spark, dir, withMd5 = false)
+      .select($"file").as[String].collect().sorted
+    // clean release: quick all-ok, and its actual side carries NO digest —
+    // the proof it never streamed the data
+    val q0 = DatasetManifest.verify(spark, dir, mode = "quick")
+    assert(q0.where($"status" =!= "ok").count() == 0)
+    assert(q0.where($"md5_actual".isNotNull).count() == 0)
+
+    // structural damage — truncation, a missing part, a stray part — is
+    // exactly what quick exists to catch
+    val t = Paths.get(dir, files.head)
+    Files.write(t, Files.readAllBytes(t).dropRight(1))
+    Files.deleteIfExists(Paths.get(dir, "." + files.head + ".crc"))
+    Files.delete(Paths.get(dir, files.last))
+    Files.copy(Paths.get(dir, files(1)), Paths.get(dir, "part-stray.parquet"))
+    val q = DatasetManifest.verify(spark, dir, mode = "quick").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(q(files.head) == "changed", q.toString)
+    assert(q(files.last) == "missing", q.toString)
+    assert(q("part-stray.parquet") == "extra", q.toString)
+
+    // a LENGTH-PRESERVING flip in the page bytes: same size, same footer —
+    // quick provably cannot see it; the full digest must
+    val dir2 = Files.createTempDirectory("manifest_q2").toString + "/ds"
+    (1L to 120L).map(i => (i, s"t$i")).toDF("id", "text")
+      .repartition(2).write.parquet(dir2)
+    DatasetManifest.write(spark, dir2)
+    val f2 = DatasetManifest.manifest(spark, dir2, withMd5 = false)
+      .select($"file").as[String].collect().sorted.head
+    val p2 = Paths.get(dir2, f2)
+    val bytes = Files.readAllBytes(p2)
+    bytes(bytes.length / 3) = (bytes(bytes.length / 3) ^ 0xFF).toByte
+    Files.write(p2, bytes)
+    Files.deleteIfExists(Paths.get(dir2, "." + f2 + ".crc"))
+    assert(DatasetManifest.verify(spark, dir2, mode = "quick")
+      .where($"status" =!= "ok").count() == 0,
+      "quick must pass a same-length flip (documented limit)")
+    val full = DatasetManifest.verify(spark, dir2, mode = "full").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(full(f2) == "changed", full.toString)
+  }
 }
