@@ -36,18 +36,41 @@ import org.apache.spark.sql.functions._
   * Sizing (same lesson as the IVF cells, Similarity.scala): codebooks must
   * not outrun the corpus — nCodes ≤ ~corpus/30 per subspace keeps the
   * k-means fits meaningful; at real scale use nCodes=256 (one byte per
-  * subspace, the classic layout) and train on a sample.
+  * subspace, the classic layout). Training TRAINS ON A SAMPLE by default:
+  * every fit is capped at `maxTrainRows` (≈256 rows per centroid) via the
+  * deterministic keyed Bernoulli — see [[train]] — so a 100 TB corpus
+  * never feeds m+1 full-corpus k-means fits.
+  *
+  * Two persisted encodings (versioned in the layout — [[PqModel]]):
+  * `"raw"` quantizes the unit vector, `"residual"` ([[ivfPqBuildResidual]])
+  * quantizes `unit(vec) − anchor(cell)` — the classic IVF-ADC residual
+  * layout, which concentrates subspace variance and buys materially higher
+  * raw-ADC recall at the same code budget.
   */
 object ProductQuantizer {
 
   /** Trained codebooks: `codebooks(s)(c)` is centroid `c` of subspace `s`
     * (length [[subDim]]). Plain vectors so the model serializes into plan
     * literals — queries bake it into expressions, never join against it.
+    *
+    * `encoding` versions the persisted layout:
+    *  - `"raw"` — codes quantize the unit-normalized vector itself (the
+    *    original layout; standalone [[pqTopK]]/[[pqTopKReranked]] and
+    *    pre-residual indexes).
+    *  - `"residual"` — codes quantize `unit(vec) − anchor(cell)`, the
+    *    classic IVF-ADC layout ([[ivfPqBuildResidual]]): the per-cell
+    *    anchor removes the coarse component, concentrating subspace
+    *    variance so the same code budget buys materially higher raw-ADC
+    *    recall. Requires a cell, so it exists only inside the composed
+    *    IVF-PQ layout. [[loadModel]] defaults a missing column to `"raw"`,
+    *    so indexes persisted before the version marker still query.
     */
   final case class PqModel(m: Int, subDim: Int, nCodes: Int,
-      codebooks: Vector[Vector[Vector[Double]]]) {
+      codebooks: Vector[Vector[Vector[Double]]], encoding: String = "raw") {
     require(codebooks.length == m && codebooks.forall(_.length == nCodes),
       s"codebooks must be m=$m x nCodes=$nCodes")
+    require(encoding == "raw" || encoding == "residual",
+      s"unknown pq encoding '$encoding'")
     private[operators] def matrix(s: Int): Array[Array[Double]] =
       codebooks(s).map(_.toArray).toArray
   }
@@ -61,27 +84,112 @@ object ProductQuantizer {
       .otherwise(x.cast("double")))
   }
 
-  /** Train `m` per-subspace codebooks of `nCodes` centroids each over the
-    * unit-normalized corpus. One narrow pass materializes the normalized
-    * vectors once (localCheckpoint); each fit then slices its own subspace —
-    * m driver-coordinated fits over nCodes×subDim driver-scale state.
+  /** `unit(vec) − anchor(cell)`: the residual the `"residual"` encoding
+    * quantizes. The anchors are the residual layout's persisted FLOAT
+    * centroids VERBATIM — its coarse quantizer trains on the
+    * unit-normalized corpus, so each centroid IS the (k-means) mean of
+    * its cell in unit space and per-cell residuals are zero-mean: by the
+    * law of total variance the mixed-cell residual cloud each subspace
+    * codebook sees carries strictly less variance than the raw unit
+    * cloud. (An early cut anchored at `unitize(centroid)` instead — a
+    * norm-1 vector, NOT the cell mean — which displaced every cell's
+    * residuals by (1 − ‖mean‖) in 8 different directions and measurably
+    * RAISED distortion; the spec's distortion assertion keeps that
+    * mistake dead.) The anchor table bakes into the plan as a literal
+    * (nCells × dim doubles — the same driver-scale the
+    * `graft_l2sq_distances` centroid matrix already rides), so the
+    * projection stays narrow: no join, no shuffle.
     */
-  def train(corpus: DataFrame, vecCol: String, m: Int = 8,
-      nCodes: Int = 16): PqModel = {
+  private def residualCol(vec: Column, cell: Column,
+      anchors: Array[Array[Double]]): Column = {
+    val anchorLit = array(anchors.map(a => array(a.map(lit): _*)): _*)
+    zip_with(unitize(vec), element_at(anchorLit, cell.cast("int") + 1),
+      (x, a) => x - a)
+  }
+
+  /** The m per-subspace k-means fits over a prepared (`__u`) frame —
+    * shared by the raw and residual trainers.
+    */
+  private def fitCodebooks(unit: DataFrame, m: Int, nCodes: Int,
+      subDim: Int): Vector[Vector[Vector[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    require(m >= 1 && nCodes >= 2, s"need m >= 1 and nCodes >= 2, got ($m, $nCodes)")
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
-    val subDim = dim / m
-    val unit = corpus.select(unitize(col(vecCol)).as("__u")).localCheckpoint()
-    val codebooks = (0 until m).map { s =>
+    (0 until m).map { s =>
       val train = unit.select(
         array_to_vector(slice(col("__u"), s * subDim + 1, subDim)).as("features"))
       new KMeans().setK(nCodes).setSeed(42L + s).setMaxIter(10).fit(train)
         .clusterCenters.map(_.toArray.toVector).toVector
     }.toVector
-    PqModel(m, subDim, nCodes, codebooks)
+  }
+
+  /** Deterministic training-sample cap: when the frame holds more than
+    * `cap` rows, keep each row iff the repo's keyed md5 Bernoulli
+    * ([[Sampling.bernoulli]] — a pure function of the data, so the SAMPLE
+    * is identical under any partitioning, unlike `df.sample`) passes at
+    * rate cap/n, then re-layout the survivors canonically
+    * (hash-repartition + in-partition sort, both pure functions of the
+    * key), so the k-means fit itself is repartition-proof. Uncapped fits
+    * keep the historical per-input-layout determinism and their exact
+    * plans. The key may be an id or the vector itself (arrays cast to
+    * their deterministic string form inside the sampler).
+    */
+  private[operators] def sampleForFit(df: DataFrame, keyCol: Column,
+      cap: Long): DataFrame = {
+    if (cap <= 0) return df
+    val n = df.count()
+    if (n <= cap) return df
+    df.where(Sampling.bernoulli(keyCol, cap.toDouble / n))
+      .repartition(32, xxhash64(keyCol.cast("string")))
+      .sortWithinPartitions(xxhash64(keyCol.cast("string")))
+  }
+
+  /** Train `m` per-subspace codebooks of `nCodes` centroids each over the
+    * unit-normalized corpus. One narrow pass materializes the normalized
+    * vectors once (localCheckpoint); each fit then slices its own subspace —
+    * m driver-coordinated fits over nCodes×subDim driver-scale state.
+    *
+    * `maxTrainRows` caps what the fits SEE (default `256 × nCodes` — the
+    * sizing rule above says codebooks must not outrun the corpus, and past
+    * ~256 samples per centroid more data stops moving the centers): at
+    * real scale an uncapped call would be m+1 distributed k-means fits
+    * over the full 100 TB. The cap is the deterministic content-keyed
+    * Bernoulli of [[sampleForFit]] (expected-size cap, sample invariant
+    * under repartitioning); corpora at or under the cap — every driver
+    * SF — fit exactly as before. Pass `maxTrainRows = 0` to force the
+    * full-corpus fit.
+    */
+  def train(corpus: DataFrame, vecCol: String, m: Int = 8,
+      nCodes: Int = 16, maxTrainRows: Long = -1L): PqModel = {
+    require(m >= 1 && nCodes >= 2, s"need m >= 1 and nCodes >= 2, got ($m, $nCodes)")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val subDim = dim / m
+    val cap = if (maxTrainRows == -1L) 256L * nCodes else maxTrainRows
+    val unit = sampleForFit(corpus, col(vecCol), cap)
+      .select(unitize(col(vecCol)).as("__u")).localCheckpoint()
+    PqModel(m, subDim, nCodes, fitCodebooks(unit, m, nCodes, subDim))
+  }
+
+  /** Train RESIDUAL codebooks over an assigned corpus: the fits see
+    * `unit(vec) − centroid(cell)` (anchors = the float-rounded unit-space
+    * coarse centroids verbatim), so each subspace codebook spends
+    * its `nCodes` budget on the within-cell structure the coarse quantizer
+    * left behind. Same determinism, sizing, and `maxTrainRows` contract as
+    * [[train]].
+    */
+  def trainResidual(assigned: DataFrame, vecCol: String, cellCol: String,
+      floatCentroids: Array[Array[Double]], m: Int, nCodes: Int,
+      maxTrainRows: Long = -1L): PqModel = {
+    require(m >= 1 && nCodes >= 2, s"need m >= 1 and nCodes >= 2, got ($m, $nCodes)")
+    val dim = assigned.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val subDim = dim / m
+    val cap = if (maxTrainRows == -1L) 256L * nCodes else maxTrainRows
+    val unit = sampleForFit(assigned, col(vecCol), cap)
+      .select(residualCol(col(vecCol), col(cellCol), floatCentroids).as("__u"))
+      .localCheckpoint()
+    PqModel(m, subDim, nCodes, fitCodebooks(unit, m, nCodes, subDim),
+      encoding = "residual")
   }
 
   /** PQ code of a vector: `array<int>` of length m, code s = nearest
@@ -91,25 +199,58 @@ object ProductQuantizer {
     * the raw vectors.
     */
   def encode(vec: Column, model: PqModel): Column = {
-    val u = unitize(vec)
+    require(model.encoding == "raw",
+      "encode(vec) is the raw layout; residual models need encodeResidual(vec, cell)")
+    encodePrepared(unitize(vec), model)
+  }
+
+  /** Residual-layout code: quantizes `unit(vec) − centroid(cell)`. The
+    * cell must be the vector's assigned coarse cell, and the anchors must
+    * be the SAME float-persisted (unit-space) centroids at every call
+    * site, or codes stop being a pure per-vector function.
+    */
+  def encodeResidual(vec: Column, cell: Column, model: PqModel,
+      floatCentroids: Array[Array[Double]]): Column = {
+    require(model.encoding == "residual",
+      "encodeResidual needs a residual-encoded model")
+    encodePrepared(residualCol(vec, cell, floatCentroids), model)
+  }
+
+  private def encodePrepared(prep: Column, model: PqModel): Column =
     array((0 until model.m).map { s =>
       val d = graft.expressions.GraftFunctions.l2sqDistances(
-        slice(u, s * model.subDim + 1, model.subDim), model.matrix(s))
+        slice(prep, s * model.subDim + 1, model.subDim), model.matrix(s))
       (array_position(d, array_min(d)) - 1).cast("int")
     }: _*)
-  }
 
   /** The query's per-subspace distance tables: `array<array<double>>`,
     * row s = squared L2 from the query's subspace-s slice to every entry of
     * codebook s — one `graft_l2sq_distances` call per subspace.
     */
   def queryLut(vec: Column, model: PqModel): Column = {
-    val u = unitize(vec)
+    require(model.encoding == "raw",
+      "queryLut(vec) is the raw layout; residual models need queryLutResidual(vec, cell)")
+    lutPrepared(unitize(vec), model)
+  }
+
+  /** Residual-layout LUT, one per (query, probed cell): tables over
+    * `unit(query) − centroid(cell)`, so `ADC(codes, lut) ≈ ‖unit(q) −
+    * unit(x)‖² = 2 − 2·cos(q, x)` exactly as in the raw layout — the
+    * anchor cancels between the two sides. Still m×nCodes doubles per
+    * probed cell (plan-literal scale); it rides the broadcast probe rows.
+    */
+  def queryLutResidual(vec: Column, cell: Column, model: PqModel,
+      floatCentroids: Array[Array[Double]]): Column = {
+    require(model.encoding == "residual",
+      "queryLutResidual needs a residual-encoded model")
+    lutPrepared(residualCol(vec, cell, floatCentroids), model)
+  }
+
+  private def lutPrepared(prep: Column, model: PqModel): Column =
     array((0 until model.m).map { s =>
       graft.expressions.GraftFunctions.l2sqDistances(
-        slice(u, s * model.subDim + 1, model.subDim), model.matrix(s))
+        slice(prep, s * model.subDim + 1, model.subDim), model.matrix(s))
     }: _*)
-  }
 
   /** The ADC score — HOF twin of the native expression, kept for the
     * bit-parity spec (the native path is the one the scan uses).
@@ -197,17 +338,75 @@ object ProductQuantizer {
     * `model` + the centroid table persist beside the cells for query time.
     */
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, model: PqModel, indexDir: String): Unit = {
+      nCells: Int, model: PqModel, indexDir: String,
+      maxTrainRows: Long = -1L): Unit = {
+    require(model.encoding == "raw",
+      "ivfPqBuild writes the raw layout; use ivfPqBuildResidual for residual")
+    ivfPqBuildImpl(corpus, idCol, vecCol, nCells, indexDir, maxTrainRows,
+      residual = false, (_, _) => model)
+  }
+
+  /** Build the composed index in the CLASSIC IVF-ADC layout: PQ codes
+    * quantize `unit(vec) − centroid(cell)` rather than the vector itself.
+    * The ENTIRE residual layout lives in unit space — the coarse
+    * quantizer trains on the unit-normalized corpus, so every persisted
+    * centroid is its cell's k-means MEAN in unit space, per-cell
+    * residuals are zero-mean, and the mixed-cell residual cloud each
+    * subspace codebook quantizes carries strictly less variance than the
+    * raw unit cloud (law of total variance). The same (m, nCodes) code
+    * budget therefore ranks candidates materially better at raw-ADC
+    * time — which at 100 TB means a smaller rerank pool (= less
+    * full-vector I/O) for the same recall. The residual PQ model is
+    * trained HERE (it needs the cell assignments), against the
+    * float-rounded centroids the layout persists, so build, append, and
+    * query all derive identical residuals. Layout: same four tables as
+    * [[ivfPqBuild]], with `pq_model` carrying `encoding = "residual"` —
+    * every consumer dispatches on that marker and pre-residual indexes
+    * keep working.
+    *
+    * @return the trained residual model (also persisted in the layout)
+    */
+  def ivfPqBuildResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, m: Int, nCodes: Int, indexDir: String,
+      maxTrainRows: Long = -1L): PqModel =
+    ivfPqBuildImpl(corpus, idCol, vecCol, nCells, indexDir, maxTrainRows,
+      residual = true, (assigned, floatCenters) =>
+        trainResidual(assigned, "cv", "cell", floatCenters, m, nCodes,
+          maxTrainRows))
+
+  /** Shared build: coarse fit (capped like [[train]] — default
+    * `256 × nCells` rows), assignment, then the four-table layout write.
+    * The residual layout's coarse quantizer (and its drift baseline)
+    * lives in UNIT space; the raw layout keeps the historical raw-space
+    * quantizer. `mkModel` sees the assigned frame and the float-rounded
+    * centroids so the residual path can train its codebooks in place.
+    */
+  private def ivfPqBuildImpl(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, indexDir: String, maxTrainRows: Long, residual: Boolean,
+      mkModel: (DataFrame, Array[Array[Double]]) => PqModel): PqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val space: Column => Column =
+      if (residual) unitize else c => c
+    val coarseCap = if (maxTrainRows == -1L) 256L * nCells else maxTrainRows
+    val train = sampleForFit(corpus.select(col(idCol), col(vecCol)),
+        col(idCol), coarseCap)
+      .select(array_to_vector(space(col(vecCol))).as("features"))
     val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
-    km.transform(corpus.withColumn("features", array_to_vector(col(vecCol))))
-      .select(col(idCol).as("neighbor_id"),
-        encode(col(vecCol), model).as("codes"), col(vecCol).as("cv"),
+    val floatCenters = km.clusterCenters.map(_.toArray.map(_.toFloat.toDouble))
+    val assigned = km
+      .transform(corpus.withColumn("features", array_to_vector(space(col(vecCol)))))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col("prediction").as("cell"))
+    val model = mkModel(assigned, floatCenters)
+    val codes =
+      if (model.encoding == "residual")
+        encodeResidual($"cv", $"cell", model, floatCenters)
+      else encode($"cv", model)
+    assigned
+      .select($"neighbor_id", codes.as("codes"), $"cv", $"cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
     km.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
@@ -216,17 +415,21 @@ object ProductQuantizer {
     spark.createDataset(model.codebooks.zipWithIndex.map {
       case (cb, s) => (s, cb.map(_.toArray).toArray)
     }).toDF("subspace", "codebook")
+      .withColumn("encoding", lit(model.encoding))
       .write.mode("overwrite").parquet(s"$indexDir/pq_model")
     // per-cell drift baseline for [[ivfPqAppend]] ([[Similarity.ivfBuild]]'s
-    // discipline — one extra narrow pass, an nCells-row table)
+    // discipline — one extra narrow pass, an nCells-row table), measured
+    // in the layout's own space
     val cmatrix = km.clusterCenters.map(_.toArray)
-    val cd = graft.expressions.GraftFunctions.l2sqDistances(col(vecCol), cmatrix)
+    val cd = graft.expressions.GraftFunctions
+      .l2sqDistances(space(col(vecCol)), cmatrix)
     corpus.select(cd.as("__d"))
       .select((array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"),
         array_min($"__d").as("__min"))
       .groupBy($"cell")
       .agg(count(lit(1)).as("n"), avg($"__min").as("mean_l2sq"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
+    model
   }
 
   /** Grow a persisted IVF-PQ index under BOTH frozen quantizers — the
@@ -254,12 +457,25 @@ object ProductQuantizer {
         case (r, i) => r.getInt(0) == i },
       "centroid table must carry contiguous cells 0..n-1")
     val matrix = cen.map(_.getSeq[Float](1).toArray.map(_.toDouble))
-    val d = graft.expressions.GraftFunctions.l2sqDistances(col(vecCol), matrix)
-    newVectors
-      .select(col(idCol).as("neighbor_id"),
-        encode(col(vecCol), model).as("codes"), col(vecCol).as("cv"), d.as("__d"))
-      .select($"neighbor_id", $"codes", $"cv",
+    // assignment runs in the layout's own space: the residual layout's
+    // coarse quantizer (and its drift baseline) lives on the unit sphere
+    val d = graft.expressions.GraftFunctions.l2sqDistances(
+      if (model.encoding == "residual") unitize(col(vecCol)) else col(vecCol),
+      matrix)
+    // residual codes need the assigned cell first; the anchors ARE the
+    // same float-persisted centroids as the cell, so appended codes are
+    // bit-identical to what a build over the union would write
+    // (two narrow projections — still no join, no shuffle)
+    val withCell = newVectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), d.as("__d"))
+      .select($"neighbor_id", $"cv",
         (array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"))
+    val codes =
+      if (model.encoding == "residual")
+        encodeResidual($"cv", $"cell", model, matrix)
+      else encode($"cv", model)
+    withCell
+      .select($"neighbor_id", codes.as("codes"), $"cv", $"cell")
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
 
     // the same drift reading as Similarity.ivfAppend: batch per-cell mean
@@ -313,22 +529,38 @@ object ProductQuantizer {
     val n = cells.count()
     val next = s"$indexDir.rebuild"
     IncrementalDedup.clearStaging(next)
-    val model = train(cells, "cv", m.getOrElse(prev.m),
-      nCodes.getOrElse(prev.nCodes))
-    ivfPqBuild(cells, "neighbor_id", "cv", nCells, model, next)
+    // the ENCODING is part of the storage contract too: a rebuild re-fits
+    // quantizers but keeps the layout version the index already speaks
+    if (prev.encoding == "residual")
+      ivfPqBuildResidual(cells, "neighbor_id", "cv", nCells,
+        m.getOrElse(prev.m), nCodes.getOrElse(prev.nCodes), next)
+    else {
+      val model = train(cells, "cv", m.getOrElse(prev.m),
+        nCodes.getOrElse(prev.nCodes))
+      ivfPqBuild(cells, "neighbor_id", "cv", nCells, model, next)
+    }
     IncrementalDedup.replaceDir(indexDir, next)
     n
   }
 
-  /** Load the PQ model persisted by [[ivfPqBuild]]. */
+  /** Load the PQ model persisted by [[ivfPqBuild]] /
+    * [[ivfPqBuildResidual]]. Indexes written before the layout-version
+    * marker carry no `encoding` column and load as `"raw"` — exactly what
+    * they are — so they keep querying unchanged.
+    */
   def loadModel(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): PqModel = {
-    val rows = spark.read.parquet(s"$indexDir/pq_model")
-      .orderBy("subspace").collect()
-    val codebooks = rows.map(_.getSeq[scala.collection.Seq[Double]](1)
+    val df = spark.read.parquet(s"$indexDir/pq_model")
+    val hasEncoding = df.columns.contains("encoding")
+    val rows = df.orderBy("subspace").collect()
+    val codebooks = rows.map(_.getSeq[scala.collection.Seq[Double]](
+        rows.head.fieldIndex("codebook"))
       .map(_.toVector).toVector).toVector
+    val encoding =
+      if (hasEncoding) rows.head.getString(rows.head.fieldIndex("encoding"))
+      else "raw"
     PqModel(codebooks.length, codebooks.head.head.length,
-      codebooks.head.length, codebooks)
+      codebooks.head.length, codebooks, encoding)
   }
 
   /** Query a persisted IVF-PQ index: probe cells come from the broadcast
@@ -364,6 +596,30 @@ object ProductQuantizer {
         allowed.select(col(allowedIdCol).as("neighbor_id")).distinct(),
         Seq("neighbor_id"), "left_semi"))
 
+  /** [[ivfPqQueryFiltered]] with the probe correction applied from
+    * MEASURED selectivity ([[Similarity.ivfQueryFilteredAdaptive]]'s
+    * composed sibling, same two count passes and the same
+    * [[Similarity.nProbeFor]] rule): as the filter tightens, probes walk
+    * to the cell count and the query degrades toward pruned filtered
+    * brute force instead of silently losing recall.
+    */
+  def ivfPqQueryFilteredAdaptive(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      allowed: DataFrame, allowedIdCol: String, k: Int,
+      baseNProbe: Int = 4, rerank: Int = 50): DataFrame = {
+    IncrementalDedup.recoverDir(indexDir)
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val nCells = spark.read.parquet(s"$indexDir/centroids").count().toInt
+    val total = cells.count()
+    val kept = cells.join(
+      allowed.select(col(allowedIdCol).as("neighbor_id")).distinct(),
+      Seq("neighbor_id"), "left_semi").count()
+    val sel = if (total == 0) 1.0
+      else math.min(1.0, math.max(kept.toDouble / total, 1.0 / total))
+    ivfPqQueryFiltered(spark, indexDir, queries, idCol, vecCol, allowed,
+      allowedIdCol, k, Similarity.nProbeFor(nCells, baseNProbe, sel), rerank)
+  }
+
   private def ivfPqQueryImpl(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int, rerank: Int,
@@ -385,12 +641,23 @@ object ProductQuantizer {
       .as[Int].collect().toSeq
 
     // ADC pool: codes-only columns of the probed cells (ReadSchema carries
-    // codes, never cv), LUTs ride the broadcast probe rows
+    // codes, never cv), LUTs ride the broadcast probe rows. Residual
+    // layout: one LUT per (query, probed cell) from unit(q) − anchor(cell)
+    // — the anchors come from the same float-persisted centroid table the
+    // probes already read (nCells × dim driver-scale, like the probe join)
     val coded = restrict(spark.read.parquet(s"$indexDir/cells")
       .filter($"cell".isInCollection(probeCells))
       .select($"cell", $"neighbor_id", $"codes"))
-    val withLut = probes.select($"query_id", $"cell",
-      queryLut($"qv", model).as("__lut"))
+    val lut =
+      if (model.encoding == "residual") {
+        val cen = centroids.orderBy("cell").select("cell", "centroid").collect()
+        require(cen.nonEmpty && cen.zipWithIndex.forall {
+            case (r, i) => r.getInt(0) == i },
+          "centroid table must carry contiguous cells 0..n-1")
+        val matrix = cen.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+        queryLutResidual($"qv", $"cell", model, matrix)
+      } else queryLut($"qv", model)
+    val withLut = probes.select($"query_id", $"cell", lut.as("__lut"))
     val poolW = Window.partitionBy($"query_id").orderBy($"adist", $"neighbor_id")
     val pool = coded.join(broadcast(withLut), Seq("cell"))
       .filter($"neighbor_id" =!= $"query_id")

@@ -145,13 +145,20 @@ object Similarity {
     * [[ivfTopK]], so `ivfBuild` + `ivfQuery` ≡ `ivfTopK` row-for-row.
     */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, indexDir: String): Unit = {
+      nCells: Int, indexDir: String, maxTrainRows: Long = -1L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    // the coarse fit trains on a capped deterministic sample (default
+    // 256 rows per cell — the ProductQuantizer.train sizing rule): an
+    // uncapped fit over a 100 TB corpus is 10 distributed passes over
+    // 100 TB for centroids a few hundred rows of sample already pin
+    val cap = if (maxTrainRows == -1L) 256L * nCells else maxTrainRows
+    val train = ProductQuantizer
+      .sampleForFit(corpus.select(col(idCol), col(vecCol)), col(idCol), cap)
+      .select(array_to_vector(col(vecCol)).as("features"))
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
     model
       .transform(corpus.withColumn("features", array_to_vector(col(vecCol))))
@@ -370,10 +377,26 @@ object Similarity {
     * Recall contract: the probe list is chosen by the QUERY alone, so a
     * selective filter thins probed cells without redirecting probes —
     * recall vs the FILTERED brute force degrades as selectivity rises.
-    * Raise nProbe with selectivity (the standard filtered-ANN correction);
+    * Raise nProbe with selectivity (the standard filtered-ANN correction;
+    * [[nProbeFor]] is that rule as code and
+    * [[ivfQueryFilteredAdaptive]] applies it from measured selectivity);
     * at nProbe = nCells this is EXACTLY brute force over the allowed set
     * (spec-pinned theorem, and the t125 gate holds a floor at the
     * production config).
+    *
+    * Measured (round-15 `GateProbe annfilter` sweep, recall@5 vs filtered
+    * brute force, nCells=8; "fixed" = production nProbe=5, "adaptive" =
+    * [[nProbeFor]] from measured selectivity — the composed residual
+    * IVF-PQ path read IDENTICAL numbers at rerank=100):
+    * {{{
+    * selectivity   sf0.001 fixed/adaptive   sf0.01          sf0.1
+    *   1/3            0.667 / 1.000       0.800 / 1.000   0.733 / 1.000
+    *   1/10           0.733 / 1.000       0.733 / 1.000   1.000 / 1.000
+    *   1/100          0.500 / 1.000       0.643 / 1.000   0.600 / 1.000
+    * }}}
+    * The fixed probe count pays 25-50 recall points at harsh selectivity;
+    * the adaptive correction recovers them by walking probes toward the
+    * exhaustive regime as the filter tightens.
     */
   def ivfQueryFiltered(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
@@ -383,6 +406,47 @@ object Similarity {
       assigned => assigned.join(
         allowed.select(col(allowedIdCol).as("neighbor_id")).distinct(),
         Seq("neighbor_id"), "left_semi"))
+
+  /** The documented filtered-ANN mitigation AS CODE: probes per query for
+    * a filter keeping `selectivity` of the corpus. A filter thins every
+    * probed cell to ~selectivity × its rows without redirecting probes, so
+    * holding the EXPECTED ALLOWED-CANDIDATE VOLUME at what `baseNProbe`
+    * was sized for means probing ~baseNProbe / selectivity cells, capped
+    * at nCells (where the query is exactly filtered brute force — the
+    * spec-pinned theorem).
+    */
+  def nProbeFor(nCells: Int, baseNProbe: Int, selectivity: Double): Int = {
+    require(nCells >= 1 && baseNProbe >= 1 &&
+      selectivity > 0 && selectivity <= 1,
+      s"bad nProbeFor($nCells, $baseNProbe, $selectivity)")
+    math.min(nCells,
+      math.max(baseNProbe, math.ceil(baseNProbe / selectivity).toInt))
+  }
+
+  /** [[ivfQueryFiltered]] with the probe correction applied from MEASURED
+    * selectivity: |allowed ∩ index| / |index| (two count passes — the
+    * allowed side is metadata the caller already holds; the index count
+    * reads parquet footers, not data). At 1/10 selectivity and the
+    * production config this walks nProbe to the cell count — filtered
+    * queries degrade toward (pruned) brute force over the allowed set
+    * instead of silently losing recall.
+    */
+  def ivfQueryFilteredAdaptive(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      allowed: DataFrame, allowedIdCol: String,
+      k: Int, baseNProbe: Int = 4): DataFrame = {
+    IncrementalDedup.recoverDir(indexDir)
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val nCells = spark.read.parquet(s"$indexDir/centroids").count().toInt
+    val total = cells.count()
+    val kept = cells.join(
+      allowed.select(col(allowedIdCol).as("neighbor_id")).distinct(),
+      Seq("neighbor_id"), "left_semi").count()
+    val sel = if (total == 0) 1.0
+      else math.min(1.0, math.max(kept.toDouble / total, 1.0 / total))
+    ivfQueryFiltered(spark, indexDir, queries, idCol, vecCol, allowed,
+      allowedIdCol, k, nProbeFor(nCells, baseNProbe, sel))
+  }
 
   private def ivfQueryImpl(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame, idCol: String, vecCol: String,

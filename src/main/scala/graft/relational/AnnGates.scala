@@ -27,6 +27,59 @@ object AnnGates {
   val oracle: String =
     "SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, 'sentinel' AS reason"
 
+  /** Shared ANN gate fixtures, built ONCE per (sfDir, JVM) — the t57
+    * playbook applied to the PQ tier: a bench sweep re-ran every gate's
+    * in-query quantizer training on all three passes (t117-t119 + t126 =
+    * 98.3 s of round-14's gate total), yet the assertions only need the
+    * RESULTING model/index, which is deterministic per corpus. t118 keeps
+    * training in-query as the end-to-end canary; the other gates assert
+    * against these fixtures. Temp-dir indexes are built behind a lock
+    * (Verify/Bench run queries sequentially; the lock makes the fixture
+    * safe anywhere).
+    */
+  object Fixture {
+    import graft.operators.{ProductQuantizer => PQ}
+    private val cache = scala.collection.mutable.HashMap.empty[String, Any]
+    private def memo[T](key: String)(build: => T): T = synchronized {
+      cache.getOrElseUpdate(key, build).asInstanceOf[T]
+    }
+
+    /** Full-corpus raw PQ model at the t117 config (m=16, nCodes=16). */
+    def rawModel(s: org.apache.spark.sql.SparkSession,
+        d: String): PQ.PqModel = memo(s"rawModel:$d") {
+      PQ.train(graft.core.Tables.embeddings(s, d), "embedding", 16, 16)
+    }
+
+    /** Half-built + appended residual IVF-PQ index (the t119 lifecycle:
+      * build on the even half, append the odd half under both frozen
+      * quantizers).
+      */
+    def halfAppendedResidualDir(s: org.apache.spark.sql.SparkSession,
+        d: String): String = memo(s"halfAppendedResidual:$d") {
+      import s.implicits._
+      val emb = graft.core.Tables.embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fix_ivfpq_app").toString
+      PQ.ivfPqBuildResidual(emb.where($"vec_id" % 2 === 0), "vec_id",
+        "embedding", 8, 16, 16, dir)
+      PQ.ivfPqAppend(s, dir, emb.where($"vec_id" % 2 =!= 0),
+        "vec_id", "embedding")
+      dir
+    }
+
+    /** Full-corpus residual IVF-PQ index at the gate config
+      * (nCells=8, m=16, nCodes=16) — t126's query target.
+      */
+    def residualDir(s: org.apache.spark.sql.SparkSession,
+        d: String): String = memo(s"residualDir:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fix_ivfpq").toString
+      PQ.ivfPqBuildResidual(graft.core.Tables.embeddings(s, d), "vec_id",
+        "embedding", 8, 16, 16, dir)
+      dir
+    }
+  }
+
   def verdict(corpus: DataFrame, queries: DataFrame, topkIn: DataFrame, k: Int,
       recallFloor: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   *     config m=16 nCodes=16 rerank=100 -> 0.93/1.00/0.87 (floor 0.8);
   *     runner-up m=8 nCodes=32 -> 0.87/0.80/0.80. The rerank pool must
   *     scale with the corpus (~5% of n): rr25 at n=2000 read 0.33-0.47.
+  *   RESIDUAL IVF-PQ (round-15 sweep, unit-space coarse quantizer): at
+  *     the same (m=16, nCodes=16) budget the residual encoding lifts
+  *     pool recall where the corpus is largest — sf0.1 rr25 0.333 ->
+  *     0.733 (np=8) / 0.400 -> 0.667 (np=5) vs raw — and the production
+  *     config np=5 rr100 reads 0.800/0.867/0.800 (t118 floor 0.8); the
+  *     append lifecycle reads 0.600/0.800/1.000 (t119 floor raised
+  *     0.5 -> 0.6). CAUTION: an earlier cut anchored residuals at
+  *     unitize(raw centroid) — distortion ROSE above raw (spec-caught);
+  *     residual anchors must be the unit-space k-means means.
+  *   annfilter (round-15): fixed np=5 recall vs FILTERED brute force
+  *     decays with selectivity (0.50-0.73 at 1/100-1/3), the nProbeFor
+  *     adaptive correction reads 1.000 everywhere, plain and composed
+  *     alike (t128 floor 0.6 at the 1/10 filter).
   */
 object GateProbe {
 
@@ -77,6 +90,30 @@ object GateProbe {
         println(f"[$sf] n=$n ivfpq nCells=8 nProbe=$np rerank=$rr recall=${recall(
           graft.operators.ProductQuantizer.ivfPqQuery(spark, ipDir, q,
             "vec_id", "embedding", 5, np, rr))}%.3f")
+      // RESIDUAL encoding vs raw at matched (m, nCodes): rerank = k makes
+      // the refined set exactly the ADC top-k, so the rr5 rows isolate
+      // raw-ADC rank quality (the thing residual encoding exists to buy);
+      // larger pools show how much refine I/O each encoding still needs
+      val resDir = java.nio.file.Files.createTempDirectory("probe_ivfpq_res").toString
+      graft.operators.ProductQuantizer.ivfPqBuildResidual(
+        emb, "vec_id", "embedding", 8, 16, 16, resDir)
+      for ((np, rr) <- Seq((8, 5), (5, 5), (8, 25), (5, 25), (5, 100)))
+        println(f"[$sf] n=$n ivfpq_residual nCells=8 nProbe=$np rerank=$rr recall=${recall(
+          graft.operators.ProductQuantizer.ivfPqQuery(spark, resDir, q,
+            "vec_id", "embedding", 5, np, rr))}%.3f")
+      for ((np, rr) <- Seq((8, 5), (5, 5), (8, 25), (5, 25)))
+        println(f"[$sf] n=$n ivfpq_raw nCells=8 nProbe=$np rerank=$rr recall=${recall(
+          graft.operators.ProductQuantizer.ivfPqQuery(spark, ipDir, q,
+            "vec_id", "embedding", 5, np, rr))}%.3f")
+      // residual append lifecycle (t119 shape under the residual layout)
+      val resDir2 = java.nio.file.Files.createTempDirectory("probe_ivfpq_res_app").toString
+      graft.operators.ProductQuantizer.ivfPqBuildResidual(
+        emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", 8, 16, 16, resDir2)
+      graft.operators.ProductQuantizer.ivfPqAppend(
+        spark, resDir2, emb.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding")
+      println(f"[$sf] n=$n ivfpq_residual_append nProbe=5 rerank=100 recall=${recall(
+        graft.operators.ProductQuantizer.ivfPqQuery(spark, resDir2, q,
+          "vec_id", "embedding", 5, 5, 100))}%.3f")
       // t119 shape: half-built + appended composed index at the gate config
       val ipDir2 = java.nio.file.Files.createTempDirectory("probe_ivfpq_app").toString
       val pqmHalf = graft.operators.ProductQuantizer.train(
@@ -92,8 +129,54 @@ object GateProbe {
     }
   }
 
+  /** `runMain graft.tools.GateProbe annfilter` — recall of the filtered
+    * ANN paths vs FILTERED brute force as the filter tightens (1/3, 1/10,
+    * 1/100 selectivity), at the fixed production probe count and at the
+    * [[Similarity.nProbeFor]] adaptive setting — the measurement behind
+    * the t125/t126 scaladoc table and the adaptive-helper spec floor.
+    */
+  private def annFilterSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val emb = Tables.embeddings(spark, s"/root/testdata/$sf").cache()
+      val n = emb.count()
+      val q = emb.filter($"vec_id" < 3)
+      val ivfDir = java.nio.file.Files.createTempDirectory("probe_f_ivf").toString
+      Similarity.ivfBuild(emb, "vec_id", "embedding", 8, ivfDir)
+      val pqDir = java.nio.file.Files.createTempDirectory("probe_f_pq").toString
+      graft.operators.ProductQuantizer.ivfPqBuildResidual(
+        emb, "vec_id", "embedding", 8, 16, 16, pqDir)
+      for (mod <- Seq(3, 10, 100)) {
+        val allowed = emb.where($"vec_id" % mod === 0)
+        val bf = Similarity.bruteForceTopK(allowed, q, "vec_id", "embedding", 5)
+          .select($"query_id", $"neighbor_id").cache()
+        val denom = bf.count().toDouble
+        def recall(approx: org.apache.spark.sql.DataFrame): Double =
+          approx.select($"query_id", $"neighbor_id")
+            .join(bf, Seq("query_id", "neighbor_id")).count() / denom
+        val fixedIvf = recall(Similarity.ivfQueryFiltered(spark, ivfDir, q,
+          "vec_id", "embedding", allowed, "vec_id", 5, nProbe = 5))
+        val adapIvf = recall(Similarity.ivfQueryFilteredAdaptive(spark,
+          ivfDir, q, "vec_id", "embedding", allowed, "vec_id", 5,
+          baseNProbe = 5))
+        val fixedPq = recall(graft.operators.ProductQuantizer
+          .ivfPqQueryFiltered(spark, pqDir, q, "vec_id", "embedding",
+            allowed, "vec_id", 5, nProbe = 5, rerank = 100))
+        val adapPq = recall(graft.operators.ProductQuantizer
+          .ivfPqQueryFilteredAdaptive(spark, pqDir, q, "vec_id", "embedding",
+            allowed, "vec_id", 5, baseNProbe = 5, rerank = 100))
+        println(f"[$sf] n=$n sel=1/$mod ivf fixed(np=5)=$fixedIvf%.3f " +
+          f"adaptive=$adapIvf%.3f | ivfpq_res fixed(np=5)=$fixedPq%.3f " +
+          f"adaptive=$adapPq%.3f")
+        bf.unpersist()
+      }
+      emb.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(appName = "gate-probe")
+    if (args.contains("annfilter")) { annFilterSweep(spark); spark.stop(); return }
     if (args.contains("ann")) { annSweep(spark); spark.stop(); return }
     import spark.implicits._
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {

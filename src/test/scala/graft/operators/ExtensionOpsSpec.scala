@@ -341,6 +341,44 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("adaptive filtered ANN: nProbeFor walks probes with selectivity; 1/10-selective queries hold the 0.6 floor") {
+    // the correction rule itself: hold the expected allowed-candidate
+    // volume, cap at the cell count (= the exhaustive theorem regime)
+    assert(Similarity.nProbeFor(8, 5, 1.0) == 5)
+    assert(Similarity.nProbeFor(8, 5, 1.0 / 3) == 8)
+    assert(Similarity.nProbeFor(8, 5, 0.1) == 8)
+    assert(Similarity.nProbeFor(64, 4, 0.25) == 16)
+    assert(Similarity.nProbeFor(64, 4, 0.01) == 64)
+    import graft.core.Tables
+    import graft.operators.{ProductQuantizer => PQ}
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val emb = Tables.embeddings(spark, sf)
+      // 1/10-selective: the regime where the FIXED production nProbe loses
+      // recall (the t125/t126 scaladoc contract) — adaptive must not
+      val allowed = emb.where($"vec_id" % 10 === 0)
+      val queries = emb.filter($"vec_id" < 3)
+      val bf = Similarity.bruteForceTopK(allowed, queries, "vec_id",
+        "embedding", 5).localCheckpoint()
+      def recall(approx: org.apache.spark.sql.DataFrame): Double =
+        approx.select($"query_id", $"neighbor_id")
+          .join(bf.select($"query_id", $"neighbor_id"),
+            Seq("query_id", "neighbor_id")).count().toDouble / bf.count()
+      val ivfDir = java.nio.file.Files.createTempDirectory("ivf_adapt").toString
+      Similarity.ivfBuild(emb, "vec_id", "embedding", 8, ivfDir)
+      val rIvf = recall(Similarity.ivfQueryFilteredAdaptive(spark, ivfDir,
+        queries, "vec_id", "embedding", allowed, "vec_id", 5, baseNProbe = 5))
+      assert(rIvf >= 0.6, f"adaptive ivf recall $rIvf%.3f under 1/10 filter")
+      // composed sibling over the residual layout
+      val pqDir = java.nio.file.Files.createTempDirectory("ivfpq_adapt").toString
+      PQ.ivfPqBuildResidual(emb, "vec_id", "embedding", 8, 16, 16, pqDir)
+      val rPq = recall(PQ.ivfPqQueryFilteredAdaptive(spark, pqDir, queries,
+        "vec_id", "embedding", allowed, "vec_id", 5, baseNProbe = 5,
+        rerank = 100))
+      assert(rPq >= 0.6, f"adaptive ivf-pq recall $rPq%.3f under 1/10 filter")
+      info(f"sf=$sf adaptive 1/10-filter recall: ivf=$rIvf%.3f ivfpq=$rPq%.3f")
+    }
+  }
+
   test("ivfCompact coalesces appended cell files; queries stay row-identical") {
     import graft.core.Tables
     val emb = Tables.embeddings(spark, sf0001)

@@ -118,6 +118,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!adcScan.get.replace(" ", "").contains("cv:array"),
       s"ADC scan must not decode vectors:\n${adcScan.get}")
     assert(!p.contains("CartesianProduct"))
+    // the RESIDUAL layout (the production gate config) keeps the exact
+    // same three-shrinking-reads shape: the encoding changes what the
+    // codes MEAN (per-cell anchors fold into the broadcast probe rows'
+    // LUTs as plan literals), never what the scan reads
+    val rdir = java.nio.file.Files.createTempDirectory("ivfpq-plan-res").toString
+    graft.operators.ProductQuantizer.ivfPqBuildResidual(
+      emb, "vec_id", "embedding", 8, 16, 16, rdir)
+    val rp = graft.operators.ProductQuantizer.ivfPqQuery(spark, rdir,
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    val rScans = rp.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("cells")).toVector
+    assert(rScans.nonEmpty, rp.take(1500))
+    rScans.foreach(l => assert(l.contains("PartitionFilters: [cell") &&
+      !l.contains("PartitionFilters: []"), l))
+    val rAdc = rScans.find(l => l.replace(" ", "").contains("codes:array"))
+    assert(rAdc.isDefined, rScans.mkString("\n"))
+    assert(!rAdc.get.replace(" ", "").contains("cv:array"),
+      s"residual ADC scan must not decode vectors:\n${rAdc.get}")
+    assert(!rp.contains("CartesianProduct"))
   }
 
   test("t39 bloom prefilter runs on the probe side BELOW the semi join") {
