@@ -200,6 +200,80 @@ object TrainingOrder {
       .orderBy(col(posCol))
   }
 
+  /** The part files of one `shard=<id>` directory in NUMERIC part order —
+    * the order the range-partitioned writer's tasks ran in. Plain
+    * lexicographic listing breaks past 99,999 parts (see
+    * [[writeMixtureShards]]); parsing the part index makes the sequential
+    * reader immune.
+    */
+  private def shardFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String, shard: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/shard=$shard")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Seq.empty
+    val part = "part-(\\d+)".r
+    fs.listStatus(p).toSeq
+      .map(_.getPath)
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(f => part.findFirstMatchIn(f.getName)
+        .map(_.group(1).toLong).getOrElse(Long.MaxValue) -> f.getName)
+      .map(_.toString)
+  }
+
+  /** One shard of a materialized training order with NO exchange in the
+    * plan — the read path shaped like the training loader actually
+    * consumes: part files enumerated in numeric part order, each file ONE
+    * partition (`coalesce(1)` merges the rare multi-split large file)
+    * sorted within itself by `posCol` — a near-no-op, since both writers
+    * store rows pos-sorted per file; the in-partition sort merely
+    * re-asserts it when a file was split — and the union concatenates
+    * child partitions in file order. PARTITION ORDER therefore replays
+    * the shard's slice of the training order exactly: `toLocalIterator`
+    * (or any consumer that walks partitions in order) sees the replay
+    * sequence, and no range shuffle is ever paid. [[readShardRange]]'s
+    * `orderBy` path re-derives the same order WITH a shuffle — use that
+    * for distributed transformations, this for sequential consumption.
+    */
+  def readShardSequential(spark: org.apache.spark.sql.SparkSession,
+      dir: String, shard: Int, posCol: String = "global_pos"): DataFrame = {
+    val files = shardFiles(spark, dir, shard)
+    require(files.nonEmpty, s"no part files under $dir/shard=$shard")
+    files.map(f => spark.read.option("basePath", dir).parquet(f)
+        .coalesce(1).sortWithinPartitions(col(posCol)))
+      .reduce(_ unionByName _)
+  }
+
+  /** Consumer-side sequential loader: rows of shards `[from, to]` in exact
+    * replay order as ONE driver-side iterator — "train on shards 0..k"
+    * as the loop a training loader runs, with the same manifest gate as
+    * [[readShardRange]] and zero shuffles: each shard streams through
+    * [[readShardSequential]]'s partition-ordered frame via
+    * `toLocalIterator` (one in-flight partition at a time — driver memory
+    * holds one part file's batch, never the release).
+    */
+  def shardRangeIterator(spark: org.apache.spark.sql.SparkSession,
+      dir: String, from: Int, to: Int, posCol: String = "global_pos",
+      verify: String = "quick"): Iterator[org.apache.spark.sql.Row] = {
+    require(from >= 0 && to >= from, s"bad shard range [$from, $to]")
+    require(Set("full", "quick", "off")(verify),
+      s"verify must be full|quick|off, got '$verify'")
+    if (verify != "off" && graft.sinks.DatasetManifest.hasManifest(spark, dir)) {
+      val bad = graft.sinks.DatasetManifest.verify(spark, dir, mode = verify)
+        .filter(col("status") =!= "ok")
+      val sample = bad.select(col("file"), col("status")).take(4)
+        .map(r => s"${r.getString(0)}=${r.getString(1)}")
+      require(sample.isEmpty,
+        s"shardRangeIterator: release manifest check failed at $dir: " +
+          sample.mkString(", "))
+    }
+    import scala.jdk.CollectionConverters._
+    (from to to).iterator.flatMap { s =>
+      if (shardFiles(spark, dir, s).isEmpty) Iterator.empty
+      else readShardSequential(spark, dir, s, posCol).toLocalIterator().asScala
+    }
+  }
+
   /** Strict round-robin positions for the given source values; rows whose
     * source is not listed are dropped (train on declared mixtures only).
     * Output: input columns + `skey`, `source_idx`, `global_pos`.

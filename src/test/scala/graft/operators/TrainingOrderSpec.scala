@@ -187,4 +187,42 @@ class TrainingOrderSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("manifest"), e.getMessage)
   }
+
+  test("sequential shard read: exact replay order with NO exchange in the plan") {
+    val ordered = TrainingOrder.interleave(docs, $"src", $"id", sources)
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("seq_read").toString + "/ds"
+    TrainingOrder.writeMixtureShards(ordered, $"global_pos", dir, 4)
+    graft.sinks.DatasetManifest.write(spark, dir)
+    // the loader iterator and the orderBy path agree row-for-row — same
+    // data, same order, but the iterator never pays the range shuffle
+    val viaSort = TrainingOrder.readShardRange(spark, dir, 0, 3)
+      .select($"global_pos").as[Long].collect().toSeq
+    val viaSeq = TrainingOrder.shardRangeIterator(spark, dir, 0, 3)
+      .map(_.getAs[Long]("global_pos")).toSeq
+    assert(viaSeq == viaSort)
+    // a sub-range is the same contiguous prefix both ways
+    val pfx = TrainingOrder.shardRangeIterator(spark, dir, 0, 1, verify = "off")
+      .map(_.getAs[Long]("global_pos")).toSeq
+    assert(pfx.nonEmpty && pfx == viaSort.take(pfx.length))
+    // plan pin: the per-shard frame carries no Exchange of any kind,
+    // while the orderBy path necessarily does
+    val seqPlan = TrainingOrder.readShardSequential(spark, dir, 0)
+      .queryExecution.executedPlan.toString
+    assert(!seqPlan.contains("Exchange"), seqPlan)
+    val sortPlan = TrainingOrder.readShardRange(spark, dir, 0, 3, verify = "off")
+      .queryExecution.executedPlan.toString
+    assert(sortPlan.contains("Exchange"), "contrast lost: orderBy path should shuffle")
+    // the manifest gate guards the iterator too
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/shard=0"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.write(part, Array[Byte](0x11),
+      java.nio.file.StandardOpenOption.APPEND)
+    java.nio.file.Files.deleteIfExists(
+      part.getParent.resolve("." + part.getFileName.toString + ".crc"))
+    val e = intercept[IllegalArgumentException] {
+      TrainingOrder.shardRangeIterator(spark, dir, 0, 3).hasNext
+    }
+    assert(e.getMessage.contains("manifest"), e.getMessage)
+  }
 }
