@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Closes the ANN drift→rebuild loop as POLICY, not supervision.
+  *
+  * The repo already produces every number the decision needs:
+  * [[Similarity.IvfAppendStats.driftRatio]] (each append's mean assigned
+  * distance vs the build baseline — the cheap per-append signal),
+  * [[Similarity.indexRecall]] (ground-truth recall of the index's own
+  * query path — the expensive confirmation), and the rebuild arcs
+  * ([[Similarity.ivfRebuild]] / [[ProductQuantizer.ivfPqRebuild]] — both
+  * behind the staging + atomic-swap discipline). What was missing is the
+  * operator that CHAINS them, so an index a daemon appends to decays into
+  * a rebuild instead of decaying unobserved.
+  *
+  * Usage: route appends through [[append]] (it dispatches on the layout
+  * and records each drift reading in `indexDir/drift_log` — a one-row
+  * parquet per append, the ledger discipline), then call [[maintain]]
+  * after each batch (or on the daemon's cadence). `maintain` rebuilds iff
+  *  - the last `sustainAppends` ratios ALL exceed `maxDriftRatio`
+  *    (sustained drift — one hot batch is not a trend), or
+  *  - `recallFloor` is set and [[Similarity.indexRecall]] reads below it
+  *    (measured only when the cheap signal did not already decide —
+  *    recall costs a brute-force pass over the index at `nQueries`
+  *    query rows).
+  * The rebuild runs behind [[IncrementalDedup.replaceDir]]'s swap, which
+  * replaces the WHOLE index dir — so the drift log resets with the stats
+  * baseline, exactly right: post-rebuild appends measure against
+  * quantizers that have seen everything. Stop appenders while maintaining
+  * (the rebuild arcs' existing contract).
+  *
+  * Scale shape: the log is one tiny row per append, read driver-side
+  * (`sustainAppends`-bounded tail); the decision adds NOTHING to the
+  * append path beyond that row's write. The rebuild itself is the
+  * already-audited build: capped quantizer fits + one assignment pass.
+  */
+object AnnMaintenance {
+
+  /** @param maxDriftRatio  sustained-drift threshold (rule of thumb 1.5 —
+    *                       [[Similarity.IvfAppendStats]]'s contract)
+    * @param sustainAppends how many consecutive over-threshold appends
+    *                       constitute a trend (>= 1)
+    * @param recallFloor    optional ground-truth gate: measure
+    *                       [[Similarity.indexRecall]] and rebuild below it
+    * @param recallK        k for the recall measurement
+    * @param recallNProbe   nProbe for the recall measurement
+    * @param recallQueries  query-sample size (driver-scale — bounds the
+    *                       brute-force side)
+    * @param rebuildNCells  cell count for the rebuilt coarse quantizer;
+    *                       None = keep the current count (grow ~sqrt(N)
+    *                       as the corpus accumulates)
+    */
+  final case class MaintenancePolicy(
+      maxDriftRatio: Double = 1.5,
+      sustainAppends: Int = 3,
+      recallFloor: Option[Double] = None,
+      recallK: Int = 5,
+      recallNProbe: Int = 4,
+      recallQueries: Int = 16,
+      rebuildNCells: Option[Int] = None) {
+    require(maxDriftRatio > 0 && sustainAppends >= 1)
+  }
+
+  /** The decision trace: what was looked at, what (if anything) fired. */
+  final case class MaintenanceDecision(
+      appendsLogged: Long,
+      recentRatios: Seq[Double],
+      sustainedDrift: Boolean,
+      measuredRecall: Option[Double],
+      rebuilt: Boolean,
+      reason: String)
+
+  private def exists(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir))
+
+  private def isComposed(indexDir: String): Boolean =
+    exists(s"$indexDir/pq_model")
+
+  /** Append through the layout-appropriate arc and RECORD the drift
+    * reading in `indexDir/drift_log` — the ledger [[maintain]] reads.
+    * Appends are serialized by the index contract, so the sequence number
+    * is simply the current log length.
+    */
+  def append(spark: SparkSession, indexDir: String, newVectors: DataFrame,
+      idCol: String, vecCol: String): Similarity.IvfAppendStats = {
+    val st =
+      if (isComposed(indexDir))
+        ProductQuantizer.ivfPqAppend(spark, indexDir, newVectors, idCol, vecCol)
+      else Similarity.ivfAppend(spark, indexDir, newVectors, idCol, vecCol)
+    import spark.implicits._
+    val seq =
+      if (exists(s"$indexDir/drift_log"))
+        spark.read.parquet(s"$indexDir/drift_log").count()
+      else 0L
+    Seq((seq, st.n, st.meanL2sq, st.baselineMeanL2sq, st.driftRatio))
+      .toDF("seq", "n", "mean_l2sq", "baseline_mean_l2sq", "ratio")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexDir/drift_log")
+    st
+  }
+
+  /** Decide — and if warranted, EXECUTE — a rebuild. Returns the full
+    * decision trace either way; when `rebuilt` is true the index behind
+    * `indexDir` is already the re-trained one (same layout encoding,
+    * fresh stats baseline, empty drift log).
+    */
+  def maintain(spark: SparkSession, indexDir: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceDecision = {
+    IncrementalDedup.recoverDir(indexDir)
+    import spark.implicits._
+    val log =
+      if (exists(s"$indexDir/drift_log"))
+        spark.read.parquet(s"$indexDir/drift_log")
+          .orderBy(col("seq").desc).limit(policy.sustainAppends)
+          .select(col("seq"), col("ratio")).as[(Long, Option[Double])]
+          .collect().toSeq
+      else Seq.empty
+    val appends =
+      if (exists(s"$indexDir/drift_log"))
+        spark.read.parquet(s"$indexDir/drift_log").count()
+      else 0L
+    val recent = log.sortBy(_._1).flatMap(_._2)
+    val sustained = appends >= policy.sustainAppends &&
+      recent.size == policy.sustainAppends &&
+      recent.forall(_ > policy.maxDriftRatio)
+
+    // ground truth only when the cheap signal did not already decide
+    val recall =
+      if (!sustained && policy.recallFloor.isDefined)
+        Some(Similarity.indexRecall(spark, indexDir, policy.recallK,
+          policy.recallNProbe, policy.recallQueries))
+      else None
+    val recallLow = (for {f <- policy.recallFloor; r <- recall} yield r < f)
+      .getOrElse(false)
+
+    if (!sustained && !recallLow)
+      return MaintenanceDecision(appends, recent, sustained, recall,
+        rebuilt = false,
+        reason = if (appends < policy.sustainAppends)
+          s"only $appends append(s) logged (need ${policy.sustainAppends})"
+        else "drift not sustained" + recall.map(r =>
+          f"; recall $r%.3f >= floor").getOrElse(""))
+
+    val nCells = policy.rebuildNCells.getOrElse(
+      spark.read.parquet(s"$indexDir/centroids").count().toInt)
+    val n =
+      if (isComposed(indexDir))
+        ProductQuantizer.ivfPqRebuild(spark, indexDir, nCells)
+      else Similarity.ivfRebuild(spark, indexDir, nCells)
+    MaintenanceDecision(appends, recent, sustained, recall, rebuilt = true,
+      reason = (if (sustained)
+        f"drift ratio > ${policy.maxDriftRatio}%.2f sustained over " +
+          s"${policy.sustainAppends} appends"
+      else f"measured recall ${recall.get}%.3f < floor " +
+        f"${policy.recallFloor.get}%.3f") + s"; rebuilt $n vectors")
+  }
+}

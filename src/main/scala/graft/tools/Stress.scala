@@ -214,6 +214,50 @@ object Stress {
       check(driftSt.driftRatio.exists(_ > 1.5),
         s"drifted append not flagged: ${driftSt.driftRatio}")
 
+      // ---- drift->rebuild POLICY at stress scale: appends route through
+      // the maintenance ledger; the quiet batch leaves the policy silent,
+      // ONE hot batch is not a trend, the second consecutive hot batch
+      // fires the rebuild exactly once, and the swap resets the ledger.
+      // The stage record IS the decision trace. (Also exercises the
+      // capped coarse fit: 256 x 64 cells < the stress corpus, so the
+      // build and the policy-triggered rebuild both train on the
+      // deterministic sample.)
+      val mIdx = s"$workDir/ivf_maint"
+      import graft.operators.AnnMaintenance
+      val pol = AnnMaintenance.MaintenancePolicy(
+        maxDriftRatio = 1.5, sustainAppends = 2)
+      def batch(off: Long, shift: Float) = emb.select(
+        (col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(shift)).cast("float"))
+          .as("embedding"))
+      val (trace, tMaint) = timed {
+        Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 64, mIdx)
+        AnnMaintenance.append(spark, mIdx, batch(3L * nVecs, 0.0f),
+          "vec_id", "embedding")
+        val quiet = AnnMaintenance.maintain(spark, mIdx, pol)
+        AnnMaintenance.append(spark, mIdx, batch(4L * nVecs, 0.35f),
+          "vec_id", "embedding")
+        val oneHot = AnnMaintenance.maintain(spark, mIdx, pol)
+        AnnMaintenance.append(spark, mIdx, batch(5L * nVecs, 0.35f),
+          "vec_id", "embedding")
+        val fired = AnnMaintenance.maintain(spark, mIdx, pol)
+        val after = AnnMaintenance.maintain(spark, mIdx, pol)
+        (quiet, oneHot, fired, after)
+      }
+      val (mQuiet, mOneHot, mFired, mAfter) = trace
+      println(j("stage" -> "ann_maintain", "seconds" -> tMaint,
+        "quiet_rebuilt" -> mQuiet.rebuilt,
+        "one_hot_rebuilt" -> mOneHot.rebuilt,
+        "fired_rebuilt" -> mFired.rebuilt,
+        "fired_ratios" -> mFired.recentRatios.map(r => f"$r%.2f").mkString("[", " ", "]"),
+        "post_swap_appends" -> mAfter.appendsLogged))
+      check(!mQuiet.rebuilt && !mOneHot.rebuilt,
+        s"policy fired early: quiet=$mQuiet oneHot=$mOneHot")
+      check(mFired.rebuilt && mFired.sustainedDrift,
+        s"sustained drift did not fire: $mFired")
+      check(!mAfter.rebuilt && mAfter.appendsLogged == 0,
+        s"swap must reset the ledger: $mAfter")
+
       // ---- SRP-LSH embedding near-dups with NO blocking assumption at
       // 2x-factor vectors (100k at the default factor). The corpus has
       // KNOWN cluster structure: each base vector spawns sub-clusters of

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.core.Tables.embeddings(spark, sf0001)
+
+  // a distribution the build-time quantizer has NEVER seen: every
+  // coordinate shifted by 0.7 (||shift||^2 = 64 * 0.49 vs unit-scale cell
+  // radii), with fresh ids per batch
+  private def shifted(tag: Long) = emb.where($"vec_id" % 2 =!= 0)
+    .select(($"vec_id" + tag).as("vec_id"),
+      transform($"embedding", x => (x + lit(0.7f)).cast("float")).as("embedding"))
+
+  test("maintain: in-distribution appends never fire; sustained drift rebuilds exactly once and resets the ledger") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_maint").toString
+    val half = emb.where($"vec_id" % 2 === 0)
+    Similarity.ivfBuild(half, "vec_id", "embedding", 4, dir)
+    val policy = AnnMaintenance.MaintenancePolicy(
+      maxDriftRatio = 2.0, sustainAppends = 2)
+
+    // in-distribution growth: the ledger fills but the policy stays quiet
+    val rest = emb.where($"vec_id" % 2 =!= 0)
+    AnnMaintenance.append(spark, dir,
+      rest.where($"vec_id" % 4 === 1), "vec_id", "embedding")
+    val d0 = AnnMaintenance.maintain(spark, dir, policy)
+    assert(!d0.rebuilt && d0.appendsLogged == 1, d0.toString)
+    AnnMaintenance.append(spark, dir,
+      rest.where($"vec_id" % 4 === 3), "vec_id", "embedding")
+    val d1 = AnnMaintenance.maintain(spark, dir, policy)
+    assert(!d1.rebuilt && !d1.sustainedDrift && d1.appendsLogged == 2,
+      d1.toString)
+
+    // one hot batch is NOT a trend
+    AnnMaintenance.append(spark, dir, shifted(10000), "vec_id", "embedding")
+    val hot1 = AnnMaintenance.maintain(spark, dir, policy)
+    assert(!hot1.rebuilt && !hot1.sustainedDrift, hot1.toString)
+
+    // the second consecutive hot batch sustains the trend -> rebuild fires
+    AnnMaintenance.append(spark, dir, shifted(20000), "vec_id", "embedding")
+    val fire = AnnMaintenance.maintain(spark, dir, policy)
+    assert(fire.rebuilt && fire.sustainedDrift, fire.toString)
+    assert(fire.recentRatios.size == 2 && fire.recentRatios.forall(_ > 2.0),
+      fire.toString)
+    // swap hygiene: no staging or .old leftovers, all vectors present
+    assert(!new java.io.File(s"$dir.rebuild").exists())
+    assert(!new java.io.File(s"$dir.old").exists())
+    assert(spark.read.parquet(s"$dir/cells").count() == emb.count() * 2)
+
+    // the whole-dir swap reset the drift ledger with the stats baseline:
+    // an immediate second maintain is a no-op, not a second rebuild
+    val after = AnnMaintenance.maintain(spark, dir, policy)
+    assert(!after.rebuilt && after.appendsLogged == 0, after.toString)
+
+    // and the once-foreign distribution now reads in-distribution (the
+    // rebuilt quantizer has seen it) — the loop CONVERGES, not oscillates
+    AnnMaintenance.append(spark, dir, shifted(30000), "vec_id", "embedding")
+    AnnMaintenance.append(spark, dir, shifted(40000), "vec_id", "embedding")
+    val settled = AnnMaintenance.maintain(spark, dir, policy)
+    assert(!settled.rebuilt && !settled.sustainedDrift, settled.toString)
+  }
+
+  test("maintain: the recall floor drives the composed rebuild; the residual encoding survives the swap") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_maint_pq").toString
+    ProductQuantizer.ivfPqBuildResidual(emb.where($"vec_id" % 2 === 0),
+      "vec_id", "embedding", 4, 8, 8, dir)
+    AnnMaintenance.append(spark, dir,
+      emb.where($"vec_id" % 2 =!= 0), "vec_id", "embedding")
+
+    // floor 0: recall is MEASURED (the trace proves it) but never below
+    val ok = AnnMaintenance.maintain(spark, dir,
+      AnnMaintenance.MaintenancePolicy(recallFloor = Some(0.0)))
+    assert(!ok.rebuilt && ok.measuredRecall.isDefined, ok.toString)
+
+    // an unmeetable floor: the ground-truth branch fires even though the
+    // drift ledger alone would not (one quiet append)
+    val fire = AnnMaintenance.maintain(spark, dir,
+      AnnMaintenance.MaintenancePolicy(recallFloor = Some(1.01)))
+    assert(fire.rebuilt && !fire.sustainedDrift &&
+      fire.measuredRecall.isDefined, fire.toString)
+    // layout dispatch went through ivfPqRebuild and KEPT the encoding
+    assert(ProductQuantizer.loadModel(spark, dir).encoding == "residual")
+    assert(spark.read.parquet(s"$dir/cells").count() == emb.count())
+    assert(ProductQuantizer.ivfPqQuery(spark, dir, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 5, nProbe = 4, rerank = 100).count() > 0)
+  }
+}
