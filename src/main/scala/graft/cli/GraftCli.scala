@@ -387,15 +387,22 @@ object GraftCli {
             f"(mean_l2sq=${st.meanL2sq}%.4f drift_ratio=$drift)")
         case "ann-pq-build" :: sfDir :: indexDir :: rest =>
           // the composed billion-scale layout: IVF cells carrying PQ codes
-          // + vectors (see ProductQuantizer.ivfPqBuild)
+          // + vectors. Default is the RESIDUAL encoding (classic IVF-ADC —
+          // higher raw-ADC recall per code byte); pass `raw` as the 4th
+          // option to write the legacy raw-vector encoding.
           val nCells = rest.headOption.map(_.toInt).getOrElse(8)
           val m = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
           val nCodes = rest.drop(2).headOption.map(_.toInt).getOrElse(16)
+          val encoding = rest.drop(3).headOption.getOrElse("residual")
           val emb = graft.core.Tables.embeddings(spark, sfDir)
-          val model = graft.operators.ProductQuantizer.train(emb, "embedding", m, nCodes)
-          graft.operators.ProductQuantizer.ivfPqBuild(
-            emb, "vec_id", "embedding", nCells, model, indexDir)
-          println(s"ann-pq-build: $nCells cells x ($m x $nCodes) codebooks -> $indexDir")
+          if (encoding == "raw") {
+            val model = graft.operators.ProductQuantizer.train(emb, "embedding", m, nCodes)
+            graft.operators.ProductQuantizer.ivfPqBuild(
+              emb, "vec_id", "embedding", nCells, model, indexDir)
+          } else graft.operators.ProductQuantizer.ivfPqBuildResidual(
+            emb, "vec_id", "embedding", nCells, m, nCodes, indexDir)
+          println(s"ann-pq-build: $nCells cells x ($m x $nCodes) codebooks " +
+            s"($encoding encoding) -> $indexDir")
         case "ann-pq-append" :: inParquet :: indexDir :: Nil =>
           // grow the composed index under both frozen quantizers
           val in = spark.read.parquet(inParquet)
@@ -431,6 +438,24 @@ object GraftCli {
             else graft.operators.Similarity.ivfRebuild(spark, indexDir, nCells)
           val kind = if (composed) "ivf-pq (both quantizers)" else "ivf"
           println(s"ann-rebuild: $n vectors re-quantized ($kind) into $nCells cells -> $indexDir")
+        case "ann-maintain" :: indexDir :: rest =>
+          // the drift->rebuild POLICY: rebuild iff the last `sustain`
+          // appends all read ratio > maxRatio, or measured recall sits
+          // below the floor. Args: [maxRatio] [sustain] [recallFloor|-]
+          // [nCells|-]; appends must go through AnnMaintenance.append (or
+          // the crawl daemon) so the drift log exists. Prints the full
+          // decision trace either way.
+          val policy = graft.operators.AnnMaintenance.MaintenancePolicy(
+            maxDriftRatio = rest.headOption.map(_.toDouble).getOrElse(1.5),
+            sustainAppends = rest.drop(1).headOption.map(_.toInt).getOrElse(3),
+            recallFloor = rest.drop(2).headOption.filter(_ != "-").map(_.toDouble),
+            rebuildNCells = rest.drop(3).headOption.filter(_ != "-").map(_.toInt))
+          val d = graft.operators.AnnMaintenance.maintain(spark, indexDir, policy)
+          println(s"ann-maintain: appends=${d.appendsLogged} " +
+            s"recent_ratios=[${d.recentRatios.map(r => f"$r%.3f").mkString(", ")}] " +
+            s"sustained=${d.sustainedDrift} " +
+            s"recall=${d.measuredRecall.map(r => f"$r%.3f").getOrElse("not measured")}")
+          println(s"ann-maintain: rebuilt=${d.rebuilt} — ${d.reason}")
         case "ann-recall" :: indexDir :: rest =>
           // ground-truth recall of the PERSISTED query path vs brute force
           // over the index's own vectors — the measurement the drift
@@ -855,7 +880,7 @@ object GraftCli {
               "drift <beforeParquet> <afterParquet> [cols...] | " +
               "dedup-sensitivity <sfDir> [minT den] | " +
               "mix-plan <sfDir> <lang:budget,...> [--bpe-merges <file>] | " +
-              "filter-impact <sfDir> | rule-impact <sfDir> | manifest <dir> | manifest-verify <dir> | " +
+              "filter-impact <sfDir> | rule-impact <sfDir> | manifest <dir> | manifest-verify <dir> [full|quick] | " +
               "zorder <in> <out> <colA> <colB> [files] | " +
               "compact <in> <out> [targetBytes] | frequent <sfDir> [k] | " +
               "bpe <sfDir> [merges] [--out <file>] | lm-score <sfDir> <outDir> | " +
@@ -875,7 +900,8 @@ object GraftCli {
               "ann-recall <indexDir> [k nProbe nQueries] | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
               "ann-query-filtered <queriesParquet> <allowedParquet> <indexDir> [k] [nProbe] [rerank] | " +
-              "ann-pq-build <sfDir> <indexDir> [nCells] [m] [nCodes] | " +
+              "ann-pq-build <sfDir> <indexDir> [nCells] [m] [nCodes] [residual|raw] | " +
+              "ann-maintain <indexDir> [maxRatio] [sustain] [recallFloor|-] [nCells|-] | " +
               "ann-pq-append <inParquet> <indexDir> | " +
               "ann-pq-query <queriesParquet> <indexDir> [k] [nProbe] [rerank] | " +
               "mix <sfDir> <outDir> <lang:budget,...> | " +
