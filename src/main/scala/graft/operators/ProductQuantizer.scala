@@ -108,18 +108,32 @@ object ProductQuantizer {
   }
 
   /** The m per-subspace k-means fits over a prepared (`__u`) frame —
-    * shared by the raw and residual trainers.
+    * shared by the raw and residual trainers. The fits are INDEPENDENT
+    * (each slices its own subspace of the already-checkpointed frame,
+    * with its own seed), so they run as concurrent Spark jobs on a small
+    * bounded pool: the result is bit-identical to the sequential loop —
+    * same data, same seeds, no shared mutable state — but the wall clock
+    * stops paying m × per-job scheduling latency, which dominated these
+    * fits at sample scale (the capped training frame is ~256 rows per
+    * centroid by design).
     */
   private def fitCodebooks(unit: DataFrame, m: Int, nCodes: Int,
       subDim: Int): Vector[Vector[Vector[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    (0 until m).map { s =>
-      val train = unit.select(
-        array_to_vector(slice(col("__u"), s * subDim + 1, subDim)).as("features"))
-      new KMeans().setK(nCodes).setSeed(42L + s).setMaxIter(10).fit(train)
-        .clusterCenters.map(_.toArray.toVector).toVector
-    }.toVector
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fits = (0 until m).map { s => Future {
+        val train = unit.select(
+          array_to_vector(slice(col("__u"), s * subDim + 1, subDim)).as("features"))
+        new KMeans().setK(nCodes).setSeed(42L + s).setMaxIter(10).fit(train)
+          .clusterCenters.map(_.toArray.toVector).toVector
+      } }
+      Await.result(Future.sequence(fits), Duration.Inf).toVector
+    } finally pool.shutdown()
   }
 
   /** Deterministic training-sample cap: when the frame holds more than
