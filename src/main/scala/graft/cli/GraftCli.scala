@@ -377,12 +377,15 @@ object GraftCli {
           println(s"ann-build: $nCells cells -> $indexDir")
         case "ann-append" :: inParquet :: indexDir :: Nil =>
           // grow a persisted index under its frozen quantizer (vec_id +
-          // embedding columns; the continuous-crawl shape for vectors)
+          // embedding columns; the continuous-crawl shape for vectors).
+          // Routed through the maintenance ledger, so each append's drift
+          // reading lands in indexDir/drift_log and `ann-maintain` can
+          // decide from history, not just the latest batch.
           val in = spark.read.parquet(inParquet)
-          val st = graft.operators.Similarity.ivfAppend(
+          val st = graft.operators.AnnMaintenance.append(
             spark, indexDir, in, "vec_id", "embedding")
           val drift = st.driftRatio.fold("n/a (no build baseline)")(r =>
-            f"$r%.3f" + (if (r > 1.5) "  ** DRIFTED: rebuild the quantizer **" else ""))
+            f"$r%.3f" + (if (r > 1.5) "  ** DRIFTED: run ann-maintain **" else ""))
           println(f"ann-append: ${st.n} vectors -> $indexDir " +
             f"(mean_l2sq=${st.meanL2sq}%.4f drift_ratio=$drift)")
         case "ann-pq-build" :: sfDir :: indexDir :: rest =>
@@ -404,12 +407,14 @@ object GraftCli {
           println(s"ann-pq-build: $nCells cells x ($m x $nCodes) codebooks " +
             s"($encoding encoding) -> $indexDir")
         case "ann-pq-append" :: inParquet :: indexDir :: Nil =>
-          // grow the composed index under both frozen quantizers
+          // grow the composed index under both frozen quantizers — also
+          // via the maintenance ledger (AnnMaintenance.append dispatches
+          // on the layout, so this and ann-append share one entry point)
           val in = spark.read.parquet(inParquet)
-          val st = graft.operators.ProductQuantizer.ivfPqAppend(
+          val st = graft.operators.AnnMaintenance.append(
             spark, indexDir, in, "vec_id", "embedding")
           val drift = st.driftRatio.fold("n/a (no build baseline)")(r =>
-            f"$r%.3f" + (if (r > 1.5) "  ** DRIFTED: rebuild the quantizers **" else ""))
+            f"$r%.3f" + (if (r > 1.5) "  ** DRIFTED: run ann-maintain **" else ""))
           println(f"ann-pq-append: ${st.n} vectors -> $indexDir " +
             f"(mean_l2sq=${st.meanL2sq}%.4f drift_ratio=$drift)")
         case "ann-pq-query" :: queriesParquet :: indexDir :: rest =>
@@ -453,7 +458,8 @@ object GraftCli {
           val d = graft.operators.AnnMaintenance.maintain(spark, indexDir, policy)
           println(s"ann-maintain: appends=${d.appendsLogged} " +
             s"recent_ratios=[${d.recentRatios.map(r => f"$r%.3f").mkString(", ")}] " +
-            s"sustained=${d.sustainedDrift} " +
+            s"recent_mixture_tv=[${d.recentMixtureTv.map(r => f"$r%.3f").mkString(", ")}] " +
+            s"sustained=${d.sustainedDrift} sustained_mixture=${d.sustainedMixture} " +
             s"recall=${d.measuredRecall.map(r => f"$r%.3f").getOrElse("not measured")}")
           println(s"ann-maintain: rebuilt=${d.rebuilt} — ${d.reason}")
         case "ann-recall" :: indexDir :: rest =>

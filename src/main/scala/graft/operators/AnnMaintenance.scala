@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   * and records each drift reading in `indexDir/drift_log` — a one-row
   * parquet per append, the ledger discipline), then call [[maintain]]
   * after each batch (or on the daemon's cadence). `maintain` rebuilds iff
-  *  - the last `sustainAppends` ratios ALL exceed `maxDriftRatio`
+  *  - the last `sustainAppends` SPREAD readings ALL exceed `maxDriftRatio`
   *    (sustained drift — one hot batch is not a trend), or
+  *  - the last `sustainAppends` cell-mixture total-variation readings ALL
+  *    exceed `maxMixtureTv` (CONCENTRATION drift — the failure shape the
+  *    distance ratio saturates on; see [[Similarity.IvfAppendStats]]), or
   *  - `recallFloor` is set and [[Similarity.indexRecall]] reads below it
-  *    (measured only when the cheap signal did not already decide —
+  *    (measured only when the cheap signals did not already decide —
   *    recall costs a brute-force pass over the index at `nQueries`
   *    query rows).
   * The rebuild runs behind [[IncrementalDedup.replaceDir]]'s swap, which
@@ -38,10 +41,17 @@ import org.apache.spark.sql.functions._
   */
 object AnnMaintenance {
 
-  /** @param maxDriftRatio  sustained-drift threshold (rule of thumb 1.5 —
-    *                       [[Similarity.IvfAppendStats]]'s contract)
+  /** @param maxDriftRatio  sustained SPREAD-drift threshold (rule of thumb
+    *                       1.5 — [[Similarity.IvfAppendStats]]'s contract)
     * @param sustainAppends how many consecutive over-threshold appends
     *                       constitute a trend (>= 1)
+    * @param maxMixtureTv   sustained CONCENTRATION-drift threshold on the
+    *                       cell-mixture total-variation (None disables).
+    *                       The second sensor exists because the distance
+    *                       ratio SATURATES on unit-space layouts — a
+    *                       batch can sit as close to centroids as the
+    *                       build did while landing in a couple of cells
+    *                       (see [[Similarity.IvfAppendStats]])
     * @param recallFloor    optional ground-truth gate: measure
     *                       [[Similarity.indexRecall]] and rebuild below it
     * @param recallK        k for the recall measurement
@@ -55,12 +65,14 @@ object AnnMaintenance {
   final case class MaintenancePolicy(
       maxDriftRatio: Double = 1.5,
       sustainAppends: Int = 3,
+      maxMixtureTv: Option[Double] = Some(0.5),
       recallFloor: Option[Double] = None,
       recallK: Int = 5,
       recallNProbe: Int = 4,
       recallQueries: Int = 16,
       rebuildNCells: Option[Int] = None) {
     require(maxDriftRatio > 0 && sustainAppends >= 1)
+    require(maxMixtureTv.forall(t => t > 0 && t <= 1))
   }
 
   /** The decision trace: what was looked at, what (if anything) fired. */
@@ -70,7 +82,9 @@ object AnnMaintenance {
       sustainedDrift: Boolean,
       measuredRecall: Option[Double],
       rebuilt: Boolean,
-      reason: String)
+      reason: String,
+      recentMixtureTv: Seq[Double] = Seq.empty,
+      sustainedMixture: Boolean = false)
 
   private def exists(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir))
@@ -94,8 +108,10 @@ object AnnMaintenance {
       if (exists(s"$indexDir/drift_log"))
         spark.read.parquet(s"$indexDir/drift_log").count()
       else 0L
-    Seq((seq, st.n, st.meanL2sq, st.baselineMeanL2sq, st.driftRatio))
-      .toDF("seq", "n", "mean_l2sq", "baseline_mean_l2sq", "ratio")
+    Seq((seq, st.n, st.meanL2sq, st.baselineMeanL2sq, st.driftRatio,
+        st.mixtureTv))
+      .toDF("seq", "n", "mean_l2sq", "baseline_mean_l2sq", "ratio",
+        "mixture_tv")
       .coalesce(1)
       .write.mode("append").parquet(s"$indexDir/drift_log")
     st
@@ -110,38 +126,45 @@ object AnnMaintenance {
       policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceDecision = {
     IncrementalDedup.recoverDir(indexDir)
     import spark.implicits._
-    val log =
-      if (exists(s"$indexDir/drift_log"))
-        spark.read.parquet(s"$indexDir/drift_log")
-          .orderBy(col("seq").desc).limit(policy.sustainAppends)
-          .select(col("seq"), col("ratio")).as[(Long, Option[Double])]
-          .collect().toSeq
-      else Seq.empty
-    val appends =
-      if (exists(s"$indexDir/drift_log"))
-        spark.read.parquet(s"$indexDir/drift_log").count()
-      else 0L
-    val recent = log.sortBy(_._1).flatMap(_._2)
-    val sustained = appends >= policy.sustainAppends &&
-      recent.size == policy.sustainAppends &&
-      recent.forall(_ > policy.maxDriftRatio)
+    val hasLog = exists(s"$indexDir/drift_log")
+    val logDf = if (hasLog) Some(spark.read.parquet(s"$indexDir/drift_log"))
+      else None
+    val log = logDf.map { df =>
+      // tolerate pre-mixture ledgers: the column joined the schema later
+      val tv = if (df.columns.contains("mixture_tv")) col("mixture_tv")
+        else lit(null).cast("double").as("mixture_tv")
+      df.orderBy(col("seq").desc).limit(policy.sustainAppends)
+        .select(col("seq"), col("ratio"), tv)
+        .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    }.getOrElse(Seq.empty)
+    val appends = logDf.map(_.count()).getOrElse(0L)
+    val ordered = log.sortBy(_._1)
+    val recent = ordered.flatMap(_._2)
+    val recentTv = ordered.flatMap(_._3)
+    def sustainedOver(xs: Seq[Double], threshold: Double): Boolean =
+      appends >= policy.sustainAppends &&
+        xs.size == policy.sustainAppends && xs.forall(_ > threshold)
+    val sustained = sustainedOver(recent, policy.maxDriftRatio)
+    val sustainedMix = policy.maxMixtureTv
+      .exists(t => sustainedOver(recentTv, t))
 
-    // ground truth only when the cheap signal did not already decide
+    // ground truth only when the cheap signals did not already decide
     val recall =
-      if (!sustained && policy.recallFloor.isDefined)
+      if (!sustained && !sustainedMix && policy.recallFloor.isDefined)
         Some(Similarity.indexRecall(spark, indexDir, policy.recallK,
           policy.recallNProbe, policy.recallQueries))
       else None
     val recallLow = (for {f <- policy.recallFloor; r <- recall} yield r < f)
       .getOrElse(false)
 
-    if (!sustained && !recallLow)
+    if (!sustained && !sustainedMix && !recallLow)
       return MaintenanceDecision(appends, recent, sustained, recall,
         rebuilt = false,
         reason = if (appends < policy.sustainAppends)
           s"only $appends append(s) logged (need ${policy.sustainAppends})"
         else "drift not sustained" + recall.map(r =>
-          f"; recall $r%.3f >= floor").getOrElse(""))
+          f"; recall $r%.3f >= floor").getOrElse(""),
+        recentMixtureTv = recentTv, sustainedMixture = sustainedMix)
 
     val nCells = policy.rebuildNCells.getOrElse(
       spark.read.parquet(s"$indexDir/centroids").count().toInt)
@@ -149,11 +172,18 @@ object AnnMaintenance {
       if (isComposed(indexDir))
         ProductQuantizer.ivfPqRebuild(spark, indexDir, nCells)
       else Similarity.ivfRebuild(spark, indexDir, nCells)
-    MaintenanceDecision(appends, recent, sustained, recall, rebuilt = true,
-      reason = (if (sustained)
+    val why =
+      if (sustained)
         f"drift ratio > ${policy.maxDriftRatio}%.2f sustained over " +
           s"${policy.sustainAppends} appends"
+      else if (sustainedMix)
+        f"cell-mixture tv > ${policy.maxMixtureTv.get}%.2f sustained over " +
+          s"${policy.sustainAppends} appends (concentration drift — the " +
+          "distance ratio alone would have missed it)"
       else f"measured recall ${recall.get}%.3f < floor " +
-        f"${policy.recallFloor.get}%.3f") + s"; rebuilt $n vectors")
+        f"${policy.recallFloor.get}%.3f"
+    MaintenanceDecision(appends, recent, sustained, recall, rebuilt = true,
+      reason = s"$why; rebuilt $n vectors",
+      recentMixtureTv = recentTv, sustainedMixture = sustainedMix)
   }
 }

@@ -492,27 +492,19 @@ object ProductQuantizer {
       .select($"neighbor_id", codes.as("codes"), $"cv", $"cell")
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
 
-    // the same drift reading as Similarity.ivfAppend: batch per-cell mean
-    // assigned l2sq vs the build baseline over THIS batch's cell mixture
+    // the same two-sensor drift reading as Similarity.ivfAppend (shared
+    // fold): batch per-cell mean assigned l2sq vs the build baseline over
+    // THIS batch's cell mixture, plus the mixture total-variation — on
+    // the unit-space residual layout the distance ratio SATURATES (a
+    // constant shift read 0.979 while concentrating the batch into a
+    // couple of cells), so the mixture sensor is the one that sees
+    // concentration drift here
     val batch = newVectors.select(d.as("__d"))
       .select((array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"),
         array_min($"__d").as("__min"))
       .groupBy($"cell").agg(count(lit(1)).as("bn"), sum($"__min").as("bsum"))
       .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
-    val n = batch.values.map(_._1).sum
-    val meanL2sq = if (n == 0) 0.0 else batch.values.map(_._2).sum / n
-    val statsPath = java.nio.file.Paths.get(s"$indexDir/stats")
-    val baseline = if (!java.nio.file.Files.exists(statsPath)) None else {
-      val base = spark.read.parquet(s"$indexDir/stats")
-        .select("cell", "mean_l2sq").collect()
-        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val covered = batch.filter { case (c, _) => base.contains(c) }
-      val cn = covered.values.map(_._1).sum
-      if (cn == 0) None
-      else Some(covered.map { case (c, (bn, _)) => bn * base(c) }.sum / cn)
-    }
-    Similarity.IvfAppendStats(n, meanL2sq, baseline,
-      baseline.filter(_ > 0).map(meanL2sq / _))
+    Similarity.driftReading(spark, indexDir, batch)
   }
 
   /** Re-train BOTH quantizers of a composed IVF-PQ index over everything it

@@ -182,20 +182,35 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
-  /** Quantizer-drift reading from one [[ivfAppend]] batch: `meanL2sq` is
-    * the batch's mean squared distance to its assigned (frozen) centroids;
-    * `baselineMeanL2sq` is what the BUILD corpus averaged over the same
-    * cell mixture (Σ batch-cellcount × build-cell-mean / n, so a batch that
-    * legitimately concentrates in tight cells is not misread as drift);
-    * `driftRatio` = meanL2sq / baselineMeanL2sq. A ratio near 1 means the
-    * appended distribution still matches the trained quantizer; a
-    * sustained ratio ≫ 1 (rule of thumb: > 1.5) means the frozen centroids
-    * no longer describe the data and recall is decaying — time to rebuild
-    * ([[ivfBuild]] over the union, then [[ivfCompact]]'s swap discipline).
-    * Baseline fields are None for a pre-stats index (no `stats` dir).
+  /** Quantizer-drift reading from one [[ivfAppend]] batch — TWO sensors,
+    * because distribution drift has two distinct failure shapes:
+    *
+    *  - SPREAD drift (`driftRatio`): `meanL2sq` is the batch's mean
+    *    squared distance to its assigned (frozen) centroids;
+    *    `baselineMeanL2sq` is what the BUILD corpus averaged over the
+    *    same cell mixture (Σ batch-cellcount × build-cell-mean / n, so a
+    *    batch that legitimately concentrates in tight cells is not
+    *    misread as drift); the ratio ≫ 1 (rule of thumb: > 1.5) means
+    *    new data sits far from every centroid.
+    *  - CONCENTRATION drift (`mixtureTv`): the total-variation distance
+    *    (½ Σ |batch share − build share| over cells, in [0, 1]) between
+    *    the batch's cell-assignment mixture and the build corpus's
+    *    (`stats.n`). A batch can sit exactly as CLOSE to centroids as
+    *    the build did while landing in a fraction of the cells — the
+    *    distance ratio then reads ~1 and lies by omission. This is not
+    *    hypothetical: on the unit-space residual layout, a constant
+    *    coordinate shift read ratio 0.979 (unit-sphere distances
+    *    saturate near 1 on a near-uniform corpus) while pushing most of
+    *    the batch into a couple of diagonal-facing cells — mixtureTv is
+    *    the sensor that catches exactly that (found driving the CLI, not
+    *    by a spec; both sensors now feed
+    *    [[graft.operators.AnnMaintenance]]'s policy).
+    *
+    * Both fields are None for a pre-stats index (no `stats` dir).
     */
   case class IvfAppendStats(n: Long, meanL2sq: Double,
-      baselineMeanL2sq: Option[Double], driftRatio: Option[Double])
+      baselineMeanL2sq: Option[Double], driftRatio: Option[Double],
+      mixtureTv: Option[Double] = None)
 
   /** Append new vectors to a persisted IVF index WITHOUT retraining — the
     * vector analog of the crawl's incremental admission: a continuously
@@ -266,20 +281,39 @@ object Similarity {
         array_min($"__d").as("__min"))
       .groupBy($"cell").agg(count(lit(1)).as("bn"), sum($"__min").as("bsum"))
       .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    driftReading(spark, indexDir, batch)
+  }
+
+  /** Fold one append batch's per-cell (count, Σ min-distance) against the
+    * build's persisted `stats` baseline into both drift sensors (see
+    * [[IvfAppendStats]]) — shared by the plain and composed appends.
+    */
+  private[operators] def driftReading(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      batch: Map[Int, (Long, Double)]): IvfAppendStats = {
     val n = batch.values.map(_._1).sum
     val meanL2sq = if (n == 0) 0.0 else batch.values.map(_._2).sum / n
     val statsPath = java.nio.file.Paths.get(s"$indexDir/stats")
-    val baseline = if (!java.nio.file.Files.exists(statsPath)) None else {
-      val base = spark.read.parquet(s"$indexDir/stats")
-        .select("cell", "mean_l2sq").collect()
-        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val covered = batch.filter { case (c, _) => base.contains(c) }
-      val cn = covered.values.map(_._1).sum
+    if (!java.nio.file.Files.exists(statsPath))
+      return IvfAppendStats(n, meanL2sq, None, None, None)
+    val rows = spark.read.parquet(s"$indexDir/stats")
+      .select("cell", "mean_l2sq", "n").collect()
+    val base = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val baseN = rows.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val covered = batch.filter { case (c, _) => base.contains(c) }
+    val cn = covered.values.map(_._1).sum
+    val baseline =
       if (cn == 0) None
       else Some(covered.map { case (c, (bn, _)) => bn * base(c) }.sum / cn)
-    }
+    val totBase = baseN.values.sum.toDouble
+    val mixtureTv =
+      if (n == 0 || totBase == 0) None
+      else Some((batch.keySet ++ baseN.keySet).toSeq.map { c =>
+        math.abs(batch.get(c).map(_._1).getOrElse(0L) / n.toDouble -
+          baseN.getOrElse(c, 0L) / totBase)
+      }.sum / 2)
     IvfAppendStats(n, meanL2sq, baseline,
-      baseline.filter(_ > 0).map(meanL2sq / _))
+      baseline.filter(_ > 0).map(meanL2sq / _), mixtureTv)
   }
 
   /** Compact a persisted IVF index's cell files: every [[ivfAppend]] batch

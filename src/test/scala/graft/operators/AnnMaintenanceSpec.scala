@@ -63,6 +63,38 @@ class AnnMaintenanceSpec extends SparkSpec {
     assert(!settled.rebuilt && !settled.sustainedDrift, settled.toString)
   }
 
+  test("mixture sensor: concentration drift the distance ratio saturates on still fires the rebuild") {
+    // THE CLI-DISCOVERED BLIND SPOT, as a spec: on the unit-space residual
+    // layout a constant coordinate shift barely moves the assignment
+    // distances (everything on the sphere is within 2 of everything), so
+    // the spread ratio reads ~1 — but the shifted batch concentrates into
+    // the diagonal-facing cells, and the mixture total-variation sees it.
+    val dir = java.nio.file.Files.createTempDirectory("ann_maint_mix").toString
+    ProductQuantizer.ivfPqBuildResidual(emb, "vec_id", "embedding", 8, 8, 8, dir)
+    val policy = AnnMaintenance.MaintenancePolicy(
+      maxDriftRatio = 1.5, sustainAppends = 2, maxMixtureTv = Some(0.5))
+    val s1 = AnnMaintenance.append(spark, dir, shifted(50000), "vec_id", "embedding")
+    val s2 = AnnMaintenance.append(spark, dir, shifted(60000), "vec_id", "embedding")
+    // the spread sensor is BLIND to this drift...
+    assert(s1.driftRatio.exists(_ < 1.5) && s2.driftRatio.exists(_ < 1.5),
+      s"expected saturated ratios: $s1 / $s2")
+    // ...the mixture sensor is not
+    assert(s1.mixtureTv.exists(_ > 0.5) && s2.mixtureTv.exists(_ > 0.5),
+      s"expected concentration to read: $s1 / $s2")
+    val fire = AnnMaintenance.maintain(spark, dir, policy)
+    assert(fire.rebuilt && fire.sustainedMixture && !fire.sustainedDrift,
+      fire.toString)
+    assert(fire.reason.contains("mixture"), fire.reason)
+    // and with the mixture sensor disabled, the policy stays (wrongly)
+    // quiet — pinning that the rebuild above really came from it
+    val dir2 = java.nio.file.Files.createTempDirectory("ann_maint_mix2").toString
+    ProductQuantizer.ivfPqBuildResidual(emb, "vec_id", "embedding", 8, 8, 8, dir2)
+    AnnMaintenance.append(spark, dir2, shifted(70000), "vec_id", "embedding")
+    AnnMaintenance.append(spark, dir2, shifted(80000), "vec_id", "embedding")
+    val blind = AnnMaintenance.maintain(spark, dir2, policy.copy(maxMixtureTv = None))
+    assert(!blind.rebuilt, blind.toString)
+  }
+
   test("maintain: the recall floor drives the composed rebuild; the residual encoding survives the swap") {
     val dir = java.nio.file.Files.createTempDirectory("ann_maint_pq").toString
     ProductQuantizer.ivfPqBuildResidual(emb.where($"vec_id" % 2 === 0),
