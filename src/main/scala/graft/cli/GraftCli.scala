@@ -367,6 +367,32 @@ object GraftCli {
           // seal the release like pipeline 09b does
           graft.sinks.DatasetManifest.write(spark, outDir)
           println(s"shards: epoch=$epoch n=$n -> $outDir (manifest sealed)")
+        case "shards-read" :: dir :: from :: to :: rest =>
+          // the consumer side of the shard contract, as the training
+          // loader runs it: shards [from, to] streamed in exact replay
+          // order through the NO-SHUFFLE sequential path (numeric part
+          // order, per-file partitions), behind the tiered manifest gate
+          // (default quick — full|quick|off as 4th arg). The replay
+          // column is detected from the release itself: `global_pos` for
+          // mixture shards, `skey` for epoch shards (the two writers'
+          // contract). Prints the row count and the first rows as a
+          // smoke of the order.
+          val verify = rest.headOption.getOrElse("quick")
+          val posCol =
+            if (spark.read.parquet(dir).columns.contains("global_pos"))
+              "global_pos"
+            else "skey"
+          val it = graft.operators.TrainingOrder.shardRangeIterator(
+            spark, dir, from.toInt, to.toInt, posCol, verify = verify)
+          var n = 0L
+          val head = scala.collection.mutable.ArrayBuffer.empty[String]
+          it.foreach { r =>
+            if (n < 5) head += r.toString
+            n += 1
+          }
+          println(s"shards-read: ${n} rows from shards [$from, $to] of $dir " +
+            s"(verify=$verify), first rows in replay order:")
+          head.foreach(r => println(s"  $r"))
         case "ann-build" :: sfDir :: indexDir :: rest =>
           // build the production ANN index (IVF, cell-partitioned parquet)
           // over the embeddings table; see Similarity for the sizing rule
@@ -901,6 +927,7 @@ object GraftCli {
               "admit <in> <indexDir> <outDir> <idCol> <textCol> [near] | " +
               "compact-index <indexDir> [sig|fp|robots] [targetRows] | " +
               "shards <sfDir> <outDir> [nShards] [epoch] | " +
+              "shards-read <dir> <from> <to> [full|quick|off] | " +
               "ann-build <sfDir> <indexDir> [nCells] | ann-append <inParquet> <indexDir> | " +
               "ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells [m nCodes]] | " +
               "ann-recall <indexDir> [k nProbe nQueries] | " +
