@@ -459,8 +459,9 @@ object GraftCli {
           // Dispatches on the layout: an index carrying a pq_model is the
           // composed IVF-PQ layout and re-fits BOTH quantizers.
           val nCells = rest.headOption.map(_.toInt).getOrElse(8)
-          val composed = java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$indexDir/pq_model"))
+          // Hadoop-FS layout dispatch (AnnMaintenance.isComposed): a local
+          // probe would mis-dispatch an index living on an HDFS/S3 URI
+          val composed = graft.operators.AnnMaintenance.isComposed(indexDir)
           val n =
             if (composed) graft.operators.ProductQuantizer.ivfPqRebuild(
               spark, indexDir, nCells,
@@ -522,8 +523,7 @@ object GraftCli {
           val k = rest.headOption.map(_.toInt).getOrElse(5)
           val nProbe = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
           val rerank = rest.drop(2).headOption.map(_.toInt).getOrElse(50)
-          val composed = java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$indexDir/pq_model"))
+          val composed = graft.operators.AnnMaintenance.isComposed(indexDir)
           val out =
             if (composed) graft.operators.ProductQuantizer.ivfPqQueryFiltered(
               spark, indexDir, spark.read.parquet(queriesParquet), "vec_id",

@@ -86,16 +86,24 @@ object AnnMaintenance {
       recentMixtureTv: Seq[Double] = Seq.empty,
       sustainedMixture: Boolean = false)
 
-  private def exists(dir: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(dir))
-
-  private def isComposed(indexDir: String): Boolean =
-    exists(s"$indexDir/pq_model")
+  /** Layout dispatch + ledger probes resolve through the Hadoop
+    * FileSystem API ([[IndexFs]]): with a local-only probe, a composed
+    * index on an HDFS/S3 URI would read as plain IVF and [[append]] would
+    * write cell rows WITHOUT codes — silent corruption. Public so the CLI
+    * dispatch shares exactly this resolution.
+    */
+  def isComposed(indexDir: String): Boolean =
+    IndexFs.exists(s"$indexDir/pq_model")
 
   /** Append through the layout-appropriate arc and RECORD the drift
     * reading in `indexDir/drift_log` — the ledger [[maintain]] reads.
-    * Appends are serialized by the index contract, so the sequence number
-    * is simply the current log length.
+    *
+    * SINGLE-WRITER contract (the index layout's own append contract): one
+    * appender at a time. The sequence number is `max(seq) + 1` over the
+    * existing log — NOT the row count, so a partially failed append
+    * (cells written, ledger write crashed, then retried) can never mint a
+    * duplicate seq and make [[maintain]]'s recency tail nondeterministic;
+    * a retry simply takes the next number.
     */
   def append(spark: SparkSession, indexDir: String, newVectors: DataFrame,
       idCol: String, vecCol: String): Similarity.IvfAppendStats = {
@@ -105,9 +113,11 @@ object AnnMaintenance {
       else Similarity.ivfAppend(spark, indexDir, newVectors, idCol, vecCol)
     import spark.implicits._
     val seq =
-      if (exists(s"$indexDir/drift_log"))
-        spark.read.parquet(s"$indexDir/drift_log").count()
-      else 0L
+      if (IndexFs.exists(s"$indexDir/drift_log")) {
+        val m = spark.read.parquet(s"$indexDir/drift_log")
+          .agg(max(col("seq"))).head()
+        if (m.isNullAt(0)) 0L else m.getLong(0) + 1L
+      } else 0L
     Seq((seq, st.n, st.meanL2sq, st.baselineMeanL2sq, st.driftRatio,
         st.mixtureTv))
       .toDF("seq", "n", "mean_l2sq", "baseline_mean_l2sq", "ratio",
@@ -126,7 +136,7 @@ object AnnMaintenance {
       policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceDecision = {
     IncrementalDedup.recoverDir(indexDir)
     import spark.implicits._
-    val hasLog = exists(s"$indexDir/drift_log")
+    val hasLog = IndexFs.exists(s"$indexDir/drift_log")
     val logDf = if (hasLog) Some(spark.read.parquet(s"$indexDir/drift_log"))
       else None
     val log = logDf.map { df =>

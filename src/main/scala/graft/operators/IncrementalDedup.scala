@@ -89,31 +89,26 @@ object IncrementalDedup {
     sigIndex.select(col("id"), col("sig"))
       .unionByName(admitted.select(col("id"), col("sig")))
 
-  /** Recursively delete `dir` if it exists (cleanup for swap leftovers). */
-  private def deleteRecursively(dir: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(dir)) {
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
-      finally walk.close()
-    }
-
   /** Replace the directory at `liveDir` with the fully-written `nextDir`:
     * rename the live dir ASIDE to `liveDir.old`, rename `nextDir` in, then
     * delete the old copy — at every instant at least one complete index
-    * exists ON DISK. A crash between the two renames leaves no live dir but
-    * BOTH `liveDir.old` (the previous index, intact) and `nextDir` (the new
-    * index, complete) for one-rename recovery; the earlier delete-then-move
-    * discipline destroyed the old index BEFORE the new one was in place,
-    * so that same crash window lost everything.
+    * exists in the store. A crash between the two renames leaves no live
+    * dir but BOTH `liveDir.old` (the previous index, intact) and `nextDir`
+    * (the new index, complete) for one-rename recovery; the earlier
+    * delete-then-move discipline destroyed the old index BEFORE the new
+    * one was in place, so that same crash window lost everything.
+    *
+    * All filesystem touches go through [[IndexFs]] (the Hadoop FileSystem
+    * API), so the swap works on whatever store the index URI names —
+    * HDFS/S3/`file:` — not just the local disk (IndexFsSpec drives the
+    * whole lifecycle through `file:`-scheme URIs).
     */
   def replaceDir(liveDir: String, nextDir: String): Unit = {
-    val live = java.nio.file.Paths.get(liveDir)
-    val old = java.nio.file.Paths.get(s"$liveDir.old")
-    deleteRecursively(old) // stale leftover from a previous crashed swap
-    if (java.nio.file.Files.exists(live)) java.nio.file.Files.move(live, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(nextDir), live)
-    deleteRecursively(old)
+    val old = s"$liveDir.old"
+    IndexFs.deleteRecursive(old) // stale leftover from a previous crashed swap
+    if (IndexFs.exists(liveDir)) IndexFs.rename(liveDir, old)
+    IndexFs.rename(nextDir, liveDir)
+    IndexFs.deleteRecursive(old)
   }
 
   /** Recover from a [[replaceDir]] crash window before rebuilding: a crash
@@ -125,18 +120,17 @@ object IncrementalDedup {
     * before the cleanup delete) is simply removed.
     */
   def recoverDir(liveDir: String): Unit = {
-    val live = java.nio.file.Paths.get(liveDir)
-    val old = java.nio.file.Paths.get(s"$liveDir.old")
-    if (!java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
-      java.nio.file.Files.move(old, live)
-    else deleteRecursively(old)
+    val old = s"$liveDir.old"
+    if (!IndexFs.exists(liveDir) && IndexFs.exists(old))
+      IndexFs.rename(old, liveDir)
+    else IndexFs.deleteRecursive(old)
   }
 
   /** Delete a staging dir outright (a stale `.next` from a crashed run —
     * left on disk by design, see [[replaceDir]]; the rebuild starts clean).
     */
   def clearStaging(dir: String): Unit =
-    deleteRecursively(java.nio.file.Paths.get(dir))
+    IndexFs.deleteRecursive(dir)
 
   /** Maintenance for an APPEND-grown signature index
     * ([[graft.streaming.StreamingOps.admitNearDupStream]] adds one
@@ -216,11 +210,8 @@ object IncrementalDedup {
   def compactDeltaIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, resolve: DataFrame => DataFrame,
       targetRows: Long, preserveBatchIds: Set[Long] = Set.empty): Long = {
-    def batchDirs(): Set[String] = {
-      val fs = new java.io.File(indexDir).listFiles()
-      if (fs == null) Set.empty
-      else fs.filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
-    }
+    def batchDirs(): Set[String] =
+      IndexFs.subdirNames(indexDir).filter(_.startsWith("batch=")).toSet
     val snapshot = batchDirs()
     val preserved = snapshot.filter(d =>
       preserveBatchIds.contains(d.stripPrefix("batch=").toLong))
@@ -242,16 +233,14 @@ object IncrementalDedup {
     val n = index.count()
     val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
     val next = s"$indexDir.compact"
-    deleteRecursively(java.nio.file.Paths.get(next))
+    IndexFs.deleteRecursive(next)
     index.repartition(files).write.parquet(s"$next/batch=-1")
     // fold-preserve deltas a racing micro-batch appended after the snapshot
     // plus the explicitly preserved ones: they were not part of the
     // compacted read, so deleting them with the old dir would silently lose
     // those docs' rows
     ((batchDirs() -- snapshot) ++ preserved).foreach { d =>
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(s"$indexDir/$d"),
-        java.nio.file.Paths.get(s"$next/$d"))
+      IndexFs.rename(s"$indexDir/$d", s"$next/$d")
     }
     replaceDir(indexDir, next)
     n

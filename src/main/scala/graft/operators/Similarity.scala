@@ -293,8 +293,7 @@ object Similarity {
       batch: Map[Int, (Long, Double)]): IvfAppendStats = {
     val n = batch.values.map(_._1).sum
     val meanL2sq = if (n == 0) 0.0 else batch.values.map(_._2).sum / n
-    val statsPath = java.nio.file.Paths.get(s"$indexDir/stats")
-    if (!java.nio.file.Files.exists(statsPath))
+    if (!IndexFs.exists(s"$indexDir/stats"))
       return IvfAppendStats(n, meanL2sq, None, None, None)
     val rows = spark.read.parquet(s"$indexDir/stats")
       .select("cell", "mean_l2sq", "n").collect()
@@ -340,7 +339,7 @@ object Similarity {
     // unchanged — the swap replaces the WHOLE index dir, so any side table
     // not copied into staging would be silently destroyed
     def carry(name: String) =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/$name")))
+      if (IndexFs.exists(s"$indexDir/$name"))
         Some(name -> spark.read.parquet(s"$indexDir/$name").localCheckpoint())
       else None
     val side = Seq(carry("stats"), carry("pq_model")).flatten
@@ -680,8 +679,7 @@ object Similarity {
     val qIds = corpus.select($"vid").orderBy($"vid").limit(nQueries)
       .as[Long].collect().toSeq
     val queries = corpus.filter($"vid".isInCollection(qIds))
-    val composed = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$indexDir/pq_model"))
+    val composed = IndexFs.exists(s"$indexDir/pq_model")
     val approx =
       if (composed) ProductQuantizer.ivfPqQuery(spark, indexDir, queries,
         "vid", "cv", k, nProbe, math.max(rerank, k))

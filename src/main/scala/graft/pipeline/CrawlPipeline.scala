@@ -156,7 +156,7 @@ object CrawlPipeline {
         def rEmpty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rSchema)
         val prev0 =
-          if (!new java.io.File(rDir).exists()) rEmpty
+          if (!graft.operators.IndexFs.exists(rDir)) rEmpty
           else
             try spark.read.parquet(rDir)
             catch {
@@ -241,7 +241,7 @@ object CrawlPipeline {
           def empty = spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           val base =
-            if (!new java.io.File(dir).exists()) empty
+            if (!graft.operators.IndexFs.exists(dir)) empty
             else
               try spark.read.parquet(dir)
               catch {
@@ -361,7 +361,7 @@ object CrawlPipeline {
       def pEmpty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pSchema)
       val prev0 =
-        if (!new java.io.File(pDir).exists()) pEmpty
+        if (!graft.operators.IndexFs.exists(pDir)) pEmpty
         else
           try spark.read.parquet(pDir)
           catch {
@@ -474,7 +474,7 @@ object CrawlPipeline {
         .add("ok", org.apache.spark.sql.types.BooleanType)
         .add("description", StringType).add("raw", StringType)
       val prevOk =
-        if (!new java.io.File(eDir).exists())
+        if (!graft.operators.IndexFs.exists(eDir))
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eSchema)
         else
@@ -584,7 +584,7 @@ object CrawlPipeline {
           val keep = Set(batchId)
           def ifPresent(sub: String)(body: String => Unit): Unit = {
             val d = s"$indexDir/$sub"
-            if (new java.io.File(d).exists()) body(d)
+            if (graft.operators.IndexFs.exists(d)) body(d)
           }
           ifPresent("fp")(d =>
             IncrementalDedup.compactFpIndex(s, d, preserveBatchIds = keep))
