@@ -472,16 +472,25 @@ object GraftCli {
           println(s"ann-rebuild: $n vectors re-quantized ($kind) into $nCells cells -> $indexDir")
         case "ann-maintain" :: indexDir :: rest =>
           // the drift->rebuild POLICY: rebuild iff the last `sustain`
-          // appends all read ratio > maxRatio, or measured recall sits
-          // below the floor. Args: [maxRatio] [sustain] [recallFloor|-]
-          // [nCells|-]; appends must go through AnnMaintenance.append (or
-          // the crawl daemon) so the drift log exists. Prints the full
+          // appends all read ratio > maxRatio (or mixture-tv > mixtureTv),
+          // or measured recall sits below the floor. Args: [maxRatio]
+          // [sustain] [recallFloor|-] [nCells|-] [mixtureTv|-] — '-'
+          // disables the concentration sensor (a single-domain backfill
+          // legitimately concentrates; without the knob such an operator
+          // could not stop rebuild storms from the CLI), absent keeps the
+          // policy default. Appends must go through AnnMaintenance.append
+          // (or the crawl daemon) so the drift log exists. Prints the full
           // decision trace either way.
+          val defaultTv = graft.operators.AnnMaintenance.MaintenancePolicy()
+            .maxMixtureTv
           val policy = graft.operators.AnnMaintenance.MaintenancePolicy(
             maxDriftRatio = rest.headOption.map(_.toDouble).getOrElse(1.5),
             sustainAppends = rest.drop(1).headOption.map(_.toInt).getOrElse(3),
             recallFloor = rest.drop(2).headOption.filter(_ != "-").map(_.toDouble),
-            rebuildNCells = rest.drop(3).headOption.filter(_ != "-").map(_.toInt))
+            rebuildNCells = rest.drop(3).headOption.filter(_ != "-").map(_.toInt),
+            maxMixtureTv = rest.drop(4).headOption
+              .map(a => if (a == "-") None else Some(a.toDouble))
+              .getOrElse(defaultTv))
           val d = graft.operators.AnnMaintenance.maintain(spark, indexDir, policy)
           println(s"ann-maintain: appends=${d.appendsLogged} " +
             s"recent_ratios=[${d.recentRatios.map(r => f"$r%.3f").mkString(", ")}] " +
@@ -501,6 +510,17 @@ object GraftCli {
             spark, indexDir, k, nProbe, nQueries)
           println(f"ann-recall: recall@$k = $r%.3f " +
             f"(nProbe=$nProbe, $nQueries sampled queries) for $indexDir")
+        case "ann-delete" :: idsParquet :: indexDir :: Nil =>
+          // tombstone-DELETE vec_ids from a persisted IVF / IVF-PQ index
+          // (takedowns, re-filtering): queries stop surfacing them
+          // immediately; the next ann-compact / ann-rebuild drops the rows
+          // physically and clears the tombstones. Re-appending a
+          // tombstoned id errors loudly until then (ivfDelete's re-add
+          // contract — no silent duplicates, no silently hidden vectors).
+          val n = graft.operators.Similarity.ivfDelete(spark, indexDir,
+            spark.read.parquet(idsParquet), "vec_id")
+          println(s"ann-delete: $n ids tombstoned in $indexDir " +
+            "(physical drop at next compact/rebuild)")
         case "ann-compact" :: indexDir :: rest =>
           // coalesce append-grown cell files (write-then-swap; stop
           // appenders first — replaceDir's contract)

@@ -112,6 +112,7 @@ object AnnMaintenance {
         ProductQuantizer.ivfPqAppend(spark, indexDir, newVectors, idCol, vecCol)
       else Similarity.ivfAppend(spark, indexDir, newVectors, idCol, vecCol)
     import spark.implicits._
+    IncrementalDedup.recoverDir(s"$indexDir/drift_log") // crashed ledger fold
     val seq =
       if (IndexFs.exists(s"$indexDir/drift_log")) {
         val m = spark.read.parquet(s"$indexDir/drift_log")
@@ -136,8 +137,23 @@ object AnnMaintenance {
       policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceDecision = {
     IncrementalDedup.recoverDir(indexDir)
     import spark.implicits._
-    val hasLog = IndexFs.exists(s"$indexDir/drift_log")
-    val logDf = if (hasLog) Some(spark.read.parquet(s"$indexDir/drift_log"))
+    val logDir = s"$indexDir/drift_log"
+    IncrementalDedup.recoverDir(logDir) // crashed ledger fold from a prior run
+    val hasLog = IndexFs.exists(logDir)
+    // ledger hygiene: every append lands one tiny parquet file and a
+    // daemon appending per snapshot accumulates thousands — which THIS
+    // read then pays for, forever. Past a small file budget, fold the
+    // whole (one-row-per-append) log into one file behind the usual
+    // staged swap; rows are untouched, so the recency tail below reads
+    // the same. [[Similarity.ivfCompact]] carries the ledger the same
+    // way, so neither maintenance path unbounds the other's file count.
+    if (hasLog && spark.read.parquet(logDir).inputFiles.length > 16) {
+      val snap = spark.read.parquet(logDir).localCheckpoint()
+      IncrementalDedup.clearStaging(s"$logDir.next")
+      snap.coalesce(1).write.parquet(s"$logDir.next")
+      IncrementalDedup.replaceDir(logDir, s"$logDir.next")
+    }
+    val logDf = if (hasLog) Some(spark.read.parquet(logDir))
       else None
     val log = logDf.map { df =>
       // tolerate pre-mixture ledgers: the column joined the schema later

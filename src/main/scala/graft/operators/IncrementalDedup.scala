@@ -89,6 +89,101 @@ object IncrementalDedup {
     sigIndex.select(col("id"), col("sig"))
       .unionByName(admitted.select(col("id"), col("sig")))
 
+  // -------------------------------------------------------- index deletion
+
+  /** Generic tombstone layer shared by every persisted index family (the
+    * ANN cell layouts via [[Similarity.ivfDelete]], the fp/sig admission
+    * delta indexes via [[deleteFingerprints]]/[[deleteSignatureIds]]):
+    * a small keys-only parquet table beside the layout that reads
+    * anti-join (broadcast — deletion sets are small relative to an
+    * index) and compactions/rebuilds physically resolve. Deleting is an
+    * APPEND of keys; clearing (re-admission) is a staged+swapped rewrite,
+    * healed by the same `recoverDir` discipline as every other swap.
+    *
+    * @return number of distinct keys in this delete batch
+    */
+  private[graft] def appendTombstones(spark: org.apache.spark.sql.SparkSession,
+      tsDir: String, keys: DataFrame, keyCol: String): Long = {
+    recoverDir(tsDir)
+    val del = keys.select(col(keyCol)).distinct().localCheckpoint()
+    val n = del.count()
+    if (n > 0) del.coalesce(1).write.mode("append").parquet(tsDir)
+    n
+  }
+
+  /** The LIVE view: `df` minus the tombstoned keys (a no-op plan when no
+    * tombstone table exists). Heals a crashed tombstone-rewrite swap
+    * first — its crash window leaves no live table but a complete
+    * `.old`, and without the rollback every deleted key would silently
+    * resurface.
+    */
+  private[graft] def applyTombstones(spark: org.apache.spark.sql.SparkSession,
+      tsDir: String, df: DataFrame, keyCol: String): DataFrame = {
+    recoverDir(tsDir)
+    if (!IndexFs.exists(tsDir)) df
+    else df.join(
+      broadcast(spark.read.parquet(tsDir).select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+  }
+
+  /** Remove `keys` from a tombstone table (re-added rows become live
+    * again). Callers run this AFTER the re-adding write lands — a crash
+    * between the two leaves the new rows hidden and the write's replay
+    * heals; the reverse order could resurrect keys whose rows never
+    * landed.
+    */
+  private[graft] def removeTombstones(spark: org.apache.spark.sql.SparkSession,
+      tsDir: String, keys: DataFrame, keyCol: String): Unit = {
+    recoverDir(tsDir)
+    if (!IndexFs.exists(tsDir)) return
+    val remaining = spark.read.parquet(tsDir).select(col(keyCol)).distinct()
+      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .localCheckpoint()
+    if (remaining.isEmpty) IndexFs.deleteRecursive(tsDir)
+    else {
+      clearStaging(s"$tsDir.next")
+      remaining.coalesce(1).write.parquet(s"$tsDir.next")
+      replaceDir(tsDir, s"$tsDir.next")
+    }
+  }
+
+  /** Tombstone-DELETE fingerprints from a persisted exact-admission index
+    * (takedowns / re-filtering): the keys land in `dir/_tombstones` — the
+    * `_` prefix keeps the table invisible to the index's own `batch=`
+    * partition discovery — and [[liveIndex]] (which the crawl pipeline's
+    * index reads go through) anti-joins it, so [[admit]] treats the
+    * fingerprint as GONE and a re-crawled page re-admits (which in turn
+    * clears the tombstone — the pipeline's re-admission contract). The
+    * delta compactor physically drops tombstoned rows.
+    */
+  def deleteFingerprints(spark: org.apache.spark.sql.SparkSession,
+      fpDir: String, fps: DataFrame): Long =
+    appendTombstones(spark, s"$fpDir/_tombstones", fps, "fp")
+
+  /** [[deleteFingerprints]]'s near-dup sibling: tombstone signature rows
+    * by document id in the persisted signature index.
+    */
+  def deleteSignatureIds(spark: org.apache.spark.sql.SparkSession,
+      sigDir: String, ids: DataFrame): Long =
+    appendTombstones(spark, s"$sigDir/_tombstones", ids, "id")
+
+  /** The LIVE view of a persisted admission index: `index` (the caller's
+    * read of `dir`) minus the tombstoned keys (`fp` for the exact index,
+    * `id` for the signature index). Every admission read goes through
+    * this, so deletion has one definition.
+    */
+  def liveIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      index: DataFrame, keyCol: String): DataFrame =
+    applyTombstones(spark, s"$dir/_tombstones", index, keyCol)
+
+  /** Clear tombstones for re-admitted keys — called by the pipeline after
+    * a batch's delta lands, so a re-crawled page's fingerprint counts
+    * again from the next snapshot on.
+    */
+  def readmitKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keys: DataFrame, keyCol: String): Unit =
+    removeTombstones(spark, s"$dir/_tombstones", keys, keyCol)
+
   /** Replace the directory at `liveDir` with the fully-written `nextDir`:
     * rename the live dir ASIDE to `liveDir.old`, rename `nextDir` in, then
     * delete the old copy — at every instant at least one complete index
@@ -162,7 +257,8 @@ object IncrementalDedup {
       indexDir: String, targetRows: Long = 4_000_000L,
       preserveBatchIds: Set[Long] = Set.empty): Long =
     compactDeltaIndex(spark, indexDir,
-      _.select(col("id"), col("sig")), targetRows, preserveBatchIds)
+      _.select(col("id"), col("sig")), targetRows, preserveBatchIds,
+      tombstoneKey = Some("id"))
 
   /** Compaction for a FINGERPRINT delta index (`fp` per row, grown one
     * `batch=<id>` dir per crawl snapshot by the pipeline's delta-mode
@@ -173,7 +269,8 @@ object IncrementalDedup {
       indexDir: String, targetRows: Long = 64_000_000L,
       preserveBatchIds: Set[Long] = Set.empty): Long =
     compactDeltaIndex(spark, indexDir,
-      _.select(col("fp")).distinct(), targetRows, preserveBatchIds)
+      _.select(col("fp")).distinct(), targetRows, preserveBatchIds,
+      tombstoneKey = Some("fp"))
 
   /** Compaction for the ROBOTS-policy delta index ((host, text) per row,
     * one delta per crawl snapshot): resolution is latest-batch-wins per
@@ -205,11 +302,20 @@ object IncrementalDedup {
     * `batch=N` but not the compacted table, so every previously admitted
     * row would self-match and the batch would wipe its own outputs.
     *
+    * `tombstoneKey`: when set, tombstoned keys (`dir/_tombstones` — see
+    * [[deleteFingerprints]]) are PHYSICALLY dropped from the compacted
+    * table. The tombstone table is then cleared with the old dir —
+    * unless deltas were fold-preserved (racing or `preserveBatchIds`):
+    * those rows never saw the anti-join, so the table is carried into
+    * the new layout and keeps applying at read until the next
+    * writer-quiesced compaction resolves it.
+    *
     * @return number of rows in the compacted index
     */
   def compactDeltaIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, resolve: DataFrame => DataFrame,
-      targetRows: Long, preserveBatchIds: Set[Long] = Set.empty): Long = {
+      targetRows: Long, preserveBatchIds: Set[Long] = Set.empty,
+      tombstoneKey: Option[String] = None): Long = {
     def batchDirs(): Set[String] =
       IndexFs.subdirNames(indexDir).filter(_.startsWith("batch=")).toSet
     val snapshot = batchDirs()
@@ -229,7 +335,10 @@ object IncrementalDedup {
       if (preserved.nonEmpty && raw.columns.contains("batch"))
         raw.where(!col("batch").isin(preserveBatchIds.toSeq: _*))
       else raw
-    val index = resolve(scoped).localCheckpoint()
+    // deletions resolve here: tombstoned keys never reach the compacted
+    // table (liveIndex's read-time anti-join made permanent)
+    val live = tombstoneKey.fold(scoped)(k => liveIndex(spark, indexDir, scoped, k))
+    val index = resolve(live).localCheckpoint()
     val n = index.count()
     val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
     val next = s"$indexDir.compact"
@@ -239,9 +348,16 @@ object IncrementalDedup {
     // plus the explicitly preserved ones: they were not part of the
     // compacted read, so deleting them with the old dir would silently lose
     // those docs' rows
-    ((batchDirs() -- snapshot) ++ preserved).foreach { d =>
+    val folded = (batchDirs() -- snapshot) ++ preserved
+    folded.foreach { d =>
       IndexFs.rename(s"$indexDir/$d", s"$next/$d")
     }
+    // fold-preserved deltas bypassed the tombstone anti-join — keep the
+    // table applying at read; with no preserved deltas it is fully
+    // resolved and dies with the old dir
+    if (folded.nonEmpty && tombstoneKey.isDefined &&
+        IndexFs.exists(s"$indexDir/_tombstones"))
+      IndexFs.rename(s"$indexDir/_tombstones", s"$next/_tombstones")
     replaceDir(indexDir, next)
     n
   }

@@ -410,10 +410,19 @@ object ProductQuantizer {
       .select(array_to_vector(space(col(vecCol))).as("features"))
     val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
     val floatCenters = km.clusterCenters.map(_.toArray.map(_.toFloat.toDouble))
-    val assigned = km
-      .transform(corpus.withColumn("features", array_to_vector(space(col(vecCol)))))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        col("prediction").as("cell"))
+    // cell assignment runs against the FLOAT-ROUNDED centroid table the
+    // layout persists — the exact matrix + argmin + first-min tiebreak
+    // [[ivfPqAppend]] uses — so build-time and append-time assignment are
+    // literally one function and "appended codes are bit-identical to a
+    // build over the union" holds with no boundary-rounding caveat (a
+    // km.transform assignment over double-precision centers could land a
+    // Voronoi-boundary vector in a different cell than an append would)
+    val bd = graft.expressions.GraftFunctions
+      .l2sqDistances(space(col(vecCol)), floatCenters)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), bd.as("__d"))
+      .select($"neighbor_id", $"cv",
+        (array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"))
     val model = mkModel(assigned, floatCenters)
     val codes =
       if (model.encoding == "residual")
@@ -433,10 +442,11 @@ object ProductQuantizer {
       .write.mode("overwrite").parquet(s"$indexDir/pq_model")
     // per-cell drift baseline for [[ivfPqAppend]] ([[Similarity.ivfBuild]]'s
     // discipline — one extra narrow pass, an nCells-row table), measured
-    // in the layout's own space
-    val cmatrix = km.clusterCenters.map(_.toArray)
+    // in the layout's own space against the SAME float-rounded matrix
+    // appends measure against, so baseline and append-time distances are
+    // commensurable to the last bit
     val cd = graft.expressions.GraftFunctions
-      .l2sqDistances(space(col(vecCol)), cmatrix)
+      .l2sqDistances(space(col(vecCol)), floatCenters)
     corpus.select(cd.as("__d"))
       .select((array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"),
         array_min($"__d").as("__min"))
@@ -488,6 +498,8 @@ object ProductQuantizer {
       if (model.encoding == "residual")
         encodeResidual($"cv", $"cell", model, matrix)
       else encode($"cv", model)
+    // loud guard BEFORE the write (Similarity.ivfDelete's re-add contract)
+    Similarity.requireNotTombstoned(spark, indexDir, newVectors, idCol)
     withCell
       .select($"neighbor_id", codes.as("codes"), $"cv", $"cell")
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
@@ -530,7 +542,10 @@ object ProductQuantizer {
       nCodes: Option[Int] = None): Long = {
     IncrementalDedup.recoverDir(indexDir)
     val prev = loadModel(spark, indexDir)
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    // rebuild trains on and re-writes the LIVE rows only; the swap drops
+    // the tombstone table with the old dir (Similarity.ivfDelete)
+    val cells = Similarity.minusTombstones(spark, indexDir,
+        spark.read.parquet(s"$indexDir/cells"))
       .select(col("neighbor_id"), col("cv")).localCheckpoint()
     val n = cells.count()
     val next = s"$indexDir.rebuild"
@@ -614,7 +629,9 @@ object ProductQuantizer {
       allowed: DataFrame, allowedIdCol: String, k: Int,
       baseNProbe: Int = 4, rerank: Int = 50): DataFrame = {
     IncrementalDedup.recoverDir(indexDir)
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    // selectivity over LIVE rows only (Similarity's adaptive sibling rule)
+    val cells = Similarity.minusTombstones(spark, indexDir,
+      spark.read.parquet(s"$indexDir/cells"))
     val nCells = spark.read.parquet(s"$indexDir/centroids").count().toInt
     val total = cells.count()
     val kept = cells.join(
@@ -651,9 +668,12 @@ object ProductQuantizer {
     // layout: one LUT per (query, probed cell) from unit(q) − anchor(cell)
     // — the anchors come from the same float-persisted centroid table the
     // probes already read (nCells × dim driver-scale, like the probe join)
-    val coded = restrict(spark.read.parquet(s"$indexDir/cells")
-      .filter($"cell".isInCollection(probeCells))
-      .select($"cell", $"neighbor_id", $"codes"))
+    // partition-prune, then the tombstone anti-join (deleted ids must not
+    // crowd the rerank pool), then the caller's restriction
+    val coded = restrict(Similarity.minusTombstones(spark, indexDir,
+      spark.read.parquet(s"$indexDir/cells")
+        .filter($"cell".isInCollection(probeCells))
+        .select($"cell", $"neighbor_id", $"codes")))
     val lut =
       if (model.encoding == "residual") {
         val cen = centroids.orderBy("cell").select("cell", "centroid").collect()

@@ -160,10 +160,17 @@ object Similarity {
       .sampleForFit(corpus.select(col(idCol), col(vecCol)), col(idCol), cap)
       .select(array_to_vector(col(vecCol)).as("features"))
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
-    model
-      .transform(corpus.withColumn("features", array_to_vector(col(vecCol))))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        col("prediction").as("cell"))
+    // build-time assignment runs against the FLOAT-ROUNDED centroid table
+    // the layout persists — the same matrix + argmin + first-min tiebreak
+    // [[ivfAppend]] applies — so the persisted quantizer is ONE function
+    // across build and append (no Voronoi-boundary rounding divergence
+    // between km.transform's double centers and the float table)
+    val matrix = model.clusterCenters.map(_.toArray.map(_.toFloat.toDouble))
+    val bd = graft.expressions.GraftFunctions.l2sqDistances(col(vecCol), matrix)
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), bd.as("__d"))
+      .select($"neighbor_id", $"cv",
+        (array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
     model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
@@ -171,8 +178,8 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     // per-cell baseline of the build's own assignment distances — the
     // yardstick [[ivfAppend]]'s quantizer-drift diagnostic compares each
-    // append batch against. One extra narrow pass + an nCells-row agg.
-    val matrix = model.clusterCenters.map(_.toArray)
+    // append batch against. One extra narrow pass + an nCells-row agg,
+    // measured against the same float-rounded matrix appends use.
     val d = graft.expressions.GraftFunctions.l2sqDistances(col(vecCol), matrix)
     corpus.select(d.as("__d"))
       .select((array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"),
@@ -253,18 +260,20 @@ object Similarity {
     // `.old` — roll back to it rather than failing every IVF operation
     // until a manual rename (the crawl pipeline's recovery discipline)
     IncrementalDedup.recoverDir(indexDir)
-    // NOTE: the float-persisted centroid table is the AUTHORITATIVE
-    // quantizer for appends. ivfBuild's own assignments come from KMeans
-    // prediction over double-precision centers, so a vector lying exactly
-    // on a Voronoi boundary can tie-break into a different cell here than
-    // a from-scratch build over the union would place it — recall-only and
-    // boundary-measure-zero (similarities stay exact either way).
+    // The float-persisted centroid table is the AUTHORITATIVE quantizer —
+    // and since round 16, [[ivfBuild]] assigns with the SAME float-rounded
+    // matrix and argmin rule, so an append is bit-identical to a
+    // from-scratch build over the union placing the same vectors.
     val cen = spark.read.parquet(s"$indexDir/centroids")
       .orderBy("cell").select("cell", "centroid").collect()
     require(cen.nonEmpty && cen.zipWithIndex.forall {
         case (r, i) => r.getInt(0) == i },
       "centroid table must carry contiguous cells 0..n-1")
     val matrix = cen.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    // loud guard BEFORE the write: a tombstoned id must be resolved by a
+    // compact/rebuild, not silently duplicated or hidden (ivfDelete's
+    // re-add contract)
+    requireNotTombstoned(spark, indexDir, newVectors, idCol)
     val d = graft.expressions.GraftFunctions.l2sqDistances(col(vecCol), matrix)
     newVectors
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), d.as("__d"))
@@ -315,6 +324,68 @@ object Similarity {
       baseline.filter(_ > 0).map(meanL2sq / _), mixtureTv)
   }
 
+  /** Tombstone-DELETE ids from a persisted IVF / IVF-PQ index — the arc
+    * curation actually needs (takedowns, re-filtering, dedup survivors
+    * changing) that the grow-only lifecycle lacked: at 100 TB a full
+    * rebuild per takedown batch is not a plan. Deletion is a TOMBSTONE
+    * table beside the layout (`indexDir/tombstones`, one `neighbor_id`
+    * per row): queries, recall, and the adaptive selectivity counts
+    * anti-join it (broadcast — deletion sets are small relative to the
+    * index), so a deleted id can never surface, while the cell files are
+    * untouched until the next [[ivfCompact]] / rebuild physically drops
+    * the rows and clears the table. Works identically on plain-IVF and
+    * composed IVF-PQ layouts (the tombstone carries only ids).
+    *
+    * Re-add semantics: appending a TOMBSTONED id is a loud error until a
+    * compact/rebuild resolves the deletion — clearing the tombstone at
+    * append time would unhide the id's OLD rows beside the new one
+    * (duplicate ids), and keeping it would silently hide the new vector;
+    * the guard is the only honest option. (The fp index differs: it is a
+    * SET of fingerprints, so re-admission clears tombstones safely —
+    * [[IncrementalDedup.readmitKeys]].) Ids not present in the index
+    * tombstone harmlessly.
+    *
+    * @return number of distinct ids in this delete batch
+    */
+  def ivfDelete(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      ids: DataFrame, idCol: String): Long = {
+    IncrementalDedup.recoverDir(indexDir)
+    IncrementalDedup.appendTombstones(spark, s"$indexDir/tombstones",
+      ids.select(col(idCol).as("neighbor_id")), "neighbor_id")
+  }
+
+  /** The live view of an index table: rows minus the tombstone set (the
+    * shared [[IncrementalDedup.applyTombstones]] broadcast anti-join; a
+    * no-op plan when no tombstone table exists). Every read surface of
+    * the layout — queries, recall, compaction, rebuild, selectivity
+    * counts — goes through this, so deletion has ONE definition.
+    */
+  private[operators] def minusTombstones(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      df: DataFrame): DataFrame =
+    IncrementalDedup.applyTombstones(spark, s"$indexDir/tombstones",
+      df, "neighbor_id")
+
+  /** [[ivfDelete]]'s append guard: a batch that re-uses a tombstoned id
+    * must fail LOUDLY before the write — see the re-add semantics note on
+    * [[ivfDelete]]. One broadcast semi-join, only when a tombstone table
+    * exists; a tombstone-free index pays nothing.
+    */
+  private[operators] def requireNotTombstoned(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val t = s"$indexDir/tombstones"
+    IncrementalDedup.recoverDir(t)
+    if (!IndexFs.exists(t)) return
+    val sample = ids.select(col(idCol).as("neighbor_id")).distinct()
+      .join(broadcast(spark.read.parquet(t).select(col("neighbor_id"))
+        .distinct()), Seq("neighbor_id"), "left_semi")
+      .limit(4).collect().map(_.get(0))
+    require(sample.isEmpty,
+      s"append batch re-uses tombstoned ids (${sample.mkString(", ")} …): " +
+        "resolve deletions first (ivfCompact / rebuild), then re-add")
+  }
+
   /** Compact a persisted IVF index's cell files: every [[ivfAppend]] batch
     * adds at least one file per touched cell, and a daemon appending per
     * snapshot degrades queries with thousands-of-tiny-files scan overhead —
@@ -333,16 +404,26 @@ object Similarity {
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       targetRows: Long = 4_000_000L): Long = {
     IncrementalDedup.recoverDir(indexDir) // heal a prior crashed swap first
-    val cells = spark.read.parquet(s"$indexDir/cells").localCheckpoint()
+    // tombstoned rows are physically dropped here — and the tombstone
+    // table is NOT carried through the swap, so compaction clears it
+    // ([[ivfDelete]]'s contract); the two are one atomic step because the
+    // swap replaces the whole dir
+    val cells = minusTombstones(spark, indexDir,
+      spark.read.parquet(s"$indexDir/cells")).localCheckpoint()
     val centroids = spark.read.parquet(s"$indexDir/centroids").localCheckpoint()
-    // drift baseline and the PQ model (IVF-PQ layouts) ride along
-    // unchanged — the swap replaces the WHOLE index dir, so any side table
-    // not copied into staging would be silently destroyed
+    // drift baseline, the PQ model (IVF-PQ layouts), and the maintenance
+    // ledger ride along unchanged — the swap replaces the WHOLE index
+    // dir, so any side table not copied into staging would be silently
+    // destroyed (the ledger WAS, until round 16: a compaction reset the
+    // drift history a daemon's maintain decisions depend on). The ledger
+    // is rewritten as ONE file — one row per append, so the coalesce is
+    // free and bounds its small-file growth at every compaction.
     def carry(name: String) =
       if (IndexFs.exists(s"$indexDir/$name"))
         Some(name -> spark.read.parquet(s"$indexDir/$name").localCheckpoint())
       else None
-    val side = Seq(carry("stats"), carry("pq_model")).flatten
+    val side = Seq(carry("stats"), carry("pq_model"),
+      carry("drift_log").map { case (n2, df) => (n2, df.coalesce(1)) }).flatten
     val n = cells.count()
     val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
     val next = s"$indexDir.compact"
@@ -373,7 +454,10 @@ object Similarity {
   def ivfRebuild(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       nCells: Int): Long = {
     IncrementalDedup.recoverDir(indexDir)
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    // rebuild trains on and re-writes the LIVE rows only; the swap drops
+    // the tombstone table with the old dir
+    val cells = minusTombstones(spark, indexDir,
+        spark.read.parquet(s"$indexDir/cells"))
       .select(col("neighbor_id"), col("cv")).localCheckpoint()
     val n = cells.count()
     val next = s"$indexDir.rebuild"
@@ -469,7 +553,10 @@ object Similarity {
       allowed: DataFrame, allowedIdCol: String,
       k: Int, baseNProbe: Int = 4): DataFrame = {
     IncrementalDedup.recoverDir(indexDir)
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    // selectivity is measured over the LIVE rows — tombstoned rows are
+    // neither candidates nor denominator
+    val cells = minusTombstones(spark, indexDir,
+      spark.read.parquet(s"$indexDir/cells"))
     val nCells = spark.read.parquet(s"$indexDir/centroids").count().toInt
     val total = cells.count()
     val kept = cells.join(
@@ -499,8 +586,11 @@ object Similarity {
 
     val probeCells = probes.select($"cell".cast("int")).distinct().as[Int].collect().toSeq
 
-    val assigned = restrict(spark.read.parquet(s"$indexDir/cells")
-      .filter($"cell".isInCollection(probeCells)))
+    // partition-prune first, then the tombstone anti-join, then the
+    // caller's restriction — each step only ever shrinks the scan
+    val assigned = restrict(minusTombstones(spark, indexDir,
+      spark.read.parquet(s"$indexDir/cells")
+        .filter($"cell".isInCollection(probeCells))))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter($"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", cosine($"qv", $"cv").as("sim"))
@@ -674,7 +764,10 @@ object Similarity {
       rerank: Int = 50): Double = {
     import spark.implicits._
     IncrementalDedup.recoverDir(indexDir)
-    val corpus = spark.read.parquet(s"$indexDir/cells")
+    // recall is measured over the LIVE index (deleted ids are neither
+    // queries, nor candidates, nor ground truth)
+    val corpus = minusTombstones(spark, indexDir,
+        spark.read.parquet(s"$indexDir/cells"))
       .select($"neighbor_id".as("vid"), $"cv")
     val qIds = corpus.select($"vid").orderBy($"vid").limit(nQueries)
       .as[Long].collect().toSeq

@@ -32,6 +32,19 @@ import org.apache.spark.sql.functions._
   */
 object TrainingOrder {
 
+  /** Consumer-side default manifest tier for the shard readers. Round 15
+    * changed the reader default from `full` to `quick` — a DELIBERATE
+    * weakening (full would double a 100 TB job's read volume) whose blind
+    * spot (same-length page flips) the manifest spec pins. Operators who
+    * want the stronger default back after an incident set
+    * `GRAFT_SHARD_VERIFY_TIER` (full|sampled|quick|off) — per-call
+    * arguments still win, this only moves the default.
+    */
+  def defaultVerifyTier: String =
+    sys.env.getOrElse("GRAFT_SHARD_VERIFY_TIER", "quick")
+
+  private val VerifyTiers = Set("full", "sampled", "quick", "off")
+
   /** Deterministic per-epoch shuffle key (lexicographic md5 order). */
   def shuffleKey(idCol: Column, epoch: Int = 0): Column =
     md5(concat(lit(epoch.toString), lit(":"), idCol.cast("string")))
@@ -170,22 +183,26 @@ object TrainingOrder {
     * step 40k ([[graft.sinks.DatasetManifest]]'s contract). The manifest is
     * probed through the Hadoop FileSystem API, so the gate fires on any
     * filesystem the release lives on (HDFS/S3 included). `verify` tiers:
-    * `"quick"` (default) checks the file set, byte sizes, and footer row
-    * counts from each part's tail only — truncation, missing, and stray
-    * parts are caught without re-reading the release (at 100 TB the full
-    * digest would DOUBLE the job's read volume); `"full"` re-streams every
-    * byte for the md5, catching even a same-length flip — run it at seal
-    * time and after incidents; `"off"` skips the gate (the caller owns the
-    * risk). The `shard` partition column prunes unread shard directories
+    * `"quick"` (default — override via `GRAFT_SHARD_VERIFY_TIER`, see
+    * [[defaultVerifyTier]]) checks the file set, byte sizes, and footer
+    * row counts from each part's tail only — truncation, missing, and
+    * stray parts are caught without re-reading the release (at 100 TB the
+    * full digest would DOUBLE the job's read volume); `"sampled"`
+    * additionally re-hashes each part's sealed sample pages (~256 KiB per
+    * file — catches page-level rot the quick tier provably cannot);
+    * `"full"` re-streams every byte for the md5, catching even a
+    * same-length flip — run it at seal time and after incidents; `"off"`
+    * skips the gate (the caller owns the risk). The `shard` partition
+    * column prunes unread shard directories
     * at the scan; the sort is one range shuffle over only the requested
     * shards.
     */
   def readShardRange(spark: org.apache.spark.sql.SparkSession, dir: String,
       from: Int, to: Int, posCol: String = "global_pos",
-      verify: String = "quick"): DataFrame = {
+      verify: String = defaultVerifyTier): DataFrame = {
     require(from >= 0 && to >= from, s"bad shard range [$from, $to]")
-    require(Set("full", "quick", "off")(verify),
-      s"verify must be full|quick|off, got '$verify'")
+    require(VerifyTiers(verify),
+      s"verify must be full|sampled|quick|off, got '$verify'")
     if (verify != "off" && graft.sinks.DatasetManifest.hasManifest(spark, dir)) {
       val bad = graft.sinks.DatasetManifest.verify(spark, dir, mode = verify)
         .filter(col("status") =!= "ok")
@@ -248,16 +265,26 @@ object TrainingOrder {
     * replay order as ONE driver-side iterator — "train on shards 0..k"
     * as the loop a training loader runs, with the same manifest gate as
     * [[readShardRange]] and zero shuffles: each shard streams through
-    * [[readShardSequential]]'s partition-ordered frame via
-    * `toLocalIterator` (one in-flight partition at a time — driver memory
-    * holds one part file's batch, never the release).
+    * [[readShardSequential]]'s partition-ordered frame one partition
+    * (= one part file) at a time.
+    *
+    * With `prefetch = true` (default), a single background thread fetches
+    * partition i+1 while the caller drains partition i — ONE in-flight
+    * read beside one drained batch, across shard boundaries too, so the
+    * training loader never stalls a full cluster round trip at a part
+    * boundary (at 100 TB that stall repeats tens of thousands of times).
+    * Driver memory holds at most TWO part files' batches, never the
+    * release; the emitted sequence is identical to the non-prefetching
+    * path (spec-pinned, and the t132 oracle replays it through the
+    * prefetched read).
     */
   def shardRangeIterator(spark: org.apache.spark.sql.SparkSession,
       dir: String, from: Int, to: Int, posCol: String = "global_pos",
-      verify: String = "quick"): Iterator[org.apache.spark.sql.Row] = {
+      verify: String = defaultVerifyTier,
+      prefetch: Boolean = true): Iterator[org.apache.spark.sql.Row] = {
     require(from >= 0 && to >= from, s"bad shard range [$from, $to]")
-    require(Set("full", "quick", "off")(verify),
-      s"verify must be full|quick|off, got '$verify'")
+    require(VerifyTiers(verify),
+      s"verify must be full|sampled|quick|off, got '$verify'")
     if (verify != "off" && graft.sinks.DatasetManifest.hasManifest(spark, dir)) {
       val bad = graft.sinks.DatasetManifest.verify(spark, dir, mode = verify)
         .filter(col("status") =!= "ok")
@@ -268,9 +295,55 @@ object TrainingOrder {
           sample.mkString(", "))
     }
     import scala.jdk.CollectionConverters._
-    (from to to).iterator.flatMap { s =>
-      if (shardFiles(spark, dir, s).isEmpty) Iterator.empty
-      else readShardSequential(spark, dir, s, posCol).toLocalIterator().asScala
+    if (!prefetch)
+      return (from to to).iterator.flatMap { s =>
+        if (shardFiles(spark, dir, s).isEmpty) Iterator.empty
+        else readShardSequential(spark, dir, s, posCol).toLocalIterator().asScala
+      }
+
+    // plan every shard's exchange-free frame up front (driver-side file
+    // listing only — nothing runs), flatten to one (rdd, partition) chunk
+    // list in replay order, then walk it with one-chunk read-ahead
+    val sc = spark.sparkContext
+    val rdds = (from to to).flatMap { s =>
+      if (shardFiles(spark, dir, s).isEmpty) None
+      else Some(readShardSequential(spark, dir, s, posCol).rdd)
+    }
+    val chunks: IndexedSeq[() => Array[org.apache.spark.sql.Row]] =
+      rdds.toIndexedSeq.flatMap { rdd =>
+        (0 until rdd.getNumPartitions).map(p =>
+          () => sc.runJob(rdd,
+            (it: Iterator[org.apache.spark.sql.Row]) => it.toArray, Seq(p)).head)
+      }
+    if (chunks.isEmpty) return Iterator.empty
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-shard-prefetch")
+      t.setDaemon(true) // an abandoned iterator must not pin the JVM
+      t
+    })
+    def submit(i: Int) = exec.submit(
+      new java.util.concurrent.Callable[Array[org.apache.spark.sql.Row]] {
+        def call(): Array[org.apache.spark.sql.Row] = chunks(i)()
+      })
+    new Iterator[org.apache.spark.sql.Row] {
+      private var nextIdx = 1
+      private var pending = submit(0)
+      private var cur: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+      private def advance(): Boolean = {
+        while (!cur.hasNext && pending != null) {
+          val rows = pending.get() // the read-ahead issued one drain ago
+          pending =
+            if (nextIdx < chunks.size) { nextIdx += 1; submit(nextIdx - 1) }
+            else { exec.shutdown(); null }
+          cur = rows.iterator
+        }
+        cur.hasNext
+      }
+      def hasNext: Boolean = advance()
+      def next(): org.apache.spark.sql.Row = {
+        if (!advance()) throw new NoSuchElementException("drained")
+        cur.next()
+      }
     }
   }
 

@@ -237,7 +237,12 @@ object CrawlPipeline {
         // self-match every previously admitted page against its persisted
         // fingerprint/signature, reject the whole batch, and overwrite the
         // admitted output and deltas with empty frames — permanent loss.
-        def readOrEmpty(dir: String, schema: StructType): DataFrame = {
+        // `key`: the index family's tombstone key ("fp" / "id") — deleted
+        // entries ([[IncrementalDedup.deleteFingerprints]]) are dropped
+        // from the read, so admission treats them as GONE and a re-crawled
+        // page re-admits (its delta write below then clears the tombstone)
+        def readOrEmpty(dir: String, schema: StructType,
+            key: String): DataFrame = {
           def empty = spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           val base =
@@ -252,16 +257,17 @@ object CrawlPipeline {
                 case ae: org.apache.spark.sql.AnalysisException
                     if ae.getCondition == "UNABLE_TO_INFER_SCHEMA" => empty
               }
-          snapshotId match {
+          val scoped = snapshotId match {
             case Some(bid) if base.columns.contains("batch") =>
               base.where(col("batch") =!= bid).select(schema.fieldNames.map(col): _*)
             case _ => base.select(schema.fieldNames.map(col): _*)
           }
+          IncrementalDedup.liveIndex(spark, dir, scoped, key)
         }
         val fpIndex = readOrEmpty(fpDir,
-          new StructType().add("fp", StringType))
+          new StructType().add("fp", StringType), "fp")
         val sigIndex = readOrEmpty(sigDir, new StructType()
-          .add("id", LongType).add("sig", ArrayType(LongType)))
+          .add("id", LongType).add("sig", ArrayType(LongType)), "id")
         val exact = IncrementalDedup.admit(
           deduped, fpIndex, TextAnalysis.fingerprint(col("text")), col("doc_id"))
         // checkpointed (parquet write + read-back) BEFORE the index updates:
@@ -278,6 +284,14 @@ object CrawlPipeline {
               .write.mode("overwrite").parquet(s"$fpDir/batch=$bid")
             admitted.select(col("id"), col("sig"))
               .write.mode("overwrite").parquet(s"$sigDir/batch=$bid")
+            // re-admitted keys become live again: clear their tombstones
+            // AFTER the deltas landed (a crash between leaves them hidden;
+            // the replay heals). Batch mode needs no clear — its whole-dir
+            // swap rebuilds the index from the live view.
+            IncrementalDedup.readmitKeys(spark, fpDir,
+              admitted.select(col("fp")), "fp")
+            IncrementalDedup.readmitKeys(spark, sigDir,
+              admitted.select(col("id")), "id")
           case None =>
             // batch mode: full-index rewrites staged beside the robots
             // generation, then the SINGLE commit point — one swap advances

@@ -35,8 +35,38 @@ import scala.util.control.NonFatal
   */
 object DatasetManifest {
 
-  private final case class Entry(
-      file: String, bytes: Long, rows: Option[Long], md5: Option[String])
+  /** One manifest row: (file, bytes, rows, md5, pagesig) — a plain tuple
+    * so the digest pass rides Spark's tuple encoder (the 5-field nested
+    * case class tripped janino into a codegen fallback).
+    */
+  private type Entry =
+    (String, Long, Option[Long], Option[String], Option[String])
+
+  /** Sampled-content tier geometry: `PagesPerFile` pages of `PageBytes`
+    * each, at offsets derived from the file's RELATIVE PATH (md5-keyed,
+    * stratified — one page per equal-width stratum so the samples spread),
+    * hashed together into `pagesig`. Files at or under
+    * `PagesPerFile × PageBytes` are hashed IN FULL — for them the sampled
+    * tier binds content completely. For larger files the tier reads a
+    * fixed ~256 KiB regardless of size (~1% of a 25 MB part, ~0.025% of a
+    * 1 GB part), catching the same-length page-byte flips the quick tier
+    * provably cannot, at a read volume the full-md5 tier cannot match.
+    */
+  private val PageBytes = 64 * 1024
+  private val PagesPerFile = 4
+
+  /** Deterministic page offset for (file, page i): stratified, md5-keyed —
+    * a pure function of the relative path, so writer and verifier sample
+    * the same bytes with no stored offset table.
+    */
+  private def pageOffset(rel: String, i: Int, bytes: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$rel:$i".getBytes("UTF-8"))
+    val h = java.nio.ByteBuffer.wrap(md, 0, 8).getLong & Long.MaxValue
+    val stratum = bytes / PagesPerFile
+    val free = math.max(1L, stratum - PageBytes + 1)
+    i * stratum + (h % free)
+  }
 
   /** Hadoop Configuration is not Serializable; ship it to tasks via its
     * own wire format (Spark's internal wrapper is `private[spark]`).
@@ -92,7 +122,7 @@ object DatasetManifest {
     */
   private def entryOf(fs: org.apache.hadoop.fs.FileSystem,
       path: org.apache.hadoop.fs.Path, rel: String, bytes: Long,
-      withMd5: Boolean): Entry = {
+      withMd5: Boolean, withPages: Boolean): Entry = {
     val in = fs.open(path)
     try {
       val md5hex: Option[String] = if (!withMd5) None else {
@@ -100,6 +130,22 @@ object DatasetManifest {
         val buf = new Array[Byte](1 << 20)
         var r = in.read(buf)
         while (r >= 0) { if (r > 0) md.update(buf, 0, r); r = in.read(buf) }
+        Some(md.digest().map("%02x".format(_)).mkString)
+      }
+      val pagesig: Option[String] = if (!withPages) None else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        if (bytes <= PagesPerFile.toLong * PageBytes) {
+          // small file: full coverage — sampled tier binds all content
+          in.seek(0)
+          val buf = new Array[Byte](1 << 16)
+          var r = in.read(buf)
+          while (r >= 0) { if (r > 0) md.update(buf, 0, r); r = in.read(buf) }
+        } else (0 until PagesPerFile).foreach { i =>
+          val page = new Array[Byte](PageBytes)
+          in.seek(pageOffset(rel, i, bytes))
+          in.readFully(page)
+          md.update(page)
+        }
         Some(md.digest().map("%02x".format(_)).mkString)
       }
       val rows: Option[Long] =
@@ -125,20 +171,33 @@ object DatasetManifest {
             }
           }
         } catch { case NonFatal(_) => None }
-      Entry(rel, bytes, rows, md5hex)
+      (rel, bytes, rows, md5hex, pagesig)
     } finally in.close()
   }
 
   /** Compute the manifest of every visible `*.parquet` part file under
     * `dir` (recursively — partition dirs included), ordered by relative
     * path. Columns: `file`, `bytes`, `rows` (null when the footer is
-    * unreadable), `md5` (null when `withMd5 = false` — the QUICK tier,
-    * which reads only each file's parquet tail, never its bytes).
+    * unreadable), `md5` (null when `withMd5 = false`), `pagesig` (null
+    * when `withPages = false`) — the tier flags decide what gets read:
+    * neither = the QUICK tier (only each file's parquet tail), pages only
+    * = the SAMPLED tier (~256 KiB per file), md5 = the FULL tier (every
+    * byte). Sealing computes all tiers at once (the md5 stream already
+    * reads every byte, so the page reads are noise).
     */
   def manifest(spark: SparkSession, dir: String,
-      withMd5: Boolean = true): DataFrame = {
-    import spark.implicits._
+      withMd5: Boolean = true, withPages: Boolean = true): DataFrame = {
     val (_, parts) = listParts(spark, dir)
+    entriesOf(spark, parts, withMd5, withPages)
+  }
+
+  /** The distributed digest pass over an explicit part list — shared by
+    * [[manifest]] (all parts) and [[append]] (the new parts only).
+    */
+  private def entriesOf(spark: SparkSession,
+      parts: Seq[(String, String, Long)], withMd5: Boolean,
+      withPages: Boolean): DataFrame = {
+    import spark.implicits._
     val conf = spark.sparkContext.broadcast(
       new ConfCarrier(spark.sessionState.newHadoopConf()))
     val n = math.max(1, math.min(parts.size,
@@ -146,9 +205,10 @@ object DatasetManifest {
     spark.sparkContext.parallelize(parts, n)
       .map { case (rel, uri, bytes) =>
         val path = new org.apache.hadoop.fs.Path(uri)
-        entryOf(path.getFileSystem(conf.value.value), path, rel, bytes, withMd5)
+        entryOf(path.getFileSystem(conf.value.value), path, rel, bytes,
+          withMd5, withPages)
       }
-      .toDF()
+      .toDF("file", "bytes", "rows", "md5", "pagesig")
       .orderBy(col("file"))
   }
 
@@ -164,9 +224,56 @@ object DatasetManifest {
     * @return the stored manifest read back
     */
   def write(spark: SparkSession, dir: String): DataFrame = {
-    // one file: the manifest is |files| rows — driver-scale by definition
+    // one file: the manifest is |files| rows — driver-scale by definition.
+    // Sealing records every tier (bytes/rows, pagesig, md5), so consumers
+    // can verify at whichever cost they can afford.
     manifest(spark, dir).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_manifest")
+    spark.read.parquet(s"$dir/_manifest")
+  }
+
+  /** Incrementally seal a GROWN release: digest only the part files not
+    * yet in the stored `_manifest` and extend it with their entries —
+    * appending one shard to a sealed 100 TB release costs a read of the
+    * DELTA, not a re-digest of the world ([[write]] re-streams
+    * everything). The combined manifest is rewritten through the staging
+    * + atomic-swap discipline ([[graft.operators.IncrementalDedup.replaceDir]]),
+    * so a crash never leaves a half-sealed manifest — either the old
+    * complete manifest or the new complete one is in place (`verify`
+    * before the swap sees the old generation: the new files read as
+    * `extra`, loud, never silently absent).
+    *
+    * Entries already sealed are carried VERBATIM (their files are not
+    * re-read), so `write(v1)` + grow + `append` emits entry-for-entry what
+    * a fresh full `write` over the grown release would — the spec pins
+    * that equivalence. A file that CHANGED since its seal keeps its old
+    * entry (this is an append, not a re-seal) and `verify` reports it
+    * `changed`, exactly as it should. Pre-pagesig-era entries carry a
+    * null `pagesig` after append; run a full re-seal to enable the
+    * sampled tier for them.
+    *
+    * @return the stored manifest read back
+    */
+  def append(spark: SparkSession, dir: String): DataFrame = {
+    require(hasManifest(spark, dir),
+      s"append needs an existing $dir/_manifest — seal with write() first")
+    val stored = spark.read.parquet(s"$dir/_manifest")
+    val known = stored.select(col("file"))
+      .collect().map(_.getString(0)).toSet // |files| rows — driver-scale
+    val (_, parts) = listParts(spark, dir)
+    val fresh = parts.filterNot { case (rel, _, _) => known(rel) }
+    val storedFull = // pre-pagesig manifests gain the column as nulls
+      if (stored.columns.contains("pagesig")) stored
+      else stored.withColumn("pagesig", lit(null).cast("string"))
+    val combined =
+      if (fresh.isEmpty) storedFull.orderBy(col("file"))
+      else storedFull
+        .unionByName(entriesOf(spark, fresh, withMd5 = true, withPages = true))
+        .orderBy(col("file"))
+    graft.operators.IncrementalDedup.clearStaging(s"$dir/_manifest.next")
+    combined.coalesce(1).write.parquet(s"$dir/_manifest.next")
+    graft.operators.IncrementalDedup
+      .replaceDir(s"$dir/_manifest", s"$dir/_manifest.next")
     spark.read.parquet(s"$dir/_manifest")
   }
 
@@ -188,40 +295,61 @@ object DatasetManifest {
     * manifest). Ordered most-severe first, then by path — a clean release
     * reads as an all-`ok` frame.
     *
-    * Two tiers. `mode = "full"` (the sealing/CLI default) re-streams every
-    * byte for the md5 — it binds CONTENT, catching even a same-length byte
-    * flip, at the cost of re-reading the release. `mode = "quick"` checks
-    * the file set, byte sizes, and parquet-footer row counts from each
-    * file's tail only — it catches truncation, a missing or stray part,
-    * and any corruption that moves the length or the footer, WITHOUT
-    * reading the data; what it provably cannot catch is a length-preserving
-    * flip in the page bytes (md5_actual is null in quick rows — the digest
-    * was never computed, not "matched"). Consumers on the hot path (e.g.
+    * Three tiers. `mode = "full"` (the sealing/CLI default) re-streams
+    * every byte for the md5 — it binds CONTENT, catching even a
+    * same-length byte flip, at the cost of re-reading the release.
+    * `mode = "sampled"` re-hashes each part's keyed sample pages
+    * (~256 KiB per file, small files in full) against the sealed
+    * `pagesig` — it catches a same-length flip WITH PROBABILITY
+    * coverage/bytes per file (certainty for small files), at ~1% of a
+    * 25 MB part's read volume; requires a pagesig-era manifest.
+    * `mode = "quick"` checks the file set, byte sizes, and parquet-footer
+    * row counts from each file's tail only — truncation, a missing or
+    * stray part, and any corruption that moves the length or the footer,
+    * WITHOUT reading the data; what it provably cannot catch is a
+    * length-preserving flip in the page bytes (md5_actual/pagesig_actual
+    * are null in quick rows — never computed, not "matched"). Consumers
+    * on the hot path (e.g.
     * [[graft.operators.TrainingOrder.readShardRange]]) default to quick so
     * the integrity gate does not double a 100 TB job's read volume; run
-    * full before sealing or after any incident.
+    * full before sealing or after any incident, sampled as the middle
+    * ground when page-level rot is in the threat model.
     */
   def verify(spark: SparkSession, dir: String,
       mode: String = "full"): DataFrame = {
-    require(mode == "full" || mode == "quick",
-      s"verify mode must be full|quick, got '$mode'")
-    val stored = spark.read.parquet(s"$dir/_manifest")
+    require(mode == "full" || mode == "quick" || mode == "sampled",
+      s"verify mode must be full|sampled|quick, got '$mode'")
+    val storedRaw = spark.read.parquet(s"$dir/_manifest")
+    if (mode == "sampled")
+      require(storedRaw.columns.contains("pagesig"),
+        s"$dir/_manifest predates the sampled tier (no pagesig column) — " +
+          "re-seal with DatasetManifest.write, or verify full|quick")
+    val stored = (if (storedRaw.columns.contains("pagesig")) storedRaw
+      else storedRaw.withColumn("pagesig", lit(null).cast("string")))
       .withColumnsRenamed(Map("bytes" -> "bytes_manifest",
-        "rows" -> "rows_manifest", "md5" -> "md5_manifest"))
-    val actual = manifest(spark, dir, withMd5 = mode == "full")
+        "rows" -> "rows_manifest", "md5" -> "md5_manifest",
+        "pagesig" -> "pagesig_manifest"))
+    val actual = manifest(spark, dir, withMd5 = mode == "full",
+        withPages = mode == "sampled")
       .withColumnsRenamed(Map("bytes" -> "bytes_actual",
-        "rows" -> "rows_actual", "md5" -> "md5_actual"))
+        "rows" -> "rows_actual", "md5" -> "md5_actual",
+        "pagesig" -> "pagesig_actual"))
+    val contentOk = mode match {
+      case "full" => col("md5_manifest") === col("md5_actual")
+      case "sampled" => col("pagesig_manifest") === col("pagesig_actual")
+      case _ => lit(true)
+    }
     stored.join(actual, Seq("file"), "full_outer")
       .withColumn("status",
         when(col("bytes_actual").isNull, lit("missing"))
           .when(col("bytes_manifest").isNull, lit("extra"))
           .when(col("bytes_manifest") === col("bytes_actual") &&
-            (col("rows_manifest") <=> col("rows_actual")) &&
-            (lit(mode == "quick") || col("md5_manifest") === col("md5_actual")),
+            (col("rows_manifest") <=> col("rows_actual")) && contentOk,
             lit("ok"))
           .otherwise(lit("changed")))
       .select("file", "status", "bytes_manifest", "bytes_actual",
-        "rows_manifest", "rows_actual", "md5_manifest", "md5_actual")
+        "rows_manifest", "rows_actual", "md5_manifest", "md5_actual",
+        "pagesig_manifest", "pagesig_actual")
       .orderBy(
         when(col("status") === "missing", 0).when(col("status") === "changed", 1)
           .when(col("status") === "extra", 2).otherwise(3),

@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The round-16 delete arc: tombstone deletion across the ANN layouts
+  * (plain IVF and composed IVF-PQ) and the admission indexes (fp/sig) —
+  * the lifecycle verb the grow-only index stack lacked (at 100 TB a full
+  * rebuild per takedown batch is not a plan).
+  */
+class AnnDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.core.Tables.embeddings(spark, sf0001)
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("IVF: deleted ids never surface; exhaustive query ≡ brute force over survivors; " +
+      "compact drops rows physically and clears tombstones; re-add guarded") {
+    val dir = s"${tmp("ann_del_ivf")}/idx"
+    Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 4, dir)
+    val delIds = emb.where($"vec_id" % 7 === 0).select($"vec_id")
+    val nDel = delIds.count()
+    assert(nDel > 0 && Similarity.ivfDelete(spark, dir, delIds, "vec_id") == nDel)
+    val delSet = delIds.as[Long].collect().toSet
+
+    val queries = emb.orderBy($"vec_id").limit(4)
+    val out = Similarity.ivfQuery(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+    assert(out.count() > 0)
+    assert(out.where($"neighbor_id".isInCollection(delSet)).count() == 0,
+      "a deleted id surfaced from ivfQuery")
+
+    // at nProbe = nCells, deletion ≡ the index never held the ids: the
+    // tombstoned query is ROW-IDENTICAL to brute force over the survivors
+    val exhaustive = Similarity.ivfQuery(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    val survivors = emb.join(delIds, Seq("vec_id"), "left_anti")
+    val bf = Similarity.bruteForceTopK(survivors, queries,
+      "vec_id", "embedding", k = 5)
+    assert(exhaustive.exceptAll(bf).isEmpty && bf.exceptAll(exhaustive).isEmpty,
+      "tombstoned exhaustive query differs from brute force over survivors")
+
+    // recall runs over the LIVE index only
+    val r = Similarity.indexRecall(spark, dir, k = 3, nProbe = 4, nQueries = 4)
+    assert(r >= 0.0 && r <= 1.0)
+
+    // re-using a tombstoned id before the deletion is resolved is LOUD
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(spark, dir,
+        emb.where($"vec_id".isInCollection(delSet)).limit(1),
+        "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("tombstoned"), err.getMessage)
+
+    // compact = the physical resolution: live rows only, tombstones gone
+    val liveBefore = spark.read.parquet(s"$dir/cells")
+      .select($"neighbor_id", $"cell").collect().toSet
+    assert(Similarity.ivfCompact(spark, dir) == emb.count() - nDel)
+    assert(!IndexFs.exists(s"$dir/tombstones"), "compact must clear tombstones")
+    val after = spark.read.parquet(s"$dir/cells")
+    assert(after.count() == emb.count() - nDel)
+    assert(after.where($"neighbor_id".isInCollection(delSet)).count() == 0)
+    // surviving rows carried verbatim (same cells — compact moves bytes)
+    assert(after.select($"neighbor_id", $"cell").collect().toSet
+      == liveBefore.filter(r => !delSet.contains(r.getLong(0))))
+
+    // post-compact the id is appendable again — and live
+    Similarity.ivfAppend(spark, dir,
+      emb.where($"vec_id" === delSet.head), "vec_id", "embedding")
+    val back = Similarity.ivfQuery(spark, dir,
+      emb.where($"vec_id" === delSet.head), "vec_id", "embedding",
+      k = 5, nProbe = 4)
+    assert(back.count() == 5)
+  }
+
+  test("IVF-PQ (residual): deletion holds through the ADC pool, the adaptive filtered " +
+      "path, and a rebuild resolves it physically") {
+    val dir = s"${tmp("ann_del_pq")}/idx"
+    ProductQuantizer.ivfPqBuildResidual(emb, "vec_id", "embedding",
+      nCells = 4, m = 8, nCodes = 8, dir)
+    val delIds = emb.where($"vec_id" % 5 === 1).select($"vec_id")
+    val nDel = delIds.count()
+    Similarity.ivfDelete(spark, dir, delIds, "vec_id")
+    val delSet = delIds.as[Long].collect().toSet
+
+    val queries = emb.orderBy($"vec_id".desc).limit(4)
+    val out = ProductQuantizer.ivfPqQuery(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4, rerank = 50)
+    assert(out.count() > 0)
+    assert(out.where($"neighbor_id".isInCollection(delSet)).count() == 0,
+      "a deleted id surfaced from the composed query")
+
+    val filtered = ProductQuantizer.ivfPqQueryFilteredAdaptive(spark, dir,
+      queries, "vec_id", "embedding",
+      allowed = emb.select($"vec_id"), "vec_id", k = 5,
+      baseNProbe = 4, rerank = 50)
+    assert(filtered.where($"neighbor_id".isInCollection(delSet)).count() == 0)
+
+    // recall harness never sees deleted ids (as query or ground truth)
+    assert(Similarity.indexRecall(spark, dir, 3, 4, 4) >= 0.0)
+
+    // rebuild = physical resolution for the composed layout
+    assert(ProductQuantizer.ivfPqRebuild(spark, dir, nCells = 4)
+      == emb.count() - nDel)
+    assert(!IndexFs.exists(s"$dir/tombstones"))
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == emb.count() - nDel)
+    assert(cells.where($"neighbor_id".isInCollection(delSet)).count() == 0)
+  }
+
+  test("fp index: a deleted fingerprint re-admits (the re-crawl contract), " +
+      "compaction resolves it physically and equals a fresh index on survivors") {
+    val ix = s"${tmp("ann_del_fp")}/fp"
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val fp = md5(col("text"))
+    IncrementalDedup.buildIndex(docs, fp)
+      .write.parquet(s"$ix/batch=1")
+
+    // admission rejects all three (already admitted)
+    def readIx() = IncrementalDedup.liveIndex(spark, ix,
+      spark.read.parquet(ix).select(col("fp")), "fp")
+    assert(IncrementalDedup.admit(docs, readIx(), fp, col("doc_id")).count() == 0)
+
+    // takedown of doc 2: its fingerprint is GONE for admission purposes
+    IncrementalDedup.deleteFingerprints(spark, ix,
+      docs.where($"doc_id" === 2).select(fp.as("fp")))
+    val readmitted = IncrementalDedup.admit(docs, readIx(), fp, col("doc_id"))
+    assert(readmitted.select($"doc_id").as[Long].collect().toSeq == Seq(2L),
+      "the deleted fingerprint must re-admit exactly its page")
+
+    // the re-crawl writes its delta and clears the tombstone — the THIRD
+    // crawl of the same page is rejected again
+    readmitted.select(col("fp")).write.parquet(s"$ix/batch=2")
+    IncrementalDedup.readmitKeys(spark, ix, readmitted.select(col("fp")), "fp")
+    assert(!IndexFs.exists(s"$ix/_tombstones"))
+    assert(IncrementalDedup.admit(docs, readIx(), fp, col("doc_id")).count() == 0)
+
+    // a still-pending tombstone resolves physically at compaction and the
+    // compacted table equals a fresh index built on the survivors
+    IncrementalDedup.deleteFingerprints(spark, ix,
+      docs.where($"doc_id" === 3).select(fp.as("fp")))
+    IncrementalDedup.compactFpIndex(spark, ix)
+    assert(!IndexFs.exists(s"$ix/_tombstones"), "compaction must clear tombstones")
+    val fresh = IncrementalDedup.buildIndex(docs.where($"doc_id" =!= 3), fp)
+    val compacted = spark.read.parquet(ix).select(col("fp"))
+    assert(compacted.exceptAll(fresh).isEmpty && fresh.exceptAll(compacted).isEmpty,
+      "compacted index must equal a fresh build on the surviving corpus")
+  }
+
+  test("fp index: fold-preserved deltas carry the tombstone table so deletion keeps applying") {
+    val ix = s"${tmp("ann_del_fp2")}/fp"
+    Seq("a", "b").toDF("fp").write.parquet(s"$ix/batch=1")
+    Seq("c", "d").toDF("fp").write.parquet(s"$ix/batch=2")
+    IncrementalDedup.deleteFingerprints(spark, ix, Seq("c").toDF("fp"))
+    // batch=2 is preserved AS a delta — its tombstoned row never saw the
+    // compaction anti-join, so the table must ride along
+    IncrementalDedup.compactFpIndex(spark, ix, preserveBatchIds = Set(2L))
+    assert(IndexFs.exists(s"$ix/_tombstones"),
+      "tombstones must survive when preserved deltas bypass the compaction")
+    val live = IncrementalDedup.liveIndex(spark, ix,
+      spark.read.parquet(ix).select(col("fp")), "fp")
+    assert(live.as[String].collect().toSet == Set("a", "b", "d"))
+    // a writer-quiesced compaction then resolves it fully
+    IncrementalDedup.compactFpIndex(spark, ix)
+    assert(!IndexFs.exists(s"$ix/_tombstones"))
+    assert(spark.read.parquet(ix).select(col("fp")).as[String].collect().toSet
+      == Set("a", "b", "d"))
+  }
+
+  test("sig index: deleted ids are gone for near-dup admission; compaction drops their rows") {
+    val ix = s"${tmp("ann_del_sig")}/sig"
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (20L, "an entirely different document about spark query planning"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.buildSigIndex(docs, col("doc_id"), col("text"))
+      .write.parquet(s"$ix/batch=1")
+    def readIx() = IncrementalDedup.liveIndex(spark, ix,
+      spark.read.parquet(ix).select(col("id"), col("sig")), "id")
+    // both docs are near-dups of themselves → rejected
+    assert(IncrementalDedup.admitNearDup(docs, readIx(), "doc_id", "text")
+      .count() == 0)
+    IncrementalDedup.deleteSignatureIds(spark, ix,
+      Seq(10L).toDF("id"))
+    val admitted = IncrementalDedup.admitNearDup(docs, readIx(), "doc_id", "text")
+    assert(admitted.select($"doc_id").as[Long].collect().toSeq == Seq(10L))
+    assert(IncrementalDedup.compactSigIndex(spark, ix) == 1)
+    assert(spark.read.parquet(ix).select($"id").as[Long].collect().toSeq
+      == Seq(20L))
+    assert(!IndexFs.exists(s"$ix/_tombstones"))
+  }
+}

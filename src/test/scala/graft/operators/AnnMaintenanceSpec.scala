@@ -119,4 +119,45 @@ class AnnMaintenanceSpec extends SparkSpec {
     assert(ProductQuantizer.ivfPqQuery(spark, dir, emb.filter($"vec_id" < 3),
       "vec_id", "embedding", k = 5, nProbe = 4, rerank = 100).count() > 0)
   }
+
+  test("drift ledger hygiene: maintain folds a fragmented log to one file with the tail " +
+      "unchanged; ivfCompact carries the ledger; seqs stay strictly increasing") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_ledger").toString
+    Similarity.ivfBuild(emb, "vec_id", "embedding", 4, dir)
+    // 18 one-row appends = 18 ledger files (one coalesced row each) — the
+    // daemon-per-snapshot accumulation shape, past the 16-file budget
+    (1 to 18).foreach { i =>
+      AnnMaintenance.append(spark, dir,
+        emb.limit(1).select(($"vec_id" + 100000L * i).as("vec_id"),
+          $"embedding"), "vec_id", "embedding")
+    }
+    val logDir = s"$dir/drift_log"
+    assert(spark.read.parquet(logDir).inputFiles.length > 16)
+    val tailBefore = spark.read.parquet(logDir)
+      .orderBy($"seq".desc).limit(3).collect().toSeq
+
+    val d = AnnMaintenance.maintain(spark, dir,
+      AnnMaintenance.MaintenancePolicy(maxDriftRatio = 1e9,
+        maxMixtureTv = None))
+    assert(!d.rebuilt && d.appendsLogged == 18, d.toString)
+    // folded: one file, all 18 rows, identical recency tail
+    assert(spark.read.parquet(logDir).inputFiles.length == 1)
+    assert(spark.read.parquet(logDir).count() == 18)
+    assert(spark.read.parquet(logDir).orderBy($"seq".desc).limit(3)
+      .collect().toSeq == tailBefore)
+
+    // compaction carries the ledger (it used to be silently destroyed)
+    Similarity.ivfCompact(spark, dir)
+    assert(spark.read.parquet(logDir).count() == 18)
+    assert(spark.read.parquet(logDir).inputFiles.length == 1)
+
+    // the next append takes max(seq)+1 over the folded log — seqs stay
+    // strictly increasing and duplicate-free across fold + compaction
+    AnnMaintenance.append(spark, dir,
+      emb.limit(1).select(($"vec_id" + 9900000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding")
+    val seqs = spark.read.parquet(logDir).select($"seq").as[Long]
+      .collect().sorted.toSeq
+    assert(seqs == (0L to 18L), seqs.toString)
+  }
 }

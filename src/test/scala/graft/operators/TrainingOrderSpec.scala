@@ -225,4 +225,30 @@ class TrainingOrderSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("manifest"), e.getMessage)
   }
+
+  test("prefetched loader: row-identical to the non-prefetching path, across shard boundaries") {
+    val ordered = TrainingOrder.interleave(docs, $"src", $"id", sources)
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("prefetch_read")
+      .toString + "/ds"
+    // several part files per shard so the read-ahead crosses chunk AND
+    // shard boundaries many times
+    TrainingOrder.writeMixtureShards(ordered, $"global_pos", dir, 4)
+    def seqOf(prefetch: Boolean) =
+      TrainingOrder.shardRangeIterator(spark, dir, 0, 3, verify = "off",
+          prefetch = prefetch)
+        .map(r => (r.getAs[Long]("global_pos"), r.getAs[Long]("id"))).toSeq
+    val plain = seqOf(prefetch = false)
+    val ahead = seqOf(prefetch = true)
+    assert(plain.nonEmpty && ahead == plain,
+      "read-ahead must not reorder, drop, or duplicate rows")
+    // a sub-range is the same contiguous prefix through the prefetch path
+    val pfx = TrainingOrder.shardRangeIterator(spark, dir, 0, 0,
+        verify = "off", prefetch = true)
+      .map(_.getAs[Long]("global_pos")).toSeq
+    assert(pfx.nonEmpty && pfx == plain.take(pfx.length).map(_._1))
+    // empty range edge: a shard range with no files is an empty iterator
+    assert(!TrainingOrder.shardRangeIterator(spark, dir, 17, 19,
+      verify = "off", prefetch = true).hasNext)
+  }
 }

@@ -119,4 +119,105 @@ class DatasetManifestSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(full(f2) == "changed", full.toString)
   }
+
+  test("sampled tier: catches the same-length flip quick misses — certainty on small parts, " +
+      "keyed-page coverage on large ones — without streaming every byte") {
+    // small parts (< 4×64 KiB): pagesig covers ALL content, so the exact
+    // flip the quick tier provably passes is CAUGHT at ~the same read cost
+    val dir = Files.createTempDirectory("manifest_s").toString + "/ds"
+    (1L to 120L).map(i => (i, s"t$i")).toDF("id", "text")
+      .repartition(2).write.parquet(dir)
+    DatasetManifest.write(spark, dir)
+    val f = DatasetManifest.manifest(spark, dir, withMd5 = false,
+        withPages = false)
+      .select($"file").as[String].collect().sorted.head
+    val p = Paths.get(dir, f)
+    val bytes = Files.readAllBytes(p)
+    bytes(bytes.length / 3) = (bytes(bytes.length / 3) ^ 0xFF).toByte
+    Files.write(p, bytes)
+    Files.deleteIfExists(Paths.get(dir, "." + f + ".crc"))
+    assert(DatasetManifest.verify(spark, dir, mode = "quick")
+      .where($"status" =!= "ok").count() == 0, "quick's documented blind spot")
+    val s = DatasetManifest.verify(spark, dir, mode = "sampled").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(s(f) == "changed", s.toString)
+    // the sampled actual side computed pagesig but never the md5 — the
+    // proof it did not stream the release
+    val sv = DatasetManifest.verify(spark, dir, mode = "sampled")
+    assert(sv.where($"md5_actual".isNotNull).count() == 0)
+    assert(sv.where($"pagesig_actual".isNull).count() == 0)
+
+    // a pre-pagesig manifest cannot serve the sampled tier — loud, with
+    // the re-seal instruction, never a silent all-changed
+    val old = Files.createTempDirectory("manifest_s2").toString + "/ds"
+    (1L to 40L).map(i => (i, s"t$i")).toDF("id", "text")
+      .coalesce(1).write.parquet(old)
+    // a genuinely pre-pagesig-era manifest: the COLUMN does not exist
+    DatasetManifest.manifest(spark, old).drop("pagesig").coalesce(1)
+      .write.mode("overwrite").parquet(s"$old/_manifest")
+    val err = intercept[IllegalArgumentException] {
+      DatasetManifest.verify(spark, old, mode = "sampled")
+    }
+    assert(err.getMessage.contains("re-seal"), err.getMessage)
+    // and the legacy tiers keep working on it
+    assert(DatasetManifest.verify(spark, old, mode = "full")
+      .where($"status" =!= "ok").count() == 0)
+  }
+
+  test("append: seal + grow + append equals a fresh full seal, digests only the delta, " +
+      "and tamper drills hold across generations") {
+    val dir = Files.createTempDirectory("manifest_a").toString + "/ds"
+    (1L to 60L).map(i => (i, s"v1_$i")).toDF("id", "text")
+      .repartition(2).write.parquet(dir)
+    val m1 = DatasetManifest.write(spark, dir)
+    val gen1 = m1.select($"file").as[String].collect().toSet
+    assert(gen1.size == 2)
+
+    // the release GROWS: two more part files land beside the sealed ones
+    (61L to 120L).map(i => (i, s"v2_$i")).toDF("id", "text")
+      .repartition(2).write.mode("append").parquet(dir)
+    val m2 = DatasetManifest.append(spark, dir)
+    assert(m2.count() == 4)
+
+    // entry-for-entry what a fresh full seal would record — same files,
+    // bytes, rows, digests, page signatures, same order
+    val appended = m2.orderBy($"file").collect().toSeq
+    val fresh = DatasetManifest.manifest(spark, dir).collect().toSeq
+    assert(appended == fresh,
+      s"append-grown manifest differs from a fresh seal:\n$appended\nvs\n$fresh")
+
+    // verify across both generations: clean release reads all-ok at
+    // every tier
+    for (mode <- Seq("full", "sampled", "quick"))
+      assert(DatasetManifest.verify(spark, dir, mode = mode)
+        .where($"status" =!= "ok").count() == 0, mode)
+
+    // appending with no new files is a no-op re-write
+    assert(DatasetManifest.append(spark, dir).orderBy($"file")
+      .collect().toSeq == appended)
+
+    // tamper one OLD-generation and one NEW-generation file: the drills
+    // must flag both (the appended manifest binds both generations)
+    val files = appended.map(_.getString(0))
+    val oldF = files.find(gen1).get
+    val newF = files.find(f => !gen1(f)).get
+    for (f <- Seq(oldF, newF)) {
+      val p = Paths.get(dir, f)
+      val b = Files.readAllBytes(p)
+      b(b.length / 2) = (b(b.length / 2) ^ 0xFF).toByte
+      Files.write(p, b)
+      Files.deleteIfExists(Paths.get(dir, "." + f + ".crc"))
+    }
+    val v = DatasetManifest.verify(spark, dir, mode = "full").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(v(oldF) == "changed" && v(newF) == "changed", v.toString)
+
+    // missing + extra across generations
+    Files.delete(Paths.get(dir, newF))
+    Files.copy(Paths.get(dir, oldF), Paths.get(dir, "part-stray.parquet"))
+    val v2 = DatasetManifest.verify(spark, dir, mode = "quick").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(v2(newF) == "missing" && v2("part-stray.parquet") == "extra",
+      v2.toString)
+  }
 }
