@@ -320,11 +320,29 @@ object GraftCli {
           val rows = if (t.isNullAt(1)) 0L else t.getLong(1)
           println(s"manifest: ${m.count()} files, $bytes bytes, " +
             s"$rows rows -> $dir/_manifest")
+        case "manifest-append" :: dir :: Nil =>
+          // incrementally seal a GROWN release: digest only part files not
+          // yet in dir/_manifest and extend it (entry-identical to a fresh
+          // full seal — gate t131); sealing cost is proportional to the
+          // delta, not the release. Pipeline 09b keeps the full seal
+          // because it REWRITES its release wholesale each run; this is
+          // the arc for releases grown in place (new shards beside sealed
+          // ones).
+          import org.apache.spark.sql.functions.{col, sum}
+          val before = spark.read.parquet(s"$dir/_manifest").count()
+          val m = graft.sinks.DatasetManifest.append(spark, dir)
+          val t = m.agg(sum(col("bytes")), sum(col("rows"))).head()
+          val bytes = if (t.isNullAt(0)) 0L else t.getLong(0)
+          val rows = if (t.isNullAt(1)) 0L else t.getLong(1)
+          println(s"manifest-append: ${m.count() - before} new files sealed " +
+            s"(${m.count()} total, $bytes bytes, $rows rows) -> $dir/_manifest")
         case "manifest-verify" :: dir :: rest =>
           // check the dataset against its stored manifest; prints every
           // non-ok file, most severe first. Default tier is FULL (the
-          // sealing check — streams every byte); pass `quick` for the
-          // structural tier (file set + bytes + footer rows, no data read)
+          // sealing check — streams every byte); pass `sampled` for the
+          // keyed-page tier (~256 KiB/file — catches page rot quick can't)
+          // or `quick` for the structural tier (file set + bytes + footer
+          // rows, no data read)
           import org.apache.spark.sql.functions.col
           val mode = rest.headOption.getOrElse("full")
           val v = graft.sinks.DatasetManifest.verify(spark, dir, mode)
@@ -372,12 +390,14 @@ object GraftCli {
           // loader runs it: shards [from, to] streamed in exact replay
           // order through the NO-SHUFFLE sequential path (numeric part
           // order, per-file partitions), behind the tiered manifest gate
-          // (default quick — full|quick|off as 4th arg). The replay
+          // (default quick, or GRAFT_SHARD_VERIFY_TIER —
+          // full|sampled|quick|off as 4th arg). The replay
           // column is detected from the release itself: `global_pos` for
           // mixture shards, `skey` for epoch shards (the two writers'
           // contract). Prints the row count and the first rows as a
           // smoke of the order.
-          val verify = rest.headOption.getOrElse("quick")
+          val verify = rest.headOption
+            .getOrElse(graft.operators.TrainingOrder.defaultVerifyTier)
           val posCol =
             if (spark.read.parquet(dir).columns.contains("global_pos"))
               "global_pos"
@@ -417,19 +437,26 @@ object GraftCli {
         case "ann-pq-build" :: sfDir :: indexDir :: rest =>
           // the composed billion-scale layout: IVF cells carrying PQ codes
           // + vectors. Default is the RESIDUAL encoding (classic IVF-ADC —
-          // higher raw-ADC recall per code byte); pass `raw` as the 4th
-          // option to write the legacy raw-vector encoding.
+          // higher raw-ADC recall per code byte); pass `opq` as the 4th
+          // option for the rotated residual layout (another measured pool-
+          // recall step at tight rerank budgets — GateProbe opq decides),
+          // or `raw` for the legacy raw-vector encoding.
           val nCells = rest.headOption.map(_.toInt).getOrElse(8)
           val m = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
           val nCodes = rest.drop(2).headOption.map(_.toInt).getOrElse(16)
           val encoding = rest.drop(3).headOption.getOrElse("residual")
           val emb = graft.core.Tables.embeddings(spark, sfDir)
-          if (encoding == "raw") {
-            val model = graft.operators.ProductQuantizer.train(emb, "embedding", m, nCodes)
-            graft.operators.ProductQuantizer.ivfPqBuild(
-              emb, "vec_id", "embedding", nCells, model, indexDir)
-          } else graft.operators.ProductQuantizer.ivfPqBuildResidual(
-            emb, "vec_id", "embedding", nCells, m, nCodes, indexDir)
+          encoding match {
+            case "raw" =>
+              val model = graft.operators.ProductQuantizer.train(emb, "embedding", m, nCodes)
+              graft.operators.ProductQuantizer.ivfPqBuild(
+                emb, "vec_id", "embedding", nCells, model, indexDir)
+            case "residual" => graft.operators.ProductQuantizer.ivfPqBuildResidual(
+              emb, "vec_id", "embedding", nCells, m, nCodes, indexDir)
+            case "opq" => graft.operators.ProductQuantizer.ivfPqBuildOpq(
+              emb, "vec_id", "embedding", nCells, m, nCodes, indexDir)
+            case other => sys.error(s"unknown pq encoding: $other (raw|residual|opq)")
+          }
           println(s"ann-pq-build: $nCells cells x ($m x $nCodes) codebooks " +
             s"($encoding encoding) -> $indexDir")
         case "ann-pq-append" :: inParquet :: indexDir :: Nil =>

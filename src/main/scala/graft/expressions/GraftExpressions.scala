@@ -435,6 +435,76 @@ case class L2SqDistances(child: Expression, centroids: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+object MatVecImpl {
+  /** out(r) = rows(r) · vec, double accumulation in element order (the
+    * repo's bit-determinism rule). Dimension mismatch throws loudly —
+    * L2SqDistancesImpl's contract.
+    */
+  def compute(vec: ArrayData, isFloat: Boolean,
+      rows: Array[Array[Double]]): ArrayData = {
+    val n = vec.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Double](rows.length)
+    var r = 0
+    while (r < rows.length) {
+      val row = rows(r)
+      if (row.length != n)
+        throw new IllegalArgumentException(
+          s"graft_matvec: vector has $n elements but row $r has ${row.length}")
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += row(j) * x(j); j += 1 }
+      out(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** graft_matvec(vec): the plan-time matrix times the row's vector — the
+  * OPQ rotation kernel (an orthogonal rotation applied before subspace
+  * splitting). Native for the same reason as [[L2SqDistances]]: the HOF
+  * formulation is CodegenFallback AND bakes dim² literals into the plan
+  * tree (a 64×64 rotation measured a 28 MiB task binary); here the matrix
+  * rides one broadcast reference object. Matrix kept as `Seq[Seq[Double]]`
+  * for value-based equality (canonicalization/CSE — L2SqDistances' note).
+  */
+case class MatVec(child: Expression, matrix: Seq[Seq[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient private lazy val rows: Array[Array[Double]] =
+    matrix.map(_.toArray).toArray
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) if matrix.nonEmpty =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_matvec requires array<float>/array<double> and a non-empty matrix, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    MatVecImpl.compute(v.asInstanceOf[ArrayData], elemIsFloat, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matrix", rows, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.MatVecImpl.compute($c, $elemIsFloat, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVec =
+    copy(child = newChild)
+}
+
 object NfcNormalizeImpl {
   /** Unicode NFC (canonical composition, UAX#15) via the JDK's ICU-derived
     * Normalizer. Already-normalized text (the overwhelming common case) is

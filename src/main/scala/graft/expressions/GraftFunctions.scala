@@ -161,6 +161,8 @@ object GraftFunctions {
     exprCol(SrpSignature(expr(vec), bits, offset))
   def l2sqDistances(vec: Column, centroids: Array[Array[Double]]): Column =
     exprCol(L2SqDistances(expr(vec), centroids.toVector.map(_.toVector)))
+  def matVec(vec: Column, rows: Seq[Seq[Double]]): Column =
+    exprCol(MatVec(expr(vec), rows))
   def aHashBands(payload: Column): Column = exprCol(BlockAHash(expr(payload)))
   def extractContent(text: Column, minLen: Int, minAlnumPct: Int,
       keepBlank: Boolean = false): Column =

@@ -78,6 +78,18 @@ object AnnGates {
         "embedding", 8, 16, 16, dir)
       dir
     }
+
+    /** Full-corpus OPQ (rotated residual) IVF-PQ index at the same gate
+      * config — t133's query target.
+      */
+    def opqDir(s: org.apache.spark.sql.SparkSession,
+        d: String): String = memo(s"opqDir:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fix_opq").toString
+      PQ.ivfPqBuildOpq(graft.core.Tables.embeddings(s, d), "vec_id",
+        "embedding", 8, 16, 16, dir)
+      dir
+    }
   }
 
   def verdict(corpus: DataFrame, queries: DataFrame, topkIn: DataFrame, k: Int,

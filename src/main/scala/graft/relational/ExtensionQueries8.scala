@@ -167,6 +167,34 @@ object ExtensionQueries8 {
         "the training-loader iterator that hides part-boundary latency " +
         "reads back value-for-value what writeMixtureShards laid down — " +
         "t129's DuckDB replay through the prefetch path."
+    ),
+    // --------------------------------------------------------------- t133
+    GraftQuery(
+      "t133_ivfpq_opq",
+      (s, d) => {
+        import s.implicits._
+        // the OPQ encoding's end-to-end gate at the production query shape
+        // (np=5, rerank=100, the t126 config on the ROTATED layout):
+        // sims exact, ranks dense, no self/dups, recall@5 vs brute force
+        // over the fixture corpus >= 0.6. The encoding earned its layout
+        // from the round-16 GateProbe opq sweep — pool recall ahead of
+        // plain residual at every tight-budget config (rr25: 0.733→0.787 /
+        // 0.760→0.813 / 0.653→0.707 across SFs), which at 100 TB is the
+        // same recall from a smaller full-vector refine read.
+        val emb = graft.core.Tables.embeddings(s, d)
+        val queries = emb.filter($"vec_id" < 3)
+        val dir = AnnGates.Fixture.opqDir(s, d)
+        val topk = graft.operators.ProductQuantizer.ivfPqQuery(s, dir,
+          queries, "vec_id", "embedding", k = 5, nProbe = 5, rerank = 100)
+        AnnGates.verdict(emb, queries, topk, k = 5, recallFloor = 0.6)
+      },
+      Some(AnnGates.oracle),
+      doc = "OPQ IVF-PQ gate (ivfPqBuildOpq — PCA-permutation-rotated " +
+        "residual codes): the composed query path over the rotated layout " +
+        "emits exact sims, dense ranks, no self/dup violations, and " +
+        "recall@5 >= 0.6 at the production (np=5, rerank=100) config; " +
+        "violations + sentinel, constant oracle.",
+      gate = true
     )
   )
 }

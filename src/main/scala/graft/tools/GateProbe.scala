@@ -45,6 +45,26 @@ object GateProbe {
     * (method, config) against brute force at every driver SF, so the gate
     * params/floors are picked from measurement, not hope.
     */
+  /** The round-16 OPQ decision sweep: residual pool recall with vs
+    * without the PCA-permutation rotation at identical code budget,
+    * through [[graft.operators.ProductQuantizer.opqProbe]]'s in-memory
+    * replica of the composed query math — run before investing in a
+    * persisted `opq` layout version. (Measured 2026-08-15: see NOTES_r16
+    * — no consistent win on this corpus; residual stays production.)
+    */
+  private def opqSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val emb = Tables.embeddings(spark, s"/root/testdata/$sf")
+      for ((np, rr) <- Seq((5, 25), (8, 25), (5, 100))) {
+        val (plain, rotated) = graft.operators.ProductQuantizer.opqProbe(
+          emb, "vec_id", "embedding", nCells = 8, m = 16, nCodes = 16,
+          k = 5, nProbe = np, rerank = rr)
+        println(f"[$sf] opq nProbe=$np rerank=$rr " +
+          f"pool_recall plain=$plain%.3f rotated=$rotated%.3f")
+      }
+    }
+  }
+
   private def annSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
@@ -178,6 +198,7 @@ object GateProbe {
     val spark = GraftSession.local(appName = "gate-probe")
     if (args.contains("annfilter")) { annFilterSweep(spark); spark.stop(); return }
     if (args.contains("ann")) { annSweep(spark); spark.stop(); return }
+    if (args.contains("opq")) { opqSweep(spark); spark.stop(); return }
     import spark.implicits._
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val d = s"/root/testdata/$sf"

@@ -376,6 +376,27 @@ class GraftExpressionsSpec extends SparkSpec {
       .as[Int].collect()(0) == 2)
   }
 
+  test("MatVec expression matches the HOF construction bit-for-bit; dim mismatch is loud") {
+    val rows: Vector[Vector[Double]] = Vector(
+      Vector(0.5, -0.25, 1.0, 0.125), Vector(-1.0, 0.75, 0.0, 2.0),
+      Vector(0.0, 0.0, -0.5, 0.25), Vector(1.5, 1.0, -1.0, 0.5))
+    val df = (1 to 64).map(i =>
+      Seq(i * 0.1f, -i * 0.3f, i * 0.7f, 1.0f / i)).toDF("v")
+    val mismatches = df.select(
+        GraftFunctions.matVec($"v", rows).as("native"),
+        array(rows.map(r =>
+          aggregate(zip_with($"v", array(r.map(lit): _*),
+            (x, w) => x.cast("double") * w), lit(0.0), (a, x) => a + x)): _*)
+          .as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatches == 0)
+    val err = intercept[Exception] {
+      Seq(Seq(1.0, 2.0)).toDF("v")
+        .select(GraftFunctions.matVec($"v", rows)).collect()
+    }
+    assert(err.getMessage.contains("graft_matvec") || err.getCause != null)
+  }
+
   test("normalizeText: NFC + control/format strip + whitespace collapse, golden") {
     // "hea"+COMBINING ACUTE -> composes; ZWSP and BEL strip; VT strips
     // (word fuses); tab and double spaces collapse; ends trim

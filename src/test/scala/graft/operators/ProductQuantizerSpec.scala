@@ -258,6 +258,70 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(mismatch == 0, "stored codes must be a pure function of (cv, cell)")
   }
 
+  test("opq layout: orthogonal rotation persists and round-trips; codes stay a pure function " +
+      "of (cv, cell); exhaustive theorem and append associativity hold; legacy rotation is None") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_opq").toString
+    val model = ProductQuantizer.ivfPqBuildOpq(
+      emb, "vec_id", "embedding", 8, 8, 16, dir)
+    assert(model.encoding == "opq" && model.rotation.isDefined)
+    // the persisted model (rotation included) round-trips EXACTLY
+    assert(ProductQuantizer.loadModel(spark, dir) == model)
+    // the rotation is orthogonal (R·Rᵀ = I): rotated ADC answers the same
+    // geometric question as unrotated — distances are preserved
+    val r = model.rotation.get
+    val d = r.size
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(k => r(i)(k) * r(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"rotation not orthogonal at ($i,$j): $dot")
+    }
+    // codes well-formed and a pure function of (cv, cell) through the
+    // model — the rotation rides the model, so re-encoding any stored row
+    // reproduces its stored codes bit-exactly
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.where(size($"codes") =!= 8).count() == 0)
+    assert(cells.where(exists($"codes", c => c < 0 || c >= 16)).count() == 0)
+    val cen = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").select("centroid").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    assert(cells.where(ProductQuantizer.encodeResidual(
+      $"cv", $"cell", model, cen) =!= $"codes").count() == 0)
+    // exhaustive theorem: all probes + pool >= corpus => brute force
+    val q = emb.filter($"vec_id" < 3)
+    val all = ProductQuantizer.ivfPqQuery(spark, dir, q, "vec_id",
+      "embedding", k = 5, nProbe = 8, rerank = 500)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select($"query_id", $"rank", $"neighbor_id")
+    assert(all.select($"query_id", $"rank", $"neighbor_id")
+      .exceptAll(bf).count() == 0, "exhaustive opq IVF-PQ != brute force")
+    // append associativity: rotation + codebooks + anchors are all frozen
+    // model state, so split appends write bit-identical layouts
+    val half = emb.where($"vec_id" % 2 === 0)
+    val rest = emb.where($"vec_id" % 2 =!= 0)
+    val d1 = java.nio.file.Files.createTempDirectory("ivfpq_opq_a1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("ivfpq_opq_a2").toString
+    ProductQuantizer.ivfPqBuildOpq(half, "vec_id", "embedding", 8, 8, 16, d1)
+    ProductQuantizer.ivfPqBuildOpq(half, "vec_id", "embedding", 8, 8, 16, d2)
+    assert(ProductQuantizer.loadModel(spark, d1).encoding == "opq")
+    ProductQuantizer.ivfPqAppend(spark, d1, rest, "vec_id", "embedding")
+    ProductQuantizer.ivfPqAppend(spark, d2,
+      rest.where($"vec_id" % 4 === 1), "vec_id", "embedding")
+    ProductQuantizer.ivfPqAppend(spark, d2,
+      rest.where($"vec_id" % 4 === 3), "vec_id", "embedding")
+    def res(dd: String) = ProductQuantizer.ivfPqQuery(spark, dd, q,
+      "vec_id", "embedding", k = 5, nProbe = 8, rerank = 100)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(res(d1) == res(d2))
+    // rebuild keeps the opq encoding and re-trains the rotation
+    assert(ProductQuantizer.ivfPqRebuild(spark, d1, 8) == emb.count())
+    val rebuilt = ProductQuantizer.loadModel(spark, d1)
+    assert(rebuilt.encoding == "opq" && rebuilt.rotation.isDefined)
+    // unrotated layouts load with rotation None (version tolerance)
+    val resDir = java.nio.file.Files.createTempDirectory("ivfpq_res_leg").toString
+    ProductQuantizer.ivfPqBuildResidual(half, "vec_id", "embedding", 4, 8, 8, resDir)
+    assert(ProductQuantizer.loadModel(spark, resDir).rotation.isEmpty)
+  }
+
   test("pre-residual pq_model (no encoding column) still loads and queries as raw") {
     val q = emb.filter($"vec_id" < 3)
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_legacy").toString
