@@ -1089,6 +1089,39 @@ object Stress {
       check(tpBatches >= 3,
         s"daemon throughput stage must process all 3 snapshots ($tpBatches batches)")
 
+      // ---- training-release loader read (r15 verdict #4's record): shard
+      // the factor-100 corpus as a sealed mixture release, then stream it
+      // back through the sequential loader with the read-ahead OFF vs ON.
+      // The release is skinny on purpose (id + lang + position): the
+      // read-ahead hides the per-part-boundary cluster round trip, and
+      // that stall is what the stage measures — payload width would only
+      // drown it in deserialization time.
+      val ((loaderRows, tPlainRead, tAheadRead), tLoader) = timed {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val ordered = graft.operators.TrainingOrder.interleave(
+          docs.select(col("doc_id"), col("lang")), col("lang"),
+          col("doc_id"), langs)
+        val relDir = s"$workDir/release_shards"
+        graft.operators.TrainingOrder.writeMixtureShards(
+          ordered, col("global_pos"), relDir, 16)
+        graft.sinks.DatasetManifest.write(spark, relDir)
+        def drain(prefetch: Boolean): (Long, Double) = timed {
+          graft.operators.TrainingOrder.shardRangeIterator(
+              spark, relDir, 0, 15, verify = "quick", prefetch = prefetch)
+            .foldLeft(0L)((a, _) => a + 1)
+        }
+        val (nPlain, tP) = drain(prefetch = false)
+        val (nAhead, tA) = drain(prefetch = true)
+        check(nPlain == nAhead && nPlain > 0,
+          s"loader read-ahead must not change the row count ($nPlain vs $nAhead)")
+        (nPlain, tP, tA)
+      }
+      println(j("stage" -> "loader_read", "seconds" -> tLoader,
+        "rows" -> loaderRows, "plain_seconds" -> tPlainRead,
+        "prefetch_seconds" -> tAheadRead,
+        "plain_rows_per_sec" -> loaderRows / math.max(tPlainRead, 1e-9),
+        "prefetch_rows_per_sec" -> loaderRows / math.max(tAheadRead, 1e-9)))
+
       println(j("stage" -> "summary", "factor" -> factor, "docs" -> nDocs,
         "vectors" -> nVecs, "ok" -> failures.isEmpty))
       failures.foreach(f => System.err.println(s"[stress] FAILED: $f"))
