@@ -537,6 +537,31 @@ object GraftCli {
             spark, indexDir, k, nProbe, nQueries)
           println(f"ann-recall: recall@$k = $r%.3f " +
             f"(nProbe=$nProbe, $nQueries sampled queries) for $indexDir")
+        case "takedown" :: ixDir :: docsParquet :: Nil =>
+          // the operator-facing takedown arc across the crawl pipeline's
+          // admission indexes: given the documents to remove (doc_id +
+          // text — the columns admission fingerprinted), tombstone their
+          // content fingerprints in <ix>/fp and their signature rows in
+          // <ix>/sig. Admission treats them as GONE from the next
+          // snapshot (a re-crawled page re-admits, and its delta write
+          // clears the tombstone); the next index compaction drops the
+          // rows physically. Vector indexes are separate artifacts —
+          // use `ann-delete` for those.
+          import org.apache.spark.sql.functions.col
+          val tdDocs = spark.read.parquet(docsParquet)
+          val nFp =
+            if (graft.operators.IndexFs.exists(s"$ixDir/fp"))
+              graft.operators.IncrementalDedup.deleteFingerprints(spark,
+                s"$ixDir/fp", tdDocs.select(graft.operators.TextAnalysis
+                  .fingerprint(col("text")).as("fp")))
+            else 0L
+          val nSig =
+            if (graft.operators.IndexFs.exists(s"$ixDir/sig"))
+              graft.operators.IncrementalDedup.deleteSignatureIds(spark,
+                s"$ixDir/sig", tdDocs.select(col("doc_id").as("id")))
+            else 0L
+          println(s"takedown: $nFp fingerprints + $nSig signature ids " +
+            s"tombstoned in $ixDir (physical drop at the next compaction)")
         case "ann-delete" :: idsParquet :: indexDir :: Nil =>
           // tombstone-DELETE vec_ids from a persisted IVF / IVF-PQ index
           // (takedowns, re-filtering): queries stop surfacing them
