@@ -331,7 +331,15 @@ object TrainingOrder {
       private var cur: Iterator[org.apache.spark.sql.Row] = Iterator.empty
       private def advance(): Boolean = {
         while (!cur.hasNext && pending != null) {
-          val rows = pending.get() // the read-ahead issued one drain ago
+          // surface a chunk failure as the SAME exception the plain path
+          // throws, not an ExecutionException wrapper
+          val rows =
+            try pending.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                exec.shutdown()
+                throw e.getCause
+            }
           pending =
             if (nextIdx < chunks.size) { nextIdx += 1; submit(nextIdx - 1) }
             else { exec.shutdown(); null }

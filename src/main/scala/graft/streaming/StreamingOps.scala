@@ -395,7 +395,11 @@ object StreamingOps {
           .buildSigIndex(batch.limit(0), col("doc_id"), col("text"))
         val raw =
           try {
-            if (!new java.io.File(indexDir).exists()) throw new NoIndexYet
+            // Hadoop-FS probe (IndexFs): a java.io check here read FALSE
+            // for any index on an HDFS/S3 URI, so every micro-batch
+            // admitted against a fresh EMPTY index — silent mass duplicate
+            // admission, the exact failure family the lifecycle port fixed
+            if (!graft.operators.IndexFs.exists(indexDir)) throw new NoIndexYet
             spark.read.parquet(indexDir)
           } catch {
             case _: NoIndexYet => freshIndex
@@ -405,10 +409,12 @@ object StreamingOps {
         // replay guard: drop this batch's own delta (the inferred `batch`
         // partition column exists whenever the index grew via this stream
         // or was compacted into the batch=-1 layout; a batch-built root-file
-        // index has no such column and nothing to exclude)
-        val index =
+        // index has no such column and nothing to exclude); then the LIVE
+        // view — tombstoned signature ids (takedowns) are gone for
+        // streaming admission exactly as for the batch pipeline's
+        val index = graft.operators.IncrementalDedup.liveIndex(spark, indexDir,
           (if (raw.columns.contains("batch")) raw.where(col("batch") =!= batchId)
-           else raw).select(col("id"), col("sig"))
+           else raw).select(col("id"), col("sig")), "id")
         val admitted = graft.operators.IncrementalDedup
           .admitNearDup(batch, index, "doc_id", "text")
           .localCheckpoint()

@@ -117,7 +117,8 @@ class IndexFsSpec extends SparkSpec {
       "src/main/scala/graft/operators/AnnMaintenance.scala",
       "src/main/scala/graft/operators/TrainingOrder.scala",
       "src/main/scala/graft/sinks/DatasetManifest.scala",
-      "src/main/scala/graft/pipeline/CrawlPipeline.scala")
+      "src/main/scala/graft/pipeline/CrawlPipeline.scala",
+      "src/main/scala/graft/streaming/StreamingOps.scala")
     for (f <- lifecycle) {
       val p = java.nio.file.Paths.get(f)
       assert(java.nio.file.Files.exists(p), s"gate input missing: $f")

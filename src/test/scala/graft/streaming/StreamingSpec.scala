@@ -326,7 +326,6 @@ class StreamingSpec extends SparkSpec {
     dropFile("b2.parquet", Seq(
       StreamingOps.Doc(9L, "x2", base), StreamingOps.Doc(11L, "z", novel)))
     q.processAllAvailable()
-    q.stop()
     val admitted = spark.read.parquet(outDir)
       .select("doc_id").as[Long].collect().toSet
     // 2 wins its exact cluster; 7 is near 2 (same cluster) and loses; 9 is
@@ -335,6 +334,17 @@ class StreamingSpec extends SparkSpec {
     // the index now carries one signature per admitted doc
     val idx = spark.read.parquet(indexDir).select("id").as[Long].collect().toSet
     assert(idx == Set(2L, 11L), idx.toString)
+    // takedown mid-stream: tombstoning doc 2's signature makes it GONE for
+    // streaming admission too (the stream reads the LIVE index view), so a
+    // re-crawl of the same page re-admits in the next micro-batch
+    graft.operators.IncrementalDedup.deleteSignatureIds(spark, indexDir,
+      Seq(2L).toDF("id"))
+    dropFile("b3.parquet", Seq(StreamingOps.Doc(21L, "x3", base)))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == Set(2L, 11L, 21L), after.toString)
   }
 
   test("admitNearDupStream replay: a batch whose own index delta already exists is not self-rejected") {
