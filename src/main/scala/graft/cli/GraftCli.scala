@@ -51,8 +51,18 @@ object GraftCli {
     val spark = GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
       appName = "graft-cli")
-    try {
-      args.toList match {
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  /** Command dispatch against a caller-owned session — the spec surface
+    * (specs drive commands through the shared test session, which `main`'s
+    * own stop-in-finally would kill).
+    */
+  def run(spark: org.apache.spark.sql.SparkSession,
+      argList: List[String]): Unit = {
+    {
+      argList match {
         case "markdown" :: csv :: template :: outDir :: Nil =>
           val r = MarkdownJob.run(spark, csv, template, outDir)
           println(s"markdown: wrote ${r.written} files to $outDir")
@@ -71,8 +81,9 @@ object GraftCli {
           println(s"enrich: total=${s.total} skipped=${s.skipped} attempted=${s.attempted} " +
             s"successful=${s.successful} failed=${s.failed}")
         case "enrich-stream" :: inDir :: outMdDir :: outJsonDir :: promptTpl :: ckpt :: Nil =>
-          val prompt = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(promptTpl)), java.nio.charset.StandardCharsets.UTF_8)
+          // Hadoop-FS read: the template can live beside the data (HDFS/
+          // S3/file: URIs), and local relative paths still resolve
+          val prompt = graft.operators.IndexFs.readUtf8(promptTpl)
           // same env-driven transport resolution as the batch `enrich` path
           val streamTransport = graft.enrich.LlmTransports.fromEnvironment(
             sys.env.get("GRAFT_ENV_FILE").map(java.nio.file.Paths.get(_)))
@@ -500,16 +511,18 @@ object GraftCli {
         case "ann-maintain" :: indexDir :: rest =>
           // the drift->rebuild POLICY: rebuild iff the last `sustain`
           // appends all read ratio > maxRatio (or mixture-tv > mixtureTv),
-          // or measured recall sits below the floor. Args: [maxRatio]
-          // [sustain] [recallFloor|-] [nCells|-] [mixtureTv|-] — '-'
-          // disables the concentration sensor (a single-domain backfill
-          // legitimately concentrates; without the knob such an operator
-          // could not stop rebuild storms from the CLI), absent keeps the
-          // policy default. Appends must go through AnnMaintenance.append
-          // (or the crawl daemon) so the drift log exists. Prints the full
+          // or measured recall sits below the floor; COMPACT (physical
+          // tombstone resolve) iff the tombstoned fraction exceeds
+          // tombstoneFrac. Args: [maxRatio] [sustain] [recallFloor|-]
+          // [nCells|-] [mixtureTv|-] [tombstoneFrac|-] — '-' disables that
+          // sensor (the concentration knob exists because a single-domain
+          // backfill legitimately concentrates; the tombstone knob because
+          // an operator mid-takedown-campaign may want ONE compact at the
+          // end, not one per threshold crossing), absent keeps the policy
+          // default. Appends must go through AnnMaintenance.append (or
+          // the crawl daemon) so the drift log exists. Prints the full
           // decision trace either way.
-          val defaultTv = graft.operators.AnnMaintenance.MaintenancePolicy()
-            .maxMixtureTv
+          val defaults = graft.operators.AnnMaintenance.MaintenancePolicy()
           val policy = graft.operators.AnnMaintenance.MaintenancePolicy(
             maxDriftRatio = rest.headOption.map(_.toDouble).getOrElse(1.5),
             sustainAppends = rest.drop(1).headOption.map(_.toInt).getOrElse(3),
@@ -517,14 +530,18 @@ object GraftCli {
             rebuildNCells = rest.drop(3).headOption.filter(_ != "-").map(_.toInt),
             maxMixtureTv = rest.drop(4).headOption
               .map(a => if (a == "-") None else Some(a.toDouble))
-              .getOrElse(defaultTv))
+              .getOrElse(defaults.maxMixtureTv),
+            maxTombstoneFraction = rest.drop(5).headOption
+              .map(a => if (a == "-") None else Some(a.toDouble))
+              .getOrElse(defaults.maxTombstoneFraction))
           val d = graft.operators.AnnMaintenance.maintain(spark, indexDir, policy)
           println(s"ann-maintain: appends=${d.appendsLogged} " +
             s"recent_ratios=[${d.recentRatios.map(r => f"$r%.3f").mkString(", ")}] " +
             s"recent_mixture_tv=[${d.recentMixtureTv.map(r => f"$r%.3f").mkString(", ")}] " +
             s"sustained=${d.sustainedDrift} sustained_mixture=${d.sustainedMixture} " +
-            s"recall=${d.measuredRecall.map(r => f"$r%.3f").getOrElse("not measured")}")
-          println(s"ann-maintain: rebuilt=${d.rebuilt} — ${d.reason}")
+            s"recall=${d.measuredRecall.map(r => f"$r%.3f").getOrElse("not measured")} " +
+            s"tombstone_fraction=${d.tombstoneFraction.map(r => f"$r%.3f").getOrElse("none")}")
+          println(s"ann-maintain: rebuilt=${d.rebuilt} compacted=${d.compacted} — ${d.reason}")
         case "ann-recall" :: indexDir :: rest =>
           // ground-truth recall of the PERSISTED query path vs brute force
           // over the index's own vectors — the measurement the drift
@@ -757,7 +774,13 @@ object GraftCli {
           import org.apache.spark.sql.functions.{col, md5}
           val near = rest.headOption.contains("near")
           val batch = spark.read.parquet(inPath)
-          val indexExists = new java.io.File(indexDir).exists()
+          graft.operators.IndexLease.withLease(indexDir) {
+          // IndexFs, NOT java.io.File: on an HDFS/S3 index URI a local-FS
+          // probe reads false every run — the command would rebuild an
+          // EMPTY index from batch.limit(0), mass-admit the whole batch,
+          // and swapIndex would then REPLACE the real accumulated index
+          // with the batch-only one (silent admission-state destruction).
+          val indexExists = graft.operators.IndexFs.exists(indexDir)
           def swapIndex(updated: org.apache.spark.sql.DataFrame): Long = {
             // write-then-swap: the new index is fully written BESIDE the
             // live one, then swapped in rename-aside (replaceDir) — at every
@@ -768,9 +791,15 @@ object GraftCli {
             graft.operators.IncrementalDedup.replaceDir(indexDir, next)
             spark.read.parquet(indexDir).count()
           }
+          // reads go through the LIVE view (tombstoned keys treated as
+          // gone — deleteFingerprints' re-admission contract); since the
+          // swap rewrites the WHOLE index from that live view, every
+          // tombstone is physically resolved in the same commit and the
+          // table correctly dies with the old dir
           if (near) {
             val index =
-              if (indexExists) spark.read.parquet(indexDir)
+              if (indexExists) graft.operators.IncrementalDedup.liveIndex(
+                spark, indexDir, spark.read.parquet(indexDir), "id")
               else graft.operators.IncrementalDedup
                 .buildSigIndex(batch.limit(0), col(idCol), col(textCol))
             val admitted = graft.operators.IncrementalDedup
@@ -783,7 +812,8 @@ object GraftCli {
           } else {
             val fp = md5(col(textCol))
             val index =
-              if (indexExists) spark.read.parquet(indexDir)
+              if (indexExists) graft.operators.IncrementalDedup.liveIndex(
+                spark, indexDir, spark.read.parquet(indexDir), "fp")
               else graft.operators.IncrementalDedup.buildIndex(batch.limit(0), fp)
             val admitted = graft.operators.IncrementalDedup
               .admit(batch, index, fp, col(idCol)).localCheckpoint()
@@ -792,6 +822,7 @@ object GraftCli {
               graft.operators.IncrementalDedup.updatedIndex(index, admitted))
             println(s"admit: ${batch.count()} in batch, ${admitted.count()} admitted " +
               s"-> $outDir; index now $nIdx fingerprints -> $indexDir")
+          }
           }
         case "mix" :: sfDir :: outDir :: recipe :: Nil =>
           // exact token-budget mix assembly (the t108 operator): admit, per
@@ -855,8 +886,7 @@ object GraftCli {
           val enrich = flags.get("--enrich").map { tf =>
             graft.pipeline.CrawlPipeline.EnrichStage(
               () => graft.enrich.LlmTransports.fromEnvironment(),
-              new String(java.nio.file.Files.readAllBytes(
-                java.nio.file.Paths.get(tf)), java.nio.charset.StandardCharsets.UTF_8))
+              graft.operators.IndexFs.readUtf8(tf))
           }
           // --mix en:30000,de:9000 adds the dataset-assembly stages
           // (language tag → exact token-budget mix → training order);
@@ -949,7 +979,6 @@ object GraftCli {
             if (names.isEmpty)
               graft.SparkEntry.queries.keys.toSeq.sorted.filterNot(streamingGates)
             else names
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
           sel.foreach { n =>
             val df = graft.SparkEntry.queries(n)(spark, sfDir)
             val plan = df.queryExecution.explainString(
@@ -968,9 +997,8 @@ object GraftCli {
               // snapshots are sfDir-agnostic: the scan location's scale
               // factor is run configuration, not plan shape
               .replaceAll("file:[^\\s\\]]*testdata/sf[0-9.]+", "file:<SFDIR>")
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(outDir, s"$n.txt"),
-              normalized.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // Hadoop-FS write (parent dirs created implicitly)
+            graft.operators.IndexFs.writeUtf8(s"$outDir/$n.txt", normalized)
           }
           println(s"snapshot-plans: ${sel.size} plans -> $outDir")
         case other =>
@@ -1006,7 +1034,7 @@ object GraftCli {
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
               "ann-query-filtered <queriesParquet> <allowedParquet> <indexDir> [k] [nProbe] [rerank] | " +
               "ann-pq-build <sfDir> <indexDir> [nCells] [m] [nCodes] [residual|raw] | " +
-              "ann-maintain <indexDir> [maxRatio] [sustain] [recallFloor|-] [nCells|-] | " +
+              "ann-maintain <indexDir> [maxRatio] [sustain] [recallFloor|-] [nCells|-] [mixtureTv|-] [tombstoneFrac|-] | " +
               "ann-pq-append <inParquet> <indexDir> | " +
               "ann-pq-query <queriesParquet> <indexDir> [k] [nProbe] [rerank] | " +
               "mix <sfDir> <outDir> <lang:budget,...> | " +
@@ -1019,6 +1047,6 @@ object GraftCli {
               "[--mix <lang:budget,...>] [--bpe-merges <file>] [--shards <n>] | reset <workDir>")
           sys.exit(2)
       }
-    } finally spark.stop()
+    }
   }
 }

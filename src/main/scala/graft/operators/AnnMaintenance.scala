@@ -61,6 +61,17 @@ object AnnMaintenance {
     * @param rebuildNCells  cell count for the rebuilt coarse quantizer;
     *                       None = keep the current count (grow ~sqrt(N)
     *                       as the corpus accumulates)
+    * @param maxTombstoneFraction tombstone-PRESSURE sensor (None
+    *                       disables): when the tombstoned fraction of the
+    *                       index exceeds this, run the layout-appropriate
+    *                       COMPACT (physical resolve — no quantizer
+    *                       retrain). Without it a takedown-heavy index
+    *                       pays the read-side broadcast anti-join over an
+    *                       ever-growing tombstone set forever — the
+    *                       maintenance loop was drift-aware but
+    *                       tombstone-blind. A rebuild (if the drift
+    *                       sensors fired the same call) subsumes the
+    *                       compact: both physically resolve deletions
     */
   final case class MaintenancePolicy(
       maxDriftRatio: Double = 1.5,
@@ -70,9 +81,11 @@ object AnnMaintenance {
       recallK: Int = 5,
       recallNProbe: Int = 4,
       recallQueries: Int = 16,
-      rebuildNCells: Option[Int] = None) {
+      rebuildNCells: Option[Int] = None,
+      maxTombstoneFraction: Option[Double] = Some(0.25)) {
     require(maxDriftRatio > 0 && sustainAppends >= 1)
     require(maxMixtureTv.forall(t => t > 0 && t <= 1))
+    require(maxTombstoneFraction.forall(t => t > 0 && t < 1))
   }
 
   /** The decision trace: what was looked at, what (if anything) fired. */
@@ -84,7 +97,9 @@ object AnnMaintenance {
       rebuilt: Boolean,
       reason: String,
       recentMixtureTv: Seq[Double] = Seq.empty,
-      sustainedMixture: Boolean = false)
+      sustainedMixture: Boolean = false,
+      tombstoneFraction: Option[Double] = None,
+      compacted: Boolean = false)
 
   /** Layout dispatch + ledger probes resolve through the Hadoop
     * FileSystem API ([[IndexFs]]): with a local-only probe, a composed
@@ -99,14 +114,20 @@ object AnnMaintenance {
     * reading in `indexDir/drift_log` — the ledger [[maintain]] reads.
     *
     * SINGLE-WRITER contract (the index layout's own append contract): one
-    * appender at a time. The sequence number is `max(seq) + 1` over the
+    * lifecycle writer at a time — ENFORCED since round 17 by the index
+    * writer lease ([[IndexLease]]): append, [[maintain]] (whose ledger
+    * fold rewrites the log this method appends to), compact, rebuild and
+    * delete all acquire `<indexDir>._lease`, so a daemon's append can no
+    * longer interleave with a concurrent maintain's fold — the loser
+    * fails loudly instead. The sequence number is `max(seq) + 1` over the
     * existing log — NOT the row count, so a partially failed append
     * (cells written, ledger write crashed, then retried) can never mint a
     * duplicate seq and make [[maintain]]'s recency tail nondeterministic;
     * a retry simply takes the next number.
     */
   def append(spark: SparkSession, indexDir: String, newVectors: DataFrame,
-      idCol: String, vecCol: String): Similarity.IvfAppendStats = {
+      idCol: String, vecCol: String): Similarity.IvfAppendStats =
+      IndexLease.withLease(indexDir) {
     val st =
       if (isComposed(indexDir))
         ProductQuantizer.ivfPqAppend(spark, indexDir, newVectors, idCol, vecCol)
@@ -128,13 +149,17 @@ object AnnMaintenance {
     st
   }
 
-  /** Decide — and if warranted, EXECUTE — a rebuild. Returns the full
+  /** Decide — and if warranted, EXECUTE — a rebuild (drift/recall
+    * sensors) or a compact (tombstone-pressure sensor; see
+    * [[MaintenancePolicy.maxTombstoneFraction]]). Returns the full
     * decision trace either way; when `rebuilt` is true the index behind
     * `indexDir` is already the re-trained one (same layout encoding,
-    * fresh stats baseline, empty drift log).
+    * fresh stats baseline, empty drift log); when `compacted` is true the
+    * deletions are physically resolved and the tombstone table is gone.
     */
   def maintain(spark: SparkSession, indexDir: String,
-      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceDecision = {
+      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceDecision =
+      IndexLease.withLease(indexDir) {
     IncrementalDedup.recoverDir(indexDir)
     import spark.implicits._
     val logDir = s"$indexDir/drift_log"
@@ -147,6 +172,10 @@ object AnnMaintenance {
     // staged swap; rows are untouched, so the recency tail below reads
     // the same. [[Similarity.ivfCompact]] carries the ledger the same
     // way, so neither maintenance path unbounds the other's file count.
+    // The fold is a read-modify-write of a table [[append]] appends to —
+    // safe because BOTH run under the index writer lease ([[IndexLease]],
+    // acquired by this method's wrapper): a daemon appending concurrently
+    // fails loudly at acquire instead of losing its row to the swap.
     if (hasLog && spark.read.parquet(logDir).inputFiles.length > 16) {
       val snap = spark.read.parquet(logDir).localCheckpoint()
       IncrementalDedup.clearStaging(s"$logDir.next")
@@ -183,33 +212,75 @@ object AnnMaintenance {
     val recallLow = (for {f <- policy.recallFloor; r <- recall} yield r < f)
       .getOrElse(false)
 
-    if (!sustained && !sustainedMix && !recallLow)
-      return MaintenanceDecision(appends, recent, sustained, recall,
+    // tombstone-PRESSURE sensor: every query pays a broadcast anti-join
+    // over `tombstones` until something physically resolves it, and the
+    // table grows with every takedown batch — so maintenance, not the
+    // operator, must notice. Both counts are parquet-footer metadata
+    // reads (no data pages); the fraction slightly overcounts when a
+    // tombstone names an id the index never held (harmless tombstoning),
+    // which only makes the compact EARLIER, never missed.
+    val tsDir = s"$indexDir/tombstones"
+    val tombstoneFraction: Option[Double] = policy.maxTombstoneFraction
+      .flatMap { _ =>
+        IncrementalDedup.recoverDir(tsDir)
+        if (!IndexFs.exists(tsDir)) None
+        else {
+          val nTs = spark.read.parquet(tsDir).count()
+          if (nTs == 0L) None
+          else Some(nTs.toDouble /
+            math.max(1L, spark.read.parquet(s"$indexDir/cells").count()))
+        }
+      }
+    val tombstonePressure = (for {
+      t <- policy.maxTombstoneFraction; f <- tombstoneFraction
+    } yield f > t).getOrElse(false)
+
+    if (sustained || sustainedMix || recallLow) {
+      // a rebuild re-writes LIVE rows only, so it subsumes the compact:
+      // tombstones resolve physically and the table dies with the old dir
+      val nCells = policy.rebuildNCells.getOrElse(
+        spark.read.parquet(s"$indexDir/centroids").count().toInt)
+      val n =
+        if (isComposed(indexDir))
+          ProductQuantizer.ivfPqRebuild(spark, indexDir, nCells)
+        else Similarity.ivfRebuild(spark, indexDir, nCells)
+      val why =
+        if (sustained)
+          f"drift ratio > ${policy.maxDriftRatio}%.2f sustained over " +
+            s"${policy.sustainAppends} appends"
+        else if (sustainedMix)
+          f"cell-mixture tv > ${policy.maxMixtureTv.get}%.2f sustained over " +
+            s"${policy.sustainAppends} appends (concentration drift — the " +
+            "distance ratio alone would have missed it)"
+        else f"measured recall ${recall.get}%.3f < floor " +
+          f"${policy.recallFloor.get}%.3f"
+      MaintenanceDecision(appends, recent, sustained, recall, rebuilt = true,
+        reason = s"$why; rebuilt $n vectors",
+        recentMixtureTv = recentTv, sustainedMixture = sustainedMix,
+        tombstoneFraction = tombstoneFraction)
+    } else if (tombstonePressure) {
+      // drift is healthy but deletions piled up: physical resolve only —
+      // ivfCompact is layout-generic (cells rewritten live-rows-only,
+      // centroids/pq_model/stats/ledger carried, tombstone table cleared
+      // by the whole-dir swap), so the next maintain sees no tombstone
+      // table and is a no-op
+      val n = Similarity.ivfCompact(spark, indexDir)
+      MaintenanceDecision(appends, recent, sustained, recall,
+        rebuilt = false,
+        reason = f"tombstoned fraction ${tombstoneFraction.get}%.3f > " +
+          f"${policy.maxTombstoneFraction.get}%.2f — compacted (physical " +
+          s"resolve), $n live vectors",
+        recentMixtureTv = recentTv, sustainedMixture = sustainedMix,
+        tombstoneFraction = tombstoneFraction, compacted = true)
+    } else {
+      MaintenanceDecision(appends, recent, sustained, recall,
         rebuilt = false,
         reason = if (appends < policy.sustainAppends)
           s"only $appends append(s) logged (need ${policy.sustainAppends})"
         else "drift not sustained" + recall.map(r =>
           f"; recall $r%.3f >= floor").getOrElse(""),
-        recentMixtureTv = recentTv, sustainedMixture = sustainedMix)
-
-    val nCells = policy.rebuildNCells.getOrElse(
-      spark.read.parquet(s"$indexDir/centroids").count().toInt)
-    val n =
-      if (isComposed(indexDir))
-        ProductQuantizer.ivfPqRebuild(spark, indexDir, nCells)
-      else Similarity.ivfRebuild(spark, indexDir, nCells)
-    val why =
-      if (sustained)
-        f"drift ratio > ${policy.maxDriftRatio}%.2f sustained over " +
-          s"${policy.sustainAppends} appends"
-      else if (sustainedMix)
-        f"cell-mixture tv > ${policy.maxMixtureTv.get}%.2f sustained over " +
-          s"${policy.sustainAppends} appends (concentration drift — the " +
-          "distance ratio alone would have missed it)"
-      else f"measured recall ${recall.get}%.3f < floor " +
-        f"${policy.recallFloor.get}%.3f"
-    MaintenanceDecision(appends, recent, sustained, recall, rebuilt = true,
-      reason = s"$why; rebuilt $n vectors",
-      recentMixtureTv = recentTv, sustainedMixture = sustainedMix)
+        recentMixtureTv = recentTv, sustainedMixture = sustainedMix,
+        tombstoneFraction = tombstoneFraction)
+    }
   }
 }

@@ -148,18 +148,19 @@ object Bpe {
   /** Serialize a merge list, one `a b` pair per line (symbols come from
     * whitespace-split words, so the space separator is unambiguous) — the
     * artifact format [[loadMerges]] reads back and the CLI ships between
-    * `bpe --out` and `pipeline --bpe-merges`.
+    * `bpe --out` and `pipeline --bpe-merges`. I/O goes through [[IndexFs]]
+    * (Hadoop FileSystem), so the tokenizer model the pipeline consumes can
+    * live on the cluster store (HDFS/S3/`file:` URIs) beside the data it
+    * tokenizes — a `java.nio` path here silently pinned the artifact to
+    * the driver's local disk.
     */
   def saveMerges(model: BpeModel, path: String): Unit =
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      model.merges.map { case (a, b) => s"$a $b" }
-        .mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    IndexFs.writeUtf8(path,
+      model.merges.map { case (a, b) => s"$a $b" }.mkString("", "\n", "\n"))
 
   def loadMerges(path: String): BpeModel =
-    BpeModel(scala.jdk.CollectionConverters.ListHasAsScala(
-      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))).asScala
-      .toSeq.filter(_.nonEmpty).map { line =>
+    BpeModel(IndexFs.readUtf8(path).split("\n", -1).toSeq
+      .filter(_.nonEmpty).map { line =>
         val i = line.indexOf(' ')
         require(i > 0 && i < line.length - 1, s"bad merge line: '$line'")
         (line.substring(0, i), line.substring(i + 1))

@@ -43,11 +43,14 @@ object IncrementalDedup {
 
   /** Admit the batch rows whose fingerprint is not in the index, keeping
     * the first row (by `orderCol`, which must be unique) per fingerprint
-    * within the batch. All caller columns survive, plus `fp`.
+    * within the batch. All caller columns survive, plus `fp` (a caller
+    * column already named `fp` is superseded by the admission
+    * fingerprint — emitting both would be a duplicate column no sink can
+    * write).
     */
   def admit(batch: DataFrame, index: DataFrame, fp: Column,
       orderCol: Column): DataFrame = {
-    val cols = batch.columns
+    val cols = batch.columns.filterNot(_ == "fp")
     val fresh = batch
       .withColumn("fp", fp)
       .join(index.select(col("fp")), Seq("fp"), "left_anti")
@@ -107,7 +110,22 @@ object IncrementalDedup {
     recoverDir(tsDir)
     val del = keys.select(col(keyCol)).distinct().localCheckpoint()
     val n = del.count()
-    if (n > 0) del.coalesce(1).write.mode("append").parquet(tsDir)
+    if (n > 0) {
+      del.coalesce(1).write.mode("append").parquet(tsDir)
+      // ledger hygiene (the drift_log discipline): every delete batch
+      // lands one file and EVERY read pays the listing+footer overhead
+      // forever — past a small budget, fold the whole table to one
+      // distinct-keys file behind the usual staged swap. Runs under the
+      // caller's index lease (the public delete surfaces hold it), so no
+      // concurrent takedown can land inside the read-modify-write.
+      if (spark.read.parquet(tsDir).inputFiles.length > 16) {
+        val snap = spark.read.parquet(tsDir).select(col(keyCol)).distinct()
+          .localCheckpoint()
+        clearStaging(s"$tsDir.next")
+        snap.coalesce(1).write.parquet(s"$tsDir.next")
+        replaceDir(tsDir, s"$tsDir.next")
+      }
+    }
     n
   }
 
@@ -136,15 +154,33 @@ object IncrementalDedup {
       tsDir: String, keys: DataFrame, keyCol: String): Unit = {
     recoverDir(tsDir)
     if (!IndexFs.exists(tsDir)) return
-    val remaining = spark.read.parquet(tsDir).select(col(keyCol)).distinct()
+    // Snapshot the FILE SET, not just the rows: this is a read-modify-
+    // write rewrite, and a takedown batch appended between the snapshot
+    // read and the swap must not be silently un-deleted (the takedown
+    // reported success — discarding it is the exact resurface failure
+    // ivfDelete's guard exists to prevent). Only the snapshot's keys are
+    // subtracted; files that arrive during the rewrite are carried into
+    // the new table VERBATIM. The residual window (an append between the
+    // late-file listing and replaceDir's renames) is closed by the index
+    // writer lease ([[IndexLease]]), which every public delete/readmit
+    // surface holds.
+    val snapFiles = IndexFs.fileNames(tsDir).filter(_.endsWith(".parquet"))
+    if (snapFiles.isEmpty) return // no tombstones recorded — nothing to clear
+    val remaining = spark.read
+      .parquet(snapFiles.map(f => s"$tsDir/$f"): _*)
+      .select(col(keyCol)).distinct()
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .localCheckpoint()
-    if (remaining.isEmpty) IndexFs.deleteRecursive(tsDir)
-    else {
+    clearStaging(s"$tsDir.next")
+    remaining.coalesce(1).write.parquet(s"$tsDir.next")
+    val late = IndexFs.fileNames(tsDir)
+      .filter(f => f.endsWith(".parquet") && !snapFiles.contains(f))
+    late.foreach(f => IndexFs.rename(s"$tsDir/$f", s"$tsDir.next/$f"))
+    if (late.isEmpty && remaining.isEmpty) {
+      // fully cleared: drop the table so reads keep their no-op plan
       clearStaging(s"$tsDir.next")
-      remaining.coalesce(1).write.parquet(s"$tsDir.next")
-      replaceDir(tsDir, s"$tsDir.next")
-    }
+      IndexFs.deleteRecursive(tsDir)
+    } else replaceDir(tsDir, s"$tsDir.next")
   }
 
   /** Tombstone-DELETE fingerprints from a persisted exact-admission index
@@ -157,15 +193,17 @@ object IncrementalDedup {
     * delta compactor physically drops tombstoned rows.
     */
   def deleteFingerprints(spark: org.apache.spark.sql.SparkSession,
-      fpDir: String, fps: DataFrame): Long =
+      fpDir: String, fps: DataFrame): Long = IndexLease.withLease(fpDir) {
     appendTombstones(spark, s"$fpDir/_tombstones", fps, "fp")
+  }
 
   /** [[deleteFingerprints]]'s near-dup sibling: tombstone signature rows
     * by document id in the persisted signature index.
     */
   def deleteSignatureIds(spark: org.apache.spark.sql.SparkSession,
-      sigDir: String, ids: DataFrame): Long =
+      sigDir: String, ids: DataFrame): Long = IndexLease.withLease(sigDir) {
     appendTombstones(spark, s"$sigDir/_tombstones", ids, "id")
+  }
 
   /** The LIVE view of a persisted admission index: `index` (the caller's
     * read of `dir`) minus the tombstoned keys (`fp` for the exact index,
@@ -181,8 +219,9 @@ object IncrementalDedup {
     * again from the next snapshot on.
     */
   def readmitKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
-      keys: DataFrame, keyCol: String): Unit =
+      keys: DataFrame, keyCol: String): Unit = IndexLease.withLease(dir) {
     removeTombstones(spark, s"$dir/_tombstones", keys, keyCol)
+  }
 
   /** Replace the directory at `liveDir` with the fully-written `nextDir`:
     * rename the live dir ASIDE to `liveDir.old`, rename `nextDir` in, then
@@ -315,22 +354,25 @@ object IncrementalDedup {
   def compactDeltaIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, resolve: DataFrame => DataFrame,
       targetRows: Long, preserveBatchIds: Set[Long] = Set.empty,
-      tombstoneKey: Option[String] = None): Long = {
+      tombstoneKey: Option[String] = None): Long =
+      IndexLease.withLease(indexDir) {
     def batchDirs(): Set[String] =
       IndexFs.subdirNames(indexDir).filter(_.startsWith("batch=")).toSet
     val snapshot = batchDirs()
     val preserved = snapshot.filter(d =>
       preserveBatchIds.contains(d.stripPrefix("batch=").toLong))
-    val raw =
-      try spark.read.parquet(indexDir)
+    val rawOpt =
+      try Some(spark.read.parquet(indexDir))
       catch {
         // an index whose deltas all hold zero rows has no parquet footers
         // to infer from — nothing to compact, not corruption (the daemon
         // writes a batch=<id> delta even for a snapshot that admitted
         // nothing); any other read failure still propagates
         case ae: org.apache.spark.sql.AnalysisException
-            if ae.getCondition == "UNABLE_TO_INFER_SCHEMA" => return 0L
+            if ae.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
       }
+    if (rawOpt.isEmpty) 0L else {
+    val raw = rawOpt.get
     val scoped =
       if (preserved.nonEmpty && raw.columns.contains("batch"))
         raw.where(!col("batch").isin(preserveBatchIds.toSeq: _*))
@@ -360,6 +402,7 @@ object IncrementalDedup {
       IndexFs.rename(s"$indexDir/_tombstones", s"$next/_tombstones")
     replaceDir(indexDir, next)
     n
+    }
   }
 
   /** NEAR-dup incremental admission: reject batch documents whose signature
@@ -503,6 +546,12 @@ object IncrementalDedup {
       sReps.select(col("id")), pairs, "id")
     survivors.join(comps, Seq("id"))
       .where(col("id") === col("component"))
-      .select(col("id") +: col("sig") +: cols.map(c => col(s"__row.$c").as(c)): _*)
+      // `id`/`sig` are the admission outputs (updatedSigIndex's contract);
+      // a caller column with either name is superseded rather than emitted
+      // as a duplicate column no sink can write (the common case is the
+      // batch's id column being literally named `id`)
+      .select(col("id") +: col("sig") +:
+        cols.filterNot(c => c == "id" || c == "sig")
+          .map(c => col(s"__row.$c").as(c)): _*)
   }
 }

@@ -72,4 +72,76 @@ object IndexFs {
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
+
+  /** Names of the immediate child FILES of `p` (empty when `p` is absent)
+    * — the snapshot a read-modify-write rewrite diffs against to detect
+    * (and carry) appends that landed during the rewrite.
+    */
+  def fileNames(p: String): Seq[String] = {
+    val (fs, path) = resolve(p)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath.getName)
+  }
+
+  /** Write a small UTF-8 text artifact (tokenizer merges, lease markers),
+    * overwriting any existing file — resolved through the path's
+    * filesystem like every other lifecycle touch, so the artifact can
+    * live on the cluster store beside the data it describes.
+    */
+  def writeUtf8(p: String, content: String): Unit = {
+    val (fs, path) = resolve(p)
+    val out = fs.create(path, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** CREATE-EXCLUSIVE variant of [[writeUtf8]]: returns false (writing
+    * nothing) when the file already exists — the lease-acquire primitive.
+    * Atomic on HDFS and local FS (create-no-overwrite is a namenode/
+    * syscall-level check); object stores without atomic create degrade to
+    * check-then-write, which the lease contract documents.
+    */
+  def createUtf8(p: String, content: String): Boolean = {
+    val (fs, path) = resolve(p)
+    val out =
+      try fs.create(path, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: java.io.IOException if fs.exists(path) => return false
+      }
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    true
+  }
+
+  /** Read a small UTF-8 text artifact written by [[writeUtf8]]/
+    * [[createUtf8]]. Loud when absent — every caller treats a missing
+    * artifact as a distinct branch before reading.
+    */
+  def readUtf8(p: String): String = {
+    val (fs, path) = resolve(p)
+    val in = fs.open(path)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** The store's modification time for `p` (epoch millis) — the
+    * stale-lease clock. The STORE's clock, not the writer's: cross-writer
+    * skew collapses to one authority.
+    */
+  def modificationTime(p: String): Long = {
+    val (fs, path) = resolve(p)
+    fs.getFileStatus(path).getModificationTime
+  }
+
+  /** Delete a single file if present (lease release); false when absent. */
+  def deleteFile(p: String): Boolean = {
+    val (fs, path) = resolve(p)
+    fs.exists(path) && fs.delete(path, false)
+  }
 }

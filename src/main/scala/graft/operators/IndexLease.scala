@@ -1,0 +1,121 @@
+package graft.operators
+
+/** Makes the persisted-index SINGLE-WRITER contract enforceable instead of
+  * documentary. Every lifecycle scaladoc (the drift ledger, `replaceDir`'s
+  * swap, the tombstone rewrite) assumes one writer at a time per index
+  * dir; until now nothing STOPPED two daemons — or a daemon plus a CLI
+  * `ann-rebuild` — from racing rename-aside swaps on one dir, where
+  * interleaved swaps can delete each other's `.old` rollback state, and a
+  * takedown landing inside a tombstone rewrite's read-modify-write window
+  * is silently discarded.
+  *
+  * The mechanism is one marker FILE beside the index dir
+  * (`<dir>._lease` — a sibling, NOT inside the dir, so whole-dir swaps
+  * never destroy an active lease), acquired create-exclusive
+  * ([[IndexFs.createUtf8]] — atomic on HDFS and local FS) and holding the
+  * writer's identity. Acquisition:
+  *
+  *  - free → create the marker, run, delete it (always, in `finally`);
+  *  - held by THIS thread (a nested lifecycle call — `maintain` runs the
+  *    rebuild arc, the pipeline compacts from inside its own batch) →
+  *    reentrant, depth-counted, released by the outermost frame;
+  *  - held by anyone else → LOUD error naming the holder (the contract's
+  *    whole point: contention surfaces as a failure to the writer that
+  *    lost, never as interleaved corruption);
+  *  - held but STALE (the store's modification time — one clock authority,
+  *    no cross-writer skew — older than `staleMs`) → the lease is a
+  *    crashed writer's leftover: take it over (delete + re-acquire,
+  *    logged). The crashed writer's half-done swap is then healed by the
+  *    operator's own `recoverDir` entry point, exactly as before — the
+  *    lease guards CONCURRENCY, recovery still guards CRASHES.
+  *
+  * Stale age defaults to 30 minutes and is overridable per deployment via
+  * `GRAFT_LEASE_STALE_MS` (a slow 100 TB rebuild should set it above the
+  * rebuild's wall time, or renew by re-touching the marker). On object
+  * stores without atomic create-exclusive the acquire degrades to
+  * check-then-write — same race window every S3-backed lock has; HDFS and
+  * local FS (and S3 with a consistency layer) get the atomic semantics.
+  *
+  * Scale shape: one tiny file create + delete per lifecycle operation —
+  * nothing on the data path, nothing per row.
+  */
+object IndexLease {
+
+  /** dir -> (owning thread id, reentrancy depth) for leases held by THIS
+    * JVM. Thread-confined on purpose: two threads of one process racing a
+    * lifecycle op are exactly as unsafe as two processes, so the second
+    * thread contends like any foreign writer.
+    */
+  private val held =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+
+  private def staleMs: Long =
+    sys.env.get("GRAFT_LEASE_STALE_MS").map(_.toLong)
+      .getOrElse(30L * 60L * 1000L)
+
+  private def holderId: String = {
+    val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    s"$jvm/thread-${Thread.currentThread().getId}"
+  }
+
+  /** The marker's path for an index dir — a SIBLING file (swap-proof). */
+  def leasePath(dir: String): String = s"${dir.stripSuffix("/")}._lease"
+
+  /** Run `op` holding `dir`'s writer lease (see object doc for the
+    * acquire/contend/stale rules). Reentrant for nested lifecycle calls on
+    * the same thread; always released by the outermost frame, error or
+    * not.
+    */
+  def withLease[T](dir: String)(op: => T): T = {
+    val key = dir.stripSuffix("/")
+    val me = Thread.currentThread().getId
+    val cur = held.get(key)
+    if (cur != null && cur._1 == me) { // nested frame on the owning thread
+      held.put(key, (me, cur._2 + 1))
+      try op
+      finally {
+        val d = held.get(key)
+        if (d != null && d._2 > 1) held.put(key, (me, d._2 - 1))
+      }
+    } else {
+      acquire(key)
+      held.put(key, (me, 1))
+      try op
+      finally {
+        held.remove(key)
+        IndexFs.deleteFile(leasePath(key))
+      }
+    }
+  }
+
+  private def acquire(dir: String): Unit = {
+    val marker = leasePath(dir)
+    var attempt = 0
+    while (!IndexFs.createUtf8(marker, holderId)) {
+      attempt += 1
+      val (holder, ageMs) =
+        try {
+          val h = IndexFs.readUtf8(marker)
+          val t = IndexFs.modificationTime(marker)
+          (h, System.currentTimeMillis() - t)
+        } catch {
+          // the holder released between our create and this read — retry
+          case _: java.io.IOException => ("<released>", Long.MaxValue)
+        }
+      if (ageMs <= staleMs)
+        throw new IllegalStateException(
+          s"index lease $marker is held by $holder (age ${ageMs / 1000}s): " +
+            s"another lifecycle writer is active on $dir — stop it or wait; " +
+            s"a crashed writer's lease is taken over after ${staleMs} ms " +
+            "(GRAFT_LEASE_STALE_MS)")
+      // stale: a crashed writer's leftover — take it over, loudly
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"taking over stale index lease $marker (holder $holder, " +
+          s"age ${ageMs / 1000}s > ${staleMs / 1000}s)")
+      IndexFs.deleteFile(marker)
+      require(attempt < 8,
+        s"could not acquire index lease $marker after $attempt takeover " +
+          "attempts — a live writer keeps re-creating it")
+    }
+  }
+}

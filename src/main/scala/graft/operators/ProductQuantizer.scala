@@ -442,10 +442,14 @@ object ProductQuantizer {
     * own sample covariance before subspace splitting, so each codebook's
     * budget covers an equal mix of high- and low-variance directions.
     * Measured (round-16 `GateProbe opq` sweep, pool recall@5 vs plain
-    * residual at identical budget): +0.05 at the tight rerank=25 budget
-    * on every SF (0.733→0.787, 0.760→0.813, 0.653→0.707), ties at
-    * rerank=100 — i.e. the SAME recall from a ~25% smaller full-vector
-    * fetch, which at 100 TB is the refine-stage I/O bill. Same layout,
+    * residual at identical budget; full table in NOTES_r16): ahead at
+    * every tight-rerank config — np5/rr25 reads 0.733→0.787 (sf0.001),
+    * 0.720→0.733 (sf0.01), 0.653→0.707 (sf0.1); np8/rr25 reads
+    * 0.787→0.813, 0.760→0.813, 0.653→0.720 — and ties-or-ahead at
+    * rerank=100 (0.853→0.853, 0.840→0.853, 0.867→0.893). The wins
+    * concentrate at the small rerank pool: comparable recall from a ~4×
+    * smaller full-vector fetch, which at 100 TB is the refine-stage I/O
+    * bill. Same layout,
     * lifecycle, and determinism contract as the residual encoding; the
     * rotation persists in `pq_model.rotation` and every consumer applies
     * it through the model.
@@ -546,7 +550,8 @@ object ProductQuantizer {
     */
   def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       newVectors: DataFrame, idCol: String,
-      vecCol: String): Similarity.IvfAppendStats = {
+      vecCol: String): Similarity.IvfAppendStats =
+      IndexLease.withLease(indexDir) {
     import spark.implicits._
     IncrementalDedup.recoverDir(indexDir)
     val model = loadModel(spark, indexDir)
@@ -615,7 +620,7 @@ object ProductQuantizer {
     */
   def ivfPqRebuild(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       nCells: Int, m: Option[Int] = None,
-      nCodes: Option[Int] = None): Long = {
+      nCodes: Option[Int] = None): Long = IndexLease.withLease(indexDir) {
     IncrementalDedup.recoverDir(indexDir)
     val prev = loadModel(spark, indexDir)
     // rebuild trains on and re-writes the LIVE rows only; the swap drops

@@ -253,7 +253,8 @@ object Similarity {
     * findClosest applies.
     */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      newVectors: DataFrame, idCol: String, vecCol: String): IvfAppendStats = {
+      newVectors: DataFrame, idCol: String, vecCol: String): IvfAppendStats =
+      IndexLease.withLease(indexDir) {
     import spark.implicits._
     // heal a crashed ivfCompact swap before touching the index: a crash
     // between replaceDir's two renames leaves no live dir but a complete
@@ -348,7 +349,7 @@ object Similarity {
     * @return number of distinct ids in this delete batch
     */
   def ivfDelete(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      ids: DataFrame, idCol: String): Long = {
+      ids: DataFrame, idCol: String): Long = IndexLease.withLease(indexDir) {
     IncrementalDedup.recoverDir(indexDir)
     IncrementalDedup.appendTombstones(spark, s"$indexDir/tombstones",
       ids.select(col(idCol).as("neighbor_id")), "neighbor_id")
@@ -402,7 +403,7 @@ object Similarity {
     * @return number of vectors in the compacted index
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      targetRows: Long = 4_000_000L): Long = {
+      targetRows: Long = 4_000_000L): Long = IndexLease.withLease(indexDir) {
     IncrementalDedup.recoverDir(indexDir) // heal a prior crashed swap first
     // tombstoned rows are physically dropped here — and the tombstone
     // table is NOT carried through the swap, so compaction clears it
@@ -452,7 +453,7 @@ object Similarity {
     * @return number of vectors in the rebuilt index
     */
   def ivfRebuild(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      nCells: Int): Long = {
+      nCells: Int): Long = IndexLease.withLease(indexDir) {
     IncrementalDedup.recoverDir(indexDir)
     // rebuild trains on and re-writes the LIVE rows only; the swap drops
     // the tombstone table with the old dir

@@ -255,6 +255,11 @@ object DatasetManifest {
     * @return the stored manifest read back
     */
   def append(spark: SparkSession, dir: String): DataFrame = {
+    // heal a crashed prior swap FIRST: a crash between replaceDir's two
+    // renames leaves only _manifest.old — without this roll-forward the
+    // require below fails on a retried append and, worse, hasManifest
+    // reads false so shard readers silently skip the integrity gate
+    graft.operators.IncrementalDedup.recoverDir(s"$dir/_manifest")
     require(hasManifest(spark, dir),
       s"append needs an existing $dir/_manifest — seal with write() first")
     val stored = spark.read.parquet(s"$dir/_manifest")
@@ -284,6 +289,9 @@ object DatasetManifest {
     * the local one a `java.nio.file` probe would see.
     */
   def hasManifest(spark: SparkSession, dir: String): Boolean = {
+    // a crashed append swap leaves only _manifest.old — heal before
+    // probing, or every consumer gate silently reads "no manifest"
+    graft.operators.IncrementalDedup.recoverDir(s"$dir/_manifest")
     val p = new org.apache.hadoop.fs.Path(s"$dir/_manifest")
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
@@ -302,7 +310,11 @@ object DatasetManifest {
     * (~256 KiB per file, small files in full) against the sealed
     * `pagesig` — it catches a same-length flip WITH PROBABILITY
     * coverage/bytes per file (certainty for small files), at ~1% of a
-    * 25 MB part's read volume; requires a pagesig-era manifest.
+    * 25 MB part's read volume; requires a pagesig-era manifest. Entries
+    * appended from a pre-pagesig seal carry a null `pagesig` and degrade
+    * to quick semantics for that row (size/rows checked, content not) —
+    * filter `pagesig_manifest IS NULL` on the result to enumerate the
+    * uncovered files, and re-seal full to close them.
     * `mode = "quick"` checks the file set, byte sizes, and parquet-footer
     * row counts from each file's tail only — truncation, a missing or
     * stray part, and any corruption that moves the length or the footer,
@@ -319,6 +331,7 @@ object DatasetManifest {
       mode: String = "full"): DataFrame = {
     require(mode == "full" || mode == "quick" || mode == "sampled",
       s"verify mode must be full|sampled|quick, got '$mode'")
+    graft.operators.IncrementalDedup.recoverDir(s"$dir/_manifest")
     val storedRaw = spark.read.parquet(s"$dir/_manifest")
     if (mode == "sampled")
       require(storedRaw.columns.contains("pagesig"),
@@ -336,7 +349,14 @@ object DatasetManifest {
         "pagesig" -> "pagesig_actual"))
     val contentOk = mode match {
       case "full" => col("md5_manifest") === col("md5_actual")
-      case "sampled" => col("pagesig_manifest") === col("pagesig_actual")
+      // entries carried from a pre-pagesig manifest by append hold a null
+      // pagesig — fall back to quick semantics for them (content
+      // unchecked) instead of letting null === x → null read as "changed"
+      // and failing a healthy release's loader gate; consumers can list
+      // the uncovered entries via pagesig_manifest IS NULL, and a full
+      // re-seal upgrades them (the append docstring's advice)
+      case "sampled" => col("pagesig_manifest").isNull ||
+        col("pagesig_manifest") === col("pagesig_actual")
       case _ => lit(true)
     }
     stored.join(actual, Seq("file"), "full_outer")

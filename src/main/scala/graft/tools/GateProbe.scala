@@ -49,8 +49,12 @@ object GateProbe {
     * without the PCA-permutation rotation at identical code budget,
     * through [[graft.operators.ProductQuantizer.opqProbe]]'s in-memory
     * replica of the composed query math — run before investing in a
-    * persisted `opq` layout version. (Measured 2026-08-15: see NOTES_r16
-    * — no consistent win on this corpus; residual stays production.)
+    * persisted `opq` layout version. Measured 2026-08-15 (full table in
+    * NOTES_r16): rotation ties-or-wins at every config — rr25 gains
+    * +0.054/+0.013/+0.054 at np5 and +0.026/+0.053/+0.067 at np8 across
+    * sf0.001/0.01/0.1, rr100 ties-or-ahead (0.853→0.853, 0.840→0.853,
+    * 0.867→0.893) — so the rotation LANDED as the persisted
+    * `encoding = "opq"` ([[graft.operators.ProductQuantizer.ivfPqBuildOpq]]).
     */
   private def opqSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
@@ -194,11 +198,112 @@ object GateProbe {
     }
   }
 
+  /** `runMain graft.tools.GateProbe refine` — the round-17 refine-width
+    * decision sweep (VERDICT #6): the rerank stage reads the stored FULL
+    * float vectors; an fp16/int8 refine copy would halve/quarter that
+    * read, IF reranking by the narrower copy still picks the same top-k.
+    * The experiment isolates the encoding as the only variable: the
+    * candidate pool is the exact fp32 top-`rerank` per query (the
+    * idealized pool every ANN config converges to), and each encoding
+    * re-ranks that same pool by cosine(fp32 query, dequant(enc(stored))).
+    * Reported: recall@5 of the re-ranked top-5 vs the fp32 top-5, per
+    * (encoding, rerank) — fp32's own row is 1.0 by construction, the
+    * sanity anchor.
+    *
+    * Encodings:
+    *  - fp16: round-to-nearest-even to an 11-bit significand. This is the
+    *    PRECISION component of IEEE half; unit-scale embeddings never
+    *    approach half's range limit (65504), and components under its
+    *    6e-5 subnormal floor contribute O(1e-9) to a unit dot product, so
+    *    significand rounding is the entire observable effect.
+    *  - int8: per-vector symmetric linear quantization (scale =
+    *    max|x|/127 — the standard stored-copy scheme; scale rides along
+    *    as one extra float).
+    *
+    * Measured 2026-08-16 (this sweep, committed in NOTES_r17):
+    * {{{
+    * sf        rr25  fp32/fp16/int8      rr100 fp32/fp16/int8
+    * sf0.001   1.000/1.000/0.973         1.000/1.000/0.973
+    * sf0.01    1.000/0.987/0.987         1.000/0.987/0.987
+    * sf0.1     1.000/1.000/0.987         1.000/1.000/0.987
+    * }}}
+    * DECISION — measured, then deliberately NOT built (the byte-codes
+    * discipline): fp16 is recall-free to within one borderline pair
+    * (≥ 0.987) and would halve the refine read, BUT the engine's ANN
+    * gates pin a stronger property than recall — the exhaustive-probe
+    * query is ROW-IDENTICAL to fp32 brute force (t126/t128/t130/t134),
+    * i.e. reranked sims are EXACT. A narrowed stored copy breaks that
+    * row-identity contract for a 2× read saving on ONE stage; int8 is
+    * measurably lossy (0.973–0.987) on top. If a deployment wants the
+    * 2×, this sweep is the standing decision harness and the change is a
+    * storage-layer projection (fp16 shorts in `cells.cv`), not an
+    * algorithm change.
+    */
+  private def refineSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    def half(f: Float): Float = {
+      val bits = java.lang.Float.floatToIntBits(f)
+      val bias = 0x0FFF + ((bits >>> 13) & 1) // round-to-nearest-even
+      java.lang.Float.intBitsToFloat((bits + bias) & ~0x1FFF)
+    }
+    def int8(v: Array[Float]): Array[Float] = {
+      val s = v.map(math.abs).max / 127f
+      if (s == 0f) v.map(_ => 0f)
+      else v.map(x => math.round(x / s).toFloat * s)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val k = 5
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val emb = Tables.embeddings(spark, s"/root/testdata/$sf")
+      val queries = emb.filter($"vec_id" < 15)
+      for (rerank <- Seq(25, 100)) {
+        // exact fp32 pool with both endpoint vectors attached; driver-size
+        // (15 queries × rerank rows), the encodings then re-rank locally
+        val pool = Similarity
+          .bruteForceTopK(emb, queries, "vec_id", "embedding", rerank)
+          .join(emb.select($"vec_id".as("neighbor_id"),
+            $"embedding".as("cv")), Seq("neighbor_id"))
+          .join(emb.select($"vec_id".as("query_id"),
+            $"embedding".as("qv")), Seq("query_id"))
+          .select($"query_id", $"neighbor_id", $"rank", $"qv", $"cv")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getSeq[Float](3).toArray, r.getSeq[Float](4).toArray))
+        val byQuery = pool.groupBy(_._1)
+        def recallOf(enc: Array[Float] => Array[Float]): Double = {
+          val hits = byQuery.toSeq.map { case (_, rows) =>
+            val truth = rows.filter(_._3 <= k).map(_._2).toSet
+            val picked = rows
+              .map { case (_, nid, _, qv, cv) => (nid, cos(qv, enc(cv))) }
+              .sortBy { case (nid, sim) => (-sim, nid) }
+              .take(k).map(_._1).toSet
+            (picked & truth).size.toDouble / truth.size
+          }
+          hits.sum / hits.size
+        }
+        val r32 = recallOf(identity)
+        val r16 = recallOf(v => v.map(half))
+        val r8 = recallOf(int8)
+        println(f"[$sf] refine rerank=$rerank k=$k recall@5 " +
+          f"fp32=$r32%.3f fp16=$r16%.3f int8=$r8%.3f " +
+          f"(bytes/dim 4 -> 2 -> 1)")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(appName = "gate-probe")
     if (args.contains("annfilter")) { annFilterSweep(spark); spark.stop(); return }
     if (args.contains("ann")) { annSweep(spark); spark.stop(); return }
     if (args.contains("opq")) { opqSweep(spark); spark.stop(); return }
+    if (args.contains("refine")) { refineSweep(spark); spark.stop(); return }
     import spark.implicits._
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val d = s"/root/testdata/$sf"

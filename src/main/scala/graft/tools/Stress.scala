@@ -258,6 +258,119 @@ object Stress {
       check(!mAfter.rebuilt && mAfter.appendsLogged == 0,
         s"swap must reset the ledger: $mAfter")
 
+      // ---- deletion arc at stress scale (round-17): takedown batches →
+      // tombstoned reads never surface deleted ids (and their wall is
+      // recorded — the broadcast-anti-join cost claim gets a measured
+      // number) → the re-add guard fires → tombstone-pressure maintain
+      // compacts exactly once (physical resolve) → the post-compact query
+      // is row-identical and its wall is the no-tombstone band.
+      val delIdx = s"$workDir/ivf_del"
+      val nDel = (nVecs / 10L).max(5L)
+      val (_, tDelBuild) = timed {
+        Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 64, delIdx)
+      }
+      val (_, tDelete) = timed {
+        (0 until 5).foreach { b =>
+          Similarity.ivfDelete(spark, delIdx,
+            spark.range(b * nDel / 5, (b + 1) * nDel / 5)
+              .select(col("id").as("vec_id")), "vec_id")
+        }
+      }
+      val tsFiles = spark.read.parquet(s"$delIdx/tombstones").inputFiles.length
+      val (preDel, tPreDelQ) = timed {
+        val df = Similarity.ivfQuery(spark, delIdx, queries,
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        df.count(); df
+      }
+      val surfaced = preDel.where(col("neighbor_id") < nDel).count()
+      val preRows = preDel.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // recall harness over the live view only (never a deleted id)
+      val recallSample = Similarity.indexRecall(spark, delIdx,
+        k = 5, nProbe = 8, nQueries = 8)
+      // re-add of a tombstoned id must fail LOUDLY pre-write
+      val guardFired =
+        try {
+          Similarity.ivfAppend(spark, delIdx,
+            emb.where(col("vec_id") === 0L)
+              .select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding")
+          false
+        } catch { case _: IllegalArgumentException => true }
+      // tombstone PRESSURE, not an operator's manual compact, resolves:
+      // 10% tombstoned > the 5% threshold below
+      val delPol = AnnMaintenance.MaintenancePolicy(maxDriftRatio = 1e9,
+        sustainAppends = 1, maxMixtureTv = None,
+        maxTombstoneFraction = Some(0.05))
+      val (delDecision, tDelCompact) = timed {
+        AnnMaintenance.maintain(spark, delIdx, delPol)
+      }
+      val (postDel, tPostDelQ) = timed {
+        val df = Similarity.ivfQuery(spark, delIdx, queries,
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        df.count(); df
+      }
+      val postRows = postDel.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nLive = spark.read.parquet(s"$delIdx/cells").count()
+      println(j("stage" -> "deletion_arc", "build_seconds" -> tDelBuild,
+        "delete_seconds" -> tDelete, "tombstoned" -> nDel,
+        "tombstone_files" -> tsFiles,
+        "query_tombstoned_seconds" -> tPreDelQ,
+        "query_compacted_seconds" -> tPostDelQ,
+        "compact_seconds" -> tDelCompact,
+        "recall_live" -> f"$recallSample%.3f",
+        "live_vectors" -> nLive))
+      check(surfaced == 0, s"$surfaced deleted ids surfaced pre-compact")
+      check(tsFiles <= 17, s"tombstone table fragmented: $tsFiles files")
+      check(guardFired, "re-adding a tombstoned id did not fail loudly")
+      check(delDecision.compacted && !delDecision.rebuilt,
+        s"tombstone pressure did not compact: $delDecision")
+      check(!graft.operators.IndexFs.exists(s"$delIdx/tombstones"),
+        "compact left the tombstone table behind")
+      check(nLive == nVecs - nDel,
+        s"expected ${nVecs - nDel} live vectors post-compact, got $nLive")
+      check(preRows == postRows,
+        "physical resolve changed query answers")
+
+      // ---- fp-admission takedown arc at scale: delete a fingerprint
+      // slice → the SAME batch re-admits exactly that slice (re-crawl
+      // contract) → its delta + readmitKeys clears the tombstones → the
+      // third crawl is rejected again.
+      val fpIx = s"$workDir/fp_del"
+      val docFp = md5(col("text"))
+      val (fpCounts, tFpArc) = timed {
+        graft.operators.IncrementalDedup.buildIndex(docs, docFp)
+          .write.mode("overwrite").parquet(s"$fpIx/batch=1")
+        def live() = graft.operators.IncrementalDedup.liveIndex(spark, fpIx,
+          spark.read.parquet(fpIx).select(col("fp")), "fp")
+        val dup = graft.operators.IncrementalDedup
+          .admit(docs, live(), docFp, col("doc_id")).count()
+        val slice = docs.where(col("doc_id") % 97 === 0)
+        val nTakedown = graft.operators.IncrementalDedup.deleteFingerprints(
+          spark, fpIx, slice.select(docFp.as("fp")))
+        val readmitted = graft.operators.IncrementalDedup
+          .admit(docs, live(), docFp, col("doc_id")).localCheckpoint()
+        val nReadmit = readmitted.count()
+        readmitted.select(col("fp")).write.parquet(s"$fpIx/batch=2")
+        graft.operators.IncrementalDedup.readmitKeys(spark, fpIx,
+          readmitted.select(col("fp")), "fp")
+        val third = graft.operators.IncrementalDedup
+          .admit(docs, live(), docFp, col("doc_id")).count()
+        (dup, nTakedown, nReadmit, third)
+      }
+      val (fpDup, fpTakedown, fpReadmit, fpThird) = fpCounts
+      println(j("stage" -> "takedown_readmit", "seconds" -> tFpArc,
+        "duplicate_admitted" -> fpDup, "takedown_keys" -> fpTakedown,
+        "readmitted" -> fpReadmit, "third_crawl_admitted" -> fpThird))
+      check(fpDup == 0, s"fully-indexed batch admitted $fpDup rows")
+      check(fpReadmit == fpTakedown,
+        s"takedown of $fpTakedown fps must re-admit exactly that many docs, got $fpReadmit")
+      check(fpThird == 0,
+        s"third crawl re-admitted $fpThird rows — readmitKeys did not clear")
+      check(!graft.operators.IndexFs.exists(s"$fpIx/_tombstones"),
+        "cleared tombstone table still present")
+
       // ---- SRP-LSH embedding near-dups with NO blocking assumption at
       // 2x-factor vectors (100k at the default factor). The corpus has
       // KNOWN cluster structure: each base vector spawns sub-clusters of

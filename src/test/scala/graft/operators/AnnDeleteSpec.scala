@@ -191,4 +191,53 @@ class AnnDeleteSpec extends SparkSpec {
       == Seq(20L))
     assert(!IndexFs.exists(s"$ix/_tombstones"))
   }
+
+  test("a takedown landing DURING readmitKeys' rewrite is carried verbatim, " +
+      "not silently un-deleted") {
+    // removeTombstones is a read-modify-write swap of the tombstone
+    // table; before round 17 a takedown appended between its snapshot
+    // read and its swap was discarded — the takedown reported success
+    // but the key stayed live (the exact resurface failure ivfDelete's
+    // guard exists to prevent). The rewrite now snapshots the FILE SET
+    // and carries late files into the new table.
+    val base = tmp("ts_race")
+    val ix = s"$base/fp"
+    Seq("x").toDF("fp").write.parquet(s"$ix/batch=1")
+    IncrementalDedup.deleteFingerprints(spark, ix, Seq("a", "b").toDF("fp"))
+    val tsDir = s"$ix/_tombstones"
+    // the racing takedown's delete batch, pre-written so the mid-rewrite
+    // injection is a pure file rename (what a concurrent appendTombstones
+    // commit looks like at the filesystem)
+    val donor = s"$base/donor"
+    Seq("c").toDF("fp").coalesce(1).write.parquet(donor)
+    TombstoneRaceInject.src = spark.read.parquet(donor).inputFiles.head
+    TombstoneRaceInject.dst = s"$tsDir/part-late-takedown.parquet"
+    // a keys frame whose EVALUATION fires the injection: evaluated inside
+    // removeTombstones strictly after its file snapshot (driver code that
+    // ran before any action on `keys`) and strictly before its swap
+    val keys = Seq("a").toDS().coalesce(1).mapPartitions { it =>
+      TombstoneRaceInject.fire(); it
+    }.toDF("fp")
+    IncrementalDedup.readmitKeys(spark, ix, keys, "fp")
+    val after = spark.read.parquet(tsDir).select($"fp").as[String]
+      .collect().toSet
+    assert(after == Set("b", "c"),
+      s"expected the late takedown (c) carried and only (a) readmitted, got $after")
+    // and the late takedown actually APPLIES
+    val live = IncrementalDedup.liveIndex(spark, ix,
+      Seq("a", "b", "c", "x").toDF("fp"), "fp")
+    assert(live.as[String].collect().toSet == Set("a", "x"))
+  }
+}
+
+/** Driver/executor-shared injection point for the tombstone-race drill
+  * (object statics are per-JVM — exactly right under local mode, where
+  * tasks share the test JVM). `fire` is idempotent: a retried task must
+  * not fail on the second rename.
+  */
+object TombstoneRaceInject {
+  @volatile var src: String = _
+  @volatile var dst: String = _
+  def fire(): Unit =
+    if (src != null && IndexFs.exists(src)) IndexFs.rename(src, dst)
 }

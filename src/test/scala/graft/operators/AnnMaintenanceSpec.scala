@@ -160,4 +160,52 @@ class AnnMaintenanceSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(seqs == (0L to 18L), seqs.toString)
   }
+
+  test("tombstone pressure: delete batches stay file-bounded; maintain compacts " +
+      "exactly once (physical resolve, no retrain), then the next maintain is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_ts").toString
+    Similarity.ivfBuild(emb, "vec_id", "embedding", 4, dir)
+    val policy = AnnMaintenance.MaintenancePolicy(maxDriftRatio = 1e9,
+      sustainAppends = 1, maxMixtureTv = None,
+      maxTombstoneFraction = Some(0.25))
+
+    // tombstone-free index: the sensor reads nothing and stays quiet
+    val quiet = AnnMaintenance.maintain(spark, dir, policy)
+    assert(!quiet.compacted && !quiet.rebuilt &&
+      quiet.tombstoneFraction.isEmpty, quiet.toString)
+
+    // 20 takedown batches of 8 ids = 160/500 = 0.32 tombstoned. Without
+    // the appendTombstones fold this is 20 parquet files that EVERY
+    // query's anti-join re-lists forever (the drift_log failure shape)
+    for (b <- 0 until 20) {
+      val ids = spark.range(b * 8L, b * 8L + 8L).select($"id".as("vec_id"))
+      Similarity.ivfDelete(spark, dir, ids, "vec_id")
+    }
+    val ts = spark.read.parquet(s"$dir/tombstones")
+    assert(ts.inputFiles.length <= 17,
+      s"tombstone table fragmented: ${ts.inputFiles.length} files after 20 batches")
+    assert(ts.count() == 160)
+
+    // deletions already hide at read time (pre-compact), and the query
+    // answers must be ROW-IDENTICAL across the physical resolve
+    val queries = emb.where($"vec_id" >= 200 && $"vec_id" < 203)
+    def answers() = Similarity.ivfQuery(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      .select($"query_id", $"neighbor_id", $"rank").collect().toSet
+    val pre = answers()
+    assert(!pre.exists(_.getLong(1) < 160), "deleted id surfaced pre-compact")
+
+    val d = AnnMaintenance.maintain(spark, dir, policy)
+    assert(d.compacted && !d.rebuilt, d.toString)
+    assert(d.tombstoneFraction.exists(_ > 0.25), d.toString)
+    assert(!IndexFs.exists(s"$dir/tombstones"),
+      "compact must physically resolve and clear the tombstone table")
+    assert(spark.read.parquet(s"$dir/cells").count() == 340)
+    assert(answers() == pre, "compaction changed query answers")
+
+    // pressure relieved: the next maintain sees no tombstone table at all
+    val again = AnnMaintenance.maintain(spark, dir, policy)
+    assert(!again.compacted && !again.rebuilt &&
+      again.tombstoneFraction.isEmpty, again.toString)
+  }
 }

@@ -114,4 +114,17 @@ class BpeSpec extends SparkSpec {
     Bpe.saveMerges(Bpe.BpeModel(Nil), g)
     assert(Bpe.loadMerges(g) == Bpe.BpeModel(Nil))
   }
+
+  test("merges artifact round-trips through a file:-scheme URI " +
+      "(Hadoop FS — the model can live on the cluster store)") {
+    // java.nio.file.Paths cannot resolve a `file:` URI, so a green
+    // round-trip proves no local-only call sits on the artifact path —
+    // the tokenizer model the pipeline's --bpe-merges consumes was the
+    // last index-adjacent artifact pinned to the driver's local disk
+    val model = Bpe.BpeModel(Seq(("a", "b"), ("ab", "cd")))
+    val uri = "file:" +
+      java.nio.file.Files.createTempDirectory("bpe_uri").toString + "/m.txt"
+    Bpe.saveMerges(model, uri)
+    assert(Bpe.loadMerges(uri) == model)
+  }
 }

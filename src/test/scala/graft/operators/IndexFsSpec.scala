@@ -105,20 +105,64 @@ class IndexFsSpec extends SparkSpec {
     assert(spark.read.parquet(ix).select($"fp").distinct().count() == 4)
   }
 
+  test("CLI admit is URI-faithful: the second run rejects the duplicate batch " +
+      "instead of wiping the accumulated index (exact AND near mode)") {
+    // the round-16 regression shape: `admit` probed its index dir with
+    // java.io.File, which reads false for any URI — so the second run
+    // rebuilt an EMPTY index from batch.limit(0), admitted the whole
+    // batch again, and the (now Hadoop-correct) swap REPLACED the real
+    // index with the batch-only one. Driving the command twice through a
+    // file:-scheme URI pins the fix: run 2 must admit zero rows.
+    val base = tmpUri("cli_admit")
+    val in = s"$base/batch"
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "an entirely different document about spark planning"),
+        (3L, "a third unrelated page with its own words"))
+      .toDF("id", "text").write.parquet(in)
+
+    graft.cli.GraftCli.run(spark,
+      List("admit", in, s"$base/fpix", s"$base/out1", "id", "text"))
+    assert(spark.read.parquet(s"$base/out1").count() == 3)
+    assert(spark.read.parquet(s"$base/fpix").count() == 3)
+    graft.cli.GraftCli.run(spark,
+      List("admit", in, s"$base/fpix", s"$base/out2", "id", "text"))
+    assert(spark.read.parquet(s"$base/out2").count() == 0,
+      "second run re-admitted a fully duplicate batch — the index probe is not URI-faithful")
+    assert(spark.read.parquet(s"$base/fpix").count() == 3,
+      "second run destroyed the accumulated index")
+
+    graft.cli.GraftCli.run(spark,
+      List("admit", in, s"$base/sigix", s"$base/nout1", "id", "text", "near"))
+    assert(spark.read.parquet(s"$base/nout1").count() == 3)
+    graft.cli.GraftCli.run(spark,
+      List("admit", in, s"$base/sigix", s"$base/nout2", "id", "text", "near"))
+    assert(spark.read.parquet(s"$base/nout2").count() == 0,
+      "near-mode second run re-admitted duplicates through the URI")
+    // no lease marker left behind by either mode
+    assert(!IndexFs.exists(IndexLease.leasePath(s"$base/fpix")))
+    assert(!IndexFs.exists(IndexLease.leasePath(s"$base/sigix")))
+  }
+
   test("grep gate: zero local-filesystem calls in the index/release lifecycle sources") {
     // the fix is only durable if java.nio/java.io never creeps back into
     // these files: any probe/rename/walk they perform must resolve the
     // filesystem from the PATH (Hadoop API), or HDFS/S3 index URIs break
     val lifecycle = Seq(
       "src/main/scala/graft/operators/IndexFs.scala",
+      "src/main/scala/graft/operators/IndexLease.scala",
       "src/main/scala/graft/operators/IncrementalDedup.scala",
       "src/main/scala/graft/operators/Similarity.scala",
       "src/main/scala/graft/operators/ProductQuantizer.scala",
       "src/main/scala/graft/operators/AnnMaintenance.scala",
       "src/main/scala/graft/operators/TrainingOrder.scala",
+      "src/main/scala/graft/operators/Bpe.scala",
       "src/main/scala/graft/sinks/DatasetManifest.scala",
       "src/main/scala/graft/pipeline/CrawlPipeline.scala",
-      "src/main/scala/graft/streaming/StreamingOps.scala")
+      "src/main/scala/graft/streaming/StreamingOps.scala",
+      // the CLI touches index dirs too (admit's probe WAS this bug family:
+      // a java.io.File exists() on an HDFS URI reads false, rebuilds an
+      // empty index, and the now-working Hadoop swap replaces the real one)
+      "src/main/scala/graft/cli/GraftCli.scala")
     for (f <- lifecycle) {
       val p = java.nio.file.Paths.get(f)
       assert(java.nio.file.Files.exists(p), s"gate input missing: $f")

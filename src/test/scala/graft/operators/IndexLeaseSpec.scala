@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The single-writer contract, enforced ([[IndexLease]]): one marker file
+  * beside the index dir, create-exclusive acquire, loud contention, stale
+  * takeover. Every lifecycle operator (append/maintain/compact/rebuild/
+  * delete/readmit) now runs inside [[IndexLease.withLease]], so these
+  * drills cover the real operator surface, not just the primitive.
+  */
+class IndexLeaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def setMtime(p: String, t: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sessionState.newHadoopConf())
+      .setTimes(path, t, -1)
+  }
+
+  test("withLease: marker exists during the op, is gone after, result flows through") {
+    val dir = s"${tmpDir("lease")}/idx"
+    val marker = IndexLease.leasePath(dir)
+    val out = IndexLease.withLease(dir) {
+      assert(IndexFs.exists(marker), "lease marker absent while held")
+      42
+    }
+    assert(out == 42)
+    assert(!IndexFs.exists(marker), "lease marker leaked after release")
+  }
+
+  test("a held lease makes a second writer fail loudly, naming the holder") {
+    val dir = s"${tmpDir("lease")}/idx"
+    val marker = IndexLease.leasePath(dir)
+    assert(IndexFs.createUtf8(marker, "other-daemon@host42/thread-7"))
+    val e = intercept[IllegalStateException] {
+      IndexLease.withLease(dir) { fail("op must not run under contention") }
+    }
+    assert(e.getMessage.contains("other-daemon@host42/thread-7"), e.getMessage)
+    assert(e.getMessage.contains(dir), e.getMessage)
+    // the loser never deleted the winner's lease
+    assert(IndexFs.exists(marker))
+    IndexFs.deleteFile(marker)
+  }
+
+  test("a crashed writer's stale lease is taken over") {
+    val dir = s"${tmpDir("lease")}/idx"
+    val marker = IndexLease.leasePath(dir)
+    assert(IndexFs.createUtf8(marker, "crashed-daemon@gone/thread-1"))
+    // age the marker past the default 30-minute stale window
+    setMtime(marker, System.currentTimeMillis() - 31L * 60L * 1000L)
+    val out = IndexLease.withLease(dir) { "recovered" }
+    assert(out == "recovered")
+    assert(!IndexFs.exists(marker))
+  }
+
+  test("nested lifecycle calls on the owning thread are reentrant; outermost frame releases") {
+    val dir = s"${tmpDir("lease")}/idx"
+    val marker = IndexLease.leasePath(dir)
+    val out = IndexLease.withLease(dir) {
+      val inner = IndexLease.withLease(dir) { 1 }
+      // the inner frame must NOT have released the outer's lease
+      assert(IndexFs.exists(marker), "inner frame released the outer lease")
+      inner + 1
+    }
+    assert(out == 2)
+    assert(!IndexFs.exists(marker))
+  }
+
+  test("an erroring op still releases the lease") {
+    val dir = s"${tmpDir("lease")}/idx"
+    intercept[RuntimeException] {
+      IndexLease.withLease(dir) { sys.error("boom") }
+    }
+    assert(!IndexFs.exists(IndexLease.leasePath(dir)))
+  }
+
+  test("a second THREAD of the same JVM contends like a foreign writer") {
+    val dir = s"${tmpDir("lease")}/idx"
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => IndexLease.withLease(dir) {
+      entered.countDown()
+      release.await()
+    })
+    t.start()
+    entered.await()
+    val e = intercept[IllegalStateException] {
+      IndexLease.withLease(dir) { fail("must contend") }
+    }
+    assert(e.getMessage.contains("held by"), e.getMessage)
+    release.countDown()
+    t.join()
+    assert(!IndexFs.exists(IndexLease.leasePath(dir)))
+  }
+
+  test("the real operator surface contends: a foreign lease blocks ivfDelete and maintain") {
+    val dir = s"${tmpDir("lease_ivf")}/idx"
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    Similarity.ivfBuild(emb, "vec_id", "embedding", 4, dir)
+    assert(IndexFs.createUtf8(IndexLease.leasePath(dir), "rival@box/thread-3"))
+    val del = intercept[IllegalStateException] {
+      Similarity.ivfDelete(spark, dir, Seq(1L).toDF("vec_id"), "vec_id")
+    }
+    assert(del.getMessage.contains("rival@box/thread-3"), del.getMessage)
+    val m = intercept[IllegalStateException] {
+      AnnMaintenance.maintain(spark, dir)
+    }
+    assert(m.getMessage.contains("rival@box/thread-3"), m.getMessage)
+    IndexFs.deleteFile(IndexLease.leasePath(dir))
+    // with the rival gone the same calls go through
+    assert(Similarity.ivfDelete(spark, dir,
+      Seq(1L).toDF("vec_id"), "vec_id") == 1L)
+    assert(!AnnMaintenance.maintain(spark, dir).rebuilt)
+  }
+
+  test("leases survive whole-dir swaps (sibling marker): compact under lease leaves no marker behind") {
+    val dir = s"${tmpDir("lease_swap")}/idx"
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    Similarity.ivfBuild(emb, "vec_id", "embedding", 4, dir)
+    Similarity.ivfCompact(spark, dir) // acquires + releases internally
+    assert(!IndexFs.exists(IndexLease.leasePath(dir)))
+    assert(spark.read.parquet(s"$dir/cells").count() == emb.count())
+  }
+}

@@ -220,4 +220,64 @@ class DatasetManifestSpec extends SparkSpec {
     assert(v2(newF) == "missing" && v2("part-stray.parquet") == "extra",
       v2.toString)
   }
+
+  test("a crashed append swap (only _manifest.old on disk) self-heals at every entry point") {
+    // append commits via replaceDir; a crash between its two renames
+    // leaves no _manifest but a complete _manifest.old. Without a heal,
+    // hasManifest reads false (shard readers silently SKIP the integrity
+    // gate) and a retried append fails its own require.
+    val dir = Files.createTempDirectory("manifest_heal").toString + "/ds"
+    (1L to 30L).map(i => (i, s"v$i")).toDF("id", "text")
+      .coalesce(1).write.parquet(dir)
+    DatasetManifest.write(spark, dir)
+
+    def crash(): Unit = graft.operators.IndexFs
+      .rename(s"$dir/_manifest", s"$dir/_manifest.old")
+
+    crash()
+    assert(DatasetManifest.hasManifest(spark, dir),
+      "hasManifest must roll the crashed swap forward, not report no-manifest")
+    crash()
+    assert(DatasetManifest.verify(spark, dir, mode = "quick")
+      .where($"status" =!= "ok").count() == 0)
+    crash()
+    (31L to 40L).map(i => (i, s"v$i")).toDF("id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(DatasetManifest.append(spark, dir).count() == 2,
+      "a retried append after the crash window must succeed")
+    assert(!graft.operators.IndexFs.exists(s"$dir/_manifest.old"))
+  }
+
+  test("sampled tier degrades null-pagesig entries (appended onto a pre-pagesig seal) " +
+      "to quick semantics instead of failing a healthy release") {
+    val dir = Files.createTempDirectory("manifest_nps").toString + "/ds"
+    (1L to 40L).map(i => (i, s"g1_$i")).toDF("id", "text")
+      .coalesce(1).write.parquet(dir)
+    // a pre-pagesig-ERA seal: the column never existed
+    DatasetManifest.manifest(spark, dir).drop("pagesig").coalesce(1)
+      .write.parquet(s"$dir/_manifest")
+    // the release grows; append carries the legacy entry with pagesig=null
+    (41L to 60L).map(i => (i, s"g2_$i")).toDF("id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val m = DatasetManifest.append(spark, dir)
+    assert(m.where($"pagesig".isNull).count() == 1 &&
+      m.where($"pagesig".isNotNull).count() == 1)
+    // a HEALTHY release must read all-ok under sampled (null === x is
+    // null, which used to fall through to 'changed' and fail the gate) —
+    // and the uncovered entry is enumerable for the advised full re-seal
+    val v = DatasetManifest.verify(spark, dir, mode = "sampled")
+    assert(v.where($"status" =!= "ok").count() == 0, v.collect().mkString("\n"))
+    assert(v.where($"pagesig_manifest".isNull).count() == 1)
+    // content checks still BIND where coverage exists: tamper the covered
+    // (new-generation) file and sampled flags it
+    val covered = m.where($"pagesig".isNotNull).select($"file").as[String].head()
+    val p = Paths.get(dir, covered)
+    val b = Files.readAllBytes(p)
+    b(b.length / 2) = (b(b.length / 2) ^ 0xFF).toByte
+    Files.write(p, b)
+    Files.deleteIfExists(Paths.get(dir, "." + covered + ".crc"))
+    val v2 = DatasetManifest.verify(spark, dir, mode = "sampled").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(v2(covered) == "changed", v2.toString)
+  }
 }
