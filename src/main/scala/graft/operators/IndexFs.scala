@@ -144,4 +144,14 @@ object IndexFs {
     val (fs, path) = resolve(p)
     fs.exists(path) && fs.delete(path, false)
   }
+
+  /** Advance `p`'s modification time to now (lease renewal heartbeat);
+    * false when the file is gone — the caller treats that as "my lease
+    * was taken over", never an error to swallow silently.
+    */
+  def touch(p: String): Boolean = {
+    val (fs, path) = resolve(p)
+    if (!fs.exists(path)) false
+    else { fs.setTimes(path, System.currentTimeMillis(), -1); true }
+  }
 }

@@ -29,12 +29,17 @@ package graft.operators
   *    operator's own `recoverDir` entry point, exactly as before — the
   *    lease guards CONCURRENCY, recovery still guards CRASHES.
   *
-  * Stale age defaults to 30 minutes and is overridable per deployment via
-  * `GRAFT_LEASE_STALE_MS` (a slow 100 TB rebuild should set it above the
-  * rebuild's wall time, or renew by re-touching the marker). On object
-  * stores without atomic create-exclusive the acquire degrades to
-  * check-then-write — same race window every S3-backed lock has; HDFS and
-  * local FS (and S3 with a consistency layer) get the atomic semantics.
+  * Stale age defaults to 30 minutes, overridable per deployment via
+  * `GRAFT_LEASE_STALE_MS` (or the `graft.lease.stale.ms` system property,
+  * which wins — the spec hook). Held leases are RENEWED automatically: a
+  * shared daemon heartbeat re-touches every held marker each `staleMs/3`,
+  * so an arbitrarily long rebuild never goes stale mid-run and gets its
+  * index taken over by a second writer — the stale rule only ever fires
+  * on a writer that actually STOPPED heartbeating (crashed or hung past
+  * the window), which is exactly what it is for. On object stores without
+  * atomic create-exclusive the acquire degrades to check-then-write —
+  * same race window every S3-backed lock has; HDFS and local FS (and S3
+  * with a consistency layer) get the atomic semantics.
   *
   * Scale shape: one tiny file create + delete per lifecycle operation —
   * nothing on the data path, nothing per row.
@@ -49,8 +54,25 @@ object IndexLease {
   private val held =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
 
+  /** One shared daemon thread heartbeats ALL held leases — renewal must
+    * not depend on the (possibly Spark-blocked) holder thread making
+    * progress, and one timer for the whole JVM costs nothing.
+    */
+  private lazy val renewer = {
+    val t = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val th = new Thread(r, "graft-index-lease-renewal")
+        th.setDaemon(true)
+        th
+      })
+    t
+  }
+  private val renewals = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ScheduledFuture[_]]()
+
   private def staleMs: Long =
-    sys.env.get("GRAFT_LEASE_STALE_MS").map(_.toLong)
+    sys.props.get("graft.lease.stale.ms").map(_.toLong)
+      .orElse(sys.env.get("GRAFT_LEASE_STALE_MS").map(_.toLong))
       .getOrElse(30L * 60L * 1000L)
 
   private def holderId: String = {
@@ -80,8 +102,23 @@ object IndexLease {
     } else {
       acquire(key)
       held.put(key, (me, 1))
+      // heartbeat: re-touch the marker each staleMs/3 so a long-running
+      // rebuild never goes stale mid-run; a failed touch means the marker
+      // vanished under us (a stale takeover that should not have fired,
+      // or an operator's manual cleanup) — log loudly, the data-side
+      // swaps remain crash-safe either way
+      val period = math.max(1L, staleMs / 3)
+      renewals.put(key, renewer.scheduleWithFixedDelay(() => {
+        try {
+          if (!IndexFs.touch(leasePath(key)))
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"index lease ${leasePath(key)} vanished while held — " +
+                "taken over or manually removed")
+        } catch { case _: Throwable => /* renewal is best-effort */ }
+      }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
       try op
       finally {
+        Option(renewals.remove(key)).foreach(_.cancel(false))
         held.remove(key)
         IndexFs.deleteFile(leasePath(key))
       }

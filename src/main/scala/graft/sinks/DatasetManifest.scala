@@ -254,7 +254,13 @@ object DatasetManifest {
     *
     * @return the stored manifest read back
     */
-  def append(spark: SparkSession, dir: String): DataFrame = {
+  def append(spark: SparkSession, dir: String): DataFrame =
+      // append is a read-modify-write of the stored manifest behind one
+      // swap — two concurrent appends (two ingest jobs sealing the same
+      // grown release) would race it exactly like the index lifecycles,
+      // so it runs under the same writer lease; the loser fails loudly
+      // and retries against the winner's manifest
+      graft.operators.IndexLease.withLease(s"$dir/_manifest") {
     // heal a crashed prior swap FIRST: a crash between replaceDir's two
     // renames leaves only _manifest.old — without this roll-forward the
     // require below fails on a retried append and, worse, hasManifest

@@ -96,6 +96,35 @@ class IndexLeaseSpec extends SparkSpec {
     assert(!IndexFs.exists(IndexLease.leasePath(dir)))
   }
 
+  test("a held lease auto-renews: long ops never go stale, contenders still lose") {
+    val dir = s"${tmpDir("lease")}/idx"
+    val marker = IndexLease.leasePath(dir)
+    val prev = sys.props.get("graft.lease.stale.ms")
+    sys.props("graft.lease.stale.ms") = "600" // heartbeat every 200 ms
+    try {
+      IndexLease.withLease(dir) {
+        val t0 = IndexFs.modificationTime(marker)
+        Thread.sleep(1500) // several heartbeats; > 1 s so coarse (second-
+        // granularity) local-FS mtimes still show the advance
+        val t1 = IndexFs.modificationTime(marker)
+        assert(t1 > t0, s"lease marker not renewed while held: $t0 -> $t1")
+        // the renewed lease reads FRESH to a contender even though the
+        // configured stale window (600 ms) has long elapsed since acquire
+        val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val th = new Thread(() =>
+          try IndexLease.withLease(dir) { fail("must contend") }
+          catch { case x: Throwable => err.set(x) })
+        th.start(); th.join()
+        assert(err.get().isInstanceOf[IllegalStateException],
+          s"expected loud contention, got ${err.get()}")
+      }
+      assert(!IndexFs.exists(marker))
+    } finally prev match {
+      case Some(v) => sys.props("graft.lease.stale.ms") = v
+      case None => sys.props.remove("graft.lease.stale.ms")
+    }
+  }
+
   test("the real operator surface contends: a foreign lease blocks ivfDelete and maintain") {
     val dir = s"${tmpDir("lease_ivf")}/idx"
     val emb = graft.core.Tables.embeddings(spark, sf0001)
