@@ -554,6 +554,71 @@ object GraftCli {
             spark, indexDir, k, nProbe, nQueries)
           println(f"ann-recall: recall@$k = $r%.3f " +
             f"(nProbe=$nProbe, $nQueries sampled queries) for $indexDir")
+        case "index-status" :: dir :: Nil =>
+          // one operator-facing view of a persisted index's health: layout,
+          // live/tombstoned rows + the fraction maintain's pressure sensor
+          // reads, drift-ledger tail, and the writer lease — the numbers an
+          // on-call person needs BEFORE deciding ann-maintain/ann-rebuild/
+          // compact-index, gathered from footer metadata only (no data scan)
+          import graft.operators.{AnnMaintenance, IncrementalDedup, IndexFs, IndexLease}
+          IncrementalDedup.recoverDir(dir)
+          val isAnn = IndexFs.exists(s"$dir/centroids")
+          if (isAnn) {
+            val layout =
+              if (AnnMaintenance.isComposed(dir)) {
+                val m = graft.operators.ProductQuantizer.loadModel(spark, dir)
+                s"ivf-pq (encoding=${m.encoding}, m=${m.m}, nCodes=${m.nCodes})"
+              } else "ivf"
+            val nCells = spark.read.parquet(s"$dir/centroids").count()
+            val rows = spark.read.parquet(s"$dir/cells").count()
+            val ts = s"$dir/tombstones"
+            val (nTs, tsFiles) =
+              if (IndexFs.exists(ts)) {
+                val t = spark.read.parquet(ts)
+                (t.count(), t.inputFiles.length)
+              } else (0L, 0)
+            println(s"index-status: $dir")
+            println(s"  layout: $layout  cells: $nCells  rows: $rows")
+            if (nTs > 0)
+              println(f"  tombstones: $nTs ($tsFiles files, fraction " +
+                f"${nTs.toDouble / math.max(1L, rows)}%.3f of rows — " +
+                "maintain compacts past maxTombstoneFraction)")
+            else println("  tombstones: none")
+            val logDir = s"$dir/drift_log"
+            if (IndexFs.exists(logDir)) {
+              import org.apache.spark.sql.functions.col
+              val tail = spark.read.parquet(logDir)
+                .orderBy(col("seq").desc).limit(3)
+                .select("seq", "ratio", "mixture_tv").collect()
+              val s2 = tail.map(r => f"seq=${r.getLong(0)} " +
+                f"ratio=${if (r.isNullAt(1)) "-" else f"${r.getDouble(1)}%.3f"} " +
+                f"tv=${if (r.isNullAt(2)) "-" else f"${r.getDouble(2)}%.3f"}")
+              println(s"  drift ledger: ${spark.read.parquet(logDir).count()} " +
+                s"append(s); tail: ${s2.mkString(" | ")}")
+            } else println("  drift ledger: none (appends have not gone " +
+              "through AnnMaintenance.append)")
+          } else {
+            val batches = IndexFs.subdirNames(dir).count(_.startsWith("batch="))
+            val df = spark.read.parquet(dir)
+            val kind =
+              if (df.columns.contains("fp")) "fp-delta (exact admission)"
+              else if (df.columns.contains("sig")) "sig-delta (near-dup admission)"
+              else if (df.columns.contains("host")) "robots-delta"
+              else s"delta (${df.columns.mkString(",")})"
+            val ts = s"$dir/_tombstones"
+            val nTs = if (IndexFs.exists(ts)) spark.read.parquet(ts).count() else 0L
+            println(s"index-status: $dir")
+            println(s"  layout: $kind  batches: $batches  rows: ${df.count()}")
+            println(if (nTs > 0) s"  tombstones: $nTs (cleared on re-admission " +
+              "or compact-index)" else "  tombstones: none")
+          }
+          val marker = IndexLease.leasePath(dir)
+          if (IndexFs.exists(marker)) {
+            val age = (System.currentTimeMillis() -
+              IndexFs.modificationTime(marker)) / 1000
+            println(s"  lease: HELD by ${IndexFs.readUtf8(marker)} " +
+              s"(renewed ${age}s ago)")
+          } else println("  lease: free")
         case "takedown" :: ixDir :: docsParquet :: Nil =>
           // the operator-facing takedown arc across the crawl pipeline's
           // admission indexes: given the documents to remove (doc_id +
@@ -1030,7 +1095,7 @@ object GraftCli {
               "shards-read <dir> <from> <to> [full|quick|off] | " +
               "ann-build <sfDir> <indexDir> [nCells] | ann-append <inParquet> <indexDir> | " +
               "ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells [m nCodes]] | " +
-              "ann-recall <indexDir> [k nProbe nQueries] | " +
+              "ann-recall <indexDir> [k nProbe nQueries] | index-status <dir> | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
               "ann-query-filtered <queriesParquet> <allowedParquet> <indexDir> [k] [nProbe] [rerank] | " +
               "ann-pq-build <sfDir> <indexDir> [nCells] [m] [nCodes] [residual|raw] | " +

@@ -54,6 +54,20 @@ object IndexLease {
   private val held =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
 
+  /** Per-dir monitor serializing SAME-JVM acquisition/release: Hadoop's
+    * local-FS `create(overwrite = false)` is check-then-act (only HDFS
+    * gets namenode-atomic create-exclusive), so without this two threads
+    * of one process could both win the marker race. In-JVM arbitration is
+    * exact; cross-PROCESS atomicity remains the filesystem's contract
+    * (atomic on HDFS, a tiny window on raw local/object stores — the
+    * single-writer deployments the lease targets run one daemon per
+    * index, where the window never opens).
+    */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def monitorFor(key: String): Object =
+    monitors.computeIfAbsent(key, _ => new Object)
+
   /** One shared daemon thread heartbeats ALL held leases — renewal must
     * not depend on the (possibly Spark-blocked) holder thread making
     * progress, and one timer for the whole JVM costs nothing.
@@ -100,24 +114,35 @@ object IndexLease {
         if (d != null && d._2 > 1) held.put(key, (me, d._2 - 1))
       }
     } else {
-      acquire(key)
-      held.put(key, (me, 1))
-      // heartbeat: re-touch the marker each staleMs/3 so a long-running
-      // rebuild never goes stale mid-run; a failed touch means the marker
-      // vanished under us (a stale takeover that should not have fired,
-      // or an operator's manual cleanup) — log loudly, the data-side
-      // swaps remain crash-safe either way
-      val period = math.max(1L, staleMs / 3)
-      renewals.put(key, renewer.scheduleWithFixedDelay(() => {
-        try {
-          if (!IndexFs.touch(leasePath(key)))
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"index lease ${leasePath(key)} vanished while held — " +
-                "taken over or manually removed")
-        } catch { case _: Throwable => /* renewal is best-effort */ }
-      }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
+      val mon = monitorFor(key)
+      mon.synchronized {
+        // exact in-JVM arbitration first (see monitors doc), then the
+        // marker race against other processes
+        val inJvm = held.get(key)
+        if (inJvm != null)
+          throw new IllegalStateException(
+            s"index lease ${leasePath(key)} is held by thread " +
+              s"${inJvm._1} of this process: another lifecycle writer " +
+              s"is active on $key — stop it or wait")
+        acquire(key)
+        held.put(key, (me, 1))
+        // heartbeat: re-touch the marker each staleMs/3 so a long-running
+        // rebuild never goes stale mid-run; a failed touch means the
+        // marker vanished under us (a stale takeover that should not have
+        // fired, or an operator's manual cleanup) — log loudly, the
+        // data-side swaps remain crash-safe either way
+        val period = math.max(1L, staleMs / 3)
+        renewals.put(key, renewer.scheduleWithFixedDelay(() => {
+          try {
+            if (!IndexFs.touch(leasePath(key)))
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"index lease ${leasePath(key)} vanished while held — " +
+                  "taken over or manually removed")
+          } catch { case _: Throwable => /* renewal is best-effort */ }
+        }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
+      }
       try op
-      finally {
+      finally mon.synchronized {
         Option(renewals.remove(key)).foreach(_.cancel(false))
         held.remove(key)
         IndexFs.deleteFile(leasePath(key))

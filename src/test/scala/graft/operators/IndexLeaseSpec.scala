@@ -145,6 +145,60 @@ class IndexLeaseSpec extends SparkSpec {
     assert(!AnnMaintenance.maintain(spark, dir).rebuilt)
   }
 
+  test("mutual exclusion, not just loud contention: 8 threads x 5 " +
+      "read-modify-writes under the lease lose no update") {
+    // the property the lease actually exists for — a contender that
+    // RETRIES (the documented operator response to the loud error) still
+    // never interleaves with the holder's read-modify-write
+    val dir = s"${tmpDir("lease_mutex")}/idx"
+    val counter = s"$dir/counter.txt"
+    IndexFs.writeUtf8(counter, "0")
+    val threads = 8
+    val perThread = 5
+    val errs = java.util.concurrent.ConcurrentHashMap.newKeySet[Throwable]()
+    val pool = (0 until threads).map { _ =>
+      new Thread(() => {
+        try {
+          var done = 0
+          while (done < perThread) {
+            try {
+              IndexLease.withLease(dir) {
+                val v = IndexFs.readUtf8(counter).trim.toLong
+                Thread.sleep(1) // widen the interleaving window
+                IndexFs.writeUtf8(counter, (v + 1).toString)
+              }
+              done += 1
+            } catch {
+              case _: IllegalStateException => Thread.sleep(2) // contended: retry
+            }
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    assert(IndexFs.readUtf8(counter).trim.toLong == threads.toLong * perThread,
+      "lost update — the lease did not mutually exclude")
+  }
+
+  test("index-status CLI reads the health view without mutating anything") {
+    val dir = s"${tmpDir("lease_status")}/idx"
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    Similarity.ivfBuild(emb, "vec_id", "embedding", 4, dir)
+    Similarity.ivfDelete(spark, dir, Seq(1L, 2L).toDF("vec_id"), "vec_id")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.cli.GraftCli.run(spark, List("index-status", dir))
+    }
+    val text = out.toString("UTF-8")
+    assert(text.contains("layout: ivf"), text)
+    assert(text.contains("tombstones: 2"), text)
+    assert(text.contains("lease: free"), text)
+    // reading status left the index untouched
+    assert(spark.read.parquet(s"$dir/tombstones").count() == 2)
+    assert(spark.read.parquet(s"$dir/cells").count() == emb.count())
+  }
+
   test("leases survive whole-dir swaps (sibling marker): compact under lease leaves no marker behind") {
     val dir = s"${tmpDir("lease_swap")}/idx"
     val emb = graft.core.Tables.embeddings(spark, sf0001)
