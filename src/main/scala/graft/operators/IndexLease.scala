@@ -84,6 +84,12 @@ object IndexLease {
   private val renewals = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ScheduledFuture[_]]()
 
+  /** The exact marker content this JVM wrote per held dir — release
+    * compares before deleting (see the release note in [[withLease]]).
+    */
+  private val owned =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def staleMs: Long =
     sys.props.get("graft.lease.stale.ms").map(_.toLong)
       .orElse(sys.env.get("GRAFT_LEASE_STALE_MS").map(_.toLong))
@@ -124,7 +130,7 @@ object IndexLease {
             s"index lease ${leasePath(key)} is held by thread " +
               s"${inJvm._1} of this process: another lifecycle writer " +
               s"is active on $key — stop it or wait")
-        acquire(key)
+        owned.put(key, acquire(key))
         held.put(key, (me, 1))
         // heartbeat: re-touch the marker each staleMs/3 so a long-running
         // rebuild never goes stale mid-run; a failed touch means the
@@ -145,15 +151,31 @@ object IndexLease {
       finally mon.synchronized {
         Option(renewals.remove(key)).foreach(_.cancel(false))
         held.remove(key)
-        IndexFs.deleteFile(leasePath(key))
+        // release ONLY our own marker: if a mis-fired stale takeover (a
+        // writer hung past the whole window, then woke) handed the lease
+        // to another writer while we ran, deleting unconditionally would
+        // destroy THEIR live lease and cascade the contract break — the
+        // woken writer's release must be a no-op, not a theft
+        val marker = leasePath(key)
+        val mine = owned.remove(key)
+        try {
+          if (IndexFs.exists(marker) && IndexFs.readUtf8(marker) == mine)
+            IndexFs.deleteFile(marker)
+        } catch {
+          case _: java.io.IOException => /* marker raced away — released */
+        }
       }
     }
   }
 
-  private def acquire(dir: String): Unit = {
+  /** @return the exact marker content written (the owner token release
+    *         compares against)
+    */
+  private def acquire(dir: String): String = {
     val marker = leasePath(dir)
+    val me = holderId
     var attempt = 0
-    while (!IndexFs.createUtf8(marker, holderId)) {
+    while (!IndexFs.createUtf8(marker, me)) {
       attempt += 1
       val (holder, ageMs) =
         try {
@@ -179,5 +201,6 @@ object IndexLease {
         s"could not acquire index lease $marker after $attempt takeover " +
           "attempts — a live writer keeps re-creating it")
     }
+    me
   }
 }

@@ -223,12 +223,22 @@ object DatasetManifest {
     * the data; nothing is lost). The data itself is never touched.
     * @return the stored manifest read back
     */
-  def write(spark: SparkSession, dir: String): DataFrame = {
+  def write(spark: SparkSession, dir: String): DataFrame =
+      // same writer lease + staged swap as append: a direct overwrite
+      // deletes the live manifest BEFORE the new one is complete, so a
+      // crash mid-seal left a partial/absent manifest where the rest of
+      // the lifecycle guarantees "old complete or new complete"
+      graft.operators.IndexLease.withLease(s"$dir/_manifest") {
+    graft.operators.IncrementalDedup.recoverDir(s"$dir/_manifest")
     // one file: the manifest is |files| rows — driver-scale by definition.
     // Sealing records every tier (bytes/rows, pagesig, md5), so consumers
-    // can verify at whichever cost they can afford.
+    // can verify at whichever cost they can afford. (`_manifest.next`
+    // starts with `_`, so the part listing never sees the staging dir.)
+    graft.operators.IncrementalDedup.clearStaging(s"$dir/_manifest.next")
     manifest(spark, dir).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/_manifest")
+      .write.parquet(s"$dir/_manifest.next")
+    graft.operators.IncrementalDedup
+      .replaceDir(s"$dir/_manifest", s"$dir/_manifest.next")
     spark.read.parquet(s"$dir/_manifest")
   }
 

@@ -145,6 +145,23 @@ class IndexLeaseSpec extends SparkSpec {
     assert(!AnnMaintenance.maintain(spark, dir).rebuilt)
   }
 
+  test("release is owner-checked: a lease taken over mid-op is NOT deleted by the old holder") {
+    // the mis-fired-takeover scenario: a writer hangs past the stale
+    // window, its lease is taken over, it wakes and finishes — its
+    // release must be a no-op, never a deletion of the NEW holder's live
+    // lease (which would cascade the contract break to a third writer)
+    val dir = s"${tmpDir("lease")}/idx"
+    val marker = IndexLease.leasePath(dir)
+    IndexLease.withLease(dir) {
+      // simulate the takeover: our marker is replaced by another writer's
+      IndexFs.deleteFile(marker)
+      assert(IndexFs.createUtf8(marker, "usurper@elsewhere/thread-9"))
+    }
+    assert(IndexFs.exists(marker), "old holder's release deleted the usurper's lease")
+    assert(IndexFs.readUtf8(marker) == "usurper@elsewhere/thread-9")
+    IndexFs.deleteFile(marker)
+  }
+
   test("mutual exclusion, not just loud contention: 8 threads x 5 " +
       "read-modify-writes under the lease lose no update") {
     // the property the lease actually exists for — a contender that
