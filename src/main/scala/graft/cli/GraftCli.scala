@@ -1062,8 +1062,18 @@ object GraftCli {
               // snapshots are sfDir-agnostic: the scan location's scale
               // factor is run configuration, not plan shape
               .replaceAll("file:[^\\s\\]]*testdata/sf[0-9.]+", "file:<SFDIR>")
-            // Hadoop-FS write (parent dirs created implicitly)
+              // gate fixtures build into per-run temp dirs — the random
+              // path is run noise, not plan shape; without this every
+              // sweep churned the ANN/manifest gate snapshots
+              .replaceAll("file:/tmp/[^\\s\\]]*", "file:<TMP>")
+              // checkpoint callsite line numbers shift with every edit to
+              // the defining file — source drift, not plan shape
+              .replaceAll("\\.scala:\\d+", ".scala:n")
+            // Hadoop-FS write (parent dirs created implicitly); drop the
+            // local-FS checksum sidecar — snapshots are reviewed text, not
+            // data files
             graft.operators.IndexFs.writeUtf8(s"$outDir/$n.txt", normalized)
+            graft.operators.IndexFs.deleteFile(s"$outDir/.$n.txt.crc")
           }
           println(s"snapshot-plans: ${sel.size} plans -> $outDir")
         case other =>
