@@ -62,6 +62,45 @@ object TextSearch {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion of per-modality candidate rankings — the
+    * standard hybrid-retrieval combiner (Cormack/Clarke/Büttcher, SIGIR
+    * 2009): each list contributes `1 / (rrfK + rank)` for the ids it
+    * ranked, scores add across lists, ties break on id. Rank-based on
+    * purpose — BM25 scores and cosine sims live on incomparable scales,
+    * and RRF needs no per-modality calibration, which is why production
+    * hybrid search (lexical + dense) defaults to it.
+    *
+    * Inputs are `(id, rank)` frames — the TOP-K POOLS the distributed
+    * retrieval operators already produce ([[bm25TopK]], an ANN query's
+    * ranked output), so each is ≤ k·|lists| rows by contract and the
+    * fusion itself is candidate-pool-scale work above fully distributed
+    * candidate generation; the global window here ranks that small fused
+    * pool, never a corpus.
+    *
+    * Determinism: the score is an EXPLICIT fixed-order sum over the lists
+    * (list 0 first), never an aggregation over a shuffle — float addition
+    * is order-sensitive and the score must be reproducible bit-for-bit
+    * (the registry oracle compares exact doubles cross-engine).
+    *
+    * @return (id, rank_0..rank_{n-1} — null where a list did not rank the
+    *         id, rrf_score, fused_rank), top `k` by (rrf_score desc, id)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty && k >= 1 && rrfK >= 0)
+    val named = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("id"), col("rank").cast("bigint").as(s"rank_$i"))
+    }
+    val joined = named.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(rrfK) + col(s"rank_$i")), lit(0.0)))
+      .reduceLeft(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_score").desc, col("id"))
+    joined.withColumn("rrf_score", score)
+      .withColumn("fused_rank", row_number().over(w).cast("bigint"))
+      .where(col("fused_rank") <= k)
+  }
+
   /** Positional postings — the inverted index WITH positions that phrase
     * and proximity queries need (BM25 above is bag-of-words and cannot
     * tell "hash table" from "table hash"). One narrow explode; (term, doc,

@@ -94,6 +94,94 @@ object ExtensionQueries9 {
         "row-identical, the table clears, and the next maintain is a " +
         "no-op; violations + sentinel, constant oracle.",
       gate = true
+    ),
+    // --------------------------------------------------------------- t135
+    GraftQuery(
+      "t135_hybrid_rrf",
+      (s, d) => {
+        import s.implicits._
+        // hybrid retrieval: BM25 top-50 (lexical) + cosine-vs-query-vector
+        // top-50 (dense) fused by reciprocal-rank fusion. Candidate pools
+        // come from the distributed retrieval operators; the fusion ranks
+        // the ≤100-row fused pool. The ORACLE recomputes both rankings
+        // (the t50 bit-exact BM25 formula; list_dot_product on DOUBLE[] —
+        // measured bitwise-identical to Spark's sequential double cosine
+        // fold) and the same fixed-order RRF sum, so every column
+        // value-hashes cross-engine, ranks AND doubles.
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val poolK = 50
+        val lexW = org.apache.spark.sql.expressions.Window
+          .orderBy($"score".desc, $"id")
+        val lex = graft.operators.TextSearch.bm25TopK(docs, $"doc_id",
+            $"text", terms = Seq("spark", "merge", "window"), k = poolK)
+          .select($"id",
+            row_number().over(lexW).cast("bigint").as("rank"))
+        val qv = emb.where($"vec_id" === 0).select($"embedding".as("qv"))
+        val denseW = org.apache.spark.sql.expressions.Window
+          .orderBy($"sim".desc, $"id")
+        val dense = emb.crossJoin(broadcast(qv))
+          .select($"vec_id".as("id"),
+            Similarity.cosine($"embedding", $"qv").as("sim"))
+          .withColumn("rank", row_number().over(denseW).cast("bigint"))
+          .where($"rank" <= poolK).select($"id", $"rank")
+        graft.operators.TextSearch.rrfFuse(Seq(lex, dense), k = 20)
+          .select($"id".cast("bigint").as("doc_id"),
+            $"rank_0".as("lex_rank"), $"rank_1".as("dense_rank"),
+            $"rrf_score", $"fused_rank")
+          .orderBy($"fused_rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |dd AS (SELECT doc_id,
+             |  CAST(len(t) AS BIGINT) AS dl,
+             |  CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0,
+             |  CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf1,
+             |  CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf2
+             |  FROM tok),
+             |st AS (SELECT count(*) AS n, SUM(CAST(dl AS DECIMAL(20,0))) AS sumdl,
+             |  SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             |  SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             |  SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+             |  FROM dd),
+             |scored AS (SELECT doc_id,
+             |  ((CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+             |    * ((CAST(tf0 AS DOUBLE) * 2.5) / (CAST(tf0 AS DOUBLE)
+             |        + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             |  + ((CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+             |    * ((CAST(tf1 AS DOUBLE) * 2.5) / (CAST(tf1 AS DOUBLE)
+             |        + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             |  + ((CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+             |    * ((CAST(tf2 AS DOUBLE) * 2.5) / (CAST(tf2 AS DOUBLE)
+             |        + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             |  AS score
+             |  FROM dd CROSS JOIN st),
+             |lex AS (SELECT doc_id,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+             |  FROM scored ORDER BY score DESC, doc_id LIMIT 50),
+             |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+             |sims AS (SELECT e.vec_id AS doc_id,
+             |    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+             |  FROM embeddings e CROSS JOIN q),
+             |dense AS (SELECT doc_id,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS dense_rank
+             |  FROM sims ORDER BY sim DESC, doc_id LIMIT 50),
+             |fused AS (SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+             |    l.lex_rank, de.dense_rank,
+             |    COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+             |      + COALESCE(1.0 / (60 + de.dense_rank), 0.0) AS rrf_score
+             |  FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id)
+             |SELECT doc_id, lex_rank, dense_rank, rrf_score,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+             |FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin),
+      doc = "Hybrid retrieval via reciprocal-rank fusion (TextSearch." +
+        "rrfFuse — Cormack et al., SIGIR 2009): BM25 lexical top-50 and " +
+        "dense cosine top-50 fused by 1/(60+rank) with a fixed-order " +
+        "sum; rank-based so the incomparable score scales need no " +
+        "calibration. Oracle recomputes both rankings and the fusion " +
+        "bit-exactly (DOUBLE[] dot products measured bitwise-identical " +
+        "to Spark's sequential double fold)."
     )
   )
 }

@@ -92,4 +92,23 @@ class TextSearchSpec extends SparkSpec {
     }.filter(_._2 > 0).toMap
     assert(got == want && want.nonEmpty)
   }
+
+  test("rrfFuse: hand-computed fusion — scores exact, nulls where a list " +
+      "did not rank, ties broken on id, k caps the fused pool") {
+    val l0 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val l1 = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = TextSearch.rrfFuse(Seq(l0, l1), k = 3)
+      .orderBy($"fused_rank")
+      .select($"id".as[Long], $"rank_0".as[Option[Long]],
+        $"rank_1".as[Option[Long]], $"rrf_score".as[Double],
+        $"fused_rank".as[Long])
+      .collect().toSeq
+    // 20 ranked by both: 1/62 + 1/61; 10 only by list 0: 1/61; 40 only by
+    // list 1: 1/62; 30 (1/63) is cut by k = 3. EXACT doubles — the score
+    // is a fixed-order sum, so the expectation is the same expression
+    assert(out == Seq(
+      (20L, Some(2L), Some(1L), 1.0 / 62 + 1.0 / 61, 1L),
+      (10L, Some(1L), None, 1.0 / 61 + 0.0, 2L),
+      (40L, None, Some(2L), 0.0 + 1.0 / 62, 3L)), out.toString)
+  }
 }
