@@ -120,11 +120,16 @@ object ExtensionQueries9 {
         val qv = emb.where($"vec_id" === 0).select($"embedding".as("qv"))
         val denseW = org.apache.spark.sql.expressions.Window
           .orderBy($"sim".desc, $"id")
+        // pool selection is orderBy + limit — a distributed TakeOrdered
+        // heap, NEVER a global window over the corpus (that single
+        // partition is the scale-killer the plan audits ban); the window
+        // then ranks the 50-row pool only
         val dense = emb.crossJoin(broadcast(qv))
           .select($"vec_id".as("id"),
             Similarity.cosine($"embedding", $"qv").as("sim"))
+          .orderBy($"sim".desc, $"id").limit(poolK)
           .withColumn("rank", row_number().over(denseW).cast("bigint"))
-          .where($"rank" <= poolK).select($"id", $"rank")
+          .select($"id", $"rank")
         graft.operators.TextSearch.rrfFuse(Seq(lex, dense), k = 20)
           .select($"id".cast("bigint").as("doc_id"),
             $"rank_0".as("lex_rank"), $"rank_1".as("dense_rank"),
