@@ -288,10 +288,34 @@ object CrawlPipeline {
             // AFTER the deltas landed (a crash between leaves them hidden;
             // the replay heals). Batch mode needs no clear — its whole-dir
             // swap rebuilds the index from the live view.
-            IncrementalDedup.readmitKeys(spark, fpDir,
-              admitted.select(col("fp")), "fp")
-            IncrementalDedup.readmitKeys(spark, sigDir,
-              admitted.select(col("id")), "id")
+            //
+            // Contention posture: readmitKeys runs under the index writer
+            // lease, so an operator's `takedown` mid-batch makes it fail
+            // LOUDLY — retry briefly, then DEFER rather than kill the
+            // daemon: a deferred clear is safe (the keys stay hidden —
+            // deletion semantics intact — and the page's NEXT crawl
+            // re-admits and re-attempts the clear; duplicate delta rows
+            // dedup at compaction), while a daemon death on a transient
+            // takedown is not.
+            def clearWithRetry(dir: String, keys: org.apache.spark.sql.DataFrame,
+                keyCol: String): Unit = {
+              var attempt = 0
+              var done = false
+              while (!done) {
+                try { IncrementalDedup.readmitKeys(spark, dir, keys, keyCol); done = true }
+                catch {
+                  case e: IllegalStateException if attempt < 3 =>
+                    attempt += 1; Thread.sleep(200L * attempt)
+                  case e: IllegalStateException =>
+                    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                      s"deferring tombstone clear on $dir (writer lease " +
+                        s"contended): ${e.getMessage}")
+                    done = true
+                }
+              }
+            }
+            clearWithRetry(fpDir, admitted.select(col("fp")), "fp")
+            clearWithRetry(sigDir, admitted.select(col("id")), "id")
           case None =>
             // batch mode: full-index rewrites staged beside the robots
             // generation, then the SINGLE commit point — one swap advances

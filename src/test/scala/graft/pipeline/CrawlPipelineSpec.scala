@@ -685,4 +685,54 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(batches(1L)("10_enrich_fail") == 0L)
     assert(new java.io.File(s"$work/batch=1/10_enrich/ok=true").isDirectory)
   }
+
+  test("takedown under lease contention: the daemon's tombstone clear DEFERS " +
+      "(batch succeeds, deletion stays applied); the next crawl completes it") {
+    val warcDir = Files.createTempDirectory("crawl_td_warc")
+    val work = Files.createTempDirectory("crawl_td_work").toString
+    val ix = Files.createTempDirectory("crawl_td_ix").toString + "/index"
+    Files.write(warcDir.resolve("snap.warc"),
+      response("http://a.example/robots.txt", "User-agent: *\n") ++
+      response("http://a.example/page", bodyAlpha))
+    def runBatch(id: Long): Map[String, Long] =
+      CrawlPipeline.run(spark, s"$warcDir/snap.warc", s"$work/batch=$id",
+          indexDir = Some(ix), snapshotId = Some(id))
+        .map(c => c.stage -> c.rows).toMap
+    assert(runBatch(0L)("04b_admit") == 1)
+
+    // takedown across both admission indexes (the CLI `takedown` arc)
+    val admitted = spark.read.parquet(s"$work/batch=0/04b_admit")
+    graft.operators.IncrementalDedup.deleteFingerprints(
+      spark, s"$ix/fp", admitted.select($"fp"))
+    graft.operators.IncrementalDedup.deleteSignatureIds(
+      spark, s"$ix/sig", admitted.select($"id"))
+
+    // an operator holds BOTH writer leases while the daemon's next batch
+    // runs — the exact mid-batch takedown contention the retry-then-defer
+    // posture exists for
+    val fpMarker = graft.operators.IndexLease.leasePath(s"$ix/fp")
+    val sigMarker = graft.operators.IndexLease.leasePath(s"$ix/sig")
+    assert(graft.operators.IndexFs.createUtf8(fpMarker, "op@takedown/thread-1"))
+    assert(graft.operators.IndexFs.createUtf8(sigMarker, "op@takedown/thread-1"))
+    try {
+      // the tombstoned page re-admits; the clears contend and DEFER —
+      // the batch must succeed, not die on the takedown's lease
+      assert(runBatch(1L)("04b_admit") == 1)
+      assert(graft.operators.IndexFs.exists(s"$ix/fp/_tombstones"),
+        "fp clear should have been deferred under contention")
+      assert(graft.operators.IndexFs.exists(s"$ix/sig/_tombstones"),
+        "sig clear should have been deferred under contention")
+    } finally {
+      graft.operators.IndexFs.deleteFile(fpMarker)
+      graft.operators.IndexFs.deleteFile(sigMarker)
+    }
+
+    // leases released: the page's next crawl re-admits (still tombstoned)
+    // and completes the deferred clear
+    assert(runBatch(2L)("04b_admit") == 1)
+    assert(!graft.operators.IndexFs.exists(s"$ix/fp/_tombstones"))
+    assert(!graft.operators.IndexFs.exists(s"$ix/sig/_tombstones"))
+    // fully cleared: the fourth crawl is a plain duplicate again
+    assert(runBatch(3L)("04b_admit") == 0)
+  }
 }
