@@ -554,6 +554,42 @@ object GraftCli {
             spark, indexDir, k, nProbe, nQueries)
           println(f"ann-recall: recall@$k = $r%.3f " +
             f"(nProbe=$nProbe, $nQueries sampled queries) for $indexDir")
+        case "hybrid-search" :: sfDir :: annDir :: outDir :: qidStr :: terms
+            if terms.nonEmpty =>
+          // production-shape hybrid retrieval: BM25 lexical pool over the
+          // documents table + the PERSISTED ANN index's ranked pool for a
+          // query vector, fused by reciprocal-rank fusion
+          // (TextSearch.rrfFuse — the t135 operator with the dense side on
+          // the real index tier instead of brute force). Both pools come
+          // from distributed heap/pruned-scan operators; the fusion ranks
+          // a <= 100-row pool.
+          import org.apache.spark.sql.functions.{broadcast, col, row_number}
+          val poolK = 50
+          val docs = graft.core.Tables.documents(spark, sfDir)
+          val emb = graft.core.Tables.embeddings(spark, sfDir)
+          val lexW = org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("id"))
+          val lex = graft.operators.TextSearch.bm25TopK(docs, col("doc_id"),
+              col("text"), terms, k = poolK)
+            .select(col("id"),
+              row_number().over(lexW).cast("bigint").as("rank"))
+          val queries = emb.where(col("vec_id") === qidStr.toLong)
+          val dense = graft.operators.Similarity.ivfQuery(spark, annDir,
+              queries, "vec_id", "embedding", k = poolK, nProbe = 8)
+            .select(col("neighbor_id").as("id"), col("rank"))
+          val fused = graft.operators.TextSearch.rrfFuse(
+            Seq(lex, dense), k = 20)
+          fused.orderBy(col("fused_rank"))
+            .write.mode("overwrite").parquet(outDir)
+          val top = spark.read.parquet(outDir).orderBy(col("fused_rank"))
+            .limit(5).collect()
+          println(s"hybrid-search: terms=${terms.mkString(",")} qid=$qidStr " +
+            s"-> ${spark.read.parquet(outDir).count()} fused results " +
+            s"-> $outDir")
+          top.foreach(r => println(s"  #${r.getAs[Long]("fused_rank")} " +
+            s"doc ${r.get(0)} lex=${r.getAs[Any]("rank_0")} " +
+            s"dense=${r.getAs[Any]("rank_1")} " +
+            f"rrf=${r.getAs[Double]("rrf_score")}%.5f"))
         case "index-status" :: dir :: Nil =>
           // one operator-facing view of a persisted index's health: layout,
           // live/tombstoned rows + the fraction maintain's pressure sensor
@@ -1106,6 +1142,7 @@ object GraftCli {
               "ann-build <sfDir> <indexDir> [nCells] | ann-append <inParquet> <indexDir> | " +
               "ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells [m nCodes]] | " +
               "ann-recall <indexDir> [k nProbe nQueries] | index-status <dir> | " +
+              "hybrid-search <sfDir> <annIndexDir> <outDir> <queryVecId> <terms...> | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
               "ann-query-filtered <queriesParquet> <allowedParquet> <indexDir> [k] [nProbe] [rerank] | " +
               "ann-pq-build <sfDir> <indexDir> [nCells] [m] [nCodes] [residual|raw] | " +

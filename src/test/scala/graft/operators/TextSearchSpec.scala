@@ -111,4 +111,22 @@ class TextSearchSpec extends SparkSpec {
       (10L, Some(1L), None, 1.0 / 61 + 0.0, 2L),
       (40L, None, Some(2L), 0.0 + 1.0 / 62, 3L)), out.toString)
   }
+
+  test("hybrid-search CLI: BM25 + persisted-ANN pools fuse end-to-end") {
+    val base = java.nio.file.Files.createTempDirectory("hybrid").toString
+    val ix = s"$base/ann"
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    Similarity.ivfBuild(emb, "vec_id", "embedding", 4, ix)
+    graft.cli.GraftCli.run(spark, List("hybrid-search", sf0001, ix,
+      s"$base/out", "0", "spark", "merge"))
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 20)
+    assert(out.columns.toSet ==
+      Set("id", "rank_0", "rank_1", "rrf_score", "fused_rank"))
+    // both modalities contributed to the fused pool
+    assert(out.where($"rank_0".isNotNull).count() > 0)
+    assert(out.where($"rank_1".isNotNull).count() > 0)
+    assert(out.select($"fused_rank").as[Long].collect().sorted.toSeq
+      == (1L to 20L))
+  }
 }
