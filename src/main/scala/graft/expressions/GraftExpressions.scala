@@ -542,6 +542,55 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object DeflateRatioImpl {
+  /** DEFLATE-compressed size over raw UTF-8 size — the classical
+    * compressibility quality signal (Rae et al., Gopher, 2021: natural
+    * prose sits in a mid band; boilerplate/templated spam compresses FAR
+    * better, random/binary junk barely at all). Raw-deflate (no zlib
+    * header/checksum) so the 6-byte framing never pollutes the signal;
+    * empty text reads 1.0 (nothing to judge). Deterministic: zlib output
+    * is a pure function of (bytes, level, strategy) — the gate pins
+    * repartition-invariance.
+    */
+  def compute(s: UTF8String, level: Int): Double = {
+    val raw = s.getBytes
+    if (raw.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      n.toDouble / raw.length
+    } finally d.end()
+  }
+}
+
+/** graft_deflate_ratio(text[, level]): DEFLATE bytes / raw UTF-8 bytes. */
+case class DeflateRatio(child: Expression, level: Int)
+    extends UnaryExpression {
+  require(level >= 1 && level <= 9, s"deflate level in [1,9], got $level")
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_deflate_ratio requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    DeflateRatioImpl.compute(v.asInstanceOf[UTF8String], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.DeflateRatioImpl.compute($c, $level)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
 object BlockAHashImpl {
   /** Blockwise average-hash over raw payload bytes: the byte stream is cut
     * into 64 equal spans (block i covers [i*n/64, (i+1)*n/64)), bit i is set

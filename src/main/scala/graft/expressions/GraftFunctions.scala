@@ -47,6 +47,13 @@ object GraftFunctions {
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (args: Seq[Expression]) => NfcNormalize(arity("graft_nfc", args, 1).head),
     ),
+    ("graft_deflate_ratio",
+      new ExpressionInfo(classOf[DeflateRatio].getName, "graft_deflate_ratio"),
+      (args: Seq[Expression]) =>
+        if (args.size == 2)
+          DeflateRatio(args(0), intArg("graft_deflate_ratio")(args(1)))
+        else
+          DeflateRatio(arity("graft_deflate_ratio", args, 1).head, 6)),
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(arity("graft_simhash64", args, 1).head),
@@ -148,6 +155,8 @@ object GraftFunctions {
     org.apache.spark.sql.GraftColumnBridge.expression(c)
 
   def nfc(c: Column): Column = exprCol(NfcNormalize(expr(c)))
+  def deflateRatio(text: Column, level: Int = 6): Column =
+    exprCol(DeflateRatio(expr(text), level))
   def simhash64(c: Column): Column = exprCol(SimHash64(expr(c)))
   def cosineSim(a: Column, b: Column): Column =
     exprCol(CosineSimilarity(expr(a), expr(b)))

@@ -86,6 +86,18 @@ object QualityRules {
       .reduce(_ + _)
   }
 
+  /** DEFLATE compressibility — the Gopher/RefinedWeb boilerplate proxy
+    * (templated spam compresses far better than prose; random junk barely
+    * at all). A codegen'd native expression (`graft_deflate_ratio`), NOT
+    * part of [[rules]]' default chain — that chain is the published
+    * reference-parity heuristic set — so corpora compose it explicitly,
+    * e.g. `keep(text) && deflateRatio(text).between(0.25, 0.95)`. Gate
+    * t136 pins the signal's invariants (band, self-concat monotonicity,
+    * degenerate-repeat separation, partition invariance).
+    */
+  def deflateRatio(text: Column, level: Int = 6): Column =
+    graft.expressions.GraftFunctions.deflateRatio(text, level)
+
   final case class Thresholds(
       minWords: Long = 10L,
       maxWords: Long = 100000L,

@@ -187,6 +187,61 @@ object ExtensionQueries9 {
         "calibration. Oracle recomputes both rankings and the fusion " +
         "bit-exactly (DOUBLE[] dot products measured bitwise-identical " +
         "to Spark's sequential double fold)."
+    ),
+    // --------------------------------------------------------------- t136
+    GraftQuery(
+      "t136_deflate_signal",
+      (s, d) => {
+        import s.implicits._
+        // the DEFLATE-compressibility quality signal (graft_deflate_ratio
+        // — the Gopher/RefinedWeb boilerplate proxy: templated spam
+        // compresses FAR better than prose, random junk barely at all)
+        // as a gate over its defining invariants, since no SQL engine can
+        // re-derive zlib output: (1) every nonempty doc's ratio sits in
+        // (0, 1.1] and real prose (n_chars >= 200) strictly below 1;
+        // (2) self-concatenation strictly IMPROVES compressibility on
+        // >= 200-char docs (the back-reference window sees the repeat);
+        // (3) a degenerate 60x-repeated-prefix construction compresses
+        // below 0.35 — the separation the boilerplate filter relies on;
+        // (4) the signal is a pure function of the text: values agree
+        // row-for-row across repartition(7) vs coalesce(1).
+        val fn = graft.expressions.GraftFunctions
+        val docs = Tables.documents(s, d).select($"doc_id", $"text", $"n_chars")
+        val scored = docs.select($"doc_id", $"n_chars",
+          fn.deflateRatio($"text").as("ratio"),
+          fn.deflateRatio(concat($"text", lit(" "), $"text")).as("ratio2"),
+          fn.deflateRatio(concat_ws(" ",
+            array_repeat(substring($"text", 1, 9), 60))).as("ratio_rep"))
+          .localCheckpoint()
+        val vBand = scored.where($"ratio" <= 0.0 || $"ratio" > 1.1 ||
+            ($"n_chars" >= 200 && $"ratio" >= 1.0))
+          .select($"doc_id".as("id_a"), lit(-1L).as("id_b"),
+            lit("ratio_out_of_band").as("reason"))
+        val vDouble = scored.where($"n_chars" >= 200 && $"ratio2" >= $"ratio")
+          .select($"doc_id".as("id_a"), lit(-2L).as("id_b"),
+            lit("self_concat_not_more_compressible").as("reason"))
+        val vRep = scored.where($"ratio_rep" >= 0.35)
+          .select($"doc_id".as("id_a"), lit(-3L).as("id_b"),
+            lit("degenerate_repeat_not_separated").as("reason"))
+        val again = docs.repartition(7).select($"doc_id",
+          fn.deflateRatio($"text").as("ratio"))
+        val one = scored.coalesce(1).select($"doc_id", $"ratio")
+        val vDet = again.exceptAll(one).unionAll(one.exceptAll(again))
+          .select($"doc_id".as("id_a"), lit(-4L).as("id_b"),
+            lit("not_partition_invariant").as("reason"))
+        val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
+        vBand.unionAll(vDouble).unionAll(vRep).unionAll(vDet)
+          .unionAll(sentinel)
+          .orderBy($"id_a", $"id_b", $"reason")
+      },
+      Some(AnnGates.oracle),
+      doc = "Compressibility quality signal gate (graft_deflate_ratio — " +
+        "a codegen'd native expression over raw DEFLATE): ratios in " +
+        "band, self-concatenation strictly more compressible, a " +
+        "degenerate repeat construction separates below 0.35 (the " +
+        "boilerplate-filter margin), and the signal is partition-" +
+        "invariant; violations + sentinel, constant oracle.",
+      gate = true
     )
   )
 }

@@ -406,4 +406,44 @@ class GraftExpressionsSpec extends SparkSpec {
       .collect()(0)
     assert(got == "hea\u0301vy".replace("a\u0301", "\u00e1") + " text withjunk")
   }
+
+  test("DeflateRatio: repetition compresses, junk does not; column path " +
+      "matches a driver-side Deflater bit-for-bit; null and SQL forms work") {
+    GraftFunctions.register(spark)
+    val repetitive = ("lorem ipsum " * 80).trim
+    // pseudo-random digit soup -- no repeats for the window to exploit
+    val junk = (1 to 400).map(i => ((i * 2654435761L) % 97).toString).mkString("")
+    val rows = Seq(repetitive, junk).toDF("t")
+      .select(GraftFunctions.deflateRatio($"t").as("r")).as[Double].collect()
+    assert(rows(0) < 0.1, s"repetitive text should crush: ${rows(0)}")
+    assert(rows(1) > rows(0) * 3, s"junk must separate: ${rows.toSeq}")
+    assert(rows.forall(r => r > 0.0 && r <= 1.1), rows.toSeq.toString)
+    // bit-parity with an independent driver-side Deflater at the same level
+    def driverRatio(text: String, level: Int): Double = {
+      val raw = text.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(level, true)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      n.toDouble / raw.length
+    }
+    assert(rows(0) == driverRatio(repetitive, 6))
+    assert(rows(1) == driverRatio(junk, 6))
+    // the level argument is honored
+    val l1 = Seq(repetitive).toDF("t")
+      .select(GraftFunctions.deflateRatio($"t", level = 1)).as[Double].collect()(0)
+    assert(l1 == driverRatio(repetitive, 1))
+    // null passes through; SQL registration with and without the level arg
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(GraftFunctions.deflateRatio($"t")).collect()(0).isNullAt(0))
+    assert(spark.sql("SELECT graft_deflate_ratio('aaaaaaaaaaaaaaaaaaaa')")
+      .as[Double].collect()(0) == driverRatio("aaaaaaaaaaaaaaaaaaaa", 6))
+    assert(spark.sql("SELECT graft_deflate_ratio('aaaaaaaaaaaaaaaaaaaa', 1)")
+      .as[Double].collect()(0) == driverRatio("aaaaaaaaaaaaaaaaaaaa", 1))
+    // empty text is 1.0 by definition (nothing to judge)
+    assert(spark.sql("SELECT graft_deflate_ratio('')")
+      .as[Double].collect()(0) == 1.0)
+  }
 }
