@@ -635,16 +635,28 @@ object GraftCli {
               "through AnnMaintenance.append)")
           } else {
             val batches = IndexFs.subdirNames(dir).count(_.startsWith("batch="))
-            val df = spark.read.parquet(dir)
-            val kind =
-              if (df.columns.contains("fp")) "fp-delta (exact admission)"
-              else if (df.columns.contains("sig")) "sig-delta (near-dup admission)"
-              else if (df.columns.contains("host")) "robots-delta"
-              else s"delta (${df.columns.mkString(",")})"
+            // an all-empty delta index has no parquet footers to infer a
+            // schema from (the daemon writes a batch= delta even for a
+            // snapshot that admitted nothing) — a health probe must
+            // report that, not crash on it
+            val dfOpt =
+              try Some(spark.read.parquet(dir))
+              catch {
+                case ae: org.apache.spark.sql.AnalysisException
+                    if ae.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+              }
+            val kind = dfOpt match {
+              case Some(df) if df.columns.contains("fp") => "fp-delta (exact admission)"
+              case Some(df) if df.columns.contains("sig") => "sig-delta (near-dup admission)"
+              case Some(df) if df.columns.contains("host") => "robots-delta"
+              case Some(df) => s"delta (${df.columns.mkString(",")})"
+              case None => "delta (all-empty — no rows admitted yet)"
+            }
             val ts = s"$dir/_tombstones"
             val nTs = if (IndexFs.exists(ts)) spark.read.parquet(ts).count() else 0L
             println(s"index-status: $dir")
-            println(s"  layout: $kind  batches: $batches  rows: ${df.count()}")
+            println(s"  layout: $kind  batches: $batches  rows: " +
+              s"${dfOpt.map(_.count()).getOrElse(0L)}")
             println(if (nTs > 0) s"  tombstones: $nTs (cleared on re-admission " +
               "or compact-index)" else "  tombstones: none")
           }
