@@ -590,6 +590,19 @@ object GraftCli {
             s"doc ${r.get(0)} lex=${r.getAs[Any]("rank_0")} " +
             s"dense=${r.getAs[Any]("rank_1")} " +
             f"rrf=${r.getAs[Double]("rrf_score")}%.5f"))
+        case "admission-maintain" :: indexDir :: rest =>
+          // tombstone-pressure maintenance for an fp/sig admission index:
+          // compact (physical resolve) iff the tombstoned fraction exceeds
+          // the threshold — the ann-maintain tombstone sensor's delta-index
+          // twin. Stop the pipeline/stream first (the compactor's
+          // writer-quiesced contract).
+          val kind = rest.headOption.getOrElse("fp")
+          val frac = rest.drop(1).headOption.map(_.toDouble).getOrElse(0.25)
+          val fired = graft.operators.IncrementalDedup
+            .maintainAdmissionIndex(spark, indexDir, kind, frac)
+          println(s"admission-maintain[$kind]: " +
+            (if (fired) s"tombstone pressure > $frac — compacted $indexDir"
+             else s"no action (no tombstones or fraction <= $frac)"))
         case "index-status" :: dir :: Nil =>
           // one operator-facing view of a persisted index's health: layout,
           // live/tombstoned rows + the fraction maintain's pressure sensor
@@ -1149,6 +1162,7 @@ object GraftCli {
               "url-dedup <in> <outDir> <urlCol> <idCol> | stress <sfDir> <workDir> [factor] | " +
               "admit <in> <indexDir> <outDir> <idCol> <textCol> [near] | " +
               "compact-index <indexDir> [sig|fp|robots] [targetRows] | " +
+              "admission-maintain <indexDir> [fp|sig] [maxTombstoneFraction] | " +
               "shards <sfDir> <outDir> [nShards] [epoch] | " +
               "shards-read <dir> <from> <to> [full|quick|off] | " +
               "ann-build <sfDir> <indexDir> [nCells] | ann-append <inParquet> <indexDir> | " +

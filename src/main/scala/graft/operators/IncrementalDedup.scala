@@ -266,6 +266,49 @@ object IncrementalDedup {
   def clearStaging(dir: String): Unit =
     IndexFs.deleteRecursive(dir)
 
+  /** Tombstone-PRESSURE maintenance for a persisted ADMISSION index — the
+    * [[graft.operators.AnnMaintenance.maintain]] tombstone sensor applied
+    * to the delta-index family. Takedowns accumulate in `_tombstones` and
+    * every admission read pays the broadcast anti-join until something
+    * physically resolves them; re-admission clears per key, but a
+    * takedown-heavy corpus whose pages are never re-crawled keeps paying
+    * forever. Past `maxTombstoneFraction` of the index's rows, run the
+    * layout's compactor ([[compactFpIndex]] / [[compactSigIndex]] — they
+    * drop tombstoned rows physically and clear the table); below it, do
+    * nothing. Both counts are parquet-footer metadata reads; the fraction
+    * can only OVERCOUNT (a tombstone naming a key the index never held,
+    * or not-yet-folded duplicate keys), which fires the compact early,
+    * never misses it. Writer-quiesced like every compaction (the
+    * compactor holds the index lease; racing deltas are fold-preserved by
+    * its own discipline).
+    *
+    * @param kind "fp" or "sig" — the index's schema family
+    * @return true iff pressure fired and the index was compacted
+    */
+  def maintainAdmissionIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, kind: String,
+      maxTombstoneFraction: Double = 0.25): Boolean = {
+    require(kind == "fp" || kind == "sig", s"kind must be fp|sig, got '$kind'")
+    require(maxTombstoneFraction > 0 && maxTombstoneFraction < 1)
+    val tsDir = s"$indexDir/_tombstones"
+    recoverDir(tsDir)
+    if (!IndexFs.exists(tsDir)) return false
+    val nTs = spark.read.parquet(tsDir).count()
+    if (nTs == 0) return false
+    val rows =
+      try spark.read.parquet(indexDir).count()
+      catch { // an all-empty delta index has no footers — nothing to compact
+        case ae: org.apache.spark.sql.AnalysisException
+            if ae.getCondition == "UNABLE_TO_INFER_SCHEMA" => return false
+      }
+    if (nTs.toDouble / math.max(1L, rows) <= maxTombstoneFraction) false
+    else {
+      if (kind == "fp") compactFpIndex(spark, indexDir)
+      else compactSigIndex(spark, indexDir)
+      true
+    }
+  }
+
   /** Maintenance for an APPEND-grown signature index
     * ([[graft.streaming.StreamingOps.admitNearDupStream]] adds one
     * `batch=<id>` delta per micro-batch): rewrite the accumulated deltas as

@@ -192,6 +192,38 @@ class AnnDeleteSpec extends SparkSpec {
     assert(!IndexFs.exists(s"$ix/_tombstones"))
   }
 
+  test("admission-index tombstone pressure: maintainAdmissionIndex compacts " +
+      "past the fraction, no-ops below it and after the resolve") {
+    val ix = s"${tmp("adm_maint")}/fp"
+    (1L to 100L).map(i => s"fp$i").toDF("fp").write.parquet(s"$ix/batch=1")
+    // below threshold: 10/100 tombstoned -> no action, table stays
+    IncrementalDedup.deleteFingerprints(spark, ix,
+      (1L to 10L).map(i => s"fp$i").toDF("fp"))
+    assert(!IncrementalDedup.maintainAdmissionIndex(spark, ix, "fp", 0.25))
+    assert(IndexFs.exists(s"$ix/_tombstones"))
+    // past it: 30/100 -> compact fires, rows physically dropped, cleared
+    IncrementalDedup.deleteFingerprints(spark, ix,
+      (11L to 30L).map(i => s"fp$i").toDF("fp"))
+    assert(IncrementalDedup.maintainAdmissionIndex(spark, ix, "fp", 0.25))
+    assert(!IndexFs.exists(s"$ix/_tombstones"))
+    assert(spark.read.parquet(ix).count() == 70)
+    // pressure relieved: the next call is a no-op
+    assert(!IncrementalDedup.maintainAdmissionIndex(spark, ix, "fp", 0.25))
+    // sig twin drives the other compactor
+    val sx = s"${tmp("adm_maint_sig")}/sig"
+    IncrementalDedup.buildSigIndex(
+      (1L to 10L).map(i => (i, s"document number $i about spark " +
+        s"planning topic$i with enough words")).toDF("doc_id", "text"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+      .write.parquet(s"$sx/batch=1")
+    IncrementalDedup.deleteSignatureIds(spark, sx, (1L to 4L).toDF("id"))
+    assert(IncrementalDedup.maintainAdmissionIndex(spark, sx, "sig", 0.25))
+    assert(!IndexFs.exists(s"$sx/_tombstones"))
+    assert(spark.read.parquet(sx).select($"id").as[Long].collect().toSet
+      == (5L to 10L).toSet)
+  }
+
   test("a takedown landing DURING readmitKeys' rewrite is carried verbatim, " +
       "not silently un-deleted") {
     // removeTombstones is a read-modify-write swap of the tombstone
