@@ -371,6 +371,35 @@ object Stress {
       check(!graft.operators.IndexFs.exists(s"$fpIx/_tombstones"),
         "cleared tombstone table still present")
 
+      // ---- hybrid retrieval at stress scale (round-17): a BM25 lexical
+      // pool over the 50k-doc corpus + the PERSISTED ANN index's ranked
+      // pool, fused by reciprocal-rank fusion — the t135 operator family
+      // on the production (index-tier) dense path, with a wall-clock
+      // record for the whole chain.
+      val (hybrid, tHybrid) = timed {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.TextSearch
+        val lexW = Window.orderBy(col("score").desc, col("id"))
+        val lex = TextSearch.bm25TopK(docs, col("doc_id"), col("text"),
+            terms = Seq("the", "alpha1", "word7"), k = 50)
+          .select(col("id"),
+            row_number().over(lexW).cast("bigint").as("rank"))
+        val dense = Similarity.ivfQuery(spark, idx,
+            emb.filter(col("vec_id") === 1L), "vec_id", "embedding",
+            k = 50, nProbe = 8)
+          .select(col("neighbor_id").as("id"), col("rank"))
+        TextSearch.rrfFuse(Seq(lex, dense), k = 20).localCheckpoint()
+      }
+      val hybridN = hybrid.count()
+      val lexHits = hybrid.where(col("rank_0").isNotNull).count()
+      val denseHits = hybrid.where(col("rank_1").isNotNull).count()
+      println(j("stage" -> "hybrid_retrieval", "seconds" -> tHybrid,
+        "fused" -> hybridN, "with_lex_rank" -> lexHits,
+        "with_dense_rank" -> denseHits))
+      check(hybridN == 20, s"hybrid fusion returned $hybridN of 20")
+      check(lexHits > 0 && denseHits > 0,
+        s"both modalities must reach the fused pool (lex=$lexHits dense=$denseHits)")
+
       // ---- SRP-LSH embedding near-dups with NO blocking assumption at
       // 2x-factor vectors (100k at the default factor). The corpus has
       // KNOWN cluster structure: each base vector spawns sub-clusters of
