@@ -188,4 +188,36 @@ class PropertySpec extends SparkSpec {
         s"trial $trial: budgets=$recipe")
     }
   }
+
+  test("property: rrfFuse equals a driver-side reference fusion on random rankings") {
+    // two random top-k rankings per trial (distinct ids, ranks 1..n);
+    // the distributed fusion must match an exact driver-side RRF —
+    // score arithmetic in the SAME fixed order (list 0 first), top-k by
+    // (score desc, id)
+    for (trial <- 0 until 6) {
+      def ranking(seed: Long, n: Int): Seq[(Long, Long)] = {
+        val ids = samples(Gen.chooseNum(0L, 40L), 200)
+          .map(x => (x * (seed * 2 + 1)) % 41L).distinct.take(n)
+        ids.zipWithIndex.map { case (id, i) => (id, i + 1L) }
+      }
+      val a = ranking(trial + 1L, 12)
+      val b = ranking(trial + 7L, 9)
+      val k = 8
+      val got = TextSearch.rrfFuse(
+          Seq(a.toDF("id", "rank"), b.toDF("id", "rank")), k)
+        .select($"id".as[Long], $"rrf_score".as[Double], $"fused_rank".as[Long])
+        .collect().toSeq.sortBy(_._3)
+      val aM = a.toMap
+      val bM = b.toMap
+      val want = (aM.keySet ++ bM.keySet).toSeq
+        .map { id =>
+          val s = aM.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            bM.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (id, s)
+        }
+        .sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((id, s), i) => (id, s, i + 1L) }
+      assert(got == want, s"trial $trial:\n got=$got\nwant=$want")
+    }
+  }
 }
