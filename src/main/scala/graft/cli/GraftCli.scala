@@ -52,6 +52,14 @@ object GraftCli {
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
       appName = "graft-cli")
     try run(spark, args.toList)
+    catch {
+      // the process-exit authority lives HERE, not in run(): a bad arg
+      // list exits 2 from the CLI but only throws from an embedding host
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage)
+        spark.stop()
+        sys.exit(2)
+    }
     finally spark.stop()
   }
 
@@ -901,6 +909,14 @@ object GraftCli {
           val near = rest.headOption.contains("near")
           val batch = spark.read.parquet(inPath)
           graft.operators.IndexLease.withLease(indexDir) {
+          // heal a crashed swap BEFORE probing: if a prior admit died
+          // between replaceDir's two renames, only `indexDir.old` remains
+          // on disk — without recovery the exists probe reads false, the
+          // command rebuilds from batch.limit(0), and its own swap's
+          // deleteRecursive(.old) would permanently destroy the
+          // accumulated admission index (the same destruction the IndexFs
+          // probe fix closed, through the crash window instead of the URI)
+          graft.operators.IncrementalDedup.recoverDir(indexDir)
           // IndexFs, NOT java.io.File: on an HDFS/S3 index URI a local-FS
           // probe reads false every run — the command would rebuild an
           // EMPTY index from batch.limit(0), mass-admit the whole batch,
@@ -1138,8 +1154,12 @@ object GraftCli {
           }
           println(s"snapshot-plans: ${sel.size} plans -> $outDir")
         case other =>
-          System.err.println(s"unknown command: ${other.mkString(" ")}")
-          System.err.println(
+          // throw, don't sys.exit: run() is a public spec-driven surface
+          // (specs and an embedding daemon call it with a shared session)
+          // and exiting would kill the host JVM on any malformed arg list.
+          // main() is the only process-exit authority (its catch below).
+          throw new IllegalArgumentException(
+            s"unknown command: ${other.mkString(" ")}\n" +
             "usage: markdown <csv> <tpl> <outDir> | enrich <inDir> <outMdDir> <outJsonDir> <promptTpl> [limit] | " +
               "enrich-stream <inDir> <outMdDir> <outJsonDir> <promptTpl> <ckpt> | site <csv> <mdDir> <tpl> <out.html> | " +
               "all <csv> <mdTpl> <promptTpl> <siteTpl> <workDir> | probe [.env] | dedup <sfDir> <outDir> [minhash|simhash|ngram] [best] | " +
@@ -1183,7 +1203,6 @@ object GraftCli {
               "[--mix <lang:budget,...>] [--mix-mode exact|repeat] [--bpe-merges <file>] [--shards <n>] | " +
               "pipeline-stream <warcDir> <workDir> <indexDir> [agent] [capacity] [--compact-every <n>] " +
               "[--mix <lang:budget,...>] [--bpe-merges <file>] [--shards <n>] | reset <workDir>")
-          sys.exit(2)
       }
     }
   }

@@ -90,15 +90,52 @@ object IndexLease {
   private val owned =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def staleMs: Long =
-    sys.props.get("graft.lease.stale.ms").map(_.toLong)
-      .orElse(sys.env.get("GRAFT_LEASE_STALE_MS").map(_.toLong))
-      .getOrElse(30L * 60L * 1000L)
+  /** Parsed-and-validated stale age, re-parsed only when the raw setting
+    * string changes (the spec hook flips the system property mid-JVM; a
+    * parse-once cache would pin the first value). A malformed or
+    * non-positive value fails ONCE, loudly, naming the setting — not as an
+    * opaque NumberFormatException deep inside a lifecycle op's heartbeat.
+    */
+  @volatile private var staleCache: (Option[String], Long) = (None, -1L)
+  private def staleMs: Long = {
+    val raw = sys.props.get("graft.lease.stale.ms")
+      .orElse(sys.env.get("GRAFT_LEASE_STALE_MS"))
+    val cached = staleCache
+    if (cached._1 == raw && cached._2 > 0) cached._2
+    else {
+      val v = raw match {
+        case None => 30L * 60L * 1000L
+        case Some(s) =>
+          val n = s.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"graft.lease.stale.ms / GRAFT_LEASE_STALE_MS must be a positive " +
+              s"millisecond count, got '$s'"))
+          require(n > 0, s"graft.lease.stale.ms / GRAFT_LEASE_STALE_MS must " +
+            s"be positive, got $n")
+          n
+      }
+      staleCache = (raw, v)
+      v
+    }
+  }
 
+  private val tokenSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** A PER-ACQUISITION unique token, not just a writer identity: the
+    * post-acquire verify compares the marker's stored content against the
+    * exact token this acquisition wrote, so two acquisitions by the same
+    * thread at different times can never be confused for each other.
+    */
   private def holderId: String = {
     val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
-    s"$jvm/thread-${Thread.currentThread().getId}"
+    s"$jvm/thread-${Thread.currentThread().getId}/acq-${tokenSeq.incrementAndGet()}"
   }
+
+  /** Test hook: runs between the marker create and the post-acquire verify
+    * read — the check-then-write window object stores leave open. A spec
+    * injects a competing writer's overwrite here to prove exactly one
+    * writer proceeds.
+    */
+  private[graft] var postCreateHook: String => Unit = _ => ()
 
   /** The marker's path for an index dir — a SIBLING file (swap-proof). */
   def leasePath(dir: String): String = s"${dir.stripSuffix("/")}._lease"
@@ -109,6 +146,9 @@ object IndexLease {
     * not.
     */
   def withLease[T](dir: String)(op: => T): T = {
+    staleMs // validate the deployment setting BEFORE any marker exists —
+    // a malformed value must fail here, not after the acquire created a
+    // marker that the aborted frame would then never release
     val key = dir.stripSuffix("/")
     val me = Thread.currentThread().getId
     val cur = held.get(key)
@@ -132,19 +172,46 @@ object IndexLease {
               s"is active on $key — stop it or wait")
         owned.put(key, acquire(key))
         held.put(key, (me, 1))
-        // heartbeat: re-touch the marker each staleMs/3 so a long-running
-        // rebuild never goes stale mid-run; a failed touch means the
-        // marker vanished under us (a stale takeover that should not have
-        // fired, or an operator's manual cleanup) — log loudly, the
-        // data-side swaps remain crash-safe either way
+        // heartbeat: renew the marker each staleMs/3 so a long-running
+        // rebuild never goes stale mid-run. Renewal REWRITES the marker
+        // with the same token rather than setTimes-touching it: object
+        // stores (S3A) silently no-op setTimes, which would let any op
+        // longer than staleMs get taken over while still running — a
+        // rewrite advances the store mtime on every filesystem. The
+        // rewrite is owner-checked (read first, rewrite only our own
+        // token) so a mis-fired takeover's NEW holder is never
+        // overwritten; while we hold a fresh lease no other writer
+        // touches the marker, so the read-then-write pair does not race.
+        // Failures are LOGGED, never swallowed silently — a renewal that
+        // stops working is exactly the takeover precondition.
         val period = math.max(1L, staleMs / 3)
         renewals.put(key, renewer.scheduleWithFixedDelay(() => {
+          val marker = leasePath(key)
+          val log = org.slf4j.LoggerFactory.getLogger(getClass)
           try {
-            if (!IndexFs.touch(leasePath(key)))
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"index lease ${leasePath(key)} vanished while held — " +
-                  "taken over or manually removed")
-          } catch { case _: Throwable => /* renewal is best-effort */ }
+            val mine = owned.get(key)
+            if (mine == null) () // released between schedule and fire
+            else {
+              val stored =
+                try Some(IndexFs.readUtf8(marker))
+                catch { case _: java.io.IOException => None }
+              stored match {
+                case Some(tok) if tok == mine => IndexFs.writeUtf8(marker, mine)
+                case Some(other) => log.warn(
+                  s"index lease $marker was taken over while held " +
+                    s"(now $other) — not renewing; the data-side swaps " +
+                    "remain crash-safe")
+                case None => log.warn(
+                  s"index lease $marker vanished while held — taken over " +
+                    "or manually removed")
+              }
+            }
+          } catch {
+            case e: java.io.IOException =>
+              log.warn(s"index lease $marker renewal failed: $e")
+            case e: Throwable =>
+              log.warn(s"index lease $marker renewal failed unexpectedly", e)
+          }
         }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
       }
       try op
@@ -201,6 +268,26 @@ object IndexLease {
         s"could not acquire index lease $marker after $attempt takeover " +
           "attempts — a live writer keeps re-creating it")
     }
+    // post-acquire verify: on stores without atomic create-exclusive the
+    // create (and the takeover delete + re-create) is check-then-write, so
+    // two writers can BOTH believe they created the marker. Re-reading and
+    // comparing the stored content against this acquisition's unique token
+    // closes that window to one store read: whichever writer's content
+    // survived owns the lease, the other treats it as contention — a loud
+    // error, never interleaved corruption.
+    postCreateHook(marker)
+    val stored =
+      try IndexFs.readUtf8(marker)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"index lease $marker vanished during the post-acquire verify — " +
+            s"another lifecycle writer is racing $dir", e)
+      }
+    if (stored != me)
+      throw new IllegalStateException(
+        s"index lease $marker post-acquire verify failed: held by $stored " +
+          s"(this writer: $me) — another lifecycle writer won the marker " +
+          s"race on $dir; stop it or wait")
     me
   }
 }

@@ -27,9 +27,17 @@ object TextSearch {
 
   /** Per-term scores and their sum for `terms`, top `k` docs by
     * `(score DESC, id)`. Output: `id`, `dl`, `tf0..tfN`, `score`.
+    *
+    * @param allowed optional retrieval filter (a frame whose FIRST column
+    *        is the allowed id set): only these ids can surface, but the
+    *        corpus statistics (df/N/Σdl) stay UNFILTERED — the filter
+    *        restricts what is retrievable, not how scores are calibrated
+    *        (the standard filtered-search semantics, and the only one a
+    *        pre-built index can serve without per-filter stats).
     */
   def bm25TopK(df: DataFrame, idCol: Column, textCol: Column, terms: Seq[String],
-      k: Int, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.5, b: Double = 0.75,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty && k >= 1)
     val toks = split(trim(textCol), "\\s+")
     val base = df.select(idCol.as("id"), toks.as("__toks"))
@@ -43,7 +51,15 @@ object TextSearch {
       sum(col("dl").cast("decimal(20,0)")).as("__sumdl")) ++
       terms.indices.map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
     val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
-    val scored = withTf.crossJoin(broadcast(stats))
+    // the allowed semi-join lands AFTER the stats aggregation branches off
+    // (scores stay corpus-calibrated) and BEFORE scoring/top-k (disallowed
+    // ids can never surface, and the heap only sees allowed rows)
+    val retrievable = allowed match {
+      case Some(a) => withTf.join(
+        a.select(col(a.columns.head).as("id")).distinct(), Seq("id"), "left_semi")
+      case None => withTf
+    }
+    val scored = retrievable.crossJoin(broadcast(stats))
     // avgdl and every factor below mirror the oracle SQL token for token —
     // identical IEEE expression tree, identical doubles.
     val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
@@ -82,11 +98,37 @@ object TextSearch {
     * is order-sensitive and the score must be reproducible bit-for-bit
     * (the registry oracle compares exact doubles cross-engine).
     *
+    * Both halves of the input contract are ENFORCED, not just documented
+    * (one tiny aggregation job per input — the pools are candidate-pool
+    * scale by contract, so the check is cheap and fails loudly):
+    *   - pool size: an input past `maxPoolRows` is a corpus-scale frame,
+    *     not a top-k pool — fusing it would single-partition-sort the
+    *     corpus through the global fused-rank window;
+    *   - id distinctness: a duplicate id in any input fans out through
+    *     the chained full-outer joins, silently inflating rrf_score and
+    *     the fused pool.
+    *
     * @return (id, rank_0..rank_{n-1} — null where a list did not rank the
     *         id, rrf_score, fused_rank), top `k` by (rrf_score desc, id)
     */
-  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
-    require(rankings.nonEmpty && k >= 1 && rrfK >= 0)
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60,
+      maxPoolRows: Long = 10000L): DataFrame = {
+    require(rankings.nonEmpty && k >= 1 && rrfK >= 0 && maxPoolRows >= 1)
+    rankings.zipWithIndex.foreach { case (r, i) =>
+      val c = r.agg(count(lit(1)).as("n"),
+        count_distinct(col("id")).as("nd")).head()
+      val (n, nd) = (c.getLong(0), c.getLong(1))
+      require(n <= maxPoolRows,
+        s"rrfFuse input $i has $n rows — inputs must be TOP-K CANDIDATE " +
+          s"POOLS (<= maxPoolRows = $maxPoolRows): fusing a corpus-scale " +
+          "frame would single-partition-sort the corpus through the fused-" +
+          "rank window. Pre-limit the ranking (orderBy(...).limit(k)) or " +
+          "raise maxPoolRows deliberately")
+      require(nd == n,
+        s"rrfFuse input $i ranks a duplicate id ($n rows, $nd distinct " +
+          "ids) — each ranking must rank an id at most once; duplicates " +
+          "fan out through the full-outer joins and inflate rrf_score")
+    }
     val named = rankings.zipWithIndex.map { case (r, i) =>
       r.select(col("id"), col("rank").cast("bigint").as(s"rank_$i"))
     }

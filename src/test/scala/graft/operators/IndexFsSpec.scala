@@ -156,6 +156,7 @@ class IndexFsSpec extends SparkSpec {
       "src/main/scala/graft/operators/AnnMaintenance.scala",
       "src/main/scala/graft/operators/TrainingOrder.scala",
       "src/main/scala/graft/operators/Bpe.scala",
+      "src/main/scala/graft/operators/LexIndex.scala",
       "src/main/scala/graft/sinks/DatasetManifest.scala",
       "src/main/scala/graft/pipeline/CrawlPipeline.scala",
       "src/main/scala/graft/streaming/StreamingOps.scala",
@@ -171,5 +172,43 @@ class IndexFsSpec extends SparkSpec {
         assert(!src.contains(banned),
           s"$f contains '$banned' — route it through IndexFs (Hadoop FS)")
     }
+  }
+
+  test("CLI admit heals a crashed swap before probing: an .old-only index is recovered, never destroyed") {
+    // the crash-window twin of the URI-probe regression: a prior admit
+    // dying between replaceDir's two renames leaves ONLY `fpix.old` on
+    // disk. Without recoverDir-before-probe, the retry reads
+    // indexExists=false, rebuilds from batch.limit(0), and its own swap's
+    // deleteRecursive(.old) permanently destroys the accumulated index.
+    val base = tmpUri("cli_admit_crash")
+    val in = s"$base/batch"
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "an entirely different document about spark planning"),
+        (3L, "a third unrelated page with its own words"))
+      .toDF("id", "text").write.parquet(in)
+    graft.cli.GraftCli.run(spark,
+      List("admit", in, s"$base/fpix", s"$base/out1", "id", "text"))
+    assert(spark.read.parquet(s"$base/fpix").count() == 3)
+    // simulate the crash: live dir renamed aside, `.next` never moved in
+    IndexFs.rename(s"$base/fpix", s"$base/fpix.old")
+    graft.cli.GraftCli.run(spark,
+      List("admit", in, s"$base/fpix", s"$base/out2", "id", "text"))
+    assert(spark.read.parquet(s"$base/out2").count() == 0,
+      "retry after a crashed swap re-admitted a fully duplicate batch — " +
+        "the accumulated index was not recovered before the exists probe")
+    assert(spark.read.parquet(s"$base/fpix").count() == 3,
+      "retry after a crashed swap destroyed the accumulated index")
+    assert(!IndexFs.exists(s"$base/fpix.old"), "stale .old left behind")
+  }
+
+  test("run() throws on an unknown command instead of killing the host JVM") {
+    // run() is a public spec/daemon surface; a malformed arg list must
+    // surface as an exception the host can catch — sys.exit lives only in
+    // main(), the CLI process's exit authority
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.GraftCli.run(spark, List("definitely-not-a-command"))
+    }
+    assert(e.getMessage.contains("unknown command"), e.getMessage)
+    assert(e.getMessage.contains("usage:"), e.getMessage)
   }
 }

@@ -216,6 +216,80 @@ class IndexLeaseSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/cells").count() == emb.count())
   }
 
+  test("post-acquire verify: a rival winning the check-then-write window is detected, exactly one writer proceeds") {
+    // object stores degrade create-exclusive to check-then-write, so two
+    // writers can BOTH believe they created the marker. The post-acquire
+    // verify re-reads the stored content: whichever token survived owns
+    // the lease; the other must fail loudly WITHOUT deleting the winner's
+    // marker. The hook injects the rival's overwrite into the exact window.
+    val dir = s"${tmpDir("lease_verify")}/idx"
+    val marker = IndexLease.leasePath(dir)
+    val rival = "rival@objectstore/thread-11/acq-999"
+    IndexLease.postCreateHook = p => IndexFs.writeUtf8(p, rival)
+    try {
+      val e = intercept[IllegalStateException] {
+        IndexLease.withLease(dir) { fail("loser must not run its op") }
+      }
+      assert(e.getMessage.contains("post-acquire verify"), e.getMessage)
+      assert(e.getMessage.contains(rival), e.getMessage)
+      // the loser did NOT delete the winner's live lease
+      assert(IndexFs.exists(marker), "loser deleted the winner's lease")
+      assert(IndexFs.readUtf8(marker) == rival)
+    } finally IndexLease.postCreateHook = _ => ()
+    IndexFs.deleteFile(marker)
+    // with the window closed the same acquire verifies and proceeds
+    assert(IndexLease.withLease(dir) { 7 } == 7)
+    assert(!IndexFs.exists(marker))
+  }
+
+  test("renewal is owner-checked: a heartbeat never rewrites a taken-over marker") {
+    // a writer that hangs past the stale window and is taken over must not
+    // have its heartbeat clobber the NEW holder's marker — the renewal
+    // reads first and rewrites only its own token
+    val dir = s"${tmpDir("lease_renew")}/idx"
+    val marker = IndexLease.leasePath(dir)
+    val prev = sys.props.get("graft.lease.stale.ms")
+    sys.props("graft.lease.stale.ms") = "600" // heartbeat every 200 ms
+    try {
+      IndexLease.withLease(dir) {
+        IndexFs.writeUtf8(marker, "usurper@elsewhere/thread-9/acq-1")
+        Thread.sleep(900) // several heartbeat periods
+        assert(IndexFs.readUtf8(marker) == "usurper@elsewhere/thread-9/acq-1",
+          "old holder's heartbeat overwrote the new holder's lease")
+      }
+      // release is owner-checked too — the usurper's marker survives
+      assert(IndexFs.readUtf8(marker) == "usurper@elsewhere/thread-9/acq-1")
+    } finally prev match {
+      case Some(v) => sys.props("graft.lease.stale.ms") = v
+      case None => sys.props.remove("graft.lease.stale.ms")
+    }
+    IndexFs.deleteFile(marker)
+  }
+
+  test("a malformed or non-positive stale setting fails loudly, naming the setting") {
+    val dir = s"${tmpDir("lease_cfg")}/idx"
+    val prev = sys.props.get("graft.lease.stale.ms")
+    try {
+      sys.props("graft.lease.stale.ms") = "banana"
+      val e = intercept[IllegalArgumentException] {
+        IndexLease.withLease(dir) { fail("must not run") }
+      }
+      assert(e.getMessage.contains("graft.lease.stale.ms"), e.getMessage)
+      assert(e.getMessage.contains("banana"), e.getMessage)
+      sys.props("graft.lease.stale.ms") = "-5"
+      val e2 = intercept[IllegalArgumentException] {
+        IndexLease.withLease(dir) { fail("must not run") }
+      }
+      assert(e2.getMessage.contains("positive"), e2.getMessage)
+      // a valid value re-parses (the cache keys on the raw string)
+      sys.props("graft.lease.stale.ms") = "60000"
+      assert(IndexLease.withLease(dir) { 3 } == 3)
+    } finally prev match {
+      case Some(v) => sys.props("graft.lease.stale.ms") = v
+      case None => sys.props.remove("graft.lease.stale.ms")
+    }
+  }
+
   test("leases survive whole-dir swaps (sibling marker): compact under lease leaves no marker behind") {
     val dir = s"${tmpDir("lease_swap")}/idx"
     val emb = graft.core.Tables.embeddings(spark, sf0001)

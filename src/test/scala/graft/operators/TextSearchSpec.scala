@@ -112,6 +112,28 @@ class TextSearchSpec extends SparkSpec {
       (40L, None, Some(2L), 0.0 + 1.0 / 62, 3L)), out.toString)
   }
 
+  test("rrfFuse enforces the pool contract: duplicate ids and corpus-scale " +
+      "inputs fail loudly, naming the contract") {
+    val ok = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
+    // a duplicate id would fan out through the full-outer joins and
+    // silently inflate rrf_score — must be rejected, not fused
+    val dup = Seq((10L, 1L), (10L, 2L), (30L, 3L)).toDF("id", "rank")
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.rrfFuse(Seq(ok, dup), k = 5)
+    }
+    assert(e.getMessage.contains("duplicate id"), e.getMessage)
+    // a frame past maxPoolRows is a corpus, not a top-k pool — fusing it
+    // would single-partition-sort the corpus through the fused-rank window
+    val big = spark.range(50).select($"id", ($"id" + 1).as("rank"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextSearch.rrfFuse(Seq(big), k = 5, maxPoolRows = 10)
+    }
+    assert(e2.getMessage.contains("TOP-K CANDIDATE"), e2.getMessage)
+    assert(e2.getMessage.contains("maxPoolRows"), e2.getMessage)
+    // compliant pools still fuse unchanged
+    assert(TextSearch.rrfFuse(Seq(ok), k = 5).count() == 2)
+  }
+
   test("hybrid-search CLI: BM25 + persisted-ANN pools fuse end-to-end") {
     val base = java.nio.file.Files.createTempDirectory("hybrid").toString
     val ix = s"$base/ann"
