@@ -1,0 +1,359 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted LEXICAL (BM25) index tier — the posting-slice analog of the
+  * IVF layouts, so full-text retrieval stops re-scanning the corpus per
+  * query ([[TextSearch.bm25TopK]] recomputes every document's term
+  * frequencies and the corpus statistics on EVERY call — the exact
+  * asymmetry hybrid retrieval exposed: its dense pool read probed cells of
+  * a persisted index while its lexical pool re-aggregated the corpus).
+  *
+  * Layout under `indexDir` (all tables parquet, every filesystem touch
+  * through [[IndexFs]] so the index can live on the cluster store):
+  *
+  *  - `postings/` — one row per (document, term): `(term, id, tf, dl)`,
+  *    PARTITIONED BY `bucket = pmod(hash(term), nBuckets)` so a query's
+  *    term-literal predicates prune to the terms' bucket partitions at the
+  *    SCAN — on a 100 TB corpus a query reads posting slices (df rows per
+  *    query term), never the corpus. `dl` is denormalized onto the posting
+  *    row so scoring needs no doc-length join.
+  *  - `doclens/` — `(id, dl)`, one row per document: the N/Σdl authority
+  *    that covers documents containing no query term (needed for exact
+  *    tombstone corrections and the zero-score fill).
+  *  - `stats/` — APPEND-ONLY `(n, sumdl)` rows, one per build/append batch;
+  *    readers SUM them (both are additive — the same fold-on-read
+  *    discipline as the delta indexes, so appends never read-modify-write
+  *    shared state). `sumdl` is decimal(20,0): exact, order-insensitive.
+  *  - `meta/` — one row `(nbuckets)`: the partitioning constant queries
+  *    must reproduce to prune.
+  *  - `tombstones/` — the shared takedown table ([[IncrementalDedup]]
+  *    appendTombstones/applyTombstones: append-only, file-bounded by the
+  *    16-file fold, physically resolved by [[compact]]).
+  *
+  * Numeric contract: index-served scores are BIT-IDENTICAL to
+  * [[TextSearch.bm25TopK]] over the live corpus (spec-pinned, and the
+  * registry carries a full DuckDB value oracle). The per-term df, N and
+  * Σdl that feed the rational-idf formula are collected driver-side as
+  * exact longs/decimals (they are a handful of scalars), then folded into
+  * the same IEEE double expression tree `bm25TopK` evaluates — identical
+  * operands, identical operations, identical doubles. Tombstones keep this
+  * EXACT, not approximate: a takedown's contribution to N/Σdl is
+  * subtracted via one narrow `doclens` pass, and each term's df is counted
+  * from its LIVE posting slice (the slice the query reads anyway), so a
+  * tombstoned corpus scores exactly as if the documents never existed.
+  *
+  * Lifecycle discipline (identical to the ANN tiers): every writer holds
+  * the [[IndexLease]]; every entry point heals crashed swaps via
+  * `recoverDir` first; deletes are tombstone appends with a loud re-add
+  * guard; [[compact]] physically resolves tombstones behind a staged
+  * whole-dir swap; [[maintain]] fires the compact on tombstone pressure
+  * from parquet-footer counts alone.
+  */
+object LexIndex {
+
+  /** The shared tokenization — TOKEN-FOR-TOKEN the [[TextSearch.bm25TopK]]
+    * expression, so index-served tf/dl can never diverge from the scan
+    * path (including its quirks: no lowercasing, and an all-whitespace
+    * document tokenizes to one empty token, so its dl is 1).
+    */
+  private def toks(textCol: Column): Column = split(trim(textCol), "\\s+")
+
+  private def bucketOf(term: Column, nBuckets: Int): Column =
+    pmod(hash(term), lit(nBuckets))
+
+  /** Batch → its `(bucket, term, id, tf, dl)` posting rows + `(id, dl)`
+    * doc lengths. One explode, one map-side-combining aggregation on
+    * (id, term); text never shuffles, only (id, term, counts).
+    */
+  private def derive(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("id"), toks(col(textCol)).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("bigint"))
+    val doclens = base.select(col("id"), col("dl"))
+    val postings = base
+      .select(col("id"), col("dl"), explode(col("__toks")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+    (postings, doclens)
+  }
+
+  private def writeBatch(postings: DataFrame, doclens: DataFrame,
+      indexDir: String, nBuckets: Int, mode: String): Unit = {
+    // co-locate each bucket before the partitioned write — without the
+    // repartition every task writes a file into every bucket dir
+    // (tasks × buckets small files); with it the file count is bounded
+    // by the bucket count per batch
+    postings.repartition(nBuckets, col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$indexDir/postings")
+    doclens.write.mode(mode).parquet(s"$indexDir/doclens")
+    val stats = doclens.agg(count(lit(1)).cast("bigint").as("n"),
+      sum(col("dl").cast("decimal(20,0)")).as("sumdl"))
+    stats.coalesce(1).write.mode(mode).parquet(s"$indexDir/stats")
+  }
+
+  /** Build the index over `docs` into `indexDir` (fresh-dir contract, like
+    * `ivfBuild`). `nBuckets` trades partition-pruning granularity against
+    * directory count — 64 keeps per-term slices one-partition reads while
+    * bounding the layout at 64 dirs regardless of vocabulary size.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, nBuckets: Int = 64): Unit =
+    IndexLease.withLease(indexDir) {
+      require(nBuckets >= 1)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      IncrementalDedup.recoverDir(indexDir)
+      val (postings, doclens) = derive(docs, idCol, textCol, nBuckets)
+      writeBatch(postings, doclens, indexDir, nBuckets, "overwrite")
+      Seq(nBuckets).toDF("nbuckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    }
+
+  /** Append a batch of NEW documents (ids unique across the index's
+    * lifetime — the caller contract every index here shares). df, N and
+    * Σdl are all additive, so the append writes its own posting/doclen/
+    * stats rows and touches nothing existing. Re-adding a TOMBSTONED id
+    * is a loud error until a compact resolves the deletion — clearing the
+    * tombstone here would unhide the id's OLD postings beside the new
+    * ones (the [[Similarity.ivfDelete]] re-add semantics).
+    *
+    * @return number of documents appended
+    */
+  def append(spark: SparkSession, indexDir: String, docs: DataFrame,
+      idCol: String, textCol: String): Long =
+    IndexLease.withLease(indexDir) {
+      IncrementalDedup.recoverDir(indexDir)
+      require(IndexFs.exists(s"$indexDir/meta"),
+        s"$indexDir is not a lexical index (no meta table) — build first")
+      val nBuckets = readNBuckets(spark, indexDir)
+      requireNotTombstoned(spark, indexDir, docs, idCol)
+      val (postings, doclens) = derive(docs, idCol, textCol, nBuckets)
+      val n = doclens.count()
+      if (n > 0) writeBatch(postings, doclens, indexDir, nBuckets, "append")
+      n
+    }
+
+  private def requireNotTombstoned(spark: SparkSession, indexDir: String,
+      docs: DataFrame, idCol: String): Unit = {
+    val t = s"$indexDir/tombstones"
+    IncrementalDedup.recoverDir(t)
+    if (!IndexFs.exists(t)) return
+    val sample = docs.select(col(idCol).as("id")).distinct()
+      .join(broadcast(spark.read.parquet(t).select(col("id")).distinct()),
+        Seq("id"), "left_semi")
+      .limit(4).collect().map(_.get(0))
+    require(sample.isEmpty,
+      s"append batch re-uses tombstoned ids (${sample.mkString(", ")} …): " +
+        "resolve deletions first (compact), then re-add")
+  }
+
+  /** Tombstone-DELETE document ids (takedowns). Queries subtract the
+    * deleted documents EXACTLY (scores as if they never existed) until
+    * [[compact]] resolves them physically.
+    *
+    * @return number of distinct ids in this delete batch
+    */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
+      idCol: String): Long = IndexLease.withLease(indexDir) {
+    IncrementalDedup.recoverDir(indexDir)
+    IncrementalDedup.appendTombstones(spark, s"$indexDir/tombstones",
+      ids.select(col(idCol).as("id")), "id")
+  }
+
+  /** Physically resolve tombstones and fold the append ledgers: live
+    * postings re-written bucket-clustered, doclens re-written, stats
+    * folded to ONE exact row recomputed from the live doclens, the
+    * tombstone table dying with the old dir — all behind the staged
+    * whole-dir swap ([[IncrementalDedup.replaceDir]]), so a killed
+    * compaction never leaves less than one complete index on disk.
+    * Queries before and after are row-identical (spec-pinned).
+    *
+    * @return number of live documents in the compacted index
+    */
+  def compact(spark: SparkSession, indexDir: String,
+      targetRows: Long = 16_000_000L): Long =
+    IndexLease.withLease(indexDir) {
+      IncrementalDedup.recoverDir(indexDir)
+      val nBuckets = readNBuckets(spark, indexDir)
+      def live(table: String) = IncrementalDedup.applyTombstones(spark,
+        s"$indexDir/tombstones", spark.read.parquet(s"$indexDir/$table"), "id")
+      val postings = live("postings").localCheckpoint()
+      val doclens = live("doclens").localCheckpoint()
+      val meta = spark.read.parquet(s"$indexDir/meta").localCheckpoint()
+      val n = doclens.count()
+      val next = s"$indexDir.compact"
+      IncrementalDedup.clearStaging(next)
+      postings.repartition(nBuckets, col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$next/postings")
+      doclens.coalesce(math.max(1L, n / targetRows + 1).toInt)
+        .write.parquet(s"$next/doclens")
+      doclens.agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("dl").cast("decimal(20,0)")).as("sumdl"))
+        .coalesce(1).write.parquet(s"$next/stats")
+      meta.write.parquet(s"$next/meta")
+      IncrementalDedup.replaceDir(indexDir, next)
+      n
+    }
+
+  /** Tombstone-pressure maintenance — the [[AnnMaintenance.maintain]]
+    * sensor applied to the lexical layout: past `maxTombstoneFraction` of
+    * the live documents, run [[compact]]; below it, nothing. Both counts
+    * are parquet-footer reads; the fraction can only overcount (a
+    * tombstone naming an id the index never held), which fires the
+    * compact early, never misses it.
+    *
+    * @return true iff pressure fired and the index was compacted
+    */
+  def maintain(spark: SparkSession, indexDir: String,
+      maxTombstoneFraction: Double = 0.25): Boolean =
+    IndexLease.withLease(indexDir) {
+      require(maxTombstoneFraction > 0 && maxTombstoneFraction < 1)
+      IncrementalDedup.recoverDir(indexDir)
+      val tsDir = s"$indexDir/tombstones"
+      IncrementalDedup.recoverDir(tsDir)
+      if (!IndexFs.exists(tsDir)) false
+      else {
+        val nTs = spark.read.parquet(tsDir).count()
+        if (nTs == 0) false
+        else {
+          val nDocs = spark.read.parquet(s"$indexDir/doclens").count()
+          if (nDocs == 0 || nTs.toDouble / nDocs > maxTombstoneFraction) {
+            compact(spark, indexDir)
+            true
+          } else false
+        }
+      }
+    }
+
+  private def readNBuckets(spark: SparkSession, indexDir: String): Int =
+    spark.read.parquet(s"$indexDir/meta").head().getAs[Int]("nbuckets")
+
+  /** BM25 top-k served FROM the index: per query term, read that term's
+    * posting slice (bucket partition pruning + a term predicate — df rows,
+    * never the corpus), count df from the live slice, collect N/Σdl from
+    * the stats ledger (corrected exactly for tombstones via one narrow
+    * doclens pass, paid only while tombstones are pending), and fold the
+    * scalars into the [[TextSearch.bm25TopK]] IEEE expression tree —
+    * bit-identical scores, posting-slice-scale reads.
+    *
+    * Output matches `bm25TopK` exactly: `(id, dl, tf0..tfN, score)`, top
+    * `k` by `(score desc, id)`, including its zero-score fill semantics —
+    * when fewer than `k` documents match any term, the remaining slots
+    * are the smallest-id non-matching live documents at score 0.0 (what
+    * the full scan's total order produces).
+    *
+    * @param allowed optional retrieval filter: only ids in this frame can
+    *        surface, but scores stay CORPUS-calibrated (df/N/Σdl are
+    *        unfiltered) — the filtered-retrieval semantics, matching
+    *        [[TextSearch.bm25TopK]]'s `allowed` parameter.
+    */
+  def bm25TopKFromIndex(spark: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int, k1: Double = 1.5, b: Double = 0.75,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.nonEmpty) && k >= 1)
+    IncrementalDedup.recoverDir(indexDir)
+    require(IndexFs.exists(s"$indexDir/meta"),
+      s"$indexDir is not a lexical index (no meta table)")
+    val nBuckets = readNBuckets(spark, indexDir)
+    val tsDir = s"$indexDir/tombstones"
+    IncrementalDedup.recoverDir(tsDir)
+    val hasTombstones = IndexFs.exists(tsDir)
+
+    // corpus statistics: exact longs/decimals, a handful of scalars —
+    // summed from the append-only stats ledger, then corrected for
+    // tombstones from one narrow (id, dl) pass over doclens
+    val statRow = spark.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).head()
+    var nLive: Long = statRow.getLong(0)
+    var sumdlLive: java.math.BigDecimal = statRow.getDecimal(1)
+    if (hasTombstones) {
+      val corr = spark.read.parquet(s"$indexDir/doclens")
+        .join(broadcast(spark.read.parquet(tsDir).select(col("id")).distinct()),
+          Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("nd"),
+          coalesce(sum(col("dl").cast("decimal(20,0)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(20,0)")).as("sd"))
+        .head()
+      nLive -= corr.getLong(0)
+      sumdlLive = sumdlLive.subtract(corr.getDecimal(1))
+    }
+    // the same operations bm25TopK's expression tree applies: decimal →
+    // double cast, long → double cast, one IEEE division
+    val avgdl = sumdlLive.doubleValue() / nLive.toDouble
+
+    // bucket of each term under the index's partitioning constant — one
+    // constant-folded local projection, no table scan
+    val termBuckets = spark.range(1)
+      .select(terms.map(t => bucketOf(lit(t), nBuckets)): _*).head()
+
+    // one pruned slice read per term; df counted from the LIVE slice (the
+    // rows the query reads anyway, so tombstone-exactness is free here)
+    val slices = terms.indices.map { i =>
+      val raw = spark.read.parquet(s"$indexDir/postings")
+        .where(col("bucket") === lit(termBuckets.getInt(i)) &&
+          col("term") === lit(terms(i)))
+        .select(col("id"), col("dl"), col("tf"))
+      IncrementalDedup.applyTombstones(spark, tsDir, raw, "id")
+        .localCheckpoint()
+    }
+    val dfs = slices.map(_.count())
+    val idfs = terms.indices.map { i =>
+      ((nLive - dfs(i)).toDouble + 0.5) / (dfs(i).toDouble + 0.5)
+    }
+
+    // union of slices: full-outer on id, dl coalesced across slices
+    // (every slice row of a doc carries the same dl), absent tfs → 0 —
+    // slice-union scale, never corpus scale
+    val named = slices.zipWithIndex.map { case (s, i) =>
+      s.select(col("id"), col("dl").as(s"__dl$i"), col("tf").as(s"tf$i"))
+    }
+    val joined = named.reduce((a, c) => a.join(c, Seq("id"), "full_outer"))
+    val dlCol = coalesce(terms.indices.map(i => col(s"__dl$i")): _*).as("dl")
+    val matchedBase = joined.select(col("id") +: dlCol +:
+      terms.indices.map(i =>
+        coalesce(col(s"tf$i"), lit(0L)).cast("bigint").as(s"tf$i")): _*)
+    val matchedFiltered = allowed match {
+      case Some(a) => matchedBase.join(
+        a.select(col(a.columns.head).as("id")).distinct(), Seq("id"), "left_semi")
+      case None => matchedBase
+    }
+
+    val rel = col("dl").cast("double") / lit(avgdl)
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      lit(idfs(i)) *
+        ((tf * lit(k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * rel)))
+    }
+    val score = terms.indices.map(termScore).reduceLeft(_ + _)
+    val outCols = col("id") +: col("dl") +:
+      terms.indices.map(i => col(s"tf$i")) :+ score.as("score")
+    val matched = matchedFiltered.select(outCols: _*).localCheckpoint()
+
+    val nMatched = matched.count()
+    val top = matched.orderBy(col("score").desc, col("id")).limit(k)
+    if (nMatched >= k) top
+    else {
+      // zero-score fill: the full scan ranks EVERY document, so slots the
+      // matches cannot fill go to the smallest-id non-matching live docs
+      // at exactly 0.0 (a no-term doc's score is idf·0 summed — 0.0)
+      val liveDl = IncrementalDedup.applyTombstones(spark, tsDir,
+        spark.read.parquet(s"$indexDir/doclens"), "id")
+      val allowedDl = allowed match {
+        case Some(a) => liveDl.join(
+          a.select(col(a.columns.head).as("id")).distinct(), Seq("id"), "left_semi")
+        case None => liveDl
+      }
+      val fills = allowedDl
+        .join(matched.select(col("id")), Seq("id"), "left_anti")
+        .orderBy(col("id")).limit((k - nMatched).toInt)
+        .select(col("id") +: col("dl") +:
+          terms.indices.map(i => lit(0L).as(s"tf$i")) :+
+          lit(0.0).as("score"): _*)
+      top.unionAll(fills).orderBy(col("score").desc, col("id")).limit(k)
+    }
+  }
+}

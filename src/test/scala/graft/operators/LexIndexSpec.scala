@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted lexical (BM25) index tier ([[LexIndex]]): every lifecycle
+  * arc must produce scores BIT-IDENTICAL to the full-scan
+  * [[TextSearch.bm25TopK]] over the live corpus — the same exactness
+  * contract the ANN tiers pin via row-identity, here provable through
+  * every mutation because BM25's statistics are exactly correctable.
+  */
+class LexIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val terms = Seq("spark", "merge", "window")
+
+  private def docs = graft.core.Tables.documents(spark, sf0001)
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/lex"
+
+  /** Exact row equality including the doubles — the whole point. */
+  private def assertSame(fromIndex: DataFrame, fromScan: DataFrame,
+      hint: String): Unit = {
+    val a = fromIndex.orderBy($"score".desc, $"id").collect().toSeq
+    val b = fromScan.orderBy($"score".desc, $"id").collect().toSeq
+    assert(fromIndex.columns.toSeq == fromScan.columns.toSeq, hint)
+    assert(a == b, s"$hint\nindex: ${a.take(5)}\nscan:  ${b.take(5)}")
+  }
+
+  test("build + query ≡ full-scan bm25TopK, bit-identical doubles") {
+    val dir = tmp("lex_build")
+    LexIndex.build(docs, "doc_id", "text", dir, nBuckets = 16)
+    val fromIndex = LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 20)
+    val fromScan = TextSearch.bm25TopK(docs, $"doc_id", $"text", terms, k = 20)
+    assertSame(fromIndex, fromScan, "fresh build diverged from the scan")
+    assert(!IndexFs.exists(IndexLease.leasePath(dir)), "lease leaked")
+  }
+
+  test("query reads posting slices, not the corpus: term predicates prune to the term's bucket partition") {
+    val dir = tmp("lex_prune")
+    LexIndex.build(docs, "doc_id", "text", dir, nBuckets = 16)
+    // the slice read for one term must touch ONLY that term's bucket dir —
+    // partition pruning at the scan is the tier's whole scale story
+    val b = spark.range(1)
+      .select(pmod(hash(lit("spark")), lit(16)).as("b")).head().getInt(0)
+    val slice = spark.read.parquet(s"$dir/postings")
+      .where($"bucket" === b && $"term" === "spark")
+    val p = slice.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("postings")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters: [") &&
+      scanLine.contains("bucket"), p.take(1500))
+    assert(!scanLine.contains("PartitionFilters: []"), scanLine)
+    // the slice is df-scale, far below corpus scale
+    val df0 = slice.count()
+    assert(df0 > 0 && df0 < docs.count(), s"df=$df0")
+  }
+
+  test("incremental append under frozen layout ≡ a build over the union") {
+    val dirHalf = tmp("lex_append")
+    LexIndex.build(docs.where($"doc_id" % 2 === 0), "doc_id", "text",
+      dirHalf, nBuckets = 8)
+    val n = LexIndex.append(spark, dirHalf, docs.where($"doc_id" % 2 =!= 0),
+      "doc_id", "text")
+    assert(n > 0)
+    val fromIndex = LexIndex.bm25TopKFromIndex(spark, dirHalf, terms, k = 15)
+    val fromScan = TextSearch.bm25TopK(docs, $"doc_id", $"text", terms, k = 15)
+    assertSame(fromIndex, fromScan, "append diverged from a full build")
+  }
+
+  test("takedown is EXACT: a tombstoned corpus scores as if the docs never existed, and deleted ids never surface") {
+    val dir = tmp("lex_del")
+    LexIndex.build(docs, "doc_id", "text", dir, nBuckets = 8)
+    val delPred = $"doc_id" % 5 === 0 // 20% takedown
+    val nDel = LexIndex.delete(spark, dir,
+      docs.where(delPred).select($"doc_id"), "doc_id")
+    assert(nDel > 0)
+    val fromIndex = LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 20)
+    // the oracle: a full scan over the REMAINING corpus — N, Σdl and every
+    // df shift, and the index must reproduce all of it exactly
+    val fromScan = TextSearch.bm25TopK(docs.where(!delPred), $"doc_id",
+      $"text", terms, k = 20)
+    assertSame(fromIndex, fromScan, "tombstone corrections are not exact")
+    assert(fromIndex.where($"id" % 5 === 0).count() == 0,
+      "a deleted id surfaced")
+
+    // re-adding a tombstoned id is a loud error until a compact resolves
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.append(spark, dir, docs.where($"doc_id" === 5),
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+
+    // compact: physical resolve, row-identical answers, table cleared
+    val live = LexIndex.compact(spark, dir)
+    assert(live == docs.where(!delPred).count())
+    assert(!IndexFs.exists(s"$dir/tombstones"), "tombstones not cleared")
+    val postCompact = LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 20)
+    assertSame(postCompact, fromScan, "compact changed answers")
+    // stats ledger folded to one row and one file
+    assert(spark.read.parquet(s"$dir/stats").count() == 1)
+    assert(spark.read.parquet(s"$dir/stats").inputFiles.length == 1)
+  }
+
+  test("tombstone pressure fires maintain's compact; below pressure and after resolve it is a no-op") {
+    val dir = tmp("lex_maint")
+    LexIndex.build(docs, "doc_id", "text", dir, nBuckets = 8)
+    assert(!LexIndex.maintain(spark, dir), "maintain fired with no tombstones")
+    LexIndex.delete(spark, dir,
+      docs.where($"doc_id" % 50 === 0).select($"doc_id"), "doc_id")
+    assert(!LexIndex.maintain(spark, dir, maxTombstoneFraction = 0.5),
+      "maintain fired below the pressure threshold")
+    assert(IndexFs.exists(s"$dir/tombstones"))
+    LexIndex.delete(spark, dir,
+      docs.where($"doc_id" % 3 === 0).select($"doc_id"), "doc_id")
+    assert(LexIndex.maintain(spark, dir, maxTombstoneFraction = 0.25),
+      "maintain did not fire past the pressure threshold")
+    assert(!IndexFs.exists(s"$dir/tombstones"))
+    assert(!LexIndex.maintain(spark, dir, maxTombstoneFraction = 0.25),
+      "maintain is not a no-op after the resolve")
+  }
+
+  test("zero-score fill: when fewer than k docs match, the scan's total order is reproduced exactly") {
+    val dir = tmp("lex_fill")
+    // a tiny corpus slice where the term is rare enough that matches < k
+    val few = docs.where($"doc_id" < 40)
+    LexIndex.build(few, "doc_id", "text", dir, nBuckets = 4)
+    val rare = Seq("merge")
+    val k = 38 // ~35 of the 40 docs contain the term — k above that
+    // forces zero-score fill slots, below 40 keeps the limit binding
+    val fromIndex = LexIndex.bm25TopKFromIndex(spark, dir, rare, k)
+    val fromScan = TextSearch.bm25TopK(few, $"doc_id", $"text", rare, k)
+    assertSame(fromIndex, fromScan, "zero-fill order diverged")
+    assert(fromIndex.count() == k)
+    assert(fromIndex.where($"score" === 0.0).count() > 0,
+      "fixture did not exercise the fill path (every doc matched)")
+  }
+
+  test("filtered retrieval: corpus-calibrated scores, only allowed ids surface, index ≡ scan") {
+    val dir = tmp("lex_filter")
+    LexIndex.build(docs, "doc_id", "text", dir, nBuckets = 8)
+    val allowed = docs.where($"doc_id" % 3 === 0).select($"doc_id")
+    val fromIndex = LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 15,
+      allowed = Some(allowed))
+    val fromScan = TextSearch.bm25TopK(docs, $"doc_id", $"text", terms,
+      k = 15, allowed = Some(allowed))
+    assertSame(fromIndex, fromScan, "filtered retrieval diverged")
+    assert(fromIndex.where($"id" % 3 =!= 0).count() == 0,
+      "a disallowed id surfaced")
+    // and the filter did NOT recalibrate: scores must equal the
+    // unfiltered scores for the same ids (corpus-wide df/N/Σdl)
+    val unfiltered = TextSearch.bm25TopK(docs, $"doc_id", $"text", terms,
+      k = 2000)
+    val joined = fromIndex.select($"id", $"score".as("s_f"))
+      .join(unfiltered.select($"id", $"score".as("s_u")), Seq("id"))
+    assert(joined.where($"s_f" =!= $"s_u").count() == 0,
+      "filtered scores were recalibrated — they must stay corpus-wide")
+  }
+
+  test("lifecycle works through file:-scheme URIs (cluster-store faithful)") {
+    val dir = "file://" + tmp("lex_uri")
+    LexIndex.build(docs.where($"doc_id" < 100), "doc_id", "text", dir,
+      nBuckets = 4)
+    LexIndex.append(spark, dir,
+      docs.where($"doc_id" >= 100 && $"doc_id" < 200), "doc_id", "text")
+    LexIndex.delete(spark, dir,
+      docs.where($"doc_id" < 10).select($"doc_id"), "doc_id")
+    LexIndex.compact(spark, dir)
+    val sub = docs.where($"doc_id" >= 10 && $"doc_id" < 200)
+    assertSame(
+      LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 10),
+      TextSearch.bm25TopK(sub, $"doc_id", $"text", terms, k = 10),
+      "URI lifecycle diverged")
+  }
+}
