@@ -19,7 +19,8 @@ object SparkEntry {
       relational.ExtensionQueries2.queries ++ relational.ExtensionQueries3.queries ++
       relational.ExtensionQueries4.queries ++ relational.ExtensionQueries5.queries ++
       relational.ExtensionQueries6.queries ++ relational.ExtensionQueries7.queries ++
-      relational.ExtensionQueries8.queries ++ relational.ExtensionQueries9.queries
+      relational.ExtensionQueries8.queries ++ relational.ExtensionQueries9.queries ++
+      relational.ExtensionQueries10.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

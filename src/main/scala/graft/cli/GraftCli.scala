@@ -562,29 +562,53 @@ object GraftCli {
             spark, indexDir, k, nProbe, nQueries)
           println(f"ann-recall: recall@$k = $r%.3f " +
             f"(nProbe=$nProbe, $nQueries sampled queries) for $indexDir")
-        case "hybrid-search" :: sfDir :: annDir :: outDir :: qidStr :: terms
-            if terms.nonEmpty =>
-          // production-shape hybrid retrieval: BM25 lexical pool over the
-          // documents table + the PERSISTED ANN index's ranked pool for a
-          // query vector, fused by reciprocal-rank fusion
-          // (TextSearch.rrfFuse — the t135 operator with the dense side on
-          // the real index tier instead of brute force). Both pools come
-          // from distributed heap/pruned-scan operators; the fusion ranks
-          // a <= 100-row pool.
+        case "hybrid-search" :: sfDir :: annDir :: outDir :: qidStr :: rest0
+            if rest0.nonEmpty =>
+          // production-shape hybrid retrieval: BM25 lexical pool + the
+          // PERSISTED ANN index's ranked pool for a query vector, fused by
+          // reciprocal-rank fusion (TextSearch.rrfFuse — the t135/t138
+          // operator family). Both pools come from distributed heap/
+          // pruned-scan operators; the fusion ranks a <= 100-row pool.
+          //   --lex <dir>        serve the lexical pool from a persisted
+          //                      LexIndex (posting-slice reads) instead of
+          //                      re-scanning the corpus per query
+          //   --filter <parquet> allowed-ids frame (first column) threaded
+          //                      through BOTH pools — no disallowed id can
+          //                      surface in the fused top-k
           import org.apache.spark.sql.functions.{broadcast, col, row_number}
+          var restArgs = rest0
+          var lexIx: Option[String] = None
+          var filterPath: Option[String] = None
+          var parsing = true
+          while (parsing) restArgs match {
+            case "--lex" :: dirArg :: tl => lexIx = Some(dirArg); restArgs = tl
+            case "--filter" :: p :: tl => filterPath = Some(p); restArgs = tl
+            case _ => parsing = false
+          }
+          val terms = restArgs
+          require(terms.nonEmpty, "hybrid-search: no query terms given")
           val poolK = 50
           val docs = graft.core.Tables.documents(spark, sfDir)
           val emb = graft.core.Tables.embeddings(spark, sfDir)
+          val allowed = filterPath.map(p => spark.read.parquet(p))
           val lexW = org.apache.spark.sql.expressions.Window
             .orderBy(col("score").desc, col("id"))
-          val lex = graft.operators.TextSearch.bm25TopK(docs, col("doc_id"),
-              col("text"), terms, k = poolK)
-            .select(col("id"),
-              row_number().over(lexW).cast("bigint").as("rank"))
+          val lexRanked = lexIx match {
+            case Some(ix) => graft.operators.LexIndex.bm25TopKFromIndex(
+              spark, ix, terms, k = poolK, allowed = allowed)
+            case None => graft.operators.TextSearch.bm25TopK(docs,
+              col("doc_id"), col("text"), terms, k = poolK, allowed = allowed)
+          }
+          val lex = lexRanked.select(col("id"),
+            row_number().over(lexW).cast("bigint").as("rank"))
           val queries = emb.where(col("vec_id") === qidStr.toLong)
-          val dense = graft.operators.Similarity.ivfQuery(spark, annDir,
+          val dense = (allowed match {
+            case Some(a) => graft.operators.Similarity.ivfQueryFilteredAdaptive(
+              spark, annDir, queries, "vec_id", "embedding",
+              a, a.columns.head, k = poolK, baseNProbe = 8)
+            case None => graft.operators.Similarity.ivfQuery(spark, annDir,
               queries, "vec_id", "embedding", k = poolK, nProbe = 8)
-            .select(col("neighbor_id").as("id"), col("rank"))
+          }).select(col("neighbor_id").as("id"), col("rank"))
           val fused = graft.operators.TextSearch.rrfFuse(
             Seq(lex, dense), k = 20)
           fused.orderBy(col("fused_rank"))
@@ -598,6 +622,45 @@ object GraftCli {
             s"doc ${r.get(0)} lex=${r.getAs[Any]("rank_0")} " +
             s"dense=${r.getAs[Any]("rank_1")} " +
             f"rrf=${r.getAs[Double]("rrf_score")}%.5f"))
+        case "lex-build" :: sfDir :: indexDir :: rest =>
+          // build the persisted lexical (BM25) index over the documents
+          // table: term-hash-bucketed postings + doclens + additive stats
+          // (LexIndex) — after this, hybrid-search --lex and lex-search
+          // read posting slices instead of re-scanning the corpus
+          val nBuckets = rest.headOption.map(_.toInt).getOrElse(64)
+          graft.operators.LexIndex.build(
+            graft.core.Tables.documents(spark, sfDir),
+            "doc_id", "text", indexDir, nBuckets)
+          val nDocs = spark.read.parquet(s"$indexDir/doclens").count()
+          println(s"lex-build: $nDocs docs, $nBuckets buckets -> $indexDir")
+        case "lex-append" :: inParquet :: indexDir :: idCol :: textCol :: Nil =>
+          // incremental append of NEW documents (additive df/N/Σdl — no
+          // existing file is touched); re-adding a tombstoned id is a loud
+          // error until lex-maintain/compact resolves the deletion
+          val n = graft.operators.LexIndex.append(spark, indexDir,
+            spark.read.parquet(inParquet), idCol, textCol)
+          println(s"lex-append: $n docs appended -> $indexDir")
+        case "lex-maintain" :: indexDir :: rest =>
+          // tombstone-pressure maintenance (the ann-maintain sensor on the
+          // lexical layout): compact iff the tombstoned fraction exceeds
+          // the threshold — footer-metadata counts only when below it
+          val frac = rest.headOption.map(_.toDouble).getOrElse(0.25)
+          val fired = graft.operators.LexIndex.maintain(spark, indexDir, frac)
+          println(s"lex-maintain: ${if (fired) "COMPACTED (pressure > " +
+            s"$frac)" else s"no-op (pressure <= $frac)"} -> $indexDir")
+        case "lex-search" :: indexDir :: kStr :: terms if terms.nonEmpty =>
+          // BM25 top-k served from the persisted index: per term one
+          // bucket-pruned posting-slice read — never a corpus scan
+          import org.apache.spark.sql.functions.col
+          val k = kStr.toInt
+          val out = graft.operators.LexIndex
+            .bm25TopKFromIndex(spark, indexDir, terms, k)
+            .orderBy(col("score").desc, col("id")).collect()
+          println(s"lex-search: terms=${terms.mkString(",")} k=$k " +
+            s"-> ${out.length} results")
+          out.take(10).foreach(r => println(
+            f"  doc ${r.get(0)} score=${r.getAs[Double]("score")}%.6f " +
+              s"dl=${r.getAs[Long]("dl")}"))
         case "admission-maintain" :: indexDir :: rest =>
           // tombstone-pressure maintenance for an fp/sig admission index:
           // compact (physical resolve) iff the tombstoned fraction exceeds
@@ -654,6 +717,23 @@ object GraftCli {
                 s"append(s); tail: ${s2.mkString(" | ")}")
             } else println("  drift ledger: none (appends have not gone " +
               "through AnnMaintenance.append)")
+          } else if (IndexFs.exists(s"$dir/postings") &&
+              IndexFs.exists(s"$dir/meta")) {
+            // the lexical (BM25) layout: postings + doclens + stats ledger
+            val nBuckets = spark.read.parquet(s"$dir/meta")
+              .head().getAs[Int]("nbuckets")
+            val nDocs = spark.read.parquet(s"$dir/doclens").count()
+            val nPost = spark.read.parquet(s"$dir/postings").count()
+            val statFiles = spark.read.parquet(s"$dir/stats").inputFiles.length
+            val ts = s"$dir/tombstones"
+            val nTs = if (IndexFs.exists(ts)) spark.read.parquet(ts).count() else 0L
+            println(s"index-status: $dir")
+            println(s"  layout: lexical (bm25)  buckets: $nBuckets  " +
+              s"docs: $nDocs  postings: $nPost  stats files: $statFiles")
+            println(if (nTs > 0)
+              f"  tombstones: $nTs (fraction ${nTs.toDouble / math.max(1L, nDocs)}%.3f " +
+                "of docs — lex-maintain compacts past maxTombstoneFraction)"
+            else "  tombstones: none")
           } else {
             val batches = IndexFs.subdirNames(dir).count(_.startsWith("batch="))
             // an all-empty delta index has no parquet footers to infer a
@@ -1188,7 +1268,9 @@ object GraftCli {
               "ann-build <sfDir> <indexDir> [nCells] | ann-append <inParquet> <indexDir> | " +
               "ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells [m nCodes]] | " +
               "ann-recall <indexDir> [k nProbe nQueries] | index-status <dir> | " +
-              "hybrid-search <sfDir> <annIndexDir> <outDir> <queryVecId> <terms...> | " +
+              "hybrid-search <sfDir> <annIndexDir> <outDir> <queryVecId> [--lex <lexIndexDir>] [--filter <allowedParquet>] <terms...> | " +
+              "lex-build <sfDir> <indexDir> [nBuckets] | lex-append <in> <indexDir> <idCol> <textCol> | " +
+              "lex-maintain <indexDir> [maxTombstoneFraction] | lex-search <indexDir> <k> <terms...> | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
               "ann-query-filtered <queriesParquet> <allowedParquet> <indexDir> [k] [nProbe] [rerank] | " +
               "ann-pq-build <sfDir> <indexDir> [nCells] [m] [nCodes] [residual|raw] | " +

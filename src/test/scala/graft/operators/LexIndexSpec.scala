@@ -159,6 +159,53 @@ class LexIndexSpec extends SparkSpec {
       "filtered scores were recalibrated — they must stay corpus-wide")
   }
 
+  test("CLI: lex-build / lex-append / lex-search / lex-maintain / index-status, and hybrid-search --lex --filter threads both pools") {
+    val base = java.nio.file.Files.createTempDirectory("lex_cli").toString
+    val lexIx = s"$base/lex"
+    val annIx = s"$base/ann"
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    Similarity.ivfBuild(emb, "vec_id", "embedding", 4, annIx)
+    graft.cli.GraftCli.run(spark, List("lex-build", sf0001, lexIx, "8"))
+    assert(IndexFs.exists(s"$lexIx/meta"))
+
+    // --lex + --filter: the fused pool must carry ONLY allowed ids, and
+    // the index-served lexical pool must fuse identically to the scan-
+    // served one (the bit-identity contract, end-to-end through the CLI)
+    val allowedPath = s"$base/allowed"
+    docs.where($"doc_id" % 3 === 0).select($"doc_id")
+      .write.parquet(allowedPath)
+    graft.cli.GraftCli.run(spark, List("hybrid-search", sf0001, annIx,
+      s"$base/out_ix", "0", "--lex", lexIx, "--filter", allowedPath,
+      "spark", "merge"))
+    graft.cli.GraftCli.run(spark, List("hybrid-search", sf0001, annIx,
+      s"$base/out_scan", "0", "--filter", allowedPath, "spark", "merge"))
+    val outIx = spark.read.parquet(s"$base/out_ix")
+    val outScan = spark.read.parquet(s"$base/out_scan")
+    assert(outIx.count() == 20)
+    assert(outIx.where($"id" % 3 =!= 0).count() == 0,
+      "a disallowed id surfaced in the fused top-k")
+    assert(outIx.where($"rank_0".isNotNull).count() > 0)
+    assert(outIx.where($"rank_1".isNotNull).count() > 0)
+    assert(outIx.exceptAll(outScan).unionAll(outScan.exceptAll(outIx))
+      .count() == 0, "index-served lexical pool fused differently from scan")
+
+    // append + maintain + status smoke through the same surfaces
+    docs.limit(0).write.parquet(s"$base/empty")
+    graft.cli.GraftCli.run(spark,
+      List("lex-append", s"$base/empty", lexIx, "doc_id", "text"))
+    graft.cli.GraftCli.run(spark, List("lex-maintain", lexIx))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.cli.GraftCli.run(spark, List("index-status", lexIx))
+      graft.cli.GraftCli.run(spark, List("lex-search", lexIx, "5",
+        "spark", "merge"))
+    }
+    val text = out.toString("UTF-8")
+    assert(text.contains("layout: lexical"), text)
+    assert(text.contains("lex-search"), text)
+    assert(text.contains("5 results"), text)
+  }
+
   test("lifecycle works through file:-scheme URIs (cluster-store faithful)") {
     val dir = "file://" + tmp("lex_uri")
     LexIndex.build(docs.where($"doc_id" < 100), "doc_id", "text", dir,
