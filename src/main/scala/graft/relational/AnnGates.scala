@@ -44,49 +44,59 @@ object AnnGates {
       cache.getOrElseUpdate(key, build).asInstanceOf[T]
     }
 
+    /** The PQ-tier gates' REDUCED fixture corpus: the vec_id % 3 residue
+      * class (round-18, the structural fix that took the graph gates
+      * 39 s → 6 s applied to the ANN tier — r17's gate block was 64% of
+      * bench wall, dominated by per-gate quantizer training). The gate
+      * assertions are theorems plus a recall floor, both meaningful on
+      * any deterministic corpus; the floors were re-measured on THIS
+      * corpus before the move (GateProbe `fixtures` sweep, 2026-08-16:
+      * append 1.000/0.600/0.933, filtered-on-shared-index
+      * 0.867/0.667/0.733, adaptive-1/10 1.000 everywhere, OPQ
+      * 0.933/0.933/0.867 across sf0.001/0.01/0.1 — every 0.6 floor
+      * holds). t118 keeps FULL-corpus in-query training as the
+      * end-to-end canary.
+      */
+    def reduced(s: org.apache.spark.sql.SparkSession,
+        d: String): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      graft.core.Tables.embeddings(s, d).where(col("vec_id") % 3 === 0)
+    }
+
     /** Full-corpus raw PQ model at the t117 config (m=16, nCodes=16). */
     def rawModel(s: org.apache.spark.sql.SparkSession,
         d: String): PQ.PqModel = memo(s"rawModel:$d") {
       PQ.train(graft.core.Tables.embeddings(s, d), "embedding", 16, 16)
     }
 
-    /** Half-built + appended residual IVF-PQ index (the t119 lifecycle:
-      * build on the even half, append the odd half under both frozen
-      * quantizers).
+    /** Half-built + appended residual IVF-PQ index over the [[reduced]]
+      * corpus (the t119 lifecycle: build on one half, append the other
+      * under both frozen quantizers). ALSO the query target of the
+      * filtered gates t126/t128 — the appended index covers the same
+      * corpus a fresh full build would, so a second full-build fixture
+      * bought nothing but its training wall.
       */
     def halfAppendedResidualDir(s: org.apache.spark.sql.SparkSession,
         d: String): String = memo(s"halfAppendedResidual:$d") {
       import s.implicits._
-      val emb = graft.core.Tables.embeddings(s, d)
+      val emb = reduced(s, d)
       val dir = java.nio.file.Files
         .createTempDirectory("graft_fix_ivfpq_app").toString
-      PQ.ivfPqBuildResidual(emb.where($"vec_id" % 2 === 0), "vec_id",
+      PQ.ivfPqBuildResidual(emb.where($"vec_id" % 6 === 0), "vec_id",
         "embedding", 8, 16, 16, dir)
-      PQ.ivfPqAppend(s, dir, emb.where($"vec_id" % 2 =!= 0),
+      PQ.ivfPqAppend(s, dir, emb.where($"vec_id" % 6 =!= 0),
         "vec_id", "embedding")
       dir
     }
 
-    /** Full-corpus residual IVF-PQ index at the gate config
-      * (nCells=8, m=16, nCodes=16) — t126's query target.
-      */
-    def residualDir(s: org.apache.spark.sql.SparkSession,
-        d: String): String = memo(s"residualDir:$d") {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_fix_ivfpq").toString
-      PQ.ivfPqBuildResidual(graft.core.Tables.embeddings(s, d), "vec_id",
-        "embedding", 8, 16, 16, dir)
-      dir
-    }
-
-    /** Full-corpus OPQ (rotated residual) IVF-PQ index at the same gate
-      * config — t133's query target.
+    /** OPQ (rotated residual) IVF-PQ index over the [[reduced]] corpus at
+      * the same gate config — t133's query target.
       */
     def opqDir(s: org.apache.spark.sql.SparkSession,
         d: String): String = memo(s"opqDir:$d") {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_fix_opq").toString
-      PQ.ivfPqBuildOpq(graft.core.Tables.embeddings(s, d), "vec_id",
+      PQ.ivfPqBuildOpq(reduced(s, d), "vec_id",
         "embedding", 8, 16, 16, dir)
       dir
     }

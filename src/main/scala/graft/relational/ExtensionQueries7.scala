@@ -838,15 +838,15 @@ object ExtensionQueries7 {
         // residual PQ codebooks — the anchors are float-table functions,
         // so appended codes match what a build over the union would
         // write), then hold the grown index to every AnnGates theorem
-        // plus a recall floor over the FULL corpus. Measured (round-15
-        // GateProbe ann sweep): 0.600/0.800/1.000 at sf0.001/0.01/0.1 —
-        // the residual encoding LIFTED the small-corpus floor (raw read
-        // 0.533), so the floor rises 0.5 → 0.6 (measure, then lock). The
-        // index is the shared per-corpus fixture (t118 is the
-        // train-in-query canary; the lifecycle itself is spec-pinned in
-        // ProductQuantizerSpec's associativity test).
-        val emb = graft.core.Tables.embeddings(s, d)
-        val queries = emb.filter($"vec_id" < 3)
+        // plus a recall floor over the fixture corpus (the REDUCED
+        // residue class since round-18 — see AnnGates.Fixture.reduced;
+        // re-measured there: 1.000/0.600/0.933 at sf0.001/0.01/0.1, the
+        // 0.6 floor holds unchanged). The index is the shared per-corpus
+        // fixture (t118 is the train-in-query canary; the lifecycle
+        // itself is spec-pinned in ProductQuantizerSpec's associativity
+        // test).
+        val emb = AnnGates.Fixture.reduced(s, d)
+        val queries = emb.filter($"vec_id" < 9)
         val dir = AnnGates.Fixture.halfAppendedResidualDir(s, d)
         val topk = PQ.ivfPqQuery(s, dir, queries, "vec_id", "embedding",
           k = 5, nProbe = 5, rerank = 100)
@@ -984,17 +984,18 @@ object ExtensionQueries7 {
         // t125's composed sibling over the RESIDUAL layout: the
         // allowed-id semi-join restricts the CODES scan before ADC
         // pooling, so the rerank budget is spent on allowed candidates
-        // only. Measured at the production config (nCells=8, nProbe=5,
-        // rerank=100, 1/3-selective filter, round-15 annfilter sweep):
-        // 0.667 / 0.800 / 0.733 at sf0.001/0.01/0.1 — probe-set recall
-        // dominates and the filtered pool recovers everything ADC loses;
-        // floor 0.6. The index is the shared per-corpus fixture; harsher
-        // selectivities are covered by the adaptive-probe spec
-        // (ivfPqQueryFilteredAdaptive, 1.000 at 1/100 in the sweep).
-        val emb = graft.core.Tables.embeddings(s, d)
-        val allowed = emb.where($"vec_id" % 3 === 0)
-        val queries = emb.filter($"vec_id" < 3)
-        val dir = AnnGates.Fixture.residualDir(s, d)
+        // only. Since round-18 the query target is the SHARED appended
+        // fixture over the reduced corpus (a second full-build fixture
+        // bought nothing but its training wall); re-measured there at
+        // the production config (nCells=8, nProbe=5, rerank=100,
+        // 1/3-selective filter — GateProbe fixtures sweep):
+        // 0.867/0.667/0.733 at sf0.001/0.01/0.1, floor 0.6 holds.
+        // Harsher selectivities are covered by t128 and the
+        // adaptive-probe spec.
+        val emb = AnnGates.Fixture.reduced(s, d)
+        val allowed = emb.where($"vec_id" % 9 === 0)
+        val queries = emb.filter($"vec_id" < 9)
+        val dir = AnnGates.Fixture.halfAppendedResidualDir(s, d)
         val topk = PQ.ivfPqQueryFiltered(s, dir, queries, "vec_id",
           "embedding", allowed, "vec_id", k = 5, nProbe = 5, rerank = 100)
         AnnGates.verdict(allowed, queries, topk, k = 5, recallFloor = 0.6)
@@ -1312,13 +1313,14 @@ object ExtensionQueries7 {
         // (round-15 annfilter sweep — the table lives in the
         // ivfQueryFiltered scaladoc), while nProbeFor from MEASURED
         // selectivity walks probes toward the exhaustive regime and read
-        // 1.000 at every SF/selectivity (one 0.867, rerank-pool bound).
-        // Floor 0.6 locks the adaptive contract over the shared residual
-        // fixture index.
-        val emb = graft.core.Tables.embeddings(s, d)
-        val allowed = emb.where($"vec_id" % 10 === 0)
-        val queries = emb.filter($"vec_id" < 3)
-        val dir = AnnGates.Fixture.residualDir(s, d)
+        // 1.000 at every SF/selectivity (one 0.867, rerank-pool bound) —
+        // re-confirmed 1.000 everywhere on the round-18 shared/reduced
+        // fixture (GateProbe fixtures sweep). Floor 0.6 locks the
+        // adaptive contract over the shared appended fixture index.
+        val emb = AnnGates.Fixture.reduced(s, d)
+        val allowed = emb.where($"vec_id" % 30 === 0)
+        val queries = emb.filter($"vec_id" < 9)
+        val dir = AnnGates.Fixture.halfAppendedResidualDir(s, d)
         val topk = PQ.ivfPqQueryFilteredAdaptive(s, dir, queries, "vec_id",
           "embedding", allowed, "vec_id", k = 5, baseNProbe = 5, rerank = 100)
         AnnGates.verdict(allowed, queries, topk, k = 5, recallFloor = 0.6)

@@ -176,14 +176,16 @@ object ExtensionQueries8 {
         // the OPQ encoding's end-to-end gate at the production query shape
         // (np=5, rerank=100, the t126 config on the ROTATED layout):
         // sims exact, ranks dense, no self/dups, recall@5 vs brute force
-        // over the fixture corpus >= 0.6. The encoding earned its layout
-        // from the round-16 GateProbe opq sweep — pool recall
-        // ties-or-ahead of plain residual at every config (np5/rr25:
-        // 0.733→0.787 / 0.720→0.733 / 0.653→0.707 across
-        // sf0.001/0.01/0.1; full table in NOTES_r16), which at 100 TB is
-        // comparable recall from a smaller full-vector refine read.
-        val emb = graft.core.Tables.embeddings(s, d)
-        val queries = emb.filter($"vec_id" < 3)
+        // over the fixture corpus >= 0.6 (the REDUCED residue class since
+        // round-18; re-measured there: 0.933/0.933/0.867 across
+        // sf0.001/0.01/0.1 — GateProbe fixtures sweep). The encoding
+        // earned its layout from the round-16 GateProbe opq sweep — pool
+        // recall ties-or-ahead of plain residual at every config
+        // (np5/rr25: 0.733→0.787 / 0.720→0.733 / 0.653→0.707; full table
+        // in NOTES_r16), which at 100 TB is comparable recall from a
+        // smaller full-vector refine read.
+        val emb = AnnGates.Fixture.reduced(s, d)
+        val queries = emb.filter($"vec_id" < 9)
         val dir = AnnGates.Fixture.opqDir(s, d)
         val topk = graft.operators.ProductQuantizer.ivfPqQuery(s, dir,
           queries, "vec_id", "embedding", k = 5, nProbe = 5, rerank = 100)

@@ -28,19 +28,22 @@ object ExtensionQueries9 {
         // (physical resolve — never the quantizer-retraining rebuild);
         // (4) the resolve is invisible to queries (row-identical answers)
         // and clears the table, so (5) the next maintain is a no-op.
-        // Dedicated (non-fixture) dir — deletion mutates.
-        val emb = Tables.embeddings(s, d)
+        // Dedicated (non-fixture) dir — deletion mutates — but BUILT over
+        // the reduced fixture corpus (round-18: the arc's claims are
+        // corpus-independent, and the build was gate-wall, not signal).
+        val emb = AnnGates.Fixture.reduced(s, d)
         val dir = java.nio.file.Files
           .createTempDirectory("graft_t134").toString + "/idx"
         Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 8, dir)
         val n = emb.count()
         // 18 takedown batches (strictly past the 16-file fold budget),
-        // residue classes 0..17 mod 90 = 20% of the corpus
+        // residue classes {0,3,..,51} mod 270 = 18 of the 90 classes the
+        // reduced ids occupy = 20% of the corpus
         (0 until 18).foreach { r =>
           Similarity.ivfDelete(s, dir,
-            emb.where($"vec_id" % 90 === r).select($"vec_id"), "vec_id")
+            emb.where($"vec_id" % 270 === 3 * r).select($"vec_id"), "vec_id")
         }
-        val delIds = emb.where($"vec_id" % 90 < 18)
+        val delIds = emb.where($"vec_id" % 270 < 54)
           .select($"vec_id").localCheckpoint()
         val nDel = delIds.count()
         val tsFiles = s.read.parquet(s"$dir/tombstones").inputFiles.length

@@ -298,8 +298,64 @@ object GateProbe {
     }
   }
 
+  /** The round-18 reduced-fixture sweep: recall@5 of the PQ-tier gate
+    * configs when the shared fixtures train AND assert over the 1/3
+    * residue-class corpus (vec_id % 3 = 0) — run BEFORE moving
+    * t119/t126/t133/t134 off the full corpus, so the re-locked floors
+    * come from measurement. Shapes measured: the half-built+appended
+    * residual index queried plain (t119) and filtered 1/3-of-universe
+    * (t126 — now SHARING the appended fixture instead of a second full
+    * build), and the OPQ layout (t133); all at np=5, rerank=100.
+    */
+  private def fixturesSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.operators.{ProductQuantizer => PQ}
+    import spark.implicits._
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = s"/root/testdata/$sf"
+      val emb = Tables.embeddings(spark, d).where($"vec_id" % 3 === 0)
+        .localCheckpoint()
+      val queries = emb.filter($"vec_id" < 9)
+      def recallOf(topk: org.apache.spark.sql.DataFrame,
+          corpus: org.apache.spark.sql.DataFrame): Double = {
+        val bf = Similarity.bruteForceTopK(corpus, queries,
+          "vec_id", "embedding", 5).localCheckpoint()
+        val denom = bf.count()
+        if (denom == 0) -1.0
+        else topk.join(bf, Seq("query_id", "neighbor_id")).count()
+          .toDouble / denom
+      }
+      val appDir = java.nio.file.Files
+        .createTempDirectory(s"probe_fix_app").toString
+      PQ.ivfPqBuildResidual(emb.where($"vec_id" % 6 === 0), "vec_id",
+        "embedding", 8, 16, 16, appDir)
+      PQ.ivfPqAppend(spark, appDir, emb.where($"vec_id" % 6 =!= 0),
+        "vec_id", "embedding")
+      val rApp = recallOf(PQ.ivfPqQuery(spark, appDir, queries, "vec_id",
+        "embedding", k = 5, nProbe = 5, rerank = 100), emb)
+      val allowed = emb.where($"vec_id" % 9 === 0)
+      val rFilt = recallOf(PQ.ivfPqQueryFiltered(spark, appDir, queries,
+          "vec_id", "embedding", allowed, "vec_id", k = 5, nProbe = 5,
+          rerank = 100),
+        allowed)
+      val allowed10 = emb.where($"vec_id" % 30 === 0)
+      val rAdapt = recallOf(PQ.ivfPqQueryFilteredAdaptive(spark, appDir,
+          queries, "vec_id", "embedding", allowed10, "vec_id", k = 5,
+          baseNProbe = 5, rerank = 100),
+        allowed10)
+      val opqDir = java.nio.file.Files
+        .createTempDirectory(s"probe_fix_opq").toString
+      PQ.ivfPqBuildOpq(emb, "vec_id", "embedding", 8, 16, 16, opqDir)
+      val rOpq = recallOf(PQ.ivfPqQuery(spark, opqDir, queries, "vec_id",
+        "embedding", k = 5, nProbe = 5, rerank = 100), emb)
+      println(f"[$sf] fixtures reduced-corpus n=${emb.count()} " +
+        f"append=$rApp%.3f filtered(shared-ix)=$rFilt%.3f " +
+        f"adaptive1/10(shared-ix)=$rAdapt%.3f opq=$rOpq%.3f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(appName = "gate-probe")
+    if (args.contains("fixtures")) { fixturesSweep(spark); spark.stop(); return }
     if (args.contains("annfilter")) { annFilterSweep(spark); spark.stop(); return }
     if (args.contains("ann")) { annSweep(spark); spark.stop(); return }
     if (args.contains("opq")) { opqSweep(spark); spark.stop(); return }

@@ -371,17 +371,83 @@ object Stress {
       check(!graft.operators.IndexFs.exists(s"$fpIx/_tombstones"),
         "cleared tombstone table still present")
 
-      // ---- hybrid retrieval at stress scale (round-17): a BM25 lexical
-      // pool over the 50k-doc corpus + the PERSISTED ANN index's ranked
-      // pool, fused by reciprocal-rank fusion — the t135 operator family
-      // on the production (index-tier) dense path, with a wall-clock
-      // record for the whole chain.
+      // ---- persisted lexical index at stress scale (round-18): build the
+      // LexIndex over the 50k-doc corpus, then record the asymmetry the
+      // tier exists for — the per-query read is POSTING-SLICE scale
+      // (bucket-pruned, df rows per term), never corpus scale — with
+      // row-identity to the full scan as the correctness floor, through a
+      // takedown (exact stats corrections at scale) and the pressure
+      // compact.
+      val lexIx = s"$workDir/lexix"
+      val lexTerms = Seq("the", "alpha1", "word7")
+      import graft.operators.LexIndex
+      val (_, tLexBuild) = timed {
+        LexIndex.build(docs, "doc_id", "text", lexIx)
+      }
+      def lexFromIndex() = LexIndex
+        .bm25TopKFromIndex(spark, lexIx, lexTerms, k = 20).localCheckpoint()
+      def lexFromScan(d: org.apache.spark.sql.DataFrame) = graft.operators
+        .TextSearch.bm25TopK(d, col("doc_id"), col("text"), lexTerms, k = 20)
+        .localCheckpoint()
+      val (ixTop, tLexIxQ) = timed { val r = lexFromIndex(); r.count(); r }
+      val (scanTop, tLexScanQ) = timed { val r = lexFromScan(docs); r.count(); r }
+      val lexDiff = ixTop.exceptAll(scanTop).unionAll(scanTop.exceptAll(ixTop))
+        .count()
+      // the slice scan must carry a bucket partition filter (the pruning
+      // that makes the read slice-scale — same audit as the IVF cells scan)
+      val nB = spark.read.parquet(s"$lexIx/meta").head().getAs[Int]("nbuckets")
+      val b0 = spark.range(1)
+        .select(pmod(hash(lit(lexTerms.head)), lit(nB)).as("b")).head().getInt(0)
+      val slicePlan = spark.read.parquet(s"$lexIx/postings")
+        .where(col("bucket") === b0 && col("term") === lexTerms.head)
+        .queryExecution.executedPlan.toString
+      val lexPruned = slicePlan.linesIterator
+        .exists(l => l.contains("FileScan") &&
+          l.contains("PartitionFilters: [") && l.contains("bucket"))
+      // takedown at scale: 2% tombstoned — the corrected index query must
+      // stay row-identical to a scan over the remaining corpus
+      val (nLexDel, tLexDel) = timed {
+        LexIndex.delete(spark, lexIx,
+          docs.where(col("doc_id") % 50 === 0).select(col("doc_id")), "doc_id")
+      }
+      val (ixTopDel, tLexIxDelQ) = timed { val r = lexFromIndex(); r.count(); r }
+      val scanTopDel = lexFromScan(docs.where(col("doc_id") % 50 =!= 0))
+      val lexDelDiff = ixTopDel.exceptAll(scanTopDel)
+        .unionAll(scanTopDel.exceptAll(ixTopDel)).count()
+      val (lexCompacted, tLexCompact) = timed {
+        LexIndex.maintain(spark, lexIx, maxTombstoneFraction = 0.01)
+      }
+      val ixTopPost = lexFromIndex()
+      val lexPostDiff = ixTopPost.exceptAll(scanTopDel)
+        .unionAll(scanTopDel.exceptAll(ixTopPost)).count()
+      println(j("stage" -> "lexical_index", "build_seconds" -> tLexBuild,
+        "index_query_seconds" -> tLexIxQ, "scan_query_seconds" -> tLexScanQ,
+        "tombstoned_query_seconds" -> tLexIxDelQ,
+        "delete_seconds" -> tLexDel, "compact_seconds" -> tLexCompact,
+        "docs" -> nDocs, "tombstoned" -> nLexDel,
+        "mismatches" -> lexDiff, "tombstoned_mismatches" -> lexDelDiff,
+        "post_compact_mismatches" -> lexPostDiff))
+      check(lexDiff == 0, s"index-served BM25 diverged from the scan ($lexDiff rows)")
+      check(lexPruned, "posting-slice scan carries no bucket partition filter")
+      check(lexDelDiff == 0,
+        s"tombstone corrections not exact at scale ($lexDelDiff rows)")
+      check(lexCompacted, "tombstone pressure did not fire the lex compact")
+      check(!graft.operators.IndexFs.exists(s"$lexIx/tombstones"),
+        "lex compact left the tombstone table behind")
+      check(lexPostDiff == 0, s"lex compact changed answers ($lexPostDiff rows)")
+
+      // ---- hybrid retrieval at stress scale (round-17, lexical pool on
+      // the PERSISTED index since round-18): the LexIndex posting-slice
+      // pool + the PERSISTED ANN index's ranked pool, fused by
+      // reciprocal-rank fusion — the t135/t138 operator family with BOTH
+      // modalities on their index tiers, a wall-clock record for the
+      // whole chain. (The index was takedown-compacted above, so the
+      // fused pool also proves the lifecycle left retrieval intact.)
       val (hybrid, tHybrid) = timed {
         import org.apache.spark.sql.expressions.Window
         import graft.operators.TextSearch
         val lexW = Window.orderBy(col("score").desc, col("id"))
-        val lex = TextSearch.bm25TopK(docs, col("doc_id"), col("text"),
-            terms = Seq("the", "alpha1", "word7"), k = 50)
+        val lex = LexIndex.bm25TopKFromIndex(spark, lexIx, lexTerms, k = 50)
           .select(col("id"),
             row_number().over(lexW).cast("bigint").as("rank"))
         val dense = Similarity.ivfQuery(spark, idx,
@@ -399,6 +465,92 @@ object Stress {
       check(hybridN == 20, s"hybrid fusion returned $hybridN of 20")
       check(lexHits > 0 && denseHits > 0,
         s"both modalities must reach the fused pool (lex=$lexHits dense=$denseHits)")
+
+      // ---- lease contention under REAL operators at stress scale
+      // (round-18): a writer holding the fp-index lease mid-batch makes a
+      // concurrent takedown fail LOUDLY (contention can never interleave
+      // with the holder's read-modify-write), and an ann-maintain racing a
+      // mid-append holder loses the same way; both deferred retries land
+      // after release, the takedown is not lost, and admission state stays
+      // exact (no duplicate admission, no corruption) on the 50k corpus.
+      import graft.operators.{IncrementalDedup, IndexLease}
+      val takeSlice = docs.where(col("doc_id") % 89 === 0)
+        .select(md5(col("text")).as("fp")).distinct().localCheckpoint()
+      val nSlice = takeSlice.count()
+      // DISTINCT fps: the arc's compact collapses duplicate rows across
+      // delta batches, so only the set size is conserved arithmetic
+      def fpLive() = IncrementalDedup.liveIndex(spark, fpIx,
+        spark.read.parquet(fpIx).select(col("fp")), "fp")
+        .select(col("fp")).distinct()
+      val fpLiveBefore = fpLive().count()
+      val (leaseRecord, tLease) = timed {
+        // arc 1: the holder runs a REAL lifecycle op (compactFpIndex, a
+        // reentrant frame) inside an explicit lease parked at a barrier,
+        // so the takedown provably lands mid-hold
+        val entered = new java.util.concurrent.CountDownLatch(1)
+        val proceed = new java.util.concurrent.CountDownLatch(1)
+        val holderErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val holder = new Thread(() => {
+          try IndexLease.withLease(fpIx) {
+            entered.countDown()
+            proceed.await()
+            IncrementalDedup.compactFpIndex(spark, fpIx)
+            ()
+          } catch { case t: Throwable => holderErr.set(t) }
+        })
+        holder.start(); entered.await()
+        val takedownBlocked =
+          try { IncrementalDedup.deleteFingerprints(spark, fpIx, takeSlice); false }
+          catch { case _: IllegalStateException => true }
+        proceed.countDown(); holder.join()
+        val nTake = IncrementalDedup.deleteFingerprints(spark, fpIx, takeSlice)
+        // arc 2: ann-maintain racing a mid-append holder on the main index
+        val entered2 = new java.util.concurrent.CountDownLatch(1)
+        val proceed2 = new java.util.concurrent.CountDownLatch(1)
+        val holder2Err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val holder2 = new Thread(() => {
+          try IndexLease.withLease(idx) {
+            entered2.countDown()
+            proceed2.await()
+            Similarity.ivfAppend(spark, idx,
+              emb.select((col("vec_id") + 9L * nVecs).as("vec_id"),
+                col("embedding")),
+              "vec_id", "embedding")
+            ()
+          } catch { case t: Throwable => holder2Err.set(t) }
+        })
+        holder2.start(); entered2.await()
+        val maintainBlocked =
+          try { graft.operators.AnnMaintenance.maintain(spark, idx); false }
+          catch { case _: IllegalStateException => true }
+        proceed2.countDown(); holder2.join()
+        val retried = graft.operators.AnnMaintenance.maintain(spark, idx)
+        (takedownBlocked, nTake, maintainBlocked, retried,
+          Option(holderErr.get()), Option(holder2Err.get()))
+      }
+      val (takedownBlocked, nTake, maintainBlocked, retriedDecision,
+        holderFail, holder2Fail) = leaseRecord
+      val fpLiveAfter = fpLive().count()
+      println(j("stage" -> "lease_contention", "seconds" -> tLease,
+        "takedown_blocked_loudly" -> takedownBlocked,
+        "takedown_keys" -> nTake,
+        "maintain_blocked_loudly" -> maintainBlocked,
+        "retry_maintain_rebuilt" -> retriedDecision.rebuilt,
+        "live_before" -> fpLiveBefore, "live_after" -> fpLiveAfter))
+      check(holderFail.isEmpty, s"lease holder 1 failed: $holderFail")
+      check(holder2Fail.isEmpty, s"lease holder 2 failed: $holder2Fail")
+      check(takedownBlocked,
+        "a takedown during a held fp lease did not fail loudly")
+      check(maintainBlocked,
+        "ann-maintain during a held index lease did not fail loudly")
+      check(nTake == nSlice,
+        s"deferred takedown lost keys: $nTake of $nSlice")
+      check(fpLiveAfter == fpLiveBefore - nSlice,
+        s"live fp count after the arc: $fpLiveAfter, expected " +
+          s"${fpLiveBefore - nSlice} (compact + takedown must compose exactly)")
+      check(!graft.operators.IndexFs.exists(IndexLease.leasePath(fpIx)) &&
+        !graft.operators.IndexFs.exists(IndexLease.leasePath(idx)),
+        "a lease marker leaked after the contention arcs")
 
       // ---- SRP-LSH embedding near-dups with NO blocking assumption at
       // 2x-factor vectors (100k at the default factor). The corpus has
