@@ -63,9 +63,13 @@ object LexIndex {
   private def bucketOf(term: Column, nBuckets: Int): Column =
     pmod(hash(term), lit(nBuckets))
 
-  /** Batch → its `(bucket, term, id, tf, dl)` posting rows + `(id, dl)`
-    * doc lengths. One explode, one map-side-combining aggregation on
-    * (id, term); text never shuffles, only (id, term, counts).
+  /** Batch → its `(bucket, term, id, tf, dl, positions)` posting rows +
+    * `(id, dl)` doc lengths. One posexplode, one map-side-combining
+    * aggregation on (id, term); text never shuffles, only (id, term,
+    * counts, positions). Positions are the token's 0-based offsets in
+    * the document's token array — the POSITIONAL postings phrase and
+    * proximity queries need ([[phraseCountFromIndex]]), stored sorted so
+    * files are deterministic.
     */
   private def derive(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): (DataFrame, DataFrame) = {
@@ -73,10 +77,12 @@ object LexIndex {
       .withColumn("dl", size(col("__toks")).cast("bigint"))
     val doclens = base.select(col("id"), col("dl"))
     val postings = base
-      .select(col("id"), col("dl"), explode(col("__toks")).as("term"))
+      .select(col("id"), col("dl"),
+        posexplode(col("__toks")).as(Seq("pos", "term")))
       .where(col("term") =!= "")
       .groupBy(col("id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("bigint").as("tf"))
+      .agg(count(lit(1)).cast("bigint").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
     (postings, doclens)
   }
@@ -231,6 +237,40 @@ object LexIndex {
 
   private def readNBuckets(spark: SparkSession, indexDir: String): Int =
     spark.read.parquet(s"$indexDir/meta").head().getAs[Int]("nbuckets")
+
+  /** Exact PHRASE match counts served FROM the index — the positional
+    * tier: an n-term phrase is an (n-1)-fold position-offset EQUI-join
+    * over the phrase terms' LIVE posting slices (each slice bucket-pruned
+    * to df rows), `p_k = p_0 + k` on the same document. Overlapping
+    * matches count separately, order matters — the bag-of-words BM25 path
+    * cannot tell "hash table" from "table hash". Same tokenization as the
+    * rest of the index (whitespace, no case folding); tombstoned
+    * documents are exactly absent.
+    *
+    * @return (id, n_matches) for live documents with >= 1 occurrence
+    */
+  def phraseCountFromIndex(spark: SparkSession, indexDir: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
+      "phrase must have at least one nonempty term")
+    IncrementalDedup.recoverDir(indexDir)
+    val nBuckets = readNBuckets(spark, indexDir)
+    val tsDir = s"$indexDir/tombstones"
+    IncrementalDedup.recoverDir(tsDir)
+    val termBuckets = spark.range(1)
+      .select(phrase.map(t => bucketOf(lit(t), nBuckets)): _*).head()
+    val slices = phrase.zipWithIndex.map { case (t, k) =>
+      val raw = spark.read.parquet(s"$indexDir/postings")
+        .where(col("bucket") === lit(termBuckets.getInt(k)) &&
+          col("term") === lit(t))
+        .select(col("id"), explode(col("positions")).as("__p"))
+        .select(col("id"), (col("__p") - k).as("p0"))
+      IncrementalDedup.applyTombstones(spark, tsDir, raw, "id")
+    }
+    slices.reduceLeft((a, b) => a.join(b, Seq("id", "p0")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("bigint").as("n_matches"))
+  }
 
   /** BM25 top-k served FROM the index: per query term, read that term's
     * posting slice (bucket partition pruning + a term predicate — df rows,

@@ -176,6 +176,39 @@ object ExtensionQueries10 {
         "top-k heap — fused by reciprocal-rank fusion. The oracle " +
         "recomputes both filtered rankings and the fixed-order RRF sum " +
         "bit-exactly; no disallowed id can appear in the fused top-k."
+    ),
+    // --------------------------------------------------------------- t139
+    GraftQuery(
+      "t139_phrase_index",
+      (s, d) => {
+        import s.implicits._
+        // exact 3-term phrase counts served FROM the persisted index's
+        // positional tier: a 2-fold position-offset equi-join over the
+        // three terms' bucket-pruned posting slices — work scales with
+        // the phrase terms' document frequencies, never the corpus. The
+        // oracle recomputes from raw text with the index's tokenization
+        // (whitespace split, NO case folding — unlike t81's lowercased
+        // scan operator), so the hash match proves the stored positions
+        // reproduce the text exactly.
+        LexIndex.phraseCountFromIndex(s, lexDir(s, d),
+            Seq("big", "order", "scan"))
+          .select($"id".cast("bigint").as("doc_id"), $"n_matches")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS w
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+             |        FROM documents)),
+             |tk AS (SELECT * FROM tok WHERE len(w) > 0)
+             |SELECT CAST(a.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_matches
+             |FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |          JOIN tk c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+             |WHERE a.w = 'big' AND b.w = 'order' AND c.w = 'scan'
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      doc = "Index-served exact PHRASE search (LexIndex positional tier): " +
+        "a 3-term phrase as the 2-fold position-offset equi-join over " +
+        "bucket-pruned live posting slices — overlaps count, order " +
+        "matters, tombstoned docs exactly absent; the oracle recomputes " +
+        "the counts from raw text under the index's tokenization."
     )
   )
 }

@@ -206,6 +206,43 @@ class LexIndexSpec extends SparkSpec {
     assert(text.contains("5 results"), text)
   }
 
+  test("phraseCountFromIndex: overlaps count, order matters, takedown removes docs, and it matches the scan operator") {
+    val dir = tmp("lex_phrase")
+    val corpus = Seq(
+      (1L, "a b a b a"), // "a b" at positions 0 and 2 -> 2 matches
+      (2L, "b a"),       // reversed -> no match ("order matters")
+      (3L, "a a a"),     // "a a" overlapping at 0 and 1 -> 2 matches
+      (4L, "c c c a b")  // "a b" once
+    ).toDF("doc_id", "text")
+    LexIndex.build(corpus, "doc_id", "text", dir, nBuckets = 4)
+    val ab = LexIndex.phraseCountFromIndex(spark, dir, Seq("a", "b"))
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(ab == Seq((1L, 2L), (4L, 1L)), ab.toString)
+    val aa = LexIndex.phraseCountFromIndex(spark, dir, Seq("a", "a"))
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(aa == Seq((3L, 2L)), s"overlapping matches must count: $aa")
+    // on an already-lowercase corpus the scan operator (which folds case)
+    // and the index tier must agree row-for-row
+    val scan = TextSearch.phraseCount(corpus, $"doc_id", $"text", Seq("a", "b"))
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(scan == ab, s"index $ab vs scan $scan")
+    // a real-corpus 3-term phrase agrees with the scan operator too
+    val dir2 = tmp("lex_phrase_sf")
+    val few = docs.where($"doc_id" < 300)
+    LexIndex.build(few, "doc_id", "text", dir2, nBuckets = 8)
+    val p3 = Seq("slow", "hash", "batch")
+    val ix3 = LexIndex.phraseCountFromIndex(spark, dir2, p3)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    val sc3 = TextSearch.phraseCount(few, $"doc_id", $"text", p3)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(ix3 == sc3, s"index $ix3 vs scan $sc3")
+    // takedown: deleted docs are exactly absent from phrase results
+    LexIndex.delete(spark, dir, Seq(1L).toDF("doc_id"), "doc_id")
+    val abDel = LexIndex.phraseCountFromIndex(spark, dir, Seq("a", "b"))
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(abDel == Seq((4L, 1L)), abDel.toString)
+  }
+
   test("lifecycle works through file:-scheme URIs (cluster-store faithful)") {
     val dir = "file://" + tmp("lex_uri")
     LexIndex.build(docs.where($"doc_id" < 100), "doc_id", "text", dir,
