@@ -1123,7 +1123,8 @@ object GraftCli {
             indexDir = flags.get("--index"), enrichStage = enrich,
             mixStage = mix,
             packTokenizer = flags.get("--bpe-merges").map(graft.operators.Bpe.loadMerges),
-            shards = flags.get("--shards").map(_.toInt))
+            shards = flags.get("--shards").map(_.toInt),
+            lexDir = flags.get("--lex"))
           counts.foreach(c => println(f"pipeline[${c.stage}]: ${c.rows} rows" +
             (if (c.seconds >= 0) f" (${c.seconds}%.1f s)" else "")))
           println(s"pipeline: done -> $workDir (agent=$agent, capacity=$capacity)")
@@ -1150,6 +1151,7 @@ object GraftCli {
             packTokenizer = flags.get("--bpe-merges")
               .map(graft.operators.Bpe.loadMerges),
             shards = flags.get("--shards").map(_.toInt),
+            lexDir = flags.get("--lex"),
             onBatch = (id, cs) => cs.foreach(c =>
               println(f"pipeline-stream[batch=$id][${c.stage}]: ${c.rows} rows" +
                 (if (c.seconds >= 0) f" (${c.seconds}%.1f s)" else ""))))
@@ -1281,9 +1283,9 @@ object GraftCli {
               "extract <in> <outDir> <idCol> <textCol> [minLen minAlnumPct] | " +
               "sql <sfDir> <query> | export <sfDir> <table> <outDir> <partCol> | explain <sfDir> [names...] | " +
               "snapshot-plans <sfDir> <outDir> [names...] | " +
-              "pipeline <warcGlob> <workDir> [agent] [capacity] [--index <dir>] [--enrich <templateFile>] " +
+              "pipeline <warcGlob> <workDir> [agent] [capacity] [--index <dir>] [--lex <lexIndexDir>] [--enrich <templateFile>] " +
               "[--mix <lang:budget,...>] [--mix-mode exact|repeat] [--bpe-merges <file>] [--shards <n>] | " +
-              "pipeline-stream <warcDir> <workDir> <indexDir> [agent] [capacity] [--compact-every <n>] " +
+              "pipeline-stream <warcDir> <workDir> <indexDir> [agent] [capacity] [--lex <lexIndexDir>] [--compact-every <n>] " +
               "[--mix <lang:budget,...>] [--bpe-merges <file>] [--shards <n>] | reset <workDir>")
       }
     }

@@ -87,18 +87,27 @@ object LexIndex {
     (postings, doclens)
   }
 
+  /** One batch's tables land under their own `batch=<id>` partition dir
+    * (build = -1, appends ascending or caller-pinned), OVERWRITING that
+    * batch's previous contents — so a replayed micro-batch rewrites the
+    * same files instead of double-counting postings/doclens/stats (the
+    * admission-index delta discipline). Readers discover `batch` as one
+    * more partition column and ignore it; bucket pruning is unaffected.
+    */
   private def writeBatch(postings: DataFrame, doclens: DataFrame,
-      indexDir: String, nBuckets: Int, mode: String): Unit = {
+      indexDir: String, nBuckets: Int, batchId: Long): Unit = {
     // co-locate each bucket before the partitioned write — without the
     // repartition every task writes a file into every bucket dir
     // (tasks × buckets small files); with it the file count is bounded
     // by the bucket count per batch
     postings.repartition(nBuckets, col("bucket"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$indexDir/postings")
-    doclens.write.mode(mode).parquet(s"$indexDir/doclens")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/postings/batch=$batchId")
+    doclens.write.mode("overwrite").parquet(s"$indexDir/doclens/batch=$batchId")
     val stats = doclens.agg(count(lit(1)).cast("bigint").as("n"),
       sum(col("dl").cast("decimal(20,0)")).as("sumdl"))
-    stats.coalesce(1).write.mode(mode).parquet(s"$indexDir/stats")
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/stats/batch=$batchId")
   }
 
   /** Build the index over `docs` into `indexDir` (fresh-dir contract, like
@@ -114,34 +123,88 @@ object LexIndex {
       import spark.implicits._
       IncrementalDedup.recoverDir(indexDir)
       val (postings, doclens) = derive(docs, idCol, textCol, nBuckets)
-      writeBatch(postings, doclens, indexDir, nBuckets, "overwrite")
+      writeBatch(postings, doclens, indexDir, nBuckets, batchId = -1L)
       Seq(nBuckets).toDF("nbuckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
     }
 
   /** Append a batch of NEW documents (ids unique across the index's
     * lifetime — the caller contract every index here shares). df, N and
-    * Σdl are all additive, so the append writes its own posting/doclen/
-    * stats rows and touches nothing existing. Re-adding a TOMBSTONED id
-    * is a loud error until a compact resolves the deletion — clearing the
-    * tombstone here would unhide the id's OLD postings beside the new
-    * ones (the [[Similarity.ivfDelete]] re-add semantics).
+    * Σdl are all additive, so the append writes its own `batch=<id>`
+    * posting/doclen/stats delta and touches nothing existing. Re-adding a
+    * TOMBSTONED id is a loud error until a compact resolves the deletion
+    * — clearing the tombstone here would unhide the id's OLD postings
+    * beside the new ones (the [[Similarity.ivfDelete]] re-add semantics)
+    * (unlike the fp index, which is a SET, the lexical rows are per-doc
+    * DATA: clearing the tombstone at append time would make both copies
+    * visible and double-count N/Σdl/tf — the continuous-ingest caller
+    * splits those ids out via [[splitTombstoned]] and defers them to the
+    * crawl after the next compact).
     *
+    * @param batchId pins the delta's identity for REPLAY-IDEMPOTENT
+    *        appends (a replayed micro-batch overwrites its own delta
+    *        instead of double-counting); None = next ascending id.
     * @return number of documents appended
     */
   def append(spark: SparkSession, indexDir: String, docs: DataFrame,
-      idCol: String, textCol: String): Long =
+      idCol: String, textCol: String, batchId: Option[Long] = None): Long =
     IndexLease.withLease(indexDir) {
       IncrementalDedup.recoverDir(indexDir)
       require(IndexFs.exists(s"$indexDir/meta"),
         s"$indexDir is not a lexical index (no meta table) — build first")
       val nBuckets = readNBuckets(spark, indexDir)
       requireNotTombstoned(spark, indexDir, docs, idCol)
+      val bid = batchId.getOrElse {
+        val existing = IndexFs.subdirNames(s"$indexDir/postings")
+          .filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong)
+        if (existing.isEmpty) 0L else existing.max + 1L
+      }
       val (postings, doclens) = derive(docs, idCol, textCol, nBuckets)
       val n = doclens.count()
-      if (n > 0) writeBatch(postings, doclens, indexDir, nBuckets, "append")
+      if (n > 0) writeBatch(postings, doclens, indexDir, nBuckets, bid)
       n
     }
+
+  /** Rebuild the index over `docs` behind the staged whole-dir swap: the
+    * new generation is fully written BESIDE the live one, then one
+    * `replaceDir` commits — at every instant at least one complete index
+    * serves, and a killed rebuild is healed by `recoverDir` (the batch
+    * crawl pipeline's per-run lexical build goes through this; a plain
+    * [[build]] into a live dir would leave mixed generations on a crash
+    * between its table writes).
+    */
+  def rebuild(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, nBuckets: Int = 64): Unit =
+    IndexLease.withLease(indexDir) {
+      IncrementalDedup.recoverDir(indexDir)
+      val next = s"$indexDir.next"
+      IncrementalDedup.clearStaging(next)
+      build(docs, idCol, textCol, next, nBuckets)
+      IncrementalDedup.replaceDir(indexDir, next)
+    }
+
+  /** Partition a continuous-ingest batch into (appendable, deferred):
+    * ids with a PENDING lex tombstone are deferred — appending them now
+    * would either unhide their old rows (double-count) or hide the new
+    * ones, so the caller skips them this snapshot and logs the count; the
+    * next compact ([[maintain]]'s pressure or an operator's) physically
+    * resolves the tombstones, after which the page's next crawl re-admits
+    * cleanly. One broadcast anti/semi-join pair, only when a tombstone
+    * table exists.
+    */
+  def splitTombstoned(spark: SparkSession, indexDir: String,
+      docs: DataFrame, idCol: String): (DataFrame, DataFrame) = {
+    val t = s"$indexDir/tombstones"
+    IncrementalDedup.recoverDir(t)
+    if (!IndexFs.exists(t)) (docs, docs.limit(0))
+    else {
+      val tomb = broadcast(
+        spark.read.parquet(t).select(col("id")).distinct())
+      (docs.join(tomb.withColumnRenamed("id", idCol), Seq(idCol), "left_anti"),
+        docs.join(tomb.withColumnRenamed("id", idCol), Seq(idCol), "left_semi"))
+    }
+  }
 
   private def requireNotTombstoned(spark: SparkSession, indexDir: String,
       docs: DataFrame, idCol: String): Unit = {
@@ -187,19 +250,22 @@ object LexIndex {
       val nBuckets = readNBuckets(spark, indexDir)
       def live(table: String) = IncrementalDedup.applyTombstones(spark,
         s"$indexDir/tombstones", spark.read.parquet(s"$indexDir/$table"), "id")
-      val postings = live("postings").localCheckpoint()
-      val doclens = live("doclens").localCheckpoint()
+      // the delta ledgers fold to ONE batch=-1 generation (partition-style
+      // like every index layout here: root-level files would be invisible
+      // to discovery once the next delta lands)
+      val postings = live("postings").drop("batch").localCheckpoint()
+      val doclens = live("doclens").drop("batch").localCheckpoint()
       val meta = spark.read.parquet(s"$indexDir/meta").localCheckpoint()
       val n = doclens.count()
       val next = s"$indexDir.compact"
       IncrementalDedup.clearStaging(next)
       postings.repartition(nBuckets, col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$next/postings")
+        .write.partitionBy("bucket").parquet(s"$next/postings/batch=-1")
       doclens.coalesce(math.max(1L, n / targetRows + 1).toInt)
-        .write.parquet(s"$next/doclens")
+        .write.parquet(s"$next/doclens/batch=-1")
       doclens.agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("dl").cast("decimal(20,0)")).as("sumdl"))
-        .coalesce(1).write.parquet(s"$next/stats")
+        .coalesce(1).write.parquet(s"$next/stats/batch=-1")
       meta.write.parquet(s"$next/meta")
       IncrementalDedup.replaceDir(indexDir, next)
       n

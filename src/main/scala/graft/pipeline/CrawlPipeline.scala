@@ -94,7 +94,14 @@ object CrawlPipeline {
       // corpus as `nShards` deterministic training-shard dirs
       // ([[graft.operators.TrainingOrder.writeShards]]) — the files a data
       // loader consumes; epoch comes from the mix config when present
-      shards: Option[Int] = None): Seq[StageCount] = {
+      shards: Option[Int] = None,
+      // optional stage 07b: keep a persisted LEXICAL (BM25) retrieval
+      // index ([[graft.operators.LexIndex]]) in lockstep with the curated
+      // corpus — batch mode REBUILDS it behind a staged swap (one run =
+      // one generation, like the admission indexes); daemon mode appends
+      // the snapshot's curated docs as a replay-idempotent `batch=<id>`
+      // delta, with tombstoned ids DEFERRED (see the stage comment)
+      lexDir: Option[String] = None): Seq[StageCount] = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[StageCount]
     def ck(stage: String, df: DataFrame, parts: Seq[String] = Nil): DataFrame = {
       val t0 = System.nanoTime()
@@ -362,6 +369,66 @@ object CrawlPipeline {
         .select(col("id").as("doc_id"), col("url"),
           col("text_dedup").as("text"), col("n_paras"), col("n_kept")))
 
+    // 07b (optional): the retrieval index tracks the curated corpus —
+    // full-text search over what the pipeline actually kept, fresh every
+    // snapshot. Batch mode rebuilds behind the staged swap (a one-shot
+    // run IS a corpus build). Daemon mode appends this snapshot's docs as
+    // a replay-idempotent delta (own batch id — a replay overwrites its
+    // own files, never double-counts the additive df/N/Σdl ledgers);
+    // ids with a PENDING lex tombstone are DEFERRED with a loud log —
+    // appending them would double-count (the lexical rows are per-doc
+    // DATA, not a set like fp) — and land on the crawl after the next
+    // lex compact resolves. Lease contention defers the whole append
+    // (the readmitKeys posture): missing-from-retrieval-for-one-snapshot
+    // is recoverable, a dead daemon is not. Lexical COMPACTION
+    // (lex-maintain) is an operator action with the daemon STOPPED —
+    // unlike compactDeltaIndex it does not preserve the current batch's
+    // delta, so a mid-stream fold of a crashed attempt's delta would
+    // defeat the replay guard (the replayed batch would double-count).
+    for (lex <- lexDir) {
+      val t0 = System.nanoTime()
+      val docsForLex = para.select(col("doc_id"), col("text"))
+      var lexRows = -1L
+      snapshotId match {
+        case Some(bid) =>
+          if (!graft.operators.IndexFs.exists(s"$lex/meta"))
+            graft.operators.LexIndex.build(
+              docsForLex.limit(0), "doc_id", "text", lex)
+          val (ok, deferred) = graft.operators.LexIndex
+            .splitTombstoned(spark, lex, docsForLex, "doc_id")
+          val nDeferred = deferred.count()
+          if (nDeferred > 0)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"deferring $nDeferred lexical re-adds on $lex (pending " +
+                "tombstones — the next lex compact resolves them; the " +
+                "pages' next crawl re-admits)")
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try {
+              lexRows = graft.operators.LexIndex.append(spark, lex, ok,
+                "doc_id", "text", batchId = Some(bid))
+              done = true
+            } catch {
+              case _: IllegalStateException if attempt < 3 =>
+                attempt += 1; Thread.sleep(200L * attempt)
+              case e: IllegalStateException =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"deferring lexical index append on $lex (writer lease " +
+                    s"contended): ${e.getMessage}")
+                done = true
+            }
+          }
+        case None =>
+          graft.operators.LexIndex.rebuild(docsForLex, "doc_id", "text", lex)
+          lexRows =
+            if (countStages) spark.read.parquet(s"$lex/doclens").count()
+            else -1L
+      }
+      counts += StageCount("07b_lex_index",
+        if (countStages) lexRows else -1L, (System.nanoTime() - t0) / 1e9)
+    }
+
     // leakage-safe splits: whole HOSTS land in one split, written
     // partitioned so readers partition-prune on split=
     val split = ck("08_splits", para
@@ -600,6 +667,9 @@ object CrawlPipeline {
       mixStage: Option[MixStage] = None,
       packTokenizer: Option[graft.operators.Bpe.BpeModel] = None,
       shards: Option[Int] = None,
+      // forwarded to [[run]]'s 07b stage: per-snapshot delta appends keep
+      // the lexical retrieval index in lockstep with the curated corpus
+      lexDir: Option[String] = None,
       onBatch: (Long, Seq[StageCount]) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("binaryFile")
@@ -640,7 +710,7 @@ object CrawlPipeline {
             countStages = countStages, snapshotId = Some(batchId),
             qualityThresholds = qualityThresholds,
             mixStage = mixStage, packTokenizer = packTokenizer,
-            shards = shards)
+            shards = shards, lexDir = lexDir)
           onBatch(batchId, counts)
         }
         ()

@@ -206,6 +206,59 @@ class LexIndexSpec extends SparkSpec {
     assert(text.contains("5 results"), text)
   }
 
+  test("delta appends are replay-idempotent: a re-run batch overwrites its own delta, never double-counts") {
+    val dir = tmp("lex_replay")
+    LexIndex.build(docs.where($"doc_id" % 2 === 0), "doc_id", "text", dir,
+      nBuckets = 8)
+    val odd = docs.where($"doc_id" % 2 =!= 0)
+    LexIndex.append(spark, dir, odd, "doc_id", "text", batchId = Some(7L))
+    val before = LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 15)
+      .collect().toSeq
+    val nDocs = spark.read.parquet(s"$dir/doclens").count()
+    // the replayed micro-batch lands on the SAME batch id — statistics
+    // and postings must come out identical, not doubled
+    LexIndex.append(spark, dir, odd, "doc_id", "text", batchId = Some(7L))
+    assert(spark.read.parquet(s"$dir/doclens").count() == nDocs,
+      "replay double-counted doclens")
+    val statSum = spark.read.parquet(s"$dir/stats")
+      .agg(sum($"n")).head().getLong(0)
+    assert(statSum == nDocs, s"replay double-counted the stats ledger: $statSum")
+    val after = LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 15)
+      .collect().toSeq
+    assert(after == before, "replay changed query answers")
+    // and an UNPINNED append takes the next ascending id — a fresh delta
+    LexIndex.append(spark, dir,
+      docs.limit(0), "doc_id", "text") // empty: no delta dir written
+    val batches = IndexFs.subdirNames(s"$dir/postings")
+      .filter(_.startsWith("batch=")).toSet
+    assert(batches == Set("batch=-1", "batch=7"), batches.toString)
+  }
+
+  test("re-add defer arc: tombstoned ids split out of an ingest batch, compact resolves, then the re-add lands cleanly") {
+    val dir = tmp("lex_readd")
+    LexIndex.build(docs, "doc_id", "text", dir, nBuckets = 8)
+    val slice = docs.where($"doc_id" % 7 === 0)
+    LexIndex.delete(spark, dir, slice.select($"doc_id"), "doc_id")
+    // a plain append of tombstoned ids fails loudly (unlike the fp SET,
+    // lex rows are per-doc data — clearing at append time double-counts)
+    intercept[IllegalArgumentException] {
+      LexIndex.append(spark, dir, slice, "doc_id", "text")
+    }
+    // the continuous-ingest split: tombstoned ids defer, the rest append
+    val batch = docs.where($"doc_id" % 7 === 0 || $"doc_id" === 1)
+    val (ok, deferred) = LexIndex.splitTombstoned(spark, dir, batch, "doc_id")
+    assert(deferred.count() == slice.count(), "tombstoned ids not deferred")
+    assert(ok.count() == 1, "non-tombstoned id not appendable")
+    // compact resolves physically; the deferred docs then re-add cleanly
+    // and the corpus scores EXACTLY as if never deleted
+    LexIndex.compact(spark, dir)
+    LexIndex.append(spark, dir, slice, "doc_id", "text", batchId = Some(9L))
+    assertSame(
+      LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 15),
+      TextSearch.bm25TopK(docs, $"doc_id", $"text", terms, k = 15),
+      "re-added corpus diverged after the defer arc")
+  }
+
   test("phraseCountFromIndex: overlaps count, order matters, takedown removes docs, and it matches the scan operator") {
     val dir = tmp("lex_phrase")
     val corpus = Seq(

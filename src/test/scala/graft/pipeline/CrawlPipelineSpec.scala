@@ -686,6 +686,85 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(new java.io.File(s"$work/batch=1/10_enrich/ok=true").isDirectory)
   }
 
+  test("07b lexical index: batch mode rebuilds per generation; daemon deltas are replay-idempotent; tombstoned re-adds defer, compact resolves") {
+    import graft.operators.{IndexFs, LexIndex, TextSearch}
+    // ---- batch mode: the index is a staged-swap REBUILD serving exactly
+    // the curated corpus (one run = one generation)
+    val warcDir = Files.createTempDirectory("crawl_lex_warc")
+    val work = Files.createTempDirectory("crawl_lex_work").toString
+    val lex = Files.createTempDirectory("crawl_lex_ix").toString + "/lex"
+    Files.write(warcDir.resolve("snap1.warc"),
+      response("http://a.example/alpha", bodyAlpha) ++
+      response("http://b.example/beta", bodyBeta))
+    val counts = CrawlPipeline.run(spark, s"$warcDir/snap1.warc", work,
+        lexDir = Some(lex))
+      .map(c => c.stage -> c.rows).toMap
+    val curated = spark.read.parquet(s"$work/07_para_dedup")
+      .select($"doc_id", $"text")
+    val nCur = curated.count()
+    assert(counts("07b_lex_index") == nCur, counts.toString)
+    val terms = Seq("the", "alpha1")
+    def fromIx() = LexIndex.bm25TopKFromIndex(spark, lex, terms, k = 5)
+      .collect().toSeq
+    assert(fromIx() == TextSearch.bm25TopK(curated, $"doc_id", $"text",
+      terms, k = 5).collect().toSeq,
+      "batch-mode lexical index diverged from the curated corpus")
+    // a rerun is a new GENERATION, never an accretion
+    CrawlPipeline.run(spark, s"$warcDir/snap1.warc", work, lexDir = Some(lex))
+    assert(spark.read.parquet(s"$lex/doclens").count() == nCur,
+      "batch rerun accreted instead of rebuilding")
+
+    // ---- daemon mode: per-snapshot deltas, replay-idempotent
+    val warc2 = Files.createTempDirectory("crawl_lex2_warc")
+    val work2 = Files.createTempDirectory("crawl_lex2_work").toString
+    val ix2 = Files.createTempDirectory("crawl_lex2_ix").toString + "/index"
+    val lex2 = Files.createTempDirectory("crawl_lex2_lex").toString + "/lex"
+    Files.write(warc2.resolve("snap1.warc"),
+      response("http://a.example/alpha", bodyAlpha))
+    val q = CrawlPipeline.runStream(spark, warc2.toString, work2, ix2,
+      lexDir = Some(lex2))
+    try {
+      q.processAllAvailable()
+      Files.write(warc2.resolve("snap2.warc"),
+        response("http://c.example/gamma", bodyGamma))
+      q.processAllAvailable()
+    } finally q.stop()
+    val nLex2 = spark.read.parquet(s"$lex2/doclens").count()
+    assert(nLex2 == 2, s"daemon lexical index holds $nLex2 docs, expected 2")
+    def fromIx2() = LexIndex.bm25TopKFromIndex(spark, lex2,
+      Seq("the", "gamma1"), k = 5).collect().toSeq
+    val preReplay = fromIx2()
+    // replay of snapshot 1 overwrites its OWN delta — counts and scores
+    // identical, never doubled
+    CrawlPipeline.run(spark, s"$warc2/snap2.warc", s"$work2/batch=1",
+      indexDir = Some(ix2), snapshotId = Some(1L), lexDir = Some(lex2))
+    assert(spark.read.parquet(s"$lex2/doclens").count() == 2,
+      "replayed snapshot double-counted the lexical delta")
+    assert(fromIx2() == preReplay, "replay changed lexical scores")
+
+    // ---- takedown: the tombstoned id DEFERS out of the replayed append
+    // (a pending tombstone would otherwise double-count), the compact
+    // resolves, and the next (re)crawl re-adds cleanly
+    val gammaId = spark.read.parquet(s"$work2/batch=1/07_para_dedup")
+      .select($"doc_id").as[Long].head()
+    LexIndex.delete(spark, lex2, Seq(gammaId).toDF("doc_id"), "doc_id")
+    CrawlPipeline.run(spark, s"$warc2/snap2.warc", s"$work2/batch=1",
+      indexDir = Some(ix2), snapshotId = Some(1L), lexDir = Some(lex2))
+    // the replay rewrote batch=1 EMPTY (its only doc was deferred): the
+    // live view must not surface the tombstoned doc
+    assert(LexIndex.bm25TopKFromIndex(spark, lex2, Seq("gamma1"), k = 5)
+      .where($"id" === gammaId).count() == 0,
+      "a tombstoned doc surfaced through the deferred append")
+    LexIndex.compact(spark, lex2)
+    assert(!IndexFs.exists(s"$lex2/tombstones"))
+    CrawlPipeline.run(spark, s"$warc2/snap2.warc", s"$work2/batch=1",
+      indexDir = Some(ix2), snapshotId = Some(1L), lexDir = Some(lex2))
+    assert(spark.read.parquet(s"$lex2/doclens").count() == 2,
+      "post-compact re-add did not restore the doc (or double-counted)")
+    assert(fromIx2() == preReplay,
+      "the takedown→defer→compact→re-add arc changed final scores")
+  }
+
   test("takedown under lease contention: the daemon's tombstone clear DEFERS " +
       "(batch succeeds, deletion stays applied); the next crawl completes it") {
     val warcDir = Files.createTempDirectory("crawl_td_warc")
