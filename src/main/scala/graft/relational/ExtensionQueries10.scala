@@ -209,6 +209,89 @@ object ExtensionQueries10 {
         "bucket-pruned live posting slices — overlaps count, order " +
         "matters, tombstoned docs exactly absent; the oracle recomputes " +
         "the counts from raw text under the index's tokenization."
+    ),
+    // --------------------------------------------------------------- t140
+    GraftQuery(
+      "t140_lex_lifecycle",
+      (s, d) => {
+        import s.implicits._
+        // the lexical index LIFECYCLE as a gate: (1) a REPLAYED delta
+        // append (same pinned batch id) leaves counts and scores
+        // identical — the additive ledgers never double-count; (2) a
+        // takedown's corrections are EXACT: the tombstoned index scores
+        // row-identically to a full scan over the remaining corpus;
+        // (3) splitTombstoned defers exactly the tombstoned ids; (4)
+        // tombstone pressure fires maintain's compact, the table clears,
+        // answers stay row-identical, and the next maintain is a no-op.
+        // Dedicated (non-fixture) dir — deletion mutates.
+        val docs = Tables.documents(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_t140").toString + "/lex"
+        val terms = Seq("spark", "merge", "window")
+        LexIndex.build(docs.where($"doc_id" % 2 === 0), "doc_id", "text",
+          dir, nBuckets = 16)
+        LexIndex.append(s, dir, docs.where($"doc_id" % 2 =!= 0),
+          "doc_id", "text", batchId = Some(5L))
+        val nDocs = s.read.parquet(s"$dir/doclens").count()
+        def top() = LexIndex.bm25TopKFromIndex(s, dir, terms, k = 20)
+          .localCheckpoint()
+        val t0 = top()
+        // (1) replay the pinned delta
+        LexIndex.append(s, dir, docs.where($"doc_id" % 2 =!= 0),
+          "doc_id", "text", batchId = Some(5L))
+        val nReplay = s.read.parquet(s"$dir/doclens").count()
+        val replayDiff = top().exceptAll(t0).unionAll(t0.exceptAll(top()))
+          .count()
+        // (2) takedown exactness vs the remaining-corpus scan
+        val delPred = $"doc_id" % 5 === 0
+        LexIndex.delete(s, dir, docs.where(delPred).select($"doc_id"),
+          "doc_id")
+        val scanRemaining = TextSearch.bm25TopK(docs.where(!delPred),
+          $"doc_id", $"text", terms, k = 20).localCheckpoint()
+        val tDel = top()
+        val delDiff = tDel.exceptAll(scanRemaining)
+          .unionAll(scanRemaining.exceptAll(tDel)).count()
+        // (3) the ingest split defers exactly the tombstoned ids
+        val (_, deferred) = LexIndex.splitTombstoned(s, dir,
+          docs.select($"doc_id", $"text"), "doc_id")
+        val deferredWrong = deferred.select($"doc_id")
+          .exceptAll(docs.where(delPred).select($"doc_id"))
+          .unionAll(docs.where(delPred).select($"doc_id")
+            .exceptAll(deferred.select($"doc_id"))).count()
+        // (4) pressure compact: resolve, clear, row-identical, then no-op
+        val fired = LexIndex.maintain(s, dir, maxTombstoneFraction = 0.05)
+        val tPost = top()
+        val postDiff = tPost.exceptAll(scanRemaining)
+          .unionAll(scanRemaining.exceptAll(tPost)).count()
+        val second = LexIndex.maintain(s, dir, maxTombstoneFraction = 0.05)
+        def flag(bad: Boolean, a: Long, b: Long, why: String) =
+          if (!bad) s.emptyDataset[(Long, Long, String)]
+            .toDF("id_a", "id_b", "reason")
+          else Seq((a, b, why)).toDF("id_a", "id_b", "reason")
+        val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
+        Seq(
+          flag(nReplay != nDocs, nReplay, nDocs, "replay_double_counted"),
+          flag(replayDiff != 0, replayDiff, 0L, "replay_changed_scores"),
+          flag(delDiff != 0, delDiff, 0L, "takedown_not_exact"),
+          flag(deferredWrong != 0, deferredWrong, 0L, "defer_split_wrong"),
+          flag(!fired, -2L, -2L, "pressure_did_not_compact"),
+          flag(graft.operators.IndexFs.exists(s"$dir/tombstones"), -3L, -3L,
+            "tombstones_not_cleared"),
+          flag(postDiff != 0, postDiff, 0L, "compact_changed_answers"),
+          flag(second, -4L, -4L, "second_maintain_not_noop"))
+          .reduce(_ unionAll _).unionAll(sentinel)
+          .orderBy($"id_a", $"id_b", $"reason")
+      },
+      Some(AnnGates.oracle),
+      doc = "Lexical index lifecycle gate: a replayed pinned-batch delta " +
+        "append never double-counts the additive df/N/Σdl ledgers " +
+        "(counts and scores identical), takedown corrections are exact " +
+        "(tombstoned index ≡ a scan over the remaining corpus, doubles " +
+        "included), splitTombstoned defers exactly the tombstoned ids, " +
+        "and tombstone pressure compacts physically with row-identical " +
+        "answers, a cleared table, and a no-op next maintain; " +
+        "violations + sentinel, constant oracle.",
+      gate = true
     )
   )
 }
