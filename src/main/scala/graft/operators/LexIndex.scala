@@ -304,6 +304,31 @@ object LexIndex {
   private def readNBuckets(spark: SparkSession, indexDir: String): Int =
     spark.read.parquet(s"$indexDir/meta").head().getAs[Int]("nbuckets")
 
+  /** Exact LIVE corpus statistics (N, Σdl): summed from the append-only
+    * stats ledger — a handful of footer-scale rows — then corrected for
+    * pending tombstones via one narrow (id, dl) pass over doclens (paid
+    * only while tombstones pend; compact restores ledger-only reads).
+    */
+  private def liveStats(spark: SparkSession, indexDir: String,
+      tsDir: String, hasTombstones: Boolean): (Long, java.math.BigDecimal) = {
+    val statRow = spark.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).head()
+    var nLive: Long = statRow.getLong(0)
+    var sumdlLive: java.math.BigDecimal = statRow.getDecimal(1)
+    if (hasTombstones) {
+      val corr = spark.read.parquet(s"$indexDir/doclens")
+        .join(broadcast(spark.read.parquet(tsDir).select(col("id")).distinct()),
+          Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("nd"),
+          coalesce(sum(col("dl").cast("decimal(20,0)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(20,0)")).as("sd"))
+        .head()
+      nLive -= corr.getLong(0)
+      sumdlLive = sumdlLive.subtract(corr.getDecimal(1))
+    }
+    (nLive, sumdlLive)
+  }
+
   /** Exact PHRASE match counts served FROM the index — the positional
     * tier: an n-term phrase is an (n-1)-fold position-offset EQUI-join
     * over the phrase terms' LIVE posting slices (each slice bucket-pruned
@@ -369,24 +394,7 @@ object LexIndex {
     IncrementalDedup.recoverDir(tsDir)
     val hasTombstones = IndexFs.exists(tsDir)
 
-    // corpus statistics: exact longs/decimals, a handful of scalars —
-    // summed from the append-only stats ledger, then corrected for
-    // tombstones from one narrow (id, dl) pass over doclens
-    val statRow = spark.read.parquet(s"$indexDir/stats")
-      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).head()
-    var nLive: Long = statRow.getLong(0)
-    var sumdlLive: java.math.BigDecimal = statRow.getDecimal(1)
-    if (hasTombstones) {
-      val corr = spark.read.parquet(s"$indexDir/doclens")
-        .join(broadcast(spark.read.parquet(tsDir).select(col("id")).distinct()),
-          Seq("id"), "left_semi")
-        .agg(count(lit(1)).as("nd"),
-          coalesce(sum(col("dl").cast("decimal(20,0)")),
-            lit(java.math.BigDecimal.ZERO).cast("decimal(20,0)")).as("sd"))
-        .head()
-      nLive -= corr.getLong(0)
-      sumdlLive = sumdlLive.subtract(corr.getDecimal(1))
-    }
+    val (nLive, sumdlLive) = liveStats(spark, indexDir, tsDir, hasTombstones)
     // the same operations bm25TopK's expression tree applies: decimal →
     // double cast, long → double cast, one IEEE division
     val avgdl = sumdlLive.doubleValue() / nLive.toDouble
@@ -461,5 +469,96 @@ object LexIndex {
           lit(0.0).as("score"): _*)
       top.unionAll(fills).orderBy(col("score").desc, col("id")).limit(k)
     }
+  }
+
+  /** BATCHED BM25: serve MANY queries from ONE pass over the union of
+    * their term slices — the production retrieval shape
+    * ([[bm25TopKFromIndex]] is one-query-at-a-time: a handful of tiny
+    * driver actions per call, which at 10k queries/s is 10k tiny jobs).
+    * Here the driver pays a FIXED number of jobs regardless of query
+    * count: one bucket-pruned read of the distinct terms' slices
+    * (checkpointed once), ONE grouped count deriving every term's df,
+    * one stats read (+ the tombstone correction pass when pending), and
+    * one final plan scoring every query.
+    *
+    * Scores are the same IEEE expression tree as the single-query path —
+    * per query, the fixed-order sum over ITS terms' slices of the
+    * checkpointed union — so each query's (id, score) rows are
+    * bit-identical to its own [[bm25TopKFromIndex]] call. Ranking uses a
+    * window PARTITIONED BY query (per-query partition-local sort —
+    * parallel across queries, slice-union scale, never corpus scale
+    * beyond what the terms' own posting lists hold).
+    *
+    * Batch semantics (deliberately NOT the single-query output shape):
+    * only MATCHING documents rank (no zero-score fill — a query with
+    * fewer than k matching docs returns just its matches), and the
+    * output is normalized to `(query_id, id, dl, score, rank)` because
+    * per-query term counts vary.
+    */
+  def bm25TopKFromIndexMany(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, Seq[String])], k: Int, k1: Double = 1.5,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && k >= 1 &&
+      queries.forall(q => q._2.nonEmpty && q._2.forall(_.nonEmpty)))
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids")
+    IncrementalDedup.recoverDir(indexDir)
+    require(IndexFs.exists(s"$indexDir/meta"),
+      s"$indexDir is not a lexical index (no meta table)")
+    val nBuckets = readNBuckets(spark, indexDir)
+    val tsDir = s"$indexDir/tombstones"
+    IncrementalDedup.recoverDir(tsDir)
+    val hasTombstones = IndexFs.exists(tsDir)
+    val (nLive, sumdlLive) = liveStats(spark, indexDir, tsDir, hasTombstones)
+    val avgdl = sumdlLive.doubleValue() / nLive.toDouble
+
+    val allTerms = queries.flatMap(_._2).distinct
+    val bucketRow = spark.range(1)
+      .select(allTerms.map(t => bucketOf(lit(t), nBuckets)): _*).head()
+    val buckets = allTerms.indices.map(bucketRow.getInt).distinct
+    // ONE pruned read of the union of slices; the term IN-list restricts
+    // the (bucket, term) superset the bucket IN-list admits
+    val union = IncrementalDedup.applyTombstones(spark, tsDir,
+        spark.read.parquet(s"$indexDir/postings")
+          .where(col("bucket").isin(buckets: _*) &&
+            col("term").isin(allTerms: _*))
+          .select(col("term"), col("id"), col("dl"), col("tf")),
+        "id")
+      .localCheckpoint()
+    // every term's df from ONE grouped count over the union
+    val dfByTerm = union.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+
+    // per query: the single-query join/score recipe over the CHECKPOINTED
+    // union (no re-read), normalized output, unioned into one plan
+    val perQuery = queries.map { case (qid, terms) =>
+      val named = terms.zipWithIndex.map { case (t, i) =>
+        union.where(col("term") === lit(t))
+          .select(col("id"), col("dl").as(s"__dl$i"), col("tf").as(s"tf$i"))
+      }
+      val joined = named.reduce((a, c) => a.join(c, Seq("id"), "full_outer"))
+      val dlCol = coalesce(terms.indices.map(i => col(s"__dl$i")): _*).as("dl")
+      val base = joined.select(col("id") +: dlCol +:
+        terms.indices.map(i =>
+          coalesce(col(s"tf$i"), lit(0L)).cast("bigint").as(s"tf$i")): _*)
+      val rel = col("dl").cast("double") / lit(avgdl)
+      def termScore(i: Int): Column = {
+        val tf = col(s"tf$i").cast("double")
+        val df = dfByTerm(terms(i))
+        val idf = ((nLive - df).toDouble + 0.5) / (df.toDouble + 0.5)
+        lit(idf) *
+          ((tf * lit(k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * rel)))
+      }
+      val score = terms.indices.map(termScore).reduceLeft(_ + _)
+      base.select(lit(qid).as("query_id"), col("id"), col("dl"),
+        score.as("score"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    perQuery.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
   }
 }

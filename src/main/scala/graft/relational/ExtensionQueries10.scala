@@ -292,6 +292,72 @@ object ExtensionQueries10 {
         "answers, a cleared table, and a no-op next maintain; " +
         "violations + sentinel, constant oracle.",
       gate = true
+    ),
+    // --------------------------------------------------------------- t141
+    GraftQuery(
+      "t141_bm25_batch",
+      (s, d) => {
+        import s.implicits._
+        // BATCHED retrieval: three queries served from ONE pass over the
+        // union of their term slices — fixed driver-job count regardless
+        // of query count (the production many-queries shape; the
+        // single-query path pays its handful of tiny jobs per call).
+        // Matched-docs-only by contract; scores are the same IEEE tree as
+        // the single path, so the oracle recomputes each query's scores
+        // from raw text with the t50 formula and ranks per query.
+        LexIndex.bm25TopKFromIndexMany(s, lexDir(s, d), Seq(
+            "q_a" -> Seq("spark", "merge"),
+            "q_b" -> Seq("window"),
+            "q_c" -> Seq("merge", "window")), k = 12)
+          .select($"query_id", $"id".cast("bigint").as("doc_id"),
+            $"dl", $"score", $"rank")
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |dd AS (SELECT doc_id,
+             |  CAST(len(t) AS BIGINT) AS dl,
+             |  CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tfs,
+             |  CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tfm,
+             |  CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tfw
+             |  FROM tok),
+             |st AS (SELECT count(*) AS n, SUM(CAST(dl AS DECIMAL(20,0))) AS sumdl,
+             |  SUM(CASE WHEN tfs > 0 THEN 1 ELSE 0 END) AS dfs,
+             |  SUM(CASE WHEN tfm > 0 THEN 1 ELSE 0 END) AS dfm,
+             |  SUM(CASE WHEN tfw > 0 THEN 1 ELSE 0 END) AS dfw
+             |  FROM dd),
+             |sc AS (SELECT doc_id, dl,
+             |  ((CAST(n - dfs AS DOUBLE) + 0.5) / (CAST(dfs AS DOUBLE) + 0.5))
+             |    * ((CAST(tfs AS DOUBLE) * 2.5) / (CAST(tfs AS DOUBLE)
+             |        + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS f_s,
+             |  ((CAST(n - dfm AS DOUBLE) + 0.5) / (CAST(dfm AS DOUBLE) + 0.5))
+             |    * ((CAST(tfm AS DOUBLE) * 2.5) / (CAST(tfm AS DOUBLE)
+             |        + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS f_m,
+             |  ((CAST(n - dfw AS DOUBLE) + 0.5) / (CAST(dfw AS DOUBLE) + 0.5))
+             |    * ((CAST(tfw AS DOUBLE) * 2.5) / (CAST(tfw AS DOUBLE)
+             |        + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS f_w,
+             |  tfs, tfm, tfw
+             |  FROM dd CROSS JOIN st),
+             |u AS (
+             |  SELECT 'q_a' AS query_id, doc_id, dl, f_s + f_m AS score,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY f_s + f_m DESC, doc_id) AS BIGINT) AS rank
+             |  FROM sc WHERE tfs > 0 OR tfm > 0
+             |  UNION ALL
+             |  SELECT 'q_b', doc_id, dl, f_w,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY f_w DESC, doc_id) AS BIGINT)
+             |  FROM sc WHERE tfw > 0
+             |  UNION ALL
+             |  SELECT 'q_c', doc_id, dl, f_m + f_w,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY f_m + f_w DESC, doc_id) AS BIGINT)
+             |  FROM sc WHERE tfm > 0 OR tfw > 0)
+             |SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, dl, score, rank
+             |FROM u WHERE rank <= 12 ORDER BY query_id, rank""".stripMargin),
+      doc = "Batched BM25 retrieval (LexIndex.bm25TopKFromIndexMany): " +
+        "three queries served from ONE pass over the union of their term " +
+        "slices — one pruned slice read, one grouped df count, one stats " +
+        "read, one scoring plan, regardless of query count. Matched docs " +
+        "only; per-query ranks via a query-partitioned window. The " +
+        "oracle recomputes every query's scores from raw text (the t50 " +
+        "formula) — ranks AND doubles hash cross-engine."
     )
   )
 }

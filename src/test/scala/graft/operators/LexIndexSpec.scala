@@ -296,6 +296,49 @@ class LexIndexSpec extends SparkSpec {
     assert(abDel == Seq((4L, 1L)), abDel.toString)
   }
 
+  test("batched retrieval: many queries from one slice-union pass, each bit-identical to its single-query call") {
+    val dir = tmp("lex_batch")
+    LexIndex.build(docs, "doc_id", "text", dir, nBuckets = 8)
+    val qs = Seq(
+      "q_a" -> Seq("spark", "merge"),
+      "q_b" -> Seq("window"),
+      "q_c" -> Seq("merge", "window", "nosuchterm_zzz"))
+    val batch = LexIndex.bm25TopKFromIndexMany(spark, dir, qs, k = 12)
+      .localCheckpoint()
+    assert(batch.columns.toSeq ==
+      Seq("query_id", "id", "dl", "score", "rank"))
+    for ((qid, terms) <- qs) {
+      // the single-query path's MATCHED rows (score > 0; the batch API
+      // omits the zero-fill by contract) must agree bit-for-bit
+      val single = LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 12)
+        .where($"score" > 0.0)
+        .select($"id", $"dl", $"score")
+        .orderBy($"score".desc, $"id")
+        .collect().toSeq
+      val fromBatch = batch.where($"query_id" === qid)
+        .select($"id", $"dl", $"score")
+        .orderBy($"score".desc, $"id")
+        .collect().toSeq
+      assert(fromBatch == single, s"$qid diverged from its single call")
+      // ranks are dense 1..n within the query
+      val ranks = batch.where($"query_id" === qid)
+        .select($"rank").as[Long].collect().sorted.toSeq
+      assert(ranks == (1L to ranks.size))
+    }
+    // tombstones correct the batch path exactly too
+    LexIndex.delete(spark, dir,
+      docs.where($"doc_id" % 4 === 0).select($"doc_id"), "doc_id")
+    val batchDel = LexIndex.bm25TopKFromIndexMany(spark, dir,
+      Seq("q_a" -> Seq("spark", "merge")), k = 12)
+    val scanDel = TextSearch.bm25TopK(docs.where($"doc_id" % 4 =!= 0),
+        $"doc_id", $"text", Seq("spark", "merge"), k = 12)
+      .where($"score" > 0.0).select($"id", $"dl", $"score")
+      .orderBy($"score".desc, $"id").collect().toSeq
+    assert(batchDel.select($"id", $"dl", $"score")
+      .orderBy($"score".desc, $"id").collect().toSeq == scanDel,
+      "batched tombstone corrections diverged from the remaining-corpus scan")
+  }
+
   test("lifecycle works through file:-scheme URIs (cluster-store faithful)") {
     val dir = "file://" + tmp("lex_uri")
     LexIndex.build(docs.where($"doc_id" < 100), "doc_id", "text", dir,
