@@ -241,15 +241,34 @@ object LexIndex {
     * compaction never leaves less than one complete index on disk.
     * Queries before and after are row-identical (spec-pinned).
     *
-    * @return number of live documents in the compacted index
+    * @param preserveBatchIds deltas carried into the new generation
+    *        VERBATIM instead of folded — the [[IncrementalDedup.compactDeltaIndex]]
+    *        replay guard: a daemon compacting at the START of a
+    *        micro-batch preserves that batch's id, so a crashed earlier
+    *        attempt's delta stays overwritable by the replay (folding it
+    *        into batch=-1 would make the replay double-count). Preserved
+    *        deltas are REWRITTEN into staging (never renamed out of the
+    *        live dir — the live index stays complete until the swap),
+    *        and the tombstone table is carried rather than cleared when
+    *        anything is preserved (harmless for folded rows, which
+    *        already dropped their tombstoned ids; still binding for
+    *        preserved rows).
+    * @return number of live documents in the FOLDED generation (preserved
+    *         deltas not counted)
     */
   def compact(spark: SparkSession, indexDir: String,
-      targetRows: Long = 16_000_000L): Long =
+      targetRows: Long = 16_000_000L,
+      preserveBatchIds: Set[Long] = Set.empty): Long =
     IndexLease.withLease(indexDir) {
       IncrementalDedup.recoverDir(indexDir)
       val nBuckets = readNBuckets(spark, indexDir)
+      def scoped(table: String) = {
+        val raw = spark.read.parquet(s"$indexDir/$table")
+        if (preserveBatchIds.isEmpty) raw
+        else raw.where(!col("batch").isin(preserveBatchIds.toSeq: _*))
+      }
       def live(table: String) = IncrementalDedup.applyTombstones(spark,
-        s"$indexDir/tombstones", spark.read.parquet(s"$indexDir/$table"), "id")
+        s"$indexDir/tombstones", scoped(table), "id")
       // the delta ledgers fold to ONE batch=-1 generation (partition-style
       // like every index layout here: root-level files would be invisible
       // to discovery once the next delta lands)
@@ -267,6 +286,21 @@ object LexIndex {
           sum(col("dl").cast("decimal(20,0)")).as("sumdl"))
         .coalesce(1).write.parquet(s"$next/stats/batch=-1")
       meta.write.parquet(s"$next/meta")
+      // preserved deltas: rewritten verbatim into staging (raw rows, NOT
+      // tombstone-filtered — a preserved delta must replay byte-faithful)
+      for (bid <- preserveBatchIds; table <- Seq("postings", "doclens", "stats")) {
+        val src = s"$indexDir/$table/batch=$bid"
+        if (IndexFs.exists(src)) {
+          val raw = spark.read.parquet(src)
+          val w = raw.write
+          (if (table == "postings") w.partitionBy("bucket") else w)
+            .parquet(s"$next/$table/batch=$bid")
+        }
+      }
+      if (preserveBatchIds.nonEmpty &&
+          IndexFs.exists(s"$indexDir/tombstones"))
+        spark.read.parquet(s"$indexDir/tombstones").coalesce(1)
+          .write.parquet(s"$next/tombstones")
       IncrementalDedup.replaceDir(indexDir, next)
       n
     }

@@ -380,11 +380,12 @@ object CrawlPipeline {
     // DATA, not a set like fp) — and land on the crawl after the next
     // lex compact resolves. Lease contention defers the whole append
     // (the readmitKeys posture): missing-from-retrieval-for-one-snapshot
-    // is recoverable, a dead daemon is not. Lexical COMPACTION
-    // (lex-maintain) is an operator action with the daemon STOPPED —
-    // unlike compactDeltaIndex it does not preserve the current batch's
-    // delta, so a mid-stream fold of a crashed attempt's delta would
-    // defeat the replay guard (the replayed batch would double-count).
+    // is recoverable, a dead daemon is not. Lexical COMPACTION runs
+    // either as an operator action (lex-maintain, daemon stopped) or on
+    // the daemon's own --compact-every cadence, which PRESERVES the
+    // current batch's delta verbatim (LexIndex.compact preserveBatchIds
+    // — the compactDeltaIndex replay guard: folding a crashed attempt's
+    // delta into batch=-1 would make the replay double-count).
     for (lex <- lexDir) {
       val t0 = System.nanoTime()
       val docsForLex = para.select(col("doc_id"), col("text"))
@@ -700,6 +701,12 @@ object CrawlPipeline {
             IncrementalDedup.compactSigIndex(s, d, preserveBatchIds = keep))
           ifPresent("robots")(d =>
             IncrementalDedup.compactRobotsIndex(s, d, preserveBatchIds = keep))
+          // the lexical retrieval index folds on the same cadence, with
+          // the same replay guard (its preserveBatchIds carries the
+          // current batch's delta verbatim)
+          lexDir.filter(lx => graft.operators.IndexFs.exists(s"$lx/meta"))
+            .foreach(lx =>
+              graft.operators.LexIndex.compact(s, lx, preserveBatchIds = keep))
         }
         val paths = batch.select("path").distinct()
           .collect().map(_.getString(0)).sorted

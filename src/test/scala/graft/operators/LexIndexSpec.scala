@@ -296,6 +296,44 @@ class LexIndexSpec extends SparkSpec {
     assert(abDel == Seq((4L, 1L)), abDel.toString)
   }
 
+  test("compact with preserveBatchIds folds history but carries the current batch verbatim — the daemon's mid-stream replay guard") {
+    val dir = tmp("lex_preserve")
+    LexIndex.build(docs.where($"doc_id" % 3 === 0), "doc_id", "text", dir,
+      nBuckets = 4)
+    LexIndex.append(spark, dir, docs.where($"doc_id" % 3 === 1),
+      "doc_id", "text", batchId = Some(0L))
+    LexIndex.append(spark, dir, docs.where($"doc_id" % 3 === 2),
+      "doc_id", "text", batchId = Some(1L))
+    // takedown inside the HISTORY (not the preserved batch)
+    LexIndex.delete(spark, dir,
+      docs.where($"doc_id" % 9 === 0).select($"doc_id"), "doc_id")
+    LexIndex.compact(spark, dir, preserveBatchIds = Set(1L))
+    // history folded to batch=-1, the in-flight batch carried verbatim
+    val batches = IndexFs.subdirNames(s"$dir/postings")
+      .filter(_.startsWith("batch=")).toSet
+    assert(batches == Set("batch=-1", "batch=1"), batches.toString)
+    // answers stay EXACT: the folded part resolved its tombstones, the
+    // preserved part is untouched, and the corpus scores as the
+    // remaining docs
+    val remaining = docs.where($"doc_id" % 9 =!= 0)
+    assertSame(
+      LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 15),
+      TextSearch.bm25TopK(remaining, $"doc_id", $"text", terms, k = 15),
+      "preserve-compact broke exactness")
+    // the preserved delta stays REPLAYABLE: re-running batch 1 overwrites
+    // its own files and changes nothing
+    val before = LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 15)
+      .collect().toSeq
+    val nDocs = spark.read.parquet(s"$dir/doclens").count()
+    LexIndex.append(spark, dir, docs.where($"doc_id" % 3 === 2),
+      "doc_id", "text", batchId = Some(1L))
+    assert(spark.read.parquet(s"$dir/doclens").count() == nDocs,
+      "replay after a preserving compact double-counted")
+    assert(LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 15)
+      .collect().toSeq == before, "replay after a preserving compact " +
+      "changed scores")
+  }
+
   test("batched retrieval: many queries from one slice-union pass, each bit-identical to its single-query call") {
     val dir = tmp("lex_batch")
     LexIndex.build(docs, "doc_id", "text", dir, nBuckets = 8)
