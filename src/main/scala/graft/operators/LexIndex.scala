@@ -195,6 +195,11 @@ object LexIndex {
     */
   def splitTombstoned(spark: SparkSession, indexDir: String,
       docs: DataFrame, idCol: String): (DataFrame, DataFrame) = {
+    // heal a crashed WHOLE-DIR swap first: after a compact crash that left
+    // only `indexDir.old`, recovering just the tombstones subdir would
+    // report "no tombstones" here and the subsequent append (which does
+    // heal the dir) would then throw the re-add guard mid-batch
+    IncrementalDedup.recoverDir(indexDir)
     val t = s"$indexDir/tombstones"
     IncrementalDedup.recoverDir(t)
     if (!IndexFs.exists(t)) (docs, docs.limit(0))
@@ -307,10 +312,11 @@ object LexIndex {
 
   /** Tombstone-pressure maintenance — the [[AnnMaintenance.maintain]]
     * sensor applied to the lexical layout: past `maxTombstoneFraction` of
-    * the live documents, run [[compact]]; below it, nothing. Both counts
-    * are parquet-footer reads; the fraction can only overcount (a
-    * tombstone naming an id the index never held), which fires the
-    * compact early, never misses it.
+    * the LIVE documents (tombstones / (indexed − tombstones)), run
+    * [[compact]]; below it, nothing. Both counts are parquet-footer
+    * reads. The fraction can only overcount: a tombstone naming an id the
+    * index never held inflates the numerator AND deflates the live
+    * denominator, both of which fire the compact early, never miss it.
     *
     * @return true iff pressure fired and the index was compacted
     */
@@ -326,8 +332,12 @@ object LexIndex {
         val nTs = spark.read.parquet(tsDir).count()
         if (nTs == 0) false
         else {
+          // doclens still counts tombstoned rows (compact resolves them),
+          // so live = indexed − tombstoned — dividing by the raw count
+          // would make a 0.25 threshold fire only at ~33% of LIVE docs
           val nDocs = spark.read.parquet(s"$indexDir/doclens").count()
-          if (nDocs == 0 || nTs.toDouble / nDocs > maxTombstoneFraction) {
+          val nLive = nDocs - nTs
+          if (nLive <= 0 || nTs.toDouble / nLive > maxTombstoneFraction) {
             compact(spark, indexDir)
             true
           } else false
@@ -347,9 +357,9 @@ object LexIndex {
       tsDir: String, hasTombstones: Boolean): (Long, java.math.BigDecimal) = {
     val statRow = spark.read.parquet(s"$indexDir/stats")
       .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).head()
-    var nLive: Long = statRow.getLong(0)
+    var nLive: Long = if (statRow.isNullAt(0)) 0L else statRow.getLong(0)
     var sumdlLive: java.math.BigDecimal = statRow.getDecimal(1)
-    if (hasTombstones) {
+    if (hasTombstones && nLive > 0) {
       val corr = spark.read.parquet(s"$indexDir/doclens")
         .join(broadcast(spark.read.parquet(tsDir).select(col("id")).distinct()),
           Seq("id"), "left_semi")
@@ -360,6 +370,14 @@ object LexIndex {
       nLive -= corr.getLong(0)
       sumdlLive = sumdlLive.subtract(corr.getDecimal(1))
     }
+    // an index whose only stats rows come from empty batches (the daemon's
+    // bootstrap build over zero docs stores n=0, sumdl=NULL) or whose every
+    // document is tombstoned has NO defined avgdl — fail with the real
+    // reason instead of an NPE at sumdl.doubleValue()
+    require(nLive > 0 && sumdlLive != null,
+      s"lexical index at $indexDir holds no live documents — BM25 corpus " +
+        "statistics (N, Σdl) are undefined on an empty index: append " +
+        "documents before querying")
     (nLive, sumdlLive)
   }
 

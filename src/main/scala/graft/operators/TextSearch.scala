@@ -114,13 +114,26 @@ object TextSearch {
   def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60,
       maxPoolRows: Long = 10000L): DataFrame = {
     require(rankings.nonEmpty && k >= 1 && rrfK >= 0 && maxPoolRows >= 1)
-    rankings.zipWithIndex.foreach { case (r, i) =>
+    // each ranking is materialized ONCE (localCheckpoint) and BOTH the
+    // contract checks and the fusion read the pinned rows — the earlier
+    // shape ran an eager validation aggregate and then re-executed each
+    // (non-checkpointed) ranking plan inside the fusion, roughly doubling
+    // per-query pool computation on the hybrid path, and a
+    // non-deterministic input could pass validation yet fuse different
+    // rows. The pre-checkpoint `limit(maxPoolRows + 1)` bounds what a
+    // contract-VIOLATING corpus-scale input can materialize: the loud
+    // size error still fires, it just cannot OOM the executors first.
+    val pinned = rankings.map(r =>
+      r.select(col("id"), col("rank").cast("bigint").as("rank"))
+        .limit(math.min(maxPoolRows + 1, Int.MaxValue.toLong).toInt)
+        .localCheckpoint())
+    pinned.zipWithIndex.foreach { case (r, i) =>
       val c = r.agg(count(lit(1)).as("n"),
         count_distinct(col("id")).as("nd")).head()
       val (n, nd) = (c.getLong(0), c.getLong(1))
       require(n <= maxPoolRows,
-        s"rrfFuse input $i has $n rows — inputs must be TOP-K CANDIDATE " +
-          s"POOLS (<= maxPoolRows = $maxPoolRows): fusing a corpus-scale " +
+        s"rrfFuse input $i has more than maxPoolRows = $maxPoolRows rows " +
+          "— inputs must be TOP-K CANDIDATE POOLS: fusing a corpus-scale " +
           "frame would single-partition-sort the corpus through the fused-" +
           "rank window. Pre-limit the ranking (orderBy(...).limit(k)) or " +
           "raise maxPoolRows deliberately")
@@ -129,8 +142,8 @@ object TextSearch {
           "ids) — each ranking must rank an id at most once; duplicates " +
           "fan out through the full-outer joins and inflate rrf_score")
     }
-    val named = rankings.zipWithIndex.map { case (r, i) =>
-      r.select(col("id"), col("rank").cast("bigint").as(s"rank_$i"))
+    val named = pinned.zipWithIndex.map { case (r, i) =>
+      r.select(col("id"), col("rank").as(s"rank_$i"))
     }
     val joined = named.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
     val score = rankings.indices

@@ -418,6 +418,17 @@ object CrawlPipeline {
                   s"deferring lexical index append on $lex (writer lease " +
                     s"contended): ${e.getMessage}")
                 done = true
+              case e: IllegalArgumentException =>
+                // the re-add guard: a takedown landed between
+                // splitTombstoned and this append (a concurrent operator
+                // delete) — retrying inside the snapshot cannot help
+                // (the tombstone pends until a compact), so DEFER like
+                // the split path: the pages' next crawl re-admits
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"deferring lexical index append on $lex (batch holds " +
+                    s"tombstoned ids — the next lex compact resolves): " +
+                    e.getMessage)
+                done = true
             }
           }
         case None =>

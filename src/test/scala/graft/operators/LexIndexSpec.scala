@@ -392,4 +392,59 @@ class LexIndexSpec extends SparkSpec {
       TextSearch.bm25TopK(sub, $"doc_id", $"text", terms, k = 10),
       "URI lifecycle diverged")
   }
+
+  test("maintain's pressure denominator is the LIVE count: nTs/(indexed − nTs)") {
+    val corpus = (0L until 100L).map(i => (i, s"doc $i spark merge"))
+      .toDF("doc_id", "text")
+    // 20 tombstones over 100 indexed docs: 20/80 = 0.25 — NOT past the
+    // threshold (strict >); the raw-count denominator would read 0.20
+    // either way, but 21/79 ≈ 0.266 below must fire where 21/100 = 0.21
+    // would not — the documented "fraction of the live documents"
+    val dir = tmp("lex_live_frac")
+    LexIndex.build(corpus, "doc_id", "text", dir, nBuckets = 4)
+    LexIndex.delete(spark, dir, corpus.where($"doc_id" < 20)
+      .select($"doc_id"), "doc_id")
+    assert(!LexIndex.maintain(spark, dir, maxTombstoneFraction = 0.25),
+      "maintain fired at exactly the live-fraction threshold (must be strict)")
+    LexIndex.delete(spark, dir, corpus.where($"doc_id" === 20L)
+      .select($"doc_id"), "doc_id")
+    assert(LexIndex.maintain(spark, dir, maxTombstoneFraction = 0.25),
+      "maintain did not fire past the LIVE-doc fraction (21/79 > 0.25; " +
+        "a raw-count denominator would read 0.21 and miss it)")
+  }
+
+  test("an EMPTY index fails loudly at query time with the real reason, not an NPE") {
+    val dir = tmp("lex_empty")
+    // the daemon's bootstrap shape: a build over zero docs stores a stats
+    // row with n=0, sumdl=NULL
+    LexIndex.build(docs.limit(0), "doc_id", "text", dir, nBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 5)
+    }
+    assert(e.getMessage.contains("no live documents"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      LexIndex.bm25TopKFromIndexMany(spark, dir, Seq("q" -> terms), k = 5)
+    }
+    assert(e2.getMessage.contains("no live documents"), e2.getMessage)
+  }
+
+  test("splitTombstoned heals a crashed whole-dir swap before reading tombstones") {
+    val dir = tmp("lex_split_heal")
+    LexIndex.build(docs.where($"doc_id" < 200), "doc_id", "text", dir,
+      nBuckets = 4)
+    LexIndex.delete(spark, dir,
+      docs.where($"doc_id" < 10).select($"doc_id"), "doc_id")
+    // simulate the compact crash window: the whole live dir renamed aside,
+    // only `.old` remains — recovering just the tombstones subdir would
+    // report "no tombstones" and the batch's subsequent append would throw
+    // the re-add guard instead of deferring
+    IndexFs.rename(dir, s"$dir.old")
+    val (ok, deferred) = LexIndex.splitTombstoned(spark, dir,
+      docs.where($"doc_id" < 200).select($"doc_id", $"text"), "doc_id")
+    val nDel = docs.where($"doc_id" < 10).count()
+    val nAll = docs.where($"doc_id" < 200).count()
+    assert(IndexFs.exists(s"$dir/meta"), "swap not healed")
+    assert(deferred.count() == nDel, "tombstoned ids not deferred after heal")
+    assert(ok.count() == nAll - nDel)
+  }
 }

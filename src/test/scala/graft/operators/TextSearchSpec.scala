@@ -134,6 +134,23 @@ class TextSearchSpec extends SparkSpec {
     assert(TextSearch.rrfFuse(Seq(ok), k = 5).count() == 2)
   }
 
+  test("rrfFuse materializes each ranking exactly once — the contract " +
+      "checks and the fusion read the same pinned rows") {
+    // the hybrid path's pools are whole retrieval pipelines: executing
+    // them once for validation and again for fusion doubles per-query
+    // work (and a non-deterministic input could pass validation yet fuse
+    // different rows) — the accumulator counts plan executions
+    val acc = spark.sparkContext.longAccumulator("rrf_exec_count")
+    val counted = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+      .as[(Long, Long)].map { t => acc.add(1); t }.toDF("id", "rank")
+    val other = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = TextSearch.rrfFuse(Seq(counted, other), k = 5)
+    assert(out.count() == 4)
+    out.collect()
+    assert(acc.value == 3L,
+      s"ranking plan executed ${acc.value / 3.0} times — must be exactly once")
+  }
+
   test("hybrid-search CLI: BM25 + persisted-ANN pools fuse end-to-end") {
     val base = java.nio.file.Files.createTempDirectory("hybrid").toString
     val ix = s"$base/ann"
