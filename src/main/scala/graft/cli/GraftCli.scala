@@ -622,6 +622,39 @@ object GraftCli {
             s"doc ${r.get(0)} lex=${r.getAs[Any]("rank_0")} " +
             s"dense=${r.getAs[Any]("rank_1")} " +
             f"rrf=${r.getAs[Double]("rrf_score")}%.5f"))
+        case "hybrid-search-many" :: sfDir :: annDir :: lexIxDir ::
+            queryFile :: outDir :: Nil =>
+          // BATCHED hybrid retrieval from a query file — the evaluation /
+          // serving shape: every line is `<queryVecId> <term> [term ...]`,
+          // and the WHOLE batch costs one lexical slice-union pass
+          // (bm25TopKFromIndexMany), one multi-row dense call (ivfQuery's
+          // batched contract) and one query-partitioned RRF fusion —
+          // driver jobs constant in the number of lines.
+          import org.apache.spark.sql.functions.col
+          import scala.jdk.CollectionConverters._
+          val lines = java.nio.file.Files
+            .readAllLines(java.nio.file.Paths.get(queryFile)).asScala
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val qs = lines.map { l =>
+            val p = l.split("\\s+").toSeq
+            require(p.size >= 2,
+              s"hybrid-search-many: bad query line '$l' — want " +
+                "'<queryVecId> <term> [term ...]'")
+            p.head.toLong -> p.tail
+          }
+          val emb = graft.core.Tables.embeddings(spark, sfDir)
+          val fused = graft.operators.TextSearch.hybridSearchMany(spark,
+            lexIxDir, annDir, qs, emb, "vec_id", "embedding",
+            k = 20, poolK = 50, nProbe = 8)
+          fused.orderBy(col("query_id"), col("fused_rank"))
+            .write.mode("overwrite").parquet(outDir)
+          val out = spark.read.parquet(outDir)
+          println(s"hybrid-search-many: ${qs.size} queries -> " +
+            s"${out.count()} fused rows -> $outDir")
+          out.where(col("fused_rank") === 1)
+            .orderBy(col("query_id")).collect().foreach(r =>
+              println(s"  query ${r.getAs[String]("query_id")} top doc " +
+                s"${r.get(1)} rrf=${r.getAs[Double]("rrf_score")}"))
         case "lex-build" :: sfDir :: indexDir :: rest =>
           // build the persisted lexical (BM25) index over the documents
           // table: term-hash-bucketed postings + doclens + additive stats
@@ -1271,6 +1304,7 @@ object GraftCli {
               "ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells [m nCodes]] | " +
               "ann-recall <indexDir> [k nProbe nQueries] | index-status <dir> | " +
               "hybrid-search <sfDir> <annIndexDir> <outDir> <queryVecId> [--lex <lexIndexDir>] [--filter <allowedParquet>] <terms...> | " +
+              "hybrid-search-many <sfDir> <annIndexDir> <lexIndexDir> <queryFile> <outDir> | " +
               "lex-build <sfDir> <indexDir> [nBuckets] | lex-append <in> <indexDir> <idCol> <textCol> | " +
               "lex-maintain <indexDir> [maxTombstoneFraction] | lex-search <indexDir> <k> <terms...> | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +

@@ -546,10 +546,16 @@ object LexIndex {
     * fewer than k matching docs returns just its matches), and the
     * output is normalized to `(query_id, id, dl, score, rank)` because
     * per-query term counts vary.
+    *
+    * @param allowed optional retrieval filter shared by every query in
+    *        the batch (a frame whose FIRST column is the allowed id set):
+    *        only these ids can surface, but scores stay CORPUS-calibrated
+    *        (df/N/Σdl unfiltered) — [[bm25TopKFromIndex]]'s `allowed`
+    *        semantics, applied once to the checkpointed slice union.
     */
   def bm25TopKFromIndexMany(spark: SparkSession, indexDir: String,
       queries: Seq[(String, Seq[String])], k: Int, k1: Double = 1.5,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75, allowed: Option[DataFrame] = None): DataFrame = {
     require(queries.nonEmpty && k >= 1 &&
       queries.forall(q => q._2.nonEmpty && q._2.forall(_.nonEmpty)))
     require(queries.map(_._1).distinct.size == queries.size,
@@ -577,17 +583,28 @@ object LexIndex {
           .select(col("term"), col("id"), col("dl"), col("tf")),
         "id")
       .localCheckpoint()
-    // every term's df from ONE grouped count over the union
+    // every term's df from ONE grouped count over the union — BEFORE the
+    // allowed filter: scores stay corpus-calibrated like the single path
     val dfByTerm = union.groupBy(col("term"))
       .agg(count(lit(1)).as("df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
       .withDefaultValue(0L)
 
+    // the retrieval filter restricts CANDIDATES only (one semi-join on
+    // the union ≡ the single path's semi-join on each query's matched
+    // set, since both commute with the full-outer id join)
+    val unionServed = allowed match {
+      case Some(a) => union.join(
+        a.select(col(a.columns.head).as("id")).distinct(),
+        Seq("id"), "left_semi").localCheckpoint()
+      case None => union
+    }
+
     // per query: the single-query join/score recipe over the CHECKPOINTED
     // union (no re-read), normalized output, unioned into one plan
     val perQuery = queries.map { case (qid, terms) =>
       val named = terms.zipWithIndex.map { case (t, i) =>
-        union.where(col("term") === lit(t))
+        unionServed.where(col("term") === lit(t))
           .select(col("id"), col("dl").as(s"__dl$i"), col("tf").as(s"tf$i"))
       }
       val joined = named.reduce((a, c) => a.join(c, Seq("id"), "full_outer"))

@@ -684,6 +684,13 @@ object ProductQuantizer {
     * CODES column, and the exact re-rank re-reads only pool rows — every
     * stage prunes before the next pays. Output like [[pqTopKReranked]]:
     * (query_id, rank, neighbor_id, sim) with EXACT cosine sims.
+    *
+    * THIS IS ALSO THE BATCHED PATH ([[Similarity.ivfQuery]]'s contract):
+    * a Q-row `queries` frame is one union-of-probed-cells read, one ADC
+    * pool with a query-partitioned rerank window, and one exact refine —
+    * driver-job count constant in Q (spec-pinned), each query's rows
+    * value-identical to its single-row call; the batch's residual LUTs
+    * ride one broadcast probe frame.
     */
   def ivfPqQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,

@@ -476,6 +476,17 @@ object Similarity {
     * contingent on the optimizer electing dynamic partition pruning. This is
     * the FAISS access pattern: the probe list is known before the index is
     * touched, and a query reads nProbe/nCells of the corpus from disk.
+    *
+    * THIS IS ALSO THE BATCHED PATH — `queries` is plural by contract:
+    * a Q-row frame is served by ONE read of the union of all queries'
+    * probed cells, one probe-cell collect, and one scoring plan with a
+    * query-partitioned rank window, so the driver-job count is CONSTANT
+    * in Q (spec-pinned) and each query's rows are value-identical to its
+    * own single-row call (the probe set per query depends only on that
+    * query's vector, and scoring/ranking partition by query). Serve
+    * evaluation batches and recall sweeps with one call over a multi-row
+    * frame — looping single-row calls pays the per-call driver actions
+    * (recoverDir, centroid read, probe collect) Q times.
     */
   def ivfQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, idCol: String, vecCol: String,

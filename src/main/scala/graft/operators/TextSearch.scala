@@ -156,6 +156,122 @@ object TextSearch {
       .where(col("fused_rank") <= k)
   }
 
+  /** BATCHED reciprocal-rank fusion — [[rrfFuse]] for MANY queries in one
+    * plan: inputs are `(query_id, id, rank)` frames (one row per ranked
+    * candidate per query), fused per query by the same fixed-order
+    * `Σ 1/(rrfK + rank)` sum, ranked by a window PARTITIONED BY query —
+    * parallel across queries, candidate-pool scale per query, never a
+    * global sort. This is the fusion tier of the batched hybrid path
+    * ([[hybridSearchMany]]): Q queries cost ONE fusion plan, not Q.
+    *
+    * The [[rrfFuse]] pool contract is enforced PER QUERY (each query's
+    * pool in each input must be a top-k candidate pool: ≤
+    * `maxPoolRowsPerQuery` rows, no duplicate id) — inputs are pinned
+    * once (localCheckpoint) and both the checks and the fusion read the
+    * pinned rows.
+    *
+    * @return (query_id, id, rank_0..rank_{n-1}, rrf_score, fused_rank),
+    *         top `k` per query by (rrf_score desc, id)
+    */
+  def rrfFuseMany(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60,
+      maxPoolRowsPerQuery: Long = 10000L): DataFrame = {
+    require(rankings.nonEmpty && k >= 1 && rrfK >= 0 &&
+      maxPoolRowsPerQuery >= 1)
+    val pinned = rankings.map(r =>
+      r.select(col("query_id"), col("id"),
+        col("rank").cast("bigint").as("rank")).localCheckpoint())
+    pinned.zipWithIndex.foreach { case (r, i) =>
+      val c = r.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("id")).as("nd"))
+        .agg(coalesce(max(col("n")), lit(0L)).as("mx"),
+          coalesce(sum(when(col("nd") =!= col("n"), 1L).otherwise(0L)),
+            lit(0L)).as("bad")).head()
+      require(c.getLong(0) <= maxPoolRowsPerQuery,
+        s"rrfFuseMany input $i holds a per-query pool of ${c.getLong(0)} " +
+          s"rows (> maxPoolRowsPerQuery = $maxPoolRowsPerQuery) — inputs " +
+          "must be TOP-K CANDIDATE POOLS per query; pre-limit each " +
+          "query's ranking or raise maxPoolRowsPerQuery deliberately")
+      require(c.getLong(1) == 0L,
+        s"rrfFuseMany input $i ranks a duplicate id within a query " +
+          s"(${c.getLong(1)} queries affected) — each ranking must rank " +
+          "an id at most once per query; duplicates fan out through the " +
+          "full-outer joins and inflate rrf_score")
+    }
+    val named = pinned.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("id"), col("rank").as(s"rank_$i"))
+    }
+    val joined = named.reduce((a, b) =>
+      a.join(b, Seq("query_id", "id"), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(rrfK) + col(s"rank_$i")), lit(0.0)))
+      .reduceLeft(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf_score").desc, col("id"))
+    joined.withColumn("rrf_score", score)
+      .withColumn("fused_rank", row_number().over(w).cast("bigint"))
+      .where(col("fused_rank") <= k)
+  }
+
+  /** BATCHED hybrid retrieval end-to-end — Q (terms, query-vector) pairs
+    * served in a FIXED number of driver jobs regardless of Q: the lexical
+    * pools come from ONE [[LexIndex.bm25TopKFromIndexMany]] pass over the
+    * union of the queries' posting slices, the dense pools from ONE
+    * multi-row [[Similarity.ivfQuery]] call (one union-of-probed-cells
+    * read — the queries frame is plural by design; looping the
+    * single-query call instead pays per-call driver actions Q times),
+    * and the fusion from ONE [[rrfFuseMany]] plan. This is the serving /
+    * evaluation shape: a 10k-query recall sweep is a handful of jobs,
+    * not 10k.
+    *
+    * Per query, the fused rows are VALUE-IDENTICAL to composing the
+    * single-query operators ([[LexIndex.bm25TopKFromIndex]] ranked by
+    * (score desc, id) + [[Similarity.ivfQuery]] + [[rrfFuse]]) whenever
+    * the query matches ≥ poolK documents lexically — the batched lexical
+    * path ranks MATCHING documents only (no zero-score fill), so a
+    * query with fewer matches fuses a smaller (still correct) pool where
+    * the single path would pad with zero-score ids.
+    *
+    * @param queries     (query id, query terms) — the id must key a row
+    *                    of `embeddings` carrying the query's vector
+    * @param embeddings  (idCol, vecCol) frame the query vectors are
+    *                    pulled from (self-matches are excluded dense-side
+    *                    by id, the [[Similarity.ivfQuery]] contract)
+    * @param allowed     optional retrieval filter threaded through BOTH
+    *                    pool builders (no disallowed id can surface);
+    *                    dense side uses the measured-selectivity adaptive
+    *                    probe correction
+    * @return (query_id — the id as a string, id, rank_0 = lexical rank,
+    *         rank_1 = dense rank, rrf_score, fused_rank), top `k` per
+    *         query
+    */
+  def hybridSearchMany(spark: org.apache.spark.sql.SparkSession,
+      lexIndexDir: String, annIndexDir: String,
+      queries: Seq[(Long, Seq[String])], embeddings: DataFrame,
+      idCol: String, vecCol: String, k: Int, poolK: Int = 50,
+      nProbe: Int = 8, rrfK: Int = 60,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    require(queries.nonEmpty && k >= 1 && poolK >= k,
+      s"need nonempty queries and poolK >= k (got k=$k poolK=$poolK)")
+    val qids = queries.map(_._1)
+    require(qids.distinct.size == qids.size, "duplicate query ids")
+    val lex = LexIndex.bm25TopKFromIndexMany(spark, lexIndexDir,
+        queries.map { case (q, ts) => q.toString -> ts }, k = poolK,
+        allowed = allowed)
+      .select(col("query_id"), col("id"), col("rank"))
+    val qvs = embeddings
+      .where(col(idCol).isin(qids: _*))
+      .select(col(idCol), col(vecCol))
+    val dense = (allowed match {
+      case Some(a) => Similarity.ivfQueryFilteredAdaptive(spark, annIndexDir,
+        qvs, idCol, vecCol, a, a.columns.head, k = poolK, baseNProbe = nProbe)
+      case None => Similarity.ivfQuery(spark, annIndexDir, qvs, idCol,
+        vecCol, k = poolK, nProbe = nProbe)
+    }).select(col("query_id").cast("string").as("query_id"),
+      col("neighbor_id").as("id"), col("rank"))
+    rrfFuseMany(Seq(lex, dense), k = k, rrfK = rrfK)
+  }
+
   /** Positional postings — the inverted index WITH positions that phrase
     * and proximity queries need (BM25 above is bag-of-words and cannot
     * tell "hash table" from "table hash"). One narrow explode; (term, doc,

@@ -100,6 +100,20 @@ object AnnGates {
         "embedding", 8, 16, 16, dir)
       dir
     }
+
+    /** Plain-IVF index over the [[reduced]] corpus, 8 cells — the batched
+      * dense-serving rows' query target (t142/t143): at nProbe = 8 every
+      * cell is probed, so the query is EXACTLY brute force over the live
+      * corpus and a DuckDB oracle can recompute the full value set.
+      */
+    def ivfReducedDir(s: org.apache.spark.sql.SparkSession,
+        d: String): String = memo(s"ivfReducedDir:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fix_ivf").toString
+      graft.operators.Similarity.ivfBuild(reduced(s, d), "vec_id",
+        "embedding", nCells = 8, indexDir = dir)
+      dir
+    }
   }
 
   def verdict(corpus: DataFrame, queries: DataFrame, topkIn: DataFrame, k: Int,

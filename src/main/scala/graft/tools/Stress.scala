@@ -466,6 +466,59 @@ object Stress {
       check(lexHits > 0 && denseHits > 0,
         s"both modalities must reach the fused pool (lex=$lexHits dense=$denseHits)")
 
+      // ---- BATCHED serving at stress scale (round-19): Q queries in ONE
+      // multi-row call vs a loop of single-query calls — the evaluation /
+      // production serving shape. The batched dense call is one
+      // union-of-probed-cells read + one query-partitioned rank window;
+      // the loop pays per-call driver actions Q times. Value identity per
+      // query is the correctness floor; queries/s both ways is the record.
+      val denseQIds = (0 until 16).map(i => i.toLong * 31L)
+      val denseQs = emb.where(col("vec_id").isin(denseQIds: _*))
+      val (denseBatched, tDenseBatch) = timed {
+        val r = Similarity.ivfQuery(spark, idx, denseQs,
+          "vec_id", "embedding", k = 10, nProbe = 8).localCheckpoint()
+        r.count(); r
+      }
+      val (denseLooped, tDenseLoop) = timed {
+        denseQIds.map { q =>
+          Similarity.ivfQuery(spark, idx, emb.where(col("vec_id") === q),
+            "vec_id", "embedding", k = 10, nProbe = 8).localCheckpoint()
+        }.reduce(_ unionAll _)
+      }
+      val denseBatchDiff = denseBatched.exceptAll(denseLooped)
+        .unionAll(denseLooped.exceptAll(denseBatched)).count()
+      // batched hybrid end-to-end: one lexical slice-union pass + one
+      // dense batched call + one query-partitioned RRF fusion
+      val hybridQs = (0 until 8).map(i => (i.toLong * 97L) -> lexTerms)
+      val (hybridBatched, tHybridBatch) = timed {
+        val r = graft.operators.TextSearch.hybridSearchMany(spark, lexIx,
+          idx, hybridQs, emb, "vec_id", "embedding", k = 10, poolK = 50,
+          nProbe = 8).localCheckpoint()
+        r.count(); r
+      }
+      val hybridBatchedN = hybridBatched.count()
+      val hybridBatchedQueries = hybridBatched
+        .select(col("query_id")).distinct().count()
+      println(j("stage" -> "batched_serving",
+        "dense_queries" -> denseQIds.size,
+        "dense_batched_seconds" -> tDenseBatch,
+        "dense_loop_seconds" -> tDenseLoop,
+        "dense_batched_qps" -> denseQIds.size / math.max(1e-9, tDenseBatch),
+        "dense_loop_qps" -> denseQIds.size / math.max(1e-9, tDenseLoop),
+        "dense_mismatches" -> denseBatchDiff,
+        "hybrid_queries" -> hybridQs.size,
+        "hybrid_batched_seconds" -> tHybridBatch,
+        "hybrid_batched_qps" -> hybridQs.size / math.max(1e-9, tHybridBatch),
+        "hybrid_rows" -> hybridBatchedN))
+      check(denseBatchDiff == 0,
+        s"batched dense serving diverged from the single-query loop " +
+          s"($denseBatchDiff rows)")
+      check(hybridBatchedN == hybridQs.size * 10L,
+        s"batched hybrid returned $hybridBatchedN rows, wanted " +
+          s"${hybridQs.size * 10}")
+      check(hybridBatchedQueries == hybridQs.size,
+        s"batched hybrid served $hybridBatchedQueries of ${hybridQs.size} queries")
+
       // ---- lease contention under REAL operators at stress scale
       // (round-18): a writer holding the fp-index lease mid-batch makes a
       // concurrent takedown fail LOUDLY (contention can never interleave
