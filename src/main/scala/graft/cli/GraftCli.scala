@@ -631,10 +631,11 @@ object GraftCli {
           // batched contract) and one query-partitioned RRF fusion —
           // driver jobs constant in the number of lines.
           import org.apache.spark.sql.functions.col
-          import scala.jdk.CollectionConverters._
-          val lines = java.nio.file.Files
-            .readAllLines(java.nio.file.Paths.get(queryFile)).asScala
-            .map(_.trim).filter(_.nonEmpty).toSeq
+          // Hadoop-FS read (IndexFs), so the query file can live beside
+          // the indexes on the cluster store — and the grep gate's
+          // no-local-filesystem rule holds for this surface too
+          val lines = graft.operators.IndexFs.readUtf8(queryFile)
+            .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
           val qs = lines.map { l =>
             val p = l.split("\\s+").toSeq
             require(p.size >= 2,
@@ -661,11 +662,14 @@ object GraftCli {
           // (LexIndex) — after this, hybrid-search --lex and lex-search
           // read posting slices instead of re-scanning the corpus
           val nBuckets = rest.headOption.map(_.toInt).getOrElse(64)
+          val analyzer = rest.drop(1).headOption.getOrElse("raw")
+          val withPositions = !rest.drop(2).headOption.contains("nopositions")
           graft.operators.LexIndex.build(
             graft.core.Tables.documents(spark, sfDir),
-            "doc_id", "text", indexDir, nBuckets)
+            "doc_id", "text", indexDir, nBuckets, analyzer, withPositions)
           val nDocs = spark.read.parquet(s"$indexDir/doclens").count()
-          println(s"lex-build: $nDocs docs, $nBuckets buckets -> $indexDir")
+          println(s"lex-build: $nDocs docs, $nBuckets buckets, " +
+            s"analyzer=$analyzer, positions=$withPositions -> $indexDir")
         case "lex-append" :: inParquet :: indexDir :: idCol :: textCol :: Nil =>
           // incremental append of NEW documents (additive df/N/Σdl — no
           // existing file is touched); re-adding a tombstoned id is a loud
@@ -714,17 +718,17 @@ object GraftCli {
           // on-call person needs BEFORE deciding ann-maintain/ann-rebuild/
           // compact-index, gathered from footer metadata only (no data scan)
           import graft.operators.{AnnMaintenance, IncrementalDedup, IndexFs, IndexLease}
-          IncrementalDedup.recoverDir(dir)
-          val isAnn = IndexFs.exists(s"$dir/centroids")
+          val root = IncrementalDedup.readRoot(dir)
+          val isAnn = IndexFs.exists(s"$root/centroids")
           if (isAnn) {
             val layout =
               if (AnnMaintenance.isComposed(dir)) {
                 val m = graft.operators.ProductQuantizer.loadModel(spark, dir)
                 s"ivf-pq (encoding=${m.encoding}, m=${m.m}, nCodes=${m.nCodes})"
               } else "ivf"
-            val nCells = spark.read.parquet(s"$dir/centroids").count()
-            val rows = spark.read.parquet(s"$dir/cells").count()
-            val ts = s"$dir/tombstones"
+            val nCells = spark.read.parquet(s"$root/centroids").count()
+            val rows = spark.read.parquet(s"$root/cells").count()
+            val ts = s"$root/tombstones"
             val (nTs, tsFiles) =
               if (IndexFs.exists(ts)) {
                 val t = spark.read.parquet(ts)
@@ -737,7 +741,7 @@ object GraftCli {
                 f"${nTs.toDouble / math.max(1L, rows)}%.3f of rows — " +
                 "maintain compacts past maxTombstoneFraction)")
             else println("  tombstones: none")
-            val logDir = s"$dir/drift_log"
+            val logDir = s"$root/drift_log"
             if (IndexFs.exists(logDir)) {
               import org.apache.spark.sql.functions.col
               val tail = spark.read.parquet(logDir)
@@ -750,15 +754,15 @@ object GraftCli {
                 s"append(s); tail: ${s2.mkString(" | ")}")
             } else println("  drift ledger: none (appends have not gone " +
               "through AnnMaintenance.append)")
-          } else if (IndexFs.exists(s"$dir/postings") &&
-              IndexFs.exists(s"$dir/meta")) {
+          } else if (IndexFs.exists(s"$root/postings") &&
+              IndexFs.exists(s"$root/meta")) {
             // the lexical (BM25) layout: postings + doclens + stats ledger
-            val nBuckets = spark.read.parquet(s"$dir/meta")
+            val nBuckets = spark.read.parquet(s"$root/meta")
               .head().getAs[Int]("nbuckets")
-            val nDocs = spark.read.parquet(s"$dir/doclens").count()
-            val nPost = spark.read.parquet(s"$dir/postings").count()
-            val statFiles = spark.read.parquet(s"$dir/stats").inputFiles.length
-            val ts = s"$dir/tombstones"
+            val nDocs = spark.read.parquet(s"$root/doclens").count()
+            val nPost = spark.read.parquet(s"$root/postings").count()
+            val statFiles = spark.read.parquet(s"$root/stats").inputFiles.length
+            val ts = s"$root/tombstones"
             val nTs = if (IndexFs.exists(ts)) spark.read.parquet(ts).count() else 0L
             println(s"index-status: $dir")
             println(s"  layout: lexical (bm25)  buckets: $nBuckets  " +
@@ -768,13 +772,13 @@ object GraftCli {
                 "of docs — lex-maintain compacts past maxTombstoneFraction)"
             else "  tombstones: none")
           } else {
-            val batches = IndexFs.subdirNames(dir).count(_.startsWith("batch="))
+            val batches = IndexFs.subdirNames(root).count(_.startsWith("batch="))
             // an all-empty delta index has no parquet footers to infer a
             // schema from (the daemon writes a batch= delta even for a
             // snapshot that admitted nothing) — a health probe must
             // report that, not crash on it
             val dfOpt =
-              try Some(spark.read.parquet(dir))
+              try Some(spark.read.parquet(root))
               catch {
                 case ae: org.apache.spark.sql.AnalysisException
                     if ae.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
@@ -786,7 +790,7 @@ object GraftCli {
               case Some(df) => s"delta (${df.columns.mkString(",")})"
               case None => "delta (all-empty — no rows admitted yet)"
             }
-            val ts = s"$dir/_tombstones"
+            val ts = s"$root/_tombstones"
             val nTs = if (IndexFs.exists(ts)) spark.read.parquet(ts).count() else 0L
             println(s"index-status: $dir")
             println(s"  layout: $kind  batches: $batches  rows: " +
@@ -837,6 +841,14 @@ object GraftCli {
             spark.read.parquet(idsParquet), "vec_id")
           println(s"ann-delete: $n ids tombstoned in $indexDir " +
             "(physical drop at next compact/rebuild)")
+        case "ann-upsert" :: inParquet :: indexDir :: Nil =>
+          // re-embed / replace vectors by id in ONE leased commit (latest
+          // version wins at read; compact/rebuild folds physically) — the
+          // corpus-refresh verb: no takedown→compact→re-append three-step
+          val n = graft.operators.Similarity.ivfUpsert(spark, indexDir,
+            spark.read.parquet(inParquet), "vec_id", "embedding")
+          println(s"ann-upsert: $n ids upserted in $indexDir " +
+            "(latest version serves; physical fold at next compact/rebuild)")
         case "ann-compact" :: indexDir :: rest =>
           // coalesce append-grown cell files (write-then-swap; stop
           // appenders first — replaceDir's contract)
@@ -1029,7 +1041,7 @@ object GraftCli {
           // deleteRecursive(.old) would permanently destroy the
           // accumulated admission index (the same destruction the IndexFs
           // probe fix closed, through the crash window instead of the URI)
-          graft.operators.IncrementalDedup.recoverDir(indexDir)
+          val idxRoot = graft.operators.IncrementalDedup.readRoot(indexDir)
           // IndexFs, NOT java.io.File: on an HDFS/S3 index URI a local-FS
           // probe reads false every run — the command would rebuild an
           // EMPTY index from batch.limit(0), mass-admit the whole batch,
@@ -1037,14 +1049,15 @@ object GraftCli {
           // with the batch-only one (silent admission-state destruction).
           val indexExists = graft.operators.IndexFs.exists(indexDir)
           def swapIndex(updated: org.apache.spark.sql.DataFrame): Long = {
-            // write-then-swap: the new index is fully written BESIDE the
-            // live one, then swapped in rename-aside (replaceDir) — at every
+            // write-then-commit: the new index is fully written BESIDE the
+            // live one, then committed as the next GENERATION — at every
             // instant at least one complete index exists on disk, and a
-            // crash mid-swap leaves both `.old` and `.next` for recovery
+            // reader pinned to the previous generation survives the swap
             val next = s"$indexDir.next"
             updated.write.mode("overwrite").parquet(next)
-            graft.operators.IncrementalDedup.replaceDir(indexDir, next)
-            spark.read.parquet(indexDir).count()
+            graft.operators.IncrementalDedup.commitGeneration(indexDir, next)
+            spark.read.parquet(
+              graft.operators.IncrementalDedup.readRoot(indexDir)).count()
           }
           // reads go through the LIVE view (tombstoned keys treated as
           // gone — deleteFingerprints' re-admission contract); since the
@@ -1054,7 +1067,7 @@ object GraftCli {
           if (near) {
             val index =
               if (indexExists) graft.operators.IncrementalDedup.liveIndex(
-                spark, indexDir, spark.read.parquet(indexDir), "id")
+                spark, indexDir, spark.read.parquet(idxRoot), "id")
               else graft.operators.IncrementalDedup
                 .buildSigIndex(batch.limit(0), col(idCol), col(textCol))
             val admitted = graft.operators.IncrementalDedup
@@ -1068,7 +1081,7 @@ object GraftCli {
             val fp = md5(col(textCol))
             val index =
               if (indexExists) graft.operators.IncrementalDedup.liveIndex(
-                spark, indexDir, spark.read.parquet(indexDir), "fp")
+                spark, indexDir, spark.read.parquet(idxRoot), "fp")
               else graft.operators.IncrementalDedup.buildIndex(batch.limit(0), fp)
             val admitted = graft.operators.IncrementalDedup
               .admit(batch, index, fp, col(idCol)).localCheckpoint()
@@ -1301,11 +1314,11 @@ object GraftCli {
               "shards <sfDir> <outDir> [nShards] [epoch] | " +
               "shards-read <dir> <from> <to> [full|quick|off] | " +
               "ann-build <sfDir> <indexDir> [nCells] | ann-append <inParquet> <indexDir> | " +
-              "ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells [m nCodes]] | " +
+              "ann-upsert <inParquet> <indexDir> | ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells [m nCodes]] | " +
               "ann-recall <indexDir> [k nProbe nQueries] | index-status <dir> | " +
               "hybrid-search <sfDir> <annIndexDir> <outDir> <queryVecId> [--lex <lexIndexDir>] [--filter <allowedParquet>] <terms...> | " +
               "hybrid-search-many <sfDir> <annIndexDir> <lexIndexDir> <queryFile> <outDir> | " +
-              "lex-build <sfDir> <indexDir> [nBuckets] | lex-append <in> <indexDir> <idCol> <textCol> | " +
+              "lex-build <sfDir> <indexDir> [nBuckets] [raw|folded] [positions|nopositions] | lex-append <in> <indexDir> <idCol> <textCol> | " +
               "lex-maintain <indexDir> [maxTombstoneFraction] | lex-search <indexDir> <k> <terms...> | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
               "ann-query-filtered <queriesParquet> <allowedParquet> <indexDir> [k] [nProbe] [rerank] | " +

@@ -108,7 +108,7 @@ object AnnMaintenance {
     * dispatch shares exactly this resolution.
     */
   def isComposed(indexDir: String): Boolean =
-    IndexFs.exists(s"$indexDir/pq_model")
+    IndexFs.exists(s"${IncrementalDedup.readRoot(indexDir)}/pq_model")
 
   /** Append through the layout-appropriate arc and RECORD the drift
     * reading in `indexDir/drift_log` — the ledger [[maintain]] reads.
@@ -133,10 +133,12 @@ object AnnMaintenance {
         ProductQuantizer.ivfPqAppend(spark, indexDir, newVectors, idCol, vecCol)
       else Similarity.ivfAppend(spark, indexDir, newVectors, idCol, vecCol)
     import spark.implicits._
-    IncrementalDedup.recoverDir(s"$indexDir/drift_log") // crashed ledger fold
+    // the ledger lives inside the generation the append just extended
+    val logRoot = s"${IncrementalDedup.readRoot(indexDir)}/drift_log"
+    IncrementalDedup.recoverDir(logRoot) // crashed ledger fold
     val seq =
-      if (IndexFs.exists(s"$indexDir/drift_log")) {
-        val m = spark.read.parquet(s"$indexDir/drift_log")
+      if (IndexFs.exists(logRoot)) {
+        val m = spark.read.parquet(logRoot)
           .agg(max(col("seq"))).head()
         if (m.isNullAt(0)) 0L else m.getLong(0) + 1L
       } else 0L
@@ -145,7 +147,7 @@ object AnnMaintenance {
       .toDF("seq", "n", "mean_l2sq", "baseline_mean_l2sq", "ratio",
         "mixture_tv")
       .coalesce(1)
-      .write.mode("append").parquet(s"$indexDir/drift_log")
+      .write.mode("append").parquet(logRoot)
     st
   }
 
@@ -160,9 +162,9 @@ object AnnMaintenance {
   def maintain(spark: SparkSession, indexDir: String,
       policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceDecision =
       IndexLease.withLease(indexDir) {
-    IncrementalDedup.recoverDir(indexDir)
+    val root = IncrementalDedup.readRoot(indexDir)
     import spark.implicits._
-    val logDir = s"$indexDir/drift_log"
+    val logDir = s"$root/drift_log"
     IncrementalDedup.recoverDir(logDir) // crashed ledger fold from a prior run
     val hasLog = IndexFs.exists(logDir)
     // ledger hygiene: every append lands one tiny parquet file and a
@@ -219,7 +221,7 @@ object AnnMaintenance {
     // reads (no data pages); the fraction slightly overcounts when a
     // tombstone names an id the index never held (harmless tombstoning),
     // which only makes the compact EARLIER, never missed.
-    val tsDir = s"$indexDir/tombstones"
+    val tsDir = s"$root/tombstones"
     val tombstoneFraction: Option[Double] = policy.maxTombstoneFraction
       .flatMap { _ =>
         IncrementalDedup.recoverDir(tsDir)
@@ -228,7 +230,7 @@ object AnnMaintenance {
           val nTs = spark.read.parquet(tsDir).count()
           if (nTs == 0L) None
           else Some(nTs.toDouble /
-            math.max(1L, spark.read.parquet(s"$indexDir/cells").count()))
+            math.max(1L, spark.read.parquet(s"$root/cells").count()))
         }
       }
     val tombstonePressure = (for {
@@ -239,7 +241,7 @@ object AnnMaintenance {
       // a rebuild re-writes LIVE rows only, so it subsumes the compact:
       // tombstones resolve physically and the table dies with the old dir
       val nCells = policy.rebuildNCells.getOrElse(
-        spark.read.parquet(s"$indexDir/centroids").count().toInt)
+        spark.read.parquet(s"$root/centroids").count().toInt)
       val n =
         if (isComposed(indexDir))
           ProductQuantizer.ivfPqRebuild(spark, indexDir, nCells)

@@ -194,7 +194,7 @@ object IncrementalDedup {
     */
   def deleteFingerprints(spark: org.apache.spark.sql.SparkSession,
       fpDir: String, fps: DataFrame): Long = IndexLease.withLease(fpDir) {
-    appendTombstones(spark, s"$fpDir/_tombstones", fps, "fp")
+    appendTombstones(spark, s"${readRoot(fpDir)}/_tombstones", fps, "fp")
   }
 
   /** [[deleteFingerprints]]'s near-dup sibling: tombstone signature rows
@@ -202,7 +202,7 @@ object IncrementalDedup {
     */
   def deleteSignatureIds(spark: org.apache.spark.sql.SparkSession,
       sigDir: String, ids: DataFrame): Long = IndexLease.withLease(sigDir) {
-    appendTombstones(spark, s"$sigDir/_tombstones", ids, "id")
+    appendTombstones(spark, s"${readRoot(sigDir)}/_tombstones", ids, "id")
   }
 
   /** The LIVE view of a persisted admission index: `index` (the caller's
@@ -212,7 +212,7 @@ object IncrementalDedup {
     */
   def liveIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       index: DataFrame, keyCol: String): DataFrame =
-    applyTombstones(spark, s"$dir/_tombstones", index, keyCol)
+    applyTombstones(spark, s"${readRoot(dir)}/_tombstones", index, keyCol)
 
   /** Clear tombstones for re-admitted keys — called by the pipeline after
     * a batch's delta lands, so a re-crawled page's fingerprint counts
@@ -220,13 +220,19 @@ object IncrementalDedup {
     */
   def readmitKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
       keys: DataFrame, keyCol: String): Unit = IndexLease.withLease(dir) {
-    removeTombstones(spark, s"$dir/_tombstones", keys, keyCol)
+    removeTombstones(spark, s"${readRoot(dir)}/_tombstones", keys, keyCol)
   }
 
   /** Replace the directory at `liveDir` with the fully-written `nextDir`:
     * rename the live dir ASIDE to `liveDir.old`, rename `nextDir` in, then
     * delete the old copy — at every instant at least one complete index
-    * exists in the store. A crash between the two renames leaves no live
+    * exists in the store. INDEX-ROOT swaps use [[commitGeneration]]
+    * instead (reader-safe: a mid-scan query survives the swap); this
+    * legacy form remains for the small LEDGER rewrites (tombstone folds,
+    * the drift-log fold, the dataset manifest) — one-file tables swapped
+    * in milliseconds under the writer lease, where a per-rewrite
+    * generation would tax every listing for a window no real scan can
+    * straddle. A crash between the two renames leaves no live
     * dir but BOTH `liveDir.old` (the previous index, intact) and `nextDir`
     * (the new index, complete) for one-rename recovery; the earlier
     * delete-then-move discipline destroyed the old index BEFORE the new
@@ -243,6 +249,92 @@ object IncrementalDedup {
     if (IndexFs.exists(liveDir)) IndexFs.rename(liveDir, old)
     IndexFs.rename(nextDir, liveDir)
     IndexFs.deleteRecursive(old)
+  }
+
+  // ------------------------------------------------- generation pinning
+
+  /** Generation-dir prefix. Generation dirs are IMMUTABLE once committed
+    * ([[commitGeneration]] renames a fully-written staging dir in and
+    * never touches it again), `_`-prefixed so Spark's data-source
+    * discovery ignores them on a raw read of the index root, and ordered
+    * by their numeric suffix — the LIVE generation is simply the max.
+    */
+  private val GenPrefix = "_gen_"
+
+  private[operators] def generations(liveDir: String): Seq[Long] =
+    IndexFs.subdirNames(liveDir).filter(_.startsWith(GenPrefix))
+      .map(_.stripPrefix(GenPrefix).toLong).sorted
+
+  /** Resolve the READ/WRITE root of a persisted index: the newest
+    * committed generation dir when the index has been generation-swapped
+    * ([[commitGeneration]]), else the index dir itself (fresh builds and
+    * never-compacted indexes keep their tables at the root). Every index
+    * reader and in-place writer resolves ONCE per operation and uses the
+    * returned root for all its table paths — that is the pin: a
+    * maintenance swap committing generation k+1 never touches generation
+    * k's files (it is retired only when k+2 commits), so a query that
+    * resolved before the swap completes against its pinned generation
+    * with PRE-swap answers instead of dying on renamed-away files.
+    */
+  def readRoot(liveDir: String): String = {
+    recoverDir(liveDir)
+    generations(liveDir).lastOption
+      .map(g => s"$liveDir/$GenPrefix$g").getOrElse(liveDir)
+  }
+
+  /** Commit the fully-written `nextDir` as the next GENERATION of
+    * `liveDir` — the reader-safe whole-index swap ([[replaceDir]]'s
+    * successor for index roots): one atomic rename makes
+    * `liveDir/_gen_<k+1>` appear complete, readers resolve max-generation
+    * at query start ([[readRoot]]), and retirement keeps a ONE-GENERATION
+    * grace window — generation j is deleted only when j+2 commits, so a
+    * reader pinned to the previous generation survives any single
+    * concurrent compact/rebuild (the reader-vs-swap race the rename-aside
+    * swap had: its second rename moved the files a mid-scan query had
+    * already planned against). A reader outliving TWO swaps mid-query is
+    * out of grace by contract.
+    *
+    * Pre-generational indexes convert on their first commit: the root
+    * tables become the implicit previous generation (they stay in place —
+    * a reader pinned to the root survives the converting swap) and are
+    * retired when the SECOND generation commits. Crash windows: the
+    * rename either happened or did not (no torn state to heal); a crash
+    * during retirement leaves partially-deleted OLD generations that no
+    * reader resolves (max wins) and the next commit re-retires. The
+    * tombstone-LEDGER rewrites ([[appendTombstones]]'s fold,
+    * [[removeTombstones]]) deliberately keep the legacy [[replaceDir]]:
+    * they are one-file tables swapped in milliseconds under the writer
+    * lease, and a per-rewrite generation would litter every query's
+    * listing for a window no real scan can straddle.
+    */
+  def commitGeneration(liveDir: String, nextDir: String): Unit = {
+    recoverDir(liveDir) // heal pre-generational crash residue first
+    // normalize staging that was itself built generationally (a rebuild
+    // staging built by a fresh `build` call): commit its RESOLVED root,
+    // never a nested _gen_ dir
+    val src = readRoot(nextDir)
+    if (!IndexFs.exists(liveDir)) {
+      IndexFs.rename(src, liveDir)
+      if (src != nextDir) IndexFs.deleteRecursive(nextDir)
+      return
+    }
+    val k = generations(liveDir).lastOption.getOrElse(0L) + 1L
+    IndexFs.rename(src, s"$liveDir/$GenPrefix$k")
+    if (src != nextDir) IndexFs.deleteRecursive(nextDir)
+    // retire out-of-grace generations: keep k and k-1
+    generations(liveDir).filter(_ < k - 1)
+      .foreach(g => IndexFs.deleteRecursive(s"$liveDir/$GenPrefix$g"))
+    // the implicit root generation (pre-conversion tables) is out of
+    // grace once TWO real generations exist — retire its table dirs AND
+    // its plain files (flat-file layouts write part-files at the root;
+    // the lease marker is a SIBLING of liveDir, never inside it, so no
+    // metadata is in the blast radius)
+    if (k >= 2) {
+      IndexFs.subdirNames(liveDir).filterNot(_.startsWith(GenPrefix))
+        .foreach(d => IndexFs.deleteRecursive(s"$liveDir/$d"))
+      IndexFs.fileNames(liveDir)
+        .foreach(f => IndexFs.deleteFile(s"$liveDir/$f"))
+    }
   }
 
   /** Recover from a [[replaceDir]] crash window before rebuilding: a crash
@@ -290,13 +382,14 @@ object IncrementalDedup {
       maxTombstoneFraction: Double = 0.25): Boolean = {
     require(kind == "fp" || kind == "sig", s"kind must be fp|sig, got '$kind'")
     require(maxTombstoneFraction > 0 && maxTombstoneFraction < 1)
-    val tsDir = s"$indexDir/_tombstones"
+    val root = readRoot(indexDir)
+    val tsDir = s"$root/_tombstones"
     recoverDir(tsDir)
     if (!IndexFs.exists(tsDir)) return false
     val nTs = spark.read.parquet(tsDir).count()
     if (nTs == 0) return false
     val rows =
-      try spark.read.parquet(indexDir).count()
+      try spark.read.parquet(root).count()
       catch { // an all-empty delta index has no footers — nothing to compact
         case ae: org.apache.spark.sql.AnalysisException
             if ae.getCondition == "UNABLE_TO_INFER_SCHEMA" => return false
@@ -399,13 +492,14 @@ object IncrementalDedup {
       targetRows: Long, preserveBatchIds: Set[Long] = Set.empty,
       tombstoneKey: Option[String] = None): Long =
       IndexLease.withLease(indexDir) {
+    val root = readRoot(indexDir)
     def batchDirs(): Set[String] =
-      IndexFs.subdirNames(indexDir).filter(_.startsWith("batch=")).toSet
+      IndexFs.subdirNames(root).filter(_.startsWith("batch=")).toSet
     val snapshot = batchDirs()
     val preserved = snapshot.filter(d =>
       preserveBatchIds.contains(d.stripPrefix("batch=").toLong))
     val rawOpt =
-      try Some(spark.read.parquet(indexDir))
+      try Some(spark.read.parquet(root))
       catch {
         // an index whose deltas all hold zero rows has no parquet footers
         // to infer from — nothing to compact, not corruption (the daemon
@@ -422,7 +516,7 @@ object IncrementalDedup {
       else raw
     // deletions resolve here: tombstoned keys never reach the compacted
     // table (liveIndex's read-time anti-join made permanent)
-    val live = tombstoneKey.fold(scoped)(k => liveIndex(spark, indexDir, scoped, k))
+    val live = tombstoneKey.fold(scoped)(k => liveIndex(spark, root, scoped, k))
     val index = resolve(live).localCheckpoint()
     val n = index.count()
     val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
@@ -435,15 +529,15 @@ object IncrementalDedup {
     // those docs' rows
     val folded = (batchDirs() -- snapshot) ++ preserved
     folded.foreach { d =>
-      IndexFs.rename(s"$indexDir/$d", s"$next/$d")
+      IndexFs.rename(s"$root/$d", s"$next/$d")
     }
     // fold-preserved deltas bypassed the tombstone anti-join — keep the
     // table applying at read; with no preserved deltas it is fully
     // resolved and dies with the old dir
     if (folded.nonEmpty && tombstoneKey.isDefined &&
-        IndexFs.exists(s"$indexDir/_tombstones"))
-      IndexFs.rename(s"$indexDir/_tombstones", s"$next/_tombstones")
-    replaceDir(indexDir, next)
+        IndexFs.exists(s"$root/_tombstones"))
+      IndexFs.rename(s"$root/_tombstones", s"$next/_tombstones")
+    commitGeneration(indexDir, next)
     n
     }
   }

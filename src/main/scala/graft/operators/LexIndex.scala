@@ -55,10 +55,44 @@ object LexIndex {
 
   /** The shared tokenization — TOKEN-FOR-TOKEN the [[TextSearch.bm25TopK]]
     * expression, so index-served tf/dl can never diverge from the scan
-    * path (including its quirks: no lowercasing, and an all-whitespace
-    * document tokenizes to one empty token, so its dl is 1).
+    * path (including its quirks: no lowercasing under the `raw` analyzer,
+    * and an all-whitespace document tokenizes to one empty token, so its
+    * dl is 1).
     */
-  private def toks(textCol: Column): Column = split(trim(textCol), "\\s+")
+  private def toks(textCol: Column, analyzer: String): Column =
+    split(trim(analyze(textCol, analyzer)), "\\s+")
+
+  /** The declared ANALYZER, applied identically at build, append, query
+    * and phrase time (persisted in `meta`, so a query can never tokenize
+    * differently from the layout it reads):
+    *  - `raw` (default): no transformation — "Spark" and "spark" are
+    *    distinct terms (bit-matching the t50/t137 scan formula).
+    *  - `folded`: NFC normalization then lowercase — the first thing
+    *    every real retrieval corpus needs ("Spark" ≡ "spark", composed ≡
+    *    decomposed accents). Both steps are engine expressions
+    *    (graft_nfc + lower), and query TERMS are folded through the SAME
+    *    expressions in one local projection, so index and query can
+    *    never disagree on an edge case of the fold itself.
+    */
+  private[operators] def analyze(c: Column, analyzer: String): Column =
+    analyzer match {
+      case "raw" => c
+      case "folded" => lower(graft.expressions.GraftFunctions.nfc(c))
+      case other => throw new IllegalArgumentException(
+        s"unknown analyzer '$other' (raw | folded)")
+    }
+
+  /** Fold query terms through the index's analyzer — the same engine
+    * expressions the build applied, evaluated in one local projection.
+    */
+  private[operators] def analyzeTerms(spark: SparkSession, terms: Seq[String],
+      analyzer: String): Seq[String] =
+    if (analyzer == "raw") terms
+    else {
+      val row = spark.range(1)
+        .select(terms.map(t => analyze(lit(t), analyzer)): _*).head()
+      terms.indices.map(row.getString)
+    }
 
   private def bucketOf(term: Column, nBuckets: Int): Column =
     pmod(hash(term), lit(nBuckets))
@@ -72,17 +106,22 @@ object LexIndex {
     * files are deterministic.
     */
   private def derive(docs: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int): (DataFrame, DataFrame) = {
-    val base = docs.select(col(idCol).as("id"), toks(col(textCol)).as("__toks"))
+      nBuckets: Int, analyzer: String,
+      withPositions: Boolean): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("id"),
+        toks(col(textCol), analyzer).as("__toks"))
       .withColumn("dl", size(col("__toks")).cast("bigint"))
     val doclens = base.select(col("id"), col("dl"))
+    val aggs =
+      if (withPositions) Seq(count(lit(1)).cast("bigint").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      else Seq(count(lit(1)).cast("bigint").as("tf"))
     val postings = base
       .select(col("id"), col("dl"),
         posexplode(col("__toks")).as(Seq("pos", "term")))
       .where(col("term") =!= "")
       .groupBy(col("id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("bigint").as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
     (postings, doclens)
   }
@@ -115,16 +154,30 @@ object LexIndex {
     * directory count — 64 keeps per-term slices one-partition reads while
     * bounding the layout at 64 dirs regardless of vocabulary size.
     */
+  /** @param analyzer `raw` (default, the scan formula's tokenization) or
+    *        `folded` (NFC + lowercase) — persisted in `meta` and applied
+    *        identically at every read/write surface (see [[analyze]])
+    *  @param withPositions store per-term position arrays (the
+    *        [[phraseCountFromIndex]] tier). `false` skips the
+    *        collect_list — measured ~30% of build cost — for corpora
+    *        that never phrase-search; BM25 is unaffected, and a phrase
+    *        query against a tf-only index fails loudly naming the
+    *        rebuild. Persisted in `meta`.
+    */
   def build(docs: DataFrame, idCol: String, textCol: String,
-      indexDir: String, nBuckets: Int = 64): Unit =
+      indexDir: String, nBuckets: Int = 64, analyzer: String = "raw",
+      withPositions: Boolean = true): Unit =
     IndexLease.withLease(indexDir) {
       require(nBuckets >= 1)
+      analyze(lit(""), analyzer) // validate the name loudly up front
       val spark = docs.sparkSession
       import spark.implicits._
       IncrementalDedup.recoverDir(indexDir)
-      val (postings, doclens) = derive(docs, idCol, textCol, nBuckets)
+      val (postings, doclens) =
+        derive(docs, idCol, textCol, nBuckets, analyzer, withPositions)
       writeBatch(postings, doclens, indexDir, nBuckets, batchId = -1L)
-      Seq(nBuckets).toDF("nbuckets")
+      Seq((nBuckets, analyzer, withPositions))
+        .toDF("nbuckets", "analyzer", "positions")
         .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
     }
 
@@ -149,20 +202,23 @@ object LexIndex {
   def append(spark: SparkSession, indexDir: String, docs: DataFrame,
       idCol: String, textCol: String, batchId: Option[Long] = None): Long =
     IndexLease.withLease(indexDir) {
-      IncrementalDedup.recoverDir(indexDir)
-      require(IndexFs.exists(s"$indexDir/meta"),
+      // resolve the live generation once: an append extends the
+      // generation it reads, never creates one
+      val root = IncrementalDedup.readRoot(indexDir)
+      require(IndexFs.exists(s"$root/meta"),
         s"$indexDir is not a lexical index (no meta table) — build first")
-      val nBuckets = readNBuckets(spark, indexDir)
-      requireNotTombstoned(spark, indexDir, docs, idCol)
+      val (nBuckets, analyzer, withPositions) = readMeta(spark, root)
+      requireNotTombstoned(spark, root, docs, idCol)
       val bid = batchId.getOrElse {
-        val existing = IndexFs.subdirNames(s"$indexDir/postings")
+        val existing = IndexFs.subdirNames(s"$root/postings")
           .filter(_.startsWith("batch="))
           .map(_.stripPrefix("batch=").toLong)
         if (existing.isEmpty) 0L else existing.max + 1L
       }
-      val (postings, doclens) = derive(docs, idCol, textCol, nBuckets)
+      val (postings, doclens) =
+        derive(docs, idCol, textCol, nBuckets, analyzer, withPositions)
       val n = doclens.count()
-      if (n > 0) writeBatch(postings, doclens, indexDir, nBuckets, bid)
+      if (n > 0) writeBatch(postings, doclens, root, nBuckets, bid)
       n
     }
 
@@ -175,13 +231,14 @@ object LexIndex {
     * between its table writes).
     */
   def rebuild(docs: DataFrame, idCol: String, textCol: String,
-      indexDir: String, nBuckets: Int = 64): Unit =
+      indexDir: String, nBuckets: Int = 64, analyzer: String = "raw",
+      withPositions: Boolean = true): Unit =
     IndexLease.withLease(indexDir) {
       IncrementalDedup.recoverDir(indexDir)
       val next = s"$indexDir.next"
       IncrementalDedup.clearStaging(next)
-      build(docs, idCol, textCol, next, nBuckets)
-      IncrementalDedup.replaceDir(indexDir, next)
+      build(docs, idCol, textCol, next, nBuckets, analyzer, withPositions)
+      IncrementalDedup.commitGeneration(indexDir, next)
     }
 
   /** Partition a continuous-ingest batch into (appendable, deferred):
@@ -199,8 +256,7 @@ object LexIndex {
     // only `indexDir.old`, recovering just the tombstones subdir would
     // report "no tombstones" here and the subsequent append (which does
     // heal the dir) would then throw the re-add guard mid-batch
-    IncrementalDedup.recoverDir(indexDir)
-    val t = s"$indexDir/tombstones"
+    val t = s"${IncrementalDedup.readRoot(indexDir)}/tombstones"
     IncrementalDedup.recoverDir(t)
     if (!IndexFs.exists(t)) (docs, docs.limit(0))
     else {
@@ -233,8 +289,8 @@ object LexIndex {
     */
   def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
       idCol: String): Long = IndexLease.withLease(indexDir) {
-    IncrementalDedup.recoverDir(indexDir)
-    IncrementalDedup.appendTombstones(spark, s"$indexDir/tombstones",
+    val root = IncrementalDedup.readRoot(indexDir)
+    IncrementalDedup.appendTombstones(spark, s"$root/tombstones",
       ids.select(col(idCol).as("id")), "id")
   }
 
@@ -265,21 +321,21 @@ object LexIndex {
       targetRows: Long = 16_000_000L,
       preserveBatchIds: Set[Long] = Set.empty): Long =
     IndexLease.withLease(indexDir) {
-      IncrementalDedup.recoverDir(indexDir)
-      val nBuckets = readNBuckets(spark, indexDir)
+      val root = IncrementalDedup.readRoot(indexDir)
+      val (nBuckets, _, _) = readMeta(spark, root)
       def scoped(table: String) = {
-        val raw = spark.read.parquet(s"$indexDir/$table")
+        val raw = spark.read.parquet(s"$root/$table")
         if (preserveBatchIds.isEmpty) raw
         else raw.where(!col("batch").isin(preserveBatchIds.toSeq: _*))
       }
       def live(table: String) = IncrementalDedup.applyTombstones(spark,
-        s"$indexDir/tombstones", scoped(table), "id")
+        s"$root/tombstones", scoped(table), "id")
       // the delta ledgers fold to ONE batch=-1 generation (partition-style
       // like every index layout here: root-level files would be invisible
       // to discovery once the next delta lands)
       val postings = live("postings").drop("batch").localCheckpoint()
       val doclens = live("doclens").drop("batch").localCheckpoint()
-      val meta = spark.read.parquet(s"$indexDir/meta").localCheckpoint()
+      val meta = spark.read.parquet(s"$root/meta").localCheckpoint()
       val n = doclens.count()
       val next = s"$indexDir.compact"
       IncrementalDedup.clearStaging(next)
@@ -294,7 +350,7 @@ object LexIndex {
       // preserved deltas: rewritten verbatim into staging (raw rows, NOT
       // tombstone-filtered — a preserved delta must replay byte-faithful)
       for (bid <- preserveBatchIds; table <- Seq("postings", "doclens", "stats")) {
-        val src = s"$indexDir/$table/batch=$bid"
+        val src = s"$root/$table/batch=$bid"
         if (IndexFs.exists(src)) {
           val raw = spark.read.parquet(src)
           val w = raw.write
@@ -303,10 +359,10 @@ object LexIndex {
         }
       }
       if (preserveBatchIds.nonEmpty &&
-          IndexFs.exists(s"$indexDir/tombstones"))
-        spark.read.parquet(s"$indexDir/tombstones").coalesce(1)
+          IndexFs.exists(s"$root/tombstones"))
+        spark.read.parquet(s"$root/tombstones").coalesce(1)
           .write.parquet(s"$next/tombstones")
-      IncrementalDedup.replaceDir(indexDir, next)
+      IncrementalDedup.commitGeneration(indexDir, next)
       n
     }
 
@@ -324,8 +380,8 @@ object LexIndex {
       maxTombstoneFraction: Double = 0.25): Boolean =
     IndexLease.withLease(indexDir) {
       require(maxTombstoneFraction > 0 && maxTombstoneFraction < 1)
-      IncrementalDedup.recoverDir(indexDir)
-      val tsDir = s"$indexDir/tombstones"
+      val root = IncrementalDedup.readRoot(indexDir)
+      val tsDir = s"$root/tombstones"
       IncrementalDedup.recoverDir(tsDir)
       if (!IndexFs.exists(tsDir)) false
       else {
@@ -335,7 +391,7 @@ object LexIndex {
           // doclens still counts tombstoned rows (compact resolves them),
           // so live = indexed − tombstoned — dividing by the raw count
           // would make a 0.25 threshold fire only at ~33% of LIVE docs
-          val nDocs = spark.read.parquet(s"$indexDir/doclens").count()
+          val nDocs = spark.read.parquet(s"$root/doclens").count()
           val nLive = nDocs - nTs
           if (nLive <= 0 || nTs.toDouble / nLive > maxTombstoneFraction) {
             compact(spark, indexDir)
@@ -345,8 +401,20 @@ object LexIndex {
       }
     }
 
-  private def readNBuckets(spark: SparkSession, indexDir: String): Int =
-    spark.read.parquet(s"$indexDir/meta").head().getAs[Int]("nbuckets")
+  /** (nBuckets, analyzer, positions) from `meta` — a legacy meta written
+    * before the analyzer/positions columns reads as (raw, positional),
+    * exactly what those indexes are.
+    */
+  private def readMeta(spark: SparkSession,
+      indexDir: String): (Int, String, Boolean) = {
+    val df = spark.read.parquet(s"$indexDir/meta")
+    val row = df.head()
+    val analyzer = if (df.columns.contains("analyzer"))
+      row.getAs[String]("analyzer") else "raw"
+    val positions = if (df.columns.contains("positions"))
+      row.getAs[Boolean]("positions") else true
+    (row.getAs[Int]("nbuckets"), analyzer, positions)
+  }
 
   /** Exact LIVE corpus statistics (N, Σdl): summed from the append-only
     * stats ledger — a handful of footer-scale rows — then corrected for
@@ -396,14 +464,24 @@ object LexIndex {
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
       "phrase must have at least one nonempty term")
-    IncrementalDedup.recoverDir(indexDir)
-    val nBuckets = readNBuckets(spark, indexDir)
-    val tsDir = s"$indexDir/tombstones"
+    // pin the live generation for the whole query (reader-vs-swap safety)
+    val root = IncrementalDedup.readRoot(indexDir)
+    val (nBuckets, analyzer, withPositions) = readMeta(spark, root)
+    require(withPositions,
+      s"$indexDir stores tf-only postings (built with withPositions = " +
+        "false) — phrase search needs the positional tier: rebuild the " +
+        "index with withPositions = true")
+    val tsDir = s"$root/tombstones"
     IncrementalDedup.recoverDir(tsDir)
+    // the index's own analyzer applies to the phrase terms (a folded
+    // index phrase-matches case-insensitively; a raw index is
+    // case-sensitive — unlike TextSearch.phraseCount, which always
+    // lowercases: the divergence is pinned by t139's oracle)
+    val phraseA = analyzeTerms(spark, phrase, analyzer)
     val termBuckets = spark.range(1)
-      .select(phrase.map(t => bucketOf(lit(t), nBuckets)): _*).head()
-    val slices = phrase.zipWithIndex.map { case (t, k) =>
-      val raw = spark.read.parquet(s"$indexDir/postings")
+      .select(phraseA.map(t => bucketOf(lit(t), nBuckets)): _*).head()
+    val slices = phraseA.zipWithIndex.map { case (t, k) =>
+      val raw = spark.read.parquet(s"$root/postings")
         .where(col("bucket") === lit(termBuckets.getInt(k)) &&
           col("term") === lit(t))
         .select(col("id"), explode(col("positions")).as("__p"))
@@ -438,15 +516,19 @@ object LexIndex {
       terms: Seq[String], k: Int, k1: Double = 1.5, b: Double = 0.75,
       allowed: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.nonEmpty) && k >= 1)
-    IncrementalDedup.recoverDir(indexDir)
-    require(IndexFs.exists(s"$indexDir/meta"),
+    // pin the live generation for the whole query (reader-vs-swap safety)
+    val root = IncrementalDedup.readRoot(indexDir)
+    require(IndexFs.exists(s"$root/meta"),
       s"$indexDir is not a lexical index (no meta table)")
-    val nBuckets = readNBuckets(spark, indexDir)
-    val tsDir = s"$indexDir/tombstones"
+    val (nBuckets, analyzer, _) = readMeta(spark, root)
+    // the index's persisted analyzer applies to the query terms — the
+    // layout decides, so query and index can never tokenize differently
+    val termsA = analyzeTerms(spark, terms, analyzer)
+    val tsDir = s"$root/tombstones"
     IncrementalDedup.recoverDir(tsDir)
     val hasTombstones = IndexFs.exists(tsDir)
 
-    val (nLive, sumdlLive) = liveStats(spark, indexDir, tsDir, hasTombstones)
+    val (nLive, sumdlLive) = liveStats(spark, root, tsDir, hasTombstones)
     // the same operations bm25TopK's expression tree applies: decimal →
     // double cast, long → double cast, one IEEE division
     val avgdl = sumdlLive.doubleValue() / nLive.toDouble
@@ -454,14 +536,14 @@ object LexIndex {
     // bucket of each term under the index's partitioning constant — one
     // constant-folded local projection, no table scan
     val termBuckets = spark.range(1)
-      .select(terms.map(t => bucketOf(lit(t), nBuckets)): _*).head()
+      .select(termsA.map(t => bucketOf(lit(t), nBuckets)): _*).head()
 
     // one pruned slice read per term; df counted from the LIVE slice (the
     // rows the query reads anyway, so tombstone-exactness is free here)
     val slices = terms.indices.map { i =>
-      val raw = spark.read.parquet(s"$indexDir/postings")
+      val raw = spark.read.parquet(s"$root/postings")
         .where(col("bucket") === lit(termBuckets.getInt(i)) &&
-          col("term") === lit(terms(i)))
+          col("term") === lit(termsA(i)))
         .select(col("id"), col("dl"), col("tf"))
       IncrementalDedup.applyTombstones(spark, tsDir, raw, "id")
         .localCheckpoint()
@@ -507,7 +589,7 @@ object LexIndex {
       // matches cannot fill go to the smallest-id non-matching live docs
       // at exactly 0.0 (a no-term doc's score is idf·0 summed — 0.0)
       val liveDl = IncrementalDedup.applyTombstones(spark, tsDir,
-        spark.read.parquet(s"$indexDir/doclens"), "id")
+        spark.read.parquet(s"$root/doclens"), "id")
       val allowedDl = allowed match {
         case Some(a) => liveDl.join(
           a.select(col(a.columns.head).as("id")).distinct(), Seq("id"), "left_semi")
@@ -560,24 +642,29 @@ object LexIndex {
       queries.forall(q => q._2.nonEmpty && q._2.forall(_.nonEmpty)))
     require(queries.map(_._1).distinct.size == queries.size,
       "duplicate query ids")
-    IncrementalDedup.recoverDir(indexDir)
-    require(IndexFs.exists(s"$indexDir/meta"),
+    // pin the live generation for the whole batch (reader-vs-swap safety)
+    val root = IncrementalDedup.readRoot(indexDir)
+    require(IndexFs.exists(s"$root/meta"),
       s"$indexDir is not a lexical index (no meta table)")
-    val nBuckets = readNBuckets(spark, indexDir)
-    val tsDir = s"$indexDir/tombstones"
+    val (nBuckets, analyzer, _) = readMeta(spark, root)
+    val tsDir = s"$root/tombstones"
     IncrementalDedup.recoverDir(tsDir)
     val hasTombstones = IndexFs.exists(tsDir)
-    val (nLive, sumdlLive) = liveStats(spark, indexDir, tsDir, hasTombstones)
+    val (nLive, sumdlLive) = liveStats(spark, root, tsDir, hasTombstones)
     val avgdl = sumdlLive.doubleValue() / nLive.toDouble
 
-    val allTerms = queries.flatMap(_._2).distinct
+    // the index's persisted analyzer applies to every query's terms
+    val queriesA = queries.map { case (qid, ts) =>
+      qid -> analyzeTerms(spark, ts, analyzer)
+    }
+    val allTerms = queriesA.flatMap(_._2).distinct
     val bucketRow = spark.range(1)
       .select(allTerms.map(t => bucketOf(lit(t), nBuckets)): _*).head()
     val buckets = allTerms.indices.map(bucketRow.getInt).distinct
     // ONE pruned read of the union of slices; the term IN-list restricts
     // the (bucket, term) superset the bucket IN-list admits
     val union = IncrementalDedup.applyTombstones(spark, tsDir,
-        spark.read.parquet(s"$indexDir/postings")
+        spark.read.parquet(s"$root/postings")
           .where(col("bucket").isin(buckets: _*) &&
             col("term").isin(allTerms: _*))
           .select(col("term"), col("id"), col("dl"), col("tf")),
@@ -602,7 +689,7 @@ object LexIndex {
 
     // per query: the single-query join/score recipe over the CHECKPOINTED
     // union (no re-read), normalized output, unioned into one plan
-    val perQuery = queries.map { case (qid, terms) =>
+    val perQuery = queriesA.map { case (qid, terms) =>
       val named = terms.zipWithIndex.map { case (t, i) =>
         unionServed.where(col("term") === lit(t))
           .select(col("id"), col("dl").as(s"__dl$i"), col("tf").as(s"tf$i"))

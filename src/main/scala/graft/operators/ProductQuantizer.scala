@@ -548,42 +548,55 @@ object ProductQuantizer {
     * [[Similarity.ivfCompact]] compacts this layout too, carrying
     * `pq_model` and `stats` through the swap.
     */
+  /** Assignment + encoding under the FROZEN quantizers: each vector's
+    * cell from the float-persisted centroid matrix (the layout's own
+    * metric — unit space for the residual/opq encodings) and its codes
+    * from the persisted model — the pure per-vector projection
+    * [[ivfPqAppend]] and [[Similarity.ivfUpsert]] both write: no join,
+    * no shuffle, bit-identical to what a build over the union would
+    * store. The anchors ARE the same float centroids as the cells.
+    */
+  private[operators] def assignAndEncode(batch: DataFrame, idCol: String,
+      vecCol: String, model: PqModel,
+      matrix: Array[Array[Double]]): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val d = graft.expressions.GraftFunctions.l2sqDistances(
+      if (model.isResidual) unitize(col(vecCol)) else col(vecCol), matrix)
+    val withCell = batch
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), d.as("__d"))
+      .select($"neighbor_id", $"cv",
+        (array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"))
+    val codes =
+      if (model.isResidual) encodeResidual($"cv", $"cell", model, matrix)
+      else encode($"cv", model)
+    withCell.select($"neighbor_id", codes.as("codes"), $"cv", $"cell")
+  }
+
   def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       newVectors: DataFrame, idCol: String,
       vecCol: String): Similarity.IvfAppendStats =
       IndexLease.withLease(indexDir) {
     import spark.implicits._
-    IncrementalDedup.recoverDir(indexDir)
-    val model = loadModel(spark, indexDir)
-    val cen = spark.read.parquet(s"$indexDir/centroids")
+    // resolve the live generation once: an in-place append extends the
+    // generation it reads, never creates one
+    val root = IncrementalDedup.readRoot(indexDir)
+    val model = loadModel(spark, root)
+    val cen = spark.read.parquet(s"$root/centroids")
       .orderBy("cell").select("cell", "centroid").collect()
     require(cen.nonEmpty && cen.zipWithIndex.forall {
         case (r, i) => r.getInt(0) == i },
       "centroid table must carry contiguous cells 0..n-1")
     val matrix = cen.map(_.getSeq[Float](1).toArray.map(_.toDouble))
-    // assignment runs in the layout's own space: the residual/opq
-    // layouts' coarse quantizer (and drift baseline) lives on the unit
-    // sphere
+    // loud guards BEFORE the write (Similarity.ivfDelete's re-add
+    // contract + the upsert-version overlay)
+    Similarity.requireNotTombstoned(spark, root, newVectors, idCol)
+    Similarity.requireNotUpserted(spark, root, newVectors, idCol)
+    assignAndEncode(newVectors, idCol, vecCol, model, matrix)
+      .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
     val d = graft.expressions.GraftFunctions.l2sqDistances(
       if (model.isResidual) unitize(col(vecCol)) else col(vecCol),
       matrix)
-    // residual codes need the assigned cell first; the anchors ARE the
-    // same float-persisted centroids as the cell, so appended codes are
-    // bit-identical to what a build over the union would write
-    // (two narrow projections — still no join, no shuffle)
-    val withCell = newVectors
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), d.as("__d"))
-      .select($"neighbor_id", $"cv",
-        (array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"))
-    val codes =
-      if (model.isResidual)
-        encodeResidual($"cv", $"cell", model, matrix)
-      else encode($"cv", model)
-    // loud guard BEFORE the write (Similarity.ivfDelete's re-add contract)
-    Similarity.requireNotTombstoned(spark, indexDir, newVectors, idCol)
-    withCell
-      .select($"neighbor_id", codes.as("codes"), $"cv", $"cell")
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
 
     // the same two-sensor drift reading as Similarity.ivfAppend (shared
     // fold): batch per-cell mean assigned l2sq vs the build baseline over
@@ -597,7 +610,7 @@ object ProductQuantizer {
         array_min($"__d").as("__min"))
       .groupBy($"cell").agg(count(lit(1)).as("bn"), sum($"__min").as("bsum"))
       .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
-    Similarity.driftReading(spark, indexDir, batch)
+    Similarity.driftReading(spark, root, batch)
   }
 
   /** Re-train BOTH quantizers of a composed IVF-PQ index over everything it
@@ -621,12 +634,13 @@ object ProductQuantizer {
   def ivfPqRebuild(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       nCells: Int, m: Option[Int] = None,
       nCodes: Option[Int] = None): Long = IndexLease.withLease(indexDir) {
-    IncrementalDedup.recoverDir(indexDir)
-    val prev = loadModel(spark, indexDir)
-    // rebuild trains on and re-writes the LIVE rows only; the swap drops
-    // the tombstone table with the old dir (Similarity.ivfDelete)
-    val cells = Similarity.minusTombstones(spark, indexDir,
-        spark.read.parquet(s"$indexDir/cells"))
+    val root = IncrementalDedup.readRoot(indexDir)
+    val prev = loadModel(spark, root)
+    // rebuild trains on and re-writes the LIVE rows only (upsert delta
+    // folded); the generation commit drops the tombstone table and the
+    // delta with the retired generation
+    val cells = Similarity.liveRows(spark, root,
+        spark.read.parquet(s"$root/cells"))
       .select(col("neighbor_id"), col("cv")).localCheckpoint()
     val n = cells.count()
     val next = s"$indexDir.rebuild"
@@ -646,7 +660,7 @@ object ProductQuantizer {
         nCodes.getOrElse(prev.nCodes))
       ivfPqBuild(cells, "neighbor_id", "cv", nCells, model, next)
     }
-    IncrementalDedup.replaceDir(indexDir, next)
+    IncrementalDedup.commitGeneration(indexDir, next)
     n
   }
 
@@ -729,11 +743,11 @@ object ProductQuantizer {
       indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
       allowed: DataFrame, allowedIdCol: String, k: Int,
       baseNProbe: Int = 4, rerank: Int = 50): DataFrame = {
-    IncrementalDedup.recoverDir(indexDir)
+    val root = IncrementalDedup.readRoot(indexDir)
     // selectivity over LIVE rows only (Similarity's adaptive sibling rule)
-    val cells = Similarity.minusTombstones(spark, indexDir,
-      spark.read.parquet(s"$indexDir/cells"))
-    val nCells = spark.read.parquet(s"$indexDir/centroids").count().toInt
+    val cells = Similarity.liveRows(spark, root,
+      spark.read.parquet(s"$root/cells"))
+    val nCells = spark.read.parquet(s"$root/centroids").count().toInt
     val total = cells.count()
     val kept = cells.join(
       allowed.select(col(allowedIdCol).as("neighbor_id")).distinct(),
@@ -750,9 +764,10 @@ object ProductQuantizer {
       restrict: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     require(rerank >= k, s"rerank pool $rerank must be >= k=$k")
-    IncrementalDedup.recoverDir(indexDir)
-    val model = loadModel(spark, indexDir)
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    // pin the live generation for the whole query (reader-vs-swap safety)
+    val root = IncrementalDedup.readRoot(indexDir)
+    val model = loadModel(spark, root)
+    val centroids = spark.read.parquet(s"$root/centroids")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy($"query_id").orderBy($"cdist", $"cell")
     val probes = q.crossJoin(broadcast(centroids))
@@ -771,10 +786,11 @@ object ProductQuantizer {
     // probes already read (nCells × dim driver-scale, like the probe join)
     // partition-prune, then the tombstone anti-join (deleted ids must not
     // crowd the rerank pool), then the caller's restriction
-    val coded = restrict(Similarity.minusTombstones(spark, indexDir,
-      spark.read.parquet(s"$indexDir/cells")
+    val coded = restrict(Similarity.liveRows(spark, root,
+      spark.read.parquet(s"$root/cells")
         .filter($"cell".isInCollection(probeCells))
-        .select($"cell", $"neighbor_id", $"codes")))
+        .select($"cell", $"neighbor_id", $"codes"),
+      _.filter($"cell".isInCollection(probeCells))))
     val lut =
       if (model.isResidual) {
         val cen = centroids.orderBy("cell").select("cell", "centroid").collect()
@@ -795,8 +811,13 @@ object ProductQuantizer {
       .select($"query_id", $"neighbor_id")
 
     // exact refine: full vectors for pool rows only, same partition filter
-    val vecs = spark.read.parquet(s"$indexDir/cells")
-      .filter($"cell".isInCollection(probeCells))
+    // the refine read resolves upsert versions too: an upserted id's
+    // pool row must refine against its NEW vector, never the stale base
+    val vecs = Similarity.liveRows(spark, root,
+        spark.read.parquet(s"$root/cells")
+          .filter($"cell".isInCollection(probeCells))
+          .select($"cell", $"neighbor_id", $"cv"),
+        _.filter($"cell".isInCollection(probeCells)))
       .select($"neighbor_id", $"cv")
     val exact = pool.join(vecs, Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))

@@ -256,16 +256,16 @@ object Similarity {
       newVectors: DataFrame, idCol: String, vecCol: String): IvfAppendStats =
       IndexLease.withLease(indexDir) {
     import spark.implicits._
-    // heal a crashed ivfCompact swap before touching the index: a crash
-    // between replaceDir's two renames leaves no live dir but a complete
-    // `.old` — roll back to it rather than failing every IVF operation
-    // until a manual rename (the crawl pipeline's recovery discipline)
-    IncrementalDedup.recoverDir(indexDir)
+    // resolve the live generation once (also heals pre-generational crash
+    // residue): every read and the cell-partitioned write below land in
+    // THIS generation — an in-place append is part of the generation it
+    // extends, never a new one
+    val root = IncrementalDedup.readRoot(indexDir)
     // The float-persisted centroid table is the AUTHORITATIVE quantizer —
     // and since round 16, [[ivfBuild]] assigns with the SAME float-rounded
     // matrix and argmin rule, so an append is bit-identical to a
     // from-scratch build over the union placing the same vectors.
-    val cen = spark.read.parquet(s"$indexDir/centroids")
+    val cen = spark.read.parquet(s"$root/centroids")
       .orderBy("cell").select("cell", "centroid").collect()
     require(cen.nonEmpty && cen.zipWithIndex.forall {
         case (r, i) => r.getInt(0) == i },
@@ -274,13 +274,14 @@ object Similarity {
     // loud guard BEFORE the write: a tombstoned id must be resolved by a
     // compact/rebuild, not silently duplicated or hidden (ivfDelete's
     // re-add contract)
-    requireNotTombstoned(spark, indexDir, newVectors, idCol)
+    requireNotTombstoned(spark, root, newVectors, idCol)
+    requireNotUpserted(spark, root, newVectors, idCol)
     val d = graft.expressions.GraftFunctions.l2sqDistances(col(vecCol), matrix)
     newVectors
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), d.as("__d"))
       .select($"neighbor_id", $"cv",
         (array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
 
     // drift diagnostic: re-derive (cell, min-distance) from the same
     // deterministic projection — a second narrow pass with a map-side
@@ -291,7 +292,7 @@ object Similarity {
         array_min($"__d").as("__min"))
       .groupBy($"cell").agg(count(lit(1)).as("bn"), sum($"__min").as("bsum"))
       .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
-    driftReading(spark, indexDir, batch)
+    driftReading(spark, root, batch)
   }
 
   /** Fold one append batch's per-cell (count, Σ min-distance) against the
@@ -350,9 +351,35 @@ object Similarity {
     */
   def ivfDelete(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       ids: DataFrame, idCol: String): Long = IndexLease.withLease(indexDir) {
-    IncrementalDedup.recoverDir(indexDir)
-    IncrementalDedup.appendTombstones(spark, s"$indexDir/tombstones",
+    val root = IncrementalDedup.readRoot(indexDir)
+    val n = IncrementalDedup.appendTombstones(spark, s"$root/tombstones",
       ids.select(col(idCol).as("neighbor_id")), "neighbor_id")
+    // an UPSERTED id's stored versions outrank the tombstone (latest
+    // wins — that is how upsert-after-delete resurrects), so a takedown
+    // must ALSO append a deletion MARKER version (null vector) that
+    // outranks them; ids never upserted pay nothing
+    val upDir = s"$root/upserts"
+    IncrementalDedup.recoverDir(upDir)
+    if (IndexFs.exists(upDir)) {
+      val ups = spark.read.parquet(upDir)
+      val affected = ids.select(col(idCol).as("neighbor_id")).distinct()
+        .join(ups.select(col("neighbor_id")).distinct(),
+          Seq("neighbor_id"), "left_semi")
+        .localCheckpoint()
+      if (affected.count() > 0) {
+        val m = ups.agg(max(col("useq"))).head()
+        val nextSeq = (if (m.isNullAt(0)) -1L else m.getLong(0)) + 1L
+        val markerCols = ups.columns.map {
+          case "neighbor_id" => col("neighbor_id")
+          case "useq" => lit(nextSeq).as("useq")
+          case "cell" => lit(-1).as("cell")
+          case c => lit(null).cast(ups.schema(c).dataType).as(c)
+        }
+        affected.select(markerCols.toSeq: _*)
+          .write.mode("append").partitionBy("cell").parquet(upDir)
+      }
+    }
+    n
   }
 
   /** The live view of an index table: rows minus the tombstone set (the
@@ -366,6 +393,106 @@ object Similarity {
       df: DataFrame): DataFrame =
     IncrementalDedup.applyTombstones(spark, s"$indexDir/tombstones",
       df, "neighbor_id")
+
+  /** The FULL live view: tombstones applied to the base cells, then the
+    * UPSERT delta overlaid with latest-version-wins per id (see
+    * [[ivfUpsert]]). `baseRead` is the caller's (possibly
+    * partition-pruned, column-selected) read of `root/cells`;
+    * `upsertPost` re-applies the same pruning/selection to the upsert
+    * rows AFTER latest-per-id is resolved — the version window must run
+    * over ALL of an id's versions, or a pruned read could surface an OLD
+    * version living in a probed cell while the latest sits in an
+    * unprobed one. The upsert delta is small by contract (compact folds
+    * it), so the unpruned window is delta-scale, never index-scale; a
+    * never-upserted index pays nothing (no `upserts` dir → the plain
+    * tombstone view).
+    */
+  private[operators] def liveRows(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      baseRead: DataFrame,
+      upsertPost: DataFrame => DataFrame = identity): DataFrame = {
+    val base = minusTombstones(spark, indexDir, baseRead)
+    val upDir = s"$indexDir/upserts"
+    IncrementalDedup.recoverDir(upDir)
+    if (!IndexFs.exists(upDir)) base
+    else {
+      val ups = spark.read.parquet(upDir)
+      // every id with ANY upsert version is served from the delta (or
+      // not at all, when its latest version is a deletion marker)
+      val upIds = broadcast(ups.select(col("neighbor_id")).distinct())
+      val baseLive = base.join(upIds, Seq("neighbor_id"), "left_anti")
+      val w = Window.partitionBy(col("neighbor_id")).orderBy(col("useq").desc)
+      val latest = ups
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1 && col("cv").isNotNull)
+      baseLive.unionByName(
+        upsertPost(latest).select(base.columns.map(col): _*))
+    }
+  }
+
+  /** UPSERT: re-embed / replace vectors by id in ONE leased commit — the
+    * verb corpus refresh needs (a changed page re-embeds constantly;
+    * without this the only correct path was takedown → wait for a
+    * compact → re-append, coupling re-embed latency to compaction
+    * cadence). Rows land in an `upserts/` delta beside the cells
+    * (cell-partitioned, assigned under the SAME frozen float-centroid
+    * quantizer as [[ivfAppend]]; on a composed layout codes are encoded
+    * like [[ProductQuantizer.ivfPqAppend]]), each batch stamped with a
+    * monotonically increasing `useq` — the read view serves LATEST
+    * VERSION WINS per id ([[liveRows]]), so the updated vector serves at
+    * its new position and the old one can never surface, including
+    * across probe pruning. Upserting a previously-DELETED id resurrects
+    * it (the delta outranks the tombstone); [[ivfDelete]] of an upserted
+    * id appends a deletion MARKER version (null cv) so the takedown
+    * outranks every stored version. [[ivfCompact]]/[[ivfRebuild]] fold
+    * the delta into the cells physically and clear it.
+    *
+    * @return number of distinct ids upserted
+    */
+  def ivfUpsert(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      batch: DataFrame, idCol: String,
+      vecCol: String): Long = IndexLease.withLease(indexDir) {
+    import spark.implicits._
+    val root = IncrementalDedup.readRoot(indexDir)
+    val dup = batch.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch carries duplicate id ${dup.headOption.map(_.get(0))} " +
+        "— one version per id per commit (versions across commits are " +
+        "ordered by useq)")
+    val cen = spark.read.parquet(s"$root/centroids")
+      .orderBy("cell").select("cell", "centroid").collect()
+    require(cen.nonEmpty && cen.zipWithIndex.forall {
+        case (r, i) => r.getInt(0) == i },
+      "centroid table must carry contiguous cells 0..n-1")
+    val matrix = cen.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val composed = IndexFs.exists(s"$root/pq_model")
+    val upDir = s"$root/upserts"
+    IncrementalDedup.recoverDir(upDir)
+    val nextSeq =
+      if (!IndexFs.exists(upDir)) 0L
+      else {
+        val m = spark.read.parquet(upDir).agg(max(col("useq"))).head()
+        if (m.isNullAt(0)) 0L else m.getLong(0) + 1L
+      }
+    val rows =
+      if (composed) {
+        val model = ProductQuantizer.loadModel(spark, root)
+        ProductQuantizer.assignAndEncode(batch, idCol, vecCol, model, matrix)
+      } else {
+        val d = graft.expressions.GraftFunctions
+          .l2sqDistances(col(vecCol), matrix)
+        batch
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), d.as("__d"))
+          .select($"neighbor_id", $"cv",
+            (array_position($"__d", array_min($"__d")) - 1).cast("int").as("cell"))
+      }
+    val stamped = rows.withColumn("useq", lit(nextSeq)).localCheckpoint()
+    val n = stamped.count()
+    if (n > 0)
+      stamped.write.mode("append").partitionBy("cell").parquet(upDir)
+    n
+  }
 
   /** [[ivfDelete]]'s append guard: a batch that re-uses a tombstoned id
     * must fail LOUDLY before the write — see the re-add semantics note on
@@ -387,6 +514,27 @@ object Similarity {
         "resolve deletions first (ivfCompact / rebuild), then re-add")
   }
 
+  /** [[ivfUpsert]]'s append guard: an id with stored upsert VERSIONS must
+    * not be re-appended to the base cells — the version overlay would
+    * silently hide the new base row. Route replacements through
+    * [[ivfUpsert]] (that is the verb for existing ids).
+    */
+  private[operators] def requireNotUpserted(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val upDir = s"$indexDir/upserts"
+    IncrementalDedup.recoverDir(upDir)
+    if (!IndexFs.exists(upDir)) return
+    val sample = ids.select(col(idCol).as("neighbor_id")).distinct()
+      .join(broadcast(spark.read.parquet(upDir).select(col("neighbor_id"))
+        .distinct()), Seq("neighbor_id"), "left_semi")
+      .limit(4).collect().map(_.get(0))
+    require(sample.isEmpty,
+      s"append batch re-uses upserted ids (${sample.mkString(", ")} …): " +
+        "replacements go through ivfUpsert (latest version wins); append " +
+        "is for NEW ids only")
+  }
+
   /** Compact a persisted IVF index's cell files: every [[ivfAppend]] batch
     * adds at least one file per touched cell, and a daemon appending per
     * snapshot degrades queries with thousands-of-tiny-files scan overhead —
@@ -404,14 +552,14 @@ object Similarity {
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       targetRows: Long = 4_000_000L): Long = IndexLease.withLease(indexDir) {
-    IncrementalDedup.recoverDir(indexDir) // heal a prior crashed swap first
+    val root = IncrementalDedup.readRoot(indexDir)
     // tombstoned rows are physically dropped here — and the tombstone
     // table is NOT carried through the swap, so compaction clears it
     // ([[ivfDelete]]'s contract); the two are one atomic step because the
     // swap replaces the whole dir
-    val cells = minusTombstones(spark, indexDir,
-      spark.read.parquet(s"$indexDir/cells")).localCheckpoint()
-    val centroids = spark.read.parquet(s"$indexDir/centroids").localCheckpoint()
+    val cells = liveRows(spark, root,
+      spark.read.parquet(s"$root/cells")).localCheckpoint()
+    val centroids = spark.read.parquet(s"$root/centroids").localCheckpoint()
     // drift baseline, the PQ model (IVF-PQ layouts), and the maintenance
     // ledger ride along unchanged — the swap replaces the WHOLE index
     // dir, so any side table not copied into staging would be silently
@@ -420,8 +568,8 @@ object Similarity {
     // is rewritten as ONE file — one row per append, so the coalesce is
     // free and bounds its small-file growth at every compaction.
     def carry(name: String) =
-      if (IndexFs.exists(s"$indexDir/$name"))
-        Some(name -> spark.read.parquet(s"$indexDir/$name").localCheckpoint())
+      if (IndexFs.exists(s"$root/$name"))
+        Some(name -> spark.read.parquet(s"$root/$name").localCheckpoint())
       else None
     val side = Seq(carry("stats"), carry("pq_model"),
       carry("drift_log").map { case (n2, df) => (n2, df.coalesce(1)) }).flatten
@@ -433,7 +581,7 @@ object Similarity {
       .write.partitionBy("cell").parquet(s"$next/cells")
     centroids.write.parquet(s"$next/centroids")
     side.foreach { case (name, df) => df.write.parquet(s"$next/$name") }
-    IncrementalDedup.replaceDir(indexDir, next)
+    IncrementalDedup.commitGeneration(indexDir, next)
     n
   }
 
@@ -454,17 +602,18 @@ object Similarity {
     */
   def ivfRebuild(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       nCells: Int): Long = IndexLease.withLease(indexDir) {
-    IncrementalDedup.recoverDir(indexDir)
-    // rebuild trains on and re-writes the LIVE rows only; the swap drops
-    // the tombstone table with the old dir
-    val cells = minusTombstones(spark, indexDir,
-        spark.read.parquet(s"$indexDir/cells"))
+    val root = IncrementalDedup.readRoot(indexDir)
+    // rebuild trains on and re-writes the LIVE rows only (upsert delta
+    // folded); the generation commit drops the tombstone table and the
+    // delta with the retired generation
+    val cells = liveRows(spark, root,
+        spark.read.parquet(s"$root/cells"))
       .select(col("neighbor_id"), col("cv")).localCheckpoint()
     val n = cells.count()
     val next = s"$indexDir.rebuild"
     IncrementalDedup.clearStaging(next)
     ivfBuild(cells, "neighbor_id", "cv", nCells, next)
-    IncrementalDedup.replaceDir(indexDir, next)
+    IncrementalDedup.commitGeneration(indexDir, next)
     n
   }
 
@@ -564,12 +713,12 @@ object Similarity {
       indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
       allowed: DataFrame, allowedIdCol: String,
       k: Int, baseNProbe: Int = 4): DataFrame = {
-    IncrementalDedup.recoverDir(indexDir)
+    val root = IncrementalDedup.readRoot(indexDir)
     // selectivity is measured over the LIVE rows — tombstoned rows are
-    // neither candidates nor denominator
-    val cells = minusTombstones(spark, indexDir,
-      spark.read.parquet(s"$indexDir/cells"))
-    val nCells = spark.read.parquet(s"$indexDir/centroids").count().toInt
+    // neither candidates nor denominator; upserted versions resolve
+    val cells = liveRows(spark, root,
+      spark.read.parquet(s"$root/cells"))
+    val nCells = spark.read.parquet(s"$root/centroids").count().toInt
     val total = cells.count()
     val kept = cells.join(
       allowed.select(col(allowedIdCol).as("neighbor_id")).distinct(),
@@ -585,8 +734,11 @@ object Similarity {
       k: Int, nProbe: Int,
       restrict: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
-    IncrementalDedup.recoverDir(indexDir) // heal a prior crashed swap first
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    // pin the live generation for the WHOLE query (reader-vs-swap safety:
+    // a compact/rebuild committing mid-scan retires this generation only
+    // after the next one, so every read below stays valid)
+    val root = IncrementalDedup.readRoot(indexDir)
+    val centroids = spark.read.parquet(s"$root/centroids")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy($"query_id").orderBy($"cdist", $"cell")
     val probes = q.crossJoin(broadcast(centroids))
@@ -600,9 +752,10 @@ object Similarity {
 
     // partition-prune first, then the tombstone anti-join, then the
     // caller's restriction — each step only ever shrinks the scan
-    val assigned = restrict(minusTombstones(spark, indexDir,
-      spark.read.parquet(s"$indexDir/cells")
-        .filter($"cell".isInCollection(probeCells))))
+    val assigned = restrict(liveRows(spark, root,
+      spark.read.parquet(s"$root/cells")
+        .filter($"cell".isInCollection(probeCells)),
+      _.filter($"cell".isInCollection(probeCells))))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter($"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", cosine($"qv", $"cv").as("sim"))
@@ -775,16 +928,16 @@ object Similarity {
       k: Int = 5, nProbe: Int = 4, nQueries: Int = 16,
       rerank: Int = 50): Double = {
     import spark.implicits._
-    IncrementalDedup.recoverDir(indexDir)
+    val root = IncrementalDedup.readRoot(indexDir)
     // recall is measured over the LIVE index (deleted ids are neither
-    // queries, nor candidates, nor ground truth)
-    val corpus = minusTombstones(spark, indexDir,
-        spark.read.parquet(s"$indexDir/cells"))
+    // queries, nor candidates, nor ground truth; upserts resolved)
+    val corpus = liveRows(spark, root,
+        spark.read.parquet(s"$root/cells"))
       .select($"neighbor_id".as("vid"), $"cv")
     val qIds = corpus.select($"vid").orderBy($"vid").limit(nQueries)
       .as[Long].collect().toSeq
     val queries = corpus.filter($"vid".isInCollection(qIds))
-    val composed = IndexFs.exists(s"$indexDir/pq_model")
+    val composed = IndexFs.exists(s"$root/pq_model")
     val approx =
       if (composed) ProductQuantizer.ivfPqQuery(spark, indexDir, queries,
         "vid", "cv", k, nProbe, math.max(rerank, k))

@@ -34,15 +34,22 @@ object TextSearch {
     *        restricts what is retrievable, not how scores are calibrated
     *        (the standard filtered-search semantics, and the only one a
     *        pre-built index can serve without per-filter stats).
+    * @param analyzer `raw` (default: the historical tokenization, no case
+    *        folding) or `folded` (NFC + lowercase) — the SAME analyzer
+    *        option [[LexIndex]] persists, applied to the text and the
+    *        query terms identically, so index ≡ scan stays provable per
+    *        analyzer.
     */
   def bm25TopK(df: DataFrame, idCol: Column, textCol: Column, terms: Seq[String],
       k: Int, k1: Double = 1.5, b: Double = 0.75,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      analyzer: String = "raw"): DataFrame = {
     require(terms.nonEmpty && k >= 1)
-    val toks = split(trim(textCol), "\\s+")
+    val termsA = LexIndex.analyzeTerms(df.sparkSession, terms, analyzer)
+    val toks = split(trim(LexIndex.analyze(textCol, analyzer)), "\\s+")
     val base = df.select(idCol.as("id"), toks.as("__toks"))
       .withColumn("dl", size(col("__toks")).cast("bigint"))
-    val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+    val withTf = termsA.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
       d.withColumn(s"tf$i", size(filter(col("__toks"), x => x === lit(t))).cast("bigint"))
     }
     val statAggs = Seq(

@@ -158,7 +158,12 @@ object CrawlPipeline {
         // mode never stages)
         IncrementalDedup.recoverDir(ix)
         if (snapshotId.isEmpty) IncrementalDedup.clearStaging(s"$ix.next")
-        val rDir = s"$ix/robots"
+        // resolve the index family's live generation (the batch-mode
+        // commit below advances it; daemon-mode compacts advance the
+        // per-subdir generations) — every read and delta write this
+        // snapshot does is pinned to the generations resolved here
+        val ixRoot = IncrementalDedup.readRoot(ix)
+        val rDir = IncrementalDedup.readRoot(s"$ixRoot/robots")
         val rSchema = new StructType().add("host", StringType).add("text", StringType)
         def rEmpty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rSchema)
@@ -237,8 +242,9 @@ object CrawlPipeline {
     val fresh = indexDir match {
       case None => deduped
       case Some(ix) =>
-        val fpDir = s"$ix/fp"
-        val sigDir = s"$ix/sig"
+        val ixRoot2 = IncrementalDedup.readRoot(ix)
+        val fpDir = IncrementalDedup.readRoot(s"$ixRoot2/fp")
+        val sigDir = IncrementalDedup.readRoot(s"$ixRoot2/sig")
         // In delta mode (snapshotId set) the batch's OWN `batch=<id>` delta
         // is excluded on read: a replayed micro-batch would otherwise
         // self-match every previously admitted page against its persisted
@@ -264,6 +270,7 @@ object CrawlPipeline {
                 case ae: org.apache.spark.sql.AnalysisException
                     if ae.getCondition == "UNABLE_TO_INFER_SCHEMA" => empty
               }
+          // dir is already generation-resolved by the caller
           val scoped = snapshotId match {
             case Some(bid) if base.columns.contains("batch") =>
               base.where(col("batch") =!= bid).select(schema.fieldNames.map(col): _*)
@@ -339,7 +346,10 @@ object CrawlPipeline {
             IncrementalDedup.updatedSigIndex(sigIndex,
                 admitted.select(col("id"), col("sig")))
               .write.mode("overwrite").parquet(s"$ix.next/sig/batch=-1")
-            IncrementalDedup.replaceDir(ix, s"$ix.next")
+            // one generation commit advances robots+fp+sig together, and
+            // a reader pinned to the previous snapshot's generations
+            // survives it (commitGeneration's one-generation grace)
+            IncrementalDedup.commitGeneration(ix, s"$ix.next")
         }
         admitted.drop("id", "sig", "fp")
     }
@@ -392,7 +402,8 @@ object CrawlPipeline {
       var lexRows = -1L
       snapshotId match {
         case Some(bid) =>
-          if (!graft.operators.IndexFs.exists(s"$lex/meta"))
+          if (!graft.operators.IndexFs.exists(
+              s"${IncrementalDedup.readRoot(lex)}/meta"))
             graft.operators.LexIndex.build(
               docsForLex.limit(0), "doc_id", "text", lex)
           val (ok, deferred) = graft.operators.LexIndex
@@ -434,7 +445,8 @@ object CrawlPipeline {
         case None =>
           graft.operators.LexIndex.rebuild(docsForLex, "doc_id", "text", lex)
           lexRows =
-            if (countStages) spark.read.parquet(s"$lex/doclens").count()
+            if (countStages) spark.read.parquet(
+              s"${IncrementalDedup.readRoot(lex)}/doclens").count()
             else -1L
       }
       counts += StageCount("07b_lex_index",
@@ -703,7 +715,7 @@ object CrawlPipeline {
           val s = batch.sparkSession
           val keep = Set(batchId)
           def ifPresent(sub: String)(body: String => Unit): Unit = {
-            val d = s"$indexDir/$sub"
+            val d = s"${IncrementalDedup.readRoot(indexDir)}/$sub"
             if (graft.operators.IndexFs.exists(d)) body(d)
           }
           ifPresent("fp")(d =>
@@ -715,7 +727,8 @@ object CrawlPipeline {
           // the lexical retrieval index folds on the same cadence, with
           // the same replay guard (its preserveBatchIds carries the
           // current batch's delta verbatim)
-          lexDir.filter(lx => graft.operators.IndexFs.exists(s"$lx/meta"))
+          lexDir.filter(lx => graft.operators.IndexFs.exists(
+              s"${IncrementalDedup.readRoot(lx)}/meta"))
             .foreach(lx =>
               graft.operators.LexIndex.compact(s, lx, preserveBatchIds = keep))
         }

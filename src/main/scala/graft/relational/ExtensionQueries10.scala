@@ -275,8 +275,9 @@ object ExtensionQueries10 {
           flag(delDiff != 0, delDiff, 0L, "takedown_not_exact"),
           flag(deferredWrong != 0, deferredWrong, 0L, "defer_split_wrong"),
           flag(!fired, -2L, -2L, "pressure_did_not_compact"),
-          flag(graft.operators.IndexFs.exists(s"$dir/tombstones"), -3L, -3L,
-            "tombstones_not_cleared"),
+          flag(graft.operators.IndexFs.exists(
+              s"${graft.operators.IncrementalDedup.readRoot(dir)}/tombstones"),
+            -3L, -3L, "tombstones_not_cleared"),
           flag(postDiff != 0, postDiff, 0L, "compact_changed_answers"),
           flag(second, -4L, -4L, "second_maintain_not_noop"))
           .reduce(_ unionAll _).unionAll(sentinel)

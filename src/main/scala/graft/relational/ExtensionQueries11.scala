@@ -15,7 +15,74 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionQueries11 {
 
+  /** Folded-analyzer lexical index fixture (NFC + lowercase persisted in
+    * meta), built once per (sfDir, JVM) — the t144 query target.
+    */
+  private val foldedCache = scala.collection.mutable.HashMap.empty[String, String]
+  private[relational] def foldedLexDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    foldedCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fix_lexfold").toString + "/lex"
+      graft.operators.LexIndex.build(graft.core.Tables.documents(s, d),
+        "doc_id", "text", dir, nBuckets = 16, analyzer = "folded")
+      dir
+    })
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    // --------------------------------------------------------------- t144
+    GraftQuery(
+      "t144_bm25_folded",
+      (s, d) => {
+        import s.implicits._
+        // FOLDED-analyzer lexical index: NFC + lowercase persisted in
+        // meta and applied identically at build and query time — the
+        // MIXED-CASE query terms here fold to the corpus's lowercase
+        // vocabulary through the same engine expressions the build used
+        // (a raw index would score them all zero). The oracle recomputes
+        // the t50 formula from raw text under the folded tokenization
+        // (lower(nfc_normalize(text))) with pre-folded term literals —
+        // ranks AND doubles hash cross-engine.
+        graft.operators.LexIndex.bm25TopKFromIndex(s, foldedLexDir(s, d),
+            terms = Seq("SPARK", "Merge", "window"), k = 25)
+          .select($"id".cast("bigint").as("doc_id"),
+            $"dl", $"tf0", $"tf1", $"tf2", $"score")
+          .orderBy($"score".desc, $"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(nfc_normalize(text))), '\s+') AS t
+             |  FROM documents),
+             |d AS (SELECT doc_id,
+             |  CAST(len(t) AS BIGINT) AS dl,
+             |  CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0,
+             |  CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf1,
+             |  CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf2
+             |  FROM tok),
+             |s AS (SELECT count(*) AS n, SUM(CAST(dl AS DECIMAL(20,0))) AS sumdl,
+             |  SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             |  SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             |  SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+             |  FROM d)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, dl, tf0, tf1, tf2,
+             |  ((CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+             |    * ((CAST(tf0 AS DOUBLE) * 2.5) / (CAST(tf0 AS DOUBLE)
+             |        + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             |  + ((CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+             |    * ((CAST(tf1 AS DOUBLE) * 2.5) / (CAST(tf1 AS DOUBLE)
+             |        + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             |  + ((CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+             |    * ((CAST(tf2 AS DOUBLE) * 2.5) / (CAST(tf2 AS DOUBLE)
+             |        + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             |  AS score
+             |FROM d CROSS JOIN s
+             |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin),
+      doc = "Folded-analyzer lexical index (LexIndex analyzer = folded: " +
+        "NFC + lowercase, persisted in meta and applied identically at " +
+        "build and query): mixed-case query terms retrieve the lowercase " +
+        "corpus — the oracle recomputes the t50 formula under the folded " +
+        "tokenization; ranks AND doubles hash cross-engine."
+    ),
     // --------------------------------------------------------------- t142
     GraftQuery(
       "t142_ann_batch",
@@ -156,6 +223,115 @@ object ExtensionQueries11 {
         "recompute it), and one query-partitioned RRF fusion — driver " +
         "jobs constant in the batch size; ranks AND rrf doubles hash " +
         "cross-engine."
+    ),
+    // --------------------------------------------------------------- t145
+    GraftQuery(
+      "t145_ann_upsert",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{IncrementalDedup, IndexFs}
+        // the UPSERT verb as a gate: re-embedding changed ids + adding
+        // new ones in ONE leased commit, with latest-version-wins reads —
+        // at every lifecycle point the EXHAUSTIVE-probe query must be
+        // row-identical to brute force over the current corpus (old
+        // vectors can NEVER surface), through: (1) the first upsert
+        // (moved + new ids), (2) a second upsert of the same ids (latest
+        // wins), (3) delete of an upserted id (the marker outranks every
+        // stored version), (4) upsert-after-delete (resurrection), and
+        // (5) a compact folding the delta physically (answers unchanged,
+        // delta gone). The composed (PQ residual) layout runs the same
+        // core arc with rerank >= corpus (the exhaustive theorem).
+        val emb = AnnGates.Fixture.reduced(s, d)
+          .select($"vec_id", $"embedding").localCheckpoint()
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_t145").toString
+        val dir = s"$base/idx"
+        Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 8, dir)
+        val queries = emb.orderBy($"vec_id").limit(4).localCheckpoint()
+        def mutate(v: org.apache.spark.sql.Column, a: Float, b: Float) =
+          transform(v, x => (x * lit(a) + lit(b)).cast("float"))
+        def got() = Similarity.ivfQuery(s, dir, queries,
+          "vec_id", "embedding", k = 5, nProbe = 8).localCheckpoint()
+        def diffVs(corpus: org.apache.spark.sql.DataFrame) = {
+          val bf = Similarity.bruteForceTopK(corpus, queries,
+            "vec_id", "embedding", k = 5).localCheckpoint()
+          val g = got()
+          g.exceptAll(bf).unionAll(bf.exceptAll(g)).count()
+        }
+        // (1) first upsert: ~1/9 of ids re-embedded + brand-new ids
+        val upd1 = emb.where($"vec_id" % 9 === 0)
+          .select($"vec_id", mutate($"embedding", 0.5f, 0.1f).as("embedding"))
+        val news = emb.where($"vec_id" % 45 === 3)
+          .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+        Similarity.ivfUpsert(s, dir, upd1.unionByName(news),
+          "vec_id", "embedding")
+        val corpus1 = emb.join(upd1.select($"vec_id"), Seq("vec_id"), "left_anti")
+          .unionByName(upd1).unionByName(news).localCheckpoint()
+        val d1 = diffVs(corpus1)
+        // (2) second upsert of the SAME ids: latest version wins
+        val upd2 = emb.where($"vec_id" % 9 === 0)
+          .select($"vec_id", mutate($"embedding", 0.25f, 0.3f).as("embedding"))
+        Similarity.ivfUpsert(s, dir, upd2, "vec_id", "embedding")
+        val corpus2 = emb.join(upd2.select($"vec_id"), Seq("vec_id"), "left_anti")
+          .unionByName(upd2).unionByName(news).localCheckpoint()
+        val d2 = diffVs(corpus2)
+        // (3) delete an upserted id and a base id — neither may surface
+        val victims = emb.orderBy($"vec_id".desc).limit(2)
+          .select($"vec_id").localCheckpoint()
+        Similarity.ivfDelete(s, dir, victims, "vec_id")
+        val corpus3 = corpus2.join(victims, Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        val d3 = diffVs(corpus3)
+        // (4) upsert-after-delete resurrects at the NEW position
+        val resurrect = emb.join(victims, Seq("vec_id"), "left_semi")
+          .select($"vec_id", mutate($"embedding", 0.75f, 0.05f).as("embedding"))
+        Similarity.ivfUpsert(s, dir, resurrect, "vec_id", "embedding")
+        val corpus4 = corpus3.unionByName(resurrect).localCheckpoint()
+        val d4 = diffVs(corpus4)
+        // (5) compact folds the delta physically; answers unchanged
+        Similarity.ivfCompact(s, dir)
+        val root5 = IncrementalDedup.readRoot(dir)
+        val d5 = diffVs(corpus4)
+        val deltaGone = !IndexFs.exists(s"$root5/upserts") &&
+          !IndexFs.exists(s"$root5/tombstones")
+        // composed (PQ residual) core arc at the exhaustive config
+        val pqDir = s"$base/pq"
+        graft.operators.ProductQuantizer.ivfPqBuildResidual(emb, "vec_id",
+          "embedding", 8, 8, 16, pqDir)
+        Similarity.ivfUpsert(s, pqDir, upd1.unionByName(news),
+          "vec_id", "embedding")
+        val pqGot = graft.operators.ProductQuantizer.ivfPqQuery(s, pqDir,
+          queries, "vec_id", "embedding", k = 5, nProbe = 8, rerank = 400)
+          .localCheckpoint()
+        val pqBf = Similarity.bruteForceTopK(corpus1, queries,
+          "vec_id", "embedding", k = 5).localCheckpoint()
+        val d6 = pqGot.exceptAll(pqBf).unionAll(pqBf.exceptAll(pqGot)).count()
+        def flag(bad: Boolean, a: Long, why: String) =
+          if (!bad) s.emptyDataset[(Long, Long, String)]
+            .toDF("id_a", "id_b", "reason")
+          else Seq((a, 0L, why)).toDF("id_a", "id_b", "reason")
+        val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
+        Seq(
+          flag(d1 != 0, d1, "upsert_not_brute_force"),
+          flag(d2 != 0, d2, "second_upsert_not_latest_wins"),
+          flag(d3 != 0, d3, "delete_of_upserted_surfaced"),
+          flag(d4 != 0, d4, "resurrect_after_delete_wrong"),
+          flag(d5 != 0, d5, "compact_changed_upserted_answers"),
+          flag(!deltaGone, -2L, "compact_left_delta_or_tombstones"),
+          flag(d6 != 0, d6, "composed_upsert_not_brute_force"))
+          .reduce(_ unionAll _).unionAll(sentinel)
+          .orderBy($"id_a", $"id_b", $"reason")
+      },
+      Some(AnnGates.oracle),
+      doc = "ANN upsert gate (Similarity.ivfUpsert): re-embed + add in one " +
+        "leased commit with latest-version-wins reads — the exhaustive " +
+        "query is row-identical to brute force over the CURRENT corpus " +
+        "after first upsert, repeat upsert, delete-of-upserted (marker " +
+        "outranks versions), upsert-after-delete (resurrection), and the " +
+        "physical fold (compact clears the delta, answers unchanged); " +
+        "the composed PQ layout runs the same core arc at the exhaustive " +
+        "config. Violations + sentinel, constant oracle.",
+      gate = true
     )
   )
 }

@@ -54,13 +54,16 @@ object ExtensionQueries8 {
             lit("missing_vs_surviving_bruteforce").as("reason"))
 
         val compacted = Similarity.ivfCompact(s, dir)
+        // the compact committed a new GENERATION — post-compact state
+        // lives under the resolved root, not the (grace-retained) old one
+        val postRoot = graft.operators.IncrementalDedup.readRoot(dir)
         val expectLive = emb.count() - nDel
         val compactBad =
-          if (compacted == expectLive && !IndexFs.exists(s"$dir/tombstones"))
+          if (compacted == expectLive && !IndexFs.exists(s"$postRoot/tombstones"))
             s.emptyDataset[(Long, Long, String)].toDF("id_a", "id_b", "reason")
           else Seq((compacted, expectLive, "compact_mismatch"))
             .toDF("id_a", "id_b", "reason")
-        val survived = s.read.parquet(s"$dir/cells")
+        val survived = s.read.parquet(s"$postRoot/cells")
           .join(delIds.select($"vec_id".as("neighbor_id")),
             Seq("neighbor_id"), "left_semi")
           .select($"neighbor_id".as("id_a"), lit(-3L).as("id_b"),

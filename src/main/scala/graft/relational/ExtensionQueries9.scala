@@ -64,7 +64,9 @@ object ExtensionQueries9 {
         val fired = AnnMaintenance.maintain(s, dir, policy)
         val post = answers()
         val second = AnnMaintenance.maintain(s, dir, policy)
-        val live = s.read.parquet(s"$dir/cells").count()
+        // the compact committed a new GENERATION — resolve before reading
+        val postRoot = graft.operators.IncrementalDedup.readRoot(dir)
+        val live = s.read.parquet(s"$postRoot/cells").count()
 
         def flag(bad: Boolean, a: Long, b: Long, why: String) =
           if (!bad) s.emptyDataset[(Long, Long, String)]
@@ -75,7 +77,7 @@ object ExtensionQueries9 {
           flag(!fired.compacted || fired.rebuilt,
             if (fired.compacted) 1L else 0L, if (fired.rebuilt) 1L else 0L,
             "pressure_did_not_compact"),
-          flag(IndexFs.exists(s"$dir/tombstones"), -2L, -2L,
+          flag(IndexFs.exists(s"$postRoot/tombstones"), -2L, -2L,
             "tombstones_not_cleared"),
           flag(live != n - nDel, live, n - nDel, "live_rows_mismatch"),
           flag(second.compacted || second.rebuilt, -4L, -4L,

@@ -400,7 +400,7 @@ object StreamingOps {
             // admitted against a fresh EMPTY index — silent mass duplicate
             // admission, the exact failure family the lifecycle port fixed
             if (!graft.operators.IndexFs.exists(indexDir)) throw new NoIndexYet
-            spark.read.parquet(indexDir)
+            spark.read.parquet(graft.operators.IncrementalDedup.readRoot(indexDir))
           } catch {
             case _: NoIndexYet => freshIndex
             case ae: org.apache.spark.sql.AnalysisException
@@ -421,7 +421,8 @@ object StreamingOps {
         admitted.drop("id", "sig")
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         admitted.select(col("id"), col("sig"))
-          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+          .write.mode("overwrite").parquet(
+            s"${graft.operators.IncrementalDedup.readRoot(indexDir)}/batch=$batchId")
         ()
       }
       .start()

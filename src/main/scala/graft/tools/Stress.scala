@@ -312,7 +312,9 @@ object Stress {
       }
       val postRows = postDel.select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val nLive = spark.read.parquet(s"$delIdx/cells").count()
+      // the compact committed a new GENERATION — resolve before reading
+      val delRoot = graft.operators.IncrementalDedup.readRoot(delIdx)
+      val nLive = spark.read.parquet(s"$delRoot/cells").count()
       println(j("stage" -> "deletion_arc", "build_seconds" -> tDelBuild,
         "delete_seconds" -> tDelete, "tombstoned" -> nDel,
         "tombstone_files" -> tsFiles,
@@ -326,7 +328,7 @@ object Stress {
       check(guardFired, "re-adding a tombstoned id did not fail loudly")
       check(delDecision.compacted && !delDecision.rebuilt,
         s"tombstone pressure did not compact: $delDecision")
-      check(!graft.operators.IndexFs.exists(s"$delIdx/tombstones"),
+      check(!graft.operators.IndexFs.exists(s"$delRoot/tombstones"),
         "compact left the tombstone table behind")
       check(nLive == nVecs - nDel,
         s"expected ${nVecs - nDel} live vectors post-compact, got $nLive")
@@ -384,6 +386,13 @@ object Stress {
       val (_, tLexBuild) = timed {
         LexIndex.build(docs, "doc_id", "text", lexIx)
       }
+      // the tf-only tier's build-cost delta (positions arrays priced at
+      // ~30% of build in the round-18 record — this measures it each run)
+      val lexTfIx = s"$workDir/lexix_tfonly"
+      val (_, tLexBuildTf) = timed {
+        LexIndex.build(docs, "doc_id", "text", lexTfIx,
+          withPositions = false)
+      }
       def lexFromIndex() = LexIndex
         .bm25TopKFromIndex(spark, lexIx, lexTerms, k = 20).localCheckpoint()
       def lexFromScan(d: org.apache.spark.sql.DataFrame) = graft.operators
@@ -421,6 +430,7 @@ object Stress {
       val lexPostDiff = ixTopPost.exceptAll(scanTopDel)
         .unionAll(scanTopDel.exceptAll(ixTopPost)).count()
       println(j("stage" -> "lexical_index", "build_seconds" -> tLexBuild,
+        "build_tfonly_seconds" -> tLexBuildTf,
         "index_query_seconds" -> tLexIxQ, "scan_query_seconds" -> tLexScanQ,
         "tombstoned_query_seconds" -> tLexIxDelQ,
         "delete_seconds" -> tLexDel, "compact_seconds" -> tLexCompact,
@@ -432,7 +442,8 @@ object Stress {
       check(lexDelDiff == 0,
         s"tombstone corrections not exact at scale ($lexDelDiff rows)")
       check(lexCompacted, "tombstone pressure did not fire the lex compact")
-      check(!graft.operators.IndexFs.exists(s"$lexIx/tombstones"),
+      check(!graft.operators.IndexFs.exists(
+          s"${graft.operators.IncrementalDedup.readRoot(lexIx)}/tombstones"),
         "lex compact left the tombstone table behind")
       check(lexPostDiff == 0, s"lex compact changed answers ($lexPostDiff rows)")
 
@@ -518,6 +529,41 @@ object Stress {
           s"${hybridQs.size * 10}")
       check(hybridBatchedQueries == hybridQs.size,
         s"batched hybrid served $hybridBatchedQueries of ${hybridQs.size} queries")
+
+      // ---- reader THROUGH a live generation commit (round-19): a query
+      // starts, a compact commits a NEW generation mid-flight, and the
+      // query must complete exactly — the generation-pinned read path
+      // (commitGeneration retains the previous generation for one full
+      // swap of grace; the old rename-aside swap moved the files a
+      // mid-scan reader had planned against). No pending tombstones here,
+      // so both generations answer identically and exactness is checkable
+      // regardless of which side of the commit the reader landed on.
+      val readThroughExpect = LexIndex
+        .bm25TopKFromIndex(spark, lexIx, lexTerms, k = 20)
+        .collect().toSeq.toSet
+      @volatile var readerErr: Throwable = null
+      @volatile var readerRows: Set[org.apache.spark.sql.Row] = null
+      val readerThread = new Thread(() => {
+        try readerRows = LexIndex
+          .bm25TopKFromIndex(spark, lexIx, lexTerms, k = 20)
+          .collect().toSet
+        catch { case t: Throwable => readerErr = t }
+      })
+      val (liveThrough, tReadThrough) = timed {
+        readerThread.start()
+        val n = LexIndex.compact(spark, lexIx)
+        readerThread.join(300000L)
+        n
+      }
+      println(j("stage" -> "reader_through_compact",
+        "seconds" -> tReadThrough, "live_docs" -> liveThrough,
+        "reader_failed" -> (readerErr != null),
+        "reader_rows" -> (if (readerRows == null) -1 else readerRows.size),
+        "exact" -> (readerRows == readThroughExpect)))
+      check(readerErr == null,
+        s"reader died racing the live compact: $readerErr")
+      check(readerRows == readThroughExpect,
+        "reader racing the live compact returned wrong rows")
 
       // ---- lease contention under REAL operators at stress scale
       // (round-18): a writer holding the fp-index lease mid-batch makes a

@@ -54,11 +54,13 @@ class AnnDeleteSpec extends SparkSpec {
     assert(err.getMessage.contains("tombstoned"), err.getMessage)
 
     // compact = the physical resolution: live rows only, tombstones gone
-    val liveBefore = spark.read.parquet(s"$dir/cells")
+    // (reads BEFORE the compact bind to the pre-compact generation)
+    val liveBefore = spark.read.parquet(s"${IncrementalDedup.readRoot(dir)}/cells")
       .select($"neighbor_id", $"cell").collect().toSet
     assert(Similarity.ivfCompact(spark, dir) == emb.count() - nDel)
-    assert(!IndexFs.exists(s"$dir/tombstones"), "compact must clear tombstones")
-    val after = spark.read.parquet(s"$dir/cells")
+    assert(!IndexFs.exists(s"${IncrementalDedup.readRoot(dir)}/tombstones"),
+      "compact must clear tombstones")
+    val after = spark.read.parquet(s"${IncrementalDedup.readRoot(dir)}/cells")
     assert(after.count() == emb.count() - nDel)
     assert(after.where($"neighbor_id".isInCollection(delSet)).count() == 0)
     // surviving rows carried verbatim (same cells — compact moves bytes)
@@ -103,8 +105,8 @@ class AnnDeleteSpec extends SparkSpec {
     // rebuild = physical resolution for the composed layout
     assert(ProductQuantizer.ivfPqRebuild(spark, dir, nCells = 4)
       == emb.count() - nDel)
-    assert(!IndexFs.exists(s"$dir/tombstones"))
-    val cells = spark.read.parquet(s"$dir/cells")
+    assert(!IndexFs.exists(s"${IncrementalDedup.readRoot(dir)}/tombstones"))
+    val cells = spark.read.parquet(s"${IncrementalDedup.readRoot(dir)}/cells")
     assert(cells.count() == emb.count() - nDel)
     assert(cells.where($"neighbor_id".isInCollection(delSet)).count() == 0)
   }
@@ -120,7 +122,7 @@ class AnnDeleteSpec extends SparkSpec {
 
     // admission rejects all three (already admitted)
     def readIx() = IncrementalDedup.liveIndex(spark, ix,
-      spark.read.parquet(ix).select(col("fp")), "fp")
+      spark.read.parquet(IncrementalDedup.readRoot(ix)).select(col("fp")), "fp")
     assert(IncrementalDedup.admit(docs, readIx(), fp, col("doc_id")).count() == 0)
 
     // takedown of doc 2: its fingerprint is GONE for admission purposes
@@ -134,7 +136,7 @@ class AnnDeleteSpec extends SparkSpec {
     // crawl of the same page is rejected again
     readmitted.select(col("fp")).write.parquet(s"$ix/batch=2")
     IncrementalDedup.readmitKeys(spark, ix, readmitted.select(col("fp")), "fp")
-    assert(!IndexFs.exists(s"$ix/_tombstones"))
+    assert(!IndexFs.exists(s"${IncrementalDedup.readRoot(ix)}/_tombstones"))
     assert(IncrementalDedup.admit(docs, readIx(), fp, col("doc_id")).count() == 0)
 
     // a still-pending tombstone resolves physically at compaction and the
@@ -142,9 +144,9 @@ class AnnDeleteSpec extends SparkSpec {
     IncrementalDedup.deleteFingerprints(spark, ix,
       docs.where($"doc_id" === 3).select(fp.as("fp")))
     IncrementalDedup.compactFpIndex(spark, ix)
-    assert(!IndexFs.exists(s"$ix/_tombstones"), "compaction must clear tombstones")
+    assert(!IndexFs.exists(s"${IncrementalDedup.readRoot(ix)}/_tombstones"), "compaction must clear tombstones")
     val fresh = IncrementalDedup.buildIndex(docs.where($"doc_id" =!= 3), fp)
-    val compacted = spark.read.parquet(ix).select(col("fp"))
+    val compacted = spark.read.parquet(IncrementalDedup.readRoot(ix)).select(col("fp"))
     assert(compacted.exceptAll(fresh).isEmpty && fresh.exceptAll(compacted).isEmpty,
       "compacted index must equal a fresh build on the surviving corpus")
   }
@@ -157,15 +159,15 @@ class AnnDeleteSpec extends SparkSpec {
     // batch=2 is preserved AS a delta — its tombstoned row never saw the
     // compaction anti-join, so the table must ride along
     IncrementalDedup.compactFpIndex(spark, ix, preserveBatchIds = Set(2L))
-    assert(IndexFs.exists(s"$ix/_tombstones"),
+    assert(IndexFs.exists(s"${IncrementalDedup.readRoot(ix)}/_tombstones"),
       "tombstones must survive when preserved deltas bypass the compaction")
     val live = IncrementalDedup.liveIndex(spark, ix,
-      spark.read.parquet(ix).select(col("fp")), "fp")
+      spark.read.parquet(IncrementalDedup.readRoot(ix)).select(col("fp")), "fp")
     assert(live.as[String].collect().toSet == Set("a", "b", "d"))
     // a writer-quiesced compaction then resolves it fully
     IncrementalDedup.compactFpIndex(spark, ix)
-    assert(!IndexFs.exists(s"$ix/_tombstones"))
-    assert(spark.read.parquet(ix).select(col("fp")).as[String].collect().toSet
+    assert(!IndexFs.exists(s"${IncrementalDedup.readRoot(ix)}/_tombstones"))
+    assert(spark.read.parquet(IncrementalDedup.readRoot(ix)).select(col("fp")).as[String].collect().toSet
       == Set("a", "b", "d"))
   }
 
@@ -178,7 +180,7 @@ class AnnDeleteSpec extends SparkSpec {
     IncrementalDedup.buildSigIndex(docs, col("doc_id"), col("text"))
       .write.parquet(s"$ix/batch=1")
     def readIx() = IncrementalDedup.liveIndex(spark, ix,
-      spark.read.parquet(ix).select(col("id"), col("sig")), "id")
+      spark.read.parquet(IncrementalDedup.readRoot(ix)).select(col("id"), col("sig")), "id")
     // both docs are near-dups of themselves → rejected
     assert(IncrementalDedup.admitNearDup(docs, readIx(), "doc_id", "text")
       .count() == 0)
@@ -187,9 +189,9 @@ class AnnDeleteSpec extends SparkSpec {
     val admitted = IncrementalDedup.admitNearDup(docs, readIx(), "doc_id", "text")
     assert(admitted.select($"doc_id").as[Long].collect().toSeq == Seq(10L))
     assert(IncrementalDedup.compactSigIndex(spark, ix) == 1)
-    assert(spark.read.parquet(ix).select($"id").as[Long].collect().toSeq
+    assert(spark.read.parquet(IncrementalDedup.readRoot(ix)).select($"id").as[Long].collect().toSeq
       == Seq(20L))
-    assert(!IndexFs.exists(s"$ix/_tombstones"))
+    assert(!IndexFs.exists(s"${IncrementalDedup.readRoot(ix)}/_tombstones"))
   }
 
   test("admission-index tombstone pressure: maintainAdmissionIndex compacts " +
@@ -200,13 +202,13 @@ class AnnDeleteSpec extends SparkSpec {
     IncrementalDedup.deleteFingerprints(spark, ix,
       (1L to 10L).map(i => s"fp$i").toDF("fp"))
     assert(!IncrementalDedup.maintainAdmissionIndex(spark, ix, "fp", 0.25))
-    assert(IndexFs.exists(s"$ix/_tombstones"))
+    assert(IndexFs.exists(s"${IncrementalDedup.readRoot(ix)}/_tombstones"))
     // past it: 30/100 -> compact fires, rows physically dropped, cleared
     IncrementalDedup.deleteFingerprints(spark, ix,
       (11L to 30L).map(i => s"fp$i").toDF("fp"))
     assert(IncrementalDedup.maintainAdmissionIndex(spark, ix, "fp", 0.25))
-    assert(!IndexFs.exists(s"$ix/_tombstones"))
-    assert(spark.read.parquet(ix).count() == 70)
+    assert(!IndexFs.exists(s"${IncrementalDedup.readRoot(ix)}/_tombstones"))
+    assert(spark.read.parquet(IncrementalDedup.readRoot(ix)).count() == 70)
     // pressure relieved: the next call is a no-op
     assert(!IncrementalDedup.maintainAdmissionIndex(spark, ix, "fp", 0.25))
     // sig twin drives the other compactor
@@ -219,8 +221,8 @@ class AnnDeleteSpec extends SparkSpec {
       .write.parquet(s"$sx/batch=1")
     IncrementalDedup.deleteSignatureIds(spark, sx, (1L to 4L).toDF("id"))
     assert(IncrementalDedup.maintainAdmissionIndex(spark, sx, "sig", 0.25))
-    assert(!IndexFs.exists(s"$sx/_tombstones"))
-    assert(spark.read.parquet(sx).select($"id").as[Long].collect().toSet
+    assert(!IndexFs.exists(s"${IncrementalDedup.readRoot(sx)}/_tombstones"))
+    assert(spark.read.parquet(IncrementalDedup.readRoot(sx)).select($"id").as[Long].collect().toSet
       == (5L to 10L).toSet)
   }
 
@@ -260,6 +262,27 @@ class AnnDeleteSpec extends SparkSpec {
       Seq("a", "b", "c", "x").toDF("fp"), "fp")
     assert(live.as[String].collect().toSet == Set("a", "x"))
   }
+  test("upsert guards: duplicate ids in one batch fail loudly; append of an upserted id redirects to ivfUpsert") {
+    val dir = tmp("ann_upsert_guard") + "/idx"
+    Similarity.ivfBuild(emb, "vec_id", "embedding", 4, dir)
+    val one = emb.where($"vec_id" === 3L).select($"vec_id", $"embedding")
+    val dup = one.unionAll(one)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfUpsert(spark, dir, dup, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("duplicate id"), e.getMessage)
+    Similarity.ivfUpsert(spark, dir, one, "vec_id", "embedding")
+    // appending a base row for an id with stored versions would be
+    // silently hidden by the overlay — must fail loudly naming the verb
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(spark, dir,
+        one.select(($"vec_id").as("vec_id"), $"embedding"),
+        "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("ivfUpsert"), e2.getMessage)
+    // upsert never leaks the lease
+    assert(!IndexFs.exists(IndexLease.leasePath(dir)))
+  }
 }
 
 /** Driver/executor-shared injection point for the tombstone-race drill
@@ -272,4 +295,5 @@ object TombstoneRaceInject {
   @volatile var dst: String = _
   def fire(): Unit =
     if (src != null && IndexFs.exists(src)) IndexFs.rename(src, dst)
+
 }

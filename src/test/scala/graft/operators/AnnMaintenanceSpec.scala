@@ -114,8 +114,10 @@ class AnnMaintenanceSpec extends SparkSpec {
     assert(fire.rebuilt && !fire.sustainedDrift &&
       fire.measuredRecall.isDefined, fire.toString)
     // layout dispatch went through ivfPqRebuild and KEPT the encoding
-    assert(ProductQuantizer.loadModel(spark, dir).encoding == "residual")
-    assert(spark.read.parquet(s"$dir/cells").count() == emb.count())
+    assert(ProductQuantizer.loadModel(spark,
+      IncrementalDedup.readRoot(dir)).encoding == "residual")
+    assert(spark.read.parquet(
+      s"${IncrementalDedup.readRoot(dir)}/cells").count() == emb.count())
     assert(ProductQuantizer.ivfPqQuery(spark, dir, emb.filter($"vec_id" < 3),
       "vec_id", "embedding", k = 5, nProbe = 4, rerank = 100).count() > 0)
   }
@@ -146,17 +148,19 @@ class AnnMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(logDir).orderBy($"seq".desc).limit(3)
       .collect().toSeq == tailBefore)
 
-    // compaction carries the ledger (it used to be silently destroyed)
+    // compaction carries the ledger (it used to be silently destroyed) —
+    // into the NEW generation, so the path re-resolves
     Similarity.ivfCompact(spark, dir)
-    assert(spark.read.parquet(logDir).count() == 18)
-    assert(spark.read.parquet(logDir).inputFiles.length == 1)
+    val logDir2 = s"${IncrementalDedup.readRoot(dir)}/drift_log"
+    assert(spark.read.parquet(logDir2).count() == 18)
+    assert(spark.read.parquet(logDir2).inputFiles.length == 1)
 
     // the next append takes max(seq)+1 over the folded log — seqs stay
     // strictly increasing and duplicate-free across fold + compaction
     AnnMaintenance.append(spark, dir,
       emb.limit(1).select(($"vec_id" + 9900000L).as("vec_id"), $"embedding"),
       "vec_id", "embedding")
-    val seqs = spark.read.parquet(logDir).select($"seq").as[Long]
+    val seqs = spark.read.parquet(logDir2).select($"seq").as[Long]
       .collect().sorted.toSeq
     assert(seqs == (0L to 18L), seqs.toString)
   }
@@ -198,9 +202,10 @@ class AnnMaintenanceSpec extends SparkSpec {
     val d = AnnMaintenance.maintain(spark, dir, policy)
     assert(d.compacted && !d.rebuilt, d.toString)
     assert(d.tombstoneFraction.exists(_ > 0.25), d.toString)
-    assert(!IndexFs.exists(s"$dir/tombstones"),
+    assert(!IndexFs.exists(s"${IncrementalDedup.readRoot(dir)}/tombstones"),
       "compact must physically resolve and clear the tombstone table")
-    assert(spark.read.parquet(s"$dir/cells").count() == 340)
+    assert(spark.read.parquet(
+      s"${IncrementalDedup.readRoot(dir)}/cells").count() == 340)
     assert(answers() == pre, "compaction changed query answers")
 
     // pressure relieved: the next maintain sees no tombstone table at all

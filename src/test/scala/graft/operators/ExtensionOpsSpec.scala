@@ -389,7 +389,9 @@ class ExtensionOpsSpec extends SparkSpec {
       Similarity.ivfAppend(spark, dir,
         emb.where($"vec_id" % 6 === r), "vec_id", "embedding")
     def parquetFiles(): Long = {
-      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/cells"))
+      // resolve the live generation: the compact commits a new one
+      val root = IncrementalDedup.readRoot(dir)
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/cells"))
       try w.filter(p => p.toString.endsWith(".parquet")).count()
       finally w.close()
     }

@@ -82,15 +82,18 @@ class IncrementalDedupSpec extends SparkSpec {
       spark.read.parquet(dir).select(col("id"), col("sig")), "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(IncrementalDedup.compactSigIndex(spark, dir) == 2L)
-    // the delta dirs are gone; the compacted table lives under batch=-1 so
-    // the layout stays uniformly partition-style (root-level data files
-    // would be silently IGNORED by partition discovery once the stream
-    // appends its next batch=<id> delta)
-    assert(!new java.io.File(s"$dir/batch=0").exists())
-    assert(new java.io.File(s"$dir/batch=-1").isDirectory)
+    // the compact committed a new GENERATION: the folded table lives
+    // under the resolved root as batch=-1 (the layout stays uniformly
+    // partition-style there — root-level data files would be silently
+    // IGNORED by partition discovery once the stream appends its next
+    // batch=<id> delta)
+    val root = IncrementalDedup.readRoot(dir)
+    assert(root != dir, "compaction must commit a generation")
+    assert(!new java.io.File(s"$root/batch=0").exists())
+    assert(new java.io.File(s"$root/batch=-1").isDirectory)
     val after = IncrementalDedup.admitNearDup(
       Seq((10L, a), (11L, b + " extra")).toDF("doc_id", "text"),
-      spark.read.parquet(dir), "doc_id", "text")
+      spark.read.parquet(root), "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(after == before, s"$after vs $before")
   }
@@ -102,13 +105,13 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.buildSigIndex(Seq((1L, a)).toDF("doc_id", "text"),
       col("doc_id"), col("text")).write.parquet(s"$dir/batch=0")
     IncrementalDedup.compactSigIndex(spark, dir)
-    // the stream keeps appending deltas AFTER the compaction — the mixed
-    // root-files + batch= layout this exercises used to make the whole
-    // compacted index invisible (partition discovery drops root files), so
-    // every historical near-dup was silently re-admitted
+    // the stream keeps appending deltas AFTER the compaction — into the
+    // LIVE generation (readRoot), exactly like the daemon's delta writer;
+    // the compacted batch=-1 table and the new delta must both be visible
     IncrementalDedup.buildSigIndex(Seq((2L, c)).toDF("doc_id", "text"),
-      col("doc_id"), col("text")).write.parquet(s"$dir/batch=7")
-    val idx = spark.read.parquet(dir)
+      col("doc_id"), col("text"))
+      .write.parquet(s"${IncrementalDedup.readRoot(dir)}/batch=7")
+    val idx = spark.read.parquet(IncrementalDedup.readRoot(dir))
     assert(idx.select("id").as[Long].collect().toSet == Set(1L, 2L))
     val admitted = IncrementalDedup.admitNearDup(
       Seq((10L, a), (11L, c)).toDF("doc_id", "text"), idx, "doc_id", "text")
@@ -122,11 +125,12 @@ class IncrementalDedupSpec extends SparkSpec {
     Seq("f1", "f2").toDF("fp").write.parquet(s"$dir/batch=0")
     Seq("f2", "f3").toDF("fp").write.parquet(s"$dir/batch=1")
     assert(IncrementalDedup.compactFpIndex(spark, dir) == 3L) // distinct fps
-    assert(new java.io.File(s"$dir/batch=-1").isDirectory)
-    assert(!new java.io.File(s"$dir/batch=0").exists())
+    val root = IncrementalDedup.readRoot(dir)
+    assert(new java.io.File(s"$root/batch=-1").isDirectory)
+    assert(!new java.io.File(s"$root/batch=0").exists())
     // a delta appended after compaction coexists with the compacted set
-    Seq("f4").toDF("fp").write.parquet(s"$dir/batch=5")
-    assert(spark.read.parquet(dir).select("fp").as[String].collect().toSet ==
+    Seq("f4").toDF("fp").write.parquet(s"$root/batch=5")
+    assert(spark.read.parquet(root).select("fp").as[String].collect().toSet ==
       Set("f1", "f2", "f3", "f4"))
   }
 
@@ -145,15 +149,16 @@ class IncrementalDedupSpec extends SparkSpec {
     Seq(("a.example", "Disallow: /new/"))
       .toDF("host", "text").write.parquet(s"$dir/batch=3")
     assert(IncrementalDedup.compactRobotsIndex(spark, dir) == 2L) // one row per host
-    val compacted = spark.read.parquet(dir)
+    val root = IncrementalDedup.readRoot(dir)
+    val compacted = spark.read.parquet(root)
       .select("host", "text").as[(String, String)].collect().toMap
     assert(compacted("a.example") == "Disallow: /new/") // latest batch won
     assert(compacted("b.example") == "Disallow: /b/")
     // compacted rows live under batch=-1: a post-compaction delta (any real
     // id > -1) must still out-rank them at latest-batch-wins read time
     Seq(("a.example", "Disallow: /newest/"))
-      .toDF("host", "text").write.parquet(s"$dir/batch=9")
-    val resolved = spark.read.parquet(dir)
+      .toDF("host", "text").write.parquet(s"$root/batch=9")
+    val resolved = spark.read.parquet(root)
       .groupBy($"host").agg(max_by($"text", $"batch").as("text"))
       .as[(String, String)].collect().toMap
     assert(resolved("a.example") == "Disallow: /newest/")

@@ -92,17 +92,23 @@ class IndexFsSpec extends SparkSpec {
     Seq("a", "b").toDF("fp").write.parquet(s"$ix/batch=1")
     Seq("b", "c").toDF("fp").write.parquet(s"$ix/batch=2")
     assert(IncrementalDedup.compactFpIndex(spark, ix) == 3)
-    assert(IndexFs.subdirNames(ix).filter(_.startsWith("batch=")).toSet
-      == Set("batch=-1"))
-    assert(spark.read.parquet(ix).select($"fp").as[String].collect().toSet
-      == Set("a", "b", "c"))
+    // the compact committed a new GENERATION — the folded layout lives
+    // under the resolved root (the raw root keeps the grace-retained
+    // previous generation until the next commit)
+    assert(IndexFs.subdirNames(IncrementalDedup.readRoot(ix))
+      .filter(_.startsWith("batch=")).toSet == Set("batch=-1"))
+    assert(spark.read.parquet(IncrementalDedup.readRoot(ix))
+      .select($"fp").as[String].collect().toSet == Set("a", "b", "c"))
 
-    // a preserved delta survives AS a delta (moved, not folded)
-    Seq("c", "d").toDF("fp").write.parquet(s"$ix/batch=7")
+    // a preserved delta survives AS a delta (moved, not folded) — new
+    // deltas land in the live generation, like every delta writer does
+    Seq("c", "d").toDF("fp").write
+      .parquet(s"${IncrementalDedup.readRoot(ix)}/batch=7")
     IncrementalDedup.compactFpIndex(spark, ix, preserveBatchIds = Set(7L))
-    assert(IndexFs.subdirNames(ix).filter(_.startsWith("batch=")).toSet
-      == Set("batch=-1", "batch=7"))
-    assert(spark.read.parquet(ix).select($"fp").distinct().count() == 4)
+    assert(IndexFs.subdirNames(IncrementalDedup.readRoot(ix))
+      .filter(_.startsWith("batch=")).toSet == Set("batch=-1", "batch=7"))
+    assert(spark.read.parquet(IncrementalDedup.readRoot(ix))
+      .select($"fp").distinct().count() == 4)
   }
 
   test("CLI admit is URI-faithful: the second run rejects the duplicate batch " +
@@ -123,12 +129,14 @@ class IndexFsSpec extends SparkSpec {
     graft.cli.GraftCli.run(spark,
       List("admit", in, s"$base/fpix", s"$base/out1", "id", "text"))
     assert(spark.read.parquet(s"$base/out1").count() == 3)
-    assert(spark.read.parquet(s"$base/fpix").count() == 3)
+    assert(spark.read.parquet(
+      IncrementalDedup.readRoot(s"$base/fpix")).count() == 3)
     graft.cli.GraftCli.run(spark,
       List("admit", in, s"$base/fpix", s"$base/out2", "id", "text"))
     assert(spark.read.parquet(s"$base/out2").count() == 0,
       "second run re-admitted a fully duplicate batch — the index probe is not URI-faithful")
-    assert(spark.read.parquet(s"$base/fpix").count() == 3,
+    assert(spark.read.parquet(
+      IncrementalDedup.readRoot(s"$base/fpix")).count() == 3,
       "second run destroyed the accumulated index")
 
     graft.cli.GraftCli.run(spark,

@@ -296,6 +296,7 @@ class IndexLeaseSpec extends SparkSpec {
     Similarity.ivfBuild(emb, "vec_id", "embedding", 4, dir)
     Similarity.ivfCompact(spark, dir) // acquires + releases internally
     assert(!IndexFs.exists(IndexLease.leasePath(dir)))
-    assert(spark.read.parquet(s"$dir/cells").count() == emb.count())
+    assert(spark.read.parquet(
+      s"${IncrementalDedup.readRoot(dir)}/cells").count() == emb.count())
   }
 }

@@ -93,15 +93,17 @@ class LexIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("tombstoned"), e.getMessage)
 
-    // compact: physical resolve, row-identical answers, table cleared
+    // compact: physical resolve, row-identical answers, table cleared —
+    // committed as a new GENERATION, so post-compact state resolves
     val live = LexIndex.compact(spark, dir)
+    val root = IncrementalDedup.readRoot(dir)
     assert(live == docs.where(!delPred).count())
-    assert(!IndexFs.exists(s"$dir/tombstones"), "tombstones not cleared")
+    assert(!IndexFs.exists(s"$root/tombstones"), "tombstones not cleared")
     val postCompact = LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 20)
     assertSame(postCompact, fromScan, "compact changed answers")
     // stats ledger folded to one row and one file
-    assert(spark.read.parquet(s"$dir/stats").count() == 1)
-    assert(spark.read.parquet(s"$dir/stats").inputFiles.length == 1)
+    assert(spark.read.parquet(s"$root/stats").count() == 1)
+    assert(spark.read.parquet(s"$root/stats").inputFiles.length == 1)
   }
 
   test("tombstone pressure fires maintain's compact; below pressure and after resolve it is a no-op") {
@@ -117,7 +119,8 @@ class LexIndexSpec extends SparkSpec {
       docs.where($"doc_id" % 3 === 0).select($"doc_id"), "doc_id")
     assert(LexIndex.maintain(spark, dir, maxTombstoneFraction = 0.25),
       "maintain did not fire past the pressure threshold")
-    assert(!IndexFs.exists(s"$dir/tombstones"))
+    assert(!IndexFs.exists(
+      s"${IncrementalDedup.readRoot(dir)}/tombstones"))
     assert(!LexIndex.maintain(spark, dir, maxTombstoneFraction = 0.25),
       "maintain is not a no-op after the resolve")
   }
@@ -309,7 +312,9 @@ class LexIndexSpec extends SparkSpec {
       docs.where($"doc_id" % 9 === 0).select($"doc_id"), "doc_id")
     LexIndex.compact(spark, dir, preserveBatchIds = Set(1L))
     // history folded to batch=-1, the in-flight batch carried verbatim
-    val batches = IndexFs.subdirNames(s"$dir/postings")
+    // (into the NEW generation the compact committed)
+    val batches = IndexFs.subdirNames(
+        s"${IncrementalDedup.readRoot(dir)}/postings")
       .filter(_.startsWith("batch=")).toSet
     assert(batches == Set("batch=-1", "batch=1"), batches.toString)
     // answers stay EXACT: the folded part resolved its tombstones, the
@@ -324,10 +329,11 @@ class LexIndexSpec extends SparkSpec {
     // its own files and changes nothing
     val before = LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 15)
       .collect().toSeq
-    val nDocs = spark.read.parquet(s"$dir/doclens").count()
+    val root = IncrementalDedup.readRoot(dir)
+    val nDocs = spark.read.parquet(s"$root/doclens").count()
     LexIndex.append(spark, dir, docs.where($"doc_id" % 3 === 2),
       "doc_id", "text", batchId = Some(1L))
-    assert(spark.read.parquet(s"$dir/doclens").count() == nDocs,
+    assert(spark.read.parquet(s"$root/doclens").count() == nDocs,
       "replay after a preserving compact double-counted")
     assert(LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 15)
       .collect().toSeq == before, "replay after a preserving compact " +
@@ -391,6 +397,91 @@ class LexIndexSpec extends SparkSpec {
       LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 10),
       TextSearch.bm25TopK(sub, $"doc_id", $"text", terms, k = 10),
       "URI lifecycle diverged")
+  }
+
+  test("folded analyzer: NFC + lowercase applied identically at build and query; index ≡ the folded scan; raw stays case-sensitive") {
+    val corpus = Seq(
+      (1L, "Spark SPARK spark engine"),
+      (2L, "spark window Window"),
+      (3L, "MERGE merge café"),          // composed é
+      (4L, "café merge other words")    // decomposed e + combining ´
+    ).toDF("doc_id", "text")
+    val foldedDir = tmp("lex_folded")
+    LexIndex.build(corpus, "doc_id", "text", foldedDir, nBuckets = 4,
+      analyzer = "folded")
+    // mixed-case query terms fold to the same vocabulary; index ≡ the
+    // folded SCAN twin bit-for-bit (the per-analyzer exactness contract)
+    val fromIndex = LexIndex.bm25TopKFromIndex(spark, foldedDir,
+      Seq("SPARK", "Merge"), k = 4)
+    val fromScan = TextSearch.bm25TopK(corpus, $"doc_id", $"text",
+      Seq("SPARK", "Merge"), k = 4, analyzer = "folded")
+    assertSame(fromIndex, fromScan, "folded index diverged from folded scan")
+    // doc 1 carries tf=3 for spark under the fold (Spark+SPARK+spark)
+    assert(fromIndex.where($"id" === 1L).head().getAs[Long]("tf0") == 3L)
+    // NFC: composed and decomposed accents are ONE term
+    val cafe = LexIndex.bm25TopKFromIndex(spark, foldedDir,
+      Seq("café"), k = 4)
+    assert(cafe.where($"tf0" > 0).select($"id").as[Long].collect().toSet
+      == Set(3L, 4L), "NFC fold missed the decomposed form")
+    // the folded index phrase-matches case-insensitively too: doc 1 folds
+    // to "spark spark spark engine", so the folded bigram overlaps TWICE
+    val ph = LexIndex.phraseCountFromIndex(spark, foldedDir,
+      Seq("Spark", "SPARK"))
+    assert(ph.as[(Long, Long)].collect().toSet == Set((1L, 2L)),
+      "folded phrase did not fold")
+    // a RAW index over the same corpus keeps the case-sensitive quirk
+    val rawDir = tmp("lex_rawcase")
+    LexIndex.build(corpus, "doc_id", "text", rawDir, nBuckets = 4)
+    val raw = LexIndex.bm25TopKFromIndex(spark, rawDir, Seq("SPARK"), k = 4)
+    assert(raw.where($"tf0" > 0).select($"id").as[Long].collect().toSet
+      == Set(1L), "raw analyzer must stay case-sensitive")
+    // analyzer is validated loudly
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.build(corpus, "doc_id", "text", tmp("lex_bad"),
+        nBuckets = 4, analyzer = "stemmed")
+    }
+    assert(e.getMessage.contains("unknown analyzer"), e.getMessage)
+  }
+
+  test("a legacy meta (no analyzer/positions columns) reads as the raw positional layout") {
+    val dir = tmp("lex_legacy")
+    LexIndex.build(docs.where($"doc_id" < 200), "doc_id", "text", dir,
+      nBuckets = 4)
+    // simulate a pre-analyzer index: meta carries only nbuckets
+    Seq(4).toDF("nbuckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val fromIndex = LexIndex.bm25TopKFromIndex(spark, dir, terms, k = 10)
+    val fromScan = TextSearch.bm25TopK(docs.where($"doc_id" < 200),
+      $"doc_id", $"text", terms, k = 10)
+    assertSame(fromIndex, fromScan, "legacy meta did not default to raw")
+    assert(LexIndex.phraseCountFromIndex(spark, dir,
+      Seq("spark")).count() >= 0) // positional by default
+  }
+
+  test("tf-only tier (withPositions = false): BM25 rows unchanged; phrase search fails loudly naming the rebuild") {
+    val posDir = tmp("lex_pos")
+    val tfDir = tmp("lex_tfonly")
+    val corpus = docs.where($"doc_id" < 300)
+    LexIndex.build(corpus, "doc_id", "text", posDir, nBuckets = 4)
+    LexIndex.build(corpus, "doc_id", "text", tfDir, nBuckets = 4,
+      withPositions = false)
+    // the postings schema really dropped the arrays
+    assert(!spark.read.parquet(s"$tfDir/postings").columns
+      .contains("positions"))
+    assertSame(
+      LexIndex.bm25TopKFromIndex(spark, tfDir, terms, k = 15),
+      LexIndex.bm25TopKFromIndex(spark, posDir, terms, k = 15),
+      "BM25 must not depend on the positional tier")
+    // appends inherit the tier from meta
+    LexIndex.append(spark, tfDir,
+      docs.where($"doc_id" >= 300 && $"doc_id" < 350), "doc_id", "text")
+    assert(!spark.read.parquet(s"$tfDir/postings").columns
+      .contains("positions"))
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.phraseCountFromIndex(spark, tfDir, Seq("spark", "merge"))
+    }
+    assert(e.getMessage.contains("withPositions"), e.getMessage)
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
 
   test("maintain's pressure denominator is the LIVE count: nTs/(indexed − nTs)") {

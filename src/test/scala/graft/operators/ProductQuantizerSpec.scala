@@ -360,9 +360,11 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(ProductQuantizer.ivfPqRebuild(spark, dir, nCells = 8) == emb.count())
     assert(!new java.io.File(s"$dir.rebuild").exists())
     assert(!new java.io.File(s"$dir.old").exists())
-    val rebuilt = ProductQuantizer.loadModel(spark, dir)
+    // the rebuild committed a new GENERATION — resolve before reading
+    val rebuiltRoot = IncrementalDedup.readRoot(dir)
+    val rebuilt = ProductQuantizer.loadModel(spark, rebuiltRoot)
     assert(rebuilt.m == 16 && rebuilt.nCodes == 16)
-    assert(spark.read.parquet(s"$dir/cells").count() == emb.count())
+    assert(spark.read.parquet(s"$rebuiltRoot/cells").count() == emb.count())
     assert(ProductQuantizer.ivfPqQuery(spark, dir, emb.filter($"vec_id" < 3),
       "vec_id", "embedding", k = 5, nProbe = 8, rerank = 100).count() > 0)
     // re-baselined stats: the same shifted distribution now reads

@@ -35,6 +35,16 @@ final class CountingTransport extends graft.enrich.LlmTransport {
 class CrawlPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Resolve an index-family subdir through BOTH generation levels: the
+    * batch-mode commit advances the parent `ix` generation, daemon-mode
+    * compacts advance the per-subdir generation — raw paths go stale
+    * after either (the grace-retained previous generation stays on disk
+    * by design, so a stale read would see OLD data, not an error).
+    */
+  private def ixSub(ix: String, sub: String): String =
+    graft.operators.IncrementalDedup.readRoot(
+      s"${graft.operators.IncrementalDedup.readRoot(ix)}/$sub")
+
   private def record(headers: Seq[(String, String)], payload: String): Array[Byte] = {
     // UTF-8 payload bytes (httpBodyText decodes UTF-8); the header block
     // itself is pure ASCII so its ISO_8859_1 encoding is unaffected
@@ -207,8 +217,8 @@ class CrawlPipelineSpec extends SparkSpec {
 
     // both indexes grew by exactly the one admitted survivor and went
     // through the swap (no .next / .old leftovers)
-    assert(spark.read.parquet(s"$ix/fp").count() == 3)
-    assert(spark.read.parquet(s"$ix/sig").count() == 3)
+    assert(spark.read.parquet(ixSub(ix, "fp")).count() == 3)
+    assert(spark.read.parquet(ixSub(ix, "sig")).count() == 3)
     for (d <- Seq("fp", "sig"); suf <- Seq(".next", ".old"))
       assert(!new java.io.File(s"$ix/$d$suf").exists())
   }
@@ -253,7 +263,7 @@ class CrawlPipelineSpec extends SparkSpec {
       .select("url").as[String].collect().toSeq
     assert(admitted1 == Seq("http://c.example/gamma"))
     // the index holds one signature delta per batch, three docs total
-    assert(spark.read.parquet(s"$ix/sig").count() == 3)
+    assert(spark.read.parquet(ixSub(ix, "sig")).count() == 3)
 
     // replay (foreachBatch's at-least-once unit): rerunning batch 1 with the
     // same snapshotId must re-derive the SAME admitted set — reading the
@@ -264,21 +274,21 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(replay("04b_admit") == 1, replay.toString)
     assert(spark.read.parquet(s"$work/batch=1/04b_admit")
       .select("url").as[String].collect().toSeq == Seq("http://c.example/gamma"))
-    assert(spark.read.parquet(s"$ix/sig").count() == 3)
+    assert(spark.read.parquet(ixSub(ix, "sig")).count() == 3)
 
     // in-flight compaction with the current batch PRESERVED as a delta:
     // batch 1's signatures must stay excludable (folding them into
     // batch=-1 would make a replay self-match and wipe its outputs)
     graft.operators.IncrementalDedup.compactSigIndex(spark, s"$ix/sig",
       preserveBatchIds = Set(1L))
-    assert(new java.io.File(s"$ix/sig/batch=-1").isDirectory)
-    assert(new java.io.File(s"$ix/sig/batch=1").isDirectory) // preserved
-    assert(!new java.io.File(s"$ix/sig/batch=0").exists()) // folded
+    assert(new java.io.File(s"${ixSub(ix, "sig")}/batch=-1").isDirectory)
+    assert(new java.io.File(s"${ixSub(ix, "sig")}/batch=1").isDirectory) // preserved
+    assert(!new java.io.File(s"${ixSub(ix, "sig")}/batch=0").exists()) // folded
     val replay2 = CrawlPipeline.run(spark, s"$warcDir/snap2.warc",
         s"$work/batch=1", indexDir = Some(ix), snapshotId = Some(1L))
       .map(c => c.stage -> c.rows).toMap
     assert(replay2("04b_admit") == 1, replay2.toString)
-    assert(spark.read.parquet(s"$ix/sig").count() == 3)
+    assert(spark.read.parquet(ixSub(ix, "sig")).count() == 3)
   }
 
   test("08a_drift: daemon snapshots report distribution drift vs the accumulated profile; replay identical") {
@@ -315,8 +325,8 @@ class CrawlPipelineSpec extends SparkSpec {
     val lenTv = r1.where($"dim" === "len").select("tv")
       .distinct().as[Double].collect()
     assert(lenTv.length == 1 && lenTv.head > 0.5, s"len tv: ${lenTv.toSeq}")
-    assert(new java.io.File(s"$ix/profile/batch=0").isDirectory)
-    assert(new java.io.File(s"$ix/profile/batch=1").isDirectory)
+    assert(new java.io.File(s"${ixSub(ix, "profile")}/batch=0").isDirectory)
+    assert(new java.io.File(s"${ixSub(ix, "profile")}/batch=1").isDirectory)
 
     // replay of batch 1 re-derives the SAME report: its own profile delta
     // is excluded from the baseline on read and overwritten on write
@@ -404,7 +414,7 @@ class CrawlPipelineSpec extends SparkSpec {
 
     CrawlPipeline.run(spark, s"$warc1Dir/*.warc*",
       Files.createTempDirectory("crawl8_w1").toString, indexDir = Some(ix))
-    val fp1 = spark.read.parquet(s"$ix/fp").count()
+    val fp1 = spark.read.parquet(ixSub(ix, "fp")).count()
     assert(fp1 == 1L)
 
     // crash window A: a previous run died AFTER staging but BEFORE the
@@ -416,9 +426,9 @@ class CrawlPipelineSpec extends SparkSpec {
     CrawlPipeline.run(spark, s"$warc2Dir/*.warc*",
       Files.createTempDirectory("crawl8_w2").toString, indexDir = Some(ix))
     // all three indexes advanced TOGETHER to generation 2; staging gone
-    assert(spark.read.parquet(s"$ix/fp").count() == 2L)
-    assert(spark.read.parquet(s"$ix/sig").count() == 2L)
-    assert(spark.read.parquet(s"$ix/robots").count() == 1L)
+    assert(spark.read.parquet(ixSub(ix, "fp")).count() == 2L)
+    assert(spark.read.parquet(ixSub(ix, "sig")).count() == 2L)
+    assert(spark.read.parquet(ixSub(ix, "robots")).count() == 1L)
     assert(!new java.io.File(s"$ix.next").exists())
     assert(!new java.io.File(s"$ix.old").exists())
 
@@ -436,8 +446,8 @@ class CrawlPipelineSpec extends SparkSpec {
         Files.createTempDirectory("crawl8_w3").toString, indexDir = Some(ix))
       .map(c => c.stage -> c.rows).toMap
     assert(c3("04b_admit") == 1L, c3.toString)
-    assert(spark.read.parquet(s"$ix/fp").count() == 3L)
-    assert(spark.read.parquet(s"$ix/sig").count() == 3L)
+    assert(spark.read.parquet(ixSub(ix, "fp")).count() == 3L)
+    assert(spark.read.parquet(ixSub(ix, "sig")).count() == 3L)
     assert(!new java.io.File(s"$ix.next").exists())
     assert(!new java.io.File(s"$ix.old").exists())
   }
@@ -451,8 +461,8 @@ class CrawlPipelineSpec extends SparkSpec {
       Files.createTempDirectory("crawl10_w1").toString, indexDir = Some(ix))
     // the batch rewrite lands partition-style (batch=-1), so partition
     // discovery keeps it visible after delta appends
-    assert(new java.io.File(s"$ix/fp/batch=-1").isDirectory)
-    assert(spark.read.parquet(s"$ix/fp").count() == 1L)
+    assert(new java.io.File(s"${ixSub(ix, "fp")}/batch=-1").isDirectory)
+    assert(spark.read.parquet(ixSub(ix, "fp")).count() == 1L)
 
     // a daemon-style delta snapshot recrawls the SAME page: if the
     // batch-built index were root-level files, the delta append would hide
@@ -463,7 +473,7 @@ class CrawlPipelineSpec extends SparkSpec {
         indexDir = Some(ix), snapshotId = Some(5L))
       .map(x => x.stage -> x.rows).toMap
     assert(c("04b_admit") == 0L, c.toString)
-    assert(spark.read.parquet(s"$ix/fp").select("fp").distinct().count() == 1L)
+    assert(spark.read.parquet(ixSub(ix, "fp")).select("fp").distinct().count() == 1L)
   }
 
   test("quality thresholds are tunable per corpus slice") {
@@ -643,7 +653,7 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(batches(0L)("04b_admit") == 0, batches.toString)
     assert(batches(1L)("04b_admit") == 1, batches.toString)
     // and the robots policy persisted by the empty snapshot still stands
-    assert(spark.read.parquet(s"$ix/robots").where($"host" === "a.example").count() >= 1)
+    assert(spark.read.parquet(ixSub(ix, "robots")).where($"host" === "a.example").count() >= 1)
   }
 
   test("daemon auto-compaction folds old deltas while the stream keeps admitting correctly") {
@@ -672,11 +682,11 @@ class CrawlPipelineSpec extends SparkSpec {
     // the novel page against the compacted history
     assert(batches(1L)("04b_admit") == 1, batches.toString)
     for (sub <- Seq("fp", "sig", "robots")) {
-      assert(new java.io.File(s"$ix/$sub/batch=-1").isDirectory, sub)
-      assert(!new java.io.File(s"$ix/$sub/batch=0").exists(), sub)
+      assert(new java.io.File(s"${ixSub(ix, sub)}/batch=-1").isDirectory, sub)
+      assert(!new java.io.File(s"${ixSub(ix, sub)}/batch=0").exists(), sub)
     }
-    assert(spark.read.parquet(s"$ix/sig").count() == 3)
-    assert(spark.read.parquet(s"$ix/fp").select("fp").distinct().count() == 3)
+    assert(spark.read.parquet(ixSub(ix, "sig")).count() == 3)
+    assert(spark.read.parquet(ixSub(ix, "fp")).select("fp").distinct().count() == 3)
 
     // enrichment rode along per snapshot: each batch's curated docs were
     // enriched and ok-routed (the daemon's enrichStage passthrough)
@@ -711,7 +721,7 @@ class CrawlPipelineSpec extends SparkSpec {
       "batch-mode lexical index diverged from the curated corpus")
     // a rerun is a new GENERATION, never an accretion
     CrawlPipeline.run(spark, s"$warcDir/snap1.warc", work, lexDir = Some(lex))
-    assert(spark.read.parquet(s"$lex/doclens").count() == nCur,
+    assert(spark.read.parquet(s"${graft.operators.IncrementalDedup.readRoot(lex)}/doclens").count() == nCur,
       "batch rerun accreted instead of rebuilding")
 
     // ---- daemon mode: per-snapshot deltas, replay-idempotent
@@ -729,7 +739,7 @@ class CrawlPipelineSpec extends SparkSpec {
         response("http://c.example/gamma", bodyGamma))
       q.processAllAvailable()
     } finally q.stop()
-    val nLex2 = spark.read.parquet(s"$lex2/doclens").count()
+    val nLex2 = spark.read.parquet(s"${graft.operators.IncrementalDedup.readRoot(lex2)}/doclens").count()
     assert(nLex2 == 2, s"daemon lexical index holds $nLex2 docs, expected 2")
     def fromIx2() = LexIndex.bm25TopKFromIndex(spark, lex2,
       Seq("the", "gamma1"), k = 5).collect().toSeq
@@ -738,7 +748,7 @@ class CrawlPipelineSpec extends SparkSpec {
     // identical, never doubled
     CrawlPipeline.run(spark, s"$warc2/snap2.warc", s"$work2/batch=1",
       indexDir = Some(ix2), snapshotId = Some(1L), lexDir = Some(lex2))
-    assert(spark.read.parquet(s"$lex2/doclens").count() == 2,
+    assert(spark.read.parquet(s"${graft.operators.IncrementalDedup.readRoot(lex2)}/doclens").count() == 2,
       "replayed snapshot double-counted the lexical delta")
     assert(fromIx2() == preReplay, "replay changed lexical scores")
 
@@ -756,10 +766,10 @@ class CrawlPipelineSpec extends SparkSpec {
       .where($"id" === gammaId).count() == 0,
       "a tombstoned doc surfaced through the deferred append")
     LexIndex.compact(spark, lex2)
-    assert(!IndexFs.exists(s"$lex2/tombstones"))
+    assert(!IndexFs.exists(s"${graft.operators.IncrementalDedup.readRoot(lex2)}/tombstones"))
     CrawlPipeline.run(spark, s"$warc2/snap2.warc", s"$work2/batch=1",
       indexDir = Some(ix2), snapshotId = Some(1L), lexDir = Some(lex2))
-    assert(spark.read.parquet(s"$lex2/doclens").count() == 2,
+    assert(spark.read.parquet(s"${graft.operators.IncrementalDedup.readRoot(lex2)}/doclens").count() == 2,
       "post-compact re-add did not restore the doc (or double-counted)")
     assert(fromIx2() == preReplay,
       "the takedown→defer→compact→re-add arc changed final scores")
@@ -797,9 +807,9 @@ class CrawlPipelineSpec extends SparkSpec {
       // the tombstoned page re-admits; the clears contend and DEFER —
       // the batch must succeed, not die on the takedown's lease
       assert(runBatch(1L)("04b_admit") == 1)
-      assert(graft.operators.IndexFs.exists(s"$ix/fp/_tombstones"),
+      assert(graft.operators.IndexFs.exists(s"${ixSub(ix, "fp")}/_tombstones"),
         "fp clear should have been deferred under contention")
-      assert(graft.operators.IndexFs.exists(s"$ix/sig/_tombstones"),
+      assert(graft.operators.IndexFs.exists(s"${ixSub(ix, "sig")}/_tombstones"),
         "sig clear should have been deferred under contention")
     } finally {
       graft.operators.IndexFs.deleteFile(fpMarker)
@@ -809,8 +819,8 @@ class CrawlPipelineSpec extends SparkSpec {
     // leases released: the page's next crawl re-admits (still tombstoned)
     // and completes the deferred clear
     assert(runBatch(2L)("04b_admit") == 1)
-    assert(!graft.operators.IndexFs.exists(s"$ix/fp/_tombstones"))
-    assert(!graft.operators.IndexFs.exists(s"$ix/sig/_tombstones"))
+    assert(!graft.operators.IndexFs.exists(s"${ixSub(ix, "fp")}/_tombstones"))
+    assert(!graft.operators.IndexFs.exists(s"${ixSub(ix, "sig")}/_tombstones"))
     // fully cleared: the fourth crawl is a plain duplicate again
     assert(runBatch(3L)("04b_admit") == 0)
   }
