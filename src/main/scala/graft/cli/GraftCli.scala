@@ -521,8 +521,10 @@ object GraftCli {
           // appends all read ratio > maxRatio (or mixture-tv > mixtureTv),
           // or measured recall sits below the floor; COMPACT (physical
           // tombstone resolve) iff the tombstoned fraction exceeds
-          // tombstoneFrac. Args: [maxRatio] [sustain] [recallFloor|-]
-          // [nCells|-] [mixtureTv|-] [tombstoneFrac|-] — '-' disables that
+          // tombstoneFrac, or the upsert-delta fraction exceeds
+          // upsertFrac. Args: [maxRatio] [sustain] [recallFloor|-]
+          // [nCells|-] [mixtureTv|-] [tombstoneFrac|-] [upsertFrac|-] —
+          // '-' disables that
           // sensor (the concentration knob exists because a single-domain
           // backfill legitimately concentrates; the tombstone knob because
           // an operator mid-takedown-campaign may want ONE compact at the
@@ -541,14 +543,18 @@ object GraftCli {
               .getOrElse(defaults.maxMixtureTv),
             maxTombstoneFraction = rest.drop(5).headOption
               .map(a => if (a == "-") None else Some(a.toDouble))
-              .getOrElse(defaults.maxTombstoneFraction))
+              .getOrElse(defaults.maxTombstoneFraction),
+            maxUpsertFraction = rest.drop(6).headOption
+              .map(a => if (a == "-") None else Some(a.toDouble))
+              .getOrElse(defaults.maxUpsertFraction))
           val d = graft.operators.AnnMaintenance.maintain(spark, indexDir, policy)
           println(s"ann-maintain: appends=${d.appendsLogged} " +
             s"recent_ratios=[${d.recentRatios.map(r => f"$r%.3f").mkString(", ")}] " +
             s"recent_mixture_tv=[${d.recentMixtureTv.map(r => f"$r%.3f").mkString(", ")}] " +
             s"sustained=${d.sustainedDrift} sustained_mixture=${d.sustainedMixture} " +
             s"recall=${d.measuredRecall.map(r => f"$r%.3f").getOrElse("not measured")} " +
-            s"tombstone_fraction=${d.tombstoneFraction.map(r => f"$r%.3f").getOrElse("none")}")
+            s"tombstone_fraction=${d.tombstoneFraction.map(r => f"$r%.3f").getOrElse("none")} " +
+            s"upsert_fraction=${d.upsertFraction.map(r => f"$r%.3f").getOrElse("none")}")
           println(s"ann-maintain: rebuilt=${d.rebuilt} compacted=${d.compacted} — ${d.reason}")
         case "ann-recall" :: indexDir :: rest =>
           // ground-truth recall of the PERSISTED query path vs brute force
@@ -719,6 +725,7 @@ object GraftCli {
           // compact-index, gathered from footer metadata only (no data scan)
           import graft.operators.{AnnMaintenance, IncrementalDedup, IndexFs, IndexLease}
           val root = IncrementalDedup.readRoot(dir)
+          val gens = IncrementalDedup.generations(dir)
           val isAnn = IndexFs.exists(s"$root/centroids")
           if (isAnn) {
             val layout =
@@ -734,8 +741,19 @@ object GraftCli {
                 val t = spark.read.parquet(ts)
                 (t.count(), t.inputFiles.length)
               } else (0L, 0)
+            val (nUp, upFiles) =
+              if (IndexFs.exists(s"$root/upserts")) {
+                val u = spark.read.parquet(s"$root/upserts")
+                (u.count(), u.inputFiles.length)
+              } else (0L, 0)
             println(s"index-status: $dir")
-            println(s"  layout: $layout  cells: $nCells  rows: $rows")
+            println(s"  layout: $layout  cells: $nCells  rows: $rows" +
+              (if (gens.nonEmpty) s"  generation: ${gens.last} " +
+                s"(${gens.size} on disk)" else ""))
+            if (nUp > 0)
+              println(f"  upserts: $nUp version rows ($upFiles files, " +
+                f"fraction ${nUp.toDouble / math.max(1L, rows)}%.3f of rows " +
+                "— maintain compacts past maxUpsertFraction)")
             if (nTs > 0)
               println(f"  tombstones: $nTs ($tsFiles files, fraction " +
                 f"${nTs.toDouble / math.max(1L, rows)}%.3f of rows — " +
@@ -1323,7 +1341,7 @@ object GraftCli {
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
               "ann-query-filtered <queriesParquet> <allowedParquet> <indexDir> [k] [nProbe] [rerank] | " +
               "ann-pq-build <sfDir> <indexDir> [nCells] [m] [nCodes] [residual|raw] | " +
-              "ann-maintain <indexDir> [maxRatio] [sustain] [recallFloor|-] [nCells|-] [mixtureTv|-] [tombstoneFrac|-] | " +
+              "ann-maintain <indexDir> [maxRatio] [sustain] [recallFloor|-] [nCells|-] [mixtureTv|-] [tombstoneFrac|-] [upsertFrac|-] | " +
               "ann-pq-append <inParquet> <indexDir> | " +
               "ann-pq-query <queriesParquet> <indexDir> [k] [nProbe] [rerank] | " +
               "mix <sfDir> <outDir> <lang:budget,...> | " +

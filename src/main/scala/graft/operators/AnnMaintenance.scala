@@ -72,6 +72,19 @@ object AnnMaintenance {
     *                       tombstone-blind. A rebuild (if the drift
     *                       sensors fired the same call) subsumes the
     *                       compact: both physically resolve deletions
+    * @param maxUpsertFraction UPSERT-pressure sensor (None disables):
+    *                       when the `upserts/` delta holds more VERSION
+    *                       rows than this fraction of the base cells,
+    *                       run the compact — every query pays the
+    *                       latest-version window over the whole delta
+    *                       ([[Similarity.liveRows]]), so a
+    *                       re-embed-heavy corpus without operator-cadence
+    *                       compaction would grow that cost unobserved
+    *                       (the tombstone sensor's exact failure shape
+    *                       on the upsert verb). Both counts are
+    *                       parquet-footer reads; version rows and
+    *                       deletion markers both count (both ride the
+    *                       window), which can only fire EARLY
     */
   final case class MaintenancePolicy(
       maxDriftRatio: Double = 1.5,
@@ -82,10 +95,12 @@ object AnnMaintenance {
       recallNProbe: Int = 4,
       recallQueries: Int = 16,
       rebuildNCells: Option[Int] = None,
-      maxTombstoneFraction: Option[Double] = Some(0.25)) {
+      maxTombstoneFraction: Option[Double] = Some(0.25),
+      maxUpsertFraction: Option[Double] = Some(0.25)) {
     require(maxDriftRatio > 0 && sustainAppends >= 1)
     require(maxMixtureTv.forall(t => t > 0 && t <= 1))
     require(maxTombstoneFraction.forall(t => t > 0 && t < 1))
+    require(maxUpsertFraction.forall(t => t > 0))
   }
 
   /** The decision trace: what was looked at, what (if anything) fired. */
@@ -99,7 +114,8 @@ object AnnMaintenance {
       recentMixtureTv: Seq[Double] = Seq.empty,
       sustainedMixture: Boolean = false,
       tombstoneFraction: Option[Double] = None,
-      compacted: Boolean = false)
+      compacted: Boolean = false,
+      upsertFraction: Option[Double] = None)
 
   /** Layout dispatch + ledger probes resolve through the Hadoop
     * FileSystem API ([[IndexFs]]): with a local-only probe, a composed
@@ -237,6 +253,26 @@ object AnnMaintenance {
       t <- policy.maxTombstoneFraction; f <- tombstoneFraction
     } yield f > t).getOrElse(false)
 
+    // upsert-PRESSURE sensor: every query resolves latest-version-wins
+    // over the WHOLE upsert delta, so its size is a per-query cost that
+    // only a physical fold relieves — same posture as the tombstone
+    // sensor, measured the same way (footer counts only)
+    val upDir = s"$root/upserts"
+    val upsertFraction: Option[Double] = policy.maxUpsertFraction
+      .flatMap { _ =>
+        IncrementalDedup.recoverDir(upDir)
+        if (!IndexFs.exists(upDir)) None
+        else {
+          val nUp = spark.read.parquet(upDir).count()
+          if (nUp == 0L) None
+          else Some(nUp.toDouble /
+            math.max(1L, spark.read.parquet(s"$root/cells").count()))
+        }
+      }
+    val upsertPressure = (for {
+      t <- policy.maxUpsertFraction; f <- upsertFraction
+    } yield f > t).getOrElse(false)
+
     if (sustained || sustainedMix || recallLow) {
       // a rebuild re-writes LIVE rows only, so it subsumes the compact:
       // tombstones resolve physically and the table dies with the old dir
@@ -259,21 +295,29 @@ object AnnMaintenance {
       MaintenanceDecision(appends, recent, sustained, recall, rebuilt = true,
         reason = s"$why; rebuilt $n vectors",
         recentMixtureTv = recentTv, sustainedMixture = sustainedMix,
-        tombstoneFraction = tombstoneFraction)
-    } else if (tombstonePressure) {
-      // drift is healthy but deletions piled up: physical resolve only —
-      // ivfCompact is layout-generic (cells rewritten live-rows-only,
-      // centroids/pq_model/stats/ledger carried, tombstone table cleared
-      // by the whole-dir swap), so the next maintain sees no tombstone
-      // table and is a no-op
+        tombstoneFraction = tombstoneFraction,
+        upsertFraction = upsertFraction)
+    } else if (tombstonePressure || upsertPressure) {
+      // drift is healthy but deletions/re-embeds piled up: physical
+      // resolve only — ivfCompact is layout-generic (cells rewritten
+      // live-rows-only with the upsert delta folded,
+      // centroids/pq_model/stats/ledger carried, tombstone table and
+      // delta cleared by the generation commit), so the next maintain
+      // sees neither and is a no-op
       val n = Similarity.ivfCompact(spark, indexDir)
+      val why =
+        if (tombstonePressure)
+          f"tombstoned fraction ${tombstoneFraction.get}%.3f > " +
+            f"${policy.maxTombstoneFraction.get}%.2f"
+        else
+          f"upsert-delta fraction ${upsertFraction.get}%.3f > " +
+            f"${policy.maxUpsertFraction.get}%.2f"
       MaintenanceDecision(appends, recent, sustained, recall,
         rebuilt = false,
-        reason = f"tombstoned fraction ${tombstoneFraction.get}%.3f > " +
-          f"${policy.maxTombstoneFraction.get}%.2f — compacted (physical " +
-          s"resolve), $n live vectors",
+        reason = s"$why — compacted (physical resolve), $n live vectors",
         recentMixtureTv = recentTv, sustainedMixture = sustainedMix,
-        tombstoneFraction = tombstoneFraction, compacted = true)
+        tombstoneFraction = tombstoneFraction, compacted = true,
+        upsertFraction = upsertFraction)
     } else {
       MaintenanceDecision(appends, recent, sustained, recall,
         rebuilt = false,
@@ -282,7 +326,8 @@ object AnnMaintenance {
         else "drift not sustained" + recall.map(r =>
           f"; recall $r%.3f >= floor").getOrElse(""),
         recentMixtureTv = recentTv, sustainedMixture = sustainedMix,
-        tombstoneFraction = tombstoneFraction)
+        tombstoneFraction = tombstoneFraction,
+        upsertFraction = upsertFraction)
     }
   }
 }

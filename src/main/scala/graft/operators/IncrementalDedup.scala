@@ -261,7 +261,10 @@ object IncrementalDedup {
     */
   private val GenPrefix = "_gen_"
 
-  private[operators] def generations(liveDir: String): Seq[Long] =
+  /** Committed generation numbers on disk, oldest first (public for the
+    * CLI's index-status view; operators use [[readRoot]]).
+    */
+  def generations(liveDir: String): Seq[Long] =
     IndexFs.subdirNames(liveDir).filter(_.startsWith(GenPrefix))
       .map(_.stripPrefix(GenPrefix).toLong).sorted
 

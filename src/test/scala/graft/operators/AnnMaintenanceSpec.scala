@@ -213,4 +213,41 @@ class AnnMaintenanceSpec extends SparkSpec {
     assert(!again.compacted && !again.rebuilt &&
       again.tombstoneFraction.isEmpty, again.toString)
   }
+
+  test("upsert pressure: the delta-fraction sensor compacts (physical fold), then the next maintain is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_upfrac").toString
+    Similarity.ivfBuild(emb, "vec_id", "embedding", 4, dir)
+    val policy = AnnMaintenance.MaintenancePolicy(maxDriftRatio = 1e9,
+      sustainAppends = 1, maxMixtureTv = None,
+      maxTombstoneFraction = None, maxUpsertFraction = Some(0.2))
+    // below pressure: ~10% of ids re-embedded — sensor reads but stays quiet
+    Similarity.ivfUpsert(spark, dir,
+      emb.where($"vec_id" % 10 === 0)
+        .select($"vec_id", transform($"embedding",
+          x => (x * 0.5f).cast("float")).as("embedding")),
+      "vec_id", "embedding")
+    val quiet = AnnMaintenance.maintain(spark, dir, policy)
+    assert(!quiet.compacted && !quiet.rebuilt, quiet.toString)
+    assert(quiet.upsertFraction.exists(f => f > 0 && f <= 0.2), quiet.toString)
+    // past pressure: another ~20% of ids re-embedded
+    Similarity.ivfUpsert(spark, dir,
+      emb.where($"vec_id" % 10 === 1 || $"vec_id" % 10 === 2)
+        .select($"vec_id", transform($"embedding",
+          x => (x * 0.25f).cast("float")).as("embedding")),
+      "vec_id", "embedding")
+    val queries = emb.where($"vec_id" >= 200 && $"vec_id" < 203)
+    def answers() = Similarity.ivfQuery(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      .select($"query_id", $"neighbor_id", $"rank").collect().toSet
+    val pre = answers()
+    val d = AnnMaintenance.maintain(spark, dir, policy)
+    assert(d.compacted && !d.rebuilt, d.toString)
+    assert(d.upsertFraction.exists(_ > 0.2), d.toString)
+    val root = IncrementalDedup.readRoot(dir)
+    assert(!IndexFs.exists(s"$root/upserts"),
+      "compact must fold the upsert delta physically")
+    assert(answers() == pre, "the physical fold changed query answers")
+    val again = AnnMaintenance.maintain(spark, dir, policy)
+    assert(!again.compacted && again.upsertFraction.isEmpty, again.toString)
+  }
 }

@@ -175,6 +175,35 @@ class BatchedServingSpec extends SparkSpec {
     }
   }
 
+  test("filtered hybridSearchMany: the allowed set threads through BOTH batched pools; ≡ the single-query filtered composition; no disallowed id surfaces") {
+    val qs = Seq(0L -> Seq("spark", "merge"), 9L -> Seq("window"))
+    val poolK = 15
+    val allowed = docs.where($"doc_id" % 3 === 0).select($"doc_id")
+    val batched = TextSearch.hybridSearchMany(spark, lexDir, ivfDir, qs,
+      emb, "vec_id", "embedding", k = 8, poolK = poolK, nProbe = 2,
+      allowed = Some(allowed)).localCheckpoint()
+    assert(batched.where($"id" % 3 =!= 0).count() == 0,
+      "a disallowed id surfaced in the batched fused top-k")
+    for ((qid, terms) <- qs) {
+      val lexW = org.apache.spark.sql.expressions.Window
+        .orderBy($"score".desc, $"id")
+      val lex = LexIndex.bm25TopKFromIndex(spark, lexDir, terms, k = poolK,
+          allowed = Some(allowed))
+        .select($"id", row_number().over(lexW).cast("bigint").as("rank"))
+      val dense = Similarity.ivfQueryFilteredAdaptive(spark, ivfDir,
+          queriesOf(qid), "vec_id", "embedding", allowed, "doc_id",
+          k = poolK, baseNProbe = 2)
+        .select($"neighbor_id".as("id"), $"rank")
+      val single = TextSearch.rrfFuse(Seq(lex, dense), k = 8)
+      val slice = batched.where($"query_id" === qid.toString)
+        .drop("query_id").select(single.columns.map(col): _*)
+      assert(slice.exceptAll(single).unionAll(single.exceptAll(slice))
+        .count() == 0,
+        s"filtered hybridSearchMany diverged from the single composition " +
+          s"for query $qid")
+    }
+  }
+
   test("CLI hybrid-search-many: a query file is served by the batched operators and matches them row-for-row") {
     val base = java.nio.file.Files.createTempDirectory("hsm_cli").toString
     val qf = java.nio.file.Paths.get(base, "queries.txt")
