@@ -629,7 +629,8 @@ object GraftCli {
             s"dense=${r.getAs[Any]("rank_1")} " +
             f"rrf=${r.getAs[Double]("rrf_score")}%.5f"))
         case "hybrid-search-many" :: sfDir :: annDir :: lexIxDir ::
-            queryFile :: outDir :: Nil =>
+            queryFile :: outDir :: filterRest
+            if filterRest.isEmpty || filterRest.take(1) == List("--filter") =>
           // BATCHED hybrid retrieval from a query file — the evaluation /
           // serving shape: every line is `<queryVecId> <term> [term ...]`,
           // and the WHOLE batch costs one lexical slice-union pass
@@ -640,6 +641,8 @@ object GraftCli {
           // Hadoop-FS read (IndexFs), so the query file can live beside
           // the indexes on the cluster store — and the grep gate's
           // no-local-filesystem rule holds for this surface too
+          val allowedMany = filterRest.drop(1).headOption
+            .map(pth => spark.read.parquet(pth))
           val lines = graft.operators.IndexFs.readUtf8(queryFile)
             .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
           val qs = lines.map { l =>
@@ -652,7 +655,7 @@ object GraftCli {
           val emb = graft.core.Tables.embeddings(spark, sfDir)
           val fused = graft.operators.TextSearch.hybridSearchMany(spark,
             lexIxDir, annDir, qs, emb, "vec_id", "embedding",
-            k = 20, poolK = 50, nProbe = 8)
+            k = 20, poolK = 50, nProbe = 8, allowed = allowedMany)
           fused.orderBy(col("query_id"), col("fused_rank"))
             .write.mode("overwrite").parquet(outDir)
           val out = spark.read.parquet(outDir)
@@ -1335,7 +1338,7 @@ object GraftCli {
               "ann-upsert <inParquet> <indexDir> | ann-compact <indexDir> [targetRows] | ann-rebuild <indexDir> [nCells [m nCodes]] | " +
               "ann-recall <indexDir> [k nProbe nQueries] | index-status <dir> | " +
               "hybrid-search <sfDir> <annIndexDir> <outDir> <queryVecId> [--lex <lexIndexDir>] [--filter <allowedParquet>] <terms...> | " +
-              "hybrid-search-many <sfDir> <annIndexDir> <lexIndexDir> <queryFile> <outDir> | " +
+              "hybrid-search-many <sfDir> <annIndexDir> <lexIndexDir> <queryFile> <outDir> [--filter <allowedParquet>] | " +
               "lex-build <sfDir> <indexDir> [nBuckets] [raw|folded] [positions|nopositions] | lex-append <in> <indexDir> <idCol> <textCol> | " +
               "lex-maintain <indexDir> [maxTombstoneFraction] | lex-search <indexDir> <k> <terms...> | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +

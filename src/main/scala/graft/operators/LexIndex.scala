@@ -493,6 +493,64 @@ object LexIndex {
       .agg(count(lit(1)).cast("bigint").as("n_matches"))
   }
 
+  /** BATCHED phrase search — MANY phrases from ONE pass over the union
+    * of their terms' posting slices (the [[bm25TopKFromIndexMany]] recipe
+    * on the positional tier): one bucket-pruned read of the distinct
+    * terms' slices with positions exploded once (checkpointed), then per
+    * phrase the (n-1)-fold position-offset equi-join over checkpointed
+    * slices, unioned into one output plan keyed by `query_id` — the
+    * driver pays a FIXED number of jobs regardless of the phrase count.
+    * Each phrase's (id, n_matches) rows are value-identical to its own
+    * [[phraseCountFromIndex]] call (spec-pinned); the index's analyzer
+    * applies to every phrase's terms.
+    *
+    * @return (query_id, id, n_matches), live documents with >= 1
+    *         occurrence per phrase
+    */
+  def phraseCountFromIndexMany(spark: SparkSession, indexDir: String,
+      phrases: Seq[(String, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty &&
+      phrases.forall(p => p._2.nonEmpty && p._2.forall(_.nonEmpty)),
+      "every phrase must have at least one nonempty term")
+    require(phrases.map(_._1).distinct.size == phrases.size,
+      "duplicate query ids")
+    val root = IncrementalDedup.readRoot(indexDir)
+    val (nBuckets, analyzer, withPositions) = readMeta(spark, root)
+    require(withPositions,
+      s"$indexDir stores tf-only postings (built with withPositions = " +
+        "false) — phrase search needs the positional tier: rebuild the " +
+        "index with withPositions = true")
+    val tsDir = s"$root/tombstones"
+    IncrementalDedup.recoverDir(tsDir)
+    val phrasesA = phrases.map { case (qid, p) =>
+      qid -> analyzeTerms(spark, p, analyzer)
+    }
+    val allTerms = phrasesA.flatMap(_._2).distinct
+    val bucketRow = spark.range(1)
+      .select(allTerms.map(t => bucketOf(lit(t), nBuckets)): _*).head()
+    val buckets = allTerms.indices.map(bucketRow.getInt).distinct
+    // ONE pruned read of the slice union, positions exploded once
+    val union = IncrementalDedup.applyTombstones(spark, tsDir,
+        spark.read.parquet(s"$root/postings")
+          .where(col("bucket").isin(buckets: _*) &&
+            col("term").isin(allTerms: _*))
+          .select(col("term"), col("id"),
+            explode(col("positions")).as("__p")),
+        "id")
+      .localCheckpoint()
+    val perPhrase = phrasesA.map { case (qid, terms) =>
+      val slices = terms.zipWithIndex.map { case (t, k) =>
+        union.where(col("term") === lit(t))
+          .select(col("id"), (col("__p") - k).as("p0"))
+      }
+      slices.reduceLeft((a, b) => a.join(b, Seq("id", "p0")))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).cast("bigint").as("n_matches"))
+        .select(lit(qid).as("query_id"), col("id"), col("n_matches"))
+    }
+    perPhrase.reduce(_ unionAll _)
+  }
+
   /** BM25 top-k served FROM the index: per query term, read that term's
     * posting slice (bucket partition pruning + a term predicate — df rows,
     * never the corpus), count df from the live slice, collect N/Σdl from

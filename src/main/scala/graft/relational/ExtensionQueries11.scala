@@ -224,6 +224,56 @@ object ExtensionQueries11 {
         "jobs constant in the batch size; ranks AND rrf doubles hash " +
         "cross-engine."
     ),
+    // --------------------------------------------------------------- t146
+    GraftQuery(
+      "t146_phrase_batch",
+      (s, d) => {
+        import s.implicits._
+        // BATCHED phrase search: three phrases served from ONE pass over
+        // the union of their terms' posting slices (one pruned read,
+        // positions exploded once, per-phrase offset joins off the
+        // checkpoint, one output plan) — the t141 recipe on the
+        // positional tier. The oracle recomputes every phrase's counts
+        // from raw text under the index's tokenization.
+        graft.operators.LexIndex.phraseCountFromIndexMany(s,
+            ExtensionQueries10.lexDir(s, d), Seq(
+              "p_a" -> Seq("big", "order", "scan"),
+              "p_b" -> Seq("table", "scan"),
+              "p_c" -> Seq("the", "fast")))
+          .select($"query_id", $"id".cast("bigint").as("doc_id"),
+            $"n_matches")
+          .orderBy($"query_id", $"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS w
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+             |        FROM documents)),
+             |tk AS (SELECT * FROM tok WHERE len(w) > 0),
+             |u AS (
+             |  SELECT 'p_a' AS query_id, a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+             |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |            JOIN tk c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+             |  WHERE a.w = 'big' AND b.w = 'order' AND c.w = 'scan'
+             |  GROUP BY a.doc_id
+             |  UNION ALL
+             |  SELECT 'p_b', a.doc_id, CAST(count(*) AS BIGINT)
+             |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  WHERE a.w = 'table' AND b.w = 'scan'
+             |  GROUP BY a.doc_id
+             |  UNION ALL
+             |  SELECT 'p_c', a.doc_id, CAST(count(*) AS BIGINT)
+             |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  WHERE a.w = 'the' AND b.w = 'fast'
+             |  GROUP BY a.doc_id)
+             |SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, n_matches
+             |FROM u ORDER BY query_id, doc_id""".stripMargin),
+      doc = "Batched phrase search (LexIndex.phraseCountFromIndexMany): " +
+        "three phrases from ONE pass over the union of their terms' " +
+        "posting slices — one bucket-pruned read with positions exploded " +
+        "once, per-phrase offset equi-joins off the checkpoint, fixed " +
+        "driver jobs regardless of phrase count. The oracle recomputes " +
+        "every phrase's counts from raw text under the index's " +
+        "tokenization."
+    ),
     // --------------------------------------------------------------- t145
     GraftQuery(
       "t145_ann_upsert",

@@ -484,6 +484,30 @@ class LexIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
 
+  test("batched phrase search: many phrases from one slice-union pass, each identical to its single call") {
+    val dir = tmp("lex_phrase_batch")
+    LexIndex.build(docs, "doc_id", "text", dir, nBuckets = 8)
+    val phrases = Seq(
+      "p_a" -> Seq("big", "order", "scan"),
+      "p_b" -> Seq("table", "scan"),
+      "p_c" -> Seq("no_such_term_zzz", "scan"))
+    val batched = LexIndex.phraseCountFromIndexMany(spark, dir, phrases)
+      .localCheckpoint()
+    for ((qid, p) <- phrases) {
+      val single = LexIndex.phraseCountFromIndex(spark, dir, p)
+      val slice = batched.where($"query_id" === qid).drop("query_id")
+      assert(slice.exceptAll(single).unionAll(single.exceptAll(slice))
+        .count() == 0, s"batched phrase diverged for $qid")
+    }
+    assert(batched.where($"query_id" === "p_c").count() == 0,
+      "a no-hit phrase must contribute zero rows, not fail")
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.phraseCountFromIndexMany(spark, dir,
+        Seq("x" -> Seq("a"), "x" -> Seq("b")))
+    }
+    assert(e.getMessage.contains("duplicate query ids"), e.getMessage)
+  }
+
   test("maintain's pressure denominator is the LIVE count: nTs/(indexed − nTs)") {
     val corpus = (0L until 100L).map(i => (i, s"doc $i spark merge"))
       .toDF("doc_id", "text")
