@@ -686,6 +686,14 @@ object GraftCli {
           val n = graft.operators.LexIndex.append(spark, indexDir,
             spark.read.parquet(inParquet), idCol, textCol)
           println(s"lex-append: $n docs appended -> $indexDir")
+        case "lex-upsert" :: inParquet :: indexDir :: idCol :: textCol :: Nil =>
+          // replace documents by id (and/or add new ones) in ONE leased
+          // commit — re-crawled changed pages re-ingest NOW (version-floor
+          // ledger entries hide old rows exactly; compact folds physically)
+          val n = graft.operators.LexIndex.upsert(spark, indexDir,
+            spark.read.parquet(inParquet), idCol, textCol)
+          println(s"lex-upsert: $n docs upserted -> $indexDir " +
+            "(old versions hidden exactly; physical fold at next compact)")
         case "lex-maintain" :: indexDir :: rest =>
           // tombstone-pressure maintenance (the ann-maintain sensor on the
           // lexical layout): compact iff the tombstoned fraction exceeds
@@ -1340,7 +1348,7 @@ object GraftCli {
               "hybrid-search <sfDir> <annIndexDir> <outDir> <queryVecId> [--lex <lexIndexDir>] [--filter <allowedParquet>] <terms...> | " +
               "hybrid-search-many <sfDir> <annIndexDir> <lexIndexDir> <queryFile> <outDir> [--filter <allowedParquet>] | " +
               "lex-build <sfDir> <indexDir> [nBuckets] [raw|folded] [positions|nopositions] | lex-append <in> <indexDir> <idCol> <textCol> | " +
-              "lex-maintain <indexDir> [maxTombstoneFraction] | lex-search <indexDir> <k> <terms...> | " +
+              "lex-upsert <in> <indexDir> <idCol> <textCol> | lex-maintain <indexDir> [maxTombstoneFraction] | lex-search <indexDir> <k> <terms...> | " +
               "ann-query <queriesParquet> <indexDir> [k] [nProbe] | " +
               "ann-query-filtered <queriesParquet> <allowedParquet> <indexDir> [k] [nProbe] [rerank] | " +
               "ann-pq-build <sfDir> <indexDir> [nCells] [m] [nCodes] [residual|raw] | " +

@@ -28,9 +28,14 @@ import org.apache.spark.sql.functions._
   *    shared state). `sumdl` is decimal(20,0): exact, order-insensitive.
   *  - `meta/` — one row `(nbuckets)`: the partitioning constant queries
   *    must reproduce to prune.
-  *  - `tombstones/` — the shared takedown table ([[IncrementalDedup]]
-  *    appendTombstones/applyTombstones: append-only, file-bounded by the
-  *    16-file fold, physically resolved by [[compact]]).
+  *  - `tombstones/` — the VERSIONED takedown/replace ledger (round 19):
+  *    one entry per event, `(id, below, at)` — rows of the id with
+  *    `batch < below` are hidden, `below = Long.MaxValue` is a full
+  *    deletion, and the LATEST entry per id wins (so [[upsert]]
+  *    resurrects and [[delete]] outranks stored versions). Append-only,
+  *    folded to latest-per-id past a small file budget, physically
+  *    resolved by [[compact]]; legacy id-only tables read as full
+  *    deletions and migrate on the first versioned write.
   *
   * Numeric contract: index-served scores are BIT-IDENTICAL to
   * [[TextSearch.bm25TopK]] over the live corpus (spec-pinned, and the
@@ -260,8 +265,11 @@ object LexIndex {
     IncrementalDedup.recoverDir(t)
     if (!IndexFs.exists(t)) (docs, docs.limit(0))
     else {
-      val tomb = broadcast(
-        spark.read.parquet(t).select(col("id")).distinct())
+      // only FULL deletions (latest entry = delete) defer — an id whose
+      // latest entry is an UPSERT version floor is alive and re-ingests
+      // through [[upsert]]
+      val tomb = broadcast(latestTs(spark, t)
+        .where(col("below") === Long.MaxValue).select(col("id")).distinct())
       (docs.join(tomb.withColumnRenamed("id", idCol), Seq(idCol), "left_anti"),
         docs.join(tomb.withColumnRenamed("id", idCol), Seq(idCol), "left_semi"))
     }
@@ -277,21 +285,168 @@ object LexIndex {
         Seq("id"), "left_semi")
       .limit(4).collect().map(_.get(0))
     require(sample.isEmpty,
-      s"append batch re-uses tombstoned ids (${sample.mkString(", ")} …): " +
-        "resolve deletions first (compact), then re-add")
+      s"append batch re-uses ids with tombstone entries " +
+        s"(${sample.mkString(", ")} …): deleted or replaced documents go " +
+        "through upsert (which versions them) or wait for a compact; " +
+        "append is for NEW ids only")
+  }
+
+  /** The tombstone LEDGER, versioned (round 19): one entry per event,
+    * `(id, below, at)` — `below` is the VERSION FLOOR (rows of the id
+    * with `batch < below` are hidden; `Long.MaxValue` = full deletion),
+    * `at` a monotonically increasing stamp so the LATEST entry per id
+    * wins (that is how [[upsert]] resurrects a deleted id: its new entry
+    * outranks the deletion). Legacy id-only tables read as
+    * (below = MaxValue, at = 0) — exactly what those deletes meant — and
+    * are migrated in place on the first versioned write. Folded to
+    * latest-per-id past a small file budget (the ledger hygiene every
+    * delete table here has).
+    */
+  private[operators] def latestTs(spark: SparkSession,
+      tsDir: String): DataFrame = {
+    val raw = spark.read.parquet(tsDir)
+    val v0 = if (raw.columns.contains("below")) raw
+      else raw.withColumn("below", lit(Long.MaxValue))
+    val v = if (v0.columns.contains("at")) v0
+      else v0.withColumn("at", lit(0L))
+    // latest entry per id: max (at, below) — `at` strictly increases
+    // under the writer lease; the `below` tiebreak only orders legacy
+    // all-at-0 rows (all deletions) deterministically
+    v.groupBy(col("id"))
+      .agg(max(struct(col("at"), col("below"))).as("__e"))
+      .select(col("id"), col("__e.below").as("below"))
+  }
+
+  /** Hide rows their id's latest version floor excludes. `df` must carry
+    * the `batch` partition column; a no-op plan when no table exists.
+    */
+  private def applyVersionedTs(spark: SparkSession, tsDir: String,
+      df: DataFrame): DataFrame = {
+    IncrementalDedup.recoverDir(tsDir)
+    if (!IndexFs.exists(tsDir)) df
+    else df.join(broadcast(latestTs(spark, tsDir)), Seq("id"), "left")
+      .where(col("below").isNull || col("batch") >= col("below"))
+      .drop("below")
+  }
+
+  /** Append versioned tombstone entries (migrating a legacy id-only
+    * table first — a mixed-schema ledger would silently drop the new
+    * columns on read). Runs under the caller's index lease.
+    */
+  private def writeTsEntries(spark: SparkSession, tsDir: String,
+      entries: DataFrame): Long = {
+    IncrementalDedup.recoverDir(tsDir)
+    if (IndexFs.exists(tsDir) &&
+        !spark.read.parquet(tsDir).columns.contains("below")) {
+      val migrated = spark.read.parquet(tsDir).select(col("id")).distinct()
+        .select(col("id"), lit(Long.MaxValue).as("below"), lit(0L).as("at"))
+        .localCheckpoint()
+      IncrementalDedup.clearStaging(s"$tsDir.next")
+      migrated.coalesce(1).write.parquet(s"$tsDir.next")
+      IncrementalDedup.replaceDir(tsDir, s"$tsDir.next")
+    }
+    val nextAt =
+      if (!IndexFs.exists(tsDir)) 1L
+      else {
+        val m = spark.read.parquet(tsDir).agg(max(col("at"))).head()
+        (if (m.isNullAt(0)) 0L else m.getLong(0)) + 1L
+      }
+    val batch = entries.select(col("id"), col("below"))
+      .distinct().withColumn("at", lit(nextAt)).localCheckpoint()
+    val n = batch.count()
+    if (n > 0) {
+      batch.coalesce(1).write.mode("append").parquet(tsDir)
+      // ledger hygiene: fold to latest-per-id past the file budget
+      if (spark.read.parquet(tsDir).inputFiles.length > 16) {
+        val folded = latestTs(spark, tsDir)
+          .select(col("id"), col("below"),
+            lit(nextAt).as("at")).localCheckpoint()
+        IncrementalDedup.clearStaging(s"$tsDir.next")
+        folded.coalesce(1).write.parquet(s"$tsDir.next")
+        IncrementalDedup.replaceDir(tsDir, s"$tsDir.next")
+      }
+    }
+    n
   }
 
   /** Tombstone-DELETE document ids (takedowns). Queries subtract the
     * deleted documents EXACTLY (scores as if they never existed) until
-    * [[compact]] resolves them physically.
+    * [[compact]] resolves them physically. A deletion entry outranks any
+    * stored [[upsert]] version (latest entry wins).
     *
     * @return number of distinct ids in this delete batch
     */
   def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
       idCol: String): Long = IndexLease.withLease(indexDir) {
     val root = IncrementalDedup.readRoot(indexDir)
-    IncrementalDedup.appendTombstones(spark, s"$root/tombstones",
-      ids.select(col(idCol).as("id")), "id")
+    writeTsEntries(spark, s"$root/tombstones",
+      ids.select(col(idCol).as("id"), lit(Long.MaxValue).as("below")))
+  }
+
+  /** UPSERT: replace documents by id (and/or add new ones) in ONE leased
+    * commit — the re-crawl verb: a changed page re-ingests NOW instead of
+    * deferring to the next compact ([[splitTombstoned]]'s posture), and a
+    * previously-deleted id resurrects. The batch's rows land as a normal
+    * `batch=<bid>` delta; ids that already hold OLDER rows get a version
+    * floor entry `(id, below = bid)` in the ledger — the latest entry per
+    * id wins, so rows of batch < bid are hidden exactly and df/N/Σdl stay
+    * EXACT (the hidden doclens rows are subtracted by the same narrow
+    * correction pass deletions use). Fresh ids get NO entry (the ledger
+    * stays takedown+replace-scale, never corpus-scale). Write order is
+    * entries-then-delta: a crash between hides the old version and the
+    * replay lands the new one — temporary absence, never a double count.
+    *
+    * Replay-idempotent like [[append]]: a re-run with the same pinned
+    * `batchId` overwrites its own delta and its duplicate ledger entry is
+    * absorbed by latest-wins. The pinned id must be >= every existing
+    * batch id (guarded loudly) — an older pin would leave newer rows
+    * visible beside the "new" version.
+    *
+    * @return number of documents upserted
+    */
+  def upsert(spark: SparkSession, indexDir: String, docs: DataFrame,
+      idCol: String, textCol: String,
+      batchId: Option[Long] = None): Long = IndexLease.withLease(indexDir) {
+    val root = IncrementalDedup.readRoot(indexDir)
+    require(IndexFs.exists(s"$root/meta"),
+      s"$indexDir is not a lexical index (no meta table) — build first")
+    val (nBuckets, analyzer, withPositions) = readMeta(spark, root)
+    val existing = IndexFs.subdirNames(s"$root/postings")
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+    val bid = batchId.getOrElse(if (existing.isEmpty) 0L else existing.max + 1L)
+    require(existing.isEmpty || bid >= existing.max,
+      s"upsert batch id $bid is below an existing batch " +
+        s"(${existing.max}) — newer rows would stay visible beside the " +
+        "replacement; pin the CURRENT batch id or let it auto-assign")
+    val dup = docs.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch carries duplicate id ${dup.headOption.map(_.get(0))} " +
+        "— one version per id per commit")
+    // version-floor entries for ids that hold OLDER rows (one narrow
+    // doclens pass) OR any existing ledger entry — the latter covers
+    // resurrection (the new floor must outrank a prior DELETION even
+    // when the id's only physical rows sit in this very batch, the
+    // replay-after-takedown shape). Fresh ids need none: the ledger
+    // stays takedown+replace-scale, never corpus-scale.
+    val tsDir = s"$root/tombstones"
+    IncrementalDedup.recoverDir(tsDir)
+    val older = spark.read.parquet(s"$root/doclens")
+      .where(col("batch") < bid).select(col("id")).distinct()
+    val needFloor =
+      if (!IndexFs.exists(tsDir)) older
+      else older.unionByName(
+        spark.read.parquet(tsDir).select(col("id")).distinct()).distinct()
+    val entries = docs.select(col(idCol).as("id")).distinct()
+      .join(needFloor, Seq("id"), "left_semi")
+      .select(col("id"), lit(bid).as("below"))
+    writeTsEntries(spark, s"$root/tombstones", entries)
+    val (postings, doclens) =
+      derive(docs, idCol, textCol, nBuckets, analyzer, withPositions)
+    val n = doclens.count()
+    if (n > 0) writeBatch(postings, doclens, root, nBuckets, bid)
+    n
   }
 
   /** Physically resolve tombstones and fold the append ledgers: live
@@ -328,8 +483,8 @@ object LexIndex {
         if (preserveBatchIds.isEmpty) raw
         else raw.where(!col("batch").isin(preserveBatchIds.toSeq: _*))
       }
-      def live(table: String) = IncrementalDedup.applyTombstones(spark,
-        s"$root/tombstones", scoped(table), "id")
+      def live(table: String) =
+        applyVersionedTs(spark, s"$root/tombstones", scoped(table))
       // the delta ledgers fold to ONE batch=-1 generation (partition-style
       // like every index layout here: root-level files would be invisible
       // to discovery once the next delta lands)
@@ -359,9 +514,37 @@ object LexIndex {
         }
       }
       if (preserveBatchIds.nonEmpty &&
-          IndexFs.exists(s"$root/tombstones"))
-        spark.read.parquet(s"$root/tombstones").coalesce(1)
-          .write.parquet(s"$next/tombstones")
+          IndexFs.exists(s"$root/tombstones")) {
+        // carry ONLY the entries still binding: full deletions (their
+        // preserved-delta rows must stay hidden) and version floors
+        // pointing AT a preserved delta (the visible version is still in
+        // delta form). A version floor whose batch was FOLDED is fully
+        // materialized — carrying it would hide the folded rows
+        // (batch=-1 < below) and silently lose the documents; one whose
+        // id also has rows in a preserved delta would resurface those —
+        // guarded loudly below (convention: operator upserts do not run
+        // mid-stream between a delta landing and its compact)
+        val ts = latestTs(spark, s"$root/tombstones").localCheckpoint()
+        val keep = ts.where(col("below") === Long.MaxValue ||
+          col("below").isin(preserveBatchIds.toSeq: _*))
+        val dropped = ts.where(col("below") =!= Long.MaxValue &&
+          !col("below").isin(preserveBatchIds.toSeq: _*))
+        val preservedIds = preserveBatchIds.toSeq.map { b =>
+            val src = s"$root/doclens/batch=$b"
+            if (IndexFs.exists(src)) spark.read.parquet(src).select(col("id"))
+            else spark.range(0).select(col("id"))
+          }.reduce(_ unionAll _).distinct()
+        val leak = dropped.join(preservedIds, Seq("id"), "left_semi")
+          .limit(1).collect()
+        require(leak.isEmpty,
+          s"compact(preserveBatchIds=$preserveBatchIds) would resurface " +
+            s"stale rows of id ${leak.headOption.map(_.get(0))}: a " +
+            "materialized version floor covers rows inside a preserved " +
+            "delta — compact without preserving, or preserve the " +
+            "replacing batch too")
+        keep.select(col("id"), col("below"), lit(0L).as("at"))
+          .coalesce(1).write.parquet(s"$next/tombstones")
+      }
       IncrementalDedup.commitGeneration(indexDir, next)
       n
     }
@@ -385,15 +568,21 @@ object LexIndex {
       IncrementalDedup.recoverDir(tsDir)
       if (!IndexFs.exists(tsDir)) false
       else {
-        val nTs = spark.read.parquet(tsDir).count()
-        if (nTs == 0) false
+        val nEntries = spark.read.parquet(tsDir).count()
+        if (nEntries == 0) false
         else {
-          // doclens still counts tombstoned rows (compact resolves them),
-          // so live = indexed − tombstoned — dividing by the raw count
-          // would make a 0.25 threshold fire only at ~33% of LIVE docs
+          // pressure = HIDDEN rows (deleted docs + superseded upsert
+          // versions — each is join work every query pays) over the LIVE
+          // count; one narrow doclens pass, exact under versioning (a
+          // raw entry count would undercount once the ledger folds)
           val nDocs = spark.read.parquet(s"$root/doclens").count()
-          val nLive = nDocs - nTs
-          if (nLive <= 0 || nTs.toDouble / nLive > maxTombstoneFraction) {
+          val nHidden = spark.read.parquet(s"$root/doclens")
+            .join(broadcast(latestTs(spark, tsDir)), Seq("id"), "left")
+            .where(col("batch") < col("below")).count()
+          val nLive = nDocs - nHidden
+          if (nLive <= 0 ||
+              math.max(nHidden, nEntries).toDouble / nLive >
+                maxTombstoneFraction) {
             compact(spark, indexDir)
             true
           } else false
@@ -428,9 +617,13 @@ object LexIndex {
     var nLive: Long = if (statRow.isNullAt(0)) 0L else statRow.getLong(0)
     var sumdlLive: java.math.BigDecimal = statRow.getDecimal(1)
     if (hasTombstones && nLive > 0) {
+      // subtract exactly the HIDDEN doclens rows (a deletion hides all of
+      // an id's rows; an upsert version floor hides the old versions
+      // while the replacement's own row stays counted by its batch's
+      // stats ledger entry)
       val corr = spark.read.parquet(s"$indexDir/doclens")
-        .join(broadcast(spark.read.parquet(tsDir).select(col("id")).distinct()),
-          Seq("id"), "left_semi")
+        .join(broadcast(latestTs(spark, tsDir)), Seq("id"), "left")
+        .where(col("batch") < col("below"))
         .agg(count(lit(1)).as("nd"),
           coalesce(sum(col("dl").cast("decimal(20,0)")),
             lit(java.math.BigDecimal.ZERO).cast("decimal(20,0)")).as("sd"))
@@ -484,9 +677,9 @@ object LexIndex {
       val raw = spark.read.parquet(s"$root/postings")
         .where(col("bucket") === lit(termBuckets.getInt(k)) &&
           col("term") === lit(t))
-        .select(col("id"), explode(col("positions")).as("__p"))
-        .select(col("id"), (col("__p") - k).as("p0"))
-      IncrementalDedup.applyTombstones(spark, tsDir, raw, "id")
+        .select(col("id"), col("batch"), explode(col("positions")).as("__p"))
+        .select(col("id"), col("batch"), (col("__p") - k).as("p0"))
+      applyVersionedTs(spark, tsDir, raw).drop("batch")
     }
     slices.reduceLeft((a, b) => a.join(b, Seq("id", "p0")))
       .groupBy(col("id"))
@@ -530,13 +723,13 @@ object LexIndex {
       .select(allTerms.map(t => bucketOf(lit(t), nBuckets)): _*).head()
     val buckets = allTerms.indices.map(bucketRow.getInt).distinct
     // ONE pruned read of the slice union, positions exploded once
-    val union = IncrementalDedup.applyTombstones(spark, tsDir,
+    val union = applyVersionedTs(spark, tsDir,
         spark.read.parquet(s"$root/postings")
           .where(col("bucket").isin(buckets: _*) &&
             col("term").isin(allTerms: _*))
-          .select(col("term"), col("id"),
-            explode(col("positions")).as("__p")),
-        "id")
+          .select(col("term"), col("id"), col("batch"),
+            explode(col("positions")).as("__p")))
+      .drop("batch")
       .localCheckpoint()
     val perPhrase = phrasesA.map { case (qid, terms) =>
       val slices = terms.zipWithIndex.map { case (t, k) =>
@@ -602,8 +795,8 @@ object LexIndex {
       val raw = spark.read.parquet(s"$root/postings")
         .where(col("bucket") === lit(termBuckets.getInt(i)) &&
           col("term") === lit(termsA(i)))
-        .select(col("id"), col("dl"), col("tf"))
-      IncrementalDedup.applyTombstones(spark, tsDir, raw, "id")
+        .select(col("id"), col("dl"), col("tf"), col("batch"))
+      applyVersionedTs(spark, tsDir, raw).drop("batch")
         .localCheckpoint()
     }
     val dfs = slices.map(_.count())
@@ -646,8 +839,8 @@ object LexIndex {
       // zero-score fill: the full scan ranks EVERY document, so slots the
       // matches cannot fill go to the smallest-id non-matching live docs
       // at exactly 0.0 (a no-term doc's score is idf·0 summed — 0.0)
-      val liveDl = IncrementalDedup.applyTombstones(spark, tsDir,
-        spark.read.parquet(s"$root/doclens"), "id")
+      val liveDl = applyVersionedTs(spark, tsDir,
+        spark.read.parquet(s"$root/doclens")).drop("batch")
       val allowedDl = allowed match {
         case Some(a) => liveDl.join(
           a.select(col(a.columns.head).as("id")).distinct(), Seq("id"), "left_semi")
@@ -721,12 +914,13 @@ object LexIndex {
     val buckets = allTerms.indices.map(bucketRow.getInt).distinct
     // ONE pruned read of the union of slices; the term IN-list restricts
     // the (bucket, term) superset the bucket IN-list admits
-    val union = IncrementalDedup.applyTombstones(spark, tsDir,
+    val union = applyVersionedTs(spark, tsDir,
         spark.read.parquet(s"$root/postings")
           .where(col("bucket").isin(buckets: _*) &&
             col("term").isin(allTerms: _*))
-          .select(col("term"), col("id"), col("dl"), col("tf")),
-        "id")
+          .select(col("term"), col("id"), col("dl"), col("tf"),
+            col("batch")))
+      .drop("batch")
       .localCheckpoint()
     // every term's df from ONE grouped count over the union — BEFORE the
     // allowed filter: scores stay corpus-calibrated like the single path

@@ -382,20 +382,22 @@ object CrawlPipeline {
     // 07b (optional): the retrieval index tracks the curated corpus —
     // full-text search over what the pipeline actually kept, fresh every
     // snapshot. Batch mode rebuilds behind the staged swap (a one-shot
-    // run IS a corpus build). Daemon mode appends this snapshot's docs as
+    // run IS a corpus build). Daemon mode UPSERTS this snapshot's docs as
     // a replay-idempotent delta (own batch id — a replay overwrites its
-    // own files, never double-counts the additive df/N/Σdl ledgers);
-    // ids with a PENDING lex tombstone are DEFERRED with a loud log —
-    // appending them would double-count (the lexical rows are per-doc
-    // DATA, not a set like fp) — and land on the crawl after the next
-    // lex compact resolves. Lease contention defers the whole append
-    // (the readmitKeys posture): missing-from-retrieval-for-one-snapshot
-    // is recoverable, a dead daemon is not. Lexical COMPACTION runs
-    // either as an operator action (lex-maintain, daemon stopped) or on
-    // the daemon's own --compact-every cadence, which PRESERVES the
-    // current batch's delta verbatim (LexIndex.compact preserveBatchIds
-    // — the compactDeltaIndex replay guard: folding a crashed attempt's
-    // delta into batch=-1 would make the replay double-count).
+    // own files and its version-floor ledger entries absorb by
+    // latest-wins): a re-crawled CHANGED page replaces its old version
+    // NOW instead of double-counting under the same doc_id (the append
+    // path's latent hazard — doc_id is the url hash, so changed content
+    // re-admits through the fp index with the SAME lexical id), and a
+    // previously taken-down page resurrects on re-crawl (the fp index's
+    // own re-admission contract, now mirrored lexically — no more
+    // defer-until-compact). Lease contention still defers the whole
+    // write (the readmitKeys posture): missing-from-retrieval-for-one-
+    // snapshot is recoverable, a dead daemon is not. Lexical COMPACTION
+    // runs either as an operator action (lex-maintain, daemon stopped)
+    // or on the daemon's own --compact-every cadence, which PRESERVES
+    // the current batch's delta verbatim (LexIndex.compact
+    // preserveBatchIds — the compactDeltaIndex replay guard).
     for (lex <- lexDir) {
       val t0 = System.nanoTime()
       val docsForLex = para.select(col("doc_id"), col("text"))
@@ -406,39 +408,20 @@ object CrawlPipeline {
               s"${IncrementalDedup.readRoot(lex)}/meta"))
             graft.operators.LexIndex.build(
               docsForLex.limit(0), "doc_id", "text", lex)
-          val (ok, deferred) = graft.operators.LexIndex
-            .splitTombstoned(spark, lex, docsForLex, "doc_id")
-          val nDeferred = deferred.count()
-          if (nDeferred > 0)
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"deferring $nDeferred lexical re-adds on $lex (pending " +
-                "tombstones — the next lex compact resolves them; the " +
-                "pages' next crawl re-admits)")
           var attempt = 0
           var done = false
           while (!done) {
             try {
-              lexRows = graft.operators.LexIndex.append(spark, lex, ok,
-                "doc_id", "text", batchId = Some(bid))
+              lexRows = graft.operators.LexIndex.upsert(spark, lex,
+                docsForLex, "doc_id", "text", batchId = Some(bid))
               done = true
             } catch {
               case _: IllegalStateException if attempt < 3 =>
                 attempt += 1; Thread.sleep(200L * attempt)
               case e: IllegalStateException =>
                 org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                  s"deferring lexical index append on $lex (writer lease " +
+                  s"deferring lexical index upsert on $lex (writer lease " +
                     s"contended): ${e.getMessage}")
-                done = true
-              case e: IllegalArgumentException =>
-                // the re-add guard: a takedown landed between
-                // splitTombstoned and this append (a concurrent operator
-                // delete) — retrying inside the snapshot cannot help
-                // (the tombstone pends until a compact), so DEFER like
-                // the split path: the pages' next crawl re-admits
-                org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                  s"deferring lexical index append on $lex (batch holds " +
-                    s"tombstoned ids — the next lex compact resolves): " +
-                    e.getMessage)
                 done = true
             }
           }

@@ -30,7 +30,80 @@ object ExtensionQueries11 {
     })
   }
 
+  /** Upserted lexical index fixture: built over the full corpus, then
+    * every doc_id % 7 == 0 document REPLACED (text + " zz_upd zz_upd")
+    * via [[graft.operators.LexIndex.upsert]] — the t147 query target.
+    * Built once per (sfDir, JVM).
+    */
+  private val upsertedCache = scala.collection.mutable.HashMap.empty[String, String]
+  private[relational] def upsertedLexDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    upsertedCache.getOrElseUpdate(d, {
+      import s.implicits._
+      val docs = graft.core.Tables.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fix_lexups").toString + "/lex"
+      graft.operators.LexIndex.build(docs, "doc_id", "text", dir,
+        nBuckets = 16)
+      graft.operators.LexIndex.upsert(s, dir,
+        docs.where($"doc_id" % 7 === 0)
+          .select($"doc_id", concat($"text", lit(" zz_upd zz_upd")).as("text")),
+        "doc_id", "text")
+      dir
+    })
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    // --------------------------------------------------------------- t147
+    GraftQuery(
+      "t147_lex_upsert",
+      (s, d) => {
+        import s.implicits._
+        // the lexical UPSERT verb under the full value oracle: every
+        // doc_id % 7 document was REPLACED in place (version-floor ledger
+        // entries hide the old rows; df/N/Σdl corrected exactly), and the
+        // oracle recomputes the t50 formula over the UPDATED corpus —
+        // built in SQL with a CASE replacement — so the hash match proves
+        // replaced documents serve bit-exactly and superseded versions
+        // are exactly absent. One replaced-text term (zz_upd) in the
+        // query pins retrievability of the new version.
+        graft.operators.LexIndex.bm25TopKFromIndex(s, upsertedLexDir(s, d),
+            terms = Seq("spark", "zz_upd"), k = 25)
+          .select($"id".cast("bigint").as("doc_id"),
+            $"dl", $"tf0", $"tf1", $"score")
+          .orderBy($"score".desc, $"doc_id")
+      },
+      Some("""WITH up AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' zz_upd zz_upd'
+             |         ELSE text END AS text
+             |  FROM documents),
+             |tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM up),
+             |d AS (SELECT doc_id,
+             |  CAST(len(t) AS BIGINT) AS dl,
+             |  CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0,
+             |  CAST(len(list_filter(t, x -> x = 'zz_upd')) AS BIGINT) AS tf1
+             |  FROM tok),
+             |s AS (SELECT count(*) AS n, SUM(CAST(dl AS DECIMAL(20,0))) AS sumdl,
+             |  SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             |  SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+             |  FROM d)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, dl, tf0, tf1,
+             |  ((CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+             |    * ((CAST(tf0 AS DOUBLE) * 2.5) / (CAST(tf0 AS DOUBLE)
+             |        + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             |  + ((CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+             |    * ((CAST(tf1 AS DOUBLE) * 2.5) / (CAST(tf1 AS DOUBLE)
+             |        + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             |  AS score
+             |FROM d CROSS JOIN s
+             |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin),
+      doc = "Lexical UPSERT (LexIndex.upsert): every doc_id % 7 document " +
+        "replaced in place — version-floor ledger entries hide the old " +
+        "rows, df/N/Σdl corrected exactly — and the oracle recomputes " +
+        "the t50 formula over the UPDATED corpus (a CASE replacement in " +
+        "SQL): replaced documents serve bit-exactly, superseded versions " +
+        "are exactly absent; ranks AND doubles hash cross-engine."
+    ),
     // --------------------------------------------------------------- t144
     GraftQuery(
       "t144_bm25_folded",

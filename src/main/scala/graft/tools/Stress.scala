@@ -447,6 +447,37 @@ object Stress {
         "lex compact left the tombstone table behind")
       check(lexPostDiff == 0, s"lex compact changed answers ($lexPostDiff rows)")
 
+      // ---- lexical UPSERT at stress scale (round-19): replace 2% of the
+      // live corpus in place — the re-crawl verb — and prove the live
+      // view is row-identical to a scan over the UPDATED corpus (old
+      // versions exactly hidden, new text retrievable)
+      val liveDocs = docs.where(col("doc_id") % 50 =!= 0)
+      val replaced = liveDocs.where(col("doc_id") % 41 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" zz_upd zz_upd")).as("text"))
+      val (nUps, tLexUpsert) = timed {
+        LexIndex.upsert(spark, lexIx, replaced, "doc_id", "text")
+      }
+      val updatedCorpus = liveDocs
+        .join(replaced.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text")).unionByName(replaced)
+      val (ixUps, tLexUpsQ) = timed {
+        val r = LexIndex.bm25TopKFromIndex(spark, lexIx,
+          Seq("zz_upd", lexTerms.head), k = 20).localCheckpoint()
+        r.count(); r
+      }
+      val scanUps = graft.operators.TextSearch.bm25TopK(updatedCorpus,
+        col("doc_id"), col("text"), Seq("zz_upd", lexTerms.head), k = 20)
+        .localCheckpoint()
+      val upsDiff = ixUps.exceptAll(scanUps)
+        .unionAll(scanUps.exceptAll(ixUps)).count()
+      println(j("stage" -> "lexical_upsert", "upsert_seconds" -> tLexUpsert,
+        "replaced" -> nUps, "query_seconds" -> tLexUpsQ,
+        "mismatches" -> upsDiff))
+      check(nUps > 0, "upsert replaced nothing")
+      check(upsDiff == 0,
+        s"upserted index diverged from the updated-corpus scan ($upsDiff rows)")
+
       // ---- hybrid retrieval at stress scale (round-17, lexical pool on
       // the PERSISTED index since round-18): the LexIndex posting-slice
       // pool + the PERSISTED ANN index's ranked pool, fused by

@@ -91,7 +91,7 @@ class LexIndexSpec extends SparkSpec {
       LexIndex.append(spark, dir, docs.where($"doc_id" === 5),
         "doc_id", "text")
     }
-    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+    assert(e.getMessage.contains("tombstone entries"), e.getMessage)
 
     // compact: physical resolve, row-identical answers, table cleared —
     // committed as a new GENERATION, so post-compact state resolves
@@ -506,6 +506,72 @@ class LexIndexSpec extends SparkSpec {
         Seq("x" -> Seq("a"), "x" -> Seq("b")))
     }
     assert(e.getMessage.contains("duplicate query ids"), e.getMessage)
+  }
+
+  test("upsert: replaced documents serve EXACTLY (scan-twin bit-identity) through repeat upsert, delete-after-upsert, resurrection, phrase, batch and zero-fill paths, and the compact fold") {
+    val dir = tmp("lex_upsert")
+    val base = docs.where($"doc_id" < 300).select($"doc_id", $"text")
+    LexIndex.build(base, "doc_id", "text", dir, nBuckets = 8)
+    def scanOf(corpus: DataFrame, t: Seq[String] = terms, k: Int = 15) =
+      TextSearch.bm25TopK(corpus, $"doc_id", $"text", t, k)
+    def ixOf(t: Seq[String] = terms, k: Int = 15) =
+      LexIndex.bm25TopKFromIndex(spark, dir, t, k)
+    // (1) replace ~1/7 of the docs with changed text + add new ids
+    val upd1 = base.where($"doc_id" % 7 === 0)
+      .select($"doc_id", concat($"text", lit(" zz_upd zz_upd")).as("text"))
+    val news = docs.where($"doc_id" >= 300 && $"doc_id" < 320)
+      .select($"doc_id", $"text")
+    val n1 = LexIndex.upsert(spark, dir, upd1.unionByName(news),
+      "doc_id", "text")
+    assert(n1 == upd1.count() + news.count())
+    val corpus1 = base.join(upd1.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(upd1).unionByName(news).localCheckpoint()
+    assertSame(ixOf(), scanOf(corpus1), "upsert diverged from the scan")
+    assertSame(ixOf(Seq("zz_upd")), scanOf(corpus1, Seq("zz_upd")),
+      "the replacement text is not served")
+    // (2) repeat upsert of the same ids: latest version wins
+    val upd2 = base.where($"doc_id" % 7 === 0)
+      .select($"doc_id", concat($"text", lit(" zz_v2")).as("text"))
+    LexIndex.upsert(spark, dir, upd2, "doc_id", "text")
+    val corpus2 = base.join(upd2.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(upd2).unionByName(news).localCheckpoint()
+    assertSame(ixOf(), scanOf(corpus2), "repeat upsert not latest-wins")
+    assert(ixOf(Seq("zz_upd"), 15).where($"score" > 0).count() == 0,
+      "a superseded version surfaced")
+    // (3) delete an upserted id — the deletion outranks every version
+    val victim = base.where($"doc_id" % 7 === 0)
+      .select($"doc_id").orderBy($"doc_id").limit(1)
+    LexIndex.delete(spark, dir, victim, "doc_id")
+    val vid = victim.as[Long].head()
+    val corpus3 = corpus2.where($"doc_id" =!= vid).localCheckpoint()
+    assertSame(ixOf(), scanOf(corpus3), "delete-after-upsert not exact")
+    // (4) resurrection: upsert the deleted id with fresh text
+    val back = Seq((vid, "resurrected zz_back text with spark merge"))
+      .toDF("doc_id", "text")
+    LexIndex.upsert(spark, dir, back, "doc_id", "text")
+    val corpus4 = corpus3.unionByName(back).localCheckpoint()
+    assertSame(ixOf(), scanOf(corpus4), "resurrection not exact")
+    // (5) phrase + batched + zero-fill paths see the live versions only
+    assert(LexIndex.phraseCountFromIndex(spark, dir, Seq("zz_upd", "zz_upd"))
+      .count() == 0, "phrase matched a superseded version")
+    assert(LexIndex.phraseCountFromIndex(spark, dir,
+        Seq("resurrected", "zz_back")).as[(Long, Long)].collect().toSeq
+      == Seq((vid, 1L)), "phrase missed the live version")
+    val many = LexIndex.bm25TopKFromIndexMany(spark, dir,
+      Seq("q" -> Seq("zz_v2")), k = 50)
+    val wantMany = scanOf(corpus4, Seq("zz_v2"), 50).where($"score" > 0)
+      .select($"id", $"dl", $"score").orderBy($"score".desc, $"id")
+      .collect().toSeq
+    assert(many.select($"id", $"dl", $"score").orderBy($"score".desc, $"id")
+      .collect().toSeq == wantMany, "batched path saw stale versions")
+    // (6) the compact folds replacements physically; answers unchanged
+    val pre = ixOf().collect().toSeq
+    LexIndex.compact(spark, dir)
+    val root = IncrementalDedup.readRoot(dir)
+    assert(!IndexFs.exists(s"$root/tombstones"))
+    assert(spark.read.parquet(s"$root/doclens").count() == corpus4.count(),
+      "the fold kept superseded versions")
+    assert(ixOf().collect().toSeq == pre, "the fold changed answers")
   }
 
   test("maintain's pressure denominator is the LIVE count: nTs/(indexed − nTs)") {

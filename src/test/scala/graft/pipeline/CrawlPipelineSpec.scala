@@ -752,27 +752,57 @@ class CrawlPipelineSpec extends SparkSpec {
       "replayed snapshot double-counted the lexical delta")
     assert(fromIx2() == preReplay, "replay changed lexical scores")
 
-    // ---- takedown: the tombstoned id DEFERS out of the replayed append
-    // (a pending tombstone would otherwise double-count), the compact
-    // resolves, and the next (re)crawl re-adds cleanly
+    // ---- takedown then RE-CRAWL: the daemon's upsert resurrects the
+    // page immediately (the fp index's re-admission contract, mirrored
+    // lexically — round 19 replaced the defer-until-compact posture):
+    // the new version-floor entry outranks the deletion, counts and
+    // scores land exactly where they were
     val gammaId = spark.read.parquet(s"$work2/batch=1/07_para_dedup")
       .select($"doc_id").as[Long].head()
     LexIndex.delete(spark, lex2, Seq(gammaId).toDF("doc_id"), "doc_id")
-    CrawlPipeline.run(spark, s"$warc2/snap2.warc", s"$work2/batch=1",
-      indexDir = Some(ix2), snapshotId = Some(1L), lexDir = Some(lex2))
-    // the replay rewrote batch=1 EMPTY (its only doc was deferred): the
-    // live view must not surface the tombstoned doc
     assert(LexIndex.bm25TopKFromIndex(spark, lex2, Seq("gamma1"), k = 5)
       .where($"id" === gammaId).count() == 0,
-      "a tombstoned doc surfaced through the deferred append")
-    LexIndex.compact(spark, lex2)
-    assert(!IndexFs.exists(s"${graft.operators.IncrementalDedup.readRoot(lex2)}/tombstones"))
+      "the takedown did not apply")
     CrawlPipeline.run(spark, s"$warc2/snap2.warc", s"$work2/batch=1",
       indexDir = Some(ix2), snapshotId = Some(1L), lexDir = Some(lex2))
     assert(spark.read.parquet(s"${graft.operators.IncrementalDedup.readRoot(lex2)}/doclens").count() == 2,
-      "post-compact re-add did not restore the doc (or double-counted)")
+      "resurrection double-counted or lost the doc")
     assert(fromIx2() == preReplay,
-      "the takedown→defer→compact→re-add arc changed final scores")
+      "the takedown→re-crawl resurrection changed final scores")
+    // compact resolves the ledger physically; answers unchanged
+    LexIndex.compact(spark, lex2)
+    assert(!IndexFs.exists(s"${graft.operators.IncrementalDedup.readRoot(lex2)}/tombstones"))
+    assert(fromIx2() == preReplay, "the compact changed scores")
+
+    // ---- CHANGED page re-crawl: same doc_id (the url hash), new
+    // content — the upsert REPLACES the old version exactly (the append
+    // path would have double-counted the id); note content admission
+    // happens upstream (fp), so the changed body reaches 07b
+    val alphaChanged = response("http://c.example/gamma",
+      bodyGamma.replace("gamma1", "gamma1 gamma9"))
+    Files.write(warc2.resolve("snap2.warc"), alphaChanged)
+    CrawlPipeline.run(spark, s"$warc2/snap2.warc", s"$work2/batch=1",
+      indexDir = Some(ix2), snapshotId = Some(1L), lexDir = Some(lex2))
+    // the superseded version stays PHYSICAL (3 raw rows) but hidden: the
+    // live view serves exactly the updated 2-doc corpus, bit-for-bit
+    assert(spark.read.parquet(s"${graft.operators.IncrementalDedup.readRoot(lex2)}/doclens")
+      .count() == 3, "expected the superseded version physical until compact")
+    val curated2 = spark.read.parquet(s"$work2/batch=0/07_para_dedup")
+      .select($"doc_id", $"text")
+      .unionByName(spark.read.parquet(s"$work2/batch=1/07_para_dedup")
+        .select($"doc_id", $"text"))
+    def gamma9Ix() = LexIndex.bm25TopKFromIndex(spark, lex2,
+      Seq("gamma9"), k = 5).collect().toSeq
+    assert(gamma9Ix() ==
+      TextSearch.bm25TopK(curated2, $"doc_id", $"text", Seq("gamma9"),
+        k = 5).collect().toSeq,
+      "the replaced version did not serve exactly")
+    // the compact folds the replacement physically; answers unchanged
+    val g9 = gamma9Ix()
+    LexIndex.compact(spark, lex2)
+    assert(spark.read.parquet(s"${graft.operators.IncrementalDedup.readRoot(lex2)}/doclens")
+      .count() == 2, "compact did not fold the superseded version")
+    assert(gamma9Ix() == g9, "the fold changed the replaced scores")
   }
 
   test("takedown under lease contention: the daemon's tombstone clear DEFERS " +
