@@ -744,13 +744,15 @@ object LexIndex {
     perPhrase.reduce(_ unionAll _)
   }
 
-  /** BM25 top-k served FROM the index: per query term, read that term's
-    * posting slice (bucket partition pruning + a term predicate — df rows,
-    * never the corpus), count df from the live slice, collect N/Σdl from
-    * the stats ledger (corrected exactly for tombstones via one narrow
-    * doclens pass, paid only while tombstones are pending), and fold the
-    * scalars into the [[TextSearch.bm25TopK]] IEEE expression tree —
-    * bit-identical scores, posting-slice-scale reads.
+  /** BM25 top-k served FROM the index: ONE bucket-pruned read of the
+    * union of the query terms' posting slices (df rows per term, never
+    * the corpus), ONE grouped count deriving every df from the live
+    * union, N/Σdl from the stats ledger (corrected exactly for pending
+    * tombstones/versions via one narrow doclens pass), and the scalars
+    * folded into the [[TextSearch.bm25TopK]] IEEE expression tree —
+    * bit-identical scores, posting-slice-scale reads, and a driver-job
+    * count that is CONSTANT in the term count (the batched path's
+    * recipe, shared since round 19).
     *
     * Output matches `bm25TopK` exactly: `(id, dl, tf0..tfN, score)`, top
     * `k` by `(score desc, id)`, including its zero-score fill semantics —
@@ -788,18 +790,33 @@ object LexIndex {
     // constant-folded local projection, no table scan
     val termBuckets = spark.range(1)
       .select(termsA.map(t => bucketOf(lit(t), nBuckets)): _*).head()
+    val buckets = termsA.indices.map(termBuckets.getInt).distinct
 
-    // one pruned slice read per term; df counted from the LIVE slice (the
-    // rows the query reads anyway, so tombstone-exactness is free here)
+    // ONE pruned read of the union of the terms' slices (checkpointed
+    // once) and ONE grouped count deriving every term's df — the r18
+    // shape paid ~2 driver actions per term (a checkpoint + a count per
+    // slice), which the batched path (bm25TopKFromIndexMany) was built
+    // to avoid; the single-query path now shares its recipe, so
+    // hybrid-search and the t137/t138 rows pay the fixed cost too. df is
+    // counted from the LIVE union — tombstone/version-exactness is free
+    // here (these are the rows the query reads anyway).
+    val union = applyVersionedTs(spark, tsDir,
+        spark.read.parquet(s"$root/postings")
+          .where(col("bucket").isin(buckets: _*) &&
+            col("term").isin(termsA: _*))
+          .select(col("term"), col("id"), col("dl"), col("tf"),
+            col("batch")))
+      .drop("batch")
+      .localCheckpoint()
+    val dfByTerm = union.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
     val slices = terms.indices.map { i =>
-      val raw = spark.read.parquet(s"$root/postings")
-        .where(col("bucket") === lit(termBuckets.getInt(i)) &&
-          col("term") === lit(termsA(i)))
-        .select(col("id"), col("dl"), col("tf"), col("batch"))
-      applyVersionedTs(spark, tsDir, raw).drop("batch")
-        .localCheckpoint()
+      union.where(col("term") === lit(termsA(i)))
+        .select(col("id"), col("dl"), col("tf"))
     }
-    val dfs = slices.map(_.count())
+    val dfs = terms.indices.map(i => dfByTerm(termsA(i)))
     val idfs = terms.indices.map { i =>
       ((nLive - dfs(i)).toDouble + 0.5) / (dfs(i).toDouble + 0.5)
     }
