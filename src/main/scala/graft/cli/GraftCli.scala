@@ -792,14 +792,26 @@ object GraftCli {
             val nPost = spark.read.parquet(s"$root/postings").count()
             val statFiles = spark.read.parquet(s"$root/stats").inputFiles.length
             val ts = s"$root/tombstones"
-            val nTs = if (IndexFs.exists(ts)) spark.read.parquet(ts).count() else 0L
+            val (nDel, nFloors) =
+              if (!IndexFs.exists(ts)) (0L, 0L)
+              else {
+                import org.apache.spark.sql.functions.{col => c, lit => l}
+                val t = spark.read.parquet(ts)
+                val below = if (t.columns.contains("below")) c("below")
+                  else l(Long.MaxValue)
+                (t.where(below === Long.MaxValue).count(),
+                  t.where(below =!= Long.MaxValue).count())
+              }
             println(s"index-status: $dir")
             println(s"  layout: lexical (bm25)  buckets: $nBuckets  " +
-              s"docs: $nDocs  postings: $nPost  stats files: $statFiles")
-            println(if (nTs > 0)
-              f"  tombstones: $nTs (fraction ${nTs.toDouble / math.max(1L, nDocs)}%.3f " +
-                "of docs — lex-maintain compacts past maxTombstoneFraction)"
-            else "  tombstones: none")
+              s"docs: $nDocs  postings: $nPost  stats files: $statFiles" +
+              (if (gens.nonEmpty) s"  generation: ${gens.last} " +
+                s"(${gens.size} on disk)" else ""))
+            println(if (nDel + nFloors > 0)
+              f"  ledger: $nDel deletion(s) + $nFloors version floor(s) " +
+                f"(hidden fraction <= ${(nDel + nFloors).toDouble / math.max(1L, nDocs)}%.3f " +
+                "of rows — lex-maintain compacts past maxTombstoneFraction)"
+            else "  ledger: empty")
           } else {
             val batches = IndexFs.subdirNames(root).count(_.startsWith("batch="))
             // an all-empty delta index has no parquet footers to infer a
