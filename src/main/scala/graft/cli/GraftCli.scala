@@ -608,12 +608,15 @@ object GraftCli {
           val lex = lexRanked.select(col("id"),
             row_number().over(lexW).cast("bigint").as("rank"))
           val queries = emb.where(col("vec_id") === qidStr.toLong)
+          // layout-dispatched front door: a composed index serves the
+          // pool from the codes-only ADC scan, never a full-vector read
           val dense = (allowed match {
-            case Some(a) => graft.operators.Similarity.ivfQueryFilteredAdaptive(
+            case Some(a) => graft.operators.Similarity.annQueryFilteredAdaptive(
               spark, annDir, queries, "vec_id", "embedding",
-              a, a.columns.head, k = poolK, baseNProbe = 8)
-            case None => graft.operators.Similarity.ivfQuery(spark, annDir,
-              queries, "vec_id", "embedding", k = poolK, nProbe = 8)
+              a, a.columns.head, k = poolK, baseNProbe = 8, rerank = poolK * 2)
+            case None => graft.operators.Similarity.annQuery(spark, annDir,
+              queries, "vec_id", "embedding", k = poolK, nProbe = 8,
+              rerank = poolK * 2)
           }).select(col("neighbor_id").as("id"), col("rank"))
           val fused = graft.operators.TextSearch.rrfFuse(
             Seq(lex, dense), k = 20)
@@ -897,32 +900,37 @@ object GraftCli {
           val n = graft.operators.Similarity.ivfCompact(spark, indexDir, target)
           println(s"ann-compact: $n vectors compacted -> $indexDir")
         case "ann-query" :: queriesParquet :: indexDir :: rest =>
+          // layout-dispatched (Similarity.annQuery): composed indexes get
+          // the codes-only ADC scan + exact re-rank, plain IVF the exact
+          // cosine scan — the queries parquet is plural by the batched
+          // contract, so a whole evaluation file is one call
           val k = rest.headOption.map(_.toInt).getOrElse(5)
           val nProbe = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
-          graft.operators.Similarity.ivfQuery(spark, indexDir,
-              spark.read.parquet(queriesParquet), "vec_id", "embedding", k, nProbe)
+          val rerank = rest.drop(2).headOption.map(_.toInt).getOrElse(100)
+          graft.operators.Similarity.annQuery(spark, indexDir,
+              spark.read.parquet(queriesParquet), "vec_id", "embedding",
+              k, nProbe, rerank)
             .show(50, truncate = false)
-          println(s"ann-query: k=$k nProbe=$nProbe over $indexDir")
+          val kind0 = if (graft.operators.AnnMaintenance.isComposed(indexDir))
+            "ivf-pq" else "ivf"
+          println(s"ann-query: k=$k nProbe=$nProbe ($kind0) over $indexDir")
         case "ann-query-filtered" :: queriesParquet :: allowedParquet :: indexDir :: rest =>
           // filtered ANN: top-k among index rows whose vec_id appears in
           // the allowed parquet; raise nProbe with filter selectivity
           // (probes are chosen by the query alone — see ivfQueryFiltered).
-          // Dispatches on the layout: composed (pq_model present) goes
-          // through the filtered ADC pool, plain IVF scores directly.
+          // Layout dispatch lives in the front door (Similarity
+          // .annQueryFiltered): composed goes through the filtered ADC
+          // pool, plain IVF scores directly.
           val k = rest.headOption.map(_.toInt).getOrElse(5)
           val nProbe = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
           val rerank = rest.drop(2).headOption.map(_.toInt).getOrElse(50)
-          val composed = graft.operators.AnnMaintenance.isComposed(indexDir)
-          val out =
-            if (composed) graft.operators.ProductQuantizer.ivfPqQueryFiltered(
-              spark, indexDir, spark.read.parquet(queriesParquet), "vec_id",
-              "embedding", spark.read.parquet(allowedParquet), "vec_id",
-              k, nProbe, math.max(rerank, k))
-            else graft.operators.Similarity.ivfQueryFiltered(spark, indexDir,
+          graft.operators.Similarity.annQueryFiltered(spark, indexDir,
               spark.read.parquet(queriesParquet), "vec_id", "embedding",
-              spark.read.parquet(allowedParquet), "vec_id", k, nProbe)
-          out.show(50, truncate = false)
-          val kind = if (composed) "ivf-pq" else "ivf"
+              spark.read.parquet(allowedParquet), "vec_id", k, nProbe,
+              math.max(rerank, k))
+            .show(50, truncate = false)
+          val kind = if (graft.operators.AnnMaintenance.isComposed(indexDir))
+            "ivf-pq" else "ivf"
           println(s"ann-query-filtered: k=$k nProbe=$nProbe ($kind) over $indexDir")
         case "bpe" :: sfDir :: rest =>
           // tokenizer-merge training over the documents corpus; prints the

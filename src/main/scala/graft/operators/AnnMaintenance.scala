@@ -85,6 +85,15 @@ object AnnMaintenance {
     *                       parquet-footer reads; version rows and
     *                       deletion markers both count (both ride the
     *                       window), which can only fire EARLY
+    * @param keepGenerations generation-grace depth handed to every
+    *                       compact/rebuild this policy fires
+    *                       ([[IncrementalDedup.commitGeneration]]'s
+    *                       `keep`): the newest `keepGenerations`
+    *                       generations stay on disk, so a reader
+    *                       survives `keepGenerations - 1` concurrent
+    *                       maintenance commits mid-query. Default 2 (one
+    *                       swap of grace); raise it for indexes serving
+    *                       multi-hour queries under frequent maintenance
     */
   final case class MaintenancePolicy(
       maxDriftRatio: Double = 1.5,
@@ -96,11 +105,13 @@ object AnnMaintenance {
       recallQueries: Int = 16,
       rebuildNCells: Option[Int] = None,
       maxTombstoneFraction: Option[Double] = Some(0.25),
-      maxUpsertFraction: Option[Double] = Some(0.25)) {
+      maxUpsertFraction: Option[Double] = Some(0.25),
+      keepGenerations: Int = 2) {
     require(maxDriftRatio > 0 && sustainAppends >= 1)
     require(maxMixtureTv.forall(t => t > 0 && t <= 1))
     require(maxTombstoneFraction.forall(t => t > 0 && t < 1))
     require(maxUpsertFraction.forall(t => t > 0))
+    require(keepGenerations >= 1)
   }
 
   /** The decision trace: what was looked at, what (if anything) fired. */
@@ -280,8 +291,10 @@ object AnnMaintenance {
         spark.read.parquet(s"$root/centroids").count().toInt)
       val n =
         if (isComposed(indexDir))
-          ProductQuantizer.ivfPqRebuild(spark, indexDir, nCells)
-        else Similarity.ivfRebuild(spark, indexDir, nCells)
+          ProductQuantizer.ivfPqRebuild(spark, indexDir, nCells,
+            keepGenerations = policy.keepGenerations)
+        else Similarity.ivfRebuild(spark, indexDir, nCells,
+          keepGenerations = policy.keepGenerations)
       val why =
         if (sustained)
           f"drift ratio > ${policy.maxDriftRatio}%.2f sustained over " +
@@ -304,7 +317,8 @@ object AnnMaintenance {
       // centroids/pq_model/stats/ledger carried, tombstone table and
       // delta cleared by the generation commit), so the next maintain
       // sees neither and is a no-op
-      val n = Similarity.ivfCompact(spark, indexDir)
+      val n = Similarity.ivfCompact(spark, indexDir,
+        keepGenerations = policy.keepGenerations)
       val why =
         if (tombstonePressure)
           f"tombstoned fraction ${tombstoneFraction.get}%.3f > " +

@@ -289,13 +289,19 @@ object IncrementalDedup {
     * `liveDir` — the reader-safe whole-index swap ([[replaceDir]]'s
     * successor for index roots): one atomic rename makes
     * `liveDir/_gen_<k+1>` appear complete, readers resolve max-generation
-    * at query start ([[readRoot]]), and retirement keeps a ONE-GENERATION
-    * grace window — generation j is deleted only when j+2 commits, so a
-    * reader pinned to the previous generation survives any single
-    * concurrent compact/rebuild (the reader-vs-swap race the rename-aside
-    * swap had: its second rename moved the files a mid-scan query had
-    * already planned against). A reader outliving TWO swaps mid-query is
-    * out of grace by contract.
+    * at query start ([[readRoot]]), and retirement keeps a CONFIGURABLE
+    * grace window — the newest `keep` generations stay on disk, so with
+    * the default `keep = 2` generation j is deleted only when j+2
+    * commits and a reader pinned to the previous generation survives any
+    * single concurrent compact/rebuild (the reader-vs-swap race the
+    * rename-aside swap had: its second rename moved the files a mid-scan
+    * query had already planned against). A reader outliving `keep` swaps
+    * mid-query is out of grace by contract — operators running
+    * multi-hour queries against an index under frequent maintenance
+    * raise `keep` (each extra generation costs one retired copy's disk,
+    * no wall-clock in the layout); `keep = 1` is the no-grace legacy
+    * [[replaceDir]] semantics and exists only for spaces where readers
+    * are provably quiesced.
     *
     * Pre-generational indexes convert on their first commit: the root
     * tables become the implicit previous generation (they stay in place —
@@ -310,7 +316,9 @@ object IncrementalDedup {
     * lease, and a per-rewrite generation would litter every query's
     * listing for a window no real scan can straddle.
     */
-  def commitGeneration(liveDir: String, nextDir: String): Unit = {
+  def commitGeneration(liveDir: String, nextDir: String,
+      keep: Int = 2): Unit = {
+    require(keep >= 1, s"keep must be >= 1 (got $keep)")
     recoverDir(liveDir) // heal pre-generational crash residue first
     // normalize staging that was itself built generationally (a rebuild
     // staging built by a fresh `build` call): commit its RESOLVED root,
@@ -324,15 +332,15 @@ object IncrementalDedup {
     val k = generations(liveDir).lastOption.getOrElse(0L) + 1L
     IndexFs.rename(src, s"$liveDir/$GenPrefix$k")
     if (src != nextDir) IndexFs.deleteRecursive(nextDir)
-    // retire out-of-grace generations: keep k and k-1
-    generations(liveDir).filter(_ < k - 1)
+    // retire out-of-grace generations: keep the newest `keep`
+    generations(liveDir).filter(_ < k - (keep - 1))
       .foreach(g => IndexFs.deleteRecursive(s"$liveDir/$GenPrefix$g"))
     // the implicit root generation (pre-conversion tables) is out of
-    // grace once TWO real generations exist — retire its table dirs AND
-    // its plain files (flat-file layouts write part-files at the root;
-    // the lease marker is a SIBLING of liveDir, never inside it, so no
-    // metadata is in the blast radius)
-    if (k >= 2) {
+    // grace once `keep` real generations exist — retire its table dirs
+    // AND its plain files (flat-file layouts write part-files at the
+    // root; the lease marker is a SIBLING of liveDir, never inside it,
+    // so no metadata is in the blast radius)
+    if (k >= keep) {
       IndexFs.subdirNames(liveDir).filterNot(_.startsWith(GenPrefix))
         .foreach(d => IndexFs.deleteRecursive(s"$liveDir/$d"))
       IndexFs.fileNames(liveDir)
@@ -493,7 +501,8 @@ object IncrementalDedup {
   def compactDeltaIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, resolve: DataFrame => DataFrame,
       targetRows: Long, preserveBatchIds: Set[Long] = Set.empty,
-      tombstoneKey: Option[String] = None): Long =
+      tombstoneKey: Option[String] = None,
+      keepGenerations: Int = 2): Long =
       IndexLease.withLease(indexDir) {
     val root = readRoot(indexDir)
     def batchDirs(): Set[String] =
@@ -540,7 +549,7 @@ object IncrementalDedup {
     if (folded.nonEmpty && tombstoneKey.isDefined &&
         IndexFs.exists(s"$root/_tombstones"))
       IndexFs.rename(s"$root/_tombstones", s"$next/_tombstones")
-    commitGeneration(indexDir, next)
+    commitGeneration(indexDir, next, keepGenerations)
     n
     }
   }

@@ -237,13 +237,13 @@ object LexIndex {
     */
   def rebuild(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, nBuckets: Int = 64, analyzer: String = "raw",
-      withPositions: Boolean = true): Unit =
+      withPositions: Boolean = true, keepGenerations: Int = 2): Unit =
     IndexLease.withLease(indexDir) {
       IncrementalDedup.recoverDir(indexDir)
       val next = s"$indexDir.next"
       IncrementalDedup.clearStaging(next)
       build(docs, idCol, textCol, next, nBuckets, analyzer, withPositions)
-      IncrementalDedup.commitGeneration(indexDir, next)
+      IncrementalDedup.commitGeneration(indexDir, next, keepGenerations)
     }
 
   /** Partition a continuous-ingest batch into (appendable, deferred):
@@ -418,35 +418,71 @@ object LexIndex {
     require(existing.isEmpty || bid >= existing.max,
       s"upsert batch id $bid is below an existing batch " +
         s"(${existing.max}) — newer rows would stay visible beside the " +
-        "replacement; pin the CURRENT batch id or let it auto-assign")
+        "replacement; pin the crashed attempt's own batch id only when " +
+        "replaying that same batch, otherwise let it auto-assign")
     val dup = docs.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
       .where(col("n") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"upsert batch carries duplicate id ${dup.headOption.map(_.get(0))} " +
         "— one version per id per commit")
-    // version-floor entries for ids that hold OLDER rows (one narrow
-    // doclens pass) OR any existing ledger entry — the latter covers
-    // resurrection (the new floor must outrank a prior DELETION even
-    // when the id's only physical rows sit in this very batch, the
-    // replay-after-takedown shape). Fresh ids need none: the ledger
-    // stays takedown+replace-scale, never corpus-scale.
-    val tsDir = s"$root/tombstones"
-    IncrementalDedup.recoverDir(tsDir)
-    val older = spark.read.parquet(s"$root/doclens")
-      .where(col("batch") < bid).select(col("id")).distinct()
-    val needFloor =
-      if (!IndexFs.exists(tsDir)) older
-      else older.unionByName(
-        spark.read.parquet(tsDir).select(col("id")).distinct()).distinct()
-    val entries = docs.select(col(idCol).as("id")).distinct()
-      .join(needFloor, Seq("id"), "left_semi")
-      .select(col("id"), lit(bid).as("below"))
+    // the upsert batch's ids — delta-scale by contract, so it rides
+    // every membership join below as the BROADCAST side
+    val batchIds = docs.select(col(idCol).as("id")).distinct()
+    if (existing.nonEmpty && bid == existing.max) {
+      // pinning the CURRENT batch id is the replay verb and nothing
+      // else: writeBatch replaces batch=<bid> wholesale, so if that
+      // batch holds any document this upsert does not carry, "replaying"
+      // would silently destroy its rows and stats — fail loudly first
+      // (one delta-scale anti-join; auto-assign never lands here)
+      val destroyed = spark.read.parquet(s"$root/doclens")
+        .where(col("batch") === bid).select(col("id"))
+        .join(broadcast(batchIds), Seq("id"), "left_anti")
+        .limit(4).collect().map(_.get(0))
+      require(destroyed.isEmpty,
+        s"upsert pinned to EXISTING batch $bid, which holds document(s) " +
+          s"${destroyed.mkString(", ")} absent from this upsert — " +
+          "overwriting the batch would destroy their rows; pinning the " +
+          "current id is only for replaying the identical batch " +
+          "(the crash-retry shape), otherwise let the id auto-assign")
+    }
+    val entries = upsertFloorEntries(spark, root, batchIds, bid)
     writeTsEntries(spark, s"$root/tombstones", entries)
     val (postings, doclens) =
       derive(docs, idCol, textCol, nBuckets, analyzer, withPositions)
     val n = doclens.count()
     if (n > 0) writeBatch(postings, doclens, root, nBuckets, bid)
     n
+  }
+
+  /** [[upsert]]'s version-floor candidate set: entries for batch ids that
+    * hold OLDER rows (one narrow doclens pass) OR any existing ledger
+    * entry — the latter covers resurrection (the new floor must outrank
+    * a prior DELETION even when the id's only physical rows sit in this
+    * very batch, the replay-after-takedown shape). Fresh ids need none:
+    * the ledger stays takedown+replace-scale, never corpus-scale.
+    *
+    * JOIN DIRECTION (plan-pinned): the delta-scale batch ids are the
+    * BROADCAST build side and each semi-join runs BEFORE any distinct,
+    * so the corpus-scale doclens id column never rides a shuffle — the
+    * original formulation (`batchIds LEFT SEMI needFloor` with the
+    * corpus-scale union-distinct on the right) shuffled ~N skinny rows
+    * on EVERY re-crawl commit for the same delta-scale answer. The one
+    * exchange left in the plan is the distinct over the delta-scale
+    * survivors that feeds the ledger write.
+    */
+  private[operators] def upsertFloorEntries(spark: SparkSession,
+      root: String, batchIds: DataFrame, bid: Long): DataFrame = {
+    val tsDir = s"$root/tombstones"
+    IncrementalDedup.recoverDir(tsDir)
+    val older = spark.read.parquet(s"$root/doclens")
+      .where(col("batch") < bid).select(col("id"))
+      .join(broadcast(batchIds), Seq("id"), "left_semi")
+    val needFloor =
+      if (!IndexFs.exists(tsDir)) older
+      else older.unionByName(
+        spark.read.parquet(tsDir).select(col("id"))
+          .join(broadcast(batchIds), Seq("id"), "left_semi"))
+    needFloor.distinct().select(col("id"), lit(bid).as("below"))
   }
 
   /** Physically resolve tombstones and fold the append ledgers: live
@@ -474,7 +510,8 @@ object LexIndex {
     */
   def compact(spark: SparkSession, indexDir: String,
       targetRows: Long = 16_000_000L,
-      preserveBatchIds: Set[Long] = Set.empty): Long =
+      preserveBatchIds: Set[Long] = Set.empty,
+      keepGenerations: Int = 2): Long =
     IndexLease.withLease(indexDir) {
       val root = IncrementalDedup.readRoot(indexDir)
       val (nBuckets, _, _) = readMeta(spark, root)
@@ -545,7 +582,7 @@ object LexIndex {
         keep.select(col("id"), col("below"), lit(0L).as("at"))
           .coalesce(1).write.parquet(s"$next/tombstones")
       }
-      IncrementalDedup.commitGeneration(indexDir, next)
+      IncrementalDedup.commitGeneration(indexDir, next, keepGenerations)
       n
     }
 
@@ -560,7 +597,8 @@ object LexIndex {
     * @return true iff pressure fired and the index was compacted
     */
   def maintain(spark: SparkSession, indexDir: String,
-      maxTombstoneFraction: Double = 0.25): Boolean =
+      maxTombstoneFraction: Double = 0.25,
+      keepGenerations: Int = 2): Boolean =
     IndexLease.withLease(indexDir) {
       require(maxTombstoneFraction > 0 && maxTombstoneFraction < 1)
       val root = IncrementalDedup.readRoot(indexDir)
@@ -583,7 +621,7 @@ object LexIndex {
           if (nLive <= 0 ||
               math.max(nHidden, nEntries).toDouble / nLive >
                 maxTombstoneFraction) {
-            compact(spark, indexDir)
+            compact(spark, indexDir, keepGenerations = keepGenerations)
             true
           } else false
         }

@@ -633,7 +633,8 @@ object ProductQuantizer {
     */
   def ivfPqRebuild(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       nCells: Int, m: Option[Int] = None,
-      nCodes: Option[Int] = None): Long = IndexLease.withLease(indexDir) {
+      nCodes: Option[Int] = None,
+      keepGenerations: Int = 2): Long = IndexLease.withLease(indexDir) {
     val root = IncrementalDedup.readRoot(indexDir)
     val prev = loadModel(spark, root)
     // rebuild trains on and re-writes the LIVE rows only (upsert delta
@@ -660,7 +661,7 @@ object ProductQuantizer {
         nCodes.getOrElse(prev.nCodes))
       ivfPqBuild(cells, "neighbor_id", "cv", nCells, model, next)
     }
-    IncrementalDedup.commitGeneration(indexDir, next)
+    IncrementalDedup.commitGeneration(indexDir, next, keepGenerations)
     n
   }
 
@@ -668,10 +669,19 @@ object ProductQuantizer {
     * [[ivfPqBuildResidual]]. Indexes written before the layout-version
     * marker carry no `encoding` column and load as `"raw"` — exactly what
     * they are — so they keep querying unchanged.
+    *
+    * Resolves the LIVE generation itself ([[IncrementalDedup.readRoot]] —
+    * idempotent when the caller already resolved: a generation dir has no
+    * nested generations), so a caller holding the raw index dir can never
+    * read a retired generation's model — after one compact/rebuild the
+    * root copy is stale, after two it is GONE, and a path-level `loadModel`
+    * would serve wrong-then-crash exactly on the index the on-call
+    * diagnostics most need.
     */
   def loadModel(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): PqModel = {
-    val df = spark.read.parquet(s"$indexDir/pq_model")
+    val df = spark.read.parquet(
+      s"${IncrementalDedup.readRoot(indexDir)}/pq_model")
     val hasEncoding = df.columns.contains("encoding")
     val rows = df.orderBy("subspace").collect()
     val codebooks = rows.map(_.getSeq[scala.collection.Seq[Double]](

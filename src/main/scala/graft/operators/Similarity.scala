@@ -551,7 +551,8 @@ object Similarity {
     * @return number of vectors in the compacted index
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      targetRows: Long = 4_000_000L): Long = IndexLease.withLease(indexDir) {
+      targetRows: Long = 4_000_000L,
+      keepGenerations: Int = 2): Long = IndexLease.withLease(indexDir) {
     val root = IncrementalDedup.readRoot(indexDir)
     // tombstoned rows are physically dropped here — and the tombstone
     // table is NOT carried through the swap, so compaction clears it
@@ -581,7 +582,7 @@ object Similarity {
       .write.partitionBy("cell").parquet(s"$next/cells")
     centroids.write.parquet(s"$next/centroids")
     side.foreach { case (name, df) => df.write.parquet(s"$next/$name") }
-    IncrementalDedup.commitGeneration(indexDir, next)
+    IncrementalDedup.commitGeneration(indexDir, next, keepGenerations)
     n
   }
 
@@ -601,7 +602,8 @@ object Similarity {
     * @return number of vectors in the rebuilt index
     */
   def ivfRebuild(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      nCells: Int): Long = IndexLease.withLease(indexDir) {
+      nCells: Int,
+      keepGenerations: Int = 2): Long = IndexLease.withLease(indexDir) {
     val root = IncrementalDedup.readRoot(indexDir)
     // rebuild trains on and re-writes the LIVE rows only (upsert delta
     // folded); the generation commit drops the tombstone table and the
@@ -613,7 +615,7 @@ object Similarity {
     val next = s"$indexDir.rebuild"
     IncrementalDedup.clearStaging(next)
     ivfBuild(cells, "neighbor_id", "cv", nCells, next)
-    IncrementalDedup.commitGeneration(indexDir, next)
+    IncrementalDedup.commitGeneration(indexDir, next, keepGenerations)
     n
   }
 
@@ -728,6 +730,70 @@ object Similarity {
     ivfQueryFiltered(spark, indexDir, queries, idCol, vecCol, allowed,
       allowedIdCol, k, nProbeFor(nCells, baseNProbe, sel))
   }
+
+  /** THE dense-serving front door: query a persisted ANN index through
+    * whichever engine its LAYOUT requires — composed (a `pq_model` table
+    * in the live generation, [[AnnMaintenance.isComposed]]'s Hadoop-FS
+    * probe) routes to [[ProductQuantizer.ivfPqQuery]]'s codes-only ADC
+    * scan + bounded exact re-rank; plain IVF routes to [[ivfQuery]]'s
+    * exact-cosine-over-probed-cells scan. Serving callers (the hybrid
+    * pools, the CLIs, recall sweeps) use THIS entry, not the layout
+    * engines directly: calling [[ivfQuery]] on a composed index still
+    * answers correctly (the cell table carries vectors) but reads FULL
+    * vectors from every probed cell — silently forgoing the
+    * codes-only read that is the PQ tier's entire at-scale I/O story.
+    * The layout engines stay public for the exactness theorems the gates
+    * pin (exhaustive-probe [[ivfQuery]] ≡ brute force needs the
+    * un-reranked exact path).
+    *
+    * Output is identical across layouts: (query_id, rank, neighbor_id,
+    * sim) with EXACT cosine sims — the PQ path re-ranks its ADC pool
+    * with true vectors, so downstream fusion/eval code never sees
+    * approximate scores. Batched by the shared contract: `queries` is
+    * plural, driver jobs constant in the batch size.
+    *
+    * @param rerank ADC-pool size for the exact re-rank — composed
+    *               layouts only (plain IVF scores exactly and ignores
+    *               it); clamped to >= k
+    */
+  def annQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4, rerank: Int = 100): DataFrame =
+    if (AnnMaintenance.isComposed(indexDir))
+      ProductQuantizer.ivfPqQuery(spark, indexDir, queries, idCol, vecCol,
+        k, nProbe, math.max(rerank, k))
+    else ivfQuery(spark, indexDir, queries, idCol, vecCol, k, nProbe)
+
+  /** [[annQuery]]'s filtered twin: layout-dispatched
+    * [[ProductQuantizer.ivfPqQueryFiltered]] / [[ivfQueryFiltered]].
+    * The filter semantics, recall contract, and the raise-nProbe-with-
+    * selectivity correction are the engines' own (see their scaladoc).
+    */
+  def annQueryFiltered(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      allowed: DataFrame, allowedIdCol: String,
+      k: Int, nProbe: Int = 4, rerank: Int = 100): DataFrame =
+    if (AnnMaintenance.isComposed(indexDir))
+      ProductQuantizer.ivfPqQueryFiltered(spark, indexDir, queries, idCol,
+        vecCol, allowed, allowedIdCol, k, nProbe, math.max(rerank, k))
+    else ivfQueryFiltered(spark, indexDir, queries, idCol, vecCol,
+      allowed, allowedIdCol, k, nProbe)
+
+  /** [[annQueryFiltered]] with the probe correction applied from MEASURED
+    * selectivity — layout-dispatched
+    * [[ProductQuantizer.ivfPqQueryFilteredAdaptive]] /
+    * [[ivfQueryFilteredAdaptive]].
+    */
+  def annQueryFilteredAdaptive(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      allowed: DataFrame, allowedIdCol: String,
+      k: Int, baseNProbe: Int = 4, rerank: Int = 100): DataFrame =
+    if (AnnMaintenance.isComposed(indexDir))
+      ProductQuantizer.ivfPqQueryFilteredAdaptive(spark, indexDir, queries,
+        idCol, vecCol, allowed, allowedIdCol, k, baseNProbe,
+        math.max(rerank, k))
+    else ivfQueryFilteredAdaptive(spark, indexDir, queries, idCol, vecCol,
+      allowed, allowedIdCol, k, baseNProbe)
 
   private def ivfQueryImpl(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
@@ -917,10 +983,11 @@ object Similarity {
     * floor approaches"): the drift ratio is the cheap per-append signal,
     * this is the ground truth it predicts. Queries are the `nQueries`
     * lowest-id vectors IN the index (deterministic, no external input);
-    * the approximate side is [[ivfQuery]] — or the composed
-    * [[ProductQuantizer.ivfPqQuery]] when the layout carries a
-    * `pq_model` — so what is measured is exactly what production queries
-    * get, partition pruning and all. The brute-force side scans the cells
+    * the approximate side is the layout-dispatched [[annQuery]] front
+    * door ([[ivfQuery]], or [[ProductQuantizer.ivfPqQuery]] when the
+    * layout carries a `pq_model`), so what is measured is exactly what
+    * production queries get, partition pruning and the codes-only ADC
+    * read included. The brute-force side scans the cells
     * table once against the broadcast query sample; cost scales with
     * nQueries, not with the index (keep the sample driver-scale).
     */
@@ -937,11 +1004,12 @@ object Similarity {
     val qIds = corpus.select($"vid").orderBy($"vid").limit(nQueries)
       .as[Long].collect().toSeq
     val queries = corpus.filter($"vid".isInCollection(qIds))
-    val composed = IndexFs.exists(s"$root/pq_model")
-    val approx =
-      if (composed) ProductQuantizer.ivfPqQuery(spark, indexDir, queries,
-        "vid", "cv", k, nProbe, math.max(rerank, k))
-      else ivfQuery(spark, indexDir, queries, "vid", "cv", k, nProbe)
+    // the layout-dispatched serving front door — recall measures exactly
+    // what production queries get, ADC scan and all; the queries frame
+    // is plural, so the whole sample rides the batched contract (one
+    // union-of-probed-cells read, jobs constant in nQueries)
+    val approx = annQuery(spark, indexDir, queries, "vid", "cv", k,
+      nProbe, math.max(rerank, k))
     val bf = bruteForceTopK(corpus, queries, "vid", "cv", k)
     val hits = approx.select($"query_id", $"neighbor_id")
       .join(bf.select($"query_id", $"neighbor_id"), Seq("query_id", "neighbor_id"))

@@ -224,12 +224,20 @@ object TextSearch {
     * served in a FIXED number of driver jobs regardless of Q: the lexical
     * pools come from ONE [[LexIndex.bm25TopKFromIndexMany]] pass over the
     * union of the queries' posting slices, the dense pools from ONE
-    * multi-row [[Similarity.ivfQuery]] call (one union-of-probed-cells
+    * multi-row [[Similarity.annQuery]] call (one union-of-probed-cells
     * read — the queries frame is plural by design; looping the
     * single-query call instead pays per-call driver actions Q times),
     * and the fusion from ONE [[rrfFuseMany]] plan. This is the serving /
     * evaluation shape: a 10k-query recall sweep is a handful of jobs,
     * not 10k.
+    *
+    * The dense pool goes through the LAYOUT-DISPATCHED front door
+    * ([[Similarity.annQuery]] / [[Similarity.annQueryFilteredAdaptive]]):
+    * on a composed (IVF-PQ) index the pool forms over the codes-only ADC
+    * scan + bounded exact re-rank — never a full-vector read of every
+    * probed cell (plan-pinned: the hybrid ADC scan's ReadSchema carries
+    * `codes` and no vector column). Exact sims come out of the re-rank
+    * either way, so fusion is layout-blind.
     *
     * Per query, the fused rows are VALUE-IDENTICAL to composing the
     * single-query operators ([[LexIndex.bm25TopKFromIndex]] ranked by
@@ -257,7 +265,7 @@ object TextSearch {
       queries: Seq[(Long, Seq[String])], embeddings: DataFrame,
       idCol: String, vecCol: String, k: Int, poolK: Int = 50,
       nProbe: Int = 8, rrfK: Int = 60,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None, rerank: Int = 100): DataFrame = {
     require(queries.nonEmpty && k >= 1 && poolK >= k,
       s"need nonempty queries and poolK >= k (got k=$k poolK=$poolK)")
     val qids = queries.map(_._1)
@@ -269,11 +277,13 @@ object TextSearch {
     val qvs = embeddings
       .where(col(idCol).isin(qids: _*))
       .select(col(idCol), col(vecCol))
+    val pool = math.max(rerank, poolK)
     val dense = (allowed match {
-      case Some(a) => Similarity.ivfQueryFilteredAdaptive(spark, annIndexDir,
-        qvs, idCol, vecCol, a, a.columns.head, k = poolK, baseNProbe = nProbe)
-      case None => Similarity.ivfQuery(spark, annIndexDir, qvs, idCol,
-        vecCol, k = poolK, nProbe = nProbe)
+      case Some(a) => Similarity.annQueryFilteredAdaptive(spark, annIndexDir,
+        qvs, idCol, vecCol, a, a.columns.head, k = poolK,
+        baseNProbe = nProbe, rerank = pool)
+      case None => Similarity.annQuery(spark, annIndexDir, qvs, idCol,
+        vecCol, k = poolK, nProbe = nProbe, rerank = pool)
     }).select(col("query_id").cast("string").as("query_id"),
       col("neighbor_id").as("id"), col("rank"))
     rrfFuseMany(Seq(lex, dense), k = k, rrfK = rrfK)

@@ -175,6 +175,83 @@ class BatchedServingSpec extends SparkSpec {
     }
   }
 
+  test("hybridSearchMany on a COMPOSED index rides the ADC engine and ≡ the ivfPqQuery composition per query") {
+    // the round-19 gap: the hybrid dense pool called the plain-IVF engine
+    // unconditionally, reading full vectors from every probed cell of a
+    // composed index. The front door (Similarity.annQuery) now dispatches
+    // on the layout; this drill pins (a) value-identity against the
+    // explicit ivfPqQuery composition — proving the pool really came from
+    // the ADC + re-rank engine (ADC candidate pools differ from exact
+    // pools at small rerank, so agreement at rerank=poolK is dispatch
+    // evidence, not coincidence), and (b) annQuery ≡ the layout engine on
+    // both layouts. The plan-level ReadSchema pin lives in PlanShapeSpec.
+    val qs = Seq(0L -> Seq("spark", "merge"), 9L -> Seq("window"))
+    val poolK = 15
+    val batched = TextSearch.hybridSearchMany(spark, lexDir, pqDir, qs,
+      emb, "vec_id", "embedding", k = 8, poolK = poolK, nProbe = 2,
+      rerank = poolK).localCheckpoint()
+    for ((qid, terms) <- qs) {
+      val lexW = org.apache.spark.sql.expressions.Window
+        .orderBy($"score".desc, $"id")
+      val lex = LexIndex.bm25TopKFromIndex(spark, lexDir, terms, k = poolK)
+        .select($"id", row_number().over(lexW).cast("bigint").as("rank"))
+      val dense = ProductQuantizer.ivfPqQuery(spark, pqDir, queriesOf(qid),
+          "vec_id", "embedding", k = poolK, nProbe = 2, rerank = poolK)
+        .select($"neighbor_id".as("id"), $"rank")
+      val single = TextSearch.rrfFuse(Seq(lex, dense), k = 8)
+      val slice = batched.where($"query_id" === qid.toString)
+        .drop("query_id").select(single.columns.map(col): _*)
+      assert(slice.exceptAll(single).unionAll(single.exceptAll(slice))
+        .count() == 0,
+        s"composed hybridSearchMany diverged from the ivfPqQuery " +
+          s"composition for query $qid")
+    }
+    // front-door dispatch value-identity on both layouts
+    val q = queriesOf(0L, 3L)
+    val viaFrontPq = Similarity.annQuery(spark, pqDir, q, "vec_id",
+      "embedding", k = 7, nProbe = 2, rerank = 20)
+    val direct = ProductQuantizer.ivfPqQuery(spark, pqDir, q, "vec_id",
+      "embedding", k = 7, nProbe = 2, rerank = 20)
+    assert(viaFrontPq.exceptAll(direct).unionAll(direct.exceptAll(viaFrontPq))
+      .count() == 0, "annQuery(composed) != ivfPqQuery")
+    val viaFrontIvf = Similarity.annQuery(spark, ivfDir, q, "vec_id",
+      "embedding", k = 7, nProbe = 2)
+    val directIvf = Similarity.ivfQuery(spark, ivfDir, q, "vec_id",
+      "embedding", k = 7, nProbe = 2)
+    assert(viaFrontIvf.exceptAll(directIvf)
+      .unionAll(directIvf.exceptAll(viaFrontIvf)).count() == 0,
+      "annQuery(plain) != ivfQuery")
+  }
+
+  test("filtered hybridSearchMany on a COMPOSED index ≡ the ivfPqQueryFilteredAdaptive composition; no disallowed id surfaces") {
+    val qs = Seq(0L -> Seq("spark", "merge"), 9L -> Seq("window"))
+    val poolK = 15
+    val allowed = docs.where($"doc_id" % 3 === 0).select($"doc_id")
+    val batched = TextSearch.hybridSearchMany(spark, lexDir, pqDir, qs,
+      emb, "vec_id", "embedding", k = 8, poolK = poolK, nProbe = 2,
+      allowed = Some(allowed), rerank = poolK).localCheckpoint()
+    assert(batched.where($"id" % 3 =!= 0).count() == 0,
+      "a disallowed id surfaced in the composed batched fused top-k")
+    for ((qid, terms) <- qs) {
+      val lexW = org.apache.spark.sql.expressions.Window
+        .orderBy($"score".desc, $"id")
+      val lex = LexIndex.bm25TopKFromIndex(spark, lexDir, terms, k = poolK,
+          allowed = Some(allowed))
+        .select($"id", row_number().over(lexW).cast("bigint").as("rank"))
+      val dense = ProductQuantizer.ivfPqQueryFilteredAdaptive(spark, pqDir,
+          queriesOf(qid), "vec_id", "embedding", allowed, "doc_id",
+          k = poolK, baseNProbe = 2, rerank = poolK)
+        .select($"neighbor_id".as("id"), $"rank")
+      val single = TextSearch.rrfFuse(Seq(lex, dense), k = 8)
+      val slice = batched.where($"query_id" === qid.toString)
+        .drop("query_id").select(single.columns.map(col): _*)
+      assert(slice.exceptAll(single).unionAll(single.exceptAll(slice))
+        .count() == 0,
+        s"composed filtered hybridSearchMany diverged from the " +
+          s"ivfPqQueryFilteredAdaptive composition for query $qid")
+    }
+  }
+
   test("filtered hybridSearchMany: the allowed set threads through BOTH batched pools; ≡ the single-query filtered composition; no disallowed id surfaces") {
     val qs = Seq(0L -> Seq("spark", "merge"), 9L -> Seq("window"))
     val poolK = 15

@@ -109,6 +109,54 @@ class GenerationSpec extends SparkSpec {
     assert(fromIndex.collect().toSeq == fromScan.collect().toSeq)
   }
 
+  test("keep-k grace: a reader pinned at gen j survives TWO commits at keep=3 and is out of grace at keep=2") {
+    // the round-19 contract was hard-coded one-swap grace; operators
+    // running multi-hour queries under frequent maintenance raise `keep`
+    // (MaintenancePolicy.keepGenerations / the verbs' keepGenerations).
+    // keep=3 run: the pinned gen-1 reader must survive commits 2 AND 3.
+    val d3 = tmp("gen_keep3")
+    val sub = docs.where($"doc_id" < 300)
+    LexIndex.build(sub, "doc_id", "text", d3, nBuckets = 4)
+    LexIndex.compact(spark, d3, keepGenerations = 3) // gen 1
+    val root1 = IncrementalDedup.readRoot(d3)
+    val pinned = spark.read.parquet(s"$root1/doclens")
+    val nPinned = sub.count()
+    LexIndex.compact(spark, d3, keepGenerations = 3) // gen 2
+    LexIndex.compact(spark, d3, keepGenerations = 3) // gen 3
+    assert(IncrementalDedup.generations(d3) == Seq(1L, 2L, 3L),
+      s"keep=3 must hold three generations, got " +
+        s"${IncrementalDedup.generations(d3)}")
+    assert(pinned.count() == nPinned,
+      "gen-1 reader lost rows though keep=3 held its generation")
+    // fourth commit: gen 1 is now out of grace even at keep=3
+    LexIndex.compact(spark, d3, keepGenerations = 3) // gen 4
+    assert(IncrementalDedup.generations(d3) == Seq(2L, 3L, 4L))
+    assert(!IndexFs.exists(s"$d3/_gen_1"),
+      "out-of-grace generation 1 not retired at keep=3")
+
+    // keep=2 (the default) run: the same pinned reader is out of grace
+    // after TWO commits — the documented boundary, pinned so a future
+    // "keep more, always" change is a deliberate decision
+    val d2 = tmp("gen_keep2")
+    LexIndex.build(sub, "doc_id", "text", d2, nBuckets = 4)
+    LexIndex.compact(spark, d2) // gen 1
+    val r1 = IncrementalDedup.readRoot(d2)
+    LexIndex.compact(spark, d2) // gen 2 — gen 1 still in grace
+    assert(IndexFs.exists(r1), "keep=2 must retain gen 1 after one commit")
+    LexIndex.compact(spark, d2) // gen 3 — gen 1 retires
+    assert(!IndexFs.exists(r1),
+      "keep=2 must retire gen 1 on the second commit after it")
+    // ANN verbs thread the same knob
+    val da = tmp("gen_keep_ann")
+    Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 4, da)
+    Similarity.ivfCompact(spark, da, keepGenerations = 3)
+    Similarity.ivfCompact(spark, da, keepGenerations = 3)
+    Similarity.ivfCompact(spark, da, keepGenerations = 3)
+    assert(IncrementalDedup.generations(da) == Seq(1L, 2L, 3L))
+    assert(Similarity.ivfQuery(spark, da, emb.where($"vec_id" === 1L),
+      "vec_id", "embedding", k = 3, nProbe = 4).count() == 3)
+  }
+
   test("in-place writers extend the generation they read: append + delete land in the live generation") {
     val dir = tmp("gen_writers")
     LexIndex.build(docs.where($"doc_id" % 2 === 0), "doc_id", "text", dir,

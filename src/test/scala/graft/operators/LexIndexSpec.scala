@@ -574,6 +574,68 @@ class LexIndexSpec extends SparkSpec {
     assert(ixOf().collect().toSeq == pre, "the fold changed answers")
   }
 
+  test("upsert floor candidates: the corpus-scale doclens side never shuffles (broadcast semi-joins), and the set is exact") {
+    val dir = tmp("lex_upsert_plan")
+    val base = docs.where($"doc_id" < 300).select($"doc_id", $"text")
+    LexIndex.build(base, "doc_id", "text", dir, nBuckets = 8)
+    // one prior delete so the ledger branch participates too
+    LexIndex.delete(spark, dir,
+      Seq(3000L).toDF("doc_id"), "doc_id") // id the index never held
+    val root = IncrementalDedup.readRoot(dir)
+    val batchIds = Seq(0L, 7L, 3000L, 9999L).toDF("id")
+    val entries = LexIndex.upsertFloorEntries(spark, root, batchIds, bid = 5L)
+    // exact set: ids with older rows (0, 7 — in the base corpus) plus
+    // ids with a ledger entry (3000); a fresh id (9999) needs no floor
+    assert(entries.as[(Long, Long)].collect().toSet
+      == Set((0L, 5L), (7L, 5L), (3000L, 5L)))
+    // plan: both membership joins are BROADCAST semi-joins with the
+    // batch ids as the build side — a shuffled join here re-shuffles the
+    // corpus-scale doclens id column on every re-crawl commit
+    val p = entries.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"floor-candidate membership must not shuffle the corpus side:\n" +
+        p.take(1500))
+    // the only exchange is the delta-scale distinct above the semi-joins:
+    // no shuffle may sit BELOW a semi-join (i.e. on the corpus branch)
+    val lines = p.linesIterator.toVector
+    val lastJoin = lines.lastIndexWhere(_.contains("BroadcastHashJoin"))
+    assert(!lines.drop(lastJoin + 1).exists(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")),
+      s"a shuffle exchange sits below the membership joins:\n${p.take(2000)}")
+  }
+
+  test("upsert pinned to the CURRENT batch id is replay-only: a batch holding other documents refuses the overwrite") {
+    val dir = tmp("lex_upsert_guard")
+    val base = docs.where($"doc_id" < 200).select($"doc_id", $"text")
+    LexIndex.build(base, "doc_id", "text", dir, nBuckets = 8)
+    // append lands batch 1 with ids 200..209
+    val appended = docs.where($"doc_id" >= 200 && $"doc_id" < 210)
+      .select($"doc_id", $"text")
+    LexIndex.append(spark, dir, appended, "doc_id", "text")
+    // replaying the IDENTICAL batch id with a superset is legal (the
+    // CrawlPipeline crash-retry shape) ...
+    val replay = appended.unionByName(
+      Seq((500L, "brand new zz_pin doc")).toDF("doc_id", "text"))
+    LexIndex.upsert(spark, dir, replay, "doc_id", "text",
+      batchId = Some(1L))
+    assert(LexIndex.bm25TopKFromIndex(spark, dir, Seq("zz_pin"), 5)
+      .where($"score" > 0).count() == 1)
+    // ... but pinning that id while DROPPING one of its documents would
+    // destroy that document's rows wholesale — refused loudly
+    val partial = appended.where($"doc_id" =!= 205L)
+      .select($"doc_id", concat($"text", lit(" zz_v9")).as("text"))
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.upsert(spark, dir, partial, "doc_id", "text",
+        batchId = Some(1L))
+    }
+    assert(e.getMessage.contains("destroy"), e.getMessage)
+    // the refused commit left the index serving the replay's corpus
+    assert(LexIndex.bm25TopKFromIndex(spark, dir, Seq("zz_v9"), 5)
+      .where($"score" > 0).count() == 0, "a refused upsert landed rows")
+  }
+
   test("maintain's pressure denominator is the LIVE count: nTs/(indexed − nTs)") {
     val corpus = (0L until 100L).map(i => (i, s"doc $i spark merge"))
       .toDF("doc_id", "text")

@@ -140,6 +140,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!rp.contains("CartesianProduct"))
   }
 
+  test("annQuery front door on a composed index: the serving plan IS the codes-only ADC shape (the hybrid dense pool's read)") {
+    import spark.implicits._
+    // the hybrid pools and the CLIs call Similarity.annQuery, which must
+    // dispatch a composed layout to the ADC engine — this pins the plan
+    // any such caller gets: codes read, vectors NOT read in the pool
+    // scan, cells partition-pruned. A front door that fell back to the
+    // plain-IVF engine would pass every value check (the cell table
+    // carries vectors) while silently reading the 32x-larger column —
+    // the exact defect this plan pin exists to catch.
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val rdir = java.nio.file.Files.createTempDirectory("annq-front").toString
+    graft.operators.ProductQuantizer.ivfPqBuildResidual(
+      emb, "vec_id", "embedding", 8, 16, 16, rdir)
+    val fp = graft.operators.Similarity.annQuery(spark, rdir,
+        emb.filter($"vec_id" < 3), "vec_id", "embedding",
+        k = 5, nProbe = 3, rerank = 20)
+      .queryExecution.executedPlan.toString
+    val fScans = fp.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("cells")).toVector
+    assert(fScans.nonEmpty, fp.take(1500))
+    fScans.foreach(l => assert(l.contains("PartitionFilters: [cell") &&
+      !l.contains("PartitionFilters: []"), l))
+    val fAdc = fScans.find(l => l.replace(" ", "").contains("codes:array"))
+    assert(fAdc.isDefined,
+      s"annQuery on a composed index must serve the ADC scan:\n" +
+        fScans.mkString("\n"))
+    assert(!fAdc.get.replace(" ", "").contains("cv:array"),
+      s"front-door ADC scan must not decode vectors:\n${fAdc.get}")
+    // and on a PLAIN index the front door stays the exact cosine engine
+    val pdir = java.nio.file.Files.createTempDirectory("annq-plain").toString
+    graft.operators.Similarity.ivfBuild(emb, "vec_id", "embedding", 8, pdir)
+    val pp = graft.operators.Similarity.annQuery(spark, pdir,
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(!pp.replace(" ", "").contains("codes:array"), pp.take(1500))
+  }
+
   test("t39 bloom prefilter runs on the probe side BELOW the semi join") {
     val p = planOf("t39_bloomjoin")
     assert(p.contains("LeftSemi"), p.take(1200))
