@@ -20,7 +20,8 @@ object SparkEntry {
       relational.ExtensionQueries4.queries ++ relational.ExtensionQueries5.queries ++
       relational.ExtensionQueries6.queries ++ relational.ExtensionQueries7.queries ++
       relational.ExtensionQueries8.queries ++ relational.ExtensionQueries9.queries ++
-      relational.ExtensionQueries10.queries ++ relational.ExtensionQueries11.queries
+      relational.ExtensionQueries10.queries ++ relational.ExtensionQueries11.queries ++
+      relational.ExtensionQueries12.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
