@@ -367,7 +367,7 @@ object Similarity {
           Seq("neighbor_id"), "left_semi")
         .localCheckpoint()
       if (affected.count() > 0) {
-        val m = ups.agg(max(col("useq"))).head()
+        val m = ups.agg(max(col("useq")).cast("long")).head()
         val nextSeq = (if (m.isNullAt(0)) -1L else m.getLong(0)) + 1L
         val markerCols = ups.columns.map {
           case "neighbor_id" => col("neighbor_id")
@@ -376,7 +376,9 @@ object Similarity {
           case c => lit(null).cast(ups.schema(c).dataType).as(c)
         }
         affected.select(markerCols.toSeq: _*)
-          .write.mode("append").partitionBy("cell").parquet(upDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("useq", "cell").parquet(upDir)
       }
     }
     n
@@ -447,11 +449,28 @@ object Similarity {
     * outranks every stored version. [[ivfCompact]]/[[ivfRebuild]] fold
     * the delta into the cells physically and clear it.
     *
+    * REPLAY-IDEMPOTENT like [[LexIndex.upsert]]: each commit lands as
+    * its own `useq=<k>` partition (dynamic partition overwrite), so a
+    * re-run with the same pinned `useq` OVERWRITES its own rows instead
+    * of appending duplicate versions under a fresh sequence — without
+    * the pin, every retry of a crashed commit inflated the delta,
+    * every query's version-window cost, and the maxUpsertFraction
+    * sensor until the next compact (answers stayed correct under
+    * latest-wins; the cost did not). The pinned sequence must be >= the
+    * stored maximum, and pinning an EXISTING sequence requires that
+    * commit's id set to be covered by this batch (the crash-retry
+    * shape) — anything else would destroy another commit's versions.
+    * The frozen-quantizer cell assignment is deterministic per batch,
+    * so a replay rewrites exactly the partitions its crashed attempt
+    * touched.
+    *
+    * @param useq pinned version sequence for replay; None (the default)
+    *             auto-assigns max + 1
     * @return number of distinct ids upserted
     */
   def ivfUpsert(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      batch: DataFrame, idCol: String,
-      vecCol: String): Long = IndexLease.withLease(indexDir) {
+      batch: DataFrame, idCol: String, vecCol: String,
+      useq: Option[Long] = None): Long = IndexLease.withLease(indexDir) {
     import spark.implicits._
     val root = IncrementalDedup.readRoot(indexDir)
     val dup = batch.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
@@ -469,12 +488,34 @@ object Similarity {
     val composed = IndexFs.exists(s"$root/pq_model")
     val upDir = s"$root/upserts"
     IncrementalDedup.recoverDir(upDir)
-    val nextSeq =
-      if (!IndexFs.exists(upDir)) 0L
+    val storedMax: Option[Long] =
+      if (!IndexFs.exists(upDir)) None
       else {
-        val m = spark.read.parquet(upDir).agg(max(col("useq"))).head()
-        if (m.isNullAt(0)) 0L else m.getLong(0) + 1L
+        val m = spark.read.parquet(upDir)
+          .agg(max(col("useq")).cast("long")).head()
+        if (m.isNullAt(0)) None else Some(m.getLong(0))
       }
+    val nextSeq = useq.getOrElse(storedMax.map(_ + 1L).getOrElse(0L))
+    require(storedMax.forall(nextSeq >= _),
+      s"pinned useq $nextSeq is below the stored maximum " +
+        s"(${storedMax.get}) — newer versions would outrank the " +
+        "\"new\" one; pin the crashed attempt's own sequence only when " +
+        "replaying that same batch, otherwise let it auto-assign")
+    if (useq.isDefined && storedMax.contains(nextSeq)) {
+      // replay-only: overwriting an existing sequence must cover every
+      // id that sequence holds, or their versions are destroyed
+      val destroyed = spark.read.parquet(upDir)
+        .where(col("useq") === nextSeq).select(col("neighbor_id"))
+        .join(broadcast(batch.select(col(idCol).as("neighbor_id")).distinct()),
+          Seq("neighbor_id"), "left_anti")
+        .limit(4).collect().map(_.get(0))
+      require(destroyed.isEmpty,
+        s"upsert pinned to EXISTING sequence $nextSeq, which holds " +
+          s"version(s) of id(s) ${destroyed.mkString(", ")} absent from " +
+          "this batch — overwriting the commit would destroy them; " +
+          "pinning an existing sequence is only for replaying the " +
+          "identical batch (the crash-retry shape)")
+    }
     val rows =
       if (composed) {
         val model = ProductQuantizer.loadModel(spark, root)
@@ -490,7 +531,12 @@ object Similarity {
     val stamped = rows.withColumn("useq", lit(nextSeq)).localCheckpoint()
     val n = stamped.count()
     if (n > 0)
-      stamped.write.mode("append").partitionBy("cell").parquet(upDir)
+      // one partition dir per commit: dynamic overwrite touches only
+      // useq=<nextSeq>/cell=<assigned> — a replay replaces exactly its
+      // crashed attempt's rows, every other commit's partitions stay
+      stamped.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("useq", "cell").parquet(upDir)
     n
   }
 

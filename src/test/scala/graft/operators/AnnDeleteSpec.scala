@@ -283,6 +283,70 @@ class AnnDeleteSpec extends SparkSpec {
     // upsert never leaks the lease
     assert(!IndexFs.exists(IndexLease.leasePath(dir)))
   }
+
+  test("ivfUpsert replay: a pinned useq overwrites its own rows (no duplicate versions); misuse of the pin fails loudly") {
+    val dir = tmp("ann_upsert_replay") + "/idx"
+    Similarity.ivfBuild(emb, "vec_id", "embedding", 4, dir)
+    val root = IncrementalDedup.readRoot(dir)
+    def deltaRows() = spark.read.parquet(s"$root/upserts").count()
+    val batchA = emb.where($"vec_id" % 11 === 0)
+      .select($"vec_id", transform($"embedding",
+        x => (x + lit(0.25f)).cast("float")).as("embedding"))
+    val batchB = emb.where($"vec_id" % 13 === 0)
+      .select($"vec_id", transform($"embedding",
+        x => (x - lit(0.25f)).cast("float")).as("embedding"))
+    Similarity.ivfUpsert(spark, dir, batchA, "vec_id", "embedding") // useq 0
+    Similarity.ivfUpsert(spark, dir, batchB, "vec_id", "embedding") // useq 1
+    val before = deltaRows()
+    val answersBefore = Similarity.ivfQuery(spark, dir,
+      emb.orderBy($"vec_id").limit(3), "vec_id", "embedding",
+      k = 5, nProbe = 4).collect().toSeq
+    // the crash-retry: replaying batch B under its own pinned sequence
+    // lands ZERO net rows — the commit overwrote itself
+    Similarity.ivfUpsert(spark, dir, batchB, "vec_id", "embedding",
+      useq = Some(1L))
+    assert(deltaRows() == before,
+      s"replay inflated the delta: $before -> ${deltaRows()}")
+    assert(Similarity.ivfQuery(spark, dir, emb.orderBy($"vec_id").limit(3),
+        "vec_id", "embedding", k = 5, nProbe = 4).collect().toSeq
+      == answersBefore, "replay changed answers")
+    // and the exhaustive view is still exactly the current corpus
+    val corpus = emb.select($"vec_id", $"embedding")
+      .join(batchA.unionByName(batchB).select($"vec_id"),
+        Seq("vec_id"), "left_anti")
+      .unionByName(batchA).unionByName(batchB)
+    val queries = emb.orderBy($"vec_id").limit(3)
+    val got = Similarity.ivfQuery(spark, dir, queries, "vec_id",
+      "embedding", k = 5, nProbe = 4)
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+      "embedding", k = 5)
+    assert(got.exceptAll(bf).unionAll(bf.exceptAll(got)).count() == 0,
+      "post-replay exhaustive view diverged from brute force")
+    // pin misuse 1: an existing sequence whose ids this batch does not
+    // cover — overwriting would destroy those versions
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfUpsert(spark, dir, batchA, "vec_id", "embedding",
+        useq = Some(1L))
+    }
+    assert(e1.getMessage.contains("destroy"), e1.getMessage)
+    // pin misuse 2: below the stored maximum — newer versions would
+    // outrank the "new" one
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfUpsert(spark, dir, batchB, "vec_id", "embedding",
+        useq = Some(0L))
+    }
+    assert(e2.getMessage.contains("below the stored maximum"), e2.getMessage)
+    assert(deltaRows() == before, "a refused pin landed rows")
+    // the deletion-marker path shares the per-commit layout: a takedown
+    // of an upserted id still outranks every stored version
+    val victim = batchB.select($"vec_id").orderBy($"vec_id").limit(1)
+    Similarity.ivfDelete(spark, dir, victim, "vec_id")
+    val vid = victim.as[Long].head()
+    assert(Similarity.ivfQuery(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .where($"neighbor_id" === vid).count() == 0,
+      "a deleted upserted id surfaced after the layout change")
+  }
 }
 
 /** Driver/executor-shared injection point for the tombstone-race drill
