@@ -546,7 +546,11 @@ object GraftCli {
               .getOrElse(defaults.maxTombstoneFraction),
             maxUpsertFraction = rest.drop(6).headOption
               .map(a => if (a == "-") None else Some(a.toDouble))
-              .getOrElse(defaults.maxUpsertFraction))
+              .getOrElse(defaults.maxUpsertFraction),
+            // generation-grace depth for the compact/rebuild this policy
+            // fires: readers survive keepGenerations-1 concurrent commits
+            keepGenerations = rest.drop(7).headOption.filter(_ != "-")
+              .map(_.toInt).getOrElse(defaults.keepGenerations))
           val d = graft.operators.AnnMaintenance.maintain(spark, indexDir, policy)
           println(s"ann-maintain: appends=${d.appendsLogged} " +
             s"recent_ratios=[${d.recentRatios.map(r => f"$r%.3f").mkString(", ")}] " +
@@ -838,9 +842,22 @@ object GraftCli {
             val nTs = if (IndexFs.exists(ts)) spark.read.parquet(ts).count() else 0L
             println(s"index-status: $dir")
             println(s"  layout: $kind  batches: $batches  rows: " +
-              s"${dfOpt.map(_.count()).getOrElse(0L)}")
+              s"${dfOpt.map(_.count()).getOrElse(0L)}" +
+              (if (gens.nonEmpty) s"  generation: ${gens.last} " +
+                s"(${gens.size} on disk)" else ""))
             println(if (nTs > 0) s"  tombstones: $nTs (cleared on re-admission " +
               "or compact-index)" else "  tombstones: none")
+            // re-crawl hygiene state (upsertAdmission): superseded sig
+            // versions pending the physical drop, and the carrier ledger
+            if (IndexFs.exists(s"$root/_floors"))
+              println(s"  version floors: " +
+                s"${spark.read.parquet(s"$root/_floors").count()} " +
+                "(superseded versions of changed pages — resolved at " +
+                "compact-index/admission-maintain)")
+            if (IndexFs.exists(s"$root/_carriers"))
+              println(s"  carriers: " +
+                s"${spark.read.parquet(s"$root/_carriers").count()} " +
+                "(id -> content rows; folded at compaction)")
           }
           val marker = IndexLease.leasePath(dir)
           if (IndexFs.exists(marker)) {

@@ -223,6 +223,144 @@ object IncrementalDedup {
     removeTombstones(spark, s"${readRoot(dir)}/_tombstones", keys, keyCol)
   }
 
+  // -------------------------------------- admission upsert (the re-crawl)
+
+  /** Append version-FLOOR entries `(id, below)` to a floors ledger: index
+    * rows of `id` in a delta batch `< below` are hidden at read
+    * ([[applyVersionFloors]]) and physically dropped at compaction — the
+    * [[graft.operators.LexIndex]] versioned-ledger discipline applied to
+    * the signature admission index, where a re-crawled CHANGED page lands
+    * a NEW (id, sig) row beside its old one and a plain id-keyed
+    * tombstone would hide both. Floors only ever rise (max `below` per id
+    * wins), so appends are idempotent under replay; the same >16-file
+    * fold bounds the ledger's small-file growth.
+    */
+  private[graft] def appendFloors(spark: org.apache.spark.sql.SparkSession,
+      floorsDir: String, entries: DataFrame): Unit = {
+    recoverDir(floorsDir)
+    val add = entries.select(col("id"), col("below").cast("long"))
+      .localCheckpoint()
+    if (add.isEmpty) return
+    add.coalesce(1).write.mode("append").parquet(floorsDir)
+    if (spark.read.parquet(floorsDir).inputFiles.length > 16) {
+      val snap = spark.read.parquet(floorsDir)
+        .groupBy(col("id")).agg(max(col("below")).as("below"))
+        .localCheckpoint()
+      clearStaging(s"$floorsDir.next")
+      snap.coalesce(1).write.parquet(s"$floorsDir.next")
+      replaceDir(floorsDir, s"$floorsDir.next")
+    }
+  }
+
+  /** The floor-aware view of a sig-index read: rows whose `batch` sits
+    * below their id's floor are superseded versions of a changed page
+    * and must not participate in admission. No-op when no floors ledger
+    * exists; requires the `batch` column when one does (every delta read
+    * carries it — floors are only written in delta mode).
+    */
+  private[graft] def applyVersionFloors(
+      spark: org.apache.spark.sql.SparkSession, floorsDir: String,
+      df: DataFrame, idCol: String): DataFrame = {
+    recoverDir(floorsDir)
+    if (!IndexFs.exists(floorsDir)) df
+    else {
+      require(df.columns.contains("batch"),
+        "version floors exist but the read carries no batch column — " +
+          "floors are delta-mode state and every delta read is " +
+          "batch-partitioned")
+      val floors = spark.read.parquet(floorsDir)
+        .groupBy(col("id")).agg(max(col("below")).as("__below"))
+        .withColumnRenamed("id", idCol)
+      df.join(broadcast(floors), Seq(idCol), "left")
+        .where(col("__below").isNull ||
+          col("batch").cast("long") >= col("__below"))
+        .drop("__below")
+    }
+  }
+
+  /** UPSERT hygiene for the admission indexes — the re-crawl verb the fp
+    * and sig tiers lacked (ANN and lexical both gained theirs in round
+    * 19): when the daemon re-admits a CHANGED page (same doc id, new
+    * content), the page's PREVIOUS fingerprint is tombstoned and its
+    * previous signature rows are floored, so the admission state stays
+    * CURRENT-CONTENT-scale instead of accumulating every historical
+    * version forever — and a page that REVERTS to prior content is a
+    * DECIDED case, not an accident of layout: the old fingerprint is
+    * gone from the live index, so the revert re-admits exactly like any
+    * other change (admission always compares against the CURRENT corpus
+    * content, never history).
+    *
+    * Mechanics: a `_carriers` ledger beside the fp index records
+    * `(id, fp)` per admitted batch (`_`-prefixed — invisible to the
+    * index's own partition discovery; replay overwrites its own
+    * `batch=<bid>` dir). A changed id is one whose latest prior carrier
+    * row holds a different fp; its old fp is tombstoned ONLY if that fp's
+    * latest carrier is this id (content that was re-admitted under
+    * another id after a takedown belongs to that id now — tombstoning it
+    * would hide the other page's live content). Old sig rows are hidden
+    * by a floor entry `(id, below = bid)` rather than an id tombstone —
+    * a plain tombstone would hide the NEW row too. Crash windows: every
+    * step is append/overwrite-idempotent, so a replay of the same batch
+    * re-derives the same hygiene; a crash between the delta landing and
+    * this call leaves the old version visible for one snapshot (the
+    * pre-upsert behavior) and the replay heals.
+    *
+    * @param admitted this batch's admitted rows carrying `id` and `fp`
+    * @param bid      the snapshot/batch id the deltas landed under
+    * @return number of changed ids whose history was retired
+    */
+  def upsertAdmission(spark: org.apache.spark.sql.SparkSession,
+      fpDir: String, sigDir: String, admitted: DataFrame,
+      bid: Long): Long = {
+    val idFp = admitted.select(col("id"), col("fp")).distinct()
+      .localCheckpoint()
+    val fpRoot = readRoot(fpDir)
+    val carDir = s"$fpRoot/_carriers"
+    recoverDir(carDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("batch").cast("long").desc)
+    val changed =
+      if (!IndexFs.exists(carDir)) None
+      else {
+        val carriers = spark.read.parquet(carDir)
+        // latest PRIOR carrier per re-admitted id (batch < bid keeps a
+        // replay's own crashed write out of its own comparison); the
+        // broadcast semi-join keeps everything delta-scale
+        val prior = carriers.where(col("batch").cast("long") < bid)
+          .join(broadcast(idFp.select(col("id"))), Seq("id"), "left_semi")
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+        val cand = prior.select(col("id"), col("fp").as("__old_fp"))
+          .join(idFp, Seq("id"))
+          .where(col("__old_fp") =!= col("fp"))
+          .select(col("id"), col("__old_fp").as("fp"))
+        // only retire an fp whose CURRENT carrier is the changing id
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("batch").cast("long").desc)
+        val curCarrier = carriers
+          .join(broadcast(cand.select(col("fp")).distinct()),
+            Seq("fp"), "left_semi")
+          .withColumn("__rn", row_number().over(wf))
+          .where(col("__rn") === 1)
+          .select(col("fp"), col("id").as("__cur_id"))
+        Some(cand.join(curCarrier, Seq("fp"))
+          .where(col("id") === col("__cur_id"))
+          .select(col("id"), col("fp")).localCheckpoint())
+      }
+    val nChanged = changed.map(_.count()).getOrElse(0L)
+    if (nChanged > 0) {
+      deleteFingerprints(spark, fpDir, changed.get.select(col("fp")))
+      IndexLease.withLease(sigDir) {
+        appendFloors(spark, s"${readRoot(sigDir)}/_floors",
+          changed.get.select(col("id"), lit(bid).as("below")))
+      }
+    }
+    IndexLease.withLease(fpDir) {
+      idFp.write.mode("overwrite").parquet(s"$carDir/batch=$bid")
+    }
+    nChanged
+  }
+
   /** Replace the directory at `liveDir` with the fully-written `nextDir`:
     * rename the live dir ASIDE to `liveDir.old`, rename `nextDir` in, then
     * delete the old copy — at every instant at least one complete index
@@ -396,8 +534,17 @@ object IncrementalDedup {
     val root = readRoot(indexDir)
     val tsDir = s"$root/_tombstones"
     recoverDir(tsDir)
-    if (!IndexFs.exists(tsDir)) return false
-    val nTs = spark.read.parquet(tsDir).count()
+    // floors (superseded versions of changed pages) are read-side join
+    // work exactly like tombstones — both count toward the pressure
+    val floorsDir = s"$root/_floors"
+    recoverDir(floorsDir)
+    val nFloors =
+      if (kind == "sig" && IndexFs.exists(floorsDir))
+        spark.read.parquet(floorsDir).count()
+      else 0L
+    if (!IndexFs.exists(tsDir) && nFloors == 0) return false
+    val nTs = (if (IndexFs.exists(tsDir))
+      spark.read.parquet(tsDir).count() else 0L) + nFloors
     if (nTs == 0) return false
     val rows =
       try spark.read.parquet(root).count()
@@ -443,8 +590,16 @@ object IncrementalDedup {
       indexDir: String, targetRows: Long = 4_000_000L,
       preserveBatchIds: Set[Long] = Set.empty): Long =
     compactDeltaIndex(spark, indexDir,
-      _.select(col("id"), col("sig")), targetRows, preserveBatchIds,
+      df => applyVersionFloors(spark,
+          s"${readRoot(indexDir)}/_floors", df, "id")
+        .select(col("id"), col("sig")),
+      targetRows, preserveBatchIds,
       tombstoneKey = Some("id"))
+    // the floors ledger is fully resolved by the fold above and dies
+    // with the retired generation (it is deliberately NOT carried: the
+    // folded rows land under batch=-1, which any surviving floor would
+    // wrongly hide; preserved current-batch deltas sit at the floor
+    // maximum and are never floored)
 
   /** Compaction for a FINGERPRINT delta index (`fp` per row, grown one
     * `batch=<id>` dir per crawl snapshot by the pipeline's delta-mode
@@ -456,7 +611,17 @@ object IncrementalDedup {
       preserveBatchIds: Set[Long] = Set.empty): Long =
     compactDeltaIndex(spark, indexDir,
       _.select(col("fp")).distinct(), targetRows, preserveBatchIds,
-      tombstoneKey = Some("fp"))
+      tombstoneKey = Some("fp"),
+      // the carriers ledger ([[upsertAdmission]]) must SURVIVE the swap
+      // or every future change of an affected page silently reverts to
+      // accumulate-forever; folded to the latest carrier row per id, it
+      // stays current-corpus-scale
+      sideFold = Map("_carriers" -> { carriers =>
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("batch").cast("long").desc)
+        carriers.withColumn("__rn", row_number().over(wc))
+          .where(col("__rn") === 1).select(col("id"), col("fp"))
+      }))
 
   /** Compaction for the ROBOTS-policy delta index ((host, text) per row,
     * one delta per crawl snapshot): resolution is latest-batch-wins per
@@ -502,7 +667,8 @@ object IncrementalDedup {
       indexDir: String, resolve: DataFrame => DataFrame,
       targetRows: Long, preserveBatchIds: Set[Long] = Set.empty,
       tombstoneKey: Option[String] = None,
-      keepGenerations: Int = 2): Long =
+      keepGenerations: Int = 2,
+      sideFold: Map[String, DataFrame => DataFrame] = Map.empty): Long =
       IndexLease.withLease(indexDir) {
     val root = readRoot(indexDir)
     def batchDirs(): Set[String] =
@@ -542,6 +708,15 @@ object IncrementalDedup {
     val folded = (batchDirs() -- snapshot) ++ preserved
     folded.foreach { d =>
       IndexFs.rename(s"$root/$d", s"$next/$d")
+    }
+    // side LEDGERS that must survive the swap, folded (e.g. the fp
+    // index's `_carriers`): written into staging BEFORE the commit, so a
+    // crash can never lose them — they ride the same atomic rename as
+    // the index itself
+    sideFold.foreach { case (name, fold) =>
+      if (IndexFs.exists(s"$root/$name"))
+        fold(spark.read.parquet(s"$root/$name")).coalesce(1)
+          .write.parquet(s"$next/$name/batch=-1")
     }
     // fold-preserved deltas bypassed the tombstone anti-join — keep the
     // table applying at read; with no preserved deltas it is fully

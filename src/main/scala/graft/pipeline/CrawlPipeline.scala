@@ -273,10 +273,19 @@ object CrawlPipeline {
           // dir is already generation-resolved by the caller
           val scoped = snapshotId match {
             case Some(bid) if base.columns.contains("batch") =>
-              base.where(col("batch") =!= bid).select(schema.fieldNames.map(col): _*)
-            case _ => base.select(schema.fieldNames.map(col): _*)
+              base.where(col("batch") =!= bid)
+            case _ => base
           }
-          IncrementalDedup.liveIndex(spark, dir, scoped, key)
+          // version floors (upsertAdmission's re-crawl hygiene) apply
+          // while the batch column is still in scope: superseded sig
+          // rows of changed pages never participate in admission
+          val floored =
+            if (scoped.columns.contains("batch"))
+              IncrementalDedup.applyVersionFloors(spark,
+                s"${IncrementalDedup.readRoot(dir)}/_floors", scoped, key)
+            else scoped
+          IncrementalDedup.liveIndex(spark, dir,
+            floored.select(schema.fieldNames.map(col): _*), key)
         }
         val fpIndex = readOrEmpty(fpDir,
           new StructType().add("fp", StringType), "fp")
@@ -330,6 +339,22 @@ object CrawlPipeline {
             }
             clearWithRetry(fpDir, admitted.select(col("fp")), "fp")
             clearWithRetry(sigDir, admitted.select(col("id")), "id")
+            // re-crawl hygiene (the admission UPSERT): a CHANGED page's
+            // previous fingerprint is tombstoned and its previous sig
+            // rows are floored, so admission state stays current-content
+            // scale and a REVERT re-admits like any other change. Same
+            // defer posture as the clears: one deferred snapshot of
+            // hygiene is recoverable (the replay or the page's next
+            // crawl heals), a dead daemon is not.
+            try {
+              IncrementalDedup.upsertAdmission(spark, fpDir, sigDir,
+                admitted.select(col("id"), col("fp")), bid)
+            } catch {
+              case e: IllegalStateException =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"deferring admission upsert hygiene (writer lease " +
+                    s"contended): ${e.getMessage}")
+            }
           case None =>
             // batch mode: full-index rewrites staged beside the robots
             // generation, then the SINGLE commit point — one swap advances

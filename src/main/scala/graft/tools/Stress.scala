@@ -561,6 +561,116 @@ object Stress {
       check(hybridBatchedQueries == hybridQs.size,
         s"batched hybrid served $hybridBatchedQueries of ${hybridQs.size} queries")
 
+      // ---- BATCHED hybrid on the COMPOSED (IVF-PQ residual) tier at
+      // stress scale (round-20): the dense pool rides the layout-
+      // dispatched front door (Similarity.annQuery), so the whole batch
+      // is served from the codes-only ADC scan + bounded exact re-rank —
+      // never a full-vector read of every probed cell. Value identity
+      // per query against the explicit single-query ivfPqQuery
+      // composition is the correctness floor; queries/s is the record.
+      val pqIdx = s"$workDir/stress_pq_idx"
+      val (pqN, tPqBuild) = timed {
+        graft.operators.ProductQuantizer.ivfPqBuildResidual(
+          emb, "vec_id", "embedding", 16, 16, 16, pqIdx)
+        spark.read.parquet(s"$pqIdx/cells").count()
+      }
+      val pqHybridQs = (0 until 8).map(i => (i.toLong * 89L) -> lexTerms)
+      val (pqHybrid, tPqHybrid) = timed {
+        val r = graft.operators.TextSearch.hybridSearchMany(spark, lexIx,
+          pqIdx, pqHybridQs, emb, "vec_id", "embedding", k = 10,
+          poolK = 50, nProbe = 8, rerank = 200).localCheckpoint()
+        r.count(); r
+      }
+      val pqHybridN = pqHybrid.count()
+      var pqHybridDiff = 0L
+      for ((qid, terms) <- pqHybridQs.take(2)) {
+        import org.apache.spark.sql.expressions.Window
+        val lexW = Window.orderBy(col("score").desc, col("id"))
+        val lexPool = LexIndex.bm25TopKFromIndex(spark, lexIx, terms, k = 50)
+          .select(col("id"), row_number().over(lexW).cast("bigint").as("rank"))
+        val densePool = graft.operators.ProductQuantizer.ivfPqQuery(spark,
+            pqIdx, emb.where(col("vec_id") === qid), "vec_id", "embedding",
+            k = 50, nProbe = 8, rerank = 200)
+          .select(col("neighbor_id").as("id"), col("rank"))
+        val single = graft.operators.TextSearch
+          .rrfFuse(Seq(lexPool, densePool), k = 10)
+        val slice = pqHybrid.where(col("query_id") === qid.toString)
+          .drop("query_id").select(single.columns.map(col): _*)
+        pqHybridDiff += slice.exceptAll(single)
+          .unionAll(single.exceptAll(slice)).count()
+      }
+      println(j("stage" -> "batched_hybrid_pq",
+        "pq_vectors" -> pqN, "pq_build_seconds" -> tPqBuild,
+        "queries" -> pqHybridQs.size, "seconds" -> tPqHybrid,
+        "qps" -> pqHybridQs.size / math.max(1e-9, tPqHybrid),
+        "rows" -> pqHybridN, "mismatches" -> pqHybridDiff))
+      check(pqHybridN == pqHybridQs.size * 10L,
+        s"composed batched hybrid returned $pqHybridN rows")
+      check(pqHybridDiff == 0,
+        s"composed batched hybrid diverged from the single-query " +
+          s"ivfPqQuery composition ($pqHybridDiff rows)")
+
+      // ---- admission UPSERT hygiene at stress scale (round-20): change
+      // 10% of a factor-scale corpus and prove the fp/sig admission
+      // state stays CURRENT-CONTENT-scale — old fingerprints tombstoned,
+      // superseded sig rows floored, both physically dropped at
+      // compaction (pre-round-20 the state accumulated every historical
+      // version forever and a reverted page was silently rejected).
+      val admBase = docs.select(col("doc_id").as("id"), col("text"))
+      val admFp = s"$workDir/stress_adm_fp"
+      val admSig = s"$workDir/stress_adm_sig"
+      val admitted0 = admBase.select(col("id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")).localCheckpoint()
+      val nDocsAdm = admitted0.count()
+      admitted0.select(col("fp")).write.parquet(s"$admFp/batch=0")
+      graft.operators.IncrementalDedup.buildSigIndex(
+          admBase, col("id"), col("text"))
+        .write.parquet(s"$admSig/batch=0")
+      graft.operators.IncrementalDedup.upsertAdmission(spark, admFp,
+        admSig, admitted0, 0L)
+      val admChangedDocs = admBase.where(col("id") % 10 === 0)
+        .select(col("id"),
+          concat(col("text"), lit(" zz_changed_rev zz_changed_rev"))
+            .as("text")).localCheckpoint()
+      val admitted1 = admChangedDocs.select(col("id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")).localCheckpoint()
+      admitted1.select(col("fp")).write.parquet(s"$admFp/batch=1")
+      graft.operators.IncrementalDedup.buildSigIndex(
+          admChangedDocs, col("id"), col("text"))
+        .write.parquet(s"$admSig/batch=1")
+      val (nAdmChanged, tAdmUpsert) = timed {
+        graft.operators.IncrementalDedup.upsertAdmission(spark, admFp,
+          admSig, admitted1, 1L)
+      }
+      def admRoot(d: String) = graft.operators.IncrementalDedup.readRoot(d)
+      val liveFpN = graft.operators.IncrementalDedup.liveIndex(spark,
+        admFp, spark.read.parquet(admRoot(admFp)), "fp").count()
+      val liveSigN = graft.operators.IncrementalDedup.liveIndex(spark,
+        admSig, graft.operators.IncrementalDedup.applyVersionFloors(spark,
+          s"${admRoot(admSig)}/_floors",
+          spark.read.parquet(admRoot(admSig)), "id"), "id").count()
+      val (admCompacted, tAdmCompact) = timed {
+        graft.operators.IncrementalDedup.compactFpIndex(spark, admFp)
+        graft.operators.IncrementalDedup.compactSigIndex(spark, admSig)
+        (spark.read.parquet(admRoot(admFp)).count(),
+          spark.read.parquet(admRoot(admSig)).count())
+      }
+      println(j("stage" -> "admission_upsert", "docs" -> nDocsAdm,
+        "changed" -> nAdmChanged, "upsert_seconds" -> tAdmUpsert,
+        "live_fp" -> liveFpN, "live_sig" -> liveSigN,
+        "compact_seconds" -> tAdmCompact,
+        "fp_after_compact" -> admCompacted._1,
+        "sig_after_compact" -> admCompacted._2))
+      check(nAdmChanged == admChangedDocs.count(),
+        s"upsertAdmission retired $nAdmChanged of " +
+          s"${admChangedDocs.count()} changed pages")
+      check(liveFpN == nDocsAdm,
+        s"live fp state is not current-content-scale: $liveFpN != $nDocsAdm")
+      check(liveSigN == nDocsAdm,
+        s"live sig state is not current-content-scale: $liveSigN != $nDocsAdm")
+      check(admCompacted._1 == nDocsAdm && admCompacted._2 == nDocsAdm,
+        s"compaction left history behind: ${admCompacted}")
+
       // ---- reader THROUGH a live generation commit (round-19): a query
       // starts, a compact commits a NEW generation mid-flight, and the
       // query must complete exactly — the generation-pinned read path

@@ -656,6 +656,133 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(ixSub(ix, "robots")).where($"host" === "a.example").count() >= 1)
   }
 
+  test("admission upsert hygiene: a changed page retires its history, a REVERT re-admits, and the indexes stay current-content-scale") {
+    val warcDir = Files.createTempDirectory("crawl7_warc")
+    val work = Files.createTempDirectory("crawl7_work").toString
+    val ix = Files.createTempDirectory("crawl7_ix").toString + "/index"
+    val batches = scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+    // substantially different content for the change (distinct vocabulary
+    // — signature-far from bodyAlpha, so the change re-admits)
+    val bodyV2 =
+      (1 to 100).flatMap(i => Seq("the", s"rev${i % 4}", "for", s"unit$i"))
+        .mkString(" ")
+    Files.write(warcDir.resolve("snap1.warc"),
+      response("http://a.example/alpha", bodyAlpha) ++
+      response("http://b.example/beta", bodyBeta))
+    val q = CrawlPipeline.runStream(spark, warcDir.toString, work, ix,
+      onBatch = (id, cs) => batches(id) = cs.map(c => c.stage -> c.rows).toMap)
+    try {
+      q.processAllAvailable()
+      // snapshot 2: alpha CHANGES — re-admits through the fp index (new
+      // fingerprint), and the upsert hygiene must retire the old one
+      Files.write(warcDir.resolve("snap2.warc"),
+        response("http://a.example/alpha", bodyV2))
+      q.processAllAvailable()
+      // snapshot 3: alpha REVERTS to its original content. Pre-round-20
+      // this was silently rejected (the old fingerprint lingered in the
+      // index forever); with the old fp tombstoned and the old sig row
+      // floored, admission compares against CURRENT corpus content only
+      // and the revert re-admits like any other change.
+      Files.write(warcDir.resolve("snap3.warc"),
+        response("http://a.example/alpha", bodyAlpha))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(batches(1L)("04b_admit") == 1,
+      s"the changed page must re-admit: $batches")
+    assert(batches(2L)("04b_admit") == 1,
+      s"the REVERTED page must re-admit (history is retired): $batches")
+    // live admission state is CURRENT-CONTENT scale: two pages, so two
+    // live fingerprints and — through the floors — one live sig row per
+    // page, even though three alpha versions were admitted
+    val fpDir = ixSub(ix, "fp")
+    val sigDir = ixSub(ix, "sig")
+    val liveFp = graft.operators.IncrementalDedup.liveIndex(spark, fpDir,
+      spark.read.parquet(fpDir), "fp")
+    assert(liveFp.select($"fp").distinct().count() == 2,
+      "live fp view must hold exactly the current two pages' content")
+    val sigRaw = spark.read.parquet(sigDir)
+    assert(sigRaw.count() == 4, "three alpha versions + beta on disk")
+    val sigLive = graft.operators.IncrementalDedup.liveIndex(spark, sigDir,
+      graft.operators.IncrementalDedup.applyVersionFloors(spark,
+        s"$sigDir/_floors", sigRaw, "id"), "id")
+    assert(sigLive.groupBy($"id").count().where($"count" > 1).isEmpty,
+      "floors must hide every superseded sig version")
+    assert(sigLive.count() == 2, "one live sig row per current page")
+    // the carriers ledger tracks the CURRENT carrier of alpha's content
+    assert(graft.operators.IndexFs.exists(s"$fpDir/_carriers"))
+    // compaction makes the hygiene physical: fp and sig shrink to the
+    // current corpus, the floors ledger dies fully resolved, carriers
+    // fold and SURVIVE the swap
+    graft.operators.IncrementalDedup.compactFpIndex(spark, s"$ix/fp")
+    graft.operators.IncrementalDedup.compactSigIndex(spark, s"$ix/sig")
+    val fpDir2 = ixSub(ix, "fp")
+    val sigDir2 = ixSub(ix, "sig")
+    assert(spark.read.parquet(fpDir2).count() == 2,
+      "compacted fp index must be current-content-scale")
+    assert(spark.read.parquet(sigDir2).count() == 2,
+      "compacted sig index must be current-content-scale")
+    assert(!graft.operators.IndexFs.exists(s"$sigDir2/_floors"),
+      "floors must die fully resolved at compaction")
+    assert(graft.operators.IndexFs.exists(s"$fpDir2/_carriers"),
+      "carriers must survive the compaction swap")
+    val carriers = spark.read.parquet(s"$fpDir2/_carriers")
+    assert(carriers.groupBy($"id").count().where($"count" > 1).isEmpty,
+      "folded carriers must hold one row per id")
+    // and the NEXT snapshot still admits correctly over the compacted
+    // state: a fresh change of alpha re-admits, an exact re-crawl of
+    // beta does not
+    val replayDir = Files.createTempDirectory("crawl7_snap4")
+    Files.write(replayDir.resolve("snap4.warc"),
+      response("http://a.example/alpha", bodyGamma) ++
+      response("http://b.example/beta", bodyBeta))
+    val counts = CrawlPipeline.run(spark, s"$replayDir/snap4.warc",
+        s"$work/batch=3", indexDir = Some(ix), snapshotId = Some(3L))
+      .map(c => c.stage -> c.rows).toMap
+    assert(counts("04b_admit") == 1, counts.toString)
+  }
+
+  test("admission upsert guard: a fingerprint re-admitted under ANOTHER page is never retired by its old carrier's change") {
+    val base = Files.createTempDirectory("adm_guard").toString
+    val fpDir = s"$base/fp"
+    val sigDir = s"$base/sig"
+    import graft.operators.{IncrementalDedup => ID}
+    def fpOf(text: String): String =
+      Seq(text).toDF("text")
+        .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .as[String].head()
+    val textX = "shared content the quick brown fox walks the hills"
+    val textY = "completely different prose about the sea and the stars"
+    val textZ = "a third body of text about mountains and the old roads"
+    // batch 0: page A carries X
+    Seq((100L, fpOf(textX))).toDF("id", "fp").select($"fp")
+      .write.parquet(s"$fpDir/batch=0")
+    ID.upsertAdmission(spark, fpDir, sigDir,
+      Seq((100L, fpOf(textX))).toDF("id", "fp"), 0L)
+    // batch 1: A changes to Y — X is tombstoned (A was its carrier)
+    Seq(fpOf(textY)).toDF("fp").write.parquet(s"$fpDir/batch=1")
+    ID.upsertAdmission(spark, fpDir, sigDir,
+      Seq((100L, fpOf(textY))).toDF("id", "fp"), 1L)
+    def liveFps(): Set[String] = ID.liveIndex(spark, fpDir,
+      spark.read.parquet(fpDir), "fp").select($"fp").as[String]
+      .collect().toSet
+    assert(liveFps() == Set(fpOf(textY)), "A's change must retire X")
+    // batch 2: page B re-admits X (the tombstone cleared by readmission)
+    Seq(fpOf(textX)).toDF("fp").write.parquet(s"$fpDir/batch=2")
+    ID.readmitKeys(spark, fpDir, Seq(fpOf(textX)).toDF("fp"), "fp")
+    ID.upsertAdmission(spark, fpDir, sigDir,
+      Seq((200L, fpOf(textX))).toDF("id", "fp"), 2L)
+    assert(liveFps() == Set(fpOf(textX), fpOf(textY)))
+    // batch 3: A changes again (Y -> Z). Its own old fp Y retires; X —
+    // whose CURRENT carrier is B — must NOT be touched even though A
+    // carried it once
+    Seq(fpOf(textZ)).toDF("fp").write.parquet(s"$fpDir/batch=3")
+    ID.upsertAdmission(spark, fpDir, sigDir,
+      Seq((100L, fpOf(textZ))).toDF("id", "fp"), 3L)
+    assert(liveFps() == Set(fpOf(textX), fpOf(textZ)),
+      "B's live content (X) must survive A's later change; A's Y retires")
+  }
+
   test("daemon auto-compaction folds old deltas while the stream keeps admitting correctly") {
     val warcDir = Files.createTempDirectory("crawl4_warc")
     val work = Files.createTempDirectory("crawl4_work").toString
