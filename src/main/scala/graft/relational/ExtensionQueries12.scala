@@ -117,6 +117,126 @@ object ExtensionQueries12 {
         "make the composed query exactly brute force, so DuckDB " +
         "recomputes both pools and the RRF sum — ranks AND doubles hash " +
         "cross-engine at both SFs."
+    ),
+    // --------------------------------------------------------------- t149
+    GraftQuery(
+      "t149_admission_upsert",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{IncrementalDedup => ID, IndexFs, TextAnalysis}
+        // the admission-index RE-CRAWL verb (upsertAdmission), driven
+        // through the change -> revert -> re-crawl arc the crawl daemon
+        // runs, asserted as invariants DuckDB cannot re-derive (hash
+        // fingerprints + filesystem ledgers). Corpus: the documents
+        // table; every doc admitted at batch 0, ~1/9 changed at batch 1,
+        // the changed set REVERTED at batch 2.
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_t149").toString
+        val fpDir = s"$base/fp"
+        val sigDir = s"$base/sig"
+        val docs = graft.core.Tables.documents(s, d)
+          .select($"doc_id".as("id"), $"text")
+        val fpOf = TextAnalysis.fingerprint($"text")
+        val adm0 = docs.select($"id", fpOf.as("fp")).localCheckpoint()
+        val nDocs = adm0.count()
+        adm0.select($"fp").write.mode("overwrite")
+          .parquet(s"$fpDir/batch=0")
+        ID.buildSigIndex(docs, $"id", $"text")
+          .write.mode("overwrite").parquet(s"$sigDir/batch=0")
+        ID.upsertAdmission(s, fpDir, sigDir, adm0, 0L)
+        // batch 1: change ~1/9 of the corpus
+        val changedDocs = docs.where($"id" % 9 === 0)
+          .select($"id",
+            concat($"text", lit(" zz_t149_changed zz_t149_changed"))
+              .as("text")).localCheckpoint()
+        val adm1 = changedDocs.select($"id", fpOf.as("fp")).localCheckpoint()
+        adm1.select($"fp").write.mode("overwrite")
+          .parquet(s"$fpDir/batch=1")
+        ID.buildSigIndex(changedDocs, $"id", $"text")
+          .write.mode("overwrite").parquet(s"$sigDir/batch=1")
+        val nChanged = ID.upsertAdmission(s, fpDir, sigDir, adm1, 1L)
+        def liveFp() = ID.liveIndex(s, fpDir,
+          s.read.parquet(ID.readRoot(fpDir)), "fp")
+          .select($"fp").as[String].collect().toSet
+        def liveSig() = ID.liveIndex(s, sigDir,
+          ID.applyVersionFloors(s, s"${ID.readRoot(sigDir)}/_floors",
+            s.read.parquet(ID.readRoot(sigDir)), "id"), "id")
+        val origFps = adm0.select($"fp").as[String].collect().toSet
+        val changedFps = adm1.select($"fp").as[String].collect().toSet
+        val changedOld = adm0.join(adm1.select($"id"), Seq("id"), "left_semi")
+          .select($"fp").as[String].collect().toSet
+        // after the change: old fps of changed pages retired, new live,
+        // one live sig row per page
+        val live1 = liveFp()
+        val d1ok = live1 == (origFps -- changedOld) ++ changedFps
+        val sig1 = liveSig()
+        val s1ok = sig1.count() == nDocs &&
+          sig1.groupBy($"id").count().where($"count" > 1).isEmpty
+        // the REVERT: re-admission proceeds because the old fp is GONE
+        // from the live view (pre-round-20 it lingered forever and the
+        // revert was silently a duplicate) — mimic the daemon: delta,
+        // readmit clear, hygiene
+        val revertAdm = adm0.join(adm1.select($"id"), Seq("id"), "left_semi")
+          .localCheckpoint()
+        val revertBlocked = revertAdm.select($"fp")
+          .join(liveFp().toSeq.toDF("fp"), Seq("fp"), "left_semi").count()
+        revertAdm.select($"fp").write.mode("overwrite")
+          .parquet(s"$fpDir/batch=2")
+        ID.buildSigIndex(
+            docs.join(adm1.select($"id"), Seq("id"), "left_semi"),
+            $"id", $"text")
+          .write.mode("overwrite").parquet(s"$sigDir/batch=2")
+        ID.readmitKeys(s, fpDir, revertAdm.select($"fp"), "fp")
+        val nReverted = ID.upsertAdmission(s, fpDir, sigDir, revertAdm, 2L)
+        val live2 = liveFp()
+        val d2ok = live2 == origFps // the full original corpus content
+        val sig2 = liveSig()
+        val s2ok = sig2.count() == nDocs &&
+          sig2.groupBy($"id").count().where($"count" > 1).isEmpty
+        // compaction makes it physical: state == current corpus, floors
+        // resolved, carriers folded to one row per id
+        ID.compactFpIndex(s, fpDir)
+        ID.compactSigIndex(s, sigDir)
+        val fpPhysical = s.read.parquet(ID.readRoot(fpDir)).count()
+        val sigPhysical = s.read.parquet(ID.readRoot(sigDir)).count()
+        val floorsGone = !IndexFs.exists(s"${ID.readRoot(sigDir)}/_floors")
+        val carriers = s.read.parquet(s"${ID.readRoot(fpDir)}/_carriers")
+        val carriersFolded = carriers
+          .groupBy($"id").count().where($"count" > 1).isEmpty
+        def flag(bad: Boolean, a: Long, why: String) =
+          if (!bad) s.emptyDataset[(Long, Long, String)]
+            .toDF("id_a", "id_b", "reason")
+          else Seq((a, 0L, why)).toDF("id_a", "id_b", "reason")
+        val sentinel = Seq((-1L, -1L, "sentinel")).toDF("id_a", "id_b", "reason")
+        Seq(
+          flag(nChanged != changedDocs.count(), nChanged,
+            "change_not_fully_retired"),
+          flag(!d1ok, live1.size.toLong, "live_fp_not_current_after_change"),
+          flag(!s1ok, sig1.count(), "sig_versions_leak_after_change"),
+          flag(revertBlocked != 0, revertBlocked,
+            "revert_still_blocked_by_history"),
+          flag(nReverted != revertAdm.count(), nReverted,
+            "revert_not_fully_retired"),
+          flag(!d2ok, live2.size.toLong, "live_fp_not_original_after_revert"),
+          flag(!s2ok, sig2.count(), "sig_versions_leak_after_revert"),
+          flag(fpPhysical != origFps.size.toLong, fpPhysical,
+            "fp_compact_kept_history"),
+          flag(sigPhysical != nDocs, sigPhysical, "sig_compact_kept_history"),
+          flag(!floorsGone, -2L, "floors_survived_compaction"),
+          flag(!carriersFolded, carriers.count(), "carriers_not_folded"))
+          .reduce(_ unionAll _).unionAll(sentinel)
+          .orderBy($"id_a", $"id_b", $"reason")
+      },
+      Some(AnnGates.oracle),
+      doc = "Admission-index UPSERT gate (IncrementalDedup.upsertAdmission " +
+        "— the re-crawl verb): a changed page's old fingerprint is " +
+        "tombstoned and its superseded signature rows version-floored, so " +
+        "the live admission state equals the CURRENT corpus content after " +
+        "a change AND after a revert (which re-admits — the decided " +
+        "semantics), compaction drops history physically, the floors " +
+        "ledger dies resolved, and the carrier ledger folds to one row " +
+        "per page. Violations + sentinel, constant oracle.",
+      gate = true
     )
   )
 }
