@@ -891,6 +891,26 @@ object GraftCli {
             else 0L
           println(s"takedown: $nFp fingerprints + $nSig signature ids " +
             s"tombstoned in $ixDir (physical drop at the next compaction)")
+        case "admission-upsert" :: ixDir :: docsParquet :: bidStr :: Nil =>
+          // takedown's re-crawl twin (IncrementalDedup.upsertAdmission):
+          // given re-crawled documents that a manual/batch flow already
+          // admitted into <ix>/fp and <ix>/sig under batch=<bid>, retire
+          // each CHANGED page's history — old fingerprint tombstoned
+          // (carrier-guarded), superseded signature rows version-floored
+          // — so the admission state stays current-content-scale and a
+          // later revert re-admits. The crawl daemon runs this per
+          // snapshot automatically; this verb is for operator-driven
+          // re-crawls outside it.
+          import org.apache.spark.sql.functions.col
+          val upDocs = spark.read.parquet(docsParquet)
+          val n = graft.operators.IncrementalDedup.upsertAdmission(spark,
+            s"$ixDir/fp", s"$ixDir/sig",
+            upDocs.select(col("doc_id").as("id"),
+              graft.operators.TextAnalysis.fingerprint(col("text")).as("fp")),
+            bidStr.toLong)
+          println(s"admission-upsert: $n changed page(s)' history retired " +
+            s"in $ixDir (old fingerprints tombstoned, superseded " +
+            "signatures floored; physical drop at the next compaction)")
         case "ann-delete" :: idsParquet :: indexDir :: Nil =>
           // tombstone-DELETE vec_ids from a persisted IVF / IVF-PQ index
           // (takedowns, re-filtering): queries stop surfacing them
@@ -1377,6 +1397,7 @@ object GraftCli {
               "admit <in> <indexDir> <outDir> <idCol> <textCol> [near] | " +
               "compact-index <indexDir> [sig|fp|robots] [targetRows] | " +
               "admission-maintain <indexDir> [fp|sig] [maxTombstoneFraction] | " +
+              "admission-upsert <ixDir> <docsParquet> <batchId> | " +
               "shards <sfDir> <outDir> [nShards] [epoch] | " +
               "shards-read <dir> <from> <to> [full|quick|off] | " +
               "ann-build <sfDir> <indexDir> [nCells] | ann-append <inParquet> <indexDir> | " +

@@ -781,6 +781,16 @@ class CrawlPipelineSpec extends SparkSpec {
       Seq((100L, fpOf(textZ))).toDF("id", "fp"), 3L)
     assert(liveFps() == Set(fpOf(textX), fpOf(textZ)),
       "B's live content (X) must survive A's later change; A's Y retires")
+    // the operator-facing CLI verb drives the same hygiene: A changes
+    // once more (Z -> W) through `admission-upsert`
+    val textW = "a fourth text about deserts and the long dry summers"
+    Seq(fpOf(textW)).toDF("fp").write.parquet(s"$fpDir/batch=4")
+    val docsPq = s"$base/recrawl_docs"
+    Seq((100L, textW)).toDF("doc_id", "text").write.parquet(docsPq)
+    graft.cli.GraftCli.run(spark,
+      List("admission-upsert", base, docsPq, "4"))
+    assert(liveFps() == Set(fpOf(textX), fpOf(textW)),
+      "the CLI verb must retire Z and leave B's X intact")
   }
 
   test("daemon auto-compaction folds old deltas while the stream keeps admitting correctly") {
