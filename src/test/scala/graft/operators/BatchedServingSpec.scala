@@ -302,4 +302,36 @@ class BatchedServingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bad query line"), e.getMessage)
   }
+
+  test("CLI ann-query reports the dispatched layout on both index kinds; ann-maintain parses the keepGenerations arg") {
+    val base = java.nio.file.Files.createTempDirectory("annq_cli").toString
+    val qPath = s"$base/queries"
+    queriesOf(0L, 3L).select($"vec_id", $"embedding").write.parquet(qPath)
+    def stdoutOf(args: List[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        graft.cli.GraftCli.run(spark, args)
+      }
+      buf.toString("UTF-8")
+    }
+    // the front door's dispatch is visible in the operator-facing output
+    val plain = stdoutOf(List("ann-query", qPath, ivfDir, "5", "2"))
+    assert(plain.contains("(ivf)"), plain.takeRight(300))
+    val composed = stdoutOf(List("ann-query", qPath, pqDir, "5", "2", "20"))
+    assert(composed.contains("(ivf-pq)"), composed.takeRight(300))
+    // ann-maintain arg 8 = keepGenerations; '-' keeps the default — both
+    // must parse and run the policy (no drift log on this fixture: the
+    // decision trace reports zero appends and no action)
+    val m1 = stdoutOf(List("ann-maintain", ivfDir,
+      "1.5", "3", "-", "-", "-", "-", "-", "3"))
+    assert(m1.contains("ann-maintain:"), m1.takeRight(300))
+    val m2 = stdoutOf(List("ann-maintain", ivfDir,
+      "1.5", "3", "-", "-", "-", "-", "-", "-"))
+    assert(m2.contains("ann-maintain:"), m2.takeRight(300))
+    // a bad keep value fails loudly through the policy's own require
+    intercept[IllegalArgumentException] {
+      graft.cli.GraftCli.run(spark, List("ann-maintain", ivfDir,
+        "1.5", "3", "-", "-", "-", "-", "-", "0"))
+    }
+  }
 }
