@@ -870,3 +870,270 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
       newLeft: Expression, newRight: Expression): PqAdc =
     copy(left = newLeft, right = newRight)
 }
+
+object UnitVecImpl {
+  /** Unit-normalize to doubles — bit-identical to the HOF chain
+    * `transform(vec, x => when(n > 0, x.cast(double)/n).otherwise(x.cast(double)))`
+    * with `n = sqrt(aggregate(zip_with(vec, vec, (x, y) => x.cast(double) *
+    * y.cast(double)), 0.0, +))`: the norm folds in element order in double
+    * precision, each element is cast then divided by the same double norm,
+    * and a zero vector passes through unscaled. The HOF twin is kept in
+    * ProductQuantizer for the parity spec. Native because the HOF lambda
+    * embeds the norm AGGREGATE inside the per-element body — interpreted
+    * evaluation (HOFs are CodegenFallback) recomputed the full O(dim) norm
+    * for EVERY element, an O(dim²) interpreter tower per row that dominated
+    * the PQ encode/assignment paths.
+    */
+  def compute(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < n) { acc += x(i) * x(i); i += 1 }
+    val norm = math.sqrt(acc)
+    if (norm > 0) {
+      i = 0
+      while (i < n) { x(i) = x(i) / norm; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(x)
+  }
+}
+
+/** graft_unit_vec(vec): unit-normalized double vector (zero vectors pass
+  * through), single pass, codegen'd static call.
+  */
+case class UnitVec(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_unit_vec requires array<float>/array<double>, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    UnitVecImpl.compute(v.asInstanceOf[ArrayData], elemIsFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.UnitVecImpl.compute($c, $elemIsFloat)")
+  override protected def withNewChildInternal(newChild: Expression): UnitVec =
+    copy(child = newChild)
+}
+
+object VecSubAnchorImpl {
+  /** `vec − anchors(cell)` elementwise in double precision — bit-identical
+    * to the HOF `zip_with(vec, element_at(anchorLit, cell + 1), (x, a) =>
+    * x − a)` (same per-element double subtraction, same order). An
+    * out-of-range cell throws loudly (element_at would return null and an
+    * argmin downstream would eat it silently).
+    */
+  def compute(vec: ArrayData, isFloat: Boolean, cell: Int,
+      anchors: Array[Array[Double]]): ArrayData = {
+    if (cell < 0 || cell >= anchors.length)
+      throw new IllegalArgumentException(
+        s"graft_vec_sub_anchor: cell $cell outside anchor table 0..${anchors.length - 1}")
+    val a = anchors(cell)
+    val n = vec.numElements()
+    if (a.length != n)
+      throw new IllegalArgumentException(
+        s"graft_vec_sub_anchor: vector has $n elements but anchor $cell has ${a.length}")
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      out(i) = x - a(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** graft_vec_sub_anchor(vec, cell): vector minus the plan-time anchor row
+  * for `cell` — the residual-encoding kernel. The anchor matrix rides one
+  * broadcast reference object (MatVec's note), kept as Seq for value-based
+  * equality (canonicalization/CSE).
+  */
+case class VecSubAnchor(left: Expression, right: Expression,
+    anchors: Seq[Seq[Double]]) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient private lazy val anchorMatrix: Array[Array[Double]] =
+    anchors.map(_.toArray).toArray
+  private def elemIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), IntegerType)
+          if anchors.nonEmpty =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_vec_sub_anchor requires array<float>/array<double> and an int cell, got $l and $r")
+    }
+  override def nullSafeEval(v: Any, c: Any): Any =
+    VecSubAnchorImpl.compute(v.asInstanceOf[ArrayData], elemIsFloat,
+      c.asInstanceOf[Int], anchorMatrix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("anchors", anchorMatrix, "double[][]")
+    defineCodeGen(ctx, ev,
+      (v, c) => s"graft.expressions.VecSubAnchorImpl.compute($v, $elemIsFloat, $c, $ref)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSubAnchor =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqSubspaceImpl {
+  /** Per-subspace squared-L2 distance tables over a prepared (unit/residual)
+    * double vector: row s = distances from slice [s·subDim, s·subDim+subDim)
+    * to every entry of codebook s — bit-identical to m × `L2SqDistancesImpl`
+    * over `slice(prep, s·subDim + 1, subDim)` (same double arithmetic, same
+    * element order). Shared by the codes (argmin) and LUT (raw rows) kernels.
+    */
+  def distances(prep: ArrayData, codebooks: Array[Array[Array[Double]]],
+      subDim: Int): Array[Array[Double]] = {
+    val m = codebooks.length
+    val n = prep.numElements()
+    if (n != m * subDim)
+      throw new IllegalArgumentException(
+        s"graft_pq: prepared vector has $n elements, expected m=$m × subDim=$subDim")
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = prep.getDouble(i); i += 1 }
+    val out = new Array[Array[Double]](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val off = s * subDim
+      val row = new Array[Double](cb.length)
+      var c = 0
+      while (c < cb.length) {
+        val cen = cb(c)
+        if (cen.length != subDim)
+          throw new IllegalArgumentException(
+            s"graft_pq: codebook $s entry $c has ${cen.length} dims, expected $subDim")
+        var acc = 0.0
+        var j = 0
+        while (j < subDim) {
+          val d = x(off + j) - cen(j)
+          acc += d * d
+          j += 1
+        }
+        row(c) = acc
+        c += 1
+      }
+      out(s) = row
+      s += 1
+    }
+    out
+  }
+
+  /** First-minimum code per subspace — the `array_position(d, array_min(d))
+    * − 1` rule: minimum under Spark's double ordering (java.lang.Double
+    * .compare — the ordering array_min uses), first index on ties.
+    */
+  def codes(prep: ArrayData, codebooks: Array[Array[Array[Double]]],
+      subDim: Int): ArrayData = {
+    val d = distances(prep, codebooks, subDim)
+    val out = new Array[Int](d.length)
+    var s = 0
+    while (s < d.length) {
+      val row = d(s)
+      var best = row(0)
+      var idx = 0
+      var c = 1
+      while (c < row.length) {
+        if (java.lang.Double.compare(row(c), best) < 0) { best = row(c); idx = c }
+        c += 1
+      }
+      out(s) = idx
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def luts(prep: ArrayData, codebooks: Array[Array[Array[Double]]],
+      subDim: Int): ArrayData = {
+    val d = distances(prep, codebooks, subDim)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      d.map(row => new org.apache.spark.sql.catalyst.util.GenericArrayData(row): Any))
+  }
+}
+
+/** graft_pq_codes(prep): the full PQ code array (m ints) of a prepared
+  * unit/residual vector in ONE native pass. The HOF formulation —
+  * `array(m × (array_position(l2sq(slice(prep, …)), array_min(…)) − 1))` —
+  * re-evaluated the whole interpreted prep tower once PER SUBSPACE
+  * (CodegenFallback has no common-subexpression elimination), an m×
+  * blowup on every encode path (build, append, upsert, inline pqTopK).
+  * Codebooks kept as Seq for value-based equality (L2SqDistances' note).
+  */
+case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  private def subDim: Int = codebooks.head.head.length
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _)
+        if codebooks.nonEmpty && codebooks.forall(_.nonEmpty) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_codes requires a prepared array<double> and non-empty codebooks, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    PqSubspaceImpl.codes(v.asInstanceOf[ArrayData], cbArr, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", cbArr, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.PqSubspaceImpl.codes($c, $ref, $subDim)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** graft_pq_luts(prep): the query-side per-subspace distance tables
+  * (array<array<double>>, row s = distances to codebook s) in one native
+  * pass — same m× dedup as [[PqCodes]], on the LUT construction that rides
+  * every (query × probed cell) row.
+  */
+case class PqLuts(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  private def subDim: Int = codebooks.head.head.length
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _)
+        if codebooks.nonEmpty && codebooks.forall(_.nonEmpty) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_luts requires a prepared array<double> and non-empty codebooks, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    PqSubspaceImpl.luts(v.asInstanceOf[ArrayData], cbArr, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", cbArr, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.PqSubspaceImpl.luts($c, $ref, $subDim)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLuts =
+    copy(child = newChild)
+}

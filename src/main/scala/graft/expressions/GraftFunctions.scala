@@ -168,6 +168,15 @@ object GraftFunctions {
     exprCol(CharNgrams(expr(text), n))
   def srpSig(vec: Column, bits: Int, offset: Int = 0): Column =
     exprCol(SrpSignature(expr(vec), bits, offset))
+  def unitVec(vec: Column): Column = exprCol(UnitVec(expr(vec)))
+  def vecSubAnchor(vec: Column, cell: Column,
+      anchors: Array[Array[Double]]): Column =
+    exprCol(VecSubAnchor(expr(vec), expr(cell),
+      anchors.map(_.toVector).toVector))
+  def pqCodes(prep: Column, codebooks: Vector[Vector[Vector[Double]]]): Column =
+    exprCol(PqCodes(expr(prep), codebooks))
+  def pqLuts(prep: Column, codebooks: Vector[Vector[Vector[Double]]]): Column =
+    exprCol(PqLuts(expr(prep), codebooks))
   def l2sqDistances(vec: Column, centroids: Array[Array[Double]]): Column =
     exprCol(L2SqDistances(expr(vec), centroids.toVector.map(_.toVector)))
   def matVec(vec: Column, rows: Seq[Seq[Double]]): Column =

@@ -92,8 +92,17 @@ object ProductQuantizer {
 
   /** Unit-normalize to doubles (zero vectors pass through unscaled rather
     * than dividing by zero — they rank last against everything either way).
+    * Native `graft_unit_vec` since round 20: the HOF twin below embeds the
+    * norm aggregate inside the per-element lambda, so interpreted
+    * evaluation (HOFs are CodegenFallback) recomputed the O(dim) norm for
+    * every element — an O(dim²) interpreter tower per row on every encode/
+    * assignment path. Bit-parity spec-pinned (PqNativeParitySpec).
     */
-  private def unitize(vec: Column): Column = {
+  private def unitize(vec: Column): Column =
+    graft.expressions.GraftFunctions.unitVec(vec)
+
+  /** The pre-round-20 HOF formulation, kept for the bit-parity spec. */
+  private[operators] def unitizeHof(vec: Column): Column = {
     val n = sqrt(Similarity.norm2(vec))
     transform(vec, x => when(n > 0, x.cast("double") / n)
       .otherwise(x.cast("double")))
@@ -116,9 +125,15 @@ object ProductQuantizer {
     * projection stays narrow: no join, no shuffle.
     */
   private def residualCol(vec: Column, cell: Column,
+      anchors: Array[Array[Double]]): Column =
+    graft.expressions.GraftFunctions.vecSubAnchor(
+      unitize(vec), cell.cast("int"), anchors)
+
+  /** The pre-round-20 HOF formulation, kept for the bit-parity spec. */
+  private[operators] def residualColHof(vec: Column, cell: Column,
       anchors: Array[Array[Double]]): Column = {
     val anchorLit = array(anchors.map(a => array(a.map(lit): _*)): _*)
-    zip_with(unitize(vec), element_at(anchorLit, cell.cast("int") + 1),
+    zip_with(unitizeHof(vec), element_at(anchorLit, cell.cast("int") + 1),
       (x, a) => x - a)
   }
 
@@ -276,7 +291,38 @@ object ProductQuantizer {
       graft.expressions.GraftFunctions.matVec(r, rot))
   }
 
+  /** End-to-end HOF twins of [[encode]]/[[encodeResidual]]/[[queryLut]]/
+    * [[queryLutResidual]] — the exact pre-round-20 expression chains, kept
+    * so the bit-parity spec can assert the native kernels reproduce them
+    * value-for-value over the real corpus (the adcHof/PqAdc pattern).
+    */
+  private[operators] def encodeHofTwin(vec: Column, model: PqModel): Column =
+    encodePreparedHof(unitizeHof(vec), model)
+  private[operators] def encodeResidualHofTwin(vec: Column, cell: Column,
+      model: PqModel, floatCentroids: Array[Array[Double]]): Column = {
+    val r = residualColHof(vec, cell, floatCentroids)
+    val prep = model.rotation.fold(r)(rot =>
+      graft.expressions.GraftFunctions.matVec(r, rot))
+    encodePreparedHof(prep, model)
+  }
+  private[operators] def queryLutHofTwin(vec: Column, model: PqModel): Column =
+    lutPreparedHof(unitizeHof(vec), model)
+  private[operators] def queryLutResidualHofTwin(vec: Column, cell: Column,
+      model: PqModel, floatCentroids: Array[Array[Double]]): Column = {
+    val r = residualColHof(vec, cell, floatCentroids)
+    val prep = model.rotation.fold(r)(rot =>
+      graft.expressions.GraftFunctions.matVec(r, rot))
+    lutPreparedHof(prep, model)
+  }
+
   private def encodePrepared(prep: Column, model: PqModel): Column =
+    graft.expressions.GraftFunctions.pqCodes(prep, model.codebooks)
+
+  /** The pre-round-20 per-subspace formulation, kept for the bit-parity
+    * spec: m slices of `prep`, each re-evaluating the whole prepared tower
+    * under interpreted (CodegenFallback) evaluation.
+    */
+  private[operators] def encodePreparedHof(prep: Column, model: PqModel): Column =
     array((0 until model.m).map { s =>
       val d = graft.expressions.GraftFunctions.l2sqDistances(
         slice(prep, s * model.subDim + 1, model.subDim), model.matrix(s))
@@ -310,6 +356,12 @@ object ProductQuantizer {
   }
 
   private def lutPrepared(prep: Column, model: PqModel): Column =
+    graft.expressions.GraftFunctions.pqLuts(prep, model.codebooks)
+
+  /** The pre-round-20 per-subspace formulation, kept for the bit-parity
+    * spec (same m× re-evaluation note as [[encodePreparedHof]]).
+    */
+  private[operators] def lutPreparedHof(prep: Column, model: PqModel): Column =
     array((0 until model.m).map { s =>
       graft.expressions.GraftFunctions.l2sqDistances(
         slice(prep, s * model.subDim + 1, model.subDim), model.matrix(s))

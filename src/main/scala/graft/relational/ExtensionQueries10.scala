@@ -240,7 +240,11 @@ object ExtensionQueries10 {
         LexIndex.append(s, dir, docs.where($"doc_id" % 2 =!= 0),
           "doc_id", "text", batchId = Some(5L))
         val nReplay = s.read.parquet(s"$dir/doclens").count()
-        val replayDiff = top().exceptAll(t0).unionAll(t0.exceptAll(top()))
+        // one post-replay query, consumed by both except directions (the
+        // frame is checkpointed — a second top() re-ran the whole indexed
+        // BM25 pipeline for the same rows)
+        val t1 = top()
+        val replayDiff = t1.exceptAll(t0).unionAll(t0.exceptAll(t1))
           .count()
         // (2) takedown exactness vs the remaining-corpus scan
         val delPred = $"doc_id" % 5 === 0
