@@ -48,14 +48,17 @@ object ContainmentJoin {
     val base = df.select(idCol.as("id"),
       array_sort(array_distinct(setCol)).as("ts"))
       .localCheckpoint()
-    val tok = base.select(col("id"), explode(col("ts")).as("w"))
+    // set size is the array length — carrying it on the explode removes the
+    // groupBy(id) aggregation and BOTH id-keyed joins the previous shape
+    // paid to re-attach it (3 exchanges gone from the plan)
+    val tok = base.select(col("id"), size(col("ts")).as("sz"),
+      explode(col("ts")).as("w"))
     val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val sz = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // rarest-first prefix of each set: |A| - ceil(tau*|A|) + 1 elements
     val prefixLen = (col("sz") -
       call_function("div",
         col("sz") * tauNum + (tauDen - 1), lit(tauDen.toLong))) + 1
-    val ranked = tok.join(dfreq, "w").join(sz, "id")
+    val ranked = tok.join(dfreq, "w")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("w"))))
       .where(col("rk") <= prefixLen)
@@ -63,7 +66,7 @@ object ContainmentJoin {
     // candidates: B contains one of A's prefix shingles AND is big enough
     // to possibly satisfy the threshold (|A∩B| <= |B|, so tauDen*|B| >=
     // tauNum*|A| is necessary) — the size filter runs before the distinct
-    val tokB = tok.join(sz, "id")
+    val tokB = tok
       .select(col("id").as("b"), col("w"), col("sz").as("sz_b"))
     val cand = ranked.join(tokB, "w")
       .where(col("a") =!= col("b") &&

@@ -54,15 +54,19 @@ object DedupOps {
       threshold: Double = 0.8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(
-      col(idCol).as("id"),
-      // hashed shingle sets for the exact-verify step (native one-pass
-      // ShingleHashSet; Jaccard in hash space ≡ string space modulo 64-bit
-      // collisions — same contract as ngramJaccardPairs)
-      graft.expressions.GraftFunctions.shingleHashes(col(textCol), shingleWords).as("shingles"),
-      // native one-pass signature (graft.expressions.MinHashSig); the HOF
-      // equivalent `minhashSignature` is kept for the parity spec
-      graft.expressions.GraftFunctions.minhashSig(col(textCol), shingleWords, k).as("sig"))
+    // widen a single-row-group scan BEFORE the two signature expressions —
+    // the heaviest narrow work in the operator (identity at scale)
+    val base = graft.core.Fanout.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(
+        col("id"),
+        // hashed shingle sets for the exact-verify step (native one-pass
+        // ShingleHashSet; Jaccard in hash space ≡ string space modulo 64-bit
+        // collisions — same contract as ngramJaccardPairs)
+        graft.expressions.GraftFunctions.shingleHashes(col("__t"), shingleWords).as("shingles"),
+        // native one-pass signature (graft.expressions.MinHashSig); the HOF
+        // equivalent `minhashSignature` is kept for the parity spec
+        graft.expressions.GraftFunctions.minhashSig(col("__t"), shingleWords, k).as("sig"))
 
     // band join over bare ids — the (potentially large) shingle arrays do NOT
     // ride through the band-collision shuffle; they are re-attached only to
@@ -121,7 +125,9 @@ object DedupOps {
       maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sig = graft.core.Fanout.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), simhash(col("__t")).as("sh"))
       .select($"id", $"sh", posexplode(
         transform(sequence(lit(0), lit(3)),
           c => call_function("shiftright", $"sh", c * 16).bitwiseAND(0xFFFFL))))
@@ -155,10 +161,16 @@ object DedupOps {
     */
   private def hashedSets(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, n: Int): DataFrame =
-    df.select(col(groupCol).as("g"), col(idCol).as("id"),
-      // native one-pass expression (codegen'd); semantically identical to
-      // array_distinct(transform(wordShingles(text, n), xxhash64))
-      graft.expressions.GraftFunctions.shingleHashes(col(textCol), n).as("sh"))
+    // widen a single-row-group scan BEFORE hashing: the shingle-hash
+    // projection is the expensive narrow work and otherwise runs on one
+    // task under every consumer of this relation (identity at scale)
+    graft.core.Fanout.spread(
+        df.select(col(groupCol).as("g"), col(idCol).as("id"),
+          col(textCol).as("__t")))
+      .select(col("g"), col("id"),
+        // native one-pass expression (codegen'd); semantically identical to
+        // array_distinct(transform(wordShingles(text, n), xxhash64))
+        graft.expressions.GraftFunctions.shingleHashes(col("__t"), n).as("sh"))
       .withColumn("sz", size(col("sh")))
 
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -42,8 +42,12 @@ object FuzzyJoin {
       right: DataFrame, rightId: Column, rightStr: Column, maxDist: Int): DataFrame = {
     require(maxDist >= 0)
     val d = maxDist
-    val l = left.select(leftId.as("id_l"), leftStr.as("s_l"))
-    val r = right.select(rightId.as("id_r"), rightStr.as("s_r"))
+    // widen single-row-group scans BEFORE the segment/substring explosion —
+    // the operator's expensive narrow work (identity at scale, see Fanout)
+    val l = graft.core.Fanout.spread(
+      left.select(leftId.as("id_l"), leftStr.as("s_l")))
+    val r = graft.core.Fanout.spread(
+      right.select(rightId.as("id_r"), rightStr.as("s_r")))
     if (d == 0) // degenerate: plain equi join
       return l.join(r, col("s_l") === col("s_r"))
         .select(col("id_l"), col("id_r"), lit(0L).as("dist"))

@@ -48,9 +48,12 @@ object LanguageModel {
     * Documents with fewer than two tokens have no transitions and no row.
     */
   def docBigrams(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = df
-      .select(idCol.as("doc_id"),
-        posexplode(split(trim(lower(textCol)), "\\s+")).as(Seq("pos", "w")))
+    // widen a single-row-group scan BEFORE tokenization: the split+explode
+    // otherwise runs on one task under the window shuffle (identity at scale)
+    val toks = graft.core.Fanout.spread(
+        df.select(idCol.as("doc_id"), textCol.as("__t")))
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("__t"))), "\\s+")).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     toks
@@ -151,9 +154,11 @@ object LanguageModel {
     * leads over one doc-bounded window.
     */
   def docTrigrams(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = df
-      .select(idCol.as("doc_id"),
-        posexplode(split(trim(lower(textCol)), "\\s+")).as(Seq("pos", "w")))
+    // widen a single-row-group scan BEFORE tokenization (see docBigrams)
+    val toks = graft.core.Fanout.spread(
+        df.select(idCol.as("doc_id"), textCol.as("__t")))
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("__t"))), "\\s+")).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     toks

@@ -103,8 +103,11 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val tok = df.select(col(idCol).as("doc_id"),
-      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    // widen a single-row-group scan BEFORE tokenization: tok feeds three
+    // aggregations and each otherwise replays the split+explode on one task
+    val tok = graft.core.Fanout.spread(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"), explode(split(trim(col("__t")), "\\s+")).as("term"))
     val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("cnt"))
     val tot = tok.groupBy($"doc_id").agg(count(lit(1)).as("total"))
     val dfreq = tok.select($"doc_id", $"term").distinct()

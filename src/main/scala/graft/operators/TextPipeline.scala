@@ -292,9 +292,11 @@ object TextPipeline {
   private def dupSpanTables(df: DataFrame, idCol: Column, textCol: Column,
       k: Int, minDocs: Long): (DataFrame, DataFrame) = {
     require(k >= 1 && minDocs >= 2)
-    val base = df.select(
-      idCol.as("id"),
-      split(trim(textCol), "\\s+").as("__toks"))
+    // widen a single-row-group scan BEFORE tokenization + window hashing —
+    // the expensive narrow work feeding every consumer (identity at scale)
+    val base = graft.core.Fanout.spread(
+        df.select(idCol.as("id"), textCol.as("__t")))
+      .select(col("id"), split(trim(col("__t")), "\\s+").as("__toks"))
       .select(col("id"), col("__toks"),
         size(col("__toks")).cast("bigint").as("n_tokens"),
         greatest(size(col("__toks")) - (k - 1), lit(0)).cast("bigint").as("n_windows"))

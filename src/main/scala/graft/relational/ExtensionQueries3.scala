@@ -186,7 +186,11 @@ object ExtensionQueries3 {
         // documents.text is newline-free, so the query derives a lined view
         // first (4-token lines) — the operator itself is delimiter-generic.
         val toks = split(trim($"text"), "\\s+")
-        val lined = Tables.documents(s, d)
+        // widen the single-row-group scan BEFORE the line-view transform:
+        // dedupLines consumes the lined view twice and each replay otherwise
+        // rebuilds it on one task (identity at scale — see Fanout)
+        val lined = graft.core.Fanout.spread(
+            Tables.documents(s, d).select($"doc_id", $"text"))
           .select($"doc_id", toks.as("__toks"))
           .select($"doc_id",
             concat_ws("\n",

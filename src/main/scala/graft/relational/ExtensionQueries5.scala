@@ -232,7 +232,10 @@ object ExtensionQueries5 {
       "t78_containment_join",
       (s, d) => {
         import s.implicits._
-        val docs = Tables.documents(s, d)
+        // widen the single-row-group scan BEFORE the shingle expression so
+        // the set construction parallelizes (identity at scale — see Fanout)
+        val docs = graft.core.Fanout.spread(
+            Tables.documents(s, d).select($"doc_id", $"text"))
           .select($"doc_id", graft.operators.TextAnalysis.wordShingles($"text", 3).as("sh"))
         graft.operators.ContainmentJoin
           .containmentJoin(docs, $"doc_id", $"sh", tauNum = 9, tauDen = 10)

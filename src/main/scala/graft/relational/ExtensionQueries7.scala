@@ -1353,8 +1353,15 @@ object ExtensionQueries7 {
         val dir = java.nio.file.Files.createTempDirectory("graft_t129").toString
         graft.operators.TrainingOrder
           .writeMixtureShards(ordered, $"global_pos", s"$dir/shards", 8)
-        (0 until 8).map(sh => graft.operators.TrainingOrder
-            .readShardSequential(s, s"$dir/shards", sh))
+        // infer the release schema once; the other 7 shards (and every part
+        // file inside each) skip their per-file footer round trips
+        var sch: Option[org.apache.spark.sql.types.StructType] = None
+        (0 until 8).map { sh =>
+            val f = graft.operators.TrainingOrder
+              .readShardSequential(s, s"$dir/shards", sh, "global_pos", sch)
+            if (sch.isEmpty) sch = Some(f.schema)
+            f
+          }
           .reduce(_ unionByName _)
           .select($"doc_id", $"lang", $"global_pos",
             $"shard".cast("int").as("shard"))

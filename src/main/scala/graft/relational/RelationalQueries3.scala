@@ -186,7 +186,12 @@ object RelationalQueries3 {
         // +/-1% (accuracy=1000 guarantees rank error <= 0.1%; 10x slack —
         // t34 gates the same sketch in violations+sentinel form). Exact
         // medians are value-checked by q31.
-        Tables.orders(s, d)
+        // widen the single-row-group scan: the exact-percentile buffers and
+        // the GK sketches otherwise build on one task. The emitted columns
+        // are rank-bound BOOLEANS with 10x slack, so GK merge order cannot
+        // flip them (exact percentiles are order-independent by definition).
+        graft.core.Fanout.spread(Tables.orders(s, d)
+            .select($"o_orderpriority", $"o_totalprice"))
           .groupBy($"o_orderpriority")
           .agg(
             percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("p50"),

@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
 object OptProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val name = args(1)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
     val passes = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.configure(
@@ -45,8 +45,7 @@ object OptProbe {
       }
     })
 
-    val fn = graft.SparkEntry.queries(name)
-    for (p <- 1 to passes) {
+    for (name <- names; fn = graft.SparkEntry.queries(name); p <- 1 to passes) {
       rows.synchronized(rows.clear())
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
