@@ -103,17 +103,28 @@ object Bench {
       // The contract line must be (a) unprefixed — see run/outputStrategy in
       // build.sbt — and (b) short enough to survive the driver's 2000-char
       // stdout tail INCLUDING sbt's trailing "[success] ..." line.
-      def line(kvs: Seq[(String, Double)])(decimals: Int): String =
-        s"""{"metric":"total","value":${compact(3)(total)},"unit":"sec","graded_total":${compact(3)(gradedTotal)},"gate_total":${compact(3)(gateTotal)},"total_min":${compact(3)(totalMin)},"queries":${jsonObj(kvs, compact(decimals))}$errTok,"sf":$sfToken}"""
+      def line(kvs: Seq[(String, Double)])(fmt: Double => String): String =
+        s"""{"metric":"total","value":${compact(3)(total)},"unit":"sec","graded_total":${compact(3)(gradedTotal)},"gate_total":${compact(3)(gateTotal)},"total_min":${compact(3)(totalMin)},"queries":${jsonObj(kvs, fmt)}$errTok,"sf":$sfToken}"""
+      // Sub-second-preserving rung (round-20 verdict #2): a sub-0.5 s row
+      // printed "0" at the 0-decimal rung read as dropped_from_bench in the
+      // driver's round-over-round comparator — 17 improvements miscounted as
+      // drops. Integers stay integers; only sub-second rows spend the 2
+      // extra chars needed to stay nonzero.
+      def adaptive(v: Double): String =
+        if (v >= 0.95) compact(0)(v)
+        else if (v >= 0.095) compact(1)(v)
+        else if (v >= 0.0095) compact(2)(v)
+        else compact(3)(v)
       // Past ~95 queries the full-name dict exceeds the tail budget even at
       // 0 decimals, so the ladder gains a rung BEFORE dropping coverage: the
       // qNN/tNN prefix is unique across the registry and shrinks each entry
       // ~3x. Full names at full precision stay on the bench-detail line.
       val shortMed = med.map { case (k, v) => k.takeWhile(_ != '_') -> v }
       val shortOk = shortMed.map(_._1).distinct.size == med.size
+      val fmts: Seq[Double => String] =
+        Seq(compact(3), compact(2), compact(1), adaptive, compact(0))
       val candidates =
-        Seq(3, 2, 1, 0).map(line(med)) ++
-          (if (shortOk) Seq(3, 2, 1, 0).map(line(shortMed)) else Nil)
+        fmts.map(line(med)) ++ (if (shortOk) fmts.map(line(shortMed)) else Nil)
       // 1850 ≈ 2000-char tail minus sbt's "[success] Total time: ..." trailer
       println(candidates.find(_.length <= 1850).getOrElse(candidates.last))
       System.out.flush()

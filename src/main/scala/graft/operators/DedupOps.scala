@@ -125,8 +125,12 @@ object DedupOps {
       maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sig = graft.core.Fanout.spread(
-        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+    // NOT spread (round-20 driver record: widening regressed t08 1 s -> 3 s
+    // at 32 cores): SimHash64 is a native single-pass codegen'd expression —
+    // cheap enough per row that round-robin-shuffling the text payload costs
+    // more than the one-task saving, and `sig` feeds a self-join whose two
+    // consumers each replay the exchange
+    val sig = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .select(col("id"), simhash(col("__t")).as("sh"))
       .select($"id", $"sh", posexplode(
         transform(sequence(lit(0), lit(3)),
@@ -161,12 +165,14 @@ object DedupOps {
     */
   private def hashedSets(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, n: Int): DataFrame =
-    // widen a single-row-group scan BEFORE hashing: the shingle-hash
-    // projection is the expensive narrow work and otherwise runs on one
-    // task under every consumer of this relation (identity at scale)
-    graft.core.Fanout.spread(
-        df.select(col(groupCol).as("g"), col(idCol).as("id"),
-          col(textCol).as("__t")))
+    // NOT spread (round-20 driver record: widening regressed t23 2 s -> 5 s
+    // at 32 cores, t09/t22/t42 flat at best): shingleHashes is a native
+    // one-pass codegen'd expression, and this relation is consumed 2-3x by
+    // every caller (freq ranking, posting explode, verify re-attach) — each
+    // consumer replays the round-robin exchange of the full text payload,
+    // where the unwidened plan re-scans a KB-scale parquet footprint
+    df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        col(textCol).as("__t"))
       .select(col("g"), col("id"),
         // native one-pass expression (codegen'd); semantically identical to
         // array_distinct(transform(wordShingles(text, n), xxhash64))

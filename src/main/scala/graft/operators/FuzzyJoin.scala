@@ -42,15 +42,15 @@ object FuzzyJoin {
       right: DataFrame, rightId: Column, rightStr: Column, maxDist: Int): DataFrame = {
     require(maxDist >= 0)
     val d = maxDist
+    val l0 = left.select(leftId.as("id_l"), leftStr.as("s_l"))
+    val r0 = right.select(rightId.as("id_r"), rightStr.as("s_r"))
+    if (d == 0) // degenerate: plain equi join — widening would only add two
+      return l0.join(r0, col("s_l") === col("s_r")) // exchanges before a join
+        .select(col("id_l"), col("id_r"), lit(0L).as("dist")) // that shuffles anyway
     // widen single-row-group scans BEFORE the segment/substring explosion —
     // the operator's expensive narrow work (identity at scale, see Fanout)
-    val l = graft.core.Fanout.spread(
-      left.select(leftId.as("id_l"), leftStr.as("s_l")))
-    val r = graft.core.Fanout.spread(
-      right.select(rightId.as("id_r"), rightStr.as("s_r")))
-    if (d == 0) // degenerate: plain equi join
-      return l.join(r, col("s_l") === col("s_r"))
-        .select(col("id_l"), col("id_r"), lit(0L).as("dist"))
+    val l = graft.core.Fanout.spread(l0)
+    val r = graft.core.Fanout.spread(r0)
 
     // ---- segment path: right strings long enough to have d+1 non-empty
     // segments. Segment scheme (deterministic, both sides re-derive it from

@@ -103,10 +103,11 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    // widen a single-row-group scan BEFORE tokenization: tok feeds three
-    // aggregations and each otherwise replays the split+explode on one task
-    val tok = graft.core.Fanout.spread(
-        df.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+    // NOT spread (round-20 driver record: widening regressed t20 1 s -> 2 s
+    // at 32 cores): split+explode is cheap codegen'd string work, and the
+    // round-robin shuffle of the text payload plus 32-task scheduling never
+    // amortizes before the three aggregations shuffle anyway
+    val tok = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .select(col("doc_id"), explode(split(trim(col("__t")), "\\s+")).as("term"))
     val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("cnt"))
     val tot = tok.groupBy($"doc_id").agg(count(lit(1)).as("total"))

@@ -292,10 +292,13 @@ object TextPipeline {
   private def dupSpanTables(df: DataFrame, idCol: Column, textCol: Column,
       k: Int, minDocs: Long): (DataFrame, DataFrame) = {
     require(k >= 1 && minDocs >= 2)
-    // widen a single-row-group scan BEFORE tokenization + window hashing —
-    // the expensive narrow work feeding every consumer (identity at scale)
-    val base = graft.core.Fanout.spread(
-        df.select(idCol.as("id"), textCol.as("__t")))
+    // NOT spread (round-20 driver record: widening regressed t54 2 s -> 3 s
+    // and t85 3 s -> 4 s at 32 cores): tokenize + xxhash64 window hashing is
+    // cheap codegen'd work, and `base` is consumed by several downstream
+    // branches — each replay re-reads the round-robin exchange, so the
+    // widened plan shuffles the token arrays where the unwidened one
+    // re-scans a KB-scale parquet file
+    val base = df.select(idCol.as("id"), textCol.as("__t"))
       .select(col("id"), split(trim(col("__t")), "\\s+").as("__toks"))
       .select(col("id"), col("__toks"),
         size(col("__toks")).cast("bigint").as("n_tokens"),

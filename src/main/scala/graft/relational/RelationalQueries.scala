@@ -499,12 +499,12 @@ object RelationalQueries {
         // agg makes Spark plan the multi-column distinct through Expand and
         // fall back to a sort-based aggregate that churns the 16 KB HLL
         // buffers per expanded row (~50x slower, measured).
-        // widen the single-row-group scan: both aggregations hash ~N rows
-        // into 16 KB HLL buffers and otherwise run on the scan's 1-2 input
-        // splits; HLL registers are max-merged so the estimate is
-        // partitioning-independent (identity at scale — see Fanout)
-        val li = graft.core.Fanout.spread(Tables.lineitem(s, d)
-          .select($"l_returnflag", $"l_partkey", $"l_orderkey"))
+        // NOT spread (round-20 driver record: widening regressed q22
+        // 3 s -> 4 s at 32 cores): the partial aggregation is hash inserts
+        // into per-task HLL buffers — cheap per row — and the round-robin
+        // shuffle of 3 columns costs more than the map-side parallelism buys
+        val li = Tables.lineitem(s, d)
+          .select($"l_returnflag", $"l_partkey", $"l_orderkey")
         val approxSide = li.groupBy($"l_returnflag").agg(
           approx_count_distinct($"l_partkey", 0.01).as("ap"),
           approx_count_distinct($"l_orderkey", 0.01).as("ao"))
