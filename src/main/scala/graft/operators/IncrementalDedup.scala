@@ -118,7 +118,12 @@ object IncrementalDedup {
       // distinct-keys file behind the usual staged swap. Runs under the
       // caller's index lease (the public delete surfaces hold it), so no
       // concurrent takedown can land inside the read-modify-write.
-      if (spark.read.parquet(tsDir).inputFiles.length > 16) {
+      // file-count check via a pure fs listing: `spark.read.parquet(tsDir)
+      // .inputFiles` paid a footer-read/schema-inference Spark job PER
+      // DELETE BATCH just to count files (round-21 OptProbe: 18 such jobs
+      // inside t134's takedown loop); the tombstone dir is flat, so the
+      // name listing counts the same part files for free
+      if (IndexFs.fileNames(tsDir).count(_.endsWith(".parquet")) > 16) {
         val snap = spark.read.parquet(tsDir).select(col(keyCol)).distinct()
           .localCheckpoint()
         clearStaging(s"$tsDir.next")

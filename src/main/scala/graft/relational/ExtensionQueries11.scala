@@ -376,9 +376,14 @@ object ExtensionQueries11 {
         def got() = Similarity.ivfQuery(s, dir, queries,
           "vec_id", "embedding", k = 5, nProbe = 8).localCheckpoint()
         def diffVs(corpus: org.apache.spark.sql.DataFrame) = {
-          val bf = Similarity.bruteForceTopK(corpus, queries,
-            "vec_id", "embedding", k = 5).localCheckpoint()
-          val g = got()
+          // the brute-force twin and the index query are independent reads
+          // (the mutation preceding this compare has already committed), so
+          // materialize them concurrently — same rows, one round of driver
+          // latency instead of two (guide §2.6; this compare runs 5x)
+          val (bf, g) = graft.core.Par.both(
+            Similarity.bruteForceTopK(corpus, queries,
+              "vec_id", "embedding", k = 5).localCheckpoint(),
+            got())
           g.exceptAll(bf).unionAll(bf.exceptAll(g)).count()
         }
         // (1) first upsert: ~1/9 of ids re-embedded + brand-new ids
@@ -423,11 +428,12 @@ object ExtensionQueries11 {
           "embedding", 8, 8, 16, pqDir)
         Similarity.ivfUpsert(s, pqDir, upd1.unionByName(news),
           "vec_id", "embedding")
-        val pqGot = graft.operators.ProductQuantizer.ivfPqQuery(s, pqDir,
-          queries, "vec_id", "embedding", k = 5, nProbe = 8, rerank = 400)
-          .localCheckpoint()
-        val pqBf = Similarity.bruteForceTopK(corpus1, queries,
-          "vec_id", "embedding", k = 5).localCheckpoint()
+        val (pqGot, pqBf) = graft.core.Par.both(
+          graft.operators.ProductQuantizer.ivfPqQuery(s, pqDir,
+            queries, "vec_id", "embedding", k = 5, nProbe = 8, rerank = 400)
+            .localCheckpoint(),
+          Similarity.bruteForceTopK(corpus1, queries,
+            "vec_id", "embedding", k = 5).localCheckpoint())
         val d6 = pqGot.exceptAll(pqBf).unionAll(pqBf.exceptAll(pqGot)).count()
         def flag(bad: Boolean, a: Long, why: String) =
           if (!bad) s.emptyDataset[(Long, Long, String)]

@@ -716,29 +716,45 @@ object ExtensionQueries6 {
         drop(docs.filter($"doc_id" % 2 =!= 0), "b1.parquet")
         def stream() = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-        def runToTable(ds: DataFrame, name: String): DataFrame = {
-          val q = ds.writeStream.outputMode("update").format("memory")
+        def startTo(ds: DataFrame, name: String) =
+          ds.writeStream.outputMode("update").format("memory")
             .queryName(name)
             .option("checkpointLocation",
               java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
             .start()
-          q.processAllAvailable(); q.stop()
-          s.table(name)
-        }
+        // the two streaming runs are INDEPENDENT (separate sources over the
+        // same static 2-file dir, separate state stores, separate memory
+        // sinks) and each still processes two genuine micro-batches — run
+        // them concurrently instead of back-to-back (guide §2.6): the gate's
+        // wall was dominated by 4 sequential micro-batch latencies.
+        // State partitions are pinned to 8 for the streams' lifetime (conf
+        // restored in the finally): the state here is tens of GROUPS, but
+        // every micro-batch commits one state-store delta per shuffle
+        // partition, so 32 partitions paid 4x32x2 file commits per run for
+        // mostly-empty stores. Emissions are per-group and the gate
+        // max-merges them — partition-count invariant.
+        val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val qQ = startTo(
+            graft.streaming.StreamingOps.sketchStream(stream(), $"n_chars").toDF(),
+            "t100_qsketch")
+          val hQ = startTo(
+            graft.streaming.StreamingOps.hllStream(stream(), $"lang", $"doc_id").toDF(),
+            "t100_hll")
+          qQ.processAllAvailable(); hQ.processAllAvailable()
+          qQ.stop(); hQ.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
         // quantile sketch: counts are monotone, so max(n) per bucket is the
         // final streaming state — must equal the batch sketch bit-for-bit
-        val qGot = runToTable(
-          graft.streaming.StreamingOps.sketchStream(stream(), $"n_chars").toDF(),
-          "t100_qsketch")
+        val qGot = s.table("t100_qsketch")
           .groupBy($"bucket_lo").agg(max($"n").as("n"))
         val qBatch = QuantileHist.sketch(docs, $"n_chars")
         val qViol = qGot.exceptAll(qBatch).unionAll(qBatch.exceptAll(qGot))
           .select($"bucket_lo".as("id_a"), $"n".as("id_b"),
             lit("qsketch_mismatch").as("reason"))
         // HLL registers: rho is max-monotone, same argument
-        val hGot = runToTable(
-          graft.streaming.StreamingOps.hllStream(stream(), $"lang", $"doc_id").toDF(),
-          "t100_hll")
+        val hGot = s.table("t100_hll")
           .groupBy($"group", $"bucket").agg(max($"rho").as("rho"))
         val hBatch = graft.operators.HllTable
           .build(docs, $"lang".cast("string"), $"doc_id")
