@@ -250,9 +250,13 @@ object ExtensionQueries10 {
         val delPred = $"doc_id" % 5 === 0
         LexIndex.delete(s, dir, docs.where(delPred).select($"doc_id"),
           "doc_id")
-        val scanRemaining = TextSearch.bm25TopK(docs.where(!delPred),
-          $"doc_id", $"text", terms, k = 20).localCheckpoint()
-        val tDel = top()
+        // the remaining-corpus reference scan and the tombstoned-index query
+        // are independent reads of the committed post-delete state — overlap
+        // their materializations (guide §2.6, same values either way)
+        val (scanRemaining, tDel) = graft.core.Par.both(
+          TextSearch.bm25TopK(docs.where(!delPred),
+            $"doc_id", $"text", terms, k = 20).localCheckpoint(),
+          top())
         val delDiff = tDel.exceptAll(scanRemaining)
           .unionAll(scanRemaining.exceptAll(tDel)).count()
         // (3) the ingest split defers exactly the tombstoned ids

@@ -270,6 +270,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("t78 containment join carries set size on the explode: 3 shuffles, no re-attach") {
+    // round-20 shape fix, pinned here (round-21 verdict #5): size(ts) rides
+    // the token explode, which removed the groupBy(id) size aggregation and
+    // BOTH id-keyed joins that re-attached it — 3 shuffle exchanges gone
+    // from the plan. What remains: the shingle df-frequency aggregate, the
+    // per-doc rank window, and the output sort; candidate/verify joins
+    // broadcast. A 4th shuffle appearing means the re-attach crept back.
+    val p = planOf("t78_containment_join")
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 3, s"expected <= 3 shuffle exchanges, got $shuffles: " + p.take(1500))
+  }
+
   test("t84 PageRank iteration: one equi-join + partial-agg inflow, no cartesian") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
