@@ -105,15 +105,17 @@ object Bench {
       // stdout tail INCLUDING sbt's trailing "[success] ..." line.
       def line(kvs: Seq[(String, Double)])(fmt: Double => String): String =
         s"""{"metric":"total","value":${compact(3)(total)},"unit":"sec","graded_total":${compact(3)(gradedTotal)},"gate_total":${compact(3)(gateTotal)},"total_min":${compact(3)(totalMin)},"queries":${jsonObj(kvs, fmt)}$errTok,"sf":$sfToken}"""
-      // Sub-second-preserving rung (round-20 verdict #2): a sub-0.5 s row
-      // printed "0" at the 0-decimal rung read as dropped_from_bench in the
-      // driver's round-over-round comparator — 17 improvements miscounted as
-      // drops. Integers stay integers; only sub-second rows spend the 2
-      // extra chars needed to stay nonzero.
+      // Zero-preserving rung (round-20 verdict #2): a sub-0.5 s row printed
+      // "0" at the 0-decimal rung read as dropped_from_bench in the driver's
+      // round-over-round comparator — 17 improvements miscounted as drops.
+      // ONLY rows that would print "0" spend extra chars (2 per row); rows
+      // >= 0.5 s keep the integer rendering prior rounds are compared on.
+      // (A uniform >= 1-decimal dict measured 1860 chars at 187 queries —
+      // over the 1850 tail budget; this variant measured 1766.)
       def adaptive(v: Double): String =
-        if (v >= 0.95) compact(0)(v)
-        else if (v >= 0.095) compact(1)(v)
-        else if (v >= 0.0095) compact(2)(v)
+        if (v >= 0.5) compact(0)(v)
+        else if (v >= 0.05) compact(1)(v)
+        else if (v >= 0.005) compact(2)(v)
         else compact(3)(v)
       // Past ~95 queries the full-name dict exceeds the tail budget even at
       // 0 decimals, so the ladder gains a rung BEFORE dropping coverage: the
