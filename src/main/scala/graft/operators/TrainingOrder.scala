@@ -263,6 +263,16 @@ object TrainingOrder {
     * 100 TB that is tens of thousands of serial driver round trips per
     * epoch). The first file of the first shard infers once; everything
     * after reuses.
+    *
+    * CONTRACT (round-20 advice): forcing one schema onto every file assumes
+    * HOMOGENEOUS shards — exactly what [[writeMixtureShards]] produces (one
+    * writer, one schema, one release). Under the pre-round-20 per-file
+    * inference, a heterogeneous shard dir failed loudly in `unionByName`;
+    * under schema-once, a later file missing a column reads as nulls and an
+    * extra column is silently dropped. Do not point this reader at shard
+    * dirs assembled from multiple writers/releases without re-validating
+    * footers (the manifest gate in the public callers pins a single release,
+    * which is what makes the assumption safe there).
     */
   private[graft] def readShardSequential(
       spark: org.apache.spark.sql.SparkSession, dir: String, shard: Int,
